@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.queries.Relational.exprSum
+
+/** Time-series / event-log queries over the `events` table. These are
+  * the batch duals of the streaming module: the same windowed
+  * aggregation and sessionization semantics run under Structured
+  * Streaming in `graft.streaming` (where watermarks replace the total
+  * order), while these batch forms are oracle-checkable by DuckDB.
+  */
+object EventsQueries {
+
+  // --------------------------------------------------------------------
+  // q23 — tumbling-window aggregation (1 hour): the batch dual of a
+  // `groupBy(window($"ts", "1 hour"))` streaming agg. At 100 TB the
+  // bucket key is derived per-row (no shuffle beyond the groupBy) and
+  // AQE coalesces post-shuffle partitions.
+  def q23EventWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(
+        window(col("ts"), "1 hour")("start").as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), exprSum(col("value")).as("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  val q23Oracle: String =
+    """SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+      |  event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY window_start, event_type
+      |ORDER BY window_start, event_type""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q24 — gap-based sessionization (30-minute inactivity): lag + running
+  // sum of new-session flags per user. Timestamps are floored to whole
+  // epoch seconds on both sides so Spark's µs and DuckDB's ns precision
+  // agree. Streaming dual: `flatMapGroupsWithState` in graft.streaming.
+  def q24Sessionization(spark: SparkSession, dir: String): DataFrame = {
+    val sec = col("ts").cast("long")
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val flagged = Tables.events(spark, dir)
+      .withColumn("sec", sec)
+      .withColumn("prev_sec", lag(col("sec"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_sec").isNull || col("sec") - col("prev_sec") > 1800, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("sec")).as("session_start_sec"),
+        max(col("sec")).as("session_end_sec"),
+        exprSum(col("value")).as("session_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val q24Oracle: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, value,
+      |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec,
+      |    ts
+      |  FROM events),
+      |lagged AS (
+      |  SELECT *, lag(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+      |  FROM flagged),
+      |sessions AS (
+      |  SELECT *,
+      |    CAST(SUM(CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM lagged)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |  MIN(sec) AS session_start_sec, MAX(sec) AS session_end_sec,
+      |  CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS session_value
+      |FROM sessions
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q25 — JSON field extraction from the string `props` column.
+  def q25JsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .withColumn("k_bucket", col("k") % 10)
+      .orderBy(col("event_id"))
+
+  val q25Oracle: String =
+    """SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+      |  CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket
+      |FROM events ORDER BY event_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_event_windows" -> q23EventWindows,
+    "q24_sessionization" -> q24Sessionization,
+    "q25_json_extract" -> q25JsonExtract)
+
+  def oracleSql: Map[String, String] = Map(
+    "q23_event_windows" -> q23Oracle,
+    "q24_sessionization" -> q24Oracle,
+    "q25_json_extract" -> q25Oracle)
+}

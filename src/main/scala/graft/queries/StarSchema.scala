@@ -1,0 +1,229 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.etl.Calendar
+import graft.sources.Tables
+import graft.queries.Relational.{exprSum, moneySum}
+
+/** Warehouse-shaped queries: the generated calendar dimension, surrogate
+  * keys, role-playing dimension joins, window functions, and grouping
+  * sets — the star-schema mechanics of the reference ETL (SURVEY §1.2,
+  * §2.5 J23-J26, §2.9) plus the analytics layer the warehouse feeds.
+  */
+object StarSchema {
+
+  /** Date span covering every date column in the testdata. */
+  private val CalStart = "1992-01-01"
+  private val CalEnd = "1998-12-31"
+
+  /** Spanish-name CASE chains for the DuckDB oracle, mirroring
+    * [[Calendar.spanishDayName]] / [[Calendar.spanishMonthName]].
+    * DuckDB `dayofweek` is 0=Sunday; Spark's is 1=Sunday, hence the +1.
+    */
+  private val DowSql = "(dayofweek(fecha) + 1)"
+  private val DiaSemanaSql =
+    s"""CASE $DowSql WHEN 1 THEN 'Domingo' WHEN 2 THEN 'Lunes'
+       | WHEN 3 THEN 'Martes' WHEN 4 THEN 'Miércoles' WHEN 5 THEN 'Jueves'
+       | WHEN 6 THEN 'Viernes' WHEN 7 THEN 'Sábado' END""".stripMargin
+  private val MesSql =
+    """CASE month(fecha) WHEN 1 THEN 'Enero' WHEN 2 THEN 'Febrero'
+      | WHEN 3 THEN 'Marzo' WHEN 4 THEN 'Abril' WHEN 5 THEN 'Mayo'
+      | WHEN 6 THEN 'Junio' WHEN 7 THEN 'Julio' WHEN 8 THEN 'Agosto'
+      | WHEN 9 THEN 'Septiembre' WHEN 10 THEN 'Octubre'
+      | WHEN 11 THEN 'Noviembre' WHEN 12 THEN 'Diciembre' END""".stripMargin
+  private val CalendarSql =
+    s"""SELECT CAST(unnest(generate_series(DATE '$CalStart', DATE '$CalEnd', INTERVAL 1 DAY)) AS DATE) AS fecha"""
+
+  // --------------------------------------------------------------------
+  // q16 — generated calendar dimension (SURVEY §2.1 S7 + §2.8 F7-F9):
+  // in-engine `sequence`+`explode`, Spanish day/month names, weekend
+  // flag. No driver-side loop — works at any span.
+  def q16DateDim(spark: SparkSession, dir: String): DataFrame =
+    Calendar.dimFecha(spark, CalStart, CalEnd).orderBy(col("fecha"))
+
+  val q16Oracle: String =
+    s"""SELECT fecha,
+       |  CAST(year(fecha) AS INTEGER) AS anio,
+       |  CAST(month(fecha) AS INTEGER) AS mes_numero,
+       |  $MesSql AS mes,
+       |  CAST(day(fecha) AS INTEGER) AS dia_numero,
+       |  $DiaSemanaSql AS dia_semana,
+       |  $DowSql IN (1, 7) AS es_fin_de_semana
+       |FROM ($CalendarSql) ORDER BY fecha""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q17 — surrogate-keyed star fact (SURVEY §1.2): dim_fecha gets
+  // row_number keys over its canonical order; the fact joins natural
+  // date → fecha_id, collapsing the reference's write→read-back
+  // round-trip into one in-engine step. Dim is broadcast.
+  def q17SurrogateFact(spark: SparkSession, dir: String): DataFrame = {
+    val dimFecha = Calendar.dimFecha(spark, CalStart, CalEnd)
+      .withColumn("fecha_id", row_number().over(Window.orderBy(col("fecha"))))
+      .select(col("fecha_id"), col("fecha"))
+    val o = Tables.orders(spark, dir)
+    o.join(broadcast(dimFecha), o("o_orderdate").cast("date") === dimFecha("fecha"))
+      .select(col("o_orderkey"), col("fecha_id"),
+        col("o_custkey").as("cliente_id"),
+        col("o_totalprice").as("valor_pagado"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q17Oracle: String =
+    s"""WITH dim_fecha AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY fecha) AS INTEGER) AS fecha_id, fecha
+       |  FROM ($CalendarSql))
+       |SELECT o_orderkey, fecha_id, o_custkey AS cliente_id,
+       |  o_totalprice AS valor_pagado
+       |FROM orders JOIN dim_fecha ON CAST(o_orderdate AS DATE) = fecha
+       |ORDER BY o_orderkey""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q18 — role-playing dimension: the same dim_fecha joined twice under
+  // different roles (SURVEY §2.5 J23-J26: request/attention date+hour).
+  def q18RolePlayingDates(spark: SparkSession, dir: String): DataFrame = {
+    val dimFecha = Calendar.dimFecha(spark, CalStart, CalEnd)
+      .withColumn("fecha_id", row_number().over(Window.orderBy(col("fecha"))))
+      .select(col("fecha_id"), col("fecha"))
+    val pedido = dimFecha.select(col("fecha_id").as("fecha_pedido_id"), col("fecha").as("f1"))
+    val envio = dimFecha.select(col("fecha_id").as("fecha_envio_id"), col("fecha").as("f2"))
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(pedido), o("o_orderdate").cast("date") === col("f1"))
+      .join(broadcast(envio), li("l_shipdate").cast("date") === col("f2"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("fecha_pedido_id"), col("fecha_envio_id"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val q18Oracle: String =
+    s"""WITH dim_fecha AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY fecha) AS INTEGER) AS fecha_id, fecha
+       |  FROM ($CalendarSql))
+       |SELECT l_orderkey, l_linenumber,
+       |  p.fecha_id AS fecha_pedido_id, e.fecha_id AS fecha_envio_id
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN dim_fecha p ON CAST(o_orderdate AS DATE) = p.fecha
+       |JOIN dim_fecha e ON CAST(l_shipdate AS DATE) = e.fecha
+       |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q19 — ranking window: top-3 customers by spend per nation
+  // (SURVEY §2.9: the analytics layer's Window.partitionBy.orderBy).
+  // Ties broken by c_custkey so the rank is total.
+  def q19TopPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir).groupBy(col("o_custkey"))
+      .agg(moneySum(col("o_totalprice")).as("total_spend"))
+    val c = Tables.customer(spark, dir)
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("total_spend").desc, col("c_custkey"))
+    c.join(spend, c("c_custkey") === spend("o_custkey"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("c_nationkey"), col("rk"), col("c_custkey"), col("total_spend"))
+      .orderBy(col("c_nationkey"), col("rk"))
+  }
+
+  val q19Oracle: String =
+    """WITH spend AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT c_nationkey, rk, c_custkey, total_spend FROM (
+      |  SELECT c_nationkey, c_custkey, total_spend,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+      |      ORDER BY total_spend DESC, c_custkey) AS INTEGER) AS rk
+      |  FROM customer JOIN spend ON c_custkey = o_custkey)
+      |WHERE rk <= 3 ORDER BY c_nationkey, rk""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q20 — running total window (cumulative sum per customer over order
+  // date). The cumulative DECIMAL sum is exact at every prefix, so the
+  // result is order-of-evaluation independent.
+  def q20RunningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.select(col("o_custkey"), col("o_orderkey"),
+      sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+        .over(w).cast("double").as("running_spend"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val q20Oracle: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q21 — ROLLUP over the region→nation hierarchy; q22 — CUBE over
+  // status×priority (SURVEY §7.1 step 6 analytics). Group keys are
+  // COALESCEd to 'ALL' so no null sort keys cross the Spark/DuckDB
+  // null-ordering difference.
+  def q21Rollup(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"), moneySum(col("c_acctbal")).as("sum_acctbal"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nacion"),
+        col("n_customers"), col("sum_acctbal"))
+      .orderBy(col("region"), col("nacion"))
+  }
+
+  val q21Oracle: String =
+    """SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nacion,
+      |  COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY region, nacion""".stripMargin
+
+  def q22Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("sum_total"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("estado"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("prioridad"),
+        col("n_orders"), col("sum_total"))
+      .orderBy(col("estado"), col("prioridad"))
+
+  val q22Oracle: String =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS estado,
+      |  COALESCE(o_orderpriority, 'ALL') AS prioridad,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY estado, prioridad""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q16_date_dim" -> q16DateDim,
+    "q17_surrogate_fact" -> q17SurrogateFact,
+    "q18_role_playing_dates" -> q18RolePlayingDates,
+    "q19_top_per_group" -> q19TopPerGroup,
+    "q20_running_total" -> q20RunningTotal,
+    "q21_rollup" -> q21Rollup,
+    "q22_cube" -> q22Cube)
+
+  def oracleSql: Map[String, String] = Map(
+    "q16_date_dim" -> q16Oracle,
+    "q17_surrogate_fact" -> q17Oracle,
+    "q18_role_playing_dates" -> q18Oracle,
+    "q19_top_per_group" -> q19Oracle,
+    "q20_running_total" -> q20Oracle,
+    "q21_rollup" -> q21Oracle,
+    "q22_cube" -> q22Oracle)
+}

@@ -16,8 +16,22 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeNanoTs(df) else df
+  }
+
+  /** The events table carries parquet TIMESTAMP(NANOS) which Spark only
+    * reads as a nanosecond long (`spark.sql.legacy.parquet.nanosAsLong`,
+    * set in Verify/Bench/tests). Surface it at Spark's native µs
+    * precision; nanos within the same µs truncate, matching a
+    * `CAST(ts_ns AS TIMESTAMP)` in DuckDB.
+    */
+  private def normalizeNanoTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
+      .map(_ => df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000"))))
+      .getOrElse(df)
 
   /** Register every table as a temp view so `spark.sql` works too. */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -51,6 +51,10 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: exec error: {e}")
             failures += 1
+            try:
+                con.sql("ROLLBACK")
+            except Exception:
+                pass
             continue
         if scols != ocols:
             print(f"FAIL {name}: columns differ\n  spark : {scols}\n  oracle: {ocols}")
