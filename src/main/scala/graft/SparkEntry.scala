@@ -10,12 +10,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.StarSchema.queries ++
-      graft.queries.EventsQueries.queries
+      graft.queries.EventsQueries.queries ++
+      graft.queries.EtlParity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracleSql ++
       graft.queries.StarSchema.oracleSql ++
-      graft.queries.EventsQueries.oracleSql
+      graft.queries.EventsQueries.oracleSql ++
+      graft.queries.EtlParity.oracleSql
 }

@@ -26,10 +26,10 @@ object Calendar {
       .when(dow === 7, "Sábado")
 
   def spanishMonthName(m: Column): Column =
-    when(m === 1, "Enero").when(m === 2, "Febrero").when(m === 3, "Marzo")
-      .when(m === 4, "Abril").when(m === 5, "Mayo").when(m === 6, "Junio")
-      .when(m === 7, "Julio").when(m === 8, "Agosto").when(m === 9, "Septiembre")
-      .when(m === 10, "Octubre").when(m === 11, "Noviembre").when(m === 12, "Diciembre")
+    when(m === 1, "enero").when(m === 2, "febrero").when(m === 3, "marzo")
+      .when(m === 4, "abril").when(m === 5, "mayo").when(m === 6, "junio")
+      .when(m === 7, "julio").when(m === 8, "agosto").when(m === 9, "septiembre")
+      .when(m === 10, "octubre").when(m === 11, "noviembre").when(m === 12, "diciembre")
 
   /** dim_fecha with the reference's output shape
     * (`/root/reference/dimension.py:116`): fecha, anio, mes_numero, mes,

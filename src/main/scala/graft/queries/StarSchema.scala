@@ -29,11 +29,11 @@ object StarSchema {
        | WHEN 3 THEN 'Martes' WHEN 4 THEN 'Miércoles' WHEN 5 THEN 'Jueves'
        | WHEN 6 THEN 'Viernes' WHEN 7 THEN 'Sábado' END""".stripMargin
   private val MesSql =
-    """CASE month(fecha) WHEN 1 THEN 'Enero' WHEN 2 THEN 'Febrero'
-      | WHEN 3 THEN 'Marzo' WHEN 4 THEN 'Abril' WHEN 5 THEN 'Mayo'
-      | WHEN 6 THEN 'Junio' WHEN 7 THEN 'Julio' WHEN 8 THEN 'Agosto'
-      | WHEN 9 THEN 'Septiembre' WHEN 10 THEN 'Octubre'
-      | WHEN 11 THEN 'Noviembre' WHEN 12 THEN 'Diciembre' END""".stripMargin
+    """CASE month(fecha) WHEN 1 THEN 'enero' WHEN 2 THEN 'febrero'
+      | WHEN 3 THEN 'marzo' WHEN 4 THEN 'abril' WHEN 5 THEN 'mayo'
+      | WHEN 6 THEN 'junio' WHEN 7 THEN 'julio' WHEN 8 THEN 'agosto'
+      | WHEN 9 THEN 'septiembre' WHEN 10 THEN 'octubre'
+      | WHEN 11 THEN 'noviembre' WHEN 12 THEN 'diciembre' END""".stripMargin
   private val CalendarSql =
     s"""SELECT CAST(unnest(generate_series(DATE '$CalStart', DATE '$CalEnd', INTERVAL 1 DAY)) AS DATE) AS fecha"""
 
