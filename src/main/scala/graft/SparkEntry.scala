@@ -11,7 +11,11 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.StarSchema.queries ++
       graft.queries.EventsQueries.queries ++
-      graft.queries.EtlParity.queries
+      graft.queries.EtlParity.queries ++
+      graft.operators.TextAnalysis.queries ++
+      graft.operators.Dedup.queries ++
+      graft.operators.Similarity.queries ++
+      graft.operators.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -19,5 +23,9 @@ object SparkEntry {
     graft.queries.Relational.oracleSql ++
       graft.queries.StarSchema.oracleSql ++
       graft.queries.EventsQueries.oracleSql ++
-      graft.queries.EtlParity.oracleSql
+      graft.queries.EtlParity.oracleSql ++
+      graft.operators.TextAnalysis.oracleSql ++
+      graft.operators.Dedup.oracleSql ++
+      graft.operators.Similarity.oracleSql ++
+      graft.operators.Multimodal.oracleSql
 }

@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Deduplication operators over the `documents` table: exact
+  * (hash-groupBy), MinHash+LSH banding with exact-Jaccard verification,
+  * and SimHash signatures.
+  *
+  * Scale notes (100 TB):
+  *   - exact dedup is one hash-partitioned aggregation on the content
+  *     hash — the canonical single-shuffle dedup;
+  *   - MinHash signatures and SimHash are per-row expression pipelines
+  *     (codegen, no shuffle); only the LSH band join shuffles, keyed on
+  *     (band, band_key) so each bucket's candidate pairs are produced
+  *     by one partition — skewed hot buckets would be salted;
+  *   - the exact-Jaccard verify joins only candidate pairs, never the
+  *     full cross product.
+  */
+object Dedup {
+
+  // --------------------------------------------------------------------
+  // q31 — exact dedup: group on content hash, keep the smallest doc_id.
+  def q31ExactDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("content_hash"))
+
+  val q31Oracle: String =
+    """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id,
+      |  COUNT(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q32 — MinHash + LSH near-duplicate detection on token sets:
+  // 8 md5-min signatures → 4 bands of 2 → band-bucket join → candidate
+  // pairs → exact Jaccard ≥ 0.9. Runs on the deterministic 20% sample
+  // (doc_id % 5 = 0) so the verify/bench cost stays bounded while the
+  // full flow (signature → band → join → verify) is exercised.
+  private val NumHashes = 8
+  private val NumBands = 4
+
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val toks = array_distinct(split(col("text"), " "))
+    val sigCols = (0 until NumHashes).map { i =>
+      array_min(transform(toks, t => md5(concat(lit(s"$i|"), t)))).as(s"h$i")
+    }
+    docs.select((col("doc_id") +: toks.as("toks") +: sigCols): _*)
+  }
+
+  def q32MinhashNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 5 === 0)
+    val sigs = minhashSignatures(docs)
+    val bands = sigs.select(col("doc_id"), explode(array(
+      (0 until NumBands).map(b => struct(lit(b).as("band"),
+        concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("bkey"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.bkey"))
+    val cands = bands.as("x").join(bands.as("y"),
+      col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+    val toksE = sigs.select(col("doc_id"), explode(col("toks")).as("tok"))
+    val sizes = sigs.select(col("doc_id"), size(col("toks")).cast("bigint").as("n"))
+    val inter = cands
+      .join(toksE.as("ta"), col("doc_a") === col("ta.doc_id"))
+      .join(toksE.as("tb"), col("doc_b") === col("tb.doc_id") && col("ta.tok") === col("tb.tok"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") /
+          (col("sa.n") + col("sb.n") - col("inter")), 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.9)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q32Oracle: String = {
+    val sigExprs = (0 until NumHashes).map { i =>
+      s"list_aggregate(list_transform(toks, t -> md5('$i|' || t)), 'min') AS h$i"
+    }.mkString(",\n    ")
+    val bandRows = (0 until NumBands).map { b =>
+      s"SELECT doc_id, $b AS band, h${2 * b} || h${2 * b + 1} AS bkey FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH docs AS (
+       |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |sigs AS (
+       |  SELECT doc_id, toks,
+       |    $sigExprs
+       |  FROM docs),
+       |bands AS (
+       |  $bandRows),
+       |cands AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |toks_e AS (SELECT doc_id, unnest(toks) AS tok FROM docs),
+       |sizes AS (SELECT doc_id, len(toks) AS n FROM docs),
+       |inter AS (
+       |  SELECT doc_a, doc_b, COUNT(*) AS i
+       |  FROM cands
+       |  JOIN toks_e ta ON doc_a = ta.doc_id
+       |  JOIN toks_e tb ON doc_b = tb.doc_id AND ta.tok = tb.tok
+       |  GROUP BY doc_a, doc_b)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON doc_a = sa.doc_id
+       |JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.9
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // q33 — SimHash: 16-bit signature; bit j set when the majority of
+  // tokens have bit j set in their md5. Near-dup pairs are then simhash
+  // values at small Hamming distance — the signature itself is the
+  // oracle-checked artifact.
+  def q33Simhash(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f").map(lit)
+    def ones(j: Int): Column =
+      size(filter(toks, t => substring(md5(t), j + 1, 1).isin(hexHigh: _*)))
+    val simhash = (0 until 16).map { j =>
+      when(ones(j) * 2 >= size(toks), lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), simhash.cast("bigint").as("simhash16"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q33Oracle: String = {
+    val bitTerms = (0 until 16).map { j =>
+      s"CASE WHEN 2 * len(list_filter(toks, t -> substring(md5(t), ${j + 1}, 1) IN ('8','9','a','b','c','d','e','f'))) >= len(toks) THEN ${1L << j} ELSE 0 END"
+    }.mkString("\n    + ")
+    s"""SELECT doc_id,
+       |  CAST($bitTerms AS BIGINT) AS simhash16
+       |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_exact_dedup" -> q31ExactDedup,
+    "q32_minhash_neardup" -> q32MinhashNeardup,
+    "q33_simhash" -> q33Simhash)
+
+  def oracleSql: Map[String, String] = Map(
+    "q31_exact_dedup" -> q31Oracle,
+    "q32_minhash_neardup" -> q32Oracle,
+    "q33_simhash" -> q33Oracle)
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: media as opaque `binary` columns with
+  * typed metadata, plus a decode/feature-extract stage.
+  *
+  * The Spark-side plumbing is real — schema, batch shape, partitioning —
+  * while the actual codec is a clearly-marked deterministic FAKE
+  * (`fakeDecode`): image/audio libraries are not available in this
+  * environment, and a real deployment would swap `fakeDecode` for a
+  * JNI/FFI codec call without touching anything else here.
+  *
+  * Scale notes (100 TB): decode runs in `mapPartitions` so codec state
+  * is initialized once per partition, not per row (the Scala analogue of
+  * a Pandas-UDF `mapInPandas` batch loop). Binary payloads dominate row
+  * size, so upstream readers should size `maxPartitionBytes` to a few
+  * hundred rows per task; decoded features are small and columnar.
+  */
+object Multimodal {
+
+  /** Decoded-media record: typed metadata + a fixed-width feature
+    * vector (16-bin byte histogram as the stand-in for real features).
+    */
+  case class Decoded(doc_id: Long, width: Int, height: Int, channels: Int,
+      n_bytes: Long, features: Array[Float])
+
+  /** FAKE deterministic decode: metadata derived from the first payload
+    * bytes, features = normalized 16-bin histogram of payload bytes.
+    * Stands in for image decode + resize + feature extraction.
+    */
+  def fakeDecode(docId: Long, payload: Array[Byte]): Decoded = {
+    val b0 = if (payload.nonEmpty) payload(0) & 0xff else 0
+    val b1 = if (payload.length > 1) payload(1) & 0xff else 0
+    val hist = new Array[Float](16)
+    payload.foreach(b => hist((b & 0xff) % 16) += 1f)
+    val n = math.max(1, payload.length).toFloat
+    Decoded(docId, 16 + b0 % 48, 16 + b1 % 48, 3, payload.length.toLong,
+      hist.map(_ / n))
+  }
+
+  // --------------------------------------------------------------------
+  // q37 — binary metadata extraction (oracle-checked): payload length,
+  // content hash, magic-byte prefix — the typed-metadata half of the
+  // multimodal pattern, all scan-side expressions.
+  def q37BinaryMeta(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"),
+        octet_length(col("payload")).cast("bigint").as("n_bytes"),
+        md5(col("payload")).as("content_md5"),
+        lower(hex(substring(col("payload"), 1, 4))).as("magic_hex"))
+      .orderBy(col("doc_id"))
+
+  val q37Oracle: String =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  md5(text) AS content_md5,
+      |  lower(hex(encode(substring(text, 1, 4)))) AS magic_hex
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q38 — decode + feature-extract through mapPartitions (no SQL
+  // oracle: the codec loop is not SQL-expressible; the driver records a
+  // rows-only check). Deterministic, so repeated runs hash identically.
+  def q38MultimodalDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val payloads = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+    payloads.mapPartitions { rows =>
+      // per-partition: codec init would happen HERE, once
+      rows.map { case (id, bytes) => fakeDecode(id, bytes) }
+    }.toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("channels"),
+        col("n_bytes"), round(element_at(col("features"), 1), 4).as("f0"),
+        round(element_at(col("features"), 16), 4).as("f15"))
+      .orderBy(col("doc_id"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_binary_meta" -> q37BinaryMeta,
+    "q38_multimodal_decode" -> q38MultimodalDecode)
+
+  def oracleSql: Map[String, String] = Map(
+    "q37_binary_meta" -> q37Oracle)
+}

@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` table (`Array[Float]`,
+  * dim 64): brute-force cosine top-k as the baseline, a
+  * random-hyperplane LSH-bucketed variant as the scale path, and a
+  * cosine near-duplicate pair scan.
+  *
+  * Exactness strategy (oracle is hash-compared bit-for-bit): float
+  * components are scaled to integers (round(x·10^6)), so dot products
+  * and norms are EXACT integer sums — order-independent — and the final
+  * cosine is one IEEE division chain both engines evaluate identically.
+  *
+  * Scale notes (100 TB): the brute-force form is quadratic and exists
+  * as the correctness baseline; the LSH form buckets each vector once
+  * (per-row codegen'd projections, no shuffle) and joins only within
+  * buckets — the bucket key is the shuffle key, hot buckets get salted,
+  * and k stays per-bucket-local. An IVF variant would replace the
+  * random planes with k-means centroids; same join shape.
+  */
+object Similarity {
+
+  /** round(x·10^6) as BIGINT — exact in both engines. */
+  private def scaled: Column =
+    transform(col("embedding"), x => round(x.cast("double") * 1000000).cast("bigint"))
+
+  /** Exact integer dot product of two scaled vectors. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), _ + _)
+
+  private def cosine(dotCol: Column, na: Column, nb: Column): Column =
+    round(dotCol.cast("double") / sqrt(na.cast("double")) / sqrt(nb.cast("double")), 6)
+
+  private def withScaledNorm(df: DataFrame): DataFrame =
+    df.withColumn("sv", scaled).withColumn("nrm", dot(col("sv"), col("sv")))
+
+  private val SqlScaled =
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+  private val SqlBase =
+    s"""SELECT vec_id, label, $SqlScaled AS sv,
+       |    CAST(list_sum(list_transform(generate_series(1, len(embedding)),
+       |      i -> ($SqlScaled)[i] * ($SqlScaled)[i])) AS BIGINT) AS nrm
+       |  FROM embeddings""".stripMargin
+  private val SqlDot =
+    "CAST(list_sum(list_transform(generate_series(1, len(a.sv)), i -> a.sv[i] * b.sv[i])) AS BIGINT)"
+  private def sqlCos(dot: String): String =
+    s"round(CAST($dot AS DOUBLE) / sqrt(CAST(a.nrm AS DOUBLE)) / sqrt(CAST(b.nrm AS DOUBLE)), 6)"
+
+  // --------------------------------------------------------------------
+  // q34 — brute-force cosine top-k: every 25th vector queries the full
+  // table, k=5, ties broken by candidate id.
+  def q34CosineTopk(spark: SparkSession, dir: String): DataFrame = {
+    val all = withScaledNorm(Tables.embeddings(spark, dir))
+    val q = all.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("query_id"), col("sv").as("qsv"), col("nrm").as("qnrm"))
+    val scored = q.join(all, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        cosine(dot(col("qsv"), col("sv")), col("qnrm"), col("nrm")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select(col("query_id"), col("rk"), col("cand_id"), col("cos"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  val q34Oracle: String =
+    s"""WITH base AS (
+       |  $SqlBase),
+       |scored AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+       |    ${sqlCos(SqlDot)} AS cos
+       |  FROM base a JOIN base b ON a.vec_id % 25 = 0 AND a.vec_id <> b.vec_id),
+       |ranked AS (
+       |  SELECT query_id, cand_id, cos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS INTEGER) AS rk
+       |  FROM scored)
+       |SELECT query_id, rk, cand_id, cos FROM ranked WHERE rk <= 5
+       |ORDER BY query_id, rk""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q35 — LSH-bucketed ANN: 8 deterministic ±1 hyperplanes (seeded from
+  // md5, materialized as literal arrays in BOTH engines), sign bits →
+  // 8-bit bucket; candidates share the query's bucket; top-3 by exact
+  // cosine within the bucket.
+  val Dim = 64
+  val NumPlanes = 8
+
+  /** ±1 hyperplane matrix, deterministic from md5("p:i"). */
+  lazy val planes: Array[Array[Int]] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(NumPlanes, Dim) { (p, i) =>
+      val h = digest.digest(s"$p:$i".getBytes("UTF-8"))
+      if ((h(0) & 0x80) != 0) 1 else -1
+    }
+  }
+
+  private def bucketCol: Column =
+    (0 until NumPlanes).map { p =>
+      val lits = array(planes(p).map(v => lit(v.toLong)): _*)
+      val proj = aggregate(zip_with(col("sv"), lits, (x, s) => x * s), lit(0L), _ + _)
+      when(proj >= 0, lit(1 << p)).otherwise(0)
+    }.reduce(_ + _).cast("int")
+
+  def q35LshAnn(spark: SparkSession, dir: String): DataFrame = {
+    val all = withScaledNorm(Tables.embeddings(spark, dir)).withColumn("bucket", bucketCol)
+    val q = all.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("query_id"), col("sv").as("qsv"),
+        col("nrm").as("qnrm"), col("bucket").as("qbucket"))
+    val scored = q.join(all,
+      col("qbucket") === col("bucket") && col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("qbucket").as("bucket"), col("vec_id").as("cand_id"),
+        cosine(dot(col("qsv"), col("sv")), col("qnrm"), col("nrm")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select(col("query_id"), col("rk"), col("cand_id"), col("bucket"), col("cos"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  val q35Oracle: String = {
+    val bucketTerms = (0 until NumPlanes).map { p =>
+      val litList = planes(p).mkString("[", ", ", "]")
+      s"""CASE WHEN CAST(list_sum(list_transform(generate_series(1, len(sv)),
+         |      i -> sv[i] * ($litList)[i])) AS BIGINT) >= 0 THEN ${1 << p} ELSE 0 END""".stripMargin
+    }.mkString("\n    + ")
+    s"""WITH base AS (
+       |  $SqlBase),
+       |bucketed AS (
+       |  SELECT vec_id, sv, nrm,
+       |    CAST($bucketTerms AS INTEGER) AS bucket
+       |  FROM base),
+       |scored AS (
+       |  SELECT a.vec_id AS query_id, a.bucket AS bucket, b.vec_id AS cand_id,
+       |    ${sqlCos(SqlDot)} AS cos
+       |  FROM bucketed a JOIN bucketed b
+       |    ON a.vec_id % 25 = 0 AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |ranked AS (
+       |  SELECT query_id, bucket, cand_id, cos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS INTEGER) AS rk
+       |  FROM scored)
+       |SELECT query_id, rk, cand_id, bucket, cos FROM ranked WHERE rk <= 3
+       |ORDER BY query_id, rk""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // q36 — embedding cosine near-duplicate pairs: every 10th vector vs
+  // the table, cosine ≥ 0.4, with a same-label flag.
+  def q36EmbeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val all = withScaledNorm(Tables.embeddings(spark, dir))
+    val a = all.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("vec_a"), col("sv").as("asv"),
+        col("nrm").as("anrm"), col("label").as("label_a"))
+    a.join(all, col("vec_a") < col("vec_id"))
+      .select(col("vec_a"), col("vec_id").as("vec_b"),
+        cosine(dot(col("asv"), col("sv")), col("anrm"), col("nrm")).as("cos"),
+        (col("label_a") === col("label")).as("same_label"))
+      .filter(col("cos") >= 0.4)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val q36Oracle: String =
+    s"""WITH base AS (
+       |  $SqlBase),
+       |pairs AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    ${sqlCos(SqlDot)} AS cos,
+       |    a.label = b.label AS same_label
+       |  FROM base a JOIN base b ON a.vec_id % 10 = 0 AND a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, cos, same_label FROM pairs
+       |WHERE cos >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_cosine_topk" -> q34CosineTopk,
+    "q35_lsh_ann" -> q35LshAnn,
+    "q36_embedding_neardup" -> q36EmbeddingNeardup)
+
+  def oracleSql: Map[String, String] = Map(
+    "q34_cosine_topk" -> q34Oracle,
+    "q35_lsh_ann" -> q35Oracle,
+    "q36_embedding_neardup" -> q36Oracle)
+}

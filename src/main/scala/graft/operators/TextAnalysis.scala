@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: token statistics, heuristic language ID, quality
+  * scoring, and document fingerprinting.
+  *
+  * All are per-row expression pipelines over built-in higher-order
+  * array functions — fully codegen'd, no shuffle, no UDFs — so they
+  * stream over 100 TB at scan speed.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens; the shared token definition for every operator
+    * (matches DuckDB `string_split(text, ' ')`). */
+  def tokens(c: Column): Column = split(c, " ")
+
+  // --------------------------------------------------------------------
+  // q27 — token statistics: counts, uniques, char totals, punctuation,
+  // mean token length.
+  def q27TokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(toks).cast("bigint").as("n_tokens"),
+      size(array_distinct(toks)).cast("bigint").as("n_uniq_tokens"),
+      aggregate(transform(toks, t => length(t).cast("bigint")), lit(0L), _ + _)
+        .as("total_tok_chars"),
+      (length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", "")))
+        .cast("bigint").as("punct_count"))
+      .withColumn("mean_tok_len",
+        round(col("total_tok_chars").cast("double") / col("n_tokens"), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  val q27Oracle: String =
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_tokens,
+      |  len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens,
+      |  CAST(list_sum(list_transform(string_split(text, ' '), t -> len(t))) AS BIGINT) AS total_tok_chars,
+      |  CAST(len(text) - len(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS punct_count,
+      |  round(CAST(list_sum(list_transform(string_split(text, ' '), t -> len(t))) AS DOUBLE)
+      |        / len(string_split(text, ' ')), 6) AS mean_tok_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q28 — heuristic language ID: stopword-marker hit counts per
+  // language, argmax with a fixed tie-break order (en,es,de,fr,zh).
+  val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "les", "et", "des", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  def q28LangId(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    def hits(words: Seq[String]): Column =
+      size(filter(toks, t => t.isin(words.map(lit): _*))).cast("bigint")
+    val withCounts = Tables.documents(spark, dir).select(
+      (col("doc_id") +: col("lang").as("lang_actual") +:
+        Markers.map { case (l, ws) => hits(ws).as(s"n_$l") }): _*)
+    val langs = Markers.map(_._1)
+    val pred = langs.foldLeft(None: Option[Column]) { case (acc, l) =>
+      val isMax = langs.filter(_ != l)
+        .map(o => col(s"n_$l") >= col(s"n_$o")).reduce(_ && _) && col(s"n_$l") > 0
+      Some(acc.fold(when(isMax, l))(_.when(isMax, l)))
+    }.get.otherwise("unknown")
+    withCounts.withColumn("pred_lang", pred).orderBy(col("doc_id"))
+  }
+
+  val q28Oracle: String = {
+    val counts = Markers.map { case (l, ws) =>
+      s"len(list_filter(string_split(text, ' '), t -> t IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS n_$l"
+    }.mkString(",\n  ")
+    val langs = Markers.map(_._1)
+    val pred = langs.map { l =>
+      val isMax = (langs.filter(_ != l).map(o => s"n_$l >= n_$o") :+ s"n_$l > 0").mkString(" AND ")
+      s"WHEN $isMax THEN '$l'"
+    }.mkString(" ")
+    s"""SELECT doc_id, lang_actual, ${langs.map(l => s"n_$l").mkString(", ")},
+       |  CASE $pred ELSE 'unknown' END AS pred_lang
+       |FROM (SELECT doc_id, lang AS lang_actual, $counts FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // q29 — quality scoring: length score, unique-token ratio, punctuation
+  // density → weighted composite.
+  def q29QualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(toks).cast("bigint").as("n_tokens"),
+      size(array_distinct(toks)).cast("bigint").as("n_uniq"),
+      (length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", "")))
+        .cast("bigint").as("punct"),
+      col("n_chars"))
+      .select(
+        col("doc_id"),
+        round(least(lit(1.0), col("n_tokens") / 100.0), 6).as("len_score"),
+        round(col("n_uniq").cast("double") / col("n_tokens"), 6).as("uniq_ratio"),
+        round(col("punct").cast("double") / col("n_chars"), 6).as("punct_density"),
+        round(lit(0.4) * least(lit(1.0), col("n_tokens") / 100.0)
+          + lit(0.4) * (col("n_uniq").cast("double") / col("n_tokens"))
+          + lit(0.2) * (lit(1.0) - col("punct").cast("double") / col("n_chars")), 6)
+          .as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q29Oracle: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    len(string_split(text, ' ')) AS n_tokens,
+      |    len(list_distinct(string_split(text, ' '))) AS n_uniq,
+      |    len(text) - len(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct,
+      |    n_chars
+      |  FROM documents)
+      |SELECT doc_id,
+      |  round(least(1.0, n_tokens / 100.0), 6) AS len_score,
+      |  round(CAST(n_uniq AS DOUBLE) / n_tokens, 6) AS uniq_ratio,
+      |  round(CAST(punct AS DOUBLE) / n_chars, 6) AS punct_density,
+      |  round(0.4 * least(1.0, n_tokens / 100.0)
+      |      + 0.4 * (CAST(n_uniq AS DOUBLE) / n_tokens)
+      |      + 0.2 * (1.0 - CAST(punct AS DOUBLE) / n_chars), 6) AS quality_score
+      |FROM base ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q30 — document fingerprinting: md5 of the normalized text plus the
+  // minimum 3-shingle hash (the rolling-hash family's set-min form).
+  def q30Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val norm = lower(trim(col("text")))
+    val toks = split(norm, " ")
+    val shingles = when(size(toks) >= 3,
+      transform(sequence(lit(0), size(toks) - 3),
+        i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
+      .otherwise(array(norm))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      md5(norm).as("fp_md5"),
+      array_min(transform(shingles, s => md5(s))).as("min_shingle_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q30Oracle: String =
+    """WITH base AS (
+      |  SELECT doc_id, lower(trim(text)) AS norm,
+      |    string_split(lower(trim(text)), ' ') AS toks
+      |  FROM documents)
+      |SELECT doc_id, md5(norm) AS fp_md5,
+      |  list_aggregate(list_transform(
+      |    CASE WHEN len(toks) >= 3
+      |      THEN list_transform(generate_series(1, len(toks) - 2),
+      |             i -> array_to_string(toks[i:i+2], ' '))
+      |      ELSE [norm] END,
+      |    s -> md5(s)), 'min') AS min_shingle_hash
+      |FROM base ORDER BY doc_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_token_stats" -> q27TokenStats,
+    "q28_lang_id" -> q28LangId,
+    "q29_quality_score" -> q29QualityScore,
+    "q30_fingerprint" -> q30Fingerprint)
+
+  def oracleSql: Map[String, String] = Map(
+    "q27_token_stats" -> q27Oracle,
+    "q28_lang_id" -> q28Oracle,
+    "q29_quality_score" -> q29Oracle,
+    "q30_fingerprint" -> q30Oracle)
+}
