@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the `events` table: the streaming duals of
+  * the batch queries q23 (tumbling windows) and q24 (sessionization).
+  * The reference is batch-only (SURVEY §2.10), so these are additive
+  * capabilities; semantics are pinned by equality-vs-batch tests.
+  *
+  * Scale notes: the windowed aggregate is watermarked so state is
+  * bounded and late events beyond 30 minutes drop; sessionization keys
+  * state by user_id, so state size is O(active users), and the shuffle
+  * is the one hash partition on user_id that any stateful op needs.
+  */
+object EventsStreaming {
+
+  /** Events schema as Structured Streaming needs it declared up front.
+    * `ts` arrives as nanosecond int64 (see Tables.normalizeNanoTs). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame =
+    // the file-stream source lists a DIRECTORY; the glob filter scopes
+    // it to the events table
+    spark.readStream.schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Tumbling 1-hour windowed counts/sums with a 30-minute watermark —
+    * the streaming form of EventsQueries.q23.
+    */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  case class Event(event_id: Long, sec: Long, user_id: Long, value: Double)
+  case class SessionRow(user_id: Long, session_id: Long, n_events: Long,
+      session_start_sec: Long, session_end_sec: Long)
+  case class SessionState(nextSessionId: Long, lastSec: Long)
+
+  /** Gap-based sessionization (30-minute inactivity) via
+    * flatMapGroupsWithState, the streaming form of EventsQueries.q24:
+    * state per user carries the running session counter and last-seen
+    * time. Events within each micro-batch are ordered in-group before
+    * folding, so a single-batch run reproduces the batch query exactly.
+    */
+  def sessionize(spark: SparkSession, events: DataFrame): Dataset[SessionRow] = {
+    import spark.implicits._
+    val typed = events.select(col("event_id"), col("ts").cast("long").as("sec"),
+      col("user_id"), col("value")).as[Event]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) => {
+          val sorted = it.toSeq.sortBy(e => (e.sec, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          sorted.foreach { e =>
+            val newSession = st.lastSec == Long.MinValue || e.sec - st.lastSec > 1800
+            val sid = if (newSession) st.nextSessionId + 1 else st.nextSessionId
+            st = SessionState(sid, e.sec)
+            out += ((sid, e.sec))
+          }
+          state.update(st)
+          out.groupBy(_._1).map { case (sid, evs) =>
+            SessionRow(userId, sid, evs.size.toLong, evs.map(_._2).min, evs.map(_._2).max)
+          }.iterator
+        })
+  }
+
+  /** Run a streaming query to completion against the (finite) parquet
+    * source through a memory sink; returns the collected result. Used
+    * by tests and demos — a production run would use a real sink with
+    * checkpointing and keep the query running.
+    */
+  def runToMemory(spark: SparkSession, df: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Append): DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}
