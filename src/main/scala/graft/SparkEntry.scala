@@ -15,7 +15,8 @@ object SparkEntry {
       graft.operators.TextAnalysis.queries ++
       graft.operators.Dedup.queries ++
       graft.operators.Similarity.queries ++
-      graft.operators.Multimodal.queries
+      graft.operators.Multimodal.queries ++
+      graft.queries.Profiling.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +28,6 @@ object SparkEntry {
       graft.operators.TextAnalysis.oracleSql ++
       graft.operators.Dedup.oracleSql ++
       graft.operators.Similarity.oracleSql ++
-      graft.operators.Multimodal.oracleSql
+      graft.operators.Multimodal.oracleSql ++
+      graft.queries.Profiling.oracleSql
 }
