@@ -124,25 +124,31 @@ object Dedup {
   // values at small Hamming distance — the signature itself is the
   // oracle-checked artifact.
   def q33Simhash(spark: SparkSession, dir: String): DataFrame = {
-    val toks = split(col("text"), " ")
     val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f").map(lit)
+    // hash each token ONCE; the 16 bit tests then index the digest
+    // array instead of recomputing md5 per bit position
+    val withHashes = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_toks"),
+        transform(split(col("text"), " "), t => md5(t)).as("tok_md5s"))
     def ones(j: Int): Column =
-      size(filter(toks, t => substring(md5(t), j + 1, 1).isin(hexHigh: _*)))
+      size(filter(col("tok_md5s"), h => substring(h, j + 1, 1).isin(hexHigh: _*)))
     val simhash = (0 until 16).map { j =>
-      when(ones(j) * 2 >= size(toks), lit(1L << j)).otherwise(0L)
+      when(ones(j) * 2 >= col("n_toks"), lit(1L << j)).otherwise(0L)
     }.reduce(_ + _)
-    Tables.documents(spark, dir)
+    withHashes
       .select(col("doc_id"), simhash.cast("bigint").as("simhash16"))
       .orderBy(col("doc_id"))
   }
 
   val q33Oracle: String = {
     val bitTerms = (0 until 16).map { j =>
-      s"CASE WHEN 2 * len(list_filter(toks, t -> substring(md5(t), ${j + 1}, 1) IN ('8','9','a','b','c','d','e','f'))) >= len(toks) THEN ${1L << j} ELSE 0 END"
+      s"CASE WHEN 2 * len(list_filter(tok_md5s, h -> substring(h, ${j + 1}, 1) IN ('8','9','a','b','c','d','e','f'))) >= n_toks THEN ${1L << j} ELSE 0 END"
     }.mkString("\n    + ")
     s"""SELECT doc_id,
        |  CAST($bitTerms AS BIGINT) AS simhash16
-       |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+       |FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_toks,
+       |        list_transform(string_split(text, ' '), t -> md5(t)) AS tok_md5s
+       |      FROM documents)
        |ORDER BY doc_id""".stripMargin
   }
 
