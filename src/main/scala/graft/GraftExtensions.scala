@@ -12,11 +12,13 @@ import graft.functions.DotProductLong
   * [[GraftExtensions.register]] on a live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier("dot_product_long"),
       new ExpressionInfo(classOf[DotProductLong].getName, "dot_product_long"),
       exprs => DotProductLong(exprs.head, exprs(1))))
+    e.injectOptimizerRule(_ => graft.plans.RewriteDotProduct)
+  }
 }
 
 object GraftExtensions {

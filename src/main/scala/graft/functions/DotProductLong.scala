@@ -39,17 +39,25 @@ case class DotProductLong(left: Expression, right: Expression)
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
 
+  // Length mismatch → null, matching `aggregate(zip_with(a,b,_*_),0,_+_)`
+  // (zip_with pads the shorter side with null, nulling the whole sum),
+  // so RewriteDotProduct is a sound rewrite for non-null element arrays.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0L
-    var i = 0
-    while (i < n) {
-      acc += x.getLong(i) * y.getLong(i)
-      i += 1
+    if (x.numElements() != y.numElements()) null
+    else {
+      val n = x.numElements()
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        acc += x.getLong(i) * y.getLong(i)
+        i += 1
+      }
+      acc
     }
-    acc
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -58,12 +66,16 @@ case class DotProductLong(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = Math.min($a.numElements(), $b.numElements());
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
