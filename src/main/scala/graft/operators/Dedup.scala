@@ -152,13 +152,81 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // q40 — n-gram (3-shingle) Jaccard over fingerprint candidates:
+  // documents sharing the min-shingle-hash (TextAnalysis q30's
+  // fingerprint) become candidate pairs; exact shingle-set Jaccard is
+  // computed only for those. Single-hash candidate generation is the
+  // cheapest LSH (one band of one hash) — the same join shape as q32
+  // with a different signature.
+  def q40NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val norm = lower(trim(col("text")))
+    val toks = split(norm, " ")
+    val shingles = array_distinct(when(size(toks) >= 3,
+      transform(sequence(lit(0), size(toks) - 3),
+        i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
+      .otherwise(array(norm)))
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), shingles.as("sh"))
+      .withColumn("mh", array_min(transform(col("sh"), s => md5(s))))
+    val cands = base.as("x").join(base.as("y"),
+      col("x.mh") === col("y.mh") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val ex = base.select(col("doc_id"), explode(col("sh")).as("s"))
+    val sizes = base.select(col("doc_id"), size(col("sh")).cast("bigint").as("n"))
+    cands
+      .join(ex.as("ea"), col("doc_a") === col("ea.doc_id"))
+      .join(ex.as("eb"), col("doc_b") === col("eb.doc_id") && col("ea.s") === col("eb.s"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") /
+          (col("sa.n") + col("sb.n") - col("inter")), 6).as("ngram_jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q40Oracle: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(toks) >= 3
+      |      THEN list_transform(generate_series(1, len(toks) - 2),
+      |             i -> array_to_string(toks[i:i+2], ' '))
+      |      ELSE [array_to_string(toks, ' ')] END) AS sh
+      |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+      |        FROM documents)),
+      |mh AS (
+      |  SELECT doc_id, sh,
+      |    list_aggregate(list_transform(sh, s -> md5(s)), 'min') AS m
+      |  FROM base),
+      |cands AS (
+      |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |  FROM mh x JOIN mh y ON x.m = y.m AND x.doc_id < y.doc_id),
+      |e AS (SELECT doc_id, unnest(sh) AS s FROM mh),
+      |sizes AS (SELECT doc_id, len(sh) AS n FROM mh),
+      |inter AS (
+      |  SELECT doc_a, doc_b, COUNT(*) AS i
+      |  FROM cands
+      |  JOIN e ea ON doc_a = ea.doc_id
+      |  JOIN e eb ON doc_b = eb.doc_id AND ea.s = eb.s
+      |  GROUP BY doc_a, doc_b)
+      |SELECT doc_a, doc_b,
+      |  round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS ngram_jaccard
+      |FROM inter
+      |JOIN sizes sa ON doc_a = sa.doc_id
+      |JOIN sizes sb ON doc_b = sb.doc_id
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_exact_dedup" -> q31ExactDedup,
     "q32_minhash_neardup" -> q32MinhashNeardup,
-    "q33_simhash" -> q33Simhash)
+    "q33_simhash" -> q33Simhash,
+    "q40_ngram_jaccard" -> q40NgramJaccard)
 
   def oracleSql: Map[String, String] = Map(
     "q31_exact_dedup" -> q31Oracle,
     "q32_minhash_neardup" -> q32Oracle,
-    "q33_simhash" -> q33Oracle)
+    "q33_simhash" -> q33Oracle,
+    "q40_ngram_jaccard" -> q40Oracle)
 }
