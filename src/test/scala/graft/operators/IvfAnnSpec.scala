@@ -1,0 +1,30 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class IvfAnnSpec extends SparkSpec {
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("IVF probe recalls a useful fraction of exact top-5 neighbours") {
+    val index = IvfAnn.buildIndex(spark, dir, k = 8, seed = 42L)
+    val queries = graft.sources.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 25 === 0)
+    val approx = IvfAnn.probe(spark, index, queries, nprobe = 3, topK = 5)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val exact = Similarity.q34CosineTopk(spark, dir)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val recall = (approx & exact).size.toDouble / exact.size
+    // probing 3 of 8 cells must beat scanning 3/8 of the corpus blindly
+    assert(recall > 0.45, s"recall=$recall")
+    // every returned neighbour must come from a probed cell: bounded work
+    val cells = index.cells.groupBy("cell").count().collect()
+    assert(cells.length <= 8 && cells.map(_.getLong(1)).sum == 500L)
+  }
+}
