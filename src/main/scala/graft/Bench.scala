@@ -26,6 +26,11 @@ object Bench {
       .foreach(_(spark, sfDir).write.format("noop").mode("overwrite").save())
     catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // untimed: drop state accumulated by earlier queries (cached
+      // relations, unreferenced broadcasts) so per-query timings don't
+      // absorb cross-query GC pressure
+      spark.catalog.clearCache()
+      System.gc()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

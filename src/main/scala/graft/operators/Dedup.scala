@@ -166,24 +166,24 @@ object Dedup {
       transform(sequence(lit(0), size(toks) - 3),
         i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
       .otherwise(array(norm)))
+    // cache: the self-join reads base twice; without it the whole
+    // shingle+md5 pipeline runs once per side
     val base = Tables.documents(spark, dir)
       .select(col("doc_id"), shingles.as("sh"))
       .withColumn("mh", array_min(transform(col("sh"), s => md5(s))))
-    val cands = base.as("x").join(base.as("y"),
+      .cache()
+    // candidate pairs already carry both shingle SETS through the
+    // self-join, so Jaccard is a per-row array_intersect — no explode,
+    // no re-join, no grouping. The only shuffle is the mh equi-join.
+    base.as("x").join(base.as("y"),
       col("x.mh") === col("y.mh") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-    val ex = base.select(col("doc_id"), explode(col("sh")).as("s"))
-    val sizes = base.select(col("doc_id"), size(col("sh")).cast("bigint").as("n"))
-    cands
-      .join(ex.as("ea"), col("doc_a") === col("ea.doc_id"))
-      .join(ex.as("eb"), col("doc_b") === col("eb.doc_id") && col("ea.s") === col("eb.s"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        size(array_intersect(col("x.sh"), col("y.sh"))).cast("bigint").as("inter"),
+        size(col("x.sh")).cast("bigint").as("na"),
+        size(col("y.sh")).cast("bigint").as("nb"))
       .select(col("doc_a"), col("doc_b"),
-        round(col("inter").cast("double") /
-          (col("sa.n") + col("sb.n") - col("inter")), 6).as("ngram_jaccard"))
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6)
+          .as("ngram_jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -200,22 +200,14 @@ object Dedup {
       |  SELECT doc_id, sh,
       |    list_aggregate(list_transform(sh, s -> md5(s)), 'min') AS m
       |  FROM base),
-      |cands AS (
-      |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
-      |  FROM mh x JOIN mh y ON x.m = y.m AND x.doc_id < y.doc_id),
-      |e AS (SELECT doc_id, unnest(sh) AS s FROM mh),
-      |sizes AS (SELECT doc_id, len(sh) AS n FROM mh),
-      |inter AS (
-      |  SELECT doc_a, doc_b, COUNT(*) AS i
-      |  FROM cands
-      |  JOIN e ea ON doc_a = ea.doc_id
-      |  JOIN e eb ON doc_b = eb.doc_id AND ea.s = eb.s
-      |  GROUP BY doc_a, doc_b)
+      |pairs AS (
+      |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+      |    len(list_intersect(x.sh, y.sh)) AS i,
+      |    len(x.sh) AS na, len(y.sh) AS nb
+      |  FROM mh x JOIN mh y ON x.m = y.m AND x.doc_id < y.doc_id)
       |SELECT doc_a, doc_b,
-      |  round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS ngram_jaccard
-      |FROM inter
-      |JOIN sizes sa ON doc_a = sa.doc_id
-      |JOIN sizes sb ON doc_b = sb.doc_id
+      |  round(CAST(i AS DOUBLE) / (na + nb - i), 6) AS ngram_jaccard
+      |FROM pairs
       |ORDER BY doc_a, doc_b""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -13,5 +13,5 @@ for p in java.base/java.lang java.base/java.lang.invoke \
 done
 exec java $ADD_OPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-  -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -Xmx"${SPARK_DRIVER_MEM:-16g}" \
   -cp "/opt/spark/jars/*:target/scala-2.13/classes" "$@"
