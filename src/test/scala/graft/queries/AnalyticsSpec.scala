@@ -35,6 +35,12 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.nonEmpty && rows.forall(_.getAs[Int]("rk") >= 1))
   }
 
+  test("weekendShare splits service volume by the weekend flag") {
+    val rows = an.weekendShare.collect()
+    assert(rows.map(_.getAs[Long]("n_servicios")).sum == 3L) // 3 fact rows
+    assert(rows.forall(r => r.schema.fieldNames.contains("es_fin_de_semana")))
+  }
+
   test("SQL views answer star queries via spark.sql") {
     an.registerViews()
     val n = spark.sql(
