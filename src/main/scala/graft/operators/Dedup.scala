@@ -53,6 +53,9 @@ object Dedup {
 
   def q32MinhashNeardup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).filter(col("doc_id") % 5 === 0)
+    // NOT cached: each consumer reads a narrow projection of the
+    // signature pipeline, and Catalyst's column pruning beats a cache
+    // that would materialize the full token arrays (measured)
     val sigs = minhashSignatures(docs)
     val bands = sigs.select(col("doc_id"), explode(array(
       (0 until NumBands).map(b => struct(lit(b).as("band"),
