@@ -209,7 +209,32 @@ object StarSchema {
       |GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY estado, prioridad""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q44 — pivot / crosstab: yearly order counts and exact money totals
+  // spread across status columns. The pivot value list is explicit, so
+  // the output schema is static (required at scale: no extra pass to
+  // discover values, and the oracle schema is deterministic).
+  def q44Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).as("anio"))
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total"))
+      .na.fill(0L, Seq("O_n", "F_n", "P_n"))
+      .na.fill(0.0, Seq("O_total", "F_total", "P_total"))
+      .orderBy(col("anio"))
+
+  val q44Oracle: String =
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS anio,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O_n",
+      |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE), 0.0) AS "O_total",
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F_n",
+      |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE), 0.0) AS "F_total",
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P_n",
+      |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'P') AS DOUBLE), 0.0) AS "P_total"
+      |FROM orders GROUP BY 1 ORDER BY anio""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_pivot" -> q44Pivot,
     "q16_date_dim" -> q16DateDim,
     "q17_surrogate_fact" -> q17SurrogateFact,
     "q18_role_playing_dates" -> q18RolePlayingDates,
@@ -219,6 +244,7 @@ object StarSchema {
     "q22_cube" -> q22Cube)
 
   def oracleSql: Map[String, String] = Map(
+    "q44_pivot" -> q44Oracle,
     "q16_date_dim" -> q16Oracle,
     "q17_surrogate_fact" -> q17Oracle,
     "q18_role_playing_dates" -> q18Oracle,
