@@ -49,13 +49,16 @@ object Scd2 {
 
   /** As-of lookup: join facts to the dimension version that was valid
     * at the fact's event date — the SCD2 dual of the reference's
-    * key-by-natural-key joins.
+    * key-by-natural-key joins. LEFT join: facts dated before the key's
+    * first version (or with keys absent from the dimension) keep their
+    * row with null version columns instead of silently vanishing.
     */
   def asOfJoin(facts: DataFrame, dim: DataFrame, naturalKey: String,
       eventDate: Column): DataFrame =
     facts.join(dim,
       facts(naturalKey) === dim(naturalKey) &&
         eventDate >= dim("valid_from") &&
-        (dim("valid_to").isNull || eventDate < dim("valid_to")))
+        (dim("valid_to").isNull || eventDate < dim("valid_to")),
+      "left")
       .drop(dim(naturalKey))
 }

@@ -18,10 +18,18 @@ import org.apache.spark.sql.functions.row_number
   */
 object SurrogateKeys {
 
-  /** Add `idCol` = dense 1-based key over `orderCols` (must be a unique
-    * natural key of `df`). */
-  def assign(df: DataFrame, idCol: String, orderCols: Column*): DataFrame =
-    df.withColumn(idCol, row_number().over(Window.orderBy(orderCols: _*)))
+  /** Add `idCol` = dense 1-based key over `orderCols`. The remaining
+    * columns are appended as tie-breakers so the assignment stays
+    * deterministic even when the natural key is unexpectedly non-unique
+    * (dirty input); with a genuinely unique key the tie-breakers never
+    * fire and ids are unchanged.
+    */
+  def assign(df: DataFrame, idCol: String, orderCols: Column*): DataFrame = {
+    val named = orderCols.map(_.toString).toSet
+    val tieBreakers = df.columns.filterNot(named.contains).map(org.apache.spark.sql.functions.col)
+    df.withColumn(idCol,
+      row_number().over(Window.orderBy(orderCols ++ tieBreakers: _*)))
+  }
 
   /** Scale path: a collision-free 64-bit key from the natural key,
     * computed per-row with no window/shuffle. Keys are stable across

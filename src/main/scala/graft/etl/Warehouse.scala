@@ -58,11 +58,18 @@ class Warehouse(spark: SparkSession, sources: String => DataFrame) {
 
   /** dim_cotizante enriched with demografica_id by natural-key lookup
     * (payment variant; `keepProvieneOtraEps = true` for the retreat
-    * variant's extra boolean).
+    * variant's extra boolean). Both variants are built once and cached
+    * — one build feeds two facts, the analytics layer, and writeAll.
     */
-  def dimCotizante(keepProvieneOtraEps: Boolean = false): DataFrame = assign(
-    Dimensions.dimCotizanteEnriched(sources("cotizante"), dimDemografica, keepProvieneOtraEps),
-    "cotizante_id", col("cedula"))
+  private lazy val dimCotizantePago: DataFrame = assign(
+    Dimensions.dimCotizanteEnriched(sources("cotizante"), dimDemografica,
+      keepProvieneOtraEps = false), "cotizante_id", col("cedula")).cache()
+  private lazy val dimCotizanteRetiro: DataFrame = assign(
+    Dimensions.dimCotizanteEnriched(sources("cotizante"), dimDemografica,
+      keepProvieneOtraEps = true), "cotizante_id", col("cedula")).cache()
+
+  def dimCotizante(keepProvieneOtraEps: Boolean = false): DataFrame =
+    if (keepProvieneOtraEps) dimCotizanteRetiro else dimCotizantePago
 
   // ---- facts ---------------------------------------------------------
   lazy val factMedicalFormula: DataFrame = Facts.factMedicalFormula(
@@ -87,7 +94,11 @@ class Warehouse(spark: SparkSession, sources: String => DataFrame) {
     "dim_medico" -> dimMedico, "dim_medicamento" -> dimMedicamento,
     "dim_centro_medico" -> dimCentroMedico, "dim_region" -> dimRegion,
     "dim_enfermedad" -> dimEnfermedad, "dim_empresa" -> dimEmpresa,
-    "dim_demografica" -> dimDemografica, "dim_cotizante" -> dimCotizante())
+    "dim_demografica" -> dimDemografica,
+    // persist the richer retreat variant: the reference's retreat mart
+    // loads dim_cotizante WITH proviene_otra_eps, and churn analysis
+    // over the written warehouse needs it
+    "dim_cotizante" -> dimCotizante(keepProvieneOtraEps = true))
 
   def allFacts: Map[String, DataFrame] = Map(
     "fact_medical_formula" -> factMedicalFormula,

@@ -29,6 +29,12 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
     val leftCols = left.columns
+    val reserved = Seq("_p", "_side", "_asof")
+    require(!leftCols.exists(reserved.contains),
+      s"asOf reserves internal column names ${reserved.mkString(", ")}")
+    // null keys never match (join semantics): a null-key right row must
+    // not become anyone's state, and null-key left rows get null payload
+    val rightClean = right.filter(col(key).isNotNull)
     // the payload travels as ONE struct so a multi-column state row is
     // carried atomically (independent per-column carries could mix
     // versions when payload fields are legitimately null)
@@ -45,7 +51,7 @@ object AsOfJoin {
     } ++ Seq(payloadStruct.as("_p"), lit(0).as("_side"))
 
     val unioned = left.select(taggedLeft: _*)
-      .unionByName(right.select(taggedRight: _*))
+      .unionByName(rightClean.select(taggedRight: _*))
     val w = Window.partitionBy(col(key))
       .orderBy(col(leftTs), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -170,7 +170,9 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
       .otherwise(array(norm)))
     // cache: the self-join reads base twice; without it the whole
-    // shingle+md5 pipeline runs once per side
+    // shingle+md5 pipeline runs once per side. CONTRACT: callers owning
+    // a long-lived session should spark.catalog.clearCache() after
+    // consuming the result (Verify and Bench both do).
     val base = Tables.documents(spark, dir)
       .select(col("doc_id"), shingles.as("sh"))
       .withColumn("mh", array_min(transform(col("sh"), s => md5(s))))

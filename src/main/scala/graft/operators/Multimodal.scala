@@ -54,11 +54,14 @@ object Multimodal {
         lower(hex(substring(col("payload"), 1, 4))).as("magic_hex"))
       .orderBy(col("doc_id"))
 
+  // magic_hex takes the first 4 BYTES on both sides: Spark slices the
+  // binary payload; DuckDB cannot slice blobs, so it takes 8 hex chars
+  // of the full payload hex — byte-identical even for multibyte text.
   val q37Oracle: String =
     """SELECT doc_id,
       |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
       |  md5(text) AS content_md5,
-      |  lower(hex(encode(substring(text, 1, 4)))) AS magic_hex
+      |  lower(left(hex(encode(text)), 8)) AS magic_hex
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------

@@ -32,10 +32,10 @@ object Skew {
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
 
-  /** Two-phase skew-safe aggregation: partial aggregate on
-    * (key, salt) — spreading a hot key over saltFactor tasks — then
-    * final aggregate on key. `partials` maps each output column to the
-    * (partialAgg, finalAgg) pair, e.g. count → (count, sum).
+  /** Two-phase skew-safe count: partial count on (key, salt) —
+    * spreading a hot key over saltFactor tasks — then a final sum per
+    * key. The same shape generalizes to any algebraic aggregate
+    * (sum→sum, min→min, ...).
     */
   def saltedCount(df: DataFrame, key: Column, saltRowId: Column,
       saltFactor: Int): DataFrame =

@@ -22,7 +22,11 @@ def canon(con, rel_sql, label):
     """Return (columns_sorted, rowcount, md5-ish hash) for a relation."""
     rel = con.sql(rel_sql)
     cols = sorted(rel.columns)
-    collist = ", ".join(f'"{c}"' for c in cols)
+    # NULL must canonicalize distinctly from empty/missing values:
+    # concat_ws would silently SKIP nulls, letting rows that differ only
+    # in which column is null hash identically.
+    collist = ", ".join(
+        f'COALESCE(CAST("{c}" AS VARCHAR), \'\\x00NULL\')' for c in cols)
     # Canonical textual form per row, rows sorted — mirrors a
     # sort-columns-then-sort-rows-then-hash driver compare.
     q = (f'SELECT md5(string_agg(r, \'\\n\' ORDER BY r)) AS h, COUNT(*) AS n '
