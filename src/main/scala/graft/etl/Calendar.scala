@@ -52,6 +52,14 @@ object Calendar {
       dow.isin(1, 7).as("es_fin_de_semana"))
   }
 
+  /** Attach `fecha_id` = 1-based day offset from `start`. For a daily
+    * calendar this equals `row_number() OVER (ORDER BY fecha)` but is a
+    * pure per-row projection — no window, no shuffle, works at any span.
+    */
+  def withFechaId(dim: DataFrame, start: String): DataFrame =
+    dim.withColumn("fecha_id",
+      (datediff(col("fecha"), to_date(lit(start))) + 1).cast("int"))
+
   /** dim_hora: 24x60 minute grid with an 'HH:mm:00' label, the join key
     * the service fact uses (`/root/reference/processing/service_process.py:148-149`).
     */

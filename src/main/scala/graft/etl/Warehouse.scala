@@ -23,8 +23,8 @@ class Warehouse(spark: SparkSession, sources: String => DataFrame) {
   import SurrogateKeys.assign
 
   // ---- conformed dimensions, keyed and cached -----------------------
-  lazy val dimFecha: DataFrame = assign(
-    Calendar.dimFecha(spark, calendarStart, calendarEnd), "fecha_id", col("fecha")).cache()
+  lazy val dimFecha: DataFrame = Calendar.withFechaId(
+    Calendar.dimFecha(spark, calendarStart, calendarEnd), calendarStart).cache()
 
   lazy val dimHora: DataFrame = assign(
     Calendar.dimHora(spark), "hora_id", col("hora"), col("minuto")).cache()

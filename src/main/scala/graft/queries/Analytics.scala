@@ -42,8 +42,13 @@ class Analytics(wh: Warehouse) {
       .groupBy(col("municipio"))
       .agg(sum(col("valor_pagado")).as("total_facturado"),
         count(lit(1)).as("n_pagos"))
-    agg.withColumn("share",
-      round(col("total_facturado") / sum(col("total_facturado")).over(Window.partitionBy()), 4))
+    // Share-of-total via a broadcast scalar join, not a global window:
+    // an empty-partition window would funnel every group row through one
+    // task; the one-row aggregate broadcast keeps the plan distributed.
+    val total = agg.agg(sum(col("total_facturado")).as("_grand_total"))
+    agg.crossJoin(broadcast(total))
+      .withColumn("share", round(col("total_facturado") / col("_grand_total"), 4))
+      .drop("_grand_total")
       .orderBy(col("total_facturado").desc, col("municipio"))
   }
 

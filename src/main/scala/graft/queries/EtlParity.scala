@@ -43,8 +43,8 @@ object EtlParity {
     val dimMedicamento = SurrogateKeys.assign(
       Tables.part(spark, dir).select(col("p_partkey").cast("string").as("codigo")),
       "medicamento_id", col("codigo"))
-    val dimFecha = SurrogateKeys.assign(
-      Calendar.dimFecha(spark, "1992-01-01", "1998-12-31"), "fecha_id", col("fecha"))
+    val dimFecha = Calendar.withFechaId(
+      Calendar.dimFecha(spark, "1992-01-01", "1998-12-31"), "1992-01-01")
 
     Facts.factMedicalFormula(formulas, dimUsuario, dimMedico, dimMedicamento, dimFecha)
       .orderBy(col("Codigo_Formula"), col("medicamento_id"), col("fecha_id"),
@@ -123,8 +123,8 @@ object EtlParity {
       n.select(col("n_nationkey").cast("string").as("nit")), "empresa_id", col("nit"))
     val dimEnfermedad = SurrogateKeys.assign(
       graft.etl.Dimensions.dimEnfermedad(preexistencias), "enfermedad_id", col("nombre"))
-    val dimFecha = SurrogateKeys.assign(
-      Calendar.dimFecha(spark, "1992-01-01", "1998-12-31"), "fecha_id", col("fecha"))
+    val dimFecha = Calendar.withFechaId(
+      Calendar.dimFecha(spark, "1992-01-01", "1998-12-31"), "1992-01-01")
 
     Facts.factFacturacion(pagos, empresaCotizante, preexistencias, cotizante,
       dimCotizante, dimCentroMedico, dimEmpresa, dimEnfermedad, dimFecha)
@@ -247,8 +247,8 @@ object EtlParity {
       "region_id", col("municipio"))
     val dimHora = SurrogateKeys.assign(
       Calendar.dimHora(spark), "hora_id", col("hora"), col("minuto"))
-    val dimFecha = SurrogateKeys.assign(
-      Calendar.dimFecha(spark, "1992-01-01", "1998-12-31"), "fecha_id", col("fecha"))
+    val dimFecha = Calendar.withFechaId(
+      Calendar.dimFecha(spark, "1992-01-01", "1998-12-31"), "1992-01-01")
 
     Facts.factServicio(citas, urgencias, hosp, remisiones, serviciosPos,
       medico, ips, dimMedico, dimUsuario, dimRegion, dimHora, dimFecha)
@@ -359,8 +359,8 @@ object EtlParity {
       "region_id", col("municipio"))
     val dimCotizante = SurrogateKeys.assign(
       c.select(col("c_custkey").cast("string").as("cedula")), "cotizante_id", col("cedula"))
-    val dimFecha = SurrogateKeys.assign(
-      Calendar.dimFecha(spark, "1992-01-01", "1998-12-31"), "fecha_id", col("fecha"))
+    val dimFecha = Calendar.withFechaId(
+      Calendar.dimFecha(spark, "1992-01-01", "1998-12-31"), "1992-01-01")
 
     Facts.factRetiro(retiros, cotizante, dimCentroMedico, dimRegion, dimCotizante, dimFecha)
       .orderBy(col("fecha_id"), col("region_id"), col("centro_medico_id"),

@@ -195,11 +195,10 @@ object Relational {
   // reference's write→read-back SERIAL round-trip. The dim is tiny;
   // the join back is a broadcast.
   def q07NaturalKeyLookup(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val c = Tables.customer(spark, dir)
-    val dim = c.select(col("c_nationkey"), col("c_mktsegment")).distinct()
-      .withColumn("demo_id", row_number().over(
-        Window.orderBy(col("c_nationkey"), col("c_mktsegment"))))
+    val dim = graft.etl.SurrogateKeys.assign(
+      c.select(col("c_nationkey"), col("c_mktsegment")).distinct(),
+      "demo_id", col("c_nationkey"), col("c_mktsegment"))
     c.join(broadcast(dim), Seq("c_nationkey", "c_mktsegment"))
       .select(col("c_custkey"), col("demo_id"))
       .orderBy(col("c_custkey"))

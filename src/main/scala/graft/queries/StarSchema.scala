@@ -56,12 +56,13 @@ object StarSchema {
 
   // --------------------------------------------------------------------
   // q17 — surrogate-keyed star fact (SURVEY §1.2): dim_fecha gets
-  // row_number keys over its canonical order; the fact joins natural
-  // date → fecha_id, collapsing the reference's write→read-back
-  // round-trip into one in-engine step. Dim is broadcast.
+  // dense keys (day offset from span start == row_number over fecha,
+  // computed windowless); the fact joins natural date → fecha_id,
+  // collapsing the reference's write→read-back round-trip into one
+  // in-engine step. Dim is broadcast.
   def q17SurrogateFact(spark: SparkSession, dir: String): DataFrame = {
-    val dimFecha = Calendar.dimFecha(spark, CalStart, CalEnd)
-      .withColumn("fecha_id", row_number().over(Window.orderBy(col("fecha"))))
+    val dimFecha = Calendar.withFechaId(
+      Calendar.dimFecha(spark, CalStart, CalEnd), CalStart)
       .select(col("fecha_id"), col("fecha"))
     val o = Tables.orders(spark, dir)
     o.join(broadcast(dimFecha), o("o_orderdate").cast("date") === dimFecha("fecha"))
@@ -84,8 +85,8 @@ object StarSchema {
   // q18 — role-playing dimension: the same dim_fecha joined twice under
   // different roles (SURVEY §2.5 J23-J26: request/attention date+hour).
   def q18RolePlayingDates(spark: SparkSession, dir: String): DataFrame = {
-    val dimFecha = Calendar.dimFecha(spark, CalStart, CalEnd)
-      .withColumn("fecha_id", row_number().over(Window.orderBy(col("fecha"))))
+    val dimFecha = Calendar.withFechaId(
+      Calendar.dimFecha(spark, CalStart, CalEnd), CalStart)
       .select(col("fecha_id"), col("fecha"))
     val pedido = dimFecha.select(col("fecha_id").as("fecha_pedido_id"), col("fecha").as("f1"))
     val envio = dimFecha.select(col("fecha_id").as("fecha_envio_id"), col("fecha").as("f2"))
