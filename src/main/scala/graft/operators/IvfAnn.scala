@@ -30,7 +30,7 @@ object IvfAnn {
   }
 
   def buildIndex(spark: SparkSession, dir: String, k: Int, seed: Long): Index = {
-    val emb = Tables.embeddings(spark, dir)
+    val emb = Tables.embeddingsSharded(spark, dir)
       .withColumn("features", toVec(col("embedding")))
     val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("features").fit(emb)
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }

@@ -58,7 +58,7 @@ object Similarity {
   // q34 — brute-force cosine top-k: every 25th vector queries the full
   // table, k=5, ties broken by candidate id.
   def q34CosineTopk(spark: SparkSession, dir: String): DataFrame = {
-    val all = withScaledNorm(Tables.embeddings(spark, dir))
+    val all = withScaledNorm(Tables.embeddingsSharded(spark, dir))
     val q = all.filter(col("vec_id") % 25 === 0)
       .select(col("vec_id").as("query_id"), col("sv").as("qsv"), col("nrm").as("qnrm"))
     val scored = q.join(all, col("query_id") =!= col("vec_id"))
@@ -110,7 +110,7 @@ object Similarity {
     }.reduce(_ + _).cast("int")
 
   def q35LshAnn(spark: SparkSession, dir: String): DataFrame = {
-    val all = withScaledNorm(Tables.embeddings(spark, dir)).withColumn("bucket", bucketCol)
+    val all = withScaledNorm(Tables.embeddingsSharded(spark, dir)).withColumn("bucket", bucketCol)
     val q = all.filter(col("vec_id") % 25 === 0)
       .select(col("vec_id").as("query_id"), col("sv").as("qsv"),
         col("nrm").as("qnrm"), col("bucket").as("qbucket"))
@@ -154,7 +154,7 @@ object Similarity {
   // q36 — embedding cosine near-duplicate pairs: every 10th vector vs
   // the table, cosine ≥ 0.4, with a same-label flag.
   def q36EmbeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val all = withScaledNorm(Tables.embeddings(spark, dir))
+    val all = withScaledNorm(Tables.embeddingsSharded(spark, dir))
     val a = all.filter(col("vec_id") % 10 === 0)
       .select(col("vec_id").as("vec_a"), col("sv").as("asv"),
         col("nrm").as("anrm"), col("label").as("label_a"))

@@ -50,6 +50,17 @@ object Tables {
       org.apache.spark.sql.functions.col("doc_id"))
   }
 
+  /** Embeddings spread across cores, same rationale as
+    * [[documentsSharded]]: the dot-product pipelines are CPU-dense
+    * relative to vector size, and task count must not be hostage to the
+    * input file layout.
+    */
+  def embeddingsSharded(s: SparkSession, d: String): DataFrame = {
+    val df = load(s, d, "embeddings")
+    df.repartition(s.sparkContext.defaultParallelism,
+      org.apache.spark.sql.functions.col("vec_id"))
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
