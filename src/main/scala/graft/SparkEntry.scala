@@ -16,7 +16,9 @@ object SparkEntry {
       graft.operators.Dedup.queries ++
       graft.operators.Similarity.queries ++
       graft.operators.Multimodal.queries ++
-      graft.queries.Profiling.queries
+      graft.queries.Profiling.queries ++
+      graft.streaming.StreamingQueries.queries ++
+      graft.queries.OperatorQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +31,7 @@ object SparkEntry {
       graft.operators.Dedup.oracleSql ++
       graft.operators.Similarity.oracleSql ++
       graft.operators.Multimodal.oracleSql ++
-      graft.queries.Profiling.oracleSql
+      graft.queries.Profiling.oracleSql ++
+      graft.streaming.StreamingQueries.oracleSql ++
+      graft.queries.OperatorQueries.oracleSql
 }

@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.etl.Scd2
+import graft.operators.{AsOfJoin, IvfAnn, Skew}
+import graft.sources.Tables
+import graft.queries.Relational.moneySum
+
+/** Driver-registered queries for the composed operators that extend the
+  * reference's surface: as-of join, SCD2 versioning, IVF ANN, and skew
+  * salting. Each drives the REAL operator implementation on
+  * oracle-reproducible testdata.
+  */
+object OperatorQueries {
+
+  // --------------------------------------------------------------------
+  // q47 — as-of join (AsOfJoin.asOf): every order looks up the customer's
+  // most recent "balance snapshot" as of the order date. Snapshots are
+  // every-3rd-order days aggregated per (customer, day), so right-side
+  // timestamps are unique per key — the determinism contract the
+  // operator documents. DuckDB's native ASOF JOIN is the oracle.
+  def q47AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val left = o.select(col("o_orderkey"), col("o_custkey").as("cliente"),
+      col("o_orderdate").cast("date").as("fecha_evento"))
+    val right = o.filter(col("o_orderkey") % 3 === 0)
+      .groupBy(col("o_custkey").as("cliente"),
+        col("o_orderdate").cast("date").as("fecha_estado"))
+      .agg(moneySum(col("o_totalprice")).as("saldo"))
+    AsOfJoin.asOf(left, right, "cliente", "fecha_evento", "fecha_estado", Seq("saldo"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q47Oracle: String =
+    """WITH left_t AS (
+      |  SELECT o_orderkey, o_custkey AS cliente,
+      |    CAST(o_orderdate AS DATE) AS fecha_evento
+      |  FROM orders),
+      |right_t AS (
+      |  SELECT o_custkey AS cliente, CAST(o_orderdate AS DATE) AS fecha_estado,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS saldo
+      |  FROM orders WHERE o_orderkey % 3 = 0 GROUP BY 1, 2)
+      |SELECT l.o_orderkey, l.cliente, l.fecha_evento, r.saldo AS asof_saldo
+      |FROM left_t l ASOF LEFT JOIN right_t r
+      |  ON l.cliente = r.cliente AND r.fecha_estado <= l.fecha_evento
+      |ORDER BY l.o_orderkey""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q48 — SCD Type-2 versioning (Scd2.versions): per-customer attribute
+  // snapshots (one per order day, aggregated deterministically) collapse
+  // into versioned rows with valid_from/valid_to/is_current.
+  def q48Scd2Versions(spark: SparkSession, dir: String): DataFrame = {
+    val snapshots = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("cliente"),
+        col("o_orderdate").cast("date").as("fecha"))
+      .agg(min(col("o_orderpriority")).as("prioridad"),
+        max(col("o_orderstatus")).as("estado"))
+    Scd2.versions(snapshots, "cliente", "fecha", Seq("prioridad", "estado"))
+      .orderBy(col("cliente"), col("version"))
+  }
+
+  val q48Oracle: String =
+    """WITH snaps AS (
+      |  SELECT o_custkey AS cliente, CAST(o_orderdate AS DATE) AS fecha,
+      |    MIN(o_orderpriority) AS prioridad, MAX(o_orderstatus) AS estado
+      |  FROM orders GROUP BY 1, 2),
+      |lagged AS (
+      |  SELECT *,
+      |    lag(prioridad) OVER w AS lp, lag(estado) OVER w AS le,
+      |    ROW_NUMBER() OVER w AS rn
+      |  FROM snaps WINDOW w AS (PARTITION BY cliente ORDER BY fecha)),
+      |changes AS (
+      |  SELECT * FROM lagged
+      |  WHERE rn = 1 OR NOT (lp IS NOT DISTINCT FROM prioridad
+      |                   AND le IS NOT DISTINCT FROM estado)),
+      |versioned AS (
+      |  SELECT cliente, prioridad, estado,
+      |    CAST(ROW_NUMBER() OVER w2 AS INTEGER) AS version,
+      |    fecha AS valid_from, lead(fecha) OVER w2 AS valid_to
+      |  FROM changes WINDOW w2 AS (PARTITION BY cliente ORDER BY fecha))
+      |SELECT cliente, prioridad, estado, version, valid_from, valid_to,
+      |  valid_to IS NULL AS is_current
+      |FROM versioned ORDER BY cliente, version""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q49 — IVF ANN probe (IvfAnn.buildIndex + probe): k-means cells,
+  // 2-cell probe, exact cosine top-3 within the probe set. k-means cell
+  // assignment depends on MLlib internals, so there is no SQL oracle —
+  // registered for the rows-only check; accuracy (recall vs brute
+  // force) is asserted in IvfAnnSpec.
+  def q49IvfAnn(spark: SparkSession, dir: String): DataFrame = {
+    val index = IvfAnn.buildIndex(spark, dir, k = 8, seed = 42L)
+    val queries = Tables.embeddingsSharded(spark, dir).filter(col("vec_id") % 25 === 0)
+    IvfAnn.probe(spark, index, queries, nprobe = 2, topK = 3)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  // --------------------------------------------------------------------
+  // q50 — skew-safe two-phase aggregation (Skew.saltedCount): per-part
+  // lineitem counts with the hot-key-spreading salt. The salt is
+  // internal — the result equals a plain GROUP BY, which is the oracle.
+  def q50SaltedCount(spark: SparkSession, dir: String): DataFrame =
+    Skew.saltedCount(Tables.lineitem(spark, dir),
+      col("l_suppkey"), col("l_orderkey"), saltFactor = 8)
+      .orderBy(col("key"))
+
+  val q50Oracle: String =
+    """SELECT l_suppkey AS key, COUNT(*) AS n
+      |FROM lineitem GROUP BY 1 ORDER BY key""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q51 — salted broadcast-free join (Skew.saltedJoin): lineitem ⋈ part
+  // with the build side replicated saltFactor ways. Output rows equal
+  // the plain equi-join, which is the oracle.
+  def q51SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir).select(
+      col("l_partkey").as("partkey"), col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity"))
+    val small = Tables.part(spark, dir).select(
+      col("p_partkey").as("partkey"), col("p_brand"))
+    Skew.saltedJoin(big, small, "partkey", col("l_orderkey"), saltFactor = 4)
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val q51Oracle: String =
+    """SELECT l_partkey AS partkey, l_orderkey, l_linenumber, l_quantity, p_brand
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_asof_join" -> q47AsofJoin,
+    "q48_scd2_versions" -> q48Scd2Versions,
+    "q49_ivf_ann" -> q49IvfAnn,
+    "q50_salted_count" -> q50SaltedCount,
+    "q51_salted_join" -> q51SaltedJoin)
+
+  def oracleSql: Map[String, String] = Map(
+    "q47_asof_join" -> q47Oracle,
+    "q48_scd2_versions" -> q48Oracle,
+    "q50_salted_count" -> q50Oracle,
+    "q51_salted_join" -> q51Oracle)
+}

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.DecimalType
+
+/** Driver-registered streaming queries: each runs a genuine Structured
+  * Streaming query (micro-batch engine, streaming state) over the
+  * events parquet via [[EventsStreaming.readEventsStream]], drains it
+  * through the memory sink, and returns the result for the oracle gate.
+  * Because the source is finite and processed in one batch, the
+  * streaming results are deterministic and equal to their batch duals —
+  * which is exactly what the DuckDB oracles express.
+  *
+  * Scale notes: the hourly aggregate shuffles once on the window
+  * bucket; sessionization shuffles once on user_id with per-user state
+  * (the same shapes as q23/q24's batch plans, but with streaming state
+  * stores). Complete output mode is used for the windowed aggregate so
+  * the finite-source run emits every window; an unbounded production
+  * run would switch to Append + the watermarked
+  * [[EventsStreaming.windowedAgg]].
+  */
+object StreamingQueries {
+
+  // --------------------------------------------------------------------
+  // q45 — streaming tumbling-window aggregate (streaming dual of q23).
+  def q45StreamHourly(spark: SparkSession, dir: String): DataFrame = {
+    val events = EventsStreaming.readEventsStream(spark, dir)
+    val agg = events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(24, 6))).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+    EventsStreaming.runToMemory(spark, agg, "q45_mem", OutputMode.Complete)
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  val q45Oracle: String =
+    """SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+      |  event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY window_start, event_type
+      |ORDER BY window_start, event_type""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q46 — streaming stateful sessionization via flatMapGroupsWithState
+  // (streaming dual of q24, minus the value sum the streaming state
+  // does not carry). Session ids are per-user counters, so the result
+  // is deterministic regardless of partitioning.
+  def q46StreamSessions(spark: SparkSession, dir: String): DataFrame = {
+    val events = EventsStreaming.readEventsStream(spark, dir)
+    val sessions = EventsStreaming.sessionize(spark, events)
+    EventsStreaming.runToMemory(spark, sessions.toDF(), "q46_mem")
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val q46Oracle: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id,
+      |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec,
+      |    ts
+      |  FROM events),
+      |lagged AS (
+      |  SELECT *, lag(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+      |  FROM flagged),
+      |sessions AS (
+      |  SELECT *,
+      |    CAST(SUM(CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM lagged)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |  MIN(sec) AS session_start_sec, MAX(sec) AS session_end_sec
+      |FROM sessions
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q45_stream_hourly" -> q45StreamHourly,
+    "q46_stream_sessions" -> q46StreamSessions)
+
+  def oracleSql: Map[String, String] = Map(
+    "q45_stream_hourly" -> q45Oracle,
+    "q46_stream_sessions" -> q46Oracle)
+}
