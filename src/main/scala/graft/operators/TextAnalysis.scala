@@ -168,15 +168,47 @@ object TextAnalysis {
       |    s -> md5(s)), 'min') AS min_shingle_hash
       |FROM base ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q52 — BPE-style regex token counting: the GPT-2 pre-tokenizer
+  // pattern family, restricted to RE2-safe constructs (no lookahead) so
+  // Spark's Java regex and DuckDB's RE2 produce the same token stream:
+  // optional leading space + letter run | digit run | punctuation run.
+  // Complements q27's whitespace tokens with the subword-tokenizer
+  // granularity an LLM-data pipeline actually budgets by.
+  val BpePattern = " ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+
+  def q52BpeTokens(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documentsSharded(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws_toks"),
+        regexp_extract_all(col("text"), lit(BpePattern), lit(0)).as("bpe"))
+    base.select(
+      col("doc_id"),
+      size(col("bpe")).cast("bigint").as("n_bpe_tokens"),
+      size(array_distinct(col("bpe"))).cast("bigint").as("n_bpe_uniq"),
+      round(size(col("bpe")).cast("double") / size(col("ws_toks")), 6)
+        .as("bpe_per_word"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q52Oracle: String =
+    s"""SELECT doc_id,
+       |  len(regexp_extract_all(text, '$BpePattern')) AS n_bpe_tokens,
+       |  len(list_distinct(regexp_extract_all(text, '$BpePattern'))) AS n_bpe_uniq,
+       |  round(CAST(len(regexp_extract_all(text, '$BpePattern')) AS DOUBLE)
+       |        / len(string_split(text, ' ')), 6) AS bpe_per_word
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_token_stats" -> q27TokenStats,
     "q28_lang_id" -> q28LangId,
     "q29_quality_score" -> q29QualityScore,
-    "q30_fingerprint" -> q30Fingerprint)
+    "q30_fingerprint" -> q30Fingerprint,
+    "q52_bpe_tokens" -> q52BpeTokens)
 
   def oracleSql: Map[String, String] = Map(
     "q27_token_stats" -> q27Oracle,
     "q28_lang_id" -> q28Oracle,
     "q29_quality_score" -> q29Oracle,
-    "q30_fingerprint" -> q30Oracle)
+    "q30_fingerprint" -> q30Oracle,
+    "q52_bpe_tokens" -> q52Oracle)
 }
