@@ -32,7 +32,11 @@ object IvfAnn {
   def buildIndex(spark: SparkSession, dir: String, k: Int, seed: Long): Index = {
     val emb = Tables.embeddingsSharded(spark, dir)
       .withColumn("features", toVec(col("embedding")))
-    val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("features").fit(emb)
+    // few iterations suffice: cells only need to be a reasonable space
+    // partition (probe recall is asserted in IvfAnnSpec), and index
+    // build cost is dominated by the k-means passes over the corpus
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(5)
+      .setFeaturesCol("features").fit(emb)
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
     val assigned = model.transform(emb)
       .select(col("vec_id"), col("prediction").as("cell"), col("embedding"))

@@ -16,10 +16,27 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") normalizeNanoTs(df) else df
-  }
+  // One DataFrame per (session, dir, table): the plan carries its file
+  // index, so re-listing + footer schema reads happen once per session
+  // instead of once per query (the testdata is immutable; a loader for
+  // mutable data would re-read). WeakHashMap: entries die with their
+  // session.
+  private val planCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[(String, String), DataFrame]]
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    planCache.synchronized {
+      var m = planCache.get(spark)
+      if (m == null) {
+        m = scala.collection.mutable.Map.empty
+        planCache.put(spark, m)
+      }
+      m.getOrElseUpdate((dir, name), {
+        val df = spark.read.parquet(s"$dir/$name.parquet")
+        if (name == "events") normalizeNanoTs(df) else df
+      })
+    }
 
   /** The events table carries parquet TIMESTAMP(NANOS) which Spark only
     * reads as a nanosecond long (`spark.sql.legacy.parquet.nanosAsLong`,
