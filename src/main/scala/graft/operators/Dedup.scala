@@ -209,8 +209,10 @@ object Dedup {
     // a long-lived session should spark.catalog.clearCache() after
     // consuming the result (Verify and Bench both do).
     val base = pre
-      .select(col("doc_id"), shingles.as("sh"))
-      .withColumn("mh", array_min(transform(col("sh"), s => md5(s))))
+      .select(col("doc_id"), shingles.as("sh"),
+        // min-over-distinct == min-over-all, so the single-pass
+        // fingerprint expression applies directly to the token array
+        graft.functions.MinShingleMd5.min_shingle_md5(col("toks"), 3).as("mh"))
       .cache()
     // candidate pairs already carry both shingle SETS through the
     // self-join, so Jaccard is a per-row array_intersect — no explode,

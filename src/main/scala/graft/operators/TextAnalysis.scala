@@ -143,14 +143,13 @@ object TextAnalysis {
     val base = Tables.documentsSharded(spark, dir)
       .select(col("doc_id"), lower(trim(col("text"))).as("norm"))
       .withColumn("toks", split(col("norm"), " "))
-    val shingles = when(size(col("toks")) >= 3,
-      transform(sequence(lit(0), size(col("toks")) - 3),
-        i => concat_ws(" ", slice(col("toks"), i + 1, lit(3)))))
-      .otherwise(array(col("norm")))
     base.select(
       col("doc_id"),
       md5(col("norm")).as("fp_md5"),
-      array_min(transform(shingles, s => md5(s))).as("min_shingle_hash"))
+      // one codegen'd pass: shingle → md5 → min, no intermediate arrays
+      // (semantics identical to array_min(transform(shingles, md5)))
+      graft.functions.MinShingleMd5.min_shingle_md5(col("toks"), 3)
+        .as("min_shingle_hash"))
       .orderBy(col("doc_id"))
   }
 
