@@ -52,8 +52,13 @@ object AsOfJoin {
 
     val unioned = left.select(taggedLeft: _*)
       .unionByName(rightClean.select(taggedRight: _*))
+    // `_p` as the final sort key makes the carry deterministic when the
+    // right side has duplicate timestamps per key: the field-wise
+    // greatest payload wins instead of whichever row the shuffle
+    // happened to order last. Left rows all carry a null `_p`, so their
+    // relative order (which never matters) is unaffected.
     val w = Window.partitionBy(col(key))
-      .orderBy(col(leftTs), col("_side"))
+      .orderBy(col(leftTs), col("_side"), col("_p"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned.withColumn("_asof", last(col("_p"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)

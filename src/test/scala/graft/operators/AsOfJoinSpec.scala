@@ -42,4 +42,16 @@ class AsOfJoinSpec extends SparkSpec {
     val plan = joined.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
   }
+
+  test("duplicate right timestamps carry the greatest payload deterministically") {
+    val dupState = Seq(
+      (1L, 100L, "cfgA", 1),
+      (1L, 100L, "cfgZ", 9), // same key+ts — field-wise max must win
+      (1L, 100L, "cfgM", 5))
+      .toDF("user_id", "ts", "config", "version")
+    val got = AsOfJoin.asOf(events.filter($"user_id" === 1L), dupState,
+      "user_id", "ts", "ts", Seq("config", "version"))
+      .collect().map(r => r.getAs[String]("name") -> r.getAs[String]("asof_config")).toMap
+    assert(got("e1") == "cfgZ" && got("e2") == "cfgZ" && got("e3") == "cfgZ")
+  }
 }
