@@ -83,10 +83,51 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  // --------------------------------------------------------------------
+  // q53 — frame sampling (oracle-checked): treat the payload as a
+  // sequence of fixed 64-byte frames (the video-column access pattern),
+  // keep every 4th frame, and emit per-frame metadata. All scan-side
+  // expressions — the sampler never materializes unsampled frames.
+  // Spark slices the binary directly; DuckDB cannot slice blobs, so the
+  // oracle slices the hex string at doubled offsets — byte-identical.
+  val FrameBytes = 64
+  val FrameStep = 4
+
+  def q53FrameSample(spark: SparkSession, dir: String): DataFrame = {
+    val nFrames = ceil(col("n_bytes").cast("double") / FrameBytes).cast("int")
+    graft.sources.Tables.documentsSharded(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .withColumn("n_bytes", octet_length(col("payload")).cast("bigint"))
+      .withColumn("n_frames", nFrames)
+      .select(col("doc_id"), col("n_bytes"), col("n_frames"), col("payload"),
+        explode(sequence(lit(1), col("n_frames"), lit(FrameStep))).as("frame_idx"))
+      .select(col("doc_id"), col("n_bytes"), col("n_frames"), col("frame_idx"),
+        md5(lower(hex(substring(col("payload"),
+          (col("frame_idx") - 1) * FrameBytes + 1, lit(FrameBytes))))).as("frame_md5"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  val q53Oracle: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, lower(hex(encode(text))) AS hexstr,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       |    CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / $FrameBytes) AS INTEGER) AS n_frames
+       |  FROM documents),
+       |sampled AS (
+       |  SELECT doc_id, n_bytes, n_frames,
+       |    CAST(unnest(generate_series(1, n_frames, $FrameStep)) AS INTEGER) AS frame_idx
+       |  FROM base)
+       |SELECT s.doc_id, s.n_bytes, s.n_frames, s.frame_idx,
+       |  md5(substring(b.hexstr, (s.frame_idx - 1) * ${2 * FrameBytes} + 1, ${2 * FrameBytes})) AS frame_md5
+       |FROM sampled s JOIN base b ON s.doc_id = b.doc_id
+       |ORDER BY s.doc_id, s.frame_idx""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_binary_meta" -> q37BinaryMeta,
-    "q38_multimodal_decode" -> q38MultimodalDecode)
+    "q38_multimodal_decode" -> q38MultimodalDecode,
+    "q53_frame_sample" -> q53FrameSample)
 
   def oracleSql: Map[String, String] = Map(
-    "q37_binary_meta" -> q37Oracle)
+    "q37_binary_meta" -> q37Oracle,
+    "q53_frame_sample" -> q53Oracle)
 }
