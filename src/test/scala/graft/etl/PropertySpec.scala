@@ -58,6 +58,28 @@ class PropertySpec extends SparkSpec {
     }, trials = 5)
   }
 
+  test("surrogate keys are invariant to input partitioning (global rank)") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (i * 37 % 1000).toString).distinct.toDF("k")
+    def ids(parts: Int): Map[String, Int] =
+      SurrogateKeys.assign(df.repartition(parts), "id", col("k"))
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val one = ids(1)
+    assert(ids(7) == one && ids(32) == one)
+    // and the rank follows the key order
+    val sortedKeys = one.keys.toSeq.sorted
+    assert(sortedKeys.map(one) == (1 to sortedKeys.size))
+  }
+
+  test("calendar fecha_id equals the dense rank of the date") {
+    val dim = Calendar.withFechaId(
+      Calendar.dimFecha(spark, "1992-01-01", "1992-03-01"), "1992-01-01")
+    val got = dim.select("fecha", "fecha_id").collect()
+      .map(r => r.getDate(0).toString -> r.getInt(1)).toMap
+    assert(got("1992-01-01") == 1 && got("1992-01-02") == 2 &&
+      got("1992-03-01") == 61 && got.size == 61)
+  }
+
   test("na.fill leaves no nulls in the filled column") {
     import spark.implicits._
     check(Prop.forAll(Gen.nonEmptyListOf(Gen.option(Gen.choose(0, 5)))) { xs =>
