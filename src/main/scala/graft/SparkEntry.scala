@@ -18,7 +18,8 @@ object SparkEntry {
       graft.operators.Multimodal.queries ++
       graft.queries.Profiling.queries ++
       graft.streaming.StreamingQueries.queries ++
-      graft.queries.OperatorQueries.queries
+      graft.queries.OperatorQueries.queries ++
+      graft.sources.FormatQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
       graft.operators.Multimodal.oracleSql ++
       graft.queries.Profiling.oracleSql ++
       graft.streaming.StreamingQueries.oracleSql ++
-      graft.queries.OperatorQueries.oracleSql
+      graft.queries.OperatorQueries.oracleSql ++
+      graft.sources.FormatQueries.oracleSql
 }

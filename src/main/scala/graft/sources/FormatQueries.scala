@@ -1,0 +1,83 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.Relational.{exprSum, moneySum}
+
+/** Format round-trip queries: write a table through a text format
+  * (CSV = the reference's K3 sink, JSON) into a session-scoped temp
+  * dir, read it back with an explicit schema, and aggregate. The
+  * oracle aggregates the ORIGINAL parquet — so a hash match proves the
+  * round-trip is value-lossless, gating the writer, the reader, and
+  * the text codecs end-to-end (Spark writes doubles/timestamps in
+  * shortest-round-trip / ISO forms, so exact recovery is expected).
+  *
+  * Scale notes: both writes are plain distributed `df.write` (one file
+  * per task, no driver collect); the read-back is a distributed text
+  * scan with an explicit schema (no inference pass).
+  */
+object FormatQueries {
+
+  private def tmp(spark: SparkSession, tag: String, dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_rt_${tag}_" +
+      s"${spark.sparkContext.applicationId}_${math.abs(dir.hashCode)}"
+
+  // --------------------------------------------------------------------
+  // q54 — CSV round-trip (K3's format): orders → header CSV → explicit
+  // schema read → aggregate; must equal the same aggregate on parquet.
+  def q54CsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp(spark, "csv", dir)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"))
+      .write.mode("overwrite").option("header", true).csv(path)
+    spark.read.option("header", true)
+      .schema("o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, " +
+        "o_totalprice DOUBLE, o_orderdate TIMESTAMP")
+      .csv(path)
+      .groupBy(col("o_orderstatus").as("estado"))
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("total"),
+        countDistinct(col("o_custkey")).as("n_clientes"))
+      .orderBy(col("estado"))
+  }
+
+  val q54Oracle: String =
+    """SELECT o_orderstatus AS estado, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  COUNT(DISTINCT o_custkey) AS n_clientes
+      |FROM orders GROUP BY 1 ORDER BY estado""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q55 — JSON-lines round-trip: events → json → explicit schema read →
+  // aggregate; same lossless-recovery contract as q54.
+  def q55JsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp(spark, "json", dir)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").json(path)
+    spark.read
+      .schema("event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+      .json(path)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        exprSum(col("value")).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+  }
+
+  val q55Oracle: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS sum_value,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_csv_roundtrip" -> q54CsvRoundtrip,
+    "q55_json_roundtrip" -> q55JsonRoundtrip)
+
+  def oracleSql: Map[String, String] = Map(
+    "q54_csv_roundtrip" -> q54Oracle,
+    "q55_json_roundtrip" -> q55Oracle)
+}
