@@ -153,6 +153,36 @@ object Dedup {
   }
 
   // --------------------------------------------------------------------
+  // q56 — the dedup DECISION the pair list exists for: greedy-by-id
+  // keep/discard. A document is discarded iff it has a verified
+  // near-dup with a smaller id (pairs always have doc_a < doc_b, so
+  // discards = distinct doc_b); kept documents survive via left-anti
+  // join. Output is the kept set — what a training-data pipeline
+  // actually ships downstream.
+  def q56DedupKeepers(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = q32MinhashNeardup(spark, dir)
+    val discards = pairs.select(col("doc_b").as("doc_id")).distinct()
+    Tables.documentsSharded(spark, dir)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(discards, Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
+  val q56Oracle: String = {
+    // q32's full candidate/verify pipeline, reduced to the kept set
+    val innerWithoutOrder = q32Oracle.replace("ORDER BY doc_a, doc_b", "")
+    s"""WITH pairs AS (
+       |$innerWithoutOrder
+       |)
+       |SELECT doc_id, lang, n_chars
+       |FROM documents
+       |WHERE doc_id % 5 = 0
+       |  AND doc_id NOT IN (SELECT doc_b FROM pairs)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
   // q33 — SimHash: 16-bit signature; bit j set when the majority of
   // tokens have bit j set in their md5. Near-dup pairs are then simhash
   // values at small Hamming distance — the signature itself is the
@@ -256,11 +286,13 @@ object Dedup {
     "q31_exact_dedup" -> q31ExactDedup,
     "q32_minhash_neardup" -> q32MinhashNeardup,
     "q33_simhash" -> q33Simhash,
-    "q40_ngram_jaccard" -> q40NgramJaccard)
+    "q40_ngram_jaccard" -> q40NgramJaccard,
+    "q56_dedup_keepers" -> q56DedupKeepers)
 
   def oracleSql: Map[String, String] = Map(
     "q31_exact_dedup" -> q31Oracle,
     "q32_minhash_neardup" -> q32Oracle,
     "q33_simhash" -> q33Oracle,
-    "q40_ngram_jaccard" -> q40Oracle)
+    "q40_ngram_jaccard" -> q40Oracle,
+    "q56_dedup_keepers" -> q56Oracle)
 }
