@@ -129,7 +129,34 @@ object OperatorQueries {
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q57 — top-k as a custom TypedImperativeAggregate
+  // (functions.TopKByLong): top-3 customers per nation, but with
+  // PARTIAL aggregation — each map task ships at most k values of
+  // state, where the q19 rank-window form shuffles every group row.
+  def q57TopkAgg(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir).groupBy(col("o_custkey"))
+      .agg(moneySum(col("o_totalprice")).as("total_spend"))
+    val c = Tables.customer(spark, dir)
+    c.join(spend, c("c_custkey") === spend("o_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(graft.functions.TopKByLong.topk_by(
+        col("total_spend"), col("c_custkey"), 3).as("top_customers"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  val q57Oracle: String =
+    """WITH spend AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT c_nationkey,
+      |  (list(c_custkey ORDER BY total_spend DESC, c_custkey))[1:3] AS top_customers
+      |FROM customer JOIN spend ON c_custkey = o_custkey
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_topk_agg" -> q57TopkAgg,
     "q47_asof_join" -> q47AsofJoin,
     "q48_scd2_versions" -> q48Scd2Versions,
     "q49_ivf_ann" -> q49IvfAnn,
@@ -137,6 +164,7 @@ object OperatorQueries {
     "q51_salted_join" -> q51SaltedJoin)
 
   def oracleSql: Map[String, String] = Map(
+    "q57_topk_agg" -> q57Oracle,
     "q47_asof_join" -> q47Oracle,
     "q48_scd2_versions" -> q48Oracle,
     "q50_salted_count" -> q50Oracle,
