@@ -2,9 +2,9 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.DotProductLong
+import graft.functions.{DotProductLong, MinShingleMd5, TopKByLong}
 
 /** Session extensions registering the engine's native functions for SQL
   * use. Install with
@@ -12,18 +12,37 @@ import graft.functions.DotProductLong
   * [[GraftExtensions.register]] on a live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions.{litInt, builders}
+
   override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      FunctionIdentifier("dot_product_long"),
-      new ExpressionInfo(classOf[DotProductLong].getName, "dot_product_long"),
-      exprs => DotProductLong(exprs.head, exprs(1))))
+    builders.foreach { case (name, b) =>
+      e.injectFunction((
+        FunctionIdentifier(name), new ExpressionInfo(getClass.getName, name), b))
+    }
     e.injectOptimizerRule(_ => graft.plans.RewriteDotProduct)
   }
 }
 
 object GraftExtensions {
+
+  private def litInt(e: Expression, arg: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$arg must be an integer literal, got $other")
+  }
+
+  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "dot_product_long" -> (exprs => DotProductLong(exprs.head, exprs(1))),
+    "min_shingle_md5" -> (exprs =>
+      MinShingleMd5(exprs.head, litInt(exprs(1), "shingle size"))),
+    "topk_by" -> (exprs =>
+      TopKByLong(exprs.head, exprs(1), litInt(exprs(2), "k"))
+        .toAggregateExpression()))
+
   /** Register on an existing session (tests, REPL). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product_long", exprs => DotProductLong(exprs.head, exprs(1)), "built-in")
+    builders.foreach { case (name, b) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, b, "built-in")
+    }
 }

@@ -21,8 +21,12 @@ object EtlParity {
     val o = Tables.orders(spark, dir)
 
     // formulas_medicas: one prescription per order; medicine codes are
-    // the order's part keys in line order.
-    val meds = li.groupBy(col("l_orderkey")).agg(
+    // the order's part keys in line order. The explicit repartition on
+    // the group key replaces (not adds to) the aggregation's exchange —
+    // partial collect_list state is as big as its input, so there is no
+    // map-side combine to lose, and the list building runs at full
+    // parallelism however few input splits the scan produced.
+    val meds = li.repartition(col("l_orderkey")).groupBy(col("l_orderkey")).agg(
       array_join(transform(
         array_sort(collect_list(struct(col("l_linenumber"), col("l_partkey")))),
         x => x.getField("l_partkey").cast("string")), ";").as("medicamentos_recetados"),

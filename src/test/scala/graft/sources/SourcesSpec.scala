@@ -24,12 +24,23 @@ class SourcesSpec extends SparkSpec {
     assert(plan.contains("municipio") && !plan.contains("departamento"))
   }
 
-  test("dot_product_long is SQL-callable after registration") {
+  test("native functions are SQL-callable after registration") {
     graft.GraftExtensions.register(spark)
     val r = spark.sql(
       "SELECT dot_product_long(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d")
       .collect().head.getLong(0)
     assert(r == 32L)
+    val m = spark.sql(
+      "SELECT min_shingle_md5(array('a', 'b', 'c', 'd'), 3) AS m")
+      .collect().head.getString(0)
+    val expected = Seq("a b c", "b c d")
+      .map(org.apache.commons.codec.digest.DigestUtils.md5Hex).min
+    assert(m == expected)
+    val t = spark.sql(
+      """SELECT topk_by(s, p, 2) AS top FROM
+        |VALUES (1.0D, 10L), (3.0D, 30L), (2.0D, 20L) AS v(s, p)""".stripMargin)
+      .collect().head.getSeq[Long](0)
+    assert(t == Seq(30L, 20L))
   }
 
   test("warehouse dim_region builds from the V2 snapshot source") {
