@@ -26,8 +26,17 @@ object Bench {
     // first-run compile noise. Falls back to the target dir's own
     // smallest sibling being absent → no warmup.
     val warmDir = {
+      val target = new java.io.File(sfDir).getCanonicalPath
       val d = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
-      if (d.isDirectory && d.getPath != sfDir) Some(d.getPath) else None
+      if (d.isDirectory && d.getCanonicalPath != target) Some(d.getPath) else None
+    }
+    // no smaller sibling (already benchmarking sf0.001): keep at least
+    // the session-level warmup so JVM/codegen startup isn't billed to
+    // the alphabetically-first query
+    if (warmDir.isEmpty) {
+      try SparkEntry.queries.get("q12_case_when")
+        .foreach(_(spark, sfDir).write.format("noop").mode("overwrite").save())
+      catch { case _: Throwable => }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       warmDir.foreach { wd =>

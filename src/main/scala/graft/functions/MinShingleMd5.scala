@@ -45,11 +45,12 @@ case class MinShingleMd5(child: Expression, n: Int)
 
   private val sep = UTF8String.fromString(" ")
 
-  /** null elements (not produced by split(); defensively) hash as empty. */
-  private def elem(arr: ArrayData, i: Int): UTF8String = {
-    val s = arr.getUTF8String(i)
-    if (s == null) UTF8String.EMPTY_UTF8 else s
-  }
+  /** null elements pass through: UTF8String.concatWs skips nulls, the
+    * same semantics as the concat_ws in the HOF formulation this
+    * expression replaces (split() output never contains nulls anyway).
+    */
+  private def elem(arr: ArrayData, i: Int): UTF8String =
+    arr.getUTF8String(i)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -95,7 +96,6 @@ case class MinShingleMd5(child: Expression, n: Int)
          |  $u[] $w = new $u[$len];
          |  for (int $i = 0; $i < $len; $i++) {
          |    $w[$i] = $arr.getUTF8String($i);
-         |    if ($w[$i] == null) $w[$i] = $u.EMPTY_UTF8;
          |  }
          |  ${ev.value} = $u.fromString(
          |    $digest.md5Hex($u.concatWs($sepRef, $w).getBytes()));
@@ -105,7 +105,6 @@ case class MinShingleMd5(child: Expression, n: Int)
          |  for (int $i = 0; $i <= $len - $n; $i++) {
          |    for (int $j = 0; $j < $n; $j++) {
          |      $w[$j] = $arr.getUTF8String($i + $j);
-         |      if ($w[$j] == null) $w[$j] = $u.EMPTY_UTF8;
          |    }
          |    String $h = $digest.md5Hex($u.concatWs($sepRef, $w).getBytes());
          |    if ($min == null || $h.compareTo($min) < 0) $min = $h;

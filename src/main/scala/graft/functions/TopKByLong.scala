@@ -38,12 +38,31 @@ case class TopKByLong(
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (score.dataType == DoubleType && payload.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"topk_by needs (double, bigint), got " +
+        s"(${score.dataType.simpleString}, ${payload.dataType.simpleString})")
+
+  /** (score DESC, payload ASC) with java.lang.Double.compare semantics,
+    * so NaN ranks greatest — matching Spark's descending sort and
+    * DuckDB's ORDER BY ... DESC (scala's sortBy(-s) would flip NaN to
+    * the bottom, diverging from the rank-window form).
+    */
+  private val ord: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+    override def compare(a: (Double, Long), b: (Double, Long)): Int = {
+      val c = java.lang.Double.compare(b._1, a._1)
+      if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+    }
+  }
+
   override def createAggregationBuffer(): ArrayBuffer[(Double, Long)] =
     ArrayBuffer.empty
 
   private def compact(buf: ArrayBuffer[(Double, Long)]): ArrayBuffer[(Double, Long)] = {
     if (buf.length > k) {
-      val kept = buf.sortBy { case (s, p) => (-s, p) }.take(k)
+      val kept = buf.sorted(ord).take(k)
       buf.clear()
       buf ++= kept
     }
@@ -65,8 +84,7 @@ case class TopKByLong(
     compact(b1 ++= b2)
 
   override def eval(buf: ArrayBuffer[(Double, Long)]): Any =
-    new GenericArrayData(
-      buf.sortBy { case (s, p) => (-s, p) }.take(k).map(_._2).toArray)
+    new GenericArrayData(buf.sorted(ord).take(k).map(_._2).toArray)
 
   override def serialize(buf: ArrayBuffer[(Double, Long)]): Array[Byte] = {
     compact(buf)

@@ -100,7 +100,11 @@ object Multimodal {
       .withColumn("n_bytes", octet_length(col("payload")).cast("bigint"))
       .withColumn("n_frames", nFrames)
       .select(col("doc_id"), col("n_bytes"), col("n_frames"), col("payload"),
-        explode(sequence(lit(1), col("n_frames"), lit(FrameStep))).as("frame_idx"))
+        // empty payload → n_frames = 0 → no rows, matching DuckDB's
+        // generate_series(1, 0) (Spark's sequence would throw on 1..0)
+        explode(when(col("n_frames") >= 1,
+          sequence(lit(1), col("n_frames"), lit(FrameStep)))
+          .otherwise(array().cast("array<int>"))).as("frame_idx"))
       .select(col("doc_id"), col("n_bytes"), col("n_frames"), col("frame_idx"),
         md5(lower(hex(substring(col("payload"),
           (col("frame_idx") - 1) * FrameBytes + 1, lit(FrameBytes))))).as("frame_md5"))

@@ -16,27 +16,22 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  // One DataFrame per (session, dir, table): the plan carries its file
-  // index, so re-listing + footer schema reads happen once per session
-  // instead of once per query (the testdata is immutable; a loader for
-  // mutable data would re-read). WeakHashMap: entries die with their
-  // session.
-  private val planCache =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[(String, String), DataFrame]]
+  // Schema per (dir, table): skips the per-query footer read without
+  // holding any session-referencing object (a DataFrame cache keyed by
+  // session pins the session via its own plans — even in a WeakHashMap,
+  // the value→key strong path defeats collection). StructType is a
+  // plain value; the testdata is immutable, so schemas never go stale.
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+      org.apache.spark.sql.types.StructType]
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    planCache.synchronized {
-      var m = planCache.get(spark)
-      if (m == null) {
-        m = scala.collection.mutable.Map.empty
-        planCache.put(spark, m)
-      }
-      m.getOrElseUpdate((dir, name), {
-        val df = spark.read.parquet(s"$dir/$name.parquet")
-        if (name == "events") normalizeNanoTs(df) else df
-      })
-    }
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent((dir, name),
+      _ => spark.read.parquet(path).schema)
+    val df = spark.read.schema(schema).parquet(path)
+    if (name == "events") normalizeNanoTs(df) else df
+  }
 
   /** The events table carries parquet TIMESTAMP(NANOS) which Spark only
     * reads as a nanosecond long (`spark.sql.legacy.parquet.nanosAsLong`,
@@ -54,29 +49,23 @@ object Tables {
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
 
-  /** The documents table, hash-repartitioned on doc_id across all
-    * cores. The CPU-dense text pipelines (shingling, per-token hashing)
-    * cost orders of magnitude more than one pass of the raw text over
-    * the wire, so an up-front even spread always pays for itself: on a
-    * cluster it also defends against few/large input files or skewed
-    * file sizes — task count follows cores, not file layout.
+  /** Table hash-repartitioned on its id across all cores. The
+    * CPU-dense per-row pipelines (shingling, per-token hashing, dot
+    * products) cost orders of magnitude more than one pass of the raw
+    * rows over the wire, so an up-front even spread always pays for
+    * itself: on a cluster it also defends against few/large input
+    * files or skewed file sizes — task count follows cores, not file
+    * layout.
     */
-  def documentsSharded(s: SparkSession, d: String): DataFrame = {
-    val df = load(s, d, "documents")
-    df.repartition(s.sparkContext.defaultParallelism,
-      org.apache.spark.sql.functions.col("doc_id"))
-  }
+  private def sharded(s: SparkSession, d: String, table: String, idCol: String): DataFrame =
+    load(s, d, table).repartition(s.sparkContext.defaultParallelism,
+      org.apache.spark.sql.functions.col(idCol))
 
-  /** Embeddings spread across cores, same rationale as
-    * [[documentsSharded]]: the dot-product pipelines are CPU-dense
-    * relative to vector size, and task count must not be hostage to the
-    * input file layout.
-    */
-  def embeddingsSharded(s: SparkSession, d: String): DataFrame = {
-    val df = load(s, d, "embeddings")
-    df.repartition(s.sparkContext.defaultParallelism,
-      org.apache.spark.sql.functions.col("vec_id"))
-  }
+  def documentsSharded(s: SparkSession, d: String): DataFrame =
+    sharded(s, d, "documents", "doc_id")
+
+  def embeddingsSharded(s: SparkSession, d: String): DataFrame =
+    sharded(s, d, "embeddings", "vec_id")
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

@@ -35,8 +35,7 @@ class TopKByLongSpec extends SparkSpec {
     assert(got(1) == List(2L, 7L, 10L)) // score ties → payload asc
     assert(got(2) == List(9L))
     assert(got(4) == Nil)
-    // NaN sorts above real numbers in Scala's ordering — just assert
-    // membership is stable and bounded
-    assert(got(3).toSet.subsetOf(Set(4L, 5L)) && got(3).size == 2)
+    // NaN ranks greatest, matching Spark desc sort and DuckDB DESC
+    assert(got(3) == List(5L, 4L))
   }
 }
