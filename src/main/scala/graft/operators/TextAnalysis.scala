@@ -197,7 +197,39 @@ object TextAnalysis {
        |        / len(string_split(text, ' ')), 6) AS bpe_per_word
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q58 — deterministic stratified sampling: per-language keep rates
+  // (the data-mixing step of a training pipeline), with a pure
+  // arithmetic multiplicative hash so the decision is reproducible and
+  // exactly computable by any engine — no RNG, no seed state, rerun
+  // gives the same sample. Per-row filter: no shuffle at all.
+  val SampleRates: Map[String, Int] = // permille
+    Map("en" -> 800, "es" -> 500, "de" -> 300, "fr" -> 300, "zh" -> 200)
+
+  def q58StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    // Knuth multiplicative hash in exact BIGINT arithmetic (values stay
+    // far below 2^63 for doc ids in the billions)
+    val bucket = pmod(col("doc_id") * 2654435761L, lit(1000L))
+    val rate = SampleRates.foldLeft(lit(0)) { case (acc, (l, r)) =>
+      when(col("lang") === l, r).otherwise(acc)
+    }
+    Tables.documentsSharded(spark, dir)
+      .filter(bucket < rate)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q58Oracle: String = {
+    val rateCase = SampleRates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+      .mkString("CASE ", " ", " ELSE 0 END")
+    s"""SELECT doc_id, lang, n_chars
+       |FROM documents
+       |WHERE (doc_id * 2654435761) % 1000 < $rateCase
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_stratified_sample" -> q58StratifiedSample,
     "q27_token_stats" -> q27TokenStats,
     "q28_lang_id" -> q28LangId,
     "q29_quality_score" -> q29QualityScore,
@@ -205,6 +237,7 @@ object TextAnalysis {
     "q52_bpe_tokens" -> q52BpeTokens)
 
   def oracleSql: Map[String, String] = Map(
+    "q58_stratified_sample" -> q58Oracle,
     "q27_token_stats" -> q27Oracle,
     "q28_lang_id" -> q28Oracle,
     "q29_quality_score" -> q29Oracle,
