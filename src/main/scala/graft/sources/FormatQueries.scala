@@ -73,11 +73,52 @@ object FormatQueries {
       |  COUNT(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q59 — corrupt-record tolerance: a JSON dataset where a
+  // deterministic subset of lines (event_id % 100 = 0) is mangled into
+  // non-JSON; the PERMISSIVE reader must keep every good row, shunt
+  // every bad line into _corrupt_record, and the per-type aggregate
+  // must equal the oracle's filtered aggregate over the clean parquet.
+  // Training corpora always carry a bad-record tail — the pipeline has
+  // to count and quarantine it without failing the job.
+  def q59CorruptTolerant(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp(spark, "corrupt", dir)
+    Tables.events(spark, dir)
+      .select(when(col("event_id") % 100 === 0,
+        concat(lit("{corrupt line "), col("event_id").cast("string")))
+        .otherwise(to_json(struct(
+          col("event_id"), col("user_id"), col("event_type"), col("value"))))
+        .as("value"))
+      .write.mode("overwrite").text(path)
+    val read = spark.read
+      .schema("event_id BIGINT, user_id BIGINT, event_type STRING, " +
+        "value DOUBLE, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+    read
+      .groupBy(coalesce(col("event_type"), lit("_CORRUPT_")).as("event_type"))
+      .agg(count(lit(1)).as("n"), exprSum(col("value")).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val q59Oracle: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS sum_value
+      |FROM events WHERE event_id % 100 <> 0
+      |GROUP BY 1
+      |UNION ALL
+      |SELECT '_CORRUPT_', COUNT(*), NULL
+      |FROM events WHERE event_id % 100 = 0
+      |ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_csv_roundtrip" -> q54CsvRoundtrip,
-    "q55_json_roundtrip" -> q55JsonRoundtrip)
+    "q55_json_roundtrip" -> q55JsonRoundtrip,
+    "q59_corrupt_tolerant" -> q59CorruptTolerant)
 
   def oracleSql: Map[String, String] = Map(
     "q54_csv_roundtrip" -> q54Oracle,
-    "q55_json_roundtrip" -> q55Oracle)
+    "q55_json_roundtrip" -> q55Oracle,
+    "q59_corrupt_tolerant" -> q59Oracle)
 }
