@@ -19,7 +19,8 @@ object SparkEntry {
       graft.queries.Profiling.queries ++
       graft.streaming.StreamingQueries.queries ++
       graft.queries.OperatorQueries.queries ++
-      graft.sources.FormatQueries.queries
+      graft.sources.FormatQueries.queries ++
+      graft.queries.StatsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +36,6 @@ object SparkEntry {
       graft.queries.Profiling.oracleSql ++
       graft.streaming.StreamingQueries.oracleSql ++
       graft.queries.OperatorQueries.oracleSql ++
-      graft.sources.FormatQueries.oracleSql
+      graft.sources.FormatQueries.oracleSql ++
+      graft.queries.StatsQueries.oracleSql
 }

@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** Distribution statistics over the warehouse — the profiling layer a
+  * data platform runs before/after loads. Every statistic is written
+  * in a form BOTH engines compute bit-identically: discrete quantiles
+  * select ranked elements with integer arithmetic (continuous
+  * interpolation differs between engines in the last ulp — measured),
+  * histograms bin by one IEEE division + floor, and correlation is
+  * assembled from exact DECIMAL sums with an identically-shaped final
+  * double expression.
+  */
+object StatsQueries {
+
+  // --------------------------------------------------------------------
+  // q60 — discrete group quantiles (p50/p90 of order value per
+  // priority): rank with row_number, pick rank ceil(q*n) via integer
+  // math, one pass. At scale: one hash shuffle on the group key; the
+  // per-group sort is the cost any exact quantile pays.
+  def q60GroupQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val byPrio = Window.partitionBy(col("o_orderpriority"))
+    val w = byPrio.orderBy(col("o_totalprice"), col("o_orderkey"))
+    o.select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .withColumn("n", count(lit(1)).over(byPrio))
+      .groupBy(col("o_orderpriority").as("prioridad"))
+      .agg(
+        // floor(double) realizes the integer division: Spark's `/` on
+        // integers is true division (DuckDB's `//` in the oracle)
+        max(when(col("rn") === floor((col("n") + 1) / 2).cast("bigint"),
+          col("o_totalprice"))).as("p50"),
+        max(when(col("rn") === floor((col("n") * 9 + 9) / 10).cast("bigint"),
+          col("o_totalprice"))).as("p90"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("prioridad"))
+  }
+
+  val q60Oracle: String =
+    """WITH ranked AS (
+      |  SELECT o_orderpriority, o_totalprice,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rn,
+      |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      |  FROM orders)
+      |SELECT o_orderpriority AS prioridad,
+      |  MAX(CASE WHEN rn = (n + 1) // 2 THEN o_totalprice END) AS p50,
+      |  MAX(CASE WHEN rn = (n * 9 + 9) // 10 THEN o_totalprice END) AS p90,
+      |  COUNT(*) AS n_orders
+      |FROM ranked GROUP BY 1 ORDER BY prioridad""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q61 — fixed-width histogram of order values: bin = floor(v / w),
+  // one IEEE division both engines evaluate identically; a pure
+  // map-side expression plus one aggregation.
+  private val BinWidth = 50000.0
+
+  def q61Histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(floor(col("o_totalprice") / BinWidth).cast("bigint").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      .orderBy(col("bin"))
+
+  val q61Oracle: String =
+    s"""SELECT CAST(floor(o_totalprice / $BinWidth) AS BIGINT) AS bin,
+       |  COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+       |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q62 — Pearson correlation from exact sums: order value vs line
+  // count per order. The five sums are exact DECIMALs (order-
+  // independent), and the final expression is written with the same
+  // shape in both engines, so the one double-arithmetic chain agrees
+  // bit-for-bit. (Built-in corr() streams doubles in partition order —
+  // not reproducible across engines or even runs.)
+  def q62CorrExact(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_lines"))
+    val o = Tables.orders(spark, dir)
+    val joined = o.join(li, o("o_orderkey") === li("l_orderkey"))
+      .select(col("o_totalprice").cast(DecimalType(18, 2)).as("x"),
+        col("n_lines").cast(DecimalType(18, 0)).as("y"))
+    val agg = joined.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("y")).cast("double").as("sy"),
+      sum(col("x") * col("x")).cast("double").as("sxx"),
+      sum(col("y") * col("y")).cast("double").as("syy"),
+      sum(col("x") * col("y")).cast("double").as("sxy"))
+    agg.select(
+      round((col("n") * col("sxy") - col("sx") * col("sy")) /
+        (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+          sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6).as("corr_value"),
+      col("n").cast("bigint").as("n_orders"))
+  }
+
+  val q62Oracle: String =
+    """WITH pairs AS (
+      |  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS x,
+      |    CAST(n_lines AS DECIMAL(18,0)) AS y
+      |  FROM orders JOIN (
+      |    SELECT l_orderkey, COUNT(*) AS n_lines FROM lineitem GROUP BY 1) li
+      |    ON o_orderkey = li.l_orderkey),
+      |sums AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+      |    CAST(SUM(x * x) AS DOUBLE) AS sxx, CAST(SUM(y * y) AS DOUBLE) AS syy,
+      |    CAST(SUM(x * y) AS DOUBLE) AS sxy
+      |  FROM pairs)
+      |SELECT round((n * sxy - sx * sy) /
+      |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_value,
+      |  CAST(n AS BIGINT) AS n_orders
+      |FROM sums""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_group_quantiles" -> q60GroupQuantiles,
+    "q61_histogram" -> q61Histogram,
+    "q62_corr_exact" -> q62CorrExact)
+
+  def oracleSql: Map[String, String] = Map(
+    "q60_group_quantiles" -> q60Oracle,
+    "q61_histogram" -> q61Oracle,
+    "q62_corr_exact" -> q62Oracle)
+}
