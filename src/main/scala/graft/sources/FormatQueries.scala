@@ -112,13 +112,70 @@ object FormatQueries {
       |FROM events WHERE event_id % 100 = 0
       |ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q63 — partition-pruned layout, end to end: write orders
+  // date-partitioned by year, read back ONE partition directory's
+  // worth via a partition-column filter (the scan lists only that
+  // directory — the layout every 100 TB fact table uses), aggregate.
+  // Oracle = the same aggregate from a WHERE year() filter on parquet.
+  def q63PartitionPruning(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp(spark, "part", dir)
+    Tables.orders(spark, dir)
+      .withColumn("anio", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("anio").parquet(path)
+    spark.read.parquet(path)
+      .filter(col("anio") === 1995)
+      .groupBy(col("o_orderstatus").as("estado"))
+      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total"))
+      .orderBy(col("estado"))
+  }
+
+  val q63Oracle: String =
+    """SELECT o_orderstatus AS estado, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders WHERE year(o_orderdate) = 1995
+      |GROUP BY 1 ORDER BY estado""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q64 — schema evolution: two parquet batches with different schemas
+  // (the second adds a column), read with mergeSchema; rows from the
+  // old batch surface the new column as null. Schema drift arrives in
+  // every long-lived ingestion pipeline; this gates the merged read.
+  def q64SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp(spark, "evo", dir)
+    val o = Tables.orders(spark, dir)
+    o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .write.mode("overwrite").parquet(s"$path/batch=1")
+    o.filter(col("o_orderkey") % 2 =!= 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$path/batch=2")
+    spark.read.option("mergeSchema", true).parquet(path)
+      .groupBy(col("o_orderstatus").as("estado"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("o_totalprice")).as("n_with_price"),
+        moneySum(coalesce(col("o_totalprice"), lit(0.0))).as("total_new_batch"))
+      .orderBy(col("estado"))
+  }
+
+  val q64Oracle: String =
+    """SELECT o_orderstatus AS estado, COUNT(*) AS n_rows,
+      |  COUNT(*) FILTER (WHERE o_orderkey % 2 <> 0) AS n_with_price,
+      |  CAST(SUM(CAST(CASE WHEN o_orderkey % 2 <> 0 THEN o_totalprice
+      |    ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS total_new_batch
+      |FROM orders GROUP BY 1 ORDER BY estado""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_csv_roundtrip" -> q54CsvRoundtrip,
     "q55_json_roundtrip" -> q55JsonRoundtrip,
-    "q59_corrupt_tolerant" -> q59CorruptTolerant)
+    "q59_corrupt_tolerant" -> q59CorruptTolerant,
+    "q63_partition_pruning" -> q63PartitionPruning,
+    "q64_schema_evolution" -> q64SchemaEvolution)
 
   def oracleSql: Map[String, String] = Map(
     "q54_csv_roundtrip" -> q54Oracle,
     "q55_json_roundtrip" -> q55Oracle,
-    "q59_corrupt_tolerant" -> q59Oracle)
+    "q59_corrupt_tolerant" -> q59Oracle,
+    "q63_partition_pruning" -> q63Oracle,
+    "q64_schema_evolution" -> q64Oracle)
 }
