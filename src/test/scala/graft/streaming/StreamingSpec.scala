@@ -25,6 +25,50 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
   }
 
+  test("sessionization state carries across micro-batches") {
+    // split the events timeline in half into two files and force one
+    // file per trigger: sessions that straddle the boundary emit a
+    // partial row per batch under Append mode, with the SAME session id
+    // because GroupState carries (nextSessionId, lastSec). Merging the
+    // partials must reproduce the batch result exactly.
+    val base = graft.sources.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    // cut INSIDE a session: the earliest same-user event pair closer
+    // than the 1800s gap, so at least one session must straddle the
+    // file boundary and emit partial rows from both batches
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cut = base
+      .withColumn("next_sec", lead(col("ts").cast("long"), 1).over(w))
+      .filter(col("next_sec") - col("ts").cast("long") > 0 &&
+        col("next_sec") - col("ts").cast("long") <= 1800)
+      .orderBy(col("ts")).select(col("ts")).first().getTimestamp(0)
+    val tmpDir = s"${sys.props("java.io.tmpdir")}/graft_stream_batches_${System.nanoTime()}"
+    base.filter(col("ts") <= cut).coalesce(1).write.parquet(s"$tmpDir/b1.parquet")
+    base.filter(col("ts") > cut).coalesce(1).write.parquet(s"$tmpDir/b2.parquet")
+    // file-stream ordering is by modification time: push b2 later
+    new java.io.File(tmpDir).listFiles().filter(_.getName == "b2.parquet")
+      .flatMap(_.listFiles()).foreach(f => f.setLastModified(System.currentTimeMillis() + 60000))
+
+    val stream = spark.readStream
+      .schema(base.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmpDir/*.parquet")
+    val got = EventsStreaming.runToMemory(spark,
+      EventsStreaming.sessionize(spark, stream).toDF(), "sessions_mb")
+    // partial session rows merge on (user_id, session_id)
+    val merged = got.groupBy(col("user_id"), col("session_id"))
+      .agg(sum(col("n_events")).as("n_events"),
+        min(col("session_start_sec")).as("session_start_sec"),
+        max(col("session_end_sec")).as("session_end_sec"))
+    val expect = EventsQueries.q24Sessionization(spark, dir)
+      .select(col("user_id"), col("session_id").cast("long"),
+        col("n_events"), col("session_start_sec"), col("session_end_sec"))
+    assert(got.count() > expect.count(), "expected straddling sessions to emit partials")
+    assert(merged.count() == expect.count())
+    assert(merged.exceptAll(expect).isEmpty && expect.exceptAll(merged).isEmpty)
+  }
+
   test("streaming sessionization matches batch q24 on a single batch") {
     val stream = EventsStreaming.readEventsStream(spark, dir)
     val got = EventsStreaming.runToMemory(spark,
