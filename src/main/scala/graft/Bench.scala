@@ -38,10 +38,16 @@ object Bench {
         .foreach(_(spark, sfDir).write.format("noop").mode("overwrite").save())
       catch { case _: Throwable => }
     }
+    // warm-up wall-clock budget: past it, remaining queries run cold —
+    // bounded total bench time beats perfectly-warm timings
+    val warmBudgetNs = 120e9.toLong
+    var warmSpentNs = 0L
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      warmDir.foreach { wd =>
+      warmDir.filter(_ => warmSpentNs < warmBudgetNs).foreach { wd =>
+        val w0 = System.nanoTime()
         try fn(spark, wd).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => }
+        warmSpentNs += System.nanoTime() - w0
       }
       // untimed: drop state accumulated by earlier queries (cached
       // relations, unreferenced broadcasts) so per-query timings don't
