@@ -120,12 +120,35 @@ object StatsQueries {
       |  CAST(n AS BIGINT) AS n_orders
       |FROM sums""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q65 — the SQL surface itself: register the tables as views and run
+  // ONE dialect-neutral SQL text through spark.sql — the SAME text the
+  // DuckDB oracle executes. Proves a SQL-speaking user of the engine
+  // gets identical results without touching the DataFrame API.
+  val q65Sql: String =
+    """SELECT n_name AS nacion, o_orderpriority AS prioridad,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderstatus <> 'F'
+      |GROUP BY n_name, o_orderpriority
+      |ORDER BY nacion, prioridad""".stripMargin
+
+  def q65SqlSurface(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(q65Sql)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_sql_surface" -> q65SqlSurface,
     "q60_group_quantiles" -> q60GroupQuantiles,
     "q61_histogram" -> q61Histogram,
     "q62_corr_exact" -> q62CorrExact)
 
   def oracleSql: Map[String, String] = Map(
+    "q65_sql_surface" -> q65Sql,
     "q60_group_quantiles" -> q60Oracle,
     "q61_histogram" -> q61Oracle,
     "q62_corr_exact" -> q62Oracle)
