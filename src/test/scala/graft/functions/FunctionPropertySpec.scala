@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.SparkSpec
+
+/** ScalaCheck fuzzing of the native functions against straight-line
+  * Scala reference implementations on random inputs — shapes the
+  * real-corpus specs can't produce (degenerate tokens, extreme scores,
+  * duplicate payloads).
+  */
+class FunctionPropertySpec extends SparkSpec {
+
+  private def check(prop: Prop, trials: Int = 8): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(trials), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val token: Gen[String] =
+    Gen.oneOf(Gen.alphaNumStr.map(_.take(8)), Gen.const(""), Gen.const("ñé"))
+
+  test("min_shingle_md5 equals a straight-line reference on random tokens") {
+    import spark.implicits._
+    check(Prop.forAll(Gen.nonEmptyListOf(token), Gen.choose(1, 4)) { (toks, n) =>
+      val expected = {
+        val shingles =
+          if (toks.length < n) Seq(toks.mkString(" "))
+          else toks.sliding(n).map(_.mkString(" ")).toSeq
+        shingles.map(s =>
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(
+            s.getBytes("UTF-8"))).min
+      }
+      val got = Seq(Tuple1(toks)).toDF("toks")
+        .select(MinShingleMd5.min_shingle_md5(col("toks"), n))
+        .first().getString(0)
+      got == expected
+    })
+  }
+
+  test("topk_by equals a straight-line reference on random scored rows") {
+    import spark.implicits._
+    val row = for {
+      g <- Gen.choose(0, 3); s <- Gen.choose(-1e6, 1e6); p <- Gen.choose(0L, 50L)
+    } yield (g, s, p)
+    check(Prop.forAll(Gen.nonEmptyListOf(row), Gen.choose(1, 4)) { (rows, k) =>
+      val expected = rows.groupBy(_._1).map { case (g, rs) =>
+        g -> rs.map(r => (r._2, r._3))
+          .sortWith { (a, b) =>
+            val c = java.lang.Double.compare(b._1, a._1)
+            if (c != 0) c < 0 else a._2 < b._2
+          }.take(k).map(_._2).toList
+      }
+      val got = rows.toDF("g", "s", "p").repartition(3)
+        .groupBy(col("g")).agg(TopKByLong.topk_by(col("s"), col("p"), k).as("top"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Long](1).toList).toMap
+      got == expected
+    }, trials = 6)
+  }
+}
