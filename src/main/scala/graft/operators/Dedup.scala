@@ -161,6 +161,10 @@ object Dedup {
   // actually ships downstream.
   def q56DedupKeepers(spark: SparkSession, dir: String): DataFrame = {
     val pairs = q32MinhashNeardup(spark, dir)
+    // NO broadcast hint on the discard set: it scales with the corpus
+    // (a near-dup-heavy 100 TB corpus discards billions of ids), so the
+    // anti join must stay a shuffled join; AQE downgrades it to
+    // broadcast at runtime when the set happens to be small.
     val discards = pairs.select(col("doc_b").as("doc_id")).distinct()
     Tables.documentsSharded(spark, dir)
       .filter(col("doc_id") % 5 === 0)
