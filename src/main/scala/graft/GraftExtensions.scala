@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier(name), new ExpressionInfo(getClass.getName, name), b))
     }
     e.injectOptimizerRule(_ => graft.plans.RewriteDotProduct)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 
@@ -40,9 +41,12 @@ object GraftExtensions {
         .toAggregateExpression()))
 
   /** Register on an existing session (tests, REPL). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     builders.foreach { case (name, b) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, b, "built-in")
     }
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies ++= Seq(graft.plans.AsOfJoinStrategy)
+  }
 }

@@ -48,6 +48,25 @@ object OperatorQueries {
       |ORDER BY l.o_orderkey""".stripMargin
 
   // --------------------------------------------------------------------
+  // q66 — the NATIVE as-of join (custom LogicalPlan + Strategy +
+  // SparkPlan, graft.plans.AsOfJoinNative): same inputs and oracle as
+  // q47, so the custom physical operator is held to the identical
+  // DuckDB ASOF JOIN ground truth as the composed form.
+  def q66AsofNative(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    val o = Tables.orders(spark, dir)
+    val left = o.select(col("o_orderkey"), col("o_custkey").as("cliente"),
+      col("o_orderdate").cast("date").as("fecha_evento"))
+    val right = o.filter(col("o_orderkey") % 3 === 0)
+      .groupBy(col("o_custkey").as("cliente"),
+        col("o_orderdate").cast("date").as("fecha_estado"))
+      .agg(moneySum(col("o_totalprice")).as("saldo"))
+    graft.plans.AsOfJoinNative.asOf(
+      left, right, "cliente", "fecha_evento", "fecha_estado", Seq("saldo"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  // --------------------------------------------------------------------
   // q48 — SCD Type-2 versioning (Scd2.versions): per-customer attribute
   // snapshots (one per order day, aggregated deterministically) collapse
   // into versioned rows with valid_from/valid_to/is_current.
@@ -157,6 +176,7 @@ object OperatorQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_topk_agg" -> q57TopkAgg,
+    "q66_asof_native" -> q66AsofNative,
     "q47_asof_join" -> q47AsofJoin,
     "q48_scd2_versions" -> q48Scd2Versions,
     "q49_ivf_ann" -> q49IvfAnn,
@@ -165,6 +185,7 @@ object OperatorQueries {
 
   def oracleSql: Map[String, String] = Map(
     "q57_topk_agg" -> q57Oracle,
+    "q66_asof_native" -> q47Oracle,
     "q47_asof_join" -> q47Oracle,
     "q48_scd2_versions" -> q48Oracle,
     "q50_salted_count" -> q50Oracle,
