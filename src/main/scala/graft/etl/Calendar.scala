@@ -60,6 +60,14 @@ object Calendar {
     dim.withColumn("fecha_id",
       (datediff(col("fecha"), to_date(lit(start))) + 1).cast("int"))
 
+  /** Attach `hora_id` = 1-based minute-of-day. For the 24x60 grid this
+    * equals `row_number() OVER (ORDER BY hora, minuto)` as a pure
+    * projection — the dim_hora analogue of [[withFechaId]].
+    */
+  def withHoraId(dim: DataFrame): DataFrame =
+    dim.withColumn("hora_id",
+      (col("hora") * 60 + col("minuto") + 1).cast("int"))
+
   /** dim_hora: 24x60 minute grid with an 'HH:mm:00' label, the join key
     * the service fact uses (`/root/reference/processing/service_process.py:148-149`).
     */

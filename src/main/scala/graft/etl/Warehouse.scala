@@ -26,8 +26,8 @@ class Warehouse(spark: SparkSession, sources: String => DataFrame) {
   lazy val dimFecha: DataFrame = Calendar.withFechaId(
     Calendar.dimFecha(spark, calendarStart, calendarEnd), calendarStart).cache()
 
-  lazy val dimHora: DataFrame = assign(
-    Calendar.dimHora(spark), "hora_id", col("hora"), col("minuto")).cache()
+  lazy val dimHora: DataFrame =
+    Calendar.withHoraId(Calendar.dimHora(spark)).cache()
 
   lazy val dimUsuario: DataFrame = assign(
     Dimensions.dimUsuario(sources("cotizante"), sources("beneficiario")),

@@ -249,8 +249,7 @@ object EtlParity {
         .filter(col("n_regionkey") < 4)
         .select(col("n_name").as("municipio"), col("r_name").as("region")),
       "region_id", col("municipio"))
-    val dimHora = SurrogateKeys.assign(
-      Calendar.dimHora(spark), "hora_id", col("hora"), col("minuto"))
+    val dimHora = Calendar.withHoraId(Calendar.dimHora(spark))
     val dimFecha = Calendar.withFechaId(
       Calendar.dimFecha(spark, "1992-01-01", "1998-12-31"), "1992-01-01")
 
