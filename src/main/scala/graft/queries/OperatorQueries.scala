@@ -153,6 +153,9 @@ object OperatorQueries {
   // (functions.TopKByLong): top-3 customers per nation, but with
   // PARTIAL aggregation — each map task ships at most k values of
   // state, where the q19 rank-window form shuffles every group row.
+  // The array result is posexplode'd to scalar (nation, rk, custkey)
+  // rows so the driver's comparator (which sorts/hashes scalar
+  // columns) can check it; the oracle is the equivalent rank window.
   def q57TopkAgg(spark: SparkSession, dir: String): DataFrame = {
     val spend = Tables.orders(spark, dir).groupBy(col("o_custkey"))
       .agg(moneySum(col("o_totalprice")).as("total_spend"))
@@ -161,18 +164,24 @@ object OperatorQueries {
       .groupBy(col("c_nationkey"))
       .agg(graft.functions.TopKByLong.topk_by(
         col("total_spend"), col("c_custkey"), 3).as("top_customers"))
-      .orderBy(col("c_nationkey"))
+      .select(col("c_nationkey"),
+        posexplode(col("top_customers")).as(Seq("pos", "custkey")))
+      .select(col("c_nationkey"), (col("pos") + 1).as("rk"), col("custkey"))
+      .orderBy(col("c_nationkey"), col("rk"))
   }
 
   val q57Oracle: String =
     """WITH spend AS (
       |  SELECT o_custkey,
       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
-      |  FROM orders GROUP BY o_custkey)
-      |SELECT c_nationkey,
-      |  (list(c_custkey ORDER BY total_spend DESC, c_custkey))[1:3] AS top_customers
-      |FROM customer JOIN spend ON c_custkey = o_custkey
-      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+      |  FROM orders GROUP BY o_custkey),
+      |ranked AS (
+      |  SELECT c_nationkey, c_custkey AS custkey,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+      |      ORDER BY total_spend DESC, c_custkey) AS INTEGER) AS rk
+      |  FROM customer JOIN spend ON c_custkey = o_custkey)
+      |SELECT c_nationkey, rk, custkey FROM ranked WHERE rk <= 3
+      |ORDER BY c_nationkey, rk""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_topk_agg" -> q57TopkAgg,

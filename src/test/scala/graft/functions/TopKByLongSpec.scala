@@ -13,7 +13,8 @@ class TopKByLongSpec extends SparkSpec {
 
   test("equals the rank-window top-k on real data") {
     val agg = graft.queries.OperatorQueries.q57TopkAgg(spark, dir)
-      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1).toList).toMap
+      .collect().groupBy(_.getInt(0))
+      .view.mapValues(_.sortBy(_.getInt(1)).map(_.getLong(2)).toList).toMap
     val win = graft.queries.StarSchema.q19TopPerGroup(spark, dir)
       .collect().groupBy(_.getInt(0))
       .view.mapValues(_.sortBy(_.getInt(1)).map(_.getLong(2)).toList).toMap
