@@ -71,15 +71,19 @@ object Dedup {
   }
 
   def q32MinhashNeardup(spark: SparkSession, dir: String): DataFrame = {
-    // ONE cached relation (doc_id, toks, h0..h7) feeds the band
-    // self-join and both verify joins — tokenization and hashing run
-    // exactly once. CONTRACT: callers owning a long-lived session
-    // should spark.catalog.clearCache() after consuming the result
-    // (Verify and Bench both do).
+    // Round-1 measurement (44dba5d): caching the WIDE (toks + h0..h7)
+    // relation loses — materializing the token and digest arrays costs
+    // more than recomputing the cheap split/distinct, and column
+    // pruning cannot reach through a cached plan. Round 2 re-flipped
+    // this and q32 tripled (VERDICT r2 §wrong-2). Settled shape: no
+    // cache at all. The band self-join shares one shuffle via
+    // ReuseExchange (both sides are the identical plan), and the verify
+    // joins prune `docs` to (doc_id, toks) — the md5 signature pipeline
+    // runs once, the tokenizer runs twice, nothing is materialized.
     val docs = Tables.documentsSharded(spark, dir)
       .filter(col("doc_id") % 5 === 0)
       .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
-    val base = minhashSignatures(docs).cache()
+    val base = minhashSignatures(docs)
     // the band index is folded into the key string ("b:h..h"), so the
     // bucket join has a single equi-key
     val r = NumHashes / NumBands
@@ -95,9 +99,11 @@ object Dedup {
     // exact-Jaccard verify: candidate pairs carry both token SETS
     // through the joins, so the verdict is a per-row array_intersect —
     // no token explode, no re-grouping (same shape as q40's verify).
+    // Joining `docs` (not the signature relation) lets pruning skip the
+    // md5 pipeline entirely on the verify side.
     cands
-      .join(base.as("ta"), col("doc_a") === col("ta.doc_id"))
-      .join(base.as("tb"), col("doc_b") === col("tb.doc_id"))
+      .join(docs.as("ta"), col("doc_a") === col("ta.doc_id"))
+      .join(docs.as("tb"), col("doc_b") === col("tb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("ta.toks"), col("tb.toks"))).cast("bigint").as("inter"),
         size(col("ta.toks")).cast("bigint").as("na"),
