@@ -1,75 +1,93 @@
 package graft.operators
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.linalg.{Vector, Vectors}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
 
-/** IVF-style approximate nearest neighbour over the embeddings table:
-  * k-means centroids form the inverted-file index, each vector is
-  * assigned to its nearest centroid's cell, and queries probe only the
-  * `nprobe` nearest cells — the centroid alternative to the
-  * random-hyperplane buckets in [[Similarity.q35LshAnn]].
+/** IVF-style approximate nearest neighbour over the embeddings table.
   *
-  * Index build (k-means fit + assignment) is the offline path and may
-  * use MLlib/UDFs; the probe join is the hot path and stays a
-  * bucket-equi-join + exact scored top-k, the same shuffle shape as
-  * LSH: keyed on cell id, salted if a cell is hot. At 100 TB, cells
-  * partition the corpus so each query scans corpus/k · nprobe vectors.
+  * The coarse quantizer is DETERMINISTIC: the k pivot vectors are the
+  * rows with `vec_id % ceil(N/k) == 0` (evenly spread over the id
+  * space), and every vector is assigned to the pivot minimizing the
+  * EXACT integer-scaled squared L2 distance
+  * `‖a‖² + ‖p‖² − 2·a·p` — all three terms exact int64 sums over the
+  * round(x·10⁶) scaled components (same scheme as [[Similarity]]), so
+  * the assignment is reproducible bit-for-bit in SQL and the whole
+  * operator carries a DuckDB oracle (the k-means quantizer it replaces
+  * did not). Accuracy vs brute force is asserted in IvfAnnSpec.
+  *
+  * Scale notes (100 TB): the pivots are k driver-side rows turned into
+  * literal expressions — cell assignment and query routing are pure
+  * per-row codegen projections (DotProductLong), no shuffle; only the
+  * probe equi-join shuffles, keyed on cell id, scanning corpus/k·nprobe
+  * vectors per query. Hot cells would be salted like any hot join key.
   */
 object IvfAnn {
 
-  case class Index(cells: DataFrame /* vec_id, cell, embedding */,
-      centroids: Array[(Int, Array[Double])])
+  /** cells: (vec_id, cell, sv, nrm); pivots: (cell, sv, nrm). */
+  case class Index(cells: DataFrame, pivots: Array[(Int, Array[Long], Long)])
 
-  private def toVec = udf { arr: Seq[Float] =>
-    Vectors.dense(arr.map(_.toDouble).toArray)
+  private def scaled: Column =
+    transform(col("embedding"), x => round(x.cast("double") * 1000000).cast("bigint"))
+
+  private def dot(a: Column, b: Column): Column =
+    graft.functions.DotProductLong.dot_product_long(a, b)
+
+  private def withScaledNorm(df: DataFrame): DataFrame =
+    df.withColumn("sv", scaled).withColumn("nrm", dot(col("sv"), col("sv")))
+
+  /** Exact squared L2 distance of row vector `sv`/`nrm` to one pivot,
+    * as a literal-folded codegen expression.
+    */
+  private def pivotDist(p: (Int, Array[Long], Long)): Column = {
+    val lits = array(p._2.map(lit): _*)
+    col("nrm") + lit(p._3) - lit(2L) * dot(col("sv"), lits)
   }
 
-  def buildIndex(spark: SparkSession, dir: String, k: Int, seed: Long): Index = {
-    val emb = Tables.embeddingsSharded(spark, dir)
-      .withColumn("features", toVec(col("embedding")))
-    // few iterations suffice: cells only need to be a reasonable space
-    // partition (probe recall is asserted in IvfAnnSpec), and index
-    // build cost is dominated by the k-means passes over the corpus
-    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(5)
-      .setFeaturesCol("features").fit(emb)
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
-    val assigned = model.transform(emb)
-      .select(col("vec_id"), col("prediction").as("cell"), col("embedding"))
-    Index(assigned, centroids)
+  /** Distances to every pivot, in cell order. */
+  private def distArray(pivots: Array[(Int, Array[Long], Long)]): Column =
+    array(pivots.sortBy(_._1).map(pivotDist): _*)
+
+  def buildIndex(spark: SparkSession, dir: String, k: Int): Index = {
+    val base = withScaledNorm(Tables.embeddingsSharded(spark, dir))
+    val n = base.count()
+    val m = math.max(1L, (n + k - 1) / k)
+    // k rows to the driver — the IVF "codebook"; broadcast as literals
+    val pivots = base.filter(col("vec_id") % m === 0)
+      .select(expr(s"CAST(vec_id DIV $m AS INT)").as("cell"), col("sv"), col("nrm"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+      .sortBy(_._1)
+    // argmin by (distance, cell): array_position finds the FIRST index
+    // holding the min, so ties break toward the smaller cell id
+    val d = distArray(pivots)
+    val cells = base.select(col("vec_id"),
+      (array_position(d, array_min(d)) - 1).cast("int").as("cell"),
+      col("sv"), col("nrm"))
+    Index(cells, pivots)
   }
 
-  /** Cosine of the query against its probed cells' members, exact
-    * within the probe set; top-k per query.
+  /** Probe the `nprobe` nearest cells per query; exact cosine top-k
+    * within the probed set, ranked by (cos desc, cand_id).
     */
   def probe(spark: SparkSession, index: Index, queries: DataFrame,
       nprobe: Int, topK: Int): DataFrame = {
-    val centroidRows = index.centroids.toSeq
-    val bc = spark.sparkContext.broadcast(centroidRows)
-    val nearestCells = udf { arr: Seq[Float] =>
-      val v = arr.map(_.toDouble).toArray
-      bc.value.map { case (cell, c) =>
-        var d = 0.0; var i = 0
-        while (i < v.length) { val t = v(i) - c(i); d += t * t; i += 1 }
-        (cell, d)
-      }.sortBy(_._2).take(nprobe).map(_._1)
-    }
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-      .withColumn("cell", explode(nearestCells(col("qe"))))
-    val cos = udf { (a: Seq[Float], b: Seq[Float]) =>
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      dot / math.sqrt(na) / math.sqrt(nb)
-    }
+    // (distance, cell) structs sort lexicographically: nearest first,
+    // ties toward the smaller cell — a pure projection, no shuffle
+    val ranked = array_sort(zip_with(
+      distArray(index.pivots),
+      sequence(lit(0), lit(index.pivots.length - 1)),
+      (dist, cellId) => struct(dist.as("d"), cellId.cast("int").as("cell"))))
+    val q = withScaledNorm(queries)
+      .select(col("vec_id").as("query_id"), col("sv").as("qsv"), col("nrm").as("qnrm"),
+        explode(transform(slice(ranked, 1, nprobe), s => s.getField("cell"))).as("cell"))
+    val cos = round(dot(col("qsv"), col("sv")).cast("double") /
+      sqrt(col("qnrm").cast("double")) / sqrt(col("nrm").cast("double")), 6)
     val scored = q.join(index.cells, Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id").as("cand_id"),
-        cos(col("qe"), col("embedding")).as("cos"))
+      .select(col("query_id"), col("vec_id").as("cand_id"), cos.as("cos"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= topK)
       .select(col("query_id"), col("rk"), col("cand_id"), col("cos"))

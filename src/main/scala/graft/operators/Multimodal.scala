@@ -65,9 +65,13 @@ object Multimodal {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------
-  // q38 — decode + feature-extract through mapPartitions (no SQL
-  // oracle: the codec loop is not SQL-expressible; the driver records a
-  // rows-only check). Deterministic, so repeated runs hash identically.
+  // q38 — decode + feature-extract through mapPartitions. The FAKE
+  // decode is deterministic and byte-level, so it IS SQL-expressible:
+  // the DuckDB oracle replays it over hex(encode(text)) — metadata from
+  // the first two hex byte-pairs, histogram bins by counting low-nibble
+  // hex digits. Feature fractions are float-divided on BOTH sides
+  // (IEEE single precision is deterministic), then widened to double
+  // before round so the comparator sees identical values.
   def q38MultimodalDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val payloads = graft.sources.Tables.documents(spark, dir)
@@ -78,10 +82,38 @@ object Multimodal {
       rows.map { case (id, bytes) => fakeDecode(id, bytes) }
     }.toDF()
       .select(col("doc_id"), col("width"), col("height"), col("channels"),
-        col("n_bytes"), round(element_at(col("features"), 1), 4).as("f0"),
-        round(element_at(col("features"), 16), 4).as("f15"))
+        col("n_bytes"),
+        round(element_at(col("features"), 1).cast("double"), 4).as("f0"),
+        round(element_at(col("features"), 16).cast("double"), 4).as("f15"))
       .orderBy(col("doc_id"))
   }
+
+  /** fakeDecode replayed in SQL: b_k = k-th payload byte via hex
+    * byte-pairs; histogram bin k = count of bytes whose low nibble is k,
+    * i.e. whose second hex digit is the k-th hex char. Float division
+    * mirrors the Float arithmetic in [[fakeDecode]] bit-for-bit.
+    */
+  val q38Oracle: String =
+    """WITH base AS (
+      |  SELECT doc_id, lower(hex(encode(text))) AS h,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      |  FROM documents),
+      |counted AS (
+      |  SELECT doc_id, h, n_bytes,
+      |    len(list_filter(generate_series(1, CAST(n_bytes AS INTEGER)),
+      |          i -> substring(h, 2*i, 1) = '0')) AS c0,
+      |    len(list_filter(generate_series(1, CAST(n_bytes AS INTEGER)),
+      |          i -> substring(h, 2*i, 1) = 'f')) AS c15
+      |  FROM base)
+      |SELECT doc_id,
+      |  16 + CASE WHEN n_bytes > 0
+      |    THEN CAST(concat('0x', substring(h, 1, 2)) AS INTEGER) ELSE 0 END % 48 AS width,
+      |  16 + CASE WHEN n_bytes > 1
+      |    THEN CAST(concat('0x', substring(h, 3, 2)) AS INTEGER) ELSE 0 END % 48 AS height,
+      |  3 AS channels, n_bytes,
+      |  round(CAST(CAST(c0 AS FLOAT) / CAST(greatest(n_bytes, 1) AS FLOAT) AS DOUBLE), 4) AS f0,
+      |  round(CAST(CAST(c15 AS FLOAT) / CAST(greatest(n_bytes, 1) AS FLOAT) AS DOUBLE), 4) AS f15
+      |FROM counted ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------
   // q53 — frame sampling (oracle-checked): treat the payload as a
@@ -133,5 +165,6 @@ object Multimodal {
 
   def oracleSql: Map[String, String] = Map(
     "q37_binary_meta" -> q37Oracle,
+    "q38_multimodal_decode" -> q38Oracle,
     "q53_frame_sample" -> q53Oracle)
 }

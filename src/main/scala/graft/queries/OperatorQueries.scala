@@ -104,17 +104,57 @@ object OperatorQueries {
       |FROM versioned ORDER BY cliente, version""".stripMargin
 
   // --------------------------------------------------------------------
-  // q49 — IVF ANN probe (IvfAnn.buildIndex + probe): k-means cells,
-  // 2-cell probe, exact cosine top-3 within the probe set. k-means cell
-  // assignment depends on MLlib internals, so there is no SQL oracle —
-  // registered for the rows-only check; accuracy (recall vs brute
-  // force) is asserted in IvfAnnSpec.
+  // q49 — IVF ANN probe (IvfAnn.buildIndex + probe): deterministic
+  // pivot cells (vec_id % ceil(N/8) == 0 seeds, exact integer-scaled
+  // L2 assignment), 2-cell probe, exact cosine top-3 within the probe
+  // set. Fully SQL-reproducible, so the DuckDB oracle replays the whole
+  // index+probe; recall vs brute force is asserted in IvfAnnSpec.
   def q49IvfAnn(spark: SparkSession, dir: String): DataFrame = {
-    val index = IvfAnn.buildIndex(spark, dir, k = 8, seed = 42L)
+    val index = IvfAnn.buildIndex(spark, dir, k = 8)
     val queries = Tables.embeddingsSharded(spark, dir).filter(col("vec_id") % 25 === 0)
     IvfAnn.probe(spark, index, queries, nprobe = 2, topK = 3)
       .orderBy(col("query_id"), col("rk"))
   }
+
+  val q49Oracle: String =
+    """WITH sva AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS sv
+      |  FROM embeddings),
+      |base AS (
+      |  SELECT vec_id, sv,
+      |    CAST(list_sum(list_transform(generate_series(1, len(sv)), i -> sv[i] * sv[i])) AS BIGINT) AS nrm
+      |  FROM sva),
+      |mm AS (
+      |  SELECT GREATEST(1, CAST(ceil(CAST(count(*) AS DOUBLE) / 8) AS BIGINT)) AS m
+      |  FROM embeddings),
+      |seeds AS (
+      |  SELECT CAST(vec_id // (SELECT m FROM mm) AS INTEGER) AS cell, sv, nrm
+      |  FROM base WHERE vec_id % (SELECT m FROM mm) = 0),
+      |dists AS (
+      |  SELECT a.vec_id, s.cell, a.sv, a.nrm,
+      |    a.nrm + s.nrm - 2 * CAST(list_sum(list_transform(
+      |      generate_series(1, len(a.sv)), i -> a.sv[i] * s.sv[i])) AS BIGINT) AS d
+      |  FROM base a CROSS JOIN seeds s),
+      |assigned AS (
+      |  SELECT vec_id, cell, sv, nrm FROM dists
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1),
+      |qprobe AS (
+      |  SELECT vec_id AS query_id, sv AS qsv, nrm AS qnrm, cell
+      |  FROM dists WHERE vec_id % 25 = 0
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) <= 2),
+      |scored AS (
+      |  SELECT q.query_id, a.vec_id AS cand_id,
+      |    round(CAST(CAST(list_sum(list_transform(generate_series(1, len(q.qsv)),
+      |        i -> q.qsv[i] * a.sv[i])) AS BIGINT) AS DOUBLE)
+      |      / sqrt(CAST(q.qnrm AS DOUBLE)) / sqrt(CAST(a.nrm AS DOUBLE)), 6) AS cos
+      |  FROM qprobe q JOIN assigned a ON q.cell = a.cell AND q.query_id <> a.vec_id),
+      |ranked AS (
+      |  SELECT query_id, cand_id, cos,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS INTEGER) AS rk
+      |  FROM scored)
+      |SELECT query_id, rk, cand_id, cos FROM ranked WHERE rk <= 3
+      |ORDER BY query_id, rk""".stripMargin
 
   // --------------------------------------------------------------------
   // q50 — skew-safe two-phase aggregation (Skew.saltedCount): per-part
@@ -197,6 +237,7 @@ object OperatorQueries {
     "q66_asof_native" -> q47Oracle,
     "q47_asof_join" -> q47Oracle,
     "q48_scd2_versions" -> q48Oracle,
+    "q49_ivf_ann" -> q49Oracle,
     "q50_salted_count" -> q50Oracle,
     "q51_salted_join" -> q51Oracle)
 }

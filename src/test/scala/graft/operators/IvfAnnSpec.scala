@@ -9,7 +9,7 @@ class IvfAnnSpec extends SparkSpec {
   val dir = "/root/testdata/sf0.001"
 
   test("IVF probe recalls a useful fraction of exact top-5 neighbours") {
-    val index = IvfAnn.buildIndex(spark, dir, k = 8, seed = 42L)
+    val index = IvfAnn.buildIndex(spark, dir, k = 8)
     val queries = graft.sources.Tables.embeddings(spark, dir)
       .filter(col("vec_id") % 25 === 0)
     val approx = IvfAnn.probe(spark, index, queries, nprobe = 3, topK = 5)
