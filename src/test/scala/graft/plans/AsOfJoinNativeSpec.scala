@@ -54,6 +54,40 @@ class AsOfJoinNativeSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
   }
 
+  // The property that makes the native operator worth having at 100x:
+  // it declares requirements (ClusteredDistribution + (key, ts) order)
+  // instead of forcing its own exchanges, so pre-partitioned /
+  // pre-sorted inputs are reused — e.g. a bucketed table or an earlier
+  // stage's shuffle feeds it with ZERO added exchanges or sorts.
+  test("pre-partitioned and pre-sorted inputs add no exchange and no sort") {
+    import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def counts(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val p: SparkPlan = df.queryExecution.executedPlan
+      (p.collect { case e: ShuffleExchangeExec => e }.size,
+        p.collect { case s: SortExec => s }.size)
+    }
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // raw inputs: EnsureRequirements inserts one exchange + one sort
+      // per side — exactly two of each, never more
+      val raw = AsOfJoinNative.asOf(events, state, "user_id", "ts", "ts", Seq("config"))
+      assert(counts(raw) == ((2, 2)), s"raw plan: ${raw.queryExecution.executedPlan}")
+
+      // co-partitioned + sorted inputs: the ONLY exchanges/sorts in the
+      // plan are the explicit upstream ones; the operator adds none
+      val lp = events.repartition(4, col("user_id")).sortWithinPartitions("user_id", "ts")
+      val rp = state.repartition(4, col("user_id")).sortWithinPartitions("user_id", "ts")
+      val reused = AsOfJoinNative.asOf(lp, rp, "user_id", "ts", "ts", Seq("config"))
+      assert(counts(reused) == ((2, 2)), s"reused plan: ${reused.queryExecution.executedPlan}")
+
+      // and the reused plan still computes the same rows
+      val plain = AsOfJoinNative.asOf(events, state, "user_id", "ts", "ts", Seq("config"))
+      assert(reused.exceptAll(plain).isEmpty && plain.exceptAll(reused).isEmpty)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("null keys and timestamps never match") {
     val l = Seq((Some(1L), Some(10L), "a"), (None, Some(10L), "b"), (Some(1L), None, "c"))
       .toDF("k", "t", "name")
