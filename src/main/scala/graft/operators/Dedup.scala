@@ -71,15 +71,20 @@ object Dedup {
   }
 
   def q32MinhashNeardup(spark: SparkSession, dir: String): DataFrame = {
-    // Round-1 measurement (44dba5d): caching the WIDE (toks + h0..h7)
-    // relation loses — materializing the token and digest arrays costs
-    // more than recomputing the cheap split/distinct, and column
-    // pruning cannot reach through a cached plan. Round 2 re-flipped
-    // this and q32 tripled (VERDICT r2 §wrong-2). Settled shape: no
-    // cache at all. The band self-join shares one shuffle via
-    // ReuseExchange (both sides are the identical plan), and the verify
-    // joins prune `docs` to (doc_id, toks) — the md5 signature pipeline
-    // runs once, the tokenizer runs twice, nothing is materialized.
+    // Plan shape (round 4): TWO shuffles total — the band exchange
+    // (shared by both self-join sides via ReuseExchange) and the final
+    // sort. Token sets ride THROUGH the band join, so the exact-Jaccard
+    // verify is a per-row array_intersect on the join output — no
+    // candidate distinct, no re-join against docs. Duplicate candidates
+    // (pairs colliding in BOTH bands) are eliminated without a shuffle
+    // by the first-colliding-band rule: a pair is emitted only by the
+    // lowest band index where its keys agree. Round-1/2 history: caching
+    // the wide signature relation was measured a loss twice (44dba5d,
+    // f34746d) — nothing is cached here either.
+    // Scale note: banding duplicates the token payload NumBands times
+    // through the wire; the old re-join shape shipped it 1 + 2 times
+    // plus two extra stages — carrying payload is both cheaper and
+    // shorter, and stays so while NumBands <= 3.
     val docs = Tables.documentsSharded(spark, dir)
       .filter(col("doc_id") % 5 === 0)
       .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
@@ -87,27 +92,30 @@ object Dedup {
     // the band index is folded into the key string ("b:h..h"), so the
     // bucket join has a single equi-key
     val r = NumHashes / NumBands
-    val bands = base.select(col("doc_id"), explode(array(
+    val keyed = base.select(col("doc_id"), col("toks"), array(
       (0 until NumBands).map { b =>
         concat((lit(s"$b:") +: (0 until r).map(j => col(s"h${r * b + j}"))): _*)
-      }: _*)).as("bkey"))
-    val cands = bands.as("x").join(bands.as("y"),
-      col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-
-    // exact-Jaccard verify: candidate pairs carry both token SETS
-    // through the joins, so the verdict is a per-row array_intersect —
-    // no token explode, no re-grouping (same shape as q40's verify).
-    // Joining `docs` (not the signature relation) lets pruning skip the
-    // md5 pipeline entirely on the verify side.
-    cands
-      .join(docs.as("ta"), col("doc_a") === col("ta.doc_id"))
-      .join(docs.as("tb"), col("doc_b") === col("tb.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("ta.toks"), col("tb.toks"))).cast("bigint").as("inter"),
-        size(col("ta.toks")).cast("bigint").as("na"),
-        size(col("tb.toks")).cast("bigint").as("nb"))
+      }: _*).as("bkeys"))
+    // explode a FOLDABLE sequence and index into bkeys afterwards:
+    // exploding bkeys itself makes InferFiltersFromGenerate add
+    // `size(bkeys) > 0`, and predicate pushdown inlines the whole
+    // 8-minhash md5 pipeline into that filter — evaluated per raw row
+    // below the exchange (this, not the band join, was most of q32's
+    // historical cost). A literal sequence's inferred filter
+    // constant-folds away; element_at on the carried array is cheap.
+    val bands = keyed
+      .select(col("doc_id"), col("toks"), col("bkeys"),
+        explode(sequence(lit(0), lit(NumBands - 1))).as("band"))
+      .withColumn("bkey", element_at(col("bkeys"), col("band") + 1))
+    val firstCollidingBand =
+      array_position(zip_with(col("x.bkeys"), col("y.bkeys"), (a, b) => a === b), true) - 1
+    bands.as("x").join(bands.as("y"),
+      col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id") &&
+        firstCollidingBand === col("x.band"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        size(array_intersect(col("x.toks"), col("y.toks"))).cast("bigint").as("inter"),
+        size(col("x.toks")).cast("bigint").as("na"),
+        size(col("y.toks")).cast("bigint").as("nb"))
       .select(col("doc_a"), col("doc_b"),
         round(col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")), 6).as("jaccard"))

@@ -74,15 +74,26 @@ object IvfAnn {
     */
   def probe(spark: SparkSession, index: Index, queries: DataFrame,
       nprobe: Int, topK: Int): DataFrame = {
-    // (distance, cell) structs sort lexicographically: nearest first,
-    // ties toward the smaller cell — a pure projection, no shuffle
+    // rank cells by encoding (distance, cell) into one sortable bigint:
+    // d·k + cell keeps integer exactness (d ≤ 4·64·10¹² ≪ 2⁶³/k) and
+    // breaks distance ties toward the smaller cell id — a pure
+    // projection, no shuffle
+    val k = index.pivots.length
     val ranked = array_sort(zip_with(
       distArray(index.pivots),
-      sequence(lit(0), lit(index.pivots.length - 1)),
-      (dist, cellId) => struct(dist.as("d"), cellId.cast("int").as("cell"))))
+      sequence(lit(0L), lit(k - 1L)),
+      (dist, cellId) => dist * k + cellId))
+    // explode a FOLDABLE sequence and index into the materialized cell
+    // list: exploding the computed array directly makes
+    // InferFiltersFromGenerate inline the whole 8-pivot distance
+    // pipeline into a pushed-down `size(...) > 0` filter (same trap as
+    // the q32 band explode — see Dedup.q32MinhashNeardup)
     val q = withScaledNorm(queries)
       .select(col("vec_id").as("query_id"), col("sv").as("qsv"), col("nrm").as("qnrm"),
-        explode(transform(slice(ranked, 1, nprobe), s => s.getField("cell"))).as("cell"))
+        transform(slice(ranked, 1, nprobe), v => (v % k).cast("int")).as("cells"),
+        explode(sequence(lit(0), lit(nprobe - 1))).as("i"))
+      .select(col("query_id"), col("qsv"), col("qnrm"),
+        element_at(col("cells"), col("i") + 1).as("cell"))
     val cos = round(dot(col("qsv"), col("sv")).cast("double") /
       sqrt(col("qnrm").cast("double")) / sqrt(col("nrm").cast("double")), 6)
     val scored = q.join(index.cells, Seq("cell"))
