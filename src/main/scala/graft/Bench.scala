@@ -73,14 +73,14 @@ object Bench {
     // last JSON line must stay well under that budget or its head gets
     // truncated and the driver records parsed:null (rounds 1-3 all did).
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    def r3(v: Double): String = f"$v%.3f"
-    val qsCompact = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+    def r2(v: Double): String = f"$v%.2f"
+    val qsCompact = results.map { case (k, v) => "\"" + k + "\":" + r2(v) }
       .mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfDir"}"""
     // leave headroom for sbt's trailing success line inside the capture
-    if (compact.length <= 1850) println(compact)
-    else println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"sf":"$sfDir"}""")
+    if (compact.length <= 1900) println(compact)
+    else println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":{},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

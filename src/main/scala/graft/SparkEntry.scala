@@ -20,7 +20,8 @@ object SparkEntry {
       graft.streaming.StreamingQueries.queries ++
       graft.queries.OperatorQueries.queries ++
       graft.sources.FormatQueries.queries ++
-      graft.queries.StatsQueries.queries
+      graft.queries.StatsQueries.queries ++
+      graft.operators.Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -37,5 +38,6 @@ object SparkEntry {
       graft.streaming.StreamingQueries.oracleSql ++
       graft.queries.OperatorQueries.oracleSql ++
       graft.sources.FormatQueries.oracleSql ++
-      graft.queries.StatsQueries.oracleSql
+      graft.queries.StatsQueries.oracleSql ++
+      graft.operators.Curation.oracleSql
 }

@@ -1,0 +1,222 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between raw crawl and tokenizer: benchmark-contamination detection,
+  * TF-IDF term scoring, repetition scoring, PII scrubbing, and
+  * deterministic source-mixture sampling. All five are oracle-checked
+  * against DuckDB.
+  *
+  * Scale notes (100 TB):
+  *   - contamination joins the corpus against a BROADCAST benchmark
+  *     shingle set — benchmark suites are tiny by nature, so the train
+  *     side never shuffles its text, only the matched (train, bench)
+  *     pairs reach the aggregation;
+  *   - TF-IDF is two hash aggregations (doc-term, then term) with the
+  *     document-frequency side derived from the first — the corpus
+  *     tokenizes exactly once; the per-doc top-k window partitions on
+  *     doc_id (fine-grained, skew-free);
+  *   - repetition is the same explode + two-level aggregate, never a
+  *     per-row O(len²) loop;
+  *   - PII scrub and mixture sampling are pure scan-side projections /
+  *     filters — zero shuffle, codegen'd regex and md5.
+  */
+object Curation {
+
+  private def toksCol: Column = split(lower(trim(col("text"))), " ")
+
+  /** Distinct 3-token shingles (doc shorter than 3 tokens → the whole
+    * normalized text), with `toks` pre-materialized so the slice lambda
+    * references a column, not a re-split (see q30/q40 lambda trap).
+    */
+  private def docShingles(spark: SparkSession, dir: String): DataFrame = {
+    val pre = Tables.documentsSharded(spark, dir)
+      .select(col("doc_id"), lower(trim(col("text"))).as("norm"))
+      .withColumn("toks", split(col("norm"), " "))
+    pre.select(col("doc_id"),
+      array_distinct(when(size(col("toks")) >= 3,
+        transform(sequence(lit(0), size(col("toks")) - 3),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(3)))))
+        .otherwise(array(col("norm")))).as("sh"))
+  }
+
+  // --------------------------------------------------------------------
+  // q67 — benchmark contamination: documents sharing >= 2 distinct
+  // 3-shingles with a held-out "benchmark" slice (doc_id % 97 == 0) are
+  // flagged with the benchmark doc and the overlap count — the
+  // decontamination step every LLM training pipeline runs before
+  // training. explode_outer instead of explode: it infers no
+  // size(sh) > 0 filter, so the shingle pipeline isn't duplicated into
+  // a pushed-down predicate (sh is never empty by construction).
+  val ContaminationMinShingles = 2
+
+  def q67Contamination(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(spark, dir)
+    val bench = sh.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("bench_id"), explode_outer(col("sh")).as("g"))
+    val train = sh.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id").as("train_id"), explode_outer(col("sh")).as("g"))
+    // benchmark suites are small → broadcast; the corpus side streams
+    train.join(broadcast(bench), Seq("g"))
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= ContaminationMinShingles)
+      .orderBy(col("train_id"), col("bench_id"))
+  }
+
+  val q67Oracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+       |    THEN list_transform(generate_series(1, len(t) - 2),
+       |           i -> array_to_string(t[i:i+2], ' '))
+       |    ELSE [array_to_string(t, ' ')] END) AS s
+       |  FROM toks),
+       |bench AS (SELECT doc_id AS bench_id, unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),
+       |train AS (SELECT doc_id AS train_id, unnest(s) AS g FROM sh WHERE doc_id % 97 <> 0)
+       |SELECT train_id, bench_id, count(*) AS n_shared
+       |FROM train JOIN bench USING (g)
+       |GROUP BY 1, 2 HAVING count(*) >= $ContaminationMinShingles
+       |ORDER BY train_id, bench_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q68 — per-document top-3 TF-IDF terms. df is derived from the
+  // (doc, term) aggregate — the corpus is tokenized and shuffled once.
+  // Ranking sorts on the ROUNDED score (then term) so both engines
+  // break ties identically regardless of last-ulp ln() differences.
+  def q68TfidfTopterms(spark: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.documentsSharded(spark, dir)
+      .select(col("doc_id"), explode(toksCol).as("tok"))
+    val tf = ex.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = Tables.documents(spark, dir).agg(count(lit(1)).cast("double").as("n_docs"))
+    val scored = tf.join(df, Seq("tok")).crossJoin(broadcast(n))
+      .select(col("doc_id"), col("tok"),
+        round(col("tf") * log(col("n_docs") / col("df")), 6).as("tfidf"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("tok"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("tok"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  val q68Oracle: String =
+    """WITH ex AS (
+      |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+      |  FROM documents),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM ex GROUP BY 1, 2),
+      |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, tok,
+      |    round(tf * ln((SELECT n_docs FROM n) / df), 6) AS tfidf
+      |  FROM tf JOIN df USING (tok)),
+      |ranked AS (
+      |  SELECT doc_id, tok, tfidf,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS INTEGER) AS rk
+      |  FROM scored)
+      |SELECT doc_id, rk, tok, tfidf FROM ranked WHERE rk <= 3
+      |ORDER BY doc_id, rk""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q69 — repetition score: the most frequent token's share of the
+  // document — the boilerplate/spam signal quality filters threshold
+  // on. Distributed two-level aggregate, not a per-row frequency map.
+  def q69Repetition(spark: SparkSession, dir: String): DataFrame =
+    Tables.documentsSharded(spark, dir)
+      .select(col("doc_id"), explode(toksCol).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_toks"), max(col("c")).as("max_tok"))
+      .select(col("doc_id"), col("n_toks"), col("max_tok"),
+        round(col("max_tok").cast("double") / col("n_toks"), 6).as("repetition"))
+      .orderBy(col("doc_id"))
+
+  val q69Oracle: String =
+    """WITH ex AS (
+      |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+      |  FROM documents),
+      |cnt AS (SELECT doc_id, tok, count(*) AS c FROM ex GROUP BY 1, 2)
+      |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks, CAST(max(c) AS BIGINT) AS max_tok,
+      |  round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS repetition
+      |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q70 — PII scrubbing: email addresses and long digit runs are
+  // replaced with typed placeholders, with a per-row redaction count.
+  // The corpus is synthetic and clean, so deterministic fake PII is
+  // appended first — the scrub then provably removes it (the spec
+  // asserts no residue). Patterns stay in the portable regex subset
+  // Java and RE2 agree on. Scan-side projection, zero shuffle.
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val IdRe = "[0-9]{6,}"
+
+  def q70PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val dirty = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com id "),
+      (col("doc_id") * 7919 + 100000).cast("string"))
+    Tables.documentsSharded(spark, dir)
+      .select(col("doc_id"), dirty.as("dirty"))
+      .select(col("doc_id"),
+        (regexp_count(col("dirty"), lit(EmailRe)) +
+          regexp_count(col("dirty"), lit(IdRe))).cast("bigint").as("n_redacted"),
+        regexp_replace(regexp_replace(col("dirty"), EmailRe, "<EMAIL>"),
+          IdRe, "<ID>").as("scrubbed"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q70Oracle: String =
+    s"""WITH dirty AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com id '
+       |      || CAST(doc_id * 7919 + 100000 AS VARCHAR) AS dirty
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(dirty, '$EmailRe'))
+       |    + len(regexp_extract_all(dirty, '$IdRe')) AS BIGINT) AS n_redacted,
+       |  regexp_replace(regexp_replace(dirty, '$EmailRe', '<EMAIL>', 'g'),
+       |    '$IdRe', '<ID>', 'g') AS scrubbed
+       |FROM dirty ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q71 — deterministic source-mixture sampling: per-source keep rates
+  // applied via an md5(doc_id:text) threshold — the reproducible
+  // "dataset mixture" step that downsamples over-represented sources.
+  // Pure scan-side filter; the same row is kept on every run and every
+  // engine, unlike rand()-based sampling.
+  def q71SourceMixture(spark: SparkSession, dir: String): DataFrame = {
+    val key = substring(
+      md5(concat(col("doc_id").cast("string"), lit(":"), col("text"))), 1, 4)
+    val threshold = when(col("source") === "src0", "8000")
+      .when(col("source") === "src1", "4000").otherwise("2000")
+    Tables.documentsSharded(spark, dir)
+      .filter(key < threshold)
+      .select(col("doc_id"), col("source"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q71Oracle: String =
+    """SELECT doc_id, source, lang FROM documents
+      |WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 4) <
+      |  CASE source WHEN 'src0' THEN '8000' WHEN 'src1' THEN '4000' ELSE '2000' END
+      |ORDER BY doc_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_contamination" -> q67Contamination,
+    "q68_tfidf_topterms" -> q68TfidfTopterms,
+    "q69_repetition" -> q69Repetition,
+    "q70_pii_scrub" -> q70PiiScrub,
+    "q71_source_mixture" -> q71SourceMixture)
+
+  def oracleSql: Map[String, String] = Map(
+    "q67_contamination" -> q67Oracle,
+    "q68_tfidf_topterms" -> q68Oracle,
+    "q69_repetition" -> q69Oracle,
+    "q70_pii_scrub" -> q70Oracle,
+    "q71_source_mixture" -> q71Oracle)
+}

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CurationSpec extends SparkSpec {
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("contamination pairs meet the shingle threshold and never flag benchmark docs") {
+    val rows = Curation.q67Contamination(spark, dir).collect()
+    assert(rows.forall(_.getAs[Long]("n_shared") >= Curation.ContaminationMinShingles))
+    assert(rows.forall(_.getAs[Long]("train_id") % 97 != 0))
+    assert(rows.forall(_.getAs[Long]("bench_id") % 97 == 0))
+  }
+
+  test("tf-idf ranks exactly top-3 per doc with ties broken by term") {
+    val byDoc = Curation.q68TfidfTopterms(spark, dir).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("rk")).sorted.sameElements(1 to rs.length))
+      assert(rs.length <= 3)
+      val scores = rs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("tfidf"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("repetition score is max-token share in (0, 1]") {
+    val rows = Curation.q69Repetition(spark, dir).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val rep = r.getAs[Double]("repetition")
+      assert(rep > 0.0 && rep <= 1.0)
+      assert(r.getAs[Long]("max_tok") <= r.getAs[Long]("n_toks"))
+    }
+  }
+
+  test("pii scrub leaves no email or long digit run behind") {
+    val rows = Curation.q70PiiScrub(spark, dir).collect()
+    assert(rows.forall(_.getAs[Long]("n_redacted") >= 1)) // the appended email, at least
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}".r
+    val idRun = "[0-9]{6,}".r
+    rows.foreach { r =>
+      val s = r.getAs[String]("scrubbed")
+      assert(email.findFirstIn(s).isEmpty, s"email residue in doc ${r.getLong(0)}")
+      assert(idRun.findFirstIn(s).isEmpty, s"digit-run residue in doc ${r.getLong(0)}")
+      assert(s.contains("<EMAIL>"))
+    }
+  }
+
+  test("source mixture keeps a deterministic subset at roughly the configured rates") {
+    val a = Curation.q71SourceMixture(spark, dir).collect().map(_.getLong(0)).toSeq
+    val b = Curation.q71SourceMixture(spark, dir).collect().map(_.getLong(0)).toSeq
+    assert(a == b) // same rows every run — no rand()
+    val kept = Curation.q71SourceMixture(spark, dir)
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = graft.sources.Tables.documents(spark, dir)
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // src0 keeps ~50%: allow wide slack on 500 rows, but the ORDER of
+    // rates must hold: src0 rate > others' pooled rate
+    val src0Rate = kept.getOrElse("src0", 0L).toDouble / total("src0")
+    val restKept = (kept - "src0").values.sum.toDouble
+    val restTotal = (total - "src0").values.sum.toDouble
+    assert(src0Rate > restKept / restTotal)
+  }
+}
