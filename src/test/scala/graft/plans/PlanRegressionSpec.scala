@@ -1,0 +1,78 @@
+package graft.plans
+
+import graft.SparkSpec
+
+/** Locks the plan properties that make the engine scale — the ones a
+  * 100x data growth punishes if they regress. Plans are inspected with
+  * AQE off (stable shapes at fixture scale); the properties themselves
+  * are scale-invariant declarations (broadcast hints, pushdown,
+  * exchange reuse), not AQE runtime choices.
+  */
+class PlanRegressionSpec extends SparkSpec {
+
+  val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try graft.SparkEntry.queries(name)(spark, dir)
+      .queryExecution.executedPlan.toString
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("star join broadcasts the dimension side, never sort-merges it") {
+    val p = planOf("q04_star_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("filters reach the parquet scan as pushed filters") {
+    val p = planOf("q03_filter")
+    assert(p.contains("PushedFilters: [Is") || p.contains("PushedFilters: [Greater")
+      || p.contains("PushedFilters: [Equal"), p)
+  }
+
+  test("column pruning keeps unused wide columns out of the scan") {
+    val p = planOf("q01_pricing_summary")
+    assert(!p.contains("l_comment"), "pricing summary must not read l_comment")
+  }
+
+  test("no query plans a window without a partition spec") {
+    // the reference's serial-key global windows were replaced by
+    // arithmetic ids / two-phase ranks; per-key windows are fine, but a
+    // Window with an EMPTY partition spec is the single-task bottleneck
+    // coming back ("WindowExec: No Partition Defined")
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try Seq("q26_etl_medical_formula", "q41_etl_facturacion", "q42_etl_servicio",
+      "q43_etl_retiro", "q16_date_dim", "q17_surrogate_fact", "q19_top_per_group",
+      "q20_running_total", "q48_scd2_versions", "q68_tfidf_topterms").foreach { q =>
+      val plan = graft.SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
+      val global = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(global.isEmpty, s"$q plans an unpartitioned window")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("LSH band self-join shares one shuffle via exchange reuse") {
+    val p = planOf("q32_minhash_neardup")
+    assert(p.contains("ReusedExchange"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("aggregation queries combine map-side (partial + final hash aggregate)") {
+    Seq("q01_pricing_summary", "q69_repetition").foreach { q =>
+      val p = planOf(q)
+      assert("HashAggregate".r.findAllIn(p).size >= 2, s"$q lacks partial aggregation")
+    }
+  }
+
+  test("no interpreted python/UDF stages in any registered hot path") {
+    Seq("q01_pricing_summary", "q26_etl_medical_formula", "q32_minhash_neardup",
+      "q34_cosine_topk", "q68_tfidf_topterms").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), s"$q runs a UDF")
+    }
+  }
+}
