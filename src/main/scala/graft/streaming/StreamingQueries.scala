@@ -78,11 +78,37 @@ object StreamingQueries {
       |GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q72 — streaming exact dedup: an at-least-once source (simulated by
+  // unioning the stream with itself, so every event arrives twice)
+  // reduced to exactly-once output via stateful dropDuplicates on the
+  // event key. The streaming analogue of q31's batch dedup — the state
+  // store holds one entry per key, partitioned by the key shuffle. A
+  // production run bounds that state with dropDuplicatesWithinWatermark;
+  // the finite fixture keeps the unbounded form so the result is total.
+  def q72StreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val once = EventsStreaming.readEventsStream(spark, dir)
+    val atLeastOnce = once.union(EventsStreaming.readEventsStream(spark, dir))
+    val deduped = atLeastOnce
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts").cast("long").as("sec"))
+      .dropDuplicates("event_id")
+    EventsStreaming.runToMemory(spark, deduped, "q72_mem")
+      .orderBy(col("event_id"))
+  }
+
+  val q72Oracle: String =
+    """SELECT event_id, user_id, event_type,
+      |  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+      |FROM events ORDER BY event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_stream_hourly" -> q45StreamHourly,
-    "q46_stream_sessions" -> q46StreamSessions)
+    "q46_stream_sessions" -> q46StreamSessions,
+    "q72_stream_dedup" -> q72StreamDedup)
 
   def oracleSql: Map[String, String] = Map(
     "q45_stream_hourly" -> q45Oracle,
-    "q46_stream_sessions" -> q46Oracle)
+    "q46_stream_sessions" -> q46Oracle,
+    "q72_stream_dedup" -> q72Oracle)
 }

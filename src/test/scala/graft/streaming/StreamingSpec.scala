@@ -69,6 +69,26 @@ class StreamingSpec extends SparkSpec {
     assert(merged.exceptAll(expect).isEmpty && expect.exceptAll(merged).isEmpty)
   }
 
+  test("streaming dedup suppresses duplicates arriving in a LATER micro-batch") {
+    // the same file delivered twice, one file per trigger: the second
+    // batch is 100% duplicates and must emit nothing — the dedup state
+    // (one entry per event_id) survives across batches
+    val base = graft.sources.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    val tmpDir = s"${sys.props("java.io.tmpdir")}/graft_stream_dedup_${System.nanoTime()}"
+    base.coalesce(1).write.parquet(s"$tmpDir/d1.parquet")
+    base.coalesce(1).write.parquet(s"$tmpDir/d2.parquet")
+    new java.io.File(tmpDir).listFiles().filter(_.getName == "d2.parquet")
+      .flatMap(_.listFiles()).foreach(f => f.setLastModified(System.currentTimeMillis() + 60000))
+    val stream = spark.readStream.schema(base.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmpDir/*.parquet")
+    val got = EventsStreaming.runToMemory(spark,
+      stream.dropDuplicates("event_id"), "dedup_mb")
+    assert(got.count() == base.count())
+    assert(got.select(col("event_id")).distinct().count() == base.count())
+  }
+
   test("streaming sessionization matches batch q24 on a single batch") {
     val stream = EventsStreaming.readEventsStream(spark, dir)
     val got = EventsStreaming.runToMemory(spark,
