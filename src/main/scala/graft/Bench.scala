@@ -73,14 +73,20 @@ object Bench {
     // last JSON line must stay well under that budget or its head gets
     // truncated and the driver records parsed:null (rounds 1-3 all did).
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    def r2(v: Double): String = f"$v%.2f"
-    val qsCompact = results.map { case (k, v) => "\"" + k + "\":" + r2(v) }
-      .mkString("{", ",", "}")
-    val compact =
-      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfDir"}"""
-    // leave headroom for sbt's trailing success line inside the capture
-    if (compact.length <= 1900) println(compact)
-    else println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":{},"sf":"$sfDir"}""")
+    // Locale.ROOT: a comma-decimal default locale would emit invalid
+    // JSON on the one line the driver machine-reads
+    def fmt(v: Double, dp: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
+    def compactLine(dp: Int): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, dp) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    // degrade precision before dropping data: the registry grows every
+    // round, and losing all per-query numbers to an overflow guard
+    // defeats the line's purpose
+    println(Seq(2, 1, 0).map(compactLine).find(_.length <= 1900)
+      .getOrElse(s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":{},"sf":"$sfDir"}"""))
     spark.stop()
   }
 }

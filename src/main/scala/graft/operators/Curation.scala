@@ -13,10 +13,11 @@ import graft.sources.Tables
   * against DuckDB.
   *
   * Scale notes (100 TB):
-  *   - contamination joins the corpus against a BROADCAST benchmark
-  *     shingle set — benchmark suites are tiny by nature, so the train
-  *     side never shuffles its text, only the matched (train, bench)
-  *     pairs reach the aggregation;
+  *   - contamination joins the corpus against the benchmark shingle
+  *     set on the shingle key; benchmark suites are tiny by nature, so
+  *     AQE broadcasts that side at runtime (no forced hint — the
+  *     fixture's benchmark slice scales with the corpus, and a forced
+  *     broadcast of a corpus-scaled set is the q56 anti-pattern);
   *   - TF-IDF is two hash aggregations (doc-term, then term) with the
   *     document-frequency side derived from the first — the corpus
   *     tokenizes exactly once; the per-doc top-k window partitions on
@@ -61,8 +62,13 @@ object Curation {
       .select(col("doc_id").as("bench_id"), explode_outer(col("sh")).as("g"))
     val train = sh.filter(col("doc_id") % 97 =!= 0)
       .select(col("doc_id").as("train_id"), explode_outer(col("sh")).as("g"))
-    // benchmark suites are small → broadcast; the corpus side streams
-    train.join(broadcast(bench), Seq("g"))
+    // NO broadcast hint: on real data the benchmark suite is tiny and
+    // AQE broadcasts it at runtime, but the %97 fixture slice SCALES
+    // WITH the corpus — forcing a broadcast of a corpus-scaled set is
+    // exactly the mistake q56 documents avoiding (a 100 TB corpus's
+    // slice would blow the broadcast limit). The shuffled join is the
+    // safe default; AQE upgrades it when the bench side is small.
+    train.join(bench, Seq("g"))
       .groupBy(col("train_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= ContaminationMinShingles)
@@ -163,8 +169,12 @@ object Curation {
     Tables.documentsSharded(spark, dir)
       .select(col("doc_id"), dirty.as("dirty"))
       .select(col("doc_id"),
+        // count ID runs on the email-scrubbed string, not the raw one:
+        // a 6+-digit email local part would otherwise be counted twice
+        // while producing a single <EMAIL> placeholder
         (regexp_count(col("dirty"), lit(EmailRe)) +
-          regexp_count(col("dirty"), lit(IdRe))).cast("bigint").as("n_redacted"),
+          regexp_count(regexp_replace(col("dirty"), EmailRe, "<EMAIL>"), lit(IdRe)))
+          .cast("bigint").as("n_redacted"),
         regexp_replace(regexp_replace(col("dirty"), EmailRe, "<EMAIL>"),
           IdRe, "<ID>").as("scrubbed"))
       .orderBy(col("doc_id"))
@@ -178,7 +188,8 @@ object Curation {
        |  FROM documents)
        |SELECT doc_id,
        |  CAST(len(regexp_extract_all(dirty, '$EmailRe'))
-       |    + len(regexp_extract_all(dirty, '$IdRe')) AS BIGINT) AS n_redacted,
+       |    + len(regexp_extract_all(
+       |        regexp_replace(dirty, '$EmailRe', '<EMAIL>', 'g'), '$IdRe')) AS BIGINT) AS n_redacted,
        |  regexp_replace(regexp_replace(dirty, '$EmailRe', '<EMAIL>', 'g'),
        |    '$IdRe', '<ID>', 'g') AS scrubbed
        |FROM dirty ORDER BY doc_id""".stripMargin

@@ -74,6 +74,10 @@ object IvfAnn {
     */
   def probe(spark: SparkSession, index: Index, queries: DataFrame,
       nprobe: Int, topK: Int): DataFrame = {
+    // more probes than cells would make element_at return null for the
+    // excess indices and silently drop those probe rows
+    require(nprobe >= 1 && nprobe <= index.pivots.length,
+      s"nprobe=$nprobe must be in [1, ${index.pivots.length}]")
     // rank cells by encoding (distance, cell) into one sortable bigint:
     // d·k + cell keeps integer exactness (d ≤ 4·64·10¹² ≪ 2⁶³/k) and
     // breaks distance ties toward the smaller cell id — a pure
