@@ -102,13 +102,58 @@ object StreamingQueries {
       |  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
       |FROM events ORDER BY event_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q73 — watermarked stream-stream join: each event joined to the same
+  // user's follow-up events within 10 minutes (the "action → reaction"
+  // correlation pattern). Both sides carry a 30-minute watermark and
+  // the join condition bounds event time on both ends, which is what
+  // lets Spark evict join state — the buffered side holds only the
+  // watermark horizon, not the stream's history. Finite fixture → the
+  // result equals the batch self-join, which is the oracle.
+  def q73StreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val a = EventsStreaming.readEventsStream(spark, dir)
+      .select(col("event_id").as("event_a"), col("user_id"), col("ts").as("ts_a"))
+      .withWatermark("ts_a", "30 minutes")
+    val b = EventsStreaming.readEventsStream(spark, dir)
+      .select(col("event_id").as("event_b"), col("user_id").as("user_b"),
+        col("ts").as("ts_b"))
+      .withWatermark("ts_b", "30 minutes")
+    // two-level condition: the RAW-timestamp range (slightly widened)
+    // is what Spark's watermark analysis uses to bound join state; the
+    // floor-second refinement pins the exact semantics the oracle
+    // expresses (micros-precision ts vs the oracle's whole seconds)
+    val joined = a.join(b,
+      col("user_id") === col("user_b") &&
+        col("ts_b") >= col("ts_a") - expr("INTERVAL 1 SECOND") &&
+        col("ts_b") <= col("ts_a") + expr("INTERVAL 11 MINUTES") &&
+        col("ts_b").cast("long") > col("ts_a").cast("long") &&
+        col("ts_b").cast("long") <= col("ts_a").cast("long") + 600)
+      .select(col("user_id"), col("event_a"), col("event_b"),
+        (col("ts_b").cast("long") - col("ts_a").cast("long")).as("gap_sec"))
+    EventsStreaming.runToMemory(spark, joined, "q73_mem")
+      .orderBy(col("event_a"), col("event_b"))
+  }
+
+  val q73Oracle: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id,
+      |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+      |  FROM events)
+      |SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
+      |  b.sec - a.sec AS gap_sec
+      |FROM e a JOIN e b
+      |  ON a.user_id = b.user_id AND b.sec > a.sec AND b.sec <= a.sec + 600
+      |ORDER BY event_a, event_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_stream_hourly" -> q45StreamHourly,
     "q46_stream_sessions" -> q46StreamSessions,
-    "q72_stream_dedup" -> q72StreamDedup)
+    "q72_stream_dedup" -> q72StreamDedup,
+    "q73_stream_join" -> q73StreamJoin)
 
   def oracleSql: Map[String, String] = Map(
     "q45_stream_hourly" -> q45Oracle,
     "q46_stream_sessions" -> q46Oracle,
-    "q72_stream_dedup" -> q72Oracle)
+    "q72_stream_dedup" -> q72Oracle,
+    "q73_stream_join" -> q73Oracle)
 }
