@@ -80,12 +80,26 @@ object EventsStreaming {
     * source through a memory sink; returns the collected result. Used
     * by tests and demos — a production run would use a real sink with
     * checkpointing and keep the query running.
+    *
+    * Stateful streaming partitioning follows shuffle partitions AT
+    * QUERY START and every partition owns state-store instances (a
+    * stream-stream join keeps four per partition per side), so the
+    * right number tracks STATE VOLUME, not driver cores — 32-way state
+    * over a fixture-sized stream spends more time opening/checkpointing
+    * stores than joining (measured 2x on q72/q73). Production jobs size
+    * this per-stream the same way.
     */
+  val StatePartitions = 8
+
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,
       mode: OutputMode = OutputMode.Append): DataFrame = {
-    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
-    q.processAllAvailable()
-    q.stop()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", StatePartitions)
+    try {
+      val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
   }
 }
