@@ -217,17 +217,60 @@ object Curation {
       |  CASE source WHEN 'src0' THEN '8000' WHEN 'src1' THEN '4000' ELSE '2000' END
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q74 — sequence packing: concat-then-chunk the corpus into
+  // fixed-token training windows (the GPT-style pretraining packing
+  // step). Documents are concatenated in doc_id order WITHIN a shard
+  // (doc_id % 32) and each doc lands in the window its first token
+  // starts in; output is one row per (shard, window). The running
+  // offset is a per-shard window sum — partitioned, never global, so
+  // shards pack in parallel and the shard count scales with the
+  // cluster. Integer DIV keeps window ids exact in both engines.
+  val SeqLen = 2048
+  val PackShards = 32
+
+  def q74SequencePacking(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsSharded(spark, dir)
+      .select(col("doc_id"), (col("doc_id") % PackShards).cast("int").as("shard"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    docs
+      .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("win", expr(s"start_off DIV $SeqLen"))
+      .groupBy(col("shard"), col("win"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("win_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("shard"), col("win"))
+  }
+
+  val q74Oracle: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, CAST(doc_id % $PackShards AS INTEGER) AS shard,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |offs AS (
+       |  SELECT doc_id, shard, n_tokens,
+       |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_off
+       |  FROM docs)
+       |SELECT shard, CAST(start_off // $SeqLen AS BIGINT) AS win, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS win_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM offs GROUP BY 1, 2 ORDER BY shard, win""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q67_contamination" -> q67Contamination,
     "q68_tfidf_topterms" -> q68TfidfTopterms,
     "q69_repetition" -> q69Repetition,
     "q70_pii_scrub" -> q70PiiScrub,
-    "q71_source_mixture" -> q71SourceMixture)
+    "q71_source_mixture" -> q71SourceMixture,
+    "q74_sequence_packing" -> q74SequencePacking)
 
   def oracleSql: Map[String, String] = Map(
     "q67_contamination" -> q67Oracle,
     "q68_tfidf_topterms" -> q68Oracle,
     "q69_repetition" -> q69Oracle,
     "q70_pii_scrub" -> q70Oracle,
-    "q71_source_mixture" -> q71Oracle)
+    "q71_source_mixture" -> q71Oracle,
+    "q74_sequence_packing" -> q74Oracle)
 }
