@@ -50,6 +50,23 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("sequence packing conserves every token and orders docs within shards") {
+    val wins = Curation.q74SequencePacking(spark, dir).collect()
+    val totalTokens = graft.sources.Tables.documents(spark, dir)
+      .select(sum(size(split(col("text"), " ")).cast("bigint"))).collect()(0).getLong(0)
+    assert(wins.map(_.getAs[Long]("win_tokens")).sum == totalTokens,
+      "packing must conserve the total token count")
+    assert(wins.forall(r => r.getAs[Long]("n_docs") >= 1))
+    assert(wins.forall(r => r.getAs[Long]("first_doc") <= r.getAs[Long]("last_doc")))
+    // within a shard, later windows hold later docs (concat order)
+    wins.groupBy(_.getAs[Int]("shard")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("win"))
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(a.getAs[Long]("last_doc") < b.getAs[Long]("first_doc"))
+      }
+    }
+  }
+
   test("source mixture keeps a deterministic subset at roughly the configured rates") {
     val a = Curation.q71SourceMixture(spark, dir).collect().map(_.getLong(0)).toSeq
     val b = Curation.q71SourceMixture(spark, dir).collect().map(_.getLong(0)).toSeq
