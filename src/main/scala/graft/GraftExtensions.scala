@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DotProductLong, MinShingleMd5, TopKByLong}
+import graft.functions.{DotProductLong, MinHashWindows, MinShingleMd5, TopKByLong}
 
 /** Session extensions registering the engine's native functions for SQL
   * use. Install with
@@ -36,6 +36,8 @@ object GraftExtensions {
     "dot_product_long" -> (exprs => DotProductLong(exprs.head, exprs(1))),
     "min_shingle_md5" -> (exprs =>
       MinShingleMd5(exprs.head, litInt(exprs(1), "shingle size"))),
+    "min_hash_windows" -> (exprs =>
+      MinHashWindows(exprs.head, litInt(exprs(1), "salts"), litInt(exprs(2), "windows"))),
     "topk_by" -> (exprs =>
       TopKByLong(exprs.head, exprs(1), litInt(exprs(2), "k"))
         .toAggregateExpression()))

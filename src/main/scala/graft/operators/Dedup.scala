@@ -56,18 +56,20 @@ object Dedup {
   private val NumBands = 2
 
   /** docs: (doc_id, toks) with toks already distinct. Keeps both and
-    * adds h0..h7.
+    * adds h0..h7 via the single-pass codegen'd
+    * [[graft.functions.MinHashWindows]] (one md5 per salt per token,
+    * running mins, no intermediate digest arrays — replaces two
+    * interpreted transform(md5) passes + eight array_min(transform)
+    * passes with bit-identical semantics; oracle unchanged).
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val withDigests = docs
-      .withColumn("d0", transform(col("toks"), t => md5(concat(lit("0|"), t))))
-      .withColumn("d1", transform(col("toks"), t => md5(concat(lit("1|"), t))))
+    val sig = graft.functions.MinHashWindows
+      .min_hash_windows(col("toks"), NumHashes / 4, 4)
     val sigCols = (0 until NumHashes).map { i =>
-      val d = if (i < NumHashes / 2) "d0" else "d1"
-      val off = (i % 4) * 8 + 1
-      array_min(transform(col(d), h => substring(h, off, 8))).as(s"h$i")
+      element_at(col("_sig"), i + 1).as(s"h$i")
     }
-    withDigests.select((col("doc_id") +: col("toks") +: sigCols): _*)
+    docs.withColumn("_sig", sig)
+      .select((col("doc_id") +: col("toks") +: sigCols): _*)
   }
 
   def q32MinhashNeardup(spark: SparkSession, dir: String): DataFrame = {

@@ -39,6 +39,41 @@ class FunctionPropertySpec extends SparkSpec {
     })
   }
 
+  test("min_hash_windows equals a straight-line reference on random tokens") {
+    import spark.implicits._
+    check(Prop.forAll(Gen.nonEmptyListOf(token), Gen.choose(1, 3), Gen.choose(1, 4)) {
+      (toks, salts, windows) =>
+        val expected = (0 until salts).flatMap { s =>
+          val digests = toks.map(t =>
+            org.apache.commons.codec.digest.DigestUtils.md5Hex(
+              (s"$s|" + t).getBytes("UTF-8")))
+          (0 until windows).map(w => digests.map(_.substring(w * 8, w * 8 + 8)).min)
+        }
+        val got = Seq(Tuple1(toks)).toDF("toks")
+          .select(MinHashWindows.min_hash_windows(col("toks"), salts, windows))
+          .first().getSeq[String](0)
+        got == expected
+    })
+  }
+
+  test("min_hash_windows matches the interpreted HOF formulation it replaced") {
+    import spark.implicits._
+    check(Prop.forAll(Gen.nonEmptyListOf(token)) { toks =>
+      val df = Seq(Tuple1(toks)).toDF("toks")
+      val hof = (0 until 8).map { i =>
+        val salt = i / 4
+        val off = (i % 4) * 8 + 1
+        array_min(transform(
+          transform(col("toks"), t => md5(concat(lit(s"$salt|"), t))),
+          h => substring(h, off, 8)))
+      }
+      val expected = df.select(array(hof: _*)).first().getSeq[String](0)
+      val got = df.select(MinHashWindows.min_hash_windows(col("toks"), 2, 4))
+        .first().getSeq[String](0)
+      got == expected
+    })
+  }
+
   test("topk_by equals a straight-line reference on random scored rows") {
     import spark.implicits._
     val row = for {
