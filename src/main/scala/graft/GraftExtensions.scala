@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DotProductLong, MinHashWindows, MinShingleMd5, TopKByLong}
+import graft.functions.{DotProductLong, MinHashWindows, MinShingleMd5, SimHash16, TopKByLong}
 
 /** Session extensions registering the engine's native functions for SQL
   * use. Install with
@@ -38,6 +38,7 @@ object GraftExtensions {
       MinShingleMd5(exprs.head, litInt(exprs(1), "shingle size"))),
     "min_hash_windows" -> (exprs =>
       MinHashWindows(exprs.head, litInt(exprs(1), "salts"), litInt(exprs(2), "windows"))),
+    "simhash16" -> (exprs => SimHash16(exprs.head)),
     "topk_by" -> (exprs =>
       TopKByLong(exprs.head, exprs(1), litInt(exprs(2), "k"))
         .toAggregateExpression()))

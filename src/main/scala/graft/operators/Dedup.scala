@@ -207,22 +207,15 @@ object Dedup {
   // tokens have bit j set in their md5. Near-dup pairs are then simhash
   // values at small Hamming distance — the signature itself is the
   // oracle-checked artifact.
-  def q33Simhash(spark: SparkSession, dir: String): DataFrame = {
-    val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f").map(lit)
-    // hash each token ONCE; the 16 bit tests then index the digest
-    // array instead of recomputing md5 per bit position
-    val withHashes = Tables.documentsSharded(spark, dir)
-      .select(col("doc_id"), size(split(col("text"), " ")).as("n_toks"),
-        transform(split(col("text"), " "), t => md5(t)).as("tok_md5s"))
-    def ones(j: Int): Column =
-      size(filter(col("tok_md5s"), h => substring(h, j + 1, 1).isin(hexHigh: _*)))
-    val simhash = (0 until 16).map { j =>
-      when(ones(j) * 2 >= col("n_toks"), lit(1L << j)).otherwise(0L)
-    }.reduce(_ + _)
-    withHashes
-      .select(col("doc_id"), simhash.cast("bigint").as("simhash16"))
+  def q33Simhash(spark: SparkSession, dir: String): DataFrame =
+    // single codegen'd pass (one md5 per token, 16 running counts) —
+    // replaces one transform(md5) + sixteen size(filter(...)) passes
+    // bit-identically; see graft.functions.SimHash16 (fuzzed vs the
+    // HOF formulation in FunctionPropertySpec); oracle unchanged
+    Tables.documentsSharded(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.SimHash16.simhash16(split(col("text"), " ")).as("simhash16"))
       .orderBy(col("doc_id"))
-  }
 
   val q33Oracle: String = {
     val bitTerms = (0 until 16).map { j =>

@@ -74,6 +74,23 @@ class FunctionPropertySpec extends SparkSpec {
     })
   }
 
+  test("simhash16 matches the interpreted HOF formulation it replaced") {
+    import spark.implicits._
+    check(Prop.forAll(Gen.nonEmptyListOf(token)) { toks =>
+      val df = Seq(Tuple1(toks)).toDF("toks")
+      val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f").map(lit)
+      def ones(j: Int) = size(filter(
+        transform(col("toks"), t => md5(t)),
+        h => substring(h, j + 1, 1).isin(hexHigh: _*)))
+      val hof = (0 until 16).map { j =>
+        when(ones(j) * 2 >= size(col("toks")), lit(1L << j)).otherwise(0L)
+      }.reduce(_ + _)
+      val expected = df.select(hof.cast("bigint")).first().getLong(0)
+      val got = df.select(SimHash16.simhash16(col("toks"))).first().getLong(0)
+      got == expected
+    })
+  }
+
   test("topk_by equals a straight-line reference on random scored rows") {
     import spark.implicits._
     val row = for {
