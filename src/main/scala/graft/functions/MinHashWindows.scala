@@ -47,6 +47,17 @@ case class MinHashWindows(child: Expression, salts: Int, windows: Int)
   private val prefixes: Array[UTF8String] =
     Array.tabulate(salts)(s => UTF8String.fromString(s"$s|"))
 
+  /** true iff h[off, off+8) sorts strictly before min (never null). */
+  private def regionSmaller(h: String, off: Int, min: String): Boolean = {
+    var t = 0
+    while (t < 8) {
+      val d = h.charAt(off + t) - min.charAt(t)
+      if (d != 0) return d < 0
+      t += 1
+    }
+    false
+  }
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val len = arr.numElements()
@@ -62,8 +73,9 @@ case class MinHashWindows(child: Expression, salts: Int, windows: Int)
           var w = 0
           while (w < windows) {
             val idx = s * windows + w
-            val win = h.substring(w * 8, w * 8 + 8)
-            if (mins(idx) == null || win.compareTo(mins(idx)) < 0) mins(idx) = win
+            // compare in place; substring only on a new minimum
+            if (mins(idx) == null || regionSmaller(h, w * 8, mins(idx)))
+              mins(idx) = h.substring(w * 8, w * 8 + 8)
             w += 1
           }
         }
@@ -88,6 +100,9 @@ case class MinHashWindows(child: Expression, salts: Int, windows: Int)
       val i = ctx.freshName("i")
       val w = ctx.freshName("w")
       val k = ctx.freshName("k")
+      val sm = ctx.freshName("smaller")
+      val t = ctx.freshName("t")
+      val d = ctx.freshName("d")
       val u = "org.apache.spark.unsafe.types.UTF8String"
       val digest = "org.apache.commons.codec.digest.DigestUtils"
       s"""
@@ -103,10 +118,15 @@ case class MinHashWindows(child: Expression, salts: Int, windows: Int)
          |        $u.concat($prefRef[$s], $arr.getUTF8String($i)).getBytes());
          |      for (int $w = 0; $w < $windows; $w++) {
          |        int $idx = $s * $windows + $w;
-         |        String $win = $h.substring($w * 8, $w * 8 + 8);
-         |        if ($mins[$idx] == null || $win.compareTo($mins[$idx]) < 0) {
-         |          $mins[$idx] = $win;
+         |        // compare in place; substring only on a new minimum
+         |        boolean $sm = ($mins[$idx] == null);
+         |        if (!$sm) {
+         |          for (int $t = 0; $t < 8; $t++) {
+         |            int $d = $h.charAt($w * 8 + $t) - $mins[$idx].charAt($t);
+         |            if ($d != 0) { $sm = $d < 0; break; }
+         |          }
          |        }
+         |        if ($sm) $mins[$idx] = $h.substring($w * 8, $w * 8 + 8);
          |      }
          |    }
          |  }

@@ -46,11 +46,15 @@ case class SimHash16(child: Expression) extends UnaryExpression {
     var i = 0
     while (i < len) {
       if (!arr.isNullAt(i)) {
-        val h = org.apache.commons.codec.digest.DigestUtils.md5Hex(
+        // raw digest bytes: hex digit j is the j-th nibble (high nibble
+        // of byte j/2 for even j), and "digit in [8, f]" == nibble >= 8
+        // — skips the 32-char hex String per token entirely
+        val b = org.apache.commons.codec.digest.DigestUtils.md5(
           arr.getUTF8String(i).getBytes)
         var j = 0
         while (j < 16) {
-          if (h.charAt(j) >= '8') counts(j) += 1
+          val nib = if ((j & 1) == 0) (b(j >> 1) >> 4) & 0xF else b(j >> 1) & 0xF
+          if (nib >= 8) counts(j) += 1
           j += 1
         }
       }
@@ -73,15 +77,17 @@ case class SimHash16(child: Expression) extends UnaryExpression {
       val sig = ctx.freshName("sig")
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
+      val nib = ctx.freshName("nib")
       val digest = "org.apache.commons.codec.digest.DigestUtils"
       s"""
          |int $len = $arr.numElements();
          |int[] $counts = new int[16];
          |for (int $i = 0; $i < $len; $i++) {
          |  if ($arr.isNullAt($i)) continue;
-         |  String $h = $digest.md5Hex($arr.getUTF8String($i).getBytes());
+         |  byte[] $h = $digest.md5($arr.getUTF8String($i).getBytes());
          |  for (int $j = 0; $j < 16; $j++) {
-         |    if ($h.charAt($j) >= '8') $counts[$j]++;
+         |    int $nib = (($j & 1) == 0) ? (($h[$j >> 1] >> 4) & 0xF) : ($h[$j >> 1] & 0xF);
+         |    if ($nib >= 8) $counts[$j]++;
          |  }
          |}
          |long $sig = 0L;

@@ -233,7 +233,11 @@ object Curation {
     val docs = Tables.documentsSharded(spark, dir)
       .select(col("doc_id"), (col("doc_id") % PackShards).cast("int").as("shard"),
         size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+    // ROWS frame explicitly: Spark's default is RANGE, which on an
+    // order-key tie would sum both peers into both rows' totals while
+    // the oracle's ROWS frame gives distinct prefix sums
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
       .withColumn("win", expr(s"start_off DIV $SeqLen"))

@@ -63,6 +63,10 @@ object Dedup {
     * passes with bit-identical semantics; oracle unchanged).
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
+    // the 4-windows-per-salt split requires NumHashes % 4 == 0; a
+    // silent mismatch would make element_at read past the signature
+    // array and null out band keys
+    require(NumHashes % 4 == 0, s"NumHashes=$NumHashes must be a multiple of 4")
     val sig = graft.functions.MinHashWindows
       .min_hash_windows(col("toks"), NumHashes / 4, 4)
     val sigCols = (0 until NumHashes).map { i =>
@@ -211,10 +215,14 @@ object Dedup {
     // single codegen'd pass (one md5 per token, 16 running counts) —
     // replaces one transform(md5) + sixteen size(filter(...)) passes
     // bit-identically; see graft.functions.SimHash16 (fuzzed vs the
-    // HOF formulation in FunctionPropertySpec); oracle unchanged
+    // HOF formulation in FunctionPropertySpec); oracle unchanged.
+    // coalesce(0): null text null-propagates through the expression,
+    // but the replaced when(...).otherwise(0) chain and the oracle's
+    // CASE both yield 0 there
     Tables.documentsSharded(spark, dir)
       .select(col("doc_id"),
-        graft.functions.SimHash16.simhash16(split(col("text"), " ")).as("simhash16"))
+        coalesce(graft.functions.SimHash16.simhash16(split(col("text"), " ")),
+          lit(0L)).as("simhash16"))
       .orderBy(col("doc_id"))
 
   val q33Oracle: String = {

@@ -76,12 +76,7 @@ object EventsStreaming {
         })
   }
 
-  /** Run a streaming query to completion against the (finite) parquet
-    * source through a memory sink; returns the collected result. Used
-    * by tests and demos — a production run would use a real sink with
-    * checkpointing and keep the query running.
-    *
-    * Stateful streaming partitioning follows shuffle partitions AT
+  /** Stateful streaming partitioning follows shuffle partitions AT
     * QUERY START and every partition owns state-store instances (a
     * stream-stream join keeps four per partition per side), so the
     * right number tracks STATE VOLUME, not driver cores — 32-way state
@@ -91,6 +86,12 @@ object EventsStreaming {
     */
   val StatePartitions = 8
 
+  /** Run a streaming query to completion against the (finite) parquet
+    * source through a memory sink; returns the collected result. Used
+    * by tests and demos — a production run would use a real sink with
+    * checkpointing and keep the query running. Pins shuffle partitions
+    * to [[StatePartitions]] for the stream's duration.
+    */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,
       mode: OutputMode = OutputMode.Append): DataFrame = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -74,6 +74,26 @@ class FunctionPropertySpec extends SparkSpec {
     })
   }
 
+  test("min_hash_windows and simhash16 edge cases: empty array, null tokens") {
+    import spark.implicits._
+    val empty = Seq(Tuple1(Seq.empty[String])).toDF("toks")
+    assert(empty.select(MinHashWindows.min_hash_windows(col("toks"), 2, 4))
+      .first().isNullAt(0), "empty array must yield null signature")
+    assert(empty.select(SimHash16.simhash16(col("toks"))).first().getLong(0) == 0xFFFFL,
+      "empty array: every majority test is 0 >= 0, all 16 bits set")
+    // null tokens are skipped (array_min / filter-HOF semantics)
+    val withNulls = Seq(Tuple1(Seq[String](null, "a", null))).toDF("toks")
+    val sigMixed = withNulls
+      .select(MinHashWindows.min_hash_windows(col("toks"), 2, 4)).first().getSeq[String](0)
+    val sigClean = Seq(Tuple1(Seq("a"))).toDF("toks")
+      .select(MinHashWindows.min_hash_windows(col("toks"), 2, 4)).first().getSeq[String](0)
+    assert(sigMixed == sigClean)
+    val allNull = Seq(Tuple1(Seq[String](null, null))).toDF("toks")
+    assert(allNull.select(MinHashWindows.min_hash_windows(col("toks"), 2, 4))
+      .first().getSeq[String](0).forall(_ == null),
+      "all-null tokens: every window min stays null")
+  }
+
   test("simhash16 matches the interpreted HOF formulation it replaced") {
     import spark.implicits._
     check(Prop.forAll(Gen.nonEmptyListOf(token)) { toks =>
