@@ -238,6 +238,57 @@ object Dedup {
   }
 
   // --------------------------------------------------------------------
+  // q75 — simhash near-dup PAIRS at Hamming distance <= 2 via the
+  // multi-index probe join: every signature emits 17 keys (itself plus
+  // each one-bit flip), and two signatures at distance d <= 2 are
+  // GUARANTEED to share a key (d=0: same identity key; d=1: identity
+  // vs the differing-bit flip; d=2: each flips one of the two
+  // differing bits) while any shared key implies distance <= 2 — the
+  // candidate set is EXACT, no verify filter, no O(n²) XOR scan.
+  // Runs on the q32 sample. Scale note: 17 probe rows per doc, one
+  // equi-join on the probe key (ReuseExchange shares the shuffle);
+  // identical-signature clusters make hot identity keys and odd(n²)
+  // output pairs — inherent to emitting PAIRS (a keep/discard decision
+  // would aggregate min-id per key instead, like q56).
+  def q75SimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = Tables.documentsSharded(spark, dir)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"),
+        coalesce(graft.functions.SimHash16.simhash16(split(col("text"), " ")),
+          lit(0L)).as("sig"))
+    // foldable explode + post-hoc key arithmetic (the inferred-filter
+    // rule, same as the band explode above)
+    val probes = sigs
+      .select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(16))).as("p"))
+      .withColumn("key", expr("IF(p = 0, sig, sig ^ shiftleft(1L, p - 1))"))
+    probes.as("x").join(probes.as("y"),
+        col("x.key") === col("y.key") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q75Oracle: String = {
+    val bitTerms = (0 until 16).map { j =>
+      s"CASE WHEN 2 * len(list_filter(tok_md5s, h -> substring(h, ${j + 1}, 1) IN ('8','9','a','b','c','d','e','f'))) >= n_toks THEN ${1L << j} ELSE 0 END"
+    }.mkString("\n    + ")
+    s"""WITH sh AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS n_toks,
+       |    list_transform(string_split(text, ' '), t -> md5(t)) AS tok_md5s
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |sigs AS (
+       |  SELECT doc_id, CAST($bitTerms AS BIGINT) AS sig
+       |  FROM sh)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+       |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= 2
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
   // q40 — n-gram (3-shingle) Jaccard over fingerprint candidates:
   // documents sharing the min-shingle-hash (TextAnalysis q30's
   // fingerprint) become candidate pairs; exact shingle-set Jaccard is
@@ -308,12 +359,14 @@ object Dedup {
     "q32_minhash_neardup" -> q32MinhashNeardup,
     "q33_simhash" -> q33Simhash,
     "q40_ngram_jaccard" -> q40NgramJaccard,
-    "q56_dedup_keepers" -> q56DedupKeepers)
+    "q56_dedup_keepers" -> q56DedupKeepers,
+    "q75_simhash_pairs" -> q75SimhashPairs)
 
   def oracleSql: Map[String, String] = Map(
     "q31_exact_dedup" -> q31Oracle,
     "q32_minhash_neardup" -> q32Oracle,
     "q33_simhash" -> q33Oracle,
     "q40_ngram_jaccard" -> q40Oracle,
-    "q56_dedup_keepers" -> q56Oracle)
+    "q56_dedup_keepers" -> q56Oracle,
+    "q75_simhash_pairs" -> q75Oracle)
 }
