@@ -207,6 +207,72 @@ object Dedup {
   }
 
   // --------------------------------------------------------------------
+  // q76 — near-dup CLUSTERS: connected components over the verified
+  // q32 pair graph, labelling every sampled doc with the smallest
+  // doc_id in its component (singletons label themselves) — the
+  // cluster view a dedup pipeline reports and samples canonical docs
+  // from. Distributed min-label propagation: each iteration joins the
+  // symmetric edge list to the current labels and takes the min
+  // neighbour label; converges in graph-diameter iterations (near-dup
+  // components are dense, typically 1-3). Scale notes: the edge list
+  // is cached once and reused per iteration; labels are
+  // localCheckpoint'ed EAGERLY each round — iterative DataFrame loops
+  // otherwise grow the lineage/plan exponentially, which is the real
+  // scale-killer for iterative algorithms on Spark.
+  def q76DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = q32MinhashNeardup(spark, dir).select(col("doc_a"), col("doc_b"))
+    val docs = Tables.documentsSharded(spark, dir)
+      .filter(col("doc_id") % 5 === 0).select(col("doc_id"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("u", "v").cache()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val nbrMin = edges.join(labels, edges("v") === labels("doc_id"))
+        .groupBy(col("u")).agg(min(col("cluster_id")).as("nbr_min"))
+      val stepped = labels.join(nbrMin, labels("doc_id") === nbrMin("u"), "left")
+        .select(col("doc_id"), col("cluster_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("next_id"))
+        .localCheckpoint(true)
+      changed = stepped.filter(col("next_id") =!= col("cluster_id")).count()
+      labels = stepped.select(col("doc_id"), col("next_id").as("cluster_id"))
+      iter += 1
+    }
+    edges.unpersist()
+    labels.orderBy(col("doc_id"))
+  }
+
+  // the q32 pair query nests as a CTE body (DuckDB allows a full
+  // WITH..SELECT inside a CTE); the recursive closure then takes the
+  // min reachable id per node
+  val q76Oracle: String = {
+    val innerWithoutOrder = q32Oracle.replace("ORDER BY doc_a, doc_b", "")
+    s"""WITH RECURSIVE pairs AS (
+       |$innerWithoutOrder
+       |),
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION
+       |  SELECT doc_b AS u, doc_a AS v FROM pairs),
+       |reach AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |comp AS (
+       |  SELECT u AS doc_id, min(v) AS min_reach FROM reach GROUP BY u),
+       |sample AS (
+       |  SELECT doc_id FROM documents WHERE doc_id % 5 = 0)
+       |SELECT s.doc_id,
+       |  COALESCE(LEAST(s.doc_id, c.min_reach), s.doc_id) AS cluster_id
+       |FROM sample s LEFT JOIN comp c USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
   // q33 — SimHash: 16-bit signature; bit j set when the majority of
   // tokens have bit j set in their md5. Near-dup pairs are then simhash
   // values at small Hamming distance — the signature itself is the
@@ -360,7 +426,8 @@ object Dedup {
     "q33_simhash" -> q33Simhash,
     "q40_ngram_jaccard" -> q40NgramJaccard,
     "q56_dedup_keepers" -> q56DedupKeepers,
-    "q75_simhash_pairs" -> q75SimhashPairs)
+    "q75_simhash_pairs" -> q75SimhashPairs,
+    "q76_dedup_clusters" -> q76DedupClusters)
 
   def oracleSql: Map[String, String] = Map(
     "q31_exact_dedup" -> q31Oracle,
@@ -368,5 +435,6 @@ object Dedup {
     "q33_simhash" -> q33Oracle,
     "q40_ngram_jaccard" -> q40Oracle,
     "q56_dedup_keepers" -> q56Oracle,
-    "q75_simhash_pairs" -> q75Oracle)
+    "q75_simhash_pairs" -> q75Oracle,
+    "q76_dedup_clusters" -> q76Oracle)
 }
