@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge
 
 import graft.sources.Tables
 
@@ -219,6 +220,12 @@ object Dedup {
   // localCheckpoint'ed EAGERLY each round — iterative DataFrame loops
   // otherwise grow the lineage/plan exponentially, which is the real
   // scale-killer for iterative algorithms on Spark.
+  /** Iteration bound for q76's label propagation — generous (near-dup
+    * components are dense; diameter is typically 1-3), and NOT a silent
+    * truncation: non-convergence within the bound fails loud below.
+    */
+  val MaxClusterIters = 50
+
   def q76DedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = q32MinhashNeardup(spark, dir).select(col("doc_a"), col("doc_b"))
     val docs = Tables.documentsSharded(spark, dir)
@@ -226,11 +233,17 @@ object Dedup {
     val edges = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("u", "v").cache()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    // cpLabels is always the CURRENT generation's checkpoint: each
+    // iteration materializes the next generation, then frees the
+    // superseded one (Dataset.unpersist can't reach checkpoint blocks —
+    // see graftbridge.CheckpointBridge), so executor storage holds at
+    // most two generations at any instant instead of all of them
+    var cpLabels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
       .localCheckpoint(true)
+    var labels = cpLabels
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 20) {
+    while (changed > 0 && iter < MaxClusterIters) {
       val nbrMin = edges.join(labels, edges("v") === labels("doc_id"))
         .groupBy(col("u")).agg(min(col("cluster_id")).as("nbr_min"))
       val stepped = labels.join(nbrMin, labels("doc_id") === nbrMin("u"), "left")
@@ -238,11 +251,24 @@ object Dedup {
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("next_id"))
         .localCheckpoint(true)
+      // the change count scans the freshly persisted blocks, not the
+      // join lineage — cheap relative to the step itself
       changed = stepped.filter(col("next_id") =!= col("cluster_id")).count()
+      assert(graftbridge.CheckpointBridge.unpersistCheckpoint(cpLabels),
+        "superseded label generation was not a checkpoint — leak reintroduced")
+      cpLabels = stepped
       labels = stepped.select(col("doc_id"), col("next_id").as("cluster_id"))
       iter += 1
     }
     edges.unpersist()
+    // a component with diameter > MaxClusterIters would exit the loop
+    // with a labelling that LOOKS valid but isn't — fail loud instead
+    // of returning wrong cluster ids
+    require(changed == 0,
+      s"q76 connected components did not converge within $MaxClusterIters " +
+        s"iterations ($changed labels still moving) — the pair graph has a " +
+        "longer chain than any near-dup corpus should; raise " +
+        "MaxClusterIters or investigate the edge list")
     labels.orderBy(col("doc_id"))
   }
 

@@ -16,7 +16,10 @@ import graft.sources.Tables
   * round(x·10⁶) scaled components (same scheme as [[Similarity]]), so
   * the assignment is reproducible bit-for-bit in SQL and the whole
   * operator carries a DuckDB oracle (the k-means quantizer it replaces
-  * did not). Accuracy vs brute force is asserted in IvfAnnSpec.
+  * did not). Accuracy vs brute force is asserted in IvfAnnSpec. Cell
+  * ids are positional over the seed set, so sparse/offset id spaces
+  * work; a seed predicate that matches NOTHING fails loud in
+  * [[buildIndex]] rather than returning empty probe results.
   *
   * Scale notes (100 TB): the pivots are k driver-side rows turned into
   * literal expressions — cell assignment and query routing are pure
@@ -50,16 +53,38 @@ object IvfAnn {
   private def distArray(pivots: Array[(Int, Array[Long], Long)]): Column =
     array(pivots.sortBy(_._1).map(pivotDist): _*)
 
-  def buildIndex(spark: SparkSession, dir: String, k: Int): Index = {
-    val base = withScaledNorm(Tables.embeddingsSharded(spark, dir))
+  def buildIndex(spark: SparkSession, dir: String, k: Int): Index =
+    buildIndexFrom(Tables.embeddingsSharded(spark, dir), k)
+
+  /** Index an arbitrary `(vec_id, embedding)` frame — the id space need
+    * not be dense or zero-based.
+    */
+  def buildIndexFrom(vectors: DataFrame, k: Int): Index = {
+    val base = withScaledNorm(vectors)
     val n = base.count()
     val m = math.max(1L, (n + k - 1) / k)
-    // k rows to the driver — the IVF "codebook"; broadcast as literals
+    // ~k rows to the driver — the IVF "codebook"; broadcast as literals.
+    // Seeds are the `vec_id % m == 0` rows; cell ids are POSITIONAL
+    // (rank of the seed by vec_id), so sparse or offset id spaces still
+    // yield a contiguous 0..len-1 cell space (for dense-from-0 ids this
+    // equals the `vec_id DIV m` labelling the oracle uses — both are
+    // monotone relabelings of the same seed set, and cells only ever
+    // join on equality, never appear in output).
     val pivots = base.filter(col("vec_id") % m === 0)
-      .select(expr(s"CAST(vec_id DIV $m AS INT)").as("cell"), col("sv"), col("nrm"))
+      .select(col("vec_id").cast("long"), col("sv"), col("nrm"))
       .collect()
-      .map(r => (r.getInt(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
       .sortBy(_._1)
+      .zipWithIndex
+      .map { case ((_, sv, nrm), cell) => (cell, sv, nrm) }
+    // an empty codebook would make every distance array empty and cell
+    // assignment silently produce nulls downstream — fail loud instead
+    // (possible only if NO id is ≡ 0 (mod m), e.g. an all-odd sparse
+    // id space; pick a different seed predicate for such corpora)
+    require(pivots.nonEmpty,
+      s"IVF codebook is empty: no vec_id ≡ 0 (mod $m) among $n rows — " +
+        "the seed predicate assumes ids spread over [0, N); re-key or " +
+        "re-seed the quantizer for this id space")
     // argmin by (distance, cell): array_position finds the FIRST index
     // holding the min, so ties break toward the smaller cell id
     val d = distArray(pivots)

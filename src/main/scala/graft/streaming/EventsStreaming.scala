@@ -86,21 +86,36 @@ object EventsStreaming {
     */
   val StatePartitions = 8
 
+  /** An ISOLATED session for one stream: shares the SparkContext (and
+    * so executors/caches) with `spark` but owns its own SQLConf, so
+    * pinning shuffle partitions to [[StatePartitions]] here cannot leak
+    * into concurrently planned batch queries — a stream pins its state
+    * partitioning at query start and keeps it for the checkpoint's
+    * lifetime, so the pin must outlive any try/finally restore on a
+    * shared session anyway. Parent runtime confs are replicated first
+    * (e.g. the nanosecond-timestamp legacy flag the events scan needs);
+    * non-settable/static keys are skipped.
+    */
+  def streamSession(spark: SparkSession): SparkSession = {
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) => scala.util.Try(s.conf.set(k, v)) }
+    s.conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
+    s
+  }
+
   /** Run a streaming query to completion against the (finite) parquet
     * source through a memory sink; returns the collected result. Used
     * by tests and demos — a production run would use a real sink with
-    * checkpointing and keep the query running. Pins shuffle partitions
-    * to [[StatePartitions]] for the stream's duration.
+    * checkpointing and keep the query running. The stream executes in
+    * whatever session `df` was BUILT against — callers construct their
+    * source via [[streamSession]] so the [[StatePartitions]] pin stays
+    * session-local; this method mutates no global state.
     */
-  def runToMemory(spark: SparkSession, df: DataFrame, name: String,
+  def runToMemory(df: DataFrame, name: String,
       mode: OutputMode = OutputMode.Append): DataFrame = {
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", StatePartitions)
-    try {
-      val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
-      q.processAllAvailable()
-      q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    spark.table(name)
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    df.sparkSession.table(name)
   }
 }

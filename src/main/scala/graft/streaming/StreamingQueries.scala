@@ -26,14 +26,15 @@ object StreamingQueries {
   // --------------------------------------------------------------------
   // q45 — streaming tumbling-window aggregate (streaming dual of q23).
   def q45StreamHourly(spark: SparkSession, dir: String): DataFrame = {
-    val events = EventsStreaming.readEventsStream(spark, dir)
+    val ss = EventsStreaming.streamSession(spark)
+    val events = EventsStreaming.readEventsStream(ss, dir)
     val agg = events
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(24, 6))).cast("double").as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
-    EventsStreaming.runToMemory(spark, agg, "q45_mem", OutputMode.Complete)
+    EventsStreaming.runToMemory(agg, "q45_mem", OutputMode.Complete)
       .orderBy(col("window_start"), col("event_type"))
   }
 
@@ -51,9 +52,10 @@ object StreamingQueries {
   // does not carry). Session ids are per-user counters, so the result
   // is deterministic regardless of partitioning.
   def q46StreamSessions(spark: SparkSession, dir: String): DataFrame = {
-    val events = EventsStreaming.readEventsStream(spark, dir)
-    val sessions = EventsStreaming.sessionize(spark, events)
-    EventsStreaming.runToMemory(spark, sessions.toDF(), "q46_mem")
+    val ss = EventsStreaming.streamSession(spark)
+    val events = EventsStreaming.readEventsStream(ss, dir)
+    val sessions = EventsStreaming.sessionize(ss, events)
+    EventsStreaming.runToMemory(sessions.toDF(), "q46_mem")
       .orderBy(col("user_id"), col("session_id"))
   }
 
@@ -87,13 +89,14 @@ object StreamingQueries {
   // production run bounds that state with dropDuplicatesWithinWatermark;
   // the finite fixture keeps the unbounded form so the result is total.
   def q72StreamDedup(spark: SparkSession, dir: String): DataFrame = {
-    val once = EventsStreaming.readEventsStream(spark, dir)
-    val atLeastOnce = once.union(EventsStreaming.readEventsStream(spark, dir))
+    val ss = EventsStreaming.streamSession(spark)
+    val once = EventsStreaming.readEventsStream(ss, dir)
+    val atLeastOnce = once.union(EventsStreaming.readEventsStream(ss, dir))
     val deduped = atLeastOnce
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("ts").cast("long").as("sec"))
       .dropDuplicates("event_id")
-    EventsStreaming.runToMemory(spark, deduped, "q72_mem")
+    EventsStreaming.runToMemory(deduped, "q72_mem")
       .orderBy(col("event_id"))
   }
 
@@ -111,10 +114,11 @@ object StreamingQueries {
   // watermark horizon, not the stream's history. Finite fixture → the
   // result equals the batch self-join, which is the oracle.
   def q73StreamJoin(spark: SparkSession, dir: String): DataFrame = {
-    val a = EventsStreaming.readEventsStream(spark, dir)
+    val ss = EventsStreaming.streamSession(spark)
+    val a = EventsStreaming.readEventsStream(ss, dir)
       .select(col("event_id").as("event_a"), col("user_id"), col("ts").as("ts_a"))
       .withWatermark("ts_a", "30 minutes")
-    val b = EventsStreaming.readEventsStream(spark, dir)
+    val b = EventsStreaming.readEventsStream(ss, dir)
       .select(col("event_id").as("event_b"), col("user_id").as("user_b"),
         col("ts").as("ts_b"))
       .withWatermark("ts_b", "30 minutes")
@@ -130,7 +134,7 @@ object StreamingQueries {
         col("ts_b").cast("long") <= col("ts_a").cast("long") + 600)
       .select(col("user_id"), col("event_a"), col("event_b"),
         (col("ts_b").cast("long") - col("ts_a").cast("long")).as("gap_sec"))
-    EventsStreaming.runToMemory(spark, joined, "q73_mem")
+    EventsStreaming.runToMemory(joined, "q73_mem")
       .orderBy(col("event_a"), col("event_b"))
   }
 

@@ -27,4 +27,27 @@ class IvfAnnSpec extends SparkSpec {
     val cells = index.cells.groupBy("cell").count().collect()
     assert(cells.length <= 8 && cells.map(_.getLong(1)).sum == 500L)
   }
+
+  test("index build survives a sparse, offset id space") {
+    // ids nowhere near 0: positional cell labelling must still yield a
+    // contiguous codebook and a working probe
+    val offset = graft.sources.Tables.embeddings(spark, dir)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    val index = IvfAnn.buildIndexFrom(offset, k = 8)
+    assert(index.pivots.nonEmpty)
+    assert(index.pivots.map(_._1).toSeq == index.pivots.indices.toSeq,
+      "cell ids must be contiguous from 0")
+    val queries = offset.filter(col("vec_id") % 25 === 0).limit(4)
+    assert(IvfAnn.probe(spark, index, queries, nprobe = 2, topK = 3).count() > 0)
+  }
+
+  test("an empty codebook fails loud instead of probing nothing") {
+    // two odd ids with k=1 → m=2 → no id ≡ 0 (mod 2) → no seeds
+    val odd = graft.sources.Tables.embeddings(spark, dir)
+      .filter(col("vec_id").isin(3L, 5L))
+    val e = intercept[IllegalArgumentException] {
+      IvfAnn.buildIndexFrom(odd, k = 1)
+    }
+    assert(e.getMessage.contains("codebook is empty"))
+  }
 }

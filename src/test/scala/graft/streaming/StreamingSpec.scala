@@ -15,7 +15,7 @@ class StreamingSpec extends SparkSpec {
     val stream = EventsStreaming.readEventsStream(spark, dir)
     // complete mode: watermark append-mode would hold back the tail
     // window of a finite input; totals must still match batch exactly.
-    val got = EventsStreaming.runToMemory(spark,
+    val got = EventsStreaming.runToMemory(
       EventsStreaming.windowedAgg(stream), "win_agg",
       org.apache.spark.sql.streaming.OutputMode.Complete())
       .select("window_start", "event_type", "n_events")
@@ -54,7 +54,7 @@ class StreamingSpec extends SparkSpec {
       .schema(base.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(s"$tmpDir/*.parquet")
-    val got = EventsStreaming.runToMemory(spark,
+    val got = EventsStreaming.runToMemory(
       EventsStreaming.sessionize(spark, stream).toDF(), "sessions_mb")
     // partial session rows merge on (user_id, session_id)
     val merged = got.groupBy(col("user_id"), col("session_id"))
@@ -83,15 +83,30 @@ class StreamingSpec extends SparkSpec {
     val stream = spark.readStream.schema(base.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(s"$tmpDir/*.parquet")
-    val got = EventsStreaming.runToMemory(spark,
+    val got = EventsStreaming.runToMemory(
       stream.dropDuplicates("event_id"), "dedup_mb")
     assert(got.count() == base.count())
     assert(got.select(col("event_id")).distinct().count() == base.count())
   }
 
+  test("stream shuffle-partition pin is isolated from the parent session") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val ss = EventsStreaming.streamSession(spark)
+    // the pin lands only in the stream's own session …
+    assert(ss.conf.get("spark.sql.shuffle.partitions") ==
+      EventsStreaming.StatePartitions.toString)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+    // … and the parent's runtime confs (e.g. the nano-ts legacy flag the
+    // events scan needs) were replicated into it
+    assert(ss.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true")
+    // a full streamed query leaves the parent untouched end-to-end
+    assert(StreamingQueries.q45StreamHourly(spark, dir).count() > 0)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+  }
+
   test("streaming sessionization matches batch q24 on a single batch") {
     val stream = EventsStreaming.readEventsStream(spark, dir)
-    val got = EventsStreaming.runToMemory(spark,
+    val got = EventsStreaming.runToMemory(
       EventsStreaming.sessionize(spark, stream).toDF(), "sessions")
       .select("user_id", "session_id", "n_events", "session_start_sec", "session_end_sec")
     val expect = EventsQueries.q24Sessionization(spark, dir)
