@@ -246,13 +246,17 @@ object Dedup {
     while (changed > 0 && iter < MaxClusterIters) {
       val nbrMin = edges.join(labels, edges("v") === labels("doc_id"))
         .groupBy(col("u")).agg(min(col("cluster_id")).as("nbr_min"))
+      // LAZY checkpoint + count = ONE job per iteration: the change
+      // count below is the checkpoint's materializing action, so a
+      // single pass computes the step, persists the label blocks, and
+      // counts moved labels (the former eager-checkpoint-then-count
+      // shape ran two jobs per iteration, and the second re-scanned the
+      // freshly persisted blocks just to count)
       val stepped = labels.join(nbrMin, labels("doc_id") === nbrMin("u"), "left")
         .select(col("doc_id"), col("cluster_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("next_id"))
-        .localCheckpoint(true)
-      // the change count scans the freshly persisted blocks, not the
-      // join lineage — cheap relative to the step itself
+        .localCheckpoint(false)
       changed = stepped.filter(col("next_id") =!= col("cluster_id")).count()
       assert(graftbridge.CheckpointBridge.unpersistCheckpoint(cpLabels),
         "superseded label generation was not a checkpoint — leak reintroduced")
