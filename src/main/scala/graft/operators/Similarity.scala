@@ -57,6 +57,11 @@ object Similarity {
   // --------------------------------------------------------------------
   // q34 — brute-force cosine top-k: every 25th vector queries the full
   // table, k=5, ties broken by candidate id.
+  // BASELINE-ONLY CONTRACT: the `query_id =!= vec_id` non-equi join is
+  // a BroadcastNestedLoopJoin — the exact-recall correctness baseline
+  // at fixture scale. The declared scale paths are q35 (hyperplane LSH)
+  // and q49 (IVF); PlanRegressionSpec locks the nested-loop count to
+  // exactly q34/q36.
   def q34CosineTopk(spark: SparkSession, dir: String): DataFrame = {
     val all = withScaledNorm(Tables.embeddingsSharded(spark, dir))
     val q = all.filter(col("vec_id") % 25 === 0)
@@ -94,13 +99,15 @@ object Similarity {
   val NumPlanes = 8
 
   /** ±1 hyperplane matrix, deterministic from md5("p:i"). */
-  lazy val planes: Array[Array[Int]] = {
+  private def mkPlanes(n: Int): Array[Array[Int]] = {
     val digest = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(NumPlanes, Dim) { (p, i) =>
+    Array.tabulate(n, Dim) { (p, i) =>
       val h = digest.digest(s"$p:$i".getBytes("UTF-8"))
       if ((h(0) & 0x80) != 0) 1 else -1
     }
   }
+
+  lazy val planes: Array[Array[Int]] = mkPlanes(NumPlanes)
 
   private def bucketCol: Column =
     (0 until NumPlanes).map { p =>
@@ -125,17 +132,22 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
-  val q35Oracle: String = {
-    val bucketTerms = (0 until NumPlanes).map { p =>
+  /** The q35 bucket assignment as DuckDB SQL — shared by every oracle
+    * that replays the hyperplane LSH (q35, q77).
+    */
+  private lazy val sqlBucketTerms: String =
+    (0 until NumPlanes).map { p =>
       val litList = planes(p).mkString("[", ", ", "]")
       s"""CASE WHEN CAST(list_sum(list_transform(generate_series(1, len(sv)),
          |      i -> sv[i] * ($litList)[i])) AS BIGINT) >= 0 THEN ${1 << p} ELSE 0 END""".stripMargin
     }.mkString("\n    + ")
+
+  val q35Oracle: String = {
     s"""WITH base AS (
        |  $SqlBase),
        |bucketed AS (
        |  SELECT vec_id, sv, nrm,
-       |    CAST($bucketTerms AS INTEGER) AS bucket
+       |    CAST($sqlBucketTerms AS INTEGER) AS bucket
        |  FROM base),
        |scored AS (
        |  SELECT a.vec_id AS query_id, a.bucket AS bucket, b.vec_id AS cand_id,
@@ -153,6 +165,13 @@ object Similarity {
   // --------------------------------------------------------------------
   // q36 — embedding cosine near-duplicate pairs: every 10th vector vs
   // the table, cosine ≥ 0.4, with a same-label flag.
+  // BASELINE-ONLY CONTRACT: the `vec_a < vec_id` non-equi join plans a
+  // BroadcastNestedLoopJoin — O(n²/10) comparisons and a broadcast of
+  // the full table. It exists as the exact-recall oracle reference at
+  // fixture scale; the 100-TB path is q77 below, which pushes the same
+  // pair semantics through banded hyperplane LSH buckets (equi-join,
+  // no broadcast of the big side). PlanRegressionSpec pins q34/q36 as
+  // the ONLY registered queries allowed to plan a nested-loop join.
   def q36EmbeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
     val all = withScaledNorm(Tables.embeddingsSharded(spark, dir))
     val a = all.filter(col("vec_id") % 10 === 0)
@@ -177,13 +196,112 @@ object Similarity {
        |SELECT vec_a, vec_b, cos, same_label FROM pairs
        |WHERE cos >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q77 — BUCKETED embedding near-dup pairs: q36's semantics pushed
+  // through BANDED hyperplane LSH buckets — the declared scale path for
+  // the pair report. Geometry: 8 bands × 2 planes. A pair is a
+  // candidate when SOME band's sign pattern agrees (OR-amplification);
+  // at the fixture's cos ≥ 0.4 gate (p = 1 − θ/π ≈ 0.63 per plane)
+  // per-band collision is p² ≈ 0.40, so 8 bands give ≈ 98 % recall —
+  // all 8 fixture pairs collide (verified). Band keys are per-row
+  // codegen'd projections (no shuffle to assign); the pair scan is one
+  // band-key EQUI-join; duplicate candidates (pairs colliding in
+  // several bands) are eliminated shuffle-free by q32's
+  // first-colliding-band rule; exact scaled-integer cosine then gates
+  // at 0.4. Output schema = q36's.
+  // Scale notes (100 TB): neither join side is broadcast (both scale
+  // with the corpus — that broadcast is what kills q36 at 100×).
+  // Bucket cardinality is bands × 2^rows; rows trades recall for
+  // bucket granularity, so at production near-dup thresholds
+  // (cos ≥ 0.9, p ≈ 0.86) you raise rows to 8–16 (256–65 k buckets per
+  // band, recall per band 0.3–0.09 re-amplified across bands) — the
+  // fixture's low 0.4 threshold is what forces rows = 2 here. Hot
+  // buckets (skewed sign patterns) are the residual risk: salting
+  // (Skew.scala) or AQE skew-join splits them.
+  val PairBands = 8
+  val PairRows = 2
+
+  lazy val pairPlanes: Array[Array[Int]] = mkPlanes(PairBands * PairRows)
+
+  /** Band keys: element b is band b's bucket id, offset so keys are
+    * globally unique across bands (b·2^rows + sign bits).
+    */
+  private def bandKeysCol: Column = array((0 until PairBands).map { b =>
+    ((0 until PairRows).map { j =>
+      val lits = array(pairPlanes(b * PairRows + j).map(v => lit(v.toLong)): _*)
+      val proj = graft.functions.DotProductLong.dot_product_long(col("sv"), lits)
+      when(proj >= 0, lit(1 << j)).otherwise(0)
+    }.reduce(_ + _) + lit(b * (1 << PairRows))).cast("int")
+  }: _*)
+
+  def q77EmbeddingNeardupBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val all = withScaledNorm(Tables.embeddingsSharded(spark, dir))
+      .withColumn("bkeys", bandKeysCol)
+    // foldable explode + element_at, not explode(bkeys): the inferred
+    // size(bkeys) > 0 filter would otherwise inline the 16-projection
+    // pipeline below the exchange (q32's InferFiltersFromGenerate trap)
+    def banded(df: DataFrame): DataFrame = df
+      .withColumn("band", explode(sequence(lit(0), lit(PairBands - 1))))
+      .withColumn("bkey", element_at(col("bkeys"), col("band") + 1))
+    val a = banded(all.filter(col("vec_id") % 10 === 0))
+      .select(col("vec_id").as("vec_a"), col("sv").as("asv"),
+        col("nrm").as("anrm"), col("label").as("label_a"),
+        col("bkeys").as("abkeys"), col("band").as("aband"), col("bkey").as("abkey"))
+    val b = banded(all)
+    val firstCollidingBand =
+      array_position(zip_with(col("abkeys"), col("bkeys"), (x, y) => x === y), true) - 1
+    a.join(b,
+        col("abkey") === col("bkey") && col("vec_a") < col("vec_id") &&
+          firstCollidingBand === col("aband"))
+      .select(col("vec_a"), col("vec_id").as("vec_b"),
+        cosine(dot(col("asv"), col("sv")), col("anrm"), col("nrm")).as("cos"),
+        (col("label_a") === col("label")).as("same_label"))
+      .filter(col("cos") >= 0.4)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Band-key SQL for band b — replays [[bandKeysCol]] exactly. */
+  private def sqlBandKey(b: Int): String = {
+    val terms = (0 until PairRows).map { j =>
+      val litList = pairPlanes(b * PairRows + j).mkString("[", ", ", "]")
+      s"""CASE WHEN CAST(list_sum(list_transform(generate_series(1, len(sv)),
+         |      i -> sv[i] * ($litList)[i])) AS BIGINT) >= 0 THEN ${1 << j} ELSE 0 END""".stripMargin
+    }.mkString("\n    + ")
+    s"$terms + ${b * (1 << PairRows)}"
+  }
+
+  val q77Oracle: String = {
+    val bandRows = (0 until PairBands).map { b =>
+      s"SELECT vec_id, CAST(${sqlBandKey(b)} AS INTEGER) AS bkey FROM base"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH base AS (
+       |  $SqlBase),
+       |bands AS (
+       |  $bandRows),
+       |cands AS (
+       |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM bands x JOIN bands y
+       |    ON x.bkey = y.bkey AND x.vec_id % 10 = 0 AND x.vec_id < y.vec_id),
+       |pairs AS (
+       |  SELECT vec_a, vec_b,
+       |    ${sqlCos(SqlDot)} AS cos,
+       |    a.label = b.label AS same_label
+       |  FROM cands
+       |  JOIN base a ON vec_a = a.vec_id
+       |  JOIN base b ON vec_b = b.vec_id)
+       |SELECT vec_a, vec_b, cos, same_label FROM pairs
+       |WHERE cos >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_cosine_topk" -> q34CosineTopk,
     "q35_lsh_ann" -> q35LshAnn,
-    "q36_embedding_neardup" -> q36EmbeddingNeardup)
+    "q36_embedding_neardup" -> q36EmbeddingNeardup,
+    "q77_embedding_neardup_bucketed" -> q77EmbeddingNeardupBucketed)
 
   def oracleSql: Map[String, String] = Map(
     "q34_cosine_topk" -> q34Oracle,
     "q35_lsh_ann" -> q35Oracle,
-    "q36_embedding_neardup" -> q36Oracle)
+    "q36_embedding_neardup" -> q36Oracle,
+    "q77_embedding_neardup_bucketed" -> q77Oracle)
 }

@@ -1,0 +1,37 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** q77 (bucketed embedding near-dup pairs) against q36 (the exact
+  * nested-loop baseline it replaces at scale): every bucketed pair must
+  * exist in the exact scan with identical cosine/label values, and the
+  * plan must be the bucket equi-join — not a nested loop.
+  */
+class SimilarityBucketedSpec extends SparkSpec {
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("q77 pairs are a value-identical subset of the exact q36 scan") {
+    val exact = Similarity.q36EmbeddingNeardup(spark, dir).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")) ->
+        (r.getAs[Double]("cos"), r.getAs[Boolean]("same_label"))).toMap
+    val bucketed = Similarity.q77EmbeddingNeardupBucketed(spark, dir).collect()
+    assert(bucketed.nonEmpty, "bucketed pair scan found no pairs on the fixture")
+    bucketed.foreach { r =>
+      val k = (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))
+      assert(exact.contains(k), s"pair $k not in the exact scan")
+      assert(exact(k) == (r.getAs[Double]("cos"), r.getAs[Boolean]("same_label")),
+        s"pair $k differs from the exact scan")
+    }
+  }
+
+  test("q77 plans a bucket equi-join, never a nested loop") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = Similarity.q77EmbeddingNeardupBucketed(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+}
