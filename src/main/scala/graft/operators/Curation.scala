@@ -229,7 +229,11 @@ object Curation {
   val SeqLen = 2048
   val PackShards = 32
 
-  def q74SequencePacking(spark: SparkSession, dir: String): DataFrame = {
+  /** The packed-window table without q74's presentation sort — q78
+    * consumes this directly so the corpus-sized window set is never
+    * globally ordered just to be re-shuffled by shard.
+    */
+  private def packedWindows(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documentsSharded(spark, dir)
       .select(col("doc_id"), (col("doc_id") % PackShards).cast("int").as("shard"),
         size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
@@ -244,8 +248,10 @@ object Curation {
       .groupBy(col("shard"), col("win"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("win_tokens"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
-      .orderBy(col("shard"), col("win"))
   }
+
+  def q74SequencePacking(spark: SparkSession, dir: String): DataFrame =
+    packedWindows(spark, dir).orderBy(col("shard"), col("win"))
 
   val q74Oracle: String =
     s"""WITH docs AS (
@@ -262,13 +268,88 @@ object Curation {
        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
        |FROM offs GROUP BY 1, 2 ORDER BY shard, win""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q78 — deterministic shard writer: the last step of the training
+  // pipeline, after q74's packing. Each packed window gets a stable
+  // output shard from the md5 of its content key (engine-portable —
+  // the oracle replays it; a Spark-only deployment would use
+  // xxhash64), the windows are hash-SHUFFLED once on that shard and
+  // written as one parquet directory per shard, and the oracle-checked
+  // result is the per-shard MANIFEST (n_windows, n_tokens, content
+  // fingerprint) computed from the READ-BACK files — so the gate
+  // covers the write itself, not just the plan that fed it.
+  // Scale notes (100 TB): one repartition on out_shard (the
+  // "deterministic global shuffle"), no global sort anywhere —
+  // packedWindows is consumed unordered; OutShards would be thousands
+  // at scale (it only bounds files per directory). The content
+  // fingerprint is a commutative bit_xor of per-row 48-bit md5
+  // prefixes — order-insensitive, so no per-shard sort or collect_list
+  // is ever needed (window keys are unique by construction:
+  // shard:win is the group key of packedWindows).
+  val OutShards = 16
+
+  def q78ShardManifest(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = packedWindows(spark, dir)
+      .withColumn("wkey", concat_ws(":", col("shard"), col("win"), col("n_docs"),
+        col("win_tokens"), col("first_doc"), col("last_doc")))
+      .withColumn("out_shard",
+        conv(substring(md5(col("wkey")), 1, 1), 16, 10).cast("int"))
+    // one sub-directory per input dir: Bench warms at sf0.001 then
+    // measures at sf0.1 in the same session — a shared path would let
+    // one scale factor's shards answer the other's manifest
+    val sub = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val outDir = new java.io.File(
+      spark.conf.get("graft.shards.dir",
+        new java.io.File(sys.props("java.io.tmpdir"), "graft_q78_shards").getPath),
+      sub).getPath
+    keyed
+      .repartition(OutShards, col("out_shard"))
+      .write.mode("overwrite").partitionBy("out_shard").parquet(outDir)
+    spark.read.parquet(outDir)
+      .groupBy(col("out_shard"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(col("win_tokens")).as("n_tokens"),
+        expr("bit_xor(CAST(conv(substring(md5(wkey), 1, 12), 16, 10) AS BIGINT))")
+          .as("content_hash"))
+      .orderBy(col("out_shard"))
+  }
+
+  val q78Oracle: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, CAST(doc_id % $PackShards AS INTEGER) AS shard,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |offs AS (
+       |  SELECT doc_id, shard, n_tokens,
+       |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_off
+       |  FROM docs),
+       |packed AS (
+       |  SELECT shard, CAST(start_off // $SeqLen AS BIGINT) AS win, count(*) AS n_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS win_tokens,
+       |    min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |  FROM offs GROUP BY 1, 2),
+       |keyed AS (
+       |  SELECT win_tokens,
+       |    shard || ':' || win || ':' || n_docs || ':' || win_tokens || ':'
+       |      || first_doc || ':' || last_doc AS wkey
+       |  FROM packed)
+       |SELECT CAST(strpos('0123456789abcdef', substring(md5(wkey), 1, 1)) - 1 AS INTEGER)
+       |    AS out_shard,
+       |  count(*) AS n_windows,
+       |  CAST(sum(win_tokens) AS BIGINT) AS n_tokens,
+       |  bit_xor(CAST('0x' || substring(md5(wkey), 1, 12) AS BIGINT)) AS content_hash
+       |FROM keyed GROUP BY 1 ORDER BY out_shard""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q67_contamination" -> q67Contamination,
     "q68_tfidf_topterms" -> q68TfidfTopterms,
     "q69_repetition" -> q69Repetition,
     "q70_pii_scrub" -> q70PiiScrub,
     "q71_source_mixture" -> q71SourceMixture,
-    "q74_sequence_packing" -> q74SequencePacking)
+    "q74_sequence_packing" -> q74SequencePacking,
+    "q78_shard_manifest" -> q78ShardManifest)
 
   def oracleSql: Map[String, String] = Map(
     "q67_contamination" -> q67Oracle,
@@ -276,5 +357,6 @@ object Curation {
     "q69_repetition" -> q69Oracle,
     "q70_pii_scrub" -> q70Oracle,
     "q71_source_mixture" -> q71Oracle,
-    "q74_sequence_packing" -> q74Oracle)
+    "q74_sequence_packing" -> q74Oracle,
+    "q78_shard_manifest" -> q78Oracle)
 }
