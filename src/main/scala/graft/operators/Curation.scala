@@ -101,10 +101,14 @@ object Curation {
       .select(col("doc_id"), explode(toksCol).as("tok"))
     val tf = ex.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val n = Tables.documents(spark, dir).agg(count(lit(1)).cast("double").as("n_docs"))
-    val scored = tf.join(df, Seq("tok")).crossJoin(broadcast(n))
+    // n_docs is a bounded one-row aggregate: materialize it as a
+    // literal (one parquet-metadata-cheap count job) instead of
+    // crossJoin(broadcast(...)), which plans a 1-row nested loop —
+    // PlanRegressionSpec's sweep keeps registered plans nested-loop-free
+    val nDocs = Tables.documents(spark, dir).count().toDouble
+    val scored = tf.join(df, Seq("tok"))
       .select(col("doc_id"), col("tok"),
-        round(col("tf") * log(col("n_docs") / col("df")), 6).as("tfidf"))
+        round(col("tf") * log(lit(nDocs) / col("df")), 6).as("tfidf"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("tok"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
       .select(col("doc_id"), col("rk"), col("tok"), col("tfidf"))

@@ -68,6 +68,51 @@ class PlanRegressionSpec extends SparkSpec {
     }
   }
 
+  test("nested-loop plans are locked to exactly the two declared baselines") {
+    // q34/q36 are the documented exact-recall baselines whose non-equi
+    // joins plan a BroadcastNestedLoopJoin (their scale paths are
+    // q35/q49 and q77); EVERY other registered query must stay
+    // nested-loop- and cartesian-free — this pins the cartesian count
+    // so a new operator can't quietly ship an all-pairs scan.
+    // Streaming queries are skipped: invoking them runs a micro-batch
+    // and their returned frame is a memory-sink scan, so the batch plan
+    // check is meaningless for them (their state/join shapes are locked
+    // in StreamingSpec instead).
+    // One documented exemption: SurrogateKeys.assign's triangular
+    // prefix-sum join over per-PARTITION counts is non-equi (b._pid <
+    // a._pid) and so necessarily a nested loop — but its input is one
+    // row per partition, bounded by cluster parallelism, never by data.
+    // It is recognized by its condition on the internal _pid column;
+    // any nested loop whose condition does NOT touch _pid is data-sized
+    // and fails the sweep.
+    val streaming = Set("q45_stream_hourly", "q46_stream_sessions",
+      "q72_stream_dedup", "q73_stream_join")
+    val baselines = Set("q34_cosine_topk", "q36_embedding_neardup")
+    def dataSizedNestedLoops(
+        plan: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+      plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+            if !j.condition.exists(_.toString.contains("_pid")) =>
+          j.nodeName
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec =>
+          c.nodeName
+      }
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try graft.SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(streaming).foreach { q =>
+        val nested = dataSizedNestedLoops(
+          graft.SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan)
+        if (baselines(q))
+          assert(nested.nonEmpty, s"$q is a declared nested-loop baseline but " +
+            "planned none — it got a scale path; move it out of the baseline set")
+        else assert(nested.isEmpty,
+          s"$q plans a data-sized nested-loop join: ${nested.mkString(", ")}")
+        spark.catalog.clearCache()
+      }
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("no interpreted UDF stages in any registered hot path") {
     // Scala UDFs render as "UDF(" in executedPlan.toString (verified
     // against this Spark build — "ScalaUDF" never appears there)
