@@ -226,10 +226,22 @@ object Dedup {
     */
   val MaxClusterIters = 50
 
-  def q76DedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = q32MinhashNeardup(spark, dir).select(col("doc_a"), col("doc_b"))
-    val docs = Tables.documentsSharded(spark, dir)
-      .filter(col("doc_id") % 5 === 0).select(col("doc_id"))
+  /** Distributed min-label connected components over an undirected
+    * pair list: every doc in `docs` is labelled with the smallest
+    * doc_id reachable through `pairs` (singletons label themselves).
+    *
+    * Delta iteration: each round joins the edge list against only the
+    * FRONTIER — labels that improved last round — because a label that
+    * did not change has already sent its (monotonically decreasing)
+    * value to every neighbour in the round it last changed, so only
+    * frontier labels can lower a neighbour's min. Round count stays
+    * O(diameter) (near-dup components are dense, typically 1–3), but
+    * per-round join work decays with the shrinking frontier instead of
+    * re-scanning every label — on a 100 TB corpus the first round
+    * touches everything and subsequent rounds only the still-moving
+    * fringe, which is what makes O(d) rounds affordable.
+    */
+  def connectedComponents(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("u", "v").cache()
@@ -241,10 +253,12 @@ object Dedup {
     var cpLabels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
       .localCheckpoint(true)
     var labels = cpLabels
+    // round 0: every label is "new", so the frontier is all of them
+    var frontier = labels
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < MaxClusterIters) {
-      val nbrMin = edges.join(labels, edges("v") === labels("doc_id"))
+      val nbrMin = edges.join(frontier, edges("v") === frontier("doc_id"))
         .groupBy(col("u")).agg(min(col("cluster_id")).as("nbr_min"))
       // LAZY checkpoint + count = ONE job per iteration: the change
       // count below is the checkpoint's materializing action, so a
@@ -262,6 +276,9 @@ object Dedup {
         "superseded label generation was not a checkpoint — leak reintroduced")
       cpLabels = stepped
       labels = stepped.select(col("doc_id"), col("next_id").as("cluster_id"))
+      // both are cheap scans over the freshly persisted blocks
+      frontier = stepped.filter(col("next_id") =!= col("cluster_id"))
+        .select(col("doc_id"), col("next_id").as("cluster_id"))
       iter += 1
     }
     edges.unpersist()
@@ -269,11 +286,18 @@ object Dedup {
     // with a labelling that LOOKS valid but isn't — fail loud instead
     // of returning wrong cluster ids
     require(changed == 0,
-      s"q76 connected components did not converge within $MaxClusterIters " +
+      s"connected components did not converge within $MaxClusterIters " +
         s"iterations ($changed labels still moving) — the pair graph has a " +
         "longer chain than any near-dup corpus should; raise " +
         "MaxClusterIters or investigate the edge list")
-    labels.orderBy(col("doc_id"))
+    labels
+  }
+
+  def q76DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = q32MinhashNeardup(spark, dir).select(col("doc_a"), col("doc_b"))
+    val docs = Tables.documentsSharded(spark, dir)
+      .filter(col("doc_id") % 5 === 0).select(col("doc_id"))
+    connectedComponents(docs, pairs).orderBy(col("doc_id"))
   }
 
   // the q32 pair query nests as a CTE body (DuckDB allows a full

@@ -36,6 +36,33 @@ class DedupClustersSpec extends SparkSpec {
     }
   }
 
+  test("a 30-hop chain converges to one component (frontier propagation)") {
+    // a path graph is the worst case for label propagation: diameter =
+    // n-1, so the min label must walk the whole chain hop by hop —
+    // before MaxClusterIters was raised and guarded, a >20-hop chain
+    // silently returned wrong labels
+    import spark.implicits._
+    val n = 31
+    val docs = (0L until n).toDF("doc_id")
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(docs, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == n)
+    assert(labels.values.forall(_ == 0L),
+      s"chain did not fully converge: ${labels.filter(_._2 != 0L)}")
+  }
+
+  test("a >MaxClusterIters-diameter graph fails loud, not silently wrong") {
+    import spark.implicits._
+    val n = Dedup.MaxClusterIters + 10
+    val docs = (0L until n.toLong).toDF("doc_id")
+    val pairs = (0L until n.toLong - 1).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(docs, pairs).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("superseded label generations do not pile up on executors") {
     val before = spark.sparkContext.getPersistentRDDs.size
     assert(Dedup.q76DedupClusters(spark, dir).count() > 0)
