@@ -234,7 +234,13 @@ object Similarity {
     }.reduce(_ + _) + lit(b * (1 << PairRows))).cast("int")
   }: _*)
 
-  def q77EmbeddingNeardupBucketed(spark: SparkSession, dir: String): DataFrame = {
+  /** The banded pair scan shared by q77 (sampled a-side, pair report)
+    * and q79 (full graph, keep/discard decision): emits
+    * (vec_a, vec_b, cos, same_label) for bucket-colliding pairs with
+    * cos ≥ 0.4, vec_a < vec_b, vec_a restricted by `aFilter`.
+    */
+  private[operators] def bandedPairScan(spark: SparkSession, dir: String,
+      aFilter: Option[Column]): DataFrame = {
     val all = withScaledNorm(Tables.embeddingsSharded(spark, dir))
       .withColumn("bkeys", bandKeysCol)
     // foldable explode + element_at, not explode(bkeys): the inferred
@@ -243,7 +249,7 @@ object Similarity {
     def banded(df: DataFrame): DataFrame = df
       .withColumn("band", explode(sequence(lit(0), lit(PairBands - 1))))
       .withColumn("bkey", element_at(col("bkeys"), col("band") + 1))
-    val a = banded(all.filter(col("vec_id") % 10 === 0))
+    val a = banded(aFilter.fold(all)(all.filter))
       .select(col("vec_id").as("vec_a"), col("sv").as("asv"),
         col("nrm").as("anrm"), col("label").as("label_a"),
         col("bkeys").as("abkeys"), col("band").as("aband"), col("bkey").as("abkey"))
@@ -257,8 +263,11 @@ object Similarity {
         cosine(dot(col("asv"), col("sv")), col("anrm"), col("nrm")).as("cos"),
         (col("label_a") === col("label")).as("same_label"))
       .filter(col("cos") >= 0.4)
-      .orderBy(col("vec_a"), col("vec_b"))
   }
+
+  def q77EmbeddingNeardupBucketed(spark: SparkSession, dir: String): DataFrame =
+    bandedPairScan(spark, dir, Some(col("vec_id") % 10 === 0))
+      .orderBy(col("vec_a"), col("vec_b"))
 
   /** Band-key SQL for band b — replays [[bandKeysCol]] exactly. */
   private def sqlBandKey(b: Int): String = {
@@ -293,15 +302,59 @@ object Similarity {
        |WHERE cos >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // q79 — the semantic-dedup DECISION the pair scan exists for: greedy
+  // keep/discard over the FULL banded pair graph (no query sample —
+  // every vector is a candidate on both sides). A vector is discarded
+  // iff it has a bucket-colliding near-dup (cos ≥ 0.4) with a smaller
+  // vec_id; kept vectors survive via left-anti join — the embedding
+  // analogue of q56's minhash keepers. Scale notes: same equi-join
+  // shape as q77 (nothing broadcast, nothing nested-loop); the discard
+  // set scales with the corpus, so the anti join stays shuffled and
+  // AQE may downgrade it to broadcast when small.
+  def q79EmbeddingKeepers(spark: SparkSession, dir: String): DataFrame = {
+    val discards = bandedPairScan(spark, dir, None)
+      .select(col("vec_b").as("vec_id")).distinct()
+    Tables.embeddingsSharded(spark, dir)
+      .select(col("vec_id"), col("label"))
+      .join(discards, Seq("vec_id"), "left_anti")
+      .orderBy(col("vec_id"))
+  }
+
+  val q79Oracle: String = {
+    val bandRows = (0 until PairBands).map { b =>
+      s"SELECT vec_id, CAST(${sqlBandKey(b)} AS INTEGER) AS bkey FROM base"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH base AS (
+       |  $SqlBase),
+       |bands AS (
+       |  $bandRows),
+       |cands AS (
+       |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM bands x JOIN bands y
+       |    ON x.bkey = y.bkey AND x.vec_id < y.vec_id),
+       |discards AS (
+       |  SELECT DISTINCT vec_b
+       |  FROM cands
+       |  JOIN base a ON vec_a = a.vec_id
+       |  JOIN base b ON vec_b = b.vec_id
+       |  WHERE ${sqlCos(SqlDot)} >= 0.4)
+       |SELECT vec_id, label FROM embeddings
+       |WHERE vec_id NOT IN (SELECT vec_b FROM discards)
+       |ORDER BY vec_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_cosine_topk" -> q34CosineTopk,
     "q35_lsh_ann" -> q35LshAnn,
     "q36_embedding_neardup" -> q36EmbeddingNeardup,
-    "q77_embedding_neardup_bucketed" -> q77EmbeddingNeardupBucketed)
+    "q77_embedding_neardup_bucketed" -> q77EmbeddingNeardupBucketed,
+    "q79_embedding_keepers" -> q79EmbeddingKeepers)
 
   def oracleSql: Map[String, String] = Map(
     "q34_cosine_topk" -> q34Oracle,
     "q35_lsh_ann" -> q35Oracle,
     "q36_embedding_neardup" -> q36Oracle,
-    "q77_embedding_neardup_bucketed" -> q77Oracle)
+    "q77_embedding_neardup_bucketed" -> q77Oracle,
+    "q79_embedding_keepers" -> q79Oracle)
 }

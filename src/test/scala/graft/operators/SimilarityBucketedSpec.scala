@@ -25,6 +25,18 @@ class SimilarityBucketedSpec extends SparkSpec {
     }
   }
 
+  test("q79 keepers and the full pair scan's discards partition the vectors") {
+    val discards = Similarity.bandedPairScan(spark, dir, None)
+      .select("vec_b").distinct().collect().map(_.getLong(0)).toSet
+    val keepers = Similarity.q79EmbeddingKeepers(spark, dir)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val all = graft.sources.Tables.embeddings(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(discards.nonEmpty && keepers.nonEmpty)
+    assert(keepers.intersect(discards).isEmpty, "a discarded vector was kept")
+    assert(keepers ++ discards == all, "keep/discard must partition the set")
+  }
+
   test("q77 plans a bucket equi-join, never a nested loop") {
     val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
