@@ -111,6 +111,32 @@ class FunctionPropertySpec extends SparkSpec {
     })
   }
 
+  test("dot_product_long matches the HOF formulation it replaced") {
+    import spark.implicits._
+    val elem = Gen.choose(-1000000L, 1000000L)
+    val samePair = Gen.choose(0, 8).flatMap(n =>
+      Gen.zip(Gen.listOfN(n, elem), Gen.listOfN(n, elem)))
+    check(Prop.forAll(samePair) { case (a, b) =>
+      val df = Seq((a, b)).toDF("a", "b")
+      val hof = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x)
+      val expected = df.select(hof).first()
+      val got = df.select(
+        DotProductLong.dot_product_long(col("a"), col("b"))).first()
+      got.isNullAt(0) == expected.isNullAt(0) &&
+        (got.isNullAt(0) || got.getLong(0) == expected.getLong(0))
+    })
+    // length mismatch → null on BOTH forms (zip_with pads the shorter
+    // side with null, nulling the whole sum) — the contract that makes
+    // RewriteDotProduct a sound rewrite
+    val mismatched = Seq((Seq(1L, 2L), Seq(3L))).toDF("a", "b")
+    assert(mismatched.select(
+      DotProductLong.dot_product_long(col("a"), col("b"))).first().isNullAt(0))
+    assert(mismatched.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x)).first().isNullAt(0))
+  }
+
   test("topk_by equals a straight-line reference on random scored rows") {
     import spark.implicits._
     val row = for {
