@@ -149,15 +149,81 @@ object StreamingQueries {
       |  ON a.user_id = b.user_id AND b.sec > a.sec AND b.sec <= a.sec + 600
       |ORDER BY event_a, event_b""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q80 — streaming ingestion into partitioned parquet shards via
+  // foreachBatch: the streaming dual of q78's batch shard writer, and
+  // the file-SINK coverage the other streaming queries (memory sink)
+  // don't exercise. Each micro-batch appends into one parquet
+  // directory per shard (event_id % 16); after the finite source
+  // drains, the oracle-checked result is the per-shard manifest
+  // computed from the READ-BACK files, so the gate covers the sink
+  // path end-to-end. The manifest is integer-only (count, id bounds,
+  // commutative bit_xor content hash), so append order and micro-batch
+  // boundaries cannot drift it.
+  // Scale notes: foreachBatch + append/partitionBy is the standard
+  // per-batch parquet ingestion shape (production reruns are
+  // idempotent via the checkpoint; the fixture run resets checkpoint
+  // and output so a rerun is deterministic). No streaming state — the
+  // only shuffle is the per-batch write repartition on the shard key.
+  val SinkShards = 16
+
+  def q80StreamShardSink(spark: SparkSession, dir: String): DataFrame = {
+    val ss = EventsStreaming.streamSession(spark)
+    val sub = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val base = new java.io.File(
+      spark.conf.get("graft.shards.dir",
+        new java.io.File(sys.props("java.io.tmpdir"), "graft_q80_sink").getPath))
+    val outDir = new java.io.File(base, sub).getPath
+    val ckptDir = new java.io.File(base, sub + "_ckpt").getPath
+    // deterministic rerun: a kept checkpoint over a finite source would
+    // skip the already-seen file and leave a stale outDir answering the
+    // manifest — reset both before starting
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      ss.sparkContext.hadoopConfiguration)
+    Seq(outDir, ckptDir).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    val q = EventsStreaming.readEventsStream(ss, dir)
+      .withColumn("shard", (col("event_id") % SinkShards).cast("int"))
+      .writeStream
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        batch.repartition(SinkShards, col("shard"))
+          .write.mode("append").partitionBy("shard").parquet(outDir)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(outDir)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("min_event"),
+        max(col("event_id")).as("max_event"),
+        expr("bit_xor(CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 12), 16, 10) AS BIGINT))")
+          .as("content_hash"))
+      .orderBy(col("shard"))
+  }
+
+  val q80Oracle: String =
+    s"""SELECT CAST(event_id % $SinkShards AS INTEGER) AS shard,
+       |  COUNT(*) AS n_events,
+       |  MIN(event_id) AS min_event, MAX(event_id) AS max_event,
+       |  bit_xor(CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 12) AS BIGINT)) AS content_hash
+       |FROM events GROUP BY 1 ORDER BY shard""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_stream_hourly" -> q45StreamHourly,
     "q46_stream_sessions" -> q46StreamSessions,
     "q72_stream_dedup" -> q72StreamDedup,
-    "q73_stream_join" -> q73StreamJoin)
+    "q73_stream_join" -> q73StreamJoin,
+    "q80_stream_shard_sink" -> q80StreamShardSink)
 
   def oracleSql: Map[String, String] = Map(
     "q45_stream_hourly" -> q45Oracle,
     "q46_stream_sessions" -> q46Oracle,
     "q72_stream_dedup" -> q72Oracle,
-    "q73_stream_join" -> q73Oracle)
+    "q73_stream_join" -> q73Oracle,
+    "q80_stream_shard_sink" -> q80Oracle)
 }

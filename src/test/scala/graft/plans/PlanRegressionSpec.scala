@@ -86,7 +86,7 @@ class PlanRegressionSpec extends SparkSpec {
     // any nested loop whose condition does NOT touch _pid is data-sized
     // and fails the sweep.
     val streaming = Set("q45_stream_hourly", "q46_stream_sessions",
-      "q72_stream_dedup", "q73_stream_join")
+      "q72_stream_dedup", "q73_stream_join", "q80_stream_shard_sink")
     val baselines = Set("q34_cosine_topk", "q36_embedding_neardup")
     def dataSizedNestedLoops(
         plan: org.apache.spark.sql.execution.SparkPlan): Seq[String] =

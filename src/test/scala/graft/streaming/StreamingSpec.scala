@@ -89,6 +89,23 @@ class StreamingSpec extends SparkSpec {
     assert(got.select(col("event_id")).distinct().count() == base.count())
   }
 
+  test("stream shard sink writes real shard dirs and reruns deterministically") {
+    val a = StreamingQueries.q80StreamShardSink(spark, dir).collect()
+    assert(a.nonEmpty)
+    // the manifest matches the batch aggregate over the source table
+    val expect = graft.sources.Tables.events(spark, dir)
+      .groupBy((col("event_id") % StreamingQueries.SinkShards).cast("int").as("shard"))
+      .agg(count(lit(1)).as("n_events"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    a.foreach { r =>
+      assert(r.getAs[Long]("n_events") == expect(r.getAs[Int]("shard")),
+        s"shard ${r.getAs[Int]("shard")} row count drifted from the source")
+    }
+    // a rerun resets checkpoint + output and reproduces the manifest
+    val b = StreamingQueries.q80StreamShardSink(spark, dir).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+  }
+
   test("stream shuffle-partition pin is isolated from the parent session") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     val ss = EventsStreaming.streamSession(spark)
