@@ -233,14 +233,19 @@ object Curation {
   val SeqLen = 2048
   val PackShards = 32
 
-  /** The packed-window table without q74's presentation sort — q78
-    * consumes this directly so the corpus-sized window set is never
+  /** (doc_id, shard, n_tokens) from any (doc_id, text, ...) input —
+    * the packing front-end, parameterized so q81 can feed the KEPT
+    * document set instead of the whole corpus.
+    */
+  private def tokenized(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), (col("doc_id") % PackShards).cast("int").as("shard"),
+      size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+
+  /** The packed-window table without q74's presentation sort — q78/q81
+    * consume this directly so the corpus-sized window set is never
     * globally ordered just to be re-shuffled by shard.
     */
-  private def packedWindows(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documentsSharded(spark, dir)
-      .select(col("doc_id"), (col("doc_id") % PackShards).cast("int").as("shard"),
-        size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+  private def packedWindowsOf(docs: DataFrame): DataFrame = {
     // ROWS frame explicitly: Spark's default is RANGE, which on an
     // order-key tie would sum both peers into both rows' totals while
     // the oracle's ROWS frame gives distinct prefix sums
@@ -253,6 +258,9 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("win_tokens"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
   }
+
+  private def packedWindows(spark: SparkSession, dir: String): DataFrame =
+    packedWindowsOf(tokenized(Tables.documentsSharded(spark, dir)))
 
   def q74SequencePacking(spark: SparkSession, dir: String): DataFrame =
     packedWindows(spark, dir).orderBy(col("shard"), col("win"))
@@ -292,12 +300,27 @@ object Curation {
   // shard:win is the group key of packedWindows).
   val OutShards = 16
 
+  /** Content key + output shard for a packed-window frame — shared by
+    * q78 (which writes, then manifests the read-back) and q81 (which
+    * manifests in-plan).
+    */
+  private def withShardKey(packed: DataFrame): DataFrame = packed
+    .withColumn("wkey", concat_ws(":", col("shard"), col("win"), col("n_docs"),
+      col("win_tokens"), col("first_doc"), col("last_doc")))
+    .withColumn("out_shard",
+      conv(substring(md5(col("wkey")), 1, 1), 16, 10).cast("int"))
+
+  /** Per-shard manifest of any (out_shard, win_tokens, wkey) frame. */
+  private def manifestOf(df: DataFrame): DataFrame = df
+    .groupBy(col("out_shard"))
+    .agg(count(lit(1)).as("n_windows"),
+      sum(col("win_tokens")).as("n_tokens"),
+      expr("bit_xor(CAST(conv(substring(md5(wkey), 1, 12), 16, 10) AS BIGINT))")
+        .as("content_hash"))
+    .orderBy(col("out_shard"))
+
   def q78ShardManifest(spark: SparkSession, dir: String): DataFrame = {
-    val keyed = packedWindows(spark, dir)
-      .withColumn("wkey", concat_ws(":", col("shard"), col("win"), col("n_docs"),
-        col("win_tokens"), col("first_doc"), col("last_doc")))
-      .withColumn("out_shard",
-        conv(substring(md5(col("wkey")), 1, 1), 16, 10).cast("int"))
+    val keyed = withShardKey(packedWindows(spark, dir))
     // one sub-directory per input dir: Bench warms at sf0.001 then
     // measures at sf0.1 in the same session — a shared path would let
     // one scale factor's shards answer the other's manifest
@@ -310,20 +333,17 @@ object Curation {
     keyed
       .repartition(OutShards, col("out_shard"))
       .write.mode("overwrite").partitionBy("out_shard").parquet(outDir)
-    spark.read.parquet(outDir)
-      .groupBy(col("out_shard"))
-      .agg(count(lit(1)).as("n_windows"),
-        sum(col("win_tokens")).as("n_tokens"),
-        expr("bit_xor(CAST(conv(substring(md5(wkey), 1, 12), 16, 10) AS BIGINT))")
-          .as("content_hash"))
-      .orderBy(col("out_shard"))
+    manifestOf(spark.read.parquet(outDir))
   }
 
-  val q78Oracle: String =
-    s"""WITH docs AS (
-       |  SELECT doc_id, CAST(doc_id % $PackShards AS INTEGER) AS shard,
-       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-       |  FROM documents),
+  /** The DuckDB packing + manifest tail over a caller-supplied `docs`
+    * CTE chain — the SQL twin of tokenized→packedWindowsOf→withShardKey
+    * →manifestOf, shared by q78 and q81 so the two oracles cannot
+    * drift. `docsCtes` must end with a CTE named `docs` of
+    * (doc_id, shard, n_tokens).
+    */
+  private def sqlPackManifest(docsCtes: String): String =
+    s"""WITH $docsCtes,
        |offs AS (
        |  SELECT doc_id, shard, n_tokens,
        |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
@@ -346,6 +366,46 @@ object Curation {
        |  bit_xor(CAST('0x' || substring(md5(wkey), 1, 12) AS BIGINT)) AS content_hash
        |FROM keyed GROUP BY 1 ORDER BY out_shard""".stripMargin
 
+  val q78Oracle: String = sqlPackManifest(
+    s"""docs AS (
+       |  SELECT doc_id, CAST(doc_id % $PackShards AS INTEGER) AS shard,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents)""".stripMargin)
+
+  // --------------------------------------------------------------------
+  // q81 — the training pipeline END-TO-END as one oracle-checked lazy
+  // plan: minhash near-dup keep/discard (q56's keeper set) → sequence
+  // packing over ONLY the kept documents (q74's windows) → per-shard
+  // manifest (q78's key/hash, computed in-plan; the file write itself
+  // is q78's covered concern). This is the composition the operator
+  // tier exists for, and the whole chain — LSH banding, verify,
+  // anti join, per-shard prefix sums, shard hashing — is replayed by
+  // one DuckDB query, so the gate certifies the PIPELINE, not just its
+  // stages. Scale notes: no stage collects or broadcasts a corpus-
+  // sized side; the sorts inside q56/q32 compositions are eliminated
+  // (keeperSet is the sort-free core), so the plan is the one you
+  // would run at 100 TB, end to end.
+  def q81TrainingPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val kept = Dedup.keeperSet(spark, dir).select(col("doc_id"))
+    val docs = Tables.documentsSharded(spark, dir)
+      .join(kept, Seq("doc_id"))
+    manifestOf(withShardKey(packedWindowsOf(tokenized(docs))))
+  }
+
+  val q81Oracle: String = {
+    val pairs = Dedup.q32Oracle.replace("ORDER BY doc_a, doc_b", "")
+    sqlPackManifest(
+      s"""pairs AS (
+         |$pairs
+         |),
+         |docs AS (
+         |  SELECT doc_id, CAST(doc_id % $PackShards AS INTEGER) AS shard,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |  WHERE doc_id % 5 = 0
+         |    AND doc_id NOT IN (SELECT doc_b FROM pairs))""".stripMargin)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q67_contamination" -> q67Contamination,
     "q68_tfidf_topterms" -> q68TfidfTopterms,
@@ -353,7 +413,8 @@ object Curation {
     "q70_pii_scrub" -> q70PiiScrub,
     "q71_source_mixture" -> q71SourceMixture,
     "q74_sequence_packing" -> q74SequencePacking,
-    "q78_shard_manifest" -> q78ShardManifest)
+    "q78_shard_manifest" -> q78ShardManifest,
+    "q81_training_pipeline" -> q81TrainingPipeline)
 
   def oracleSql: Map[String, String] = Map(
     "q67_contamination" -> q67Oracle,
@@ -362,5 +423,6 @@ object Curation {
     "q70_pii_scrub" -> q70Oracle,
     "q71_source_mixture" -> q71Oracle,
     "q74_sequence_packing" -> q74Oracle,
-    "q78_shard_manifest" -> q78Oracle)
+    "q78_shard_manifest" -> q78Oracle,
+    "q81_training_pipeline" -> q81Oracle)
 }

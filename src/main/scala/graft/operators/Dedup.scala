@@ -180,7 +180,11 @@ object Dedup {
   // discards = distinct doc_b); kept documents survive via left-anti
   // join. Output is the kept set — what a training-data pipeline
   // actually ships downstream.
-  def q56DedupKeepers(spark: SparkSession, dir: String): DataFrame = {
+  /** The kept set without q56's presentation sort — composable (q81's
+    * training pipeline consumes it mid-plan, where a global sort would
+    * be a wasted corpus-sized exchange).
+    */
+  def keeperSet(spark: SparkSession, dir: String): DataFrame = {
     val pairs = q32MinhashNeardup(spark, dir)
     // NO broadcast hint on the discard set: it scales with the corpus
     // (a near-dup-heavy 100 TB corpus discards billions of ids), so the
@@ -191,8 +195,10 @@ object Dedup {
       .filter(col("doc_id") % 5 === 0)
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .join(discards, Seq("doc_id"), "left_anti")
-      .orderBy(col("doc_id"))
   }
+
+  def q56DedupKeepers(spark: SparkSession, dir: String): DataFrame =
+    keeperSet(spark, dir).orderBy(col("doc_id"))
 
   val q56Oracle: String = {
     // q32's full candidate/verify pipeline, reduced to the kept set

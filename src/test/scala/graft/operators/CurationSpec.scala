@@ -67,6 +67,21 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("training pipeline conserves exactly the kept documents' tokens") {
+    val manifest = Curation.q81TrainingPipeline(spark, dir).collect()
+    val keptTokens = Dedup.q56DedupKeepers(spark, dir)
+      .select(col("doc_id"))
+      .join(graft.sources.Tables.documents(spark, dir), Seq("doc_id"))
+      .select(sum(size(split(col("text"), " ")).cast("bigint")))
+      .collect()(0).getLong(0)
+    assert(manifest.nonEmpty)
+    assert(manifest.map(_.getAs[Long]("n_tokens")).sum == keptTokens,
+      "end-to-end pipeline must conserve the kept documents' token count")
+    assert(manifest.forall { r =>
+      val s = r.getAs[Int]("out_shard"); s >= 0 && s < Curation.OutShards
+    })
+  }
+
   test("source mixture keeps a deterministic subset at roughly the configured rates") {
     val a = Curation.q71SourceMixture(spark, dir).collect().map(_.getLong(0)).toSeq
     val b = Curation.q71SourceMixture(spark, dir).collect().map(_.getLong(0)).toSeq
