@@ -101,14 +101,25 @@ object Curation {
       .select(col("doc_id"), explode(toksCol).as("tok"))
     val tf = ex.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    // n_docs is a bounded one-row aggregate: materialize it as a
-    // literal (one parquet-metadata-cheap count job) instead of
-    // crossJoin(broadcast(...)), which plans a 1-row nested loop —
-    // PlanRegressionSpec's sweep keeps registered plans nested-loop-free
-    val nDocs = Tables.documents(spark, dir).count().toDouble
+    // n_docs joins in as a 1-row aggregate so the whole query stays ONE
+    // lazy plan (the previous eager .count() fired a job whenever the
+    // query map was merely invoked for its plan, and snapshotted the
+    // count at build time). The join key must be a constant the
+    // OPTIMIZER cannot see through, else the equi-join collapses to the
+    // cartesian product the nested-loop sweep bans: aliased literals
+    // fall to FoldablePropagation, and `x * 0` is folded for
+    // non-nullable x — `least(count, 0)` evaluates to 0 on every row
+    // (counts are non-negative) but constraint propagation cannot prove
+    // it, so the hash join survives. AQE broadcasts the 1-row side.
+    val nd = Tables.documents(spark, dir)
+      .agg(count(lit(1)).as("n_docs_l"))
+      .select(col("n_docs_l").cast("double").as("n_docs"),
+        least(col("n_docs_l"), lit(0L)).as("_k"))
     val scored = tf.join(df, Seq("tok"))
+      .withColumn("_k", least(col("df"), lit(0L)))
+      .join(nd, Seq("_k"))
       .select(col("doc_id"), col("tok"),
-        round(col("tf") * log(lit(nDocs) / col("df")), 6).as("tfidf"))
+        round(col("tf") * log(col("n_docs") / col("df")), 6).as("tfidf"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("tok"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
       .select(col("doc_id"), col("rk"), col("tok"), col("tfidf"))
@@ -321,15 +332,10 @@ object Curation {
 
   def q78ShardManifest(spark: SparkSession, dir: String): DataFrame = {
     val keyed = withShardKey(packedWindows(spark, dir))
-    // one sub-directory per input dir: Bench warms at sf0.001 then
-    // measures at sf0.1 in the same session — a shared path would let
-    // one scale factor's shards answer the other's manifest
-    val sub = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    val outDir = new java.io.File(
-      spark.conf.get("graft.shards.dir",
-        new java.io.File(sys.props("java.io.tmpdir"), "graft_q78_shards").getPath),
-      sub).getPath
+    // output root resolved through the Hadoop FS API and namespaced per
+    // query + input dir (see ShardPaths — cluster-safe default, no
+    // collision with q80 under the graft.shards.dir override)
+    val outDir = graft.sources.ShardPaths.resolve(spark, "q78", dir)
     keyed
       .repartition(OutShards, col("out_shard"))
       .write.mode("overwrite").partitionBy("out_shard").parquet(outDir)

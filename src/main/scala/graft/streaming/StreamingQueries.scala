@@ -160,42 +160,41 @@ object StreamingQueries {
   // path end-to-end. The manifest is integer-only (count, id bounds,
   // commutative bit_xor content hash), so append order and micro-batch
   // boundaries cannot drift it.
-  // Scale notes: foreachBatch + append/partitionBy is the standard
-  // per-batch parquet ingestion shape (production reruns are
-  // idempotent via the checkpoint; the fixture run resets checkpoint
-  // and output so a rerun is deterministic). No streaming state — the
-  // only shuffle is the per-batch write repartition on the shard key.
+  // Scale notes: each micro-batch OVERWRITES its own batchId-scoped
+  // subdirectory (batch=<id>/shard=<k>/...), which makes retries
+  // idempotent — a blind mode("append") into a shared directory is
+  // only at-least-once: a batch retried after a mid-write failure
+  // appends duplicate rows the checkpoint cannot undo. With
+  // batch-scoped paths the checkpoint + rerun story is exactly-once.
+  // No streaming state — the only shuffle is the per-batch write
+  // repartition on the shard key. Output roots resolve through
+  // ShardPaths (Hadoop FS API, per-query namespace — cluster-safe
+  // default, no collision with q78 under the graft.shards.dir
+  // override).
   val SinkShards = 16
 
-  def q80StreamShardSink(spark: SparkSession, dir: String): DataFrame = {
-    val ss = EventsStreaming.streamSession(spark)
-    val sub = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    val base = new java.io.File(
-      spark.conf.get("graft.shards.dir",
-        new java.io.File(sys.props("java.io.tmpdir"), "graft_q80_sink").getPath))
-    val outDir = new java.io.File(base, sub).getPath
-    val ckptDir = new java.io.File(base, sub + "_ckpt").getPath
-    // deterministic rerun: a kept checkpoint over a finite source would
-    // skip the already-seen file and leave a stale outDir answering the
-    // manifest — reset both before starting
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      ss.sparkContext.hadoopConfiguration)
-    Seq(outDir, ckptDir).foreach(p =>
-      fs.delete(new org.apache.hadoop.fs.Path(p), true))
-    val q = EventsStreaming.readEventsStream(ss, dir)
-      .withColumn("shard", (col("event_id") % SinkShards).cast("int"))
+  /** Start the shard-sink stream for `events`. Shared by q80 and the
+    * multi-batch StreamingSpec run.
+    */
+  private[graft] def shardSinkStart(events: DataFrame, outDir: String,
+      ckptDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.withColumn("shard", (col("event_id") % SinkShards).cast("int"))
       .writeStream
       .option("checkpointLocation", ckptDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-          _: Long) =>
+          batchId: Long) =>
         batch.repartition(SinkShards, col("shard"))
-          .write.mode("append").partitionBy("shard").parquet(outDir)
+          .write.mode("overwrite").partitionBy("shard")
+          .parquet(new org.apache.hadoop.fs.Path(outDir, s"batch=$batchId").toString)
         ()
       }
       .start()
-    q.processAllAvailable()
-    q.stop()
+
+  /** Per-shard manifest of the read-back shard files (partition
+    * discovery surfaces batch/shard; the manifest aggregates across
+    * batches, so micro-batch boundaries cannot drift it).
+    */
+  private[graft] def shardManifest(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(outDir)
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_events"),
@@ -204,6 +203,22 @@ object StreamingQueries {
         expr("bit_xor(CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 12), 16, 10) AS BIGINT))")
           .as("content_hash"))
       .orderBy(col("shard"))
+
+  def q80StreamShardSink(spark: SparkSession, dir: String): DataFrame = {
+    val ss = EventsStreaming.streamSession(spark)
+    val outDir = graft.sources.ShardPaths.resolve(ss, "q80", dir)
+    val ckptDir = graft.sources.ShardPaths.resolveCheckpoint(ss, "q80", dir)
+    // deterministic rerun: a kept checkpoint over a finite source would
+    // skip the already-seen file and leave a stale outDir answering the
+    // manifest — reset both before starting
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(ss.sessionState.newHadoopConf())
+    Seq(outDir, ckptDir).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    val q = shardSinkStart(EventsStreaming.readEventsStream(ss, dir), outDir, ckptDir)
+    q.processAllAvailable()
+    q.stop()
+    shardManifest(spark, outDir)
   }
 
   val q80Oracle: String =

@@ -30,11 +30,15 @@ class ShardWriterSpec extends SparkSpec {
     assert(manifest.forall { r =>
       val s = r.getAs[Int]("out_shard"); s >= 0 && s < Curation.OutShards
     })
-    // the write really happened: one out_shard=N directory per manifest row
-    val sub = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    // the write really happened: one out_shard=N directory per manifest
+    // row, under the ShardPaths-resolved (per-query-namespaced) root
+    val outDir = withShardDir {
+      graft.sources.ShardPaths.resolve(spark, "q78", dir)
+    }
+    assert(outDir.startsWith("file:") && outDir.contains("/q78_"),
+      s"q78 root not namespaced/qualified: $outDir")
     manifest.foreach { r =>
-      val d = new java.io.File(new java.io.File(shardRoot, sub),
+      val d = new java.io.File(new java.net.URI(outDir).getPath,
         s"out_shard=${r.getAs[Int]("out_shard")}")
       assert(d.isDirectory, s"missing shard directory $d")
     }
