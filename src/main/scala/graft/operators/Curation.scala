@@ -412,6 +412,187 @@ object Curation {
          |    AND doc_id NOT IN (SELECT doc_b FROM pairs))""".stripMargin)
   }
 
+  // --------------------------------------------------------------------
+  // q82 — the FULL curation pipeline as one oracle-checked lazy plan:
+  //   sample → decontaminate (q67's flags as an anti join, benchmark
+  //   slice dropped) → quality gates (q29 composite ≥ 0.55 AND q69
+  //   repetition ≤ 0.2, both on ROUNDED scores so the threshold
+  //   comparison is engine-stable) → PII scrub (q70's regex chain over
+  //   the real text — value-neutral on the clean fixture corpus but a
+  //   real plan stage, and downstream tokenization reads the SCRUBBED
+  //   text) → source-mixture sampling (q71's md5 threshold, keyed on
+  //   the scrubbed text) → minhash near-dup keep/discard (q32/q56 over
+  //   the SURVIVORS, not the raw sample) → sequence packing → per-shard
+  //   manifest. One DuckDB query replays every stage, so the gate
+  //   certifies the pipeline a pretraining run would execute — q81's
+  //   chain with the whole curation tier wired in ahead of dedup.
+  // Scale notes (100 TB): the stages compose without materialization —
+  // no stage collects, caches, or broadcasts a corpus-sized side. The
+  // contamination join shuffles on the shingle key with the benchmark
+  // side AQE-broadcast when genuinely small (same contract as q67);
+  // the quality gates are one explode+two-level aggregate joined back
+  // on doc_id; scrub and mixture are scan-side projections fused into
+  // the same stage; dedup and packing inherit q32/q74's shapes. The
+  // per-doc stage columns (quality, repetition) ride the doc_id
+  // partitioning, so the gate joins co-locate under one exchange.
+  val QualityMin = 0.55
+  val RepetitionMax = 0.2
+
+  /** Stage 1 — decontaminated sample: the %5 sample minus the benchmark
+    * slice and minus docs sharing ≥ ContaminationMinShingles 3-shingles
+    * with any benchmark doc. The train side is restricted to the sample
+    * (flags are only needed for docs the pipeline might keep).
+    */
+  private[operators] def decontaminated(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(spark, dir)
+    val bench = sh.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("bench_id"), explode_outer(col("sh")).as("g"))
+    val train = sh.filter(col("doc_id") % 5 === 0 && col("doc_id") % 97 =!= 0)
+      .select(col("doc_id").as("train_id"), explode_outer(col("sh")).as("g"))
+    val contaminated = train.join(bench, Seq("g"))
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= ContaminationMinShingles)
+      .select(col("train_id").as("doc_id")).distinct()
+    Tables.documentsSharded(spark, dir)
+      .filter(col("doc_id") % 5 === 0 && col("doc_id") % 97 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
+  /** Stage 2 — quality-gated: q29's composite and q69's repetition,
+    * thresholded on the rounded scores. The composite is row-local, so
+    * it is a scan-side FILTER fused into the stage-1 output (a join
+    * would re-derive the whole decontamination subtree for a value
+    * computable in place); only the repetition score — which needs the
+    * explode + two-level aggregate — joins back on doc_id.
+    */
+  private[operators] def qualityGated(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nToks = size(toks).cast("bigint")
+    val nUniq = size(array_distinct(toks)).cast("bigint")
+    val punct = (length(col("text"))
+      - length(regexp_replace(col("text"), "[.,;:!?]", ""))).cast("bigint")
+    val quality = round(lit(0.4) * least(lit(1.0), nToks / 100.0)
+      + lit(0.4) * (nUniq.cast("double") / nToks)
+      + lit(0.2) * (lit(1.0) - punct.cast("double") / col("n_chars")), 6)
+    val qualityOk = docs.filter(quality >= QualityMin)
+    val repetition = qualityOk
+      .select(col("doc_id"), explode(toksCol).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(round(max(col("c")).cast("double") / sum(col("c")), 6).as("repetition"))
+      .filter(col("repetition") <= RepetitionMax)
+    qualityOk.join(repetition.select(col("doc_id")), Seq("doc_id"))
+  }
+
+  /** Stages 3+4 — PII-scrubbed text, then the mixture filter keyed on
+    * the scrubbed text (one fused scan-side projection+filter).
+    */
+  private[operators] def scrubbedAndMixed(docs: DataFrame): DataFrame = {
+    val scrubbed = docs.select(col("doc_id"), col("source"),
+      regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+        IdRe, "<ID>").as("text"))
+    val key = substring(
+      md5(concat(col("doc_id").cast("string"), lit(":"), col("text"))), 1, 4)
+    val threshold = when(col("source") === "src0", "8000")
+      .when(col("source") === "src1", "4000").otherwise("2000")
+    scrubbed.filter(key < threshold)
+  }
+
+  /** Stage 5 — minhash near-dup keep/discard over the survivors. */
+  private[operators] def dedupKept(docs: DataFrame): DataFrame = {
+    val pairs = Dedup.minhashPairsOf(
+      docs.select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks")))
+    // shuffled anti join, same contract as q56: the discard set scales
+    // with the corpus, AQE downgrades to broadcast when small
+    val discards = pairs.select(col("doc_b").as("doc_id")).distinct()
+    docs.join(discards, Seq("doc_id"), "left_anti")
+  }
+
+  def q82CurationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    // cache the two multi-consumer stage boundaries: the decontaminated
+    // sample feeds both quality-gate branches (scan filter + repetition
+    // aggregate), and the post-mixture survivors feed dedupKept twice
+    // (pair scan + anti-join left side) — uncached, each consumer
+    // re-derives the whole upstream chain, and the contamination join
+    // ran 4x (measured 5.7s → 3.4s steady-state at sf0.1 with the
+    // caches). Both cuts are the stage MINIMA (decontaminated ≈ 2/3 of
+    // the sample, mixture ≈ 13%); at 100 TB a pipeline run persists
+    // stage boundaries to storage instead (q78's writer) — these are
+    // the same cut points. CONTRACT (as q40): callers owning a
+    // long-lived session clearCache() after consuming the result —
+    // Verify and Bench both do.
+    val kept = dedupKept(
+      scrubbedAndMixed(qualityGated(decontaminated(spark, dir).cache())).cache())
+    manifestOf(withShardKey(packedWindowsOf(tokenized(kept))))
+  }
+
+  val q82Oracle: String = {
+    val pairs = Dedup.sqlMinhashPairs("s4")
+    sqlPackManifest(
+      s"""shAll AS (
+         |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+         |    THEN list_transform(generate_series(1, len(t) - 2),
+         |           i -> array_to_string(t[i:i+2], ' '))
+         |    ELSE [array_to_string(t, ' ')] END) AS s
+         |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
+         |        FROM documents)),
+         |bench AS (
+         |  SELECT doc_id AS bench_id, unnest(s) AS g FROM shAll WHERE doc_id % 97 = 0),
+         |train AS (
+         |  SELECT doc_id AS train_id, unnest(s) AS g FROM shAll
+         |  WHERE doc_id % 5 = 0 AND doc_id % 97 <> 0),
+         |contam AS (
+         |  SELECT DISTINCT train_id AS doc_id FROM (
+         |    SELECT train_id, bench_id FROM train JOIN bench USING (g)
+         |    GROUP BY 1, 2 HAVING count(*) >= $ContaminationMinShingles)),
+         |s1 AS (
+         |  SELECT * FROM documents
+         |  WHERE doc_id % 5 = 0 AND doc_id % 97 <> 0
+         |    AND doc_id NOT IN (SELECT doc_id FROM contam)),
+         |qual AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id,
+         |      len(string_split(text, ' ')) AS n_tokens,
+         |      len(list_distinct(string_split(text, ' '))) AS n_uniq,
+         |      len(text) - len(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct,
+         |      n_chars
+         |    FROM s1)
+         |  WHERE round(0.4 * least(1.0, n_tokens / 100.0)
+         |      + 0.4 * (CAST(n_uniq AS DOUBLE) / n_tokens)
+         |      + 0.2 * (1.0 - CAST(punct AS DOUBLE) / n_chars), 6) >= $QualityMin),
+         |rep AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS r
+         |    FROM (SELECT doc_id, tok, count(*) AS c
+         |          FROM (SELECT doc_id,
+         |                  unnest(string_split(lower(trim(text)), ' ')) AS tok
+         |                FROM s1)
+         |          GROUP BY 1, 2)
+         |    GROUP BY doc_id)
+         |  WHERE r <= $RepetitionMax),
+         |s2 AS (
+         |  SELECT s1.* FROM s1 JOIN qual USING (doc_id) JOIN rep USING (doc_id)),
+         |s3 AS (
+         |  SELECT doc_id, source,
+         |    regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+         |      '$IdRe', '<ID>', 'g') AS text
+         |  FROM s2),
+         |s4 AS (
+         |  SELECT doc_id, text FROM s3
+         |  WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 4) <
+         |    CASE source WHEN 'src0' THEN '8000' WHEN 'src1' THEN '4000'
+         |      ELSE '2000' END),
+         |pairs AS (
+         |$pairs
+         |),
+         |docs AS (
+         |  SELECT doc_id, CAST(doc_id % $PackShards AS INTEGER) AS shard,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM s4
+         |  WHERE doc_id NOT IN (SELECT doc_b FROM pairs))""".stripMargin)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q67_contamination" -> q67Contamination,
     "q68_tfidf_topterms" -> q68TfidfTopterms,
@@ -420,7 +601,8 @@ object Curation {
     "q71_source_mixture" -> q71SourceMixture,
     "q74_sequence_packing" -> q74SequencePacking,
     "q78_shard_manifest" -> q78ShardManifest,
-    "q81_training_pipeline" -> q81TrainingPipeline)
+    "q81_training_pipeline" -> q81TrainingPipeline,
+    "q82_curation_pipeline" -> q82CurationPipeline)
 
   def oracleSql: Map[String, String] = Map(
     "q67_contamination" -> q67Oracle,
@@ -430,5 +612,6 @@ object Curation {
     "q71_source_mixture" -> q71Oracle,
     "q74_sequence_packing" -> q74Oracle,
     "q78_shard_manifest" -> q78Oracle,
-    "q81_training_pipeline" -> q81Oracle)
+    "q81_training_pipeline" -> q81Oracle,
+    "q82_curation_pipeline" -> q82Oracle)
 }

@@ -77,7 +77,13 @@ object Dedup {
       .select((col("doc_id") +: col("toks") +: sigCols): _*)
   }
 
-  def q32MinhashNeardup(spark: SparkSession, dir: String): DataFrame = {
+  /** The verified near-dup pair scan over any (doc_id, toks) frame —
+    * q32's whole flow (signature → band → bucket join → exact-Jaccard
+    * verify) without the input filter or presentation sort, so q82's
+    * curation pipeline can run it over the documents that SURVIVE the
+    * upstream stages rather than the raw sample.
+    */
+  private[operators] def minhashPairsOf(docs: DataFrame): DataFrame = {
     // Plan shape (round 4): TWO shuffles total — the band exchange
     // (shared by both self-join sides via ReuseExchange) and the final
     // sort. Token sets ride THROUGH the band join, so the exact-Jaccard
@@ -92,9 +98,6 @@ object Dedup {
     // through the wire; the old re-join shape shipped it 1 + 2 times
     // plus two extra stages — carrying payload is both cheaper and
     // shorter, and stays so while NumBands <= 3.
-    val docs = Tables.documentsSharded(spark, dir)
-      .filter(col("doc_id") % 5 === 0)
-      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
     val base = minhashSignatures(docs)
     // the band index is folded into the key string ("b:h..h"), so the
     // bucket join has a single equi-key
@@ -127,10 +130,21 @@ object Dedup {
         round(col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
       .filter(col("jaccard") >= 0.9)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  val q32Oracle: String = {
+  def q32MinhashNeardup(spark: SparkSession, dir: String): DataFrame =
+    minhashPairsOf(Tables.documentsSharded(spark, dir)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks")))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** The q32 pair SQL over any FROM-clause body supplying
+    * (doc_id, text) — the DuckDB twin of [[minhashPairsOf]], shared by
+    * q32 (raw sample) and q82 (curated survivors) so the two oracles
+    * cannot drift. Emits an unordered SELECT suitable for nesting as a
+    * CTE body; q32 appends its presentation ORDER BY.
+    */
+  private[operators] def sqlMinhashPairs(docsSource: String): String = {
     val sigExprs = (0 until NumHashes).map { i =>
       val d = if (i < NumHashes / 2) "d0" else "d1"
       val off = (i % 4) * 8 + 1
@@ -143,7 +157,7 @@ object Dedup {
     }.mkString("\n  UNION ALL\n  ")
     s"""WITH docs AS (
        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
-       |  FROM documents WHERE doc_id % 5 = 0),
+       |  FROM $docsSource),
        |dig AS (
        |  SELECT doc_id,
        |    list_transform(toks, t -> md5('0|' || t)) AS d0,
@@ -169,9 +183,11 @@ object Dedup {
        |SELECT doc_a, doc_b,
        |  round(CAST(i AS DOUBLE) / (na + nb - i), 6) AS jaccard
        |FROM scored
-       |WHERE round(CAST(i AS DOUBLE) / (na + nb - i), 6) >= 0.9
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |WHERE round(CAST(i AS DOUBLE) / (na + nb - i), 6) >= 0.9""".stripMargin
   }
+
+  val q32Oracle: String =
+    sqlMinhashPairs("documents WHERE doc_id % 5 = 0") + "\nORDER BY doc_a, doc_b"
 
   // --------------------------------------------------------------------
   // q56 — the dedup DECISION the pair list exists for: greedy-by-id
