@@ -321,11 +321,16 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
-  val q79Oracle: String = {
+  /** The banded discard-set CTE chain (base → bands → cands →
+    * discards) — the SQL twin of `bandedPairScan(_, _, None)` reduced
+    * to distinct vec_b, shared by q79 and q83 so the two oracles
+    * cannot drift.
+    */
+  private lazy val sqlBandedDiscardCtes: String = {
     val bandRows = (0 until PairBands).map { b =>
       s"SELECT vec_id, CAST(${sqlBandKey(b)} AS INTEGER) AS bkey FROM base"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH base AS (
+    s"""base AS (
        |  $SqlBase),
        |bands AS (
        |  $bandRows),
@@ -338,10 +343,47 @@ object Similarity {
        |  FROM cands
        |  JOIN base a ON vec_a = a.vec_id
        |  JOIN base b ON vec_b = b.vec_id
-       |  WHERE ${sqlCos(SqlDot)} >= 0.4)
+       |  WHERE ${sqlCos(SqlDot)} >= 0.4)""".stripMargin
+  }
+
+  val q79Oracle: String =
+    s"""WITH $sqlBandedDiscardCtes
        |SELECT vec_id, label FROM embeddings
        |WHERE vec_id NOT IN (SELECT vec_b FROM discards)
        |ORDER BY vec_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q83 — COMBINED keepers: the doc↔vector bridge the pipeline story
+  // needed. A document survives iff it is kept by BOTH dedup
+  // decisions: q56's minhash keep/discard on its text AND q79's
+  // embedding keep/discard on its vector (vec_id = doc_id over the
+  // aligned testdata ids). Documents without a vector (sf0.1 has 5 000
+  // docs but 2 000 embeddings) have no semantic evidence against them
+  // and survive the semantic stage by construction of the anti join.
+  // Scale notes (100 TB): both discard sets scale with the corpus, so
+  // both anti joins stay shuffled (AQE downgrades when small); the
+  // bridge itself is just the key equality — no extra shuffle beyond
+  // the two anti joins, which co-locate on the same doc_id hashing.
+  def q83CombinedKeepers(spark: SparkSession, dir: String): DataFrame = {
+    val textKeepers = graft.operators.Dedup.keeperSet(spark, dir)
+    val vecDiscards = bandedPairScan(spark, dir, None)
+      .select(col("vec_b").as("doc_id")).distinct()
+    textKeepers.join(vecDiscards, Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
+  val q83Oracle: String = {
+    val minhashPairs = graft.operators.Dedup.sqlMinhashPairs(
+      "documents WHERE doc_id % 5 = 0")
+    s"""WITH $sqlBandedDiscardCtes,
+       |pairs AS (
+       |$minhashPairs
+       |)
+       |SELECT doc_id, lang, n_chars FROM documents
+       |WHERE doc_id % 5 = 0
+       |  AND doc_id NOT IN (SELECT doc_b FROM pairs)
+       |  AND doc_id NOT IN (SELECT vec_b FROM discards)
+       |ORDER BY doc_id""".stripMargin
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -349,12 +391,14 @@ object Similarity {
     "q35_lsh_ann" -> q35LshAnn,
     "q36_embedding_neardup" -> q36EmbeddingNeardup,
     "q77_embedding_neardup_bucketed" -> q77EmbeddingNeardupBucketed,
-    "q79_embedding_keepers" -> q79EmbeddingKeepers)
+    "q79_embedding_keepers" -> q79EmbeddingKeepers,
+    "q83_combined_keepers" -> q83CombinedKeepers)
 
   def oracleSql: Map[String, String] = Map(
     "q34_cosine_topk" -> q34Oracle,
     "q35_lsh_ann" -> q35Oracle,
     "q36_embedding_neardup" -> q36Oracle,
     "q77_embedding_neardup_bucketed" -> q77Oracle,
-    "q79_embedding_keepers" -> q79Oracle)
+    "q79_embedding_keepers" -> q79Oracle,
+    "q83_combined_keepers" -> q83Oracle)
 }
