@@ -24,11 +24,15 @@ object EventsStreaming {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  def readEventsStream(spark: SparkSession, dir: String): DataFrame =
+  def readEventsStream(spark: SparkSession, dir: String,
+      glob: String = "events.parquet",
+      options: Map[String, String] = Map.empty): DataFrame =
     // the file-stream source lists a DIRECTORY; the glob filter scopes
-    // it to the events table
+    // it to the events table. `glob`/`options` let specs stage multiple
+    // files and force micro-batch boundaries (maxFilesPerTrigger).
     spark.readStream.schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
+      .option("pathGlobFilter", glob)
+      .options(options)
       .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 

@@ -86,8 +86,9 @@ object StreamingQueries {
   // reduced to exactly-once output via stateful dropDuplicates on the
   // event key. The streaming analogue of q31's batch dedup — the state
   // store holds one entry per key, partitioned by the key shuffle. A
-  // production run bounds that state with dropDuplicatesWithinWatermark;
-  // the finite fixture keeps the unbounded form so the result is total.
+  // production run bounds that state with dropDuplicatesWithinWatermark
+  // — q84 below runs exactly that form; this query keeps the unbounded
+  // one so the exact/bounded pair is covered side by side.
   def q72StreamDedup(spark: SparkSession, dir: String): DataFrame = {
     val ss = EventsStreaming.streamSession(spark)
     val once = EventsStreaming.readEventsStream(ss, dir)
@@ -104,6 +105,35 @@ object StreamingQueries {
     """SELECT event_id, user_id, event_type,
       |  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
       |FROM events ORDER BY event_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q84 — BOUNDED-state streaming dedup: q72's semantics through
+  // dropDuplicatesWithinWatermark, the production form q72's scaladoc
+  // names. State per key is retained only until the watermark passes
+  // the key's latest event time plus the 30-minute delay — at
+  // 100 TB/day the unbounded form accretes one state row per event id
+  // forever and is not runnable, while this form's state is bounded by
+  // the id arrival rate within one watermark horizon. The
+  // at-least-once duplicate guarantee weakens correspondingly: a
+  // duplicate arriving AFTER its key's state was evicted is re-emitted
+  // (WatermarkDedupSpec pins both behaviors across real micro-batch
+  // boundaries). On the finite fixture everything arrives in one batch
+  // with watermark 0, so no state is evicted mid-run and the result
+  // equals q72's — which is what the shared oracle expresses.
+  def q84StreamDedupWatermark(spark: SparkSession, dir: String): DataFrame = {
+    val ss = EventsStreaming.streamSession(spark)
+    val once = EventsStreaming.readEventsStream(ss, dir)
+    val atLeastOnce = once.union(EventsStreaming.readEventsStream(ss, dir))
+    val deduped = atLeastOnce
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts").cast("long").as("sec"))
+    EventsStreaming.runToMemory(deduped, "q84_mem")
+      .orderBy(col("event_id"))
+  }
+
+  val q84Oracle: String = q72Oracle
 
   // --------------------------------------------------------------------
   // q73 — watermarked stream-stream join: each event joined to the same
@@ -233,12 +263,14 @@ object StreamingQueries {
     "q46_stream_sessions" -> q46StreamSessions,
     "q72_stream_dedup" -> q72StreamDedup,
     "q73_stream_join" -> q73StreamJoin,
-    "q80_stream_shard_sink" -> q80StreamShardSink)
+    "q80_stream_shard_sink" -> q80StreamShardSink,
+    "q84_stream_dedup_watermark" -> q84StreamDedupWatermark)
 
   def oracleSql: Map[String, String] = Map(
     "q45_stream_hourly" -> q45Oracle,
     "q46_stream_sessions" -> q46Oracle,
     "q72_stream_dedup" -> q72Oracle,
     "q73_stream_join" -> q73Oracle,
-    "q80_stream_shard_sink" -> q80Oracle)
+    "q80_stream_shard_sink" -> q80Oracle,
+    "q84_stream_dedup_watermark" -> q84Oracle)
 }
