@@ -217,7 +217,9 @@ object Similarity {
   // band, recall per band 0.3–0.09 re-amplified across bands) — the
   // fixture's low 0.4 threshold is what forces rows = 2 here. Hot
   // buckets (skewed sign patterns) are the residual risk: salting
-  // (Skew.scala) or AQE skew-join splits them.
+  // (Skew.scala) or AQE skew-join splits them — BandSkewSpec builds a
+  // pathological one-pattern corpus and proves the AQE split fires and
+  // shrinks the measured max per-task shuffle read.
   val PairBands = 8
   val PairRows = 2
 
@@ -240,8 +242,16 @@ object Similarity {
     * cos ≥ 0.4, vec_a < vec_b, vec_a restricted by `aFilter`.
     */
   private[operators] def bandedPairScan(spark: SparkSession, dir: String,
+      aFilter: Option[Column]): DataFrame =
+    bandedPairScanOf(Tables.embeddingsSharded(spark, dir), aFilter)
+
+  /** [[bandedPairScan]] over any (vec_id, label, embedding) frame —
+    * lets SkewSpec drive the join with a pathological sign-pattern
+    * cluster that the testdata doesn't exhibit.
+    */
+  private[operators] def bandedPairScanOf(raw: DataFrame,
       aFilter: Option[Column]): DataFrame = {
-    val all = withScaledNorm(Tables.embeddingsSharded(spark, dir))
+    val all = withScaledNorm(raw)
       .withColumn("bkeys", bandKeysCol)
     // foldable explode + element_at, not explode(bkeys): the inferred
     // size(bkeys) > 0 filter would otherwise inline the 16-projection
@@ -263,6 +273,18 @@ object Similarity {
         cosine(dot(col("asv"), col("sv")), col("anrm"), col("nrm")).as("cos"),
         (col("label_a") === col("label")).as("same_label"))
       .filter(col("cos") >= 0.4)
+  }
+
+  /** Diagnostic: the largest single band-bucket's share of one band's
+    * rows. BandSkewSpec uses it to certify its fixture really
+    * concentrates a band's rows under one key.
+    */
+  private[operators] def bandedTopBucketShare(raw: DataFrame): Double = {
+    val all = withScaledNorm(raw).withColumn("bkeys", bandKeysCol)
+    val top = all.select(explode(col("bkeys")).as("bkey"))
+      .groupBy(col("bkey")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).cast("double").as("mx")).collect()(0).getDouble(0)
+    top / raw.count()
   }
 
   def q77EmbeddingNeardupBucketed(spark: SparkSession, dir: String): DataFrame =
