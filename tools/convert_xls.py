@@ -65,7 +65,10 @@ class Cfb:
         self.mini_stream = self._chain(root["start"], root["size"])
 
     def _sector(self, n):
-        off = 512 + n * self.ssz
+        # sector n starts at (n+1)*ssz: the header occupies one full
+        # sector, which is 512 bytes in v3 but 4096 in v4 — "512 + n*ssz"
+        # would mis-read every v4 sector into garbage
+        off = (n + 1) * self.ssz
         return self.data[off:off + self.ssz]
 
     def _chain(self, start, size):
@@ -124,8 +127,14 @@ def _read_unistr(frags):
     def take_header(n):
         nonlocal fi, pos
         if pos + n > len(frags[fi]):
-            # headers never split across CONTINUE in practice; step to
-            # the next fragment if we are exactly at the boundary
+            # headers never split across CONTINUE in practice, so we
+            # only ever step fragments when EXACTLY at the boundary; a
+            # writer that does split one would be silently mis-parsed
+            # here — fail loud instead
+            if pos != len(frags[fi]):
+                raise ValueError(
+                    f"SST string header split across CONTINUE at frag {fi} "
+                    f"offset {pos}/{len(frags[fi])} — unsupported")
             fi += 1
             pos = 0
         b = frags[fi][pos:pos + n]
