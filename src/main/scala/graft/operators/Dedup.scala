@@ -83,21 +83,13 @@ object Dedup {
     * curation pipeline can run it over the documents that SURVIVE the
     * upstream stages rather than the raw sample.
     */
-  private[operators] def minhashPairsOf(docs: DataFrame): DataFrame = {
-    // Plan shape (round 4): TWO shuffles total — the band exchange
-    // (shared by both self-join sides via ReuseExchange) and the final
-    // sort. Token sets ride THROUGH the band join, so the exact-Jaccard
-    // verify is a per-row array_intersect on the join output — no
-    // candidate distinct, no re-join against docs. Duplicate candidates
-    // (pairs colliding in BOTH bands) are eliminated without a shuffle
-    // by the first-colliding-band rule: a pair is emitted only by the
-    // lowest band index where its keys agree. Round-1/2 history: caching
-    // the wide signature relation was measured a loss twice (44dba5d,
-    // f34746d) — nothing is cached here either.
-    // Scale note: banding duplicates the token payload NumBands times
-    // through the wire; the old re-join shape shipped it 1 + 2 times
-    // plus two extra stages — carrying payload is both cheaper and
-    // shorter, and stays so while NumBands <= 3.
+  /** Band-bucket rows for a (doc_id, toks) frame: one row per (doc,
+    * band) carrying the token set, the full `bkeys` array (for the
+    * first-colliding-band dedup on join outputs) and the single `bkey`
+    * equi-join key. Shared by the symmetric pair scan (q32) and the
+    * asymmetric delta-vs-corpus scan (q85).
+    */
+  private def bandRows(docs: DataFrame): DataFrame = {
     val base = minhashSignatures(docs)
     // the band index is folded into the key string ("b:h..h"), so the
     // bucket join has a single equi-key
@@ -113,10 +105,28 @@ object Dedup {
     // below the exchange (this, not the band join, was most of q32's
     // historical cost). A literal sequence's inferred filter
     // constant-folds away; element_at on the carried array is cheap.
-    val bands = keyed
+    keyed
       .select(col("doc_id"), col("toks"), col("bkeys"),
         explode(sequence(lit(0), lit(NumBands - 1))).as("band"))
       .withColumn("bkey", element_at(col("bkeys"), col("band") + 1))
+  }
+
+  private[operators] def minhashPairsOf(docs: DataFrame): DataFrame = {
+    // Plan shape (round 4): TWO shuffles total — the band exchange
+    // (shared by both self-join sides via ReuseExchange) and the final
+    // sort. Token sets ride THROUGH the band join, so the exact-Jaccard
+    // verify is a per-row array_intersect on the join output — no
+    // candidate distinct, no re-join against docs. Duplicate candidates
+    // (pairs colliding in BOTH bands) are eliminated without a shuffle
+    // by the first-colliding-band rule: a pair is emitted only by the
+    // lowest band index where its keys agree. Round-1/2 history: caching
+    // the wide signature relation was measured a loss twice (44dba5d,
+    // f34746d) — nothing is cached here either.
+    // Scale note: banding duplicates the token payload NumBands times
+    // through the wire; the old re-join shape shipped it 1 + 2 times
+    // plus two extra stages — carrying payload is both cheaper and
+    // shorter, and stays so while NumBands <= 3.
+    val bands = bandRows(docs)
     val firstCollidingBand =
       array_position(zip_with(col("x.bkeys"), col("y.bkeys"), (a, b) => a === b), true) - 1
     bands.as("x").join(bands.as("y"),
@@ -144,7 +154,12 @@ object Dedup {
     * cannot drift. Emits an unordered SELECT suitable for nesting as a
     * CTE body; q32 appends its presentation ORDER BY.
     */
-  private[operators] def sqlMinhashPairs(docsSource: String): String = {
+  /** The shared docs→digests→signatures→band-rows CTE chain — the
+    * DuckDB twin of [[bandRows]], shared by the symmetric (q32) and
+    * asymmetric (q85) pair SQL so the signature pipelines cannot drift.
+    * Emits the CTE bodies without the leading WITH or a trailing comma.
+    */
+  private def sqlSigBandCtes(docsSource: String): String = {
     val sigExprs = (0 until NumHashes).map { i =>
       val d = if (i < NumHashes / 2) "d0" else "d1"
       val off = (i % 4) * 8 + 1
@@ -155,7 +170,7 @@ object Dedup {
       val key = (0 until r).map(j => s"h${r * b + j}").mkString(" || ")
       s"SELECT doc_id, '$b:' || $key AS bkey FROM sigs"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH docs AS (
+    s"""docs AS (
        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
        |  FROM $docsSource),
        |dig AS (
@@ -168,7 +183,11 @@ object Dedup {
        |    $sigExprs
        |  FROM dig),
        |bands AS (
-       |  $bandRows),
+       |  $bandRows)""".stripMargin
+  }
+
+  private[operators] def sqlMinhashPairs(docsSource: String): String = {
+    s"""WITH ${sqlSigBandCtes(docsSource)},
        |cands AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM bands x JOIN bands y
@@ -496,6 +515,95 @@ object Dedup {
       |FROM pairs
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q85 — INCREMENTAL dedup: the form a 100 TB pipeline actually runs
+  // day over day. The corpus (already-accepted documents) is immutable;
+  // only the new DELTA batch is deduped — a delta document is discarded
+  // iff it has a verified near-dup (Jaccard >= 0.9) with ANY corpus
+  // document (the corpus doc is already shipped, so it wins regardless
+  // of id) or with a SMALLER-id delta document (greedy-by-id within the
+  // batch, as q56). Corpus-internal pairs are never generated: the band
+  // join's left side is delta-only, so candidate count scales with
+  // |delta| x bucket-collision rate, not |corpus|^2 — re-running q32
+  // over corpus+delta would redo all corpus-internal work every batch.
+  //
+  // Scale notes (100 TB): in production the corpus side's band rows are
+  // a PRECOMPUTED index (persisted once, q78's writer shape) and only
+  // the delta's signatures are computed fresh; the plan below mirrors
+  // that split — the delta side recomputes its own signatures rather
+  // than sharing the corpus-side exchange, exactly as a stored band
+  // index would. The band join stays an equi-join on bkey (nothing
+  // broadcast, nothing nested-loop); the final anti join is shuffled
+  // because the discard set scales with the batch.
+
+  /** Discarded delta ids for a (doc_id, toks) frame whose delta rows
+    * are selected by `deltaPred` (a predicate over the doc_id column).
+    * Asymmetric band join: left = delta band rows, right = ALL band
+    * rows, with corpus collisions discarding unconditionally and delta
+    * collisions discarding greedy-by-id. The first-colliding-band rule
+    * dedups multi-band collisions without a distinct (same trick as
+    * [[minhashPairsOf]]); the trailing distinct is over discarded IDS
+    * (bounded by |delta|), not candidate pairs.
+    */
+  private[operators] def incrementalDiscards(
+      docs: DataFrame, deltaPred: Column => Column): DataFrame = {
+    val bands = bandRows(docs)
+    val firstCollidingBand =
+      array_position(zip_with(col("x.bkeys"), col("y.bkeys"), (a, b) => a === b), true) - 1
+    bands.as("x").join(bands.as("y"),
+      col("x.bkey") === col("y.bkey") &&
+        deltaPred(col("x.doc_id")) &&
+        col("x.doc_id") =!= col("y.doc_id") &&
+        (!deltaPred(col("y.doc_id")) || col("y.doc_id") < col("x.doc_id")) &&
+        firstCollidingBand === col("x.band"))
+      .select(col("x.doc_id").as("cand"),
+        size(array_intersect(col("x.toks"), col("y.toks"))).cast("bigint").as("inter"),
+        size(col("x.toks")).cast("bigint").as("na"),
+        size(col("y.toks")).cast("bigint").as("nb"))
+      .filter(round(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")), 6) >= 0.9)
+      .select(col("cand").as("doc_id")).distinct()
+  }
+
+  /** Fixture split: the standard 20% sample (doc_id % 5 = 0) plays the
+    * corpus+delta universe; within it, doc_id % 3 = 0 is the incoming
+    * delta batch and the rest is the accepted corpus.
+    */
+  def q85IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val sample = Tables.documentsSharded(spark, dir)
+      .filter(col("doc_id") % 5 === 0)
+    val toks = sample
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+    val discards = incrementalDiscards(toks, _ % 3 === 0)
+    sample.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(discards, Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
+  val q85Oracle: String =
+    s"""WITH ${sqlSigBandCtes("documents WHERE doc_id % 5 = 0")},
+       |cands AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.bkey = y.bkey AND x.doc_id % 3 = 0
+       |   AND x.doc_id <> y.doc_id
+       |   AND (y.doc_id % 3 <> 0 OR y.doc_id < x.doc_id)),
+       |scored AS (
+       |  SELECT doc_a,
+       |    len(list_intersect(ta.toks, tb.toks)) AS i,
+       |    len(ta.toks) AS na, len(tb.toks) AS nb
+       |  FROM cands
+       |  JOIN docs ta ON doc_a = ta.doc_id
+       |  JOIN docs tb ON doc_b = tb.doc_id),
+       |discards AS (
+       |  SELECT DISTINCT doc_a FROM scored
+       |  WHERE round(CAST(i AS DOUBLE) / (na + nb - i), 6) >= 0.9)
+       |SELECT doc_id, lang, n_chars FROM documents
+       |WHERE doc_id % 5 = 0 AND doc_id % 3 = 0
+       |  AND doc_id NOT IN (SELECT doc_a FROM discards)
+       |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_exact_dedup" -> q31ExactDedup,
     "q32_minhash_neardup" -> q32MinhashNeardup,
@@ -503,7 +611,8 @@ object Dedup {
     "q40_ngram_jaccard" -> q40NgramJaccard,
     "q56_dedup_keepers" -> q56DedupKeepers,
     "q75_simhash_pairs" -> q75SimhashPairs,
-    "q76_dedup_clusters" -> q76DedupClusters)
+    "q76_dedup_clusters" -> q76DedupClusters,
+    "q85_incremental_dedup" -> q85IncrementalDedup)
 
   def oracleSql: Map[String, String] = Map(
     "q31_exact_dedup" -> q31Oracle,
@@ -512,5 +621,6 @@ object Dedup {
     "q40_ngram_jaccard" -> q40Oracle,
     "q56_dedup_keepers" -> q56Oracle,
     "q75_simhash_pairs" -> q75Oracle,
-    "q76_dedup_clusters" -> q76Oracle)
+    "q76_dedup_clusters" -> q76Oracle,
+    "q85_incremental_dedup" -> q85Oracle)
 }
