@@ -92,6 +92,65 @@ object Curation {
        |ORDER BY train_id, bench_id""".stripMargin
 
   // --------------------------------------------------------------------
+  // q86 — bloom-prefiltered contamination: q67's semantics with the
+  // 100-TB scan shape. q67 ships EVERY train shingle into the join
+  // machinery; here a bloom filter built over the benchmark shingles
+  // (Spark's own BloomFilterAggregate / BloomFilterMightContain pair —
+  // the expressions behind InjectRuntimeFilter) is evaluated scan-side
+  // on the train shingles, so only probable hits reach the exact join
+  // and its (train_id, bench_id) aggregation. The bloom has no false
+  // negatives, so the exact join over survivors returns byte-identical
+  // q67 output (false positives are dropped by the join itself).
+  //
+  // Contract: unlike q67 (whose bench slice deliberately scales with
+  // the corpus), the bloom form assumes a BOUNDED benchmark suite —
+  // the realistic case: held-out eval sets are millions of shingles at
+  // most. The bloom is sized for 2^20 items / 2^23 bits (1 MiB, ~6
+  // hashes); its bytes travel as a SCALAR SUBQUERY, exactly like
+  // Spark's injected runtime filters, so no megabyte literal ever
+  // appears in the plan or its explain string, and the whole query
+  // stays ONE lazy plan (nothing executes at query-construction time).
+  private val BloomEstItems = 1L << 20
+  private val BloomNumBits = 1L << 23
+
+  /** The bloom prefilter: rows of `train` whose `g` might be in
+    * `bench`'s `g` set. Both sides hash with xxhash64 so insert and
+    * probe agree; superset-of-members is guaranteed (no false
+    * negatives), which the spec pins.
+    */
+  private[operators] def bloomPrefilter(bench: DataFrame, train: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val bloom = bench.select(ColumnBridge.column(
+      new BloomFilterAggregate(
+        ColumnBridge.expression(xxhash64(col("g"))),
+        Literal(BloomEstItems), Literal(BloomNumBits)).toAggregateExpression()).as("bf"))
+    train.filter(ColumnBridge.column(BloomFilterMightContain(
+      ColumnBridge.expression(ColumnBridge.scalarSubquery(bloom)),
+      ColumnBridge.expression(xxhash64(col("g"))))))
+  }
+
+  def q86BloomContamination(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(spark, dir)
+    val bench = sh.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("bench_id"), explode_outer(col("sh")).as("g"))
+    val train = sh.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id").as("train_id"), explode_outer(col("sh")).as("g"))
+    // exact verify over the bloom survivors only — same join/aggregate
+    // as q67, fed ~fpp of the corpus instead of all of it
+    bloomPrefilter(bench.select(col("g")), train)
+      .join(bench, Seq("g"))
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= ContaminationMinShingles)
+      .orderBy(col("train_id"), col("bench_id"))
+  }
+
+  /** Same result as q67 by construction — the oracle IS q67's. */
+  val q86Oracle: String = q67Oracle
+
+  // --------------------------------------------------------------------
   // q68 — per-document top-3 TF-IDF terms. df is derived from the
   // (doc, term) aggregate — the corpus is tokenized and shuffled once.
   // Ranking sorts on the ROUNDED score (then term) so both engines
@@ -602,7 +661,8 @@ object Curation {
     "q74_sequence_packing" -> q74SequencePacking,
     "q78_shard_manifest" -> q78ShardManifest,
     "q81_training_pipeline" -> q81TrainingPipeline,
-    "q82_curation_pipeline" -> q82CurationPipeline)
+    "q82_curation_pipeline" -> q82CurationPipeline,
+    "q86_bloom_contamination" -> q86BloomContamination)
 
   def oracleSql: Map[String, String] = Map(
     "q67_contamination" -> q67Oracle,
@@ -613,5 +673,6 @@ object Curation {
     "q74_sequence_packing" -> q74Oracle,
     "q78_shard_manifest" -> q78Oracle,
     "q81_training_pipeline" -> q81Oracle,
-    "q82_curation_pipeline" -> q82Oracle)
+    "q82_curation_pipeline" -> q82Oracle,
+    "q86_bloom_contamination" -> q86Oracle)
 }

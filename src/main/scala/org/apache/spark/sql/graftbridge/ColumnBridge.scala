@@ -13,6 +13,15 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** A one-row one-column DataFrame as a scalar-subquery Column — the
+    * shape Spark's own InjectRuntimeFilter uses to carry a bloom
+    * filter's bytes into a probe-side predicate without inlining a
+    * megabyte binary literal into the plan (and its explain string).
+    */
+  def scalarSubquery(df: org.apache.spark.sql.DataFrame): Column =
+    ExpressionUtils.column(org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.analyzed))
+
   /** Build a DataFrame from a custom LogicalPlan (Dataset.ofRows is
     * private[sql]); the plan must reference resolved child plans.
     */
