@@ -163,6 +163,120 @@ object Similarity {
   }
 
   // --------------------------------------------------------------------
+  // q87 — int8-QUANTIZED coarse scan + exact rerank: the memory-bound
+  // form of ANN at 100 TB. Vectors are scalar-quantized per row to
+  // int8 (q_j = round(127·sv_j / max|sv|); cosine is scale-invariant,
+  // so the per-vector scale cancels and never needs storing), the
+  // bucket scan scores candidates on the 4×-smaller quantized payload,
+  // and only the coarse top-10 per query re-fetches the full-precision
+  // vectors BY ID for an exact rerank to top-3. Plan shape: bucket
+  // equi-join (q35's), two per-query windows, two id equi-joins for the
+  // re-fetch — no nested loop, nothing broadcast by hint.
+  // Scale notes (100 TB): the coarse stage's working set is the int8
+  // corpus (the production reason to quantize); the rerank re-reads
+  // k·|queries| full vectors — ids are tiny against payloads, and the
+  // storage re-fetch is exactly how a real two-stage ANN serves it.
+  val QuantCoarseK = 10
+  val QuantFinalK = 3
+
+  /** Adds maxabs/qv/qnrm to a frame carrying `sv` — int8 quantization
+    * with a zero-vector guard (all-zero sv quantizes to zeros, not
+    * NaN). 127·sv_j stays well under 2^53, so the double division and
+    * round are bit-identical in both engines.
+    */
+  private[operators] def withQuantized(df: DataFrame): DataFrame = df
+    .withColumn("maxabs", array_max(transform(col("sv"), x => abs(x))))
+    .withColumn("qv",
+      when(col("maxabs") === 0, transform(col("sv"), _ => lit(0L)))
+        .otherwise(transform(col("sv"),
+          x => round(x.cast("double") * 127 / col("maxabs").cast("double")).cast("bigint"))))
+    .withColumn("qnrm", dot(col("qv"), col("qv")))
+
+  def q87QuantizedRerank(spark: SparkSession, dir: String): DataFrame = {
+    val all = withQuantized(withScaledNorm(Tables.embeddingsSharded(spark, dir))
+      .withColumn("bucket", bucketCol))
+      .select(col("vec_id"), col("bucket"), col("qv"), col("qnrm"))
+    val q = all.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
+        col("qnrm").as("qqnrm"), col("bucket").as("qbucket"))
+    val coarse = q.join(all,
+      col("qbucket") === col("bucket") && col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        cosine(dot(col("qqv"), col("qv")), col("qqnrm"), col("qnrm")).as("qcos"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("qcos").desc, col("cand_id"))
+    val top = coarse.withColumn("qrk", row_number().over(wq))
+      .filter(col("qrk") <= QuantCoarseK)
+      .select(col("query_id"), col("cand_id"), col("qcos"))
+    // exact rerank over the survivors: re-fetch full-precision vectors
+    // by id from the base table (NOT carried through the coarse scan —
+    // that would re-inflate the int8 working set the stage exists to
+    // shrink)
+    val full = withScaledNorm(Tables.embeddingsSharded(spark, dir))
+    val qf = full.select(col("vec_id").as("query_id"),
+      col("sv").as("qsv"), col("nrm").as("qfnrm"))
+    val cf = full.select(col("vec_id").as("cand_id"),
+      col("sv").as("csv"), col("nrm").as("cfnrm"))
+    val rer = top.join(qf, Seq("query_id")).join(cf, Seq("cand_id"))
+      .select(col("query_id"), col("cand_id"), col("qcos"),
+        cosine(dot(col("qsv"), col("csv")), col("qfnrm"), col("cfnrm")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))
+    rer.withColumn("rk", row_number().over(w)).filter(col("rk") <= QuantFinalK)
+      .select(col("query_id"), col("rk"), col("cand_id"), col("qcos"), col("cos"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  val q87Oracle: String = {
+    val qdot = "CAST(list_sum(list_transform(generate_series(1, len(a.qv)), " +
+      "i -> a.qv[i] * b.qv[i])) AS BIGINT)"
+    s"""WITH base AS (
+       |  $SqlBase),
+       |bucketed AS (
+       |  SELECT vec_id, sv, nrm,
+       |    CAST($sqlBucketTerms AS INTEGER) AS bucket
+       |  FROM base),
+       |quant AS (
+       |  SELECT vec_id, bucket,
+       |    CASE WHEN maxabs = 0 THEN list_transform(sv, x -> CAST(0 AS BIGINT))
+       |      ELSE list_transform(sv,
+       |        x -> CAST(round(CAST(127 * x AS DOUBLE) / maxabs) AS BIGINT)) END AS qv
+       |  FROM (SELECT vec_id, bucket, sv,
+       |          CAST(list_max(list_transform(sv, x -> abs(x))) AS DOUBLE) AS maxabs
+       |        FROM bucketed)),
+       |qn AS (
+       |  SELECT vec_id, bucket, qv,
+       |    CAST(list_sum(list_transform(generate_series(1, len(qv)),
+       |      i -> qv[i] * qv[i])) AS BIGINT) AS qnrm
+       |  FROM quant),
+       |coarse AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+       |    round(CAST($qdot AS DOUBLE) / sqrt(CAST(a.qnrm AS DOUBLE))
+       |      / sqrt(CAST(b.qnrm AS DOUBLE)), 6) AS qcos
+       |  FROM qn a JOIN qn b
+       |    ON a.vec_id % 25 = 0 AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |top AS (
+       |  SELECT query_id, cand_id, qcos FROM (
+       |    SELECT query_id, cand_id, qcos,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY qcos DESC, cand_id) AS qrk
+       |    FROM coarse)
+       |  WHERE qrk <= $QuantCoarseK),
+       |rer AS (
+       |  SELECT query_id, cand_id, qcos, ${sqlCos(SqlDot)} AS cos
+       |  FROM top
+       |  JOIN base a ON query_id = a.vec_id
+       |  JOIN base b ON cand_id = b.vec_id)
+       |SELECT query_id, rk, cand_id, qcos, cos FROM (
+       |  SELECT query_id, cand_id, qcos, cos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, cand_id) AS INTEGER) AS rk
+       |  FROM rer)
+       |WHERE rk <= $QuantFinalK
+       |ORDER BY query_id, rk""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
   // q36 — embedding cosine near-duplicate pairs: every 10th vector vs
   // the table, cosine ≥ 0.4, with a same-label flag.
   // BASELINE-ONLY CONTRACT: the `vec_a < vec_id` non-equi join plans a
@@ -414,7 +528,8 @@ object Similarity {
     "q36_embedding_neardup" -> q36EmbeddingNeardup,
     "q77_embedding_neardup_bucketed" -> q77EmbeddingNeardupBucketed,
     "q79_embedding_keepers" -> q79EmbeddingKeepers,
-    "q83_combined_keepers" -> q83CombinedKeepers)
+    "q83_combined_keepers" -> q83CombinedKeepers,
+    "q87_quantized_rerank" -> q87QuantizedRerank)
 
   def oracleSql: Map[String, String] = Map(
     "q34_cosine_topk" -> q34Oracle,
@@ -422,5 +537,6 @@ object Similarity {
     "q36_embedding_neardup" -> q36Oracle,
     "q77_embedding_neardup_bucketed" -> q77Oracle,
     "q79_embedding_keepers" -> q79Oracle,
-    "q83_combined_keepers" -> q83Oracle)
+    "q83_combined_keepers" -> q83Oracle,
+    "q87_quantized_rerank" -> q87Oracle)
 }
