@@ -233,8 +233,8 @@ object Curation {
   // appended first — the scrub then provably removes it (the spec
   // asserts no residue). Patterns stay in the portable regex subset
   // Java and RE2 agree on. Scan-side projection, zero shuffle.
-  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-  private val IdRe = "[0-9]{6,}"
+  private[graft] val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[graft] val IdRe = "[0-9]{6,}"
 
   def q70PiiScrub(spark: SparkSession, dir: String): DataFrame = {
     val dirty = concat(col("text"),
@@ -525,16 +525,23 @@ object Curation {
     * computable in place); only the repetition score — which needs the
     * explode + two-level aggregate — joins back on doc_id.
     */
-  private[operators] def qualityGated(docs: DataFrame): DataFrame = {
+  /** q29's composite quality score as a row-local Column over
+    * (text, n_chars) — ONE definition shared by the batch gate and the
+    * streaming gate (q88), so the two cannot drift.
+    */
+  private[operators] def qualityScoreCol: Column = {
     val toks = split(col("text"), " ")
     val nToks = size(toks).cast("bigint")
     val nUniq = size(array_distinct(toks)).cast("bigint")
     val punct = (length(col("text"))
       - length(regexp_replace(col("text"), "[.,;:!?]", ""))).cast("bigint")
-    val quality = round(lit(0.4) * least(lit(1.0), nToks / 100.0)
+    round(lit(0.4) * least(lit(1.0), nToks / 100.0)
       + lit(0.4) * (nUniq.cast("double") / nToks)
       + lit(0.2) * (lit(1.0) - punct.cast("double") / col("n_chars")), 6)
-    val qualityOk = docs.filter(quality >= QualityMin)
+  }
+
+  private[operators] def qualityGated(docs: DataFrame): DataFrame = {
+    val qualityOk = docs.filter(qualityScoreCol >= QualityMin)
     val repetition = qualityOk
       .select(col("doc_id"), explode(toksCol).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
@@ -557,6 +564,17 @@ object Curation {
       .when(col("source") === "src1", "4000").otherwise("2000")
     scrubbed.filter(key < threshold)
   }
+
+  /** The ROW-LOCAL slice of the curation gate (quality ≥ min → PII
+    * scrub → mixture filter): every stage is a projection or filter, so
+    * the SAME function applies unchanged to a batch frame or a
+    * streaming one — q88 runs it over a document stream and pins the
+    * batch/stream parity. The per-doc aggregates (repetition) and
+    * cross-doc joins (contamination, dedup) are deliberately excluded:
+    * they need shuffles/state and live in the batch pipeline (q82).
+    */
+  private[graft] def rowLocalGate(docs: DataFrame): DataFrame =
+    scrubbedAndMixed(docs.filter(qualityScoreCol >= QualityMin))
 
   /** Stage 5 — minhash near-dup keep/discard over the survivors. */
   private[operators] def dedupKept(docs: DataFrame): DataFrame = {

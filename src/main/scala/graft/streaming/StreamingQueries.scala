@@ -258,13 +258,77 @@ object StreamingQueries {
        |  bit_xor(CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 12) AS BIGINT)) AS content_hash
        |FROM events GROUP BY 1 ORDER BY shard""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q88 — STREAMING curation gate: the row-local slice of q82's
+  // curation pipeline (quality composite ≥ threshold → PII scrub →
+  // source-mixture filter) applied to a document STREAM via the very
+  // same `Curation.rowLocalGate` function the batch pipeline uses —
+  // batch/stream parity by construction, pinned by the shared oracle.
+  // This is the shape of a streaming ingest front-door at 100 TB/day:
+  // everything row-local runs on documents as they land (zero shuffle,
+  // zero streaming state, plain projections/filters per micro-batch);
+  // the stages that need cross-doc context (repetition, contamination,
+  // dedup) run in the batch pipeline behind it.
+  val documentsSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars",
+        org.apache.spark.sql.types.LongType)))
+
+  private[graft] def readDocumentsStream(spark: SparkSession, dir: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    spark.readStream.schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .options(options)
+      .parquet(dir)
+
+  def q88StreamCurationGate(spark: SparkSession, dir: String): DataFrame = {
+    val ss = EventsStreaming.streamSession(spark)
+    val gated = graft.operators.Curation.rowLocalGate(readDocumentsStream(ss, dir))
+    EventsStreaming.runToMemory(gated, "q88_mem")
+      .orderBy(col("doc_id"))
+  }
+
+  val q88Oracle: String = {
+    import graft.operators.Curation.{QualityMin, EmailRe, IdRe}
+    s"""WITH qual AS (
+       |  SELECT doc_id, source, text FROM (
+       |    SELECT doc_id, source, text,
+       |      len(string_split(text, ' ')) AS n_tokens,
+       |      len(list_distinct(string_split(text, ' '))) AS n_uniq,
+       |      len(text) - len(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct,
+       |      n_chars
+       |    FROM documents)
+       |  WHERE round(0.4 * least(1.0, n_tokens / 100.0)
+       |      + 0.4 * (CAST(n_uniq AS DOUBLE) / n_tokens)
+       |      + 0.2 * (1.0 - CAST(punct AS DOUBLE) / n_chars), 6) >= $QualityMin),
+       |scrubbed AS (
+       |  SELECT doc_id, source,
+       |    regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+       |      '$IdRe', '<ID>', 'g') AS text
+       |  FROM qual)
+       |SELECT doc_id, source, text FROM scrubbed
+       |WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 4) <
+       |  CASE source WHEN 'src0' THEN '8000' WHEN 'src1' THEN '4000'
+       |    ELSE '2000' END
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_stream_hourly" -> q45StreamHourly,
     "q46_stream_sessions" -> q46StreamSessions,
     "q72_stream_dedup" -> q72StreamDedup,
     "q73_stream_join" -> q73StreamJoin,
     "q80_stream_shard_sink" -> q80StreamShardSink,
-    "q84_stream_dedup_watermark" -> q84StreamDedupWatermark)
+    "q84_stream_dedup_watermark" -> q84StreamDedupWatermark,
+    "q88_stream_curation_gate" -> q88StreamCurationGate)
 
   def oracleSql: Map[String, String] = Map(
     "q45_stream_hourly" -> q45Oracle,
@@ -272,5 +336,6 @@ object StreamingQueries {
     "q72_stream_dedup" -> q72Oracle,
     "q73_stream_join" -> q73Oracle,
     "q80_stream_shard_sink" -> q80Oracle,
-    "q84_stream_dedup_watermark" -> q84Oracle)
+    "q84_stream_dedup_watermark" -> q84Oracle,
+    "q88_stream_curation_gate" -> q88Oracle)
 }
