@@ -670,6 +670,48 @@ object Curation {
          |  WHERE doc_id NOT IN (SELECT doc_b FROM pairs))""".stripMargin)
   }
 
+  // --------------------------------------------------------------------
+  // q89 — shard COMPACTION: the maintenance pass every long-running
+  // ingest needs. Streaming appends and incremental batches leave each
+  // shard directory littered with small files (q80 writes one file set
+  // per micro-batch); q89 simulates that state by writing the q78
+  // windows fragmented (FragFactor files per shard), then compacts with
+  // a content-neutral rewrite — ONE shuffle on out_shard, one file per
+  // shard after — and returns the manifest of the compacted read-back.
+  // The manifest is content-based (count, token sum, commutative
+  // bit_xor fingerprint), so compaction MUST leave it bit-identical to
+  // q78's; the oracle is therefore q78's oracle, and the spec asserts
+  // manifest equality plus the file-count collapse.
+  // Scale notes (100 TB): compaction shuffles only the shards being
+  // compacted and never sorts; one partition per shard is the fixture
+  // shape — at scale the repartition key gains a bin component
+  // (floor(cumulative_bytes / target_file_size)) so a hot shard
+  // rewrites into several capped files instead of one giant one, and
+  // compaction runs per shard-group so the rewrite is incremental, not
+  // a full-corpus pass.
+  val FragFactor = 8
+
+  def q89CompactShards(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = withShardKey(packedWindows(spark, dir))
+    val fragDir = graft.sources.ShardPaths.resolve(spark, "q89frag", dir)
+    val compactDir = graft.sources.ShardPaths.resolve(spark, "q89", dir)
+    // the fragmented ingest state: keying the spread on the UNIQUE wkey
+    // scatters each shard's windows over distinct writer tasks → many
+    // small files per shard directory ((out_shard, win) won't do: the
+    // fixture packs one window per pack-shard, so win is constantly 0)
+    keyed.repartition(OutShards * FragFactor, col("out_shard"), col("wkey"))
+      .write.mode("overwrite").partitionBy("out_shard").parquet(fragDir)
+    // the compaction itself: all of a shard's rows hash to one
+    // partition, so each shard directory rewrites to exactly one file
+    spark.read.parquet(fragDir)
+      .repartition(OutShards, col("out_shard"))
+      .write.mode("overwrite").partitionBy("out_shard").parquet(compactDir)
+    manifestOf(spark.read.parquet(compactDir))
+  }
+
+  /** Compaction is content-neutral by contract: the oracle IS q78's. */
+  val q89Oracle: String = q78Oracle
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q67_contamination" -> q67Contamination,
     "q68_tfidf_topterms" -> q68TfidfTopterms,
@@ -680,7 +722,8 @@ object Curation {
     "q78_shard_manifest" -> q78ShardManifest,
     "q81_training_pipeline" -> q81TrainingPipeline,
     "q82_curation_pipeline" -> q82CurationPipeline,
-    "q86_bloom_contamination" -> q86BloomContamination)
+    "q86_bloom_contamination" -> q86BloomContamination,
+    "q89_compact_shards" -> q89CompactShards)
 
   def oracleSql: Map[String, String] = Map(
     "q67_contamination" -> q67Oracle,
@@ -692,5 +735,6 @@ object Curation {
     "q78_shard_manifest" -> q78Oracle,
     "q81_training_pipeline" -> q81Oracle,
     "q82_curation_pipeline" -> q82Oracle,
-    "q86_bloom_contamination" -> q86Oracle)
+    "q86_bloom_contamination" -> q86Oracle,
+    "q89_compact_shards" -> q89Oracle)
 }
