@@ -335,6 +335,59 @@ object Curation {
   def q74SequencePacking(spark: SparkSession, dir: String): DataFrame =
     packedWindows(spark, dir).orderBy(col("shard"), col("win"))
 
+  // --------------------------------------------------------------------
+  // q90 — SPLIT-aware sequence packing: q74 assigns each document to
+  // the window its first token starts in, so a window can overflow or
+  // underfill by up to one document — padding waste the trainer pays
+  // for. The production packer SPLITS documents across window
+  // boundaries: a doc whose token span [start, end) straddles windows
+  // contributes a span row to every window it touches, and every
+  // window in a shard except the last holds EXACTLY SeqLen tokens
+  // (asserted by SplitPackingSpec — the zero-padding invariant).
+  // Same scale shape as q74: the running offset is a per-shard ROWS
+  // window (never global), the span explode is per-row arithmetic
+  // (a doc touches ceil(n/SeqLen)+1 windows at most), and the final
+  // per-(shard, win) aggregate rides the same shard partitioning.
+  def q90SplitPacking(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = tokenized(Tables.documentsSharded(spark, dir))
+      .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("end_off", col("start_off") + col("n_tokens"))
+    val spans = offs
+      .withColumn("win", explode(sequence(
+        expr(s"start_off DIV $SeqLen"), expr(s"(end_off - 1) DIV $SeqLen"))))
+      .withColumn("tok_in_win",
+        least((col("win") + 1) * SeqLen, col("end_off"))
+          - greatest(col("win") * SeqLen, col("start_off")))
+    spans.groupBy(col("shard"), col("win"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok_in_win")).as("win_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("shard"), col("win"))
+  }
+
+  val q90Oracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, CAST(doc_id % $PackShards AS INTEGER) AS shard,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |offs AS (
+       |  SELECT doc_id, shard, n_tokens,
+       |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_off
+       |  FROM toks),
+       |spans AS (
+       |  SELECT doc_id, shard, start_off, start_off + n_tokens AS end_off,
+       |    CAST(unnest(generate_series(CAST(start_off // $SeqLen AS BIGINT),
+       |      CAST((start_off + n_tokens - 1) // $SeqLen AS BIGINT))) AS BIGINT) AS win
+       |  FROM offs)
+       |SELECT shard, win, count(*) AS n_docs,
+       |  CAST(sum(least((win + 1) * $SeqLen, end_off)
+       |    - greatest(win * $SeqLen, start_off)) AS BIGINT) AS win_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM spans GROUP BY 1, 2 ORDER BY shard, win""".stripMargin
+
   val q74Oracle: String =
     s"""WITH docs AS (
        |  SELECT doc_id, CAST(doc_id % $PackShards AS INTEGER) AS shard,
@@ -723,7 +776,8 @@ object Curation {
     "q81_training_pipeline" -> q81TrainingPipeline,
     "q82_curation_pipeline" -> q82CurationPipeline,
     "q86_bloom_contamination" -> q86BloomContamination,
-    "q89_compact_shards" -> q89CompactShards)
+    "q89_compact_shards" -> q89CompactShards,
+    "q90_split_packing" -> q90SplitPacking)
 
   def oracleSql: Map[String, String] = Map(
     "q67_contamination" -> q67Oracle,
@@ -736,5 +790,6 @@ object Curation {
     "q81_training_pipeline" -> q81Oracle,
     "q82_curation_pipeline" -> q82Oracle,
     "q86_bloom_contamination" -> q86Oracle,
-    "q89_compact_shards" -> q89Oracle)
+    "q89_compact_shards" -> q89Oracle,
+    "q90_split_packing" -> q90Oracle)
 }
