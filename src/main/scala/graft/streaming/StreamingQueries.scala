@@ -321,6 +321,41 @@ object StreamingQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // q91 — STREAM-STATIC enrichment join: the third streaming join mode
+  // (q73 covers stream-stream, q88 covers stateless transforms) — the
+  // fact stream enriched against the star schema's dimension chain
+  // (customer ⋈ nation) as events land. The static side is a plain
+  // batch plan re-resolved per micro-batch, so dimension updates between
+  // batches are picked up automatically, and Spark broadcasts it per
+  // batch when small (the dims-broadcast/facts-stream discipline the
+  // warehouse tier enforces, now in its streaming form). Stateless: no
+  // watermark, no state store — the join needs no buffering because
+  // the static side is complete by definition.
+  def q91StreamEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val ss = EventsStreaming.streamSession(spark)
+    val events = EventsStreaming.readEventsStream(ss, dir)
+    val dims = graft.sources.Tables.customer(ss, dir)
+      .join(graft.sources.Tables.nation(ss, dir),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_mktsegment"), col("n_name"))
+    val enriched = events.join(dims, col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts").cast("long").as("sec"),
+        col("c_mktsegment").as("mktsegment"), col("n_name").as("nation"))
+    EventsStreaming.runToMemory(enriched, "q91_mem")
+      .orderBy(col("event_id"))
+  }
+
+  val q91Oracle: String =
+    """SELECT event_id, user_id, event_type,
+      |  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec,
+      |  c_mktsegment AS mktsegment, n_name AS nation
+      |FROM events
+      |JOIN customer ON user_id = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |ORDER BY event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_stream_hourly" -> q45StreamHourly,
     "q46_stream_sessions" -> q46StreamSessions,
@@ -328,7 +363,8 @@ object StreamingQueries {
     "q73_stream_join" -> q73StreamJoin,
     "q80_stream_shard_sink" -> q80StreamShardSink,
     "q84_stream_dedup_watermark" -> q84StreamDedupWatermark,
-    "q88_stream_curation_gate" -> q88StreamCurationGate)
+    "q88_stream_curation_gate" -> q88StreamCurationGate,
+    "q91_stream_enrich" -> q91StreamEnrich)
 
   def oracleSql: Map[String, String] = Map(
     "q45_stream_hourly" -> q45Oracle,
@@ -337,5 +373,6 @@ object StreamingQueries {
     "q73_stream_join" -> q73Oracle,
     "q80_stream_shard_sink" -> q80Oracle,
     "q84_stream_dedup_watermark" -> q84Oracle,
-    "q88_stream_curation_gate" -> q88Oracle)
+    "q88_stream_curation_gate" -> q88Oracle,
+    "q91_stream_enrich" -> q91Oracle)
 }

@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** q91's stream-static enrichment: equals the batch star join, runs
+  * stateless, and keeps every stream row (ids are covered by the dim).
+  */
+class StreamEnrichSpec extends SparkSpec {
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("stream-static enrichment equals the batch star join") {
+    val batch = Tables.events(spark, dir)
+      .join(Tables.customer(spark, dir), col("user_id") === col("c_custkey"))
+      .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .select(col("event_id"), col("c_mktsegment"), col("n_name"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val stream = StreamingQueries.q91StreamEnrich(spark, dir)
+      .select(col("event_id"), col("mktsegment"), col("nation"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(batch.nonEmpty)
+    assert(stream == batch,
+      s"missing=${(batch -- stream).take(3)} extra=${(stream -- batch).take(3)}")
+    // every event has a covering dim row on this fixture — the inner
+    // join must not silently drop stream rows
+    val nEvents = Tables.events(spark, dir).count()
+    assert(stream.size.toLong == nEvents, s"${stream.size} enriched vs $nEvents events")
+  }
+
+  test("the enrichment join is stateless") {
+    val ss = EventsStreaming.streamSession(spark)
+    val events = EventsStreaming.readEventsStream(ss, dir)
+    val dims = Tables.customer(ss, dir)
+      .join(Tables.nation(ss, dir), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val q = events.join(dims, col("user_id") === col("c_custkey"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("q91_stateless_probe").start()
+    q.processAllAvailable()
+    val stateOps = Option(q.lastProgress).map(_.stateOperators).getOrElse(Array.empty)
+    q.stop()
+    assert(stateOps.isEmpty,
+      s"stream-static join grew state: ${stateOps.map(_.operatorName).mkString(",")}")
+  }
+}
