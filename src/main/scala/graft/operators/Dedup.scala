@@ -546,15 +546,21 @@ object Dedup {
     * (bounded by |delta|), not candidate pairs.
     */
   private[operators] def incrementalDiscards(
-      docs: DataFrame, deltaPred: Column => Column): DataFrame = {
+      docs: DataFrame, deltaPred: Column => Column,
+      intraDelta: Boolean = true): DataFrame = {
     val bands = bandRows(docs)
     val firstCollidingBand =
       array_position(zip_with(col("x.bkeys"), col("y.bkeys"), (a, b) => a === b), true) - 1
+    // q85 dedups within the delta too (greedy-by-id); q92's leakage
+    // eviction only cares about delta-vs-corpus collisions
+    val vsRight =
+      if (intraDelta) !deltaPred(col("y.doc_id")) || col("y.doc_id") < col("x.doc_id")
+      else !deltaPred(col("y.doc_id"))
     bands.as("x").join(bands.as("y"),
       col("x.bkey") === col("y.bkey") &&
         deltaPred(col("x.doc_id")) &&
         col("x.doc_id") =!= col("y.doc_id") &&
-        (!deltaPred(col("y.doc_id")) || col("y.doc_id") < col("x.doc_id")) &&
+        vsRight &&
         firstCollidingBand === col("x.band"))
       .select(col("x.doc_id").as("cand"),
         size(array_intersect(col("x.toks"), col("y.toks"))).cast("bigint").as("inter"),
@@ -604,6 +610,56 @@ object Dedup {
        |  AND doc_id NOT IN (SELECT doc_a FROM discards)
        |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q92 — LEAKAGE-FREE eval split: a held-out evaluation set is only
+  // honest if no eval document is a near-duplicate of a training
+  // document (the train→eval leak that silently inflates every
+  // benchmark score). The split itself is a deterministic hash of
+  // doc_id (first md5 hex digit '0' ≈ 1/16 of the corpus → val); the
+  // leakage pass then EVICTS from val any document with a verified
+  // near-dup (Jaccard ≥ 0.9) in train. Unlike q85, val-internal dups
+  // are NOT evicted — duplicates within eval don't leak training data,
+  // and silently shrinking eval for them would skew its distribution.
+  // Same asymmetric band join as q85 (val side only on the left, so
+  // train-internal pairs are never generated); runs on the standard
+  // 20% sample to bound the oracle.
+  def q92EvalSplit(spark: SparkSession, dir: String): DataFrame = {
+    val sample = Tables.documentsSharded(spark, dir)
+      .filter(col("doc_id") % 5 === 0)
+    val toks = sample
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+    val isVal = (id: Column) => substring(md5(id.cast("string")), 1, 1) === "0"
+    val leaked = incrementalDiscards(toks, isVal, intraDelta = false)
+    sample.filter(isVal(col("doc_id")))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(leaked, Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
+  val q92Oracle: String =
+    s"""WITH ${sqlSigBandCtes("documents WHERE doc_id % 5 = 0")},
+       |cands AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.bkey = y.bkey
+       |   AND substring(md5(CAST(x.doc_id AS VARCHAR)), 1, 1) = '0'
+       |   AND substring(md5(CAST(y.doc_id AS VARCHAR)), 1, 1) <> '0'),
+       |scored AS (
+       |  SELECT doc_a,
+       |    len(list_intersect(ta.toks, tb.toks)) AS i,
+       |    len(ta.toks) AS na, len(tb.toks) AS nb
+       |  FROM cands
+       |  JOIN docs ta ON doc_a = ta.doc_id
+       |  JOIN docs tb ON doc_b = tb.doc_id),
+       |leaked AS (
+       |  SELECT DISTINCT doc_a FROM scored
+       |  WHERE round(CAST(i AS DOUBLE) / (na + nb - i), 6) >= 0.9)
+       |SELECT doc_id, lang, n_chars FROM documents
+       |WHERE doc_id % 5 = 0
+       |  AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+       |  AND doc_id NOT IN (SELECT doc_a FROM leaked)
+       |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_exact_dedup" -> q31ExactDedup,
     "q32_minhash_neardup" -> q32MinhashNeardup,
@@ -612,7 +668,8 @@ object Dedup {
     "q56_dedup_keepers" -> q56DedupKeepers,
     "q75_simhash_pairs" -> q75SimhashPairs,
     "q76_dedup_clusters" -> q76DedupClusters,
-    "q85_incremental_dedup" -> q85IncrementalDedup)
+    "q85_incremental_dedup" -> q85IncrementalDedup,
+    "q92_eval_split" -> q92EvalSplit)
 
   def oracleSql: Map[String, String] = Map(
     "q31_exact_dedup" -> q31Oracle,
@@ -622,5 +679,6 @@ object Dedup {
     "q56_dedup_keepers" -> q56Oracle,
     "q75_simhash_pairs" -> q75Oracle,
     "q76_dedup_clusters" -> q76Oracle,
-    "q85_incremental_dedup" -> q85Oracle)
+    "q85_incremental_dedup" -> q85Oracle,
+    "q92_eval_split" -> q92Oracle)
 }
