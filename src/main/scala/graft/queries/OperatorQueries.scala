@@ -223,6 +223,65 @@ object OperatorQueries {
       |SELECT c_nationkey, rk, custkey FROM ranked WHERE rk <= 3
       |ORDER BY c_nationkey, rk""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q93 — MERGE / upsert (the SCD Type-1 counterpart of q48's Type-2):
+  // apply a CDC change batch (inserts, updates, deletes) to a dimension
+  // snapshot in one plan — the MERGE INTO shape, expressed without a
+  // table format: survivors = snapshot ANTI-JOIN changed keys, then
+  // UNION the non-delete change rows. The change batch is derived
+  // deterministically from the snapshot itself (updates for key%10=0,
+  // deletes for %10=1, inserts at key+100000 for %10=2) so both engines
+  // replay the identical merge.
+  // Scale notes (100 TB): two hash joins on the dimension key — the
+  // anti join co-locates with the change-batch shuffle on the same key
+  // hashing, and AQE broadcasts the change batch when it is small
+  // (the usual CDC case); nothing is collected or hinted. A lakehouse
+  // deployment would push the same plan through a format that supports
+  // row-level commits; the merge SEMANTICS are what the oracle pins.
+  def q93MergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val snap = Tables.customer(spark, dir)
+    val updates = snap.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        round(col("c_acctbal") + 100.0, 2).as("c_acctbal"), col("c_mktsegment"))
+    val deletes = snap.filter(col("c_custkey") % 10 === 1)
+      .select(col("c_custkey"))
+    val inserts = snap.filter(col("c_custkey") % 10 === 2)
+      .select((col("c_custkey") + 100000).as("c_custkey"),
+        concat(lit("new customer "), (col("c_custkey") + 100000).cast("string"))
+          .as("c_name"),
+        col("c_nationkey"), lit(0.0).as("c_acctbal"), col("c_mktsegment"))
+    val changedKeys = updates.select(col("c_custkey"))
+      .unionByName(deletes)
+      .unionByName(inserts.select(col("c_custkey")))
+    snap.join(changedKeys, Seq("c_custkey"), "left_anti")
+      .unionByName(updates)
+      .unionByName(inserts)
+      .orderBy(col("c_custkey"))
+  }
+
+  val q93Oracle: String =
+    """WITH updates AS (
+      |  SELECT c_custkey, c_name, c_nationkey,
+      |    round(c_acctbal + 100.0, 2) AS c_acctbal, c_mktsegment
+      |  FROM customer WHERE c_custkey % 10 = 0),
+      |deletes AS (
+      |  SELECT c_custkey FROM customer WHERE c_custkey % 10 = 1),
+      |inserts AS (
+      |  SELECT c_custkey + 100000 AS c_custkey,
+      |    'new customer ' || CAST(c_custkey + 100000 AS VARCHAR) AS c_name,
+      |    c_nationkey, 0.0 AS c_acctbal, c_mktsegment
+      |  FROM customer WHERE c_custkey % 10 = 2),
+      |changed AS (
+      |  SELECT c_custkey FROM updates
+      |  UNION ALL SELECT c_custkey FROM deletes
+      |  UNION ALL SELECT c_custkey FROM inserts)
+      |SELECT * FROM (
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      |  FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM changed)
+      |  UNION ALL SELECT * FROM updates
+      |  UNION ALL SELECT * FROM inserts)
+      |ORDER BY c_custkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_topk_agg" -> q57TopkAgg,
     "q66_asof_native" -> q66AsofNative,
@@ -230,7 +289,8 @@ object OperatorQueries {
     "q48_scd2_versions" -> q48Scd2Versions,
     "q49_ivf_ann" -> q49IvfAnn,
     "q50_salted_count" -> q50SaltedCount,
-    "q51_salted_join" -> q51SaltedJoin)
+    "q51_salted_join" -> q51SaltedJoin,
+    "q93_merge_upsert" -> q93MergeUpsert)
 
   def oracleSql: Map[String, String] = Map(
     "q57_topk_agg" -> q57Oracle,
@@ -239,5 +299,6 @@ object OperatorQueries {
     "q48_scd2_versions" -> q48Oracle,
     "q49_ivf_ann" -> q49Oracle,
     "q50_salted_count" -> q50Oracle,
-    "q51_salted_join" -> q51Oracle)
+    "q51_salted_join" -> q51Oracle,
+    "q93_merge_upsert" -> q93Oracle)
 }
