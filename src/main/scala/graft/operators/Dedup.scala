@@ -660,6 +660,64 @@ object Dedup {
        |  AND doc_id NOT IN (SELECT doc_a FROM leaked)
        |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q95 — duplicated-SPAN fraction: dedup at span granularity, the
+  // signal doc-level dedup (q31/q32) cannot see. A document assembled
+  // from boilerplate — every 8-token span appearing elsewhere in the
+  // corpus — passes doc-level dedup (its full text is unique) but is
+  // near-worthless training data; production pipelines score each doc
+  // by the fraction of its spans that recur in OTHER documents and
+  // cull above a threshold (the exact-substring-dedup family). Spans
+  // are md5-hashed 8-token windows, distinct per doc, so within-doc
+  // repetition (q69's signal) doesn't inflate the cross-doc one.
+  // Scale notes (100 TB): explode + hash-partitioned span aggregate +
+  // one span-key join back, then a doc_id aggregate — the q68 family.
+  // Span hashes (16 bytes) travel instead of span text; the span
+  // df aggregate is two-phase (partial count-distinct on doc_id per
+  // span is a hash agg on (h, doc_id) — no state explosion).
+  val SpanLen = 8
+
+  def q95DupSpanFraction(spark: SparkSession, dir: String): DataFrame = {
+    // toks materialized before the slice lambda (q30/q40 trap: inline
+    // expressions in interpreted lambda bodies re-evaluate per element)
+    val pre = Tables.documentsSharded(spark, dir)
+      .select(col("doc_id"), lower(trim(col("text"))).as("norm"))
+      .withColumn("toks", split(col("norm"), " "))
+    val spans = pre.select(col("doc_id"),
+      explode(array_distinct(when(size(col("toks")) >= SpanLen,
+        transform(sequence(lit(0), size(col("toks")) - SpanLen),
+          i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(SpanLen))))))
+        .otherwise(array(md5(col("norm")))))).as("h"))
+    val docFreq = spans.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    spans.join(docFreq, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        round(col("n_dup_spans").cast("double") / col("n_spans"), 6).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q95Oracle: String =
+    s"""WITH pre AS (
+       |  SELECT doc_id, lower(trim(text)) AS norm,
+       |    string_split(lower(trim(text)), ' ') AS toks
+       |  FROM documents),
+       |spans AS (
+       |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= $SpanLen
+       |    THEN list_transform(generate_series(1, len(toks) - ${SpanLen - 1}),
+       |           i -> md5(array_to_string(toks[i:i+${SpanLen - 1}], ' ')))
+       |    ELSE [md5(norm)] END)) AS h
+       |  FROM pre),
+       |freq AS (SELECT h, count(DISTINCT doc_id) AS df FROM spans GROUP BY 1)
+       |SELECT doc_id, count(*) AS n_spans,
+       |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       |  round(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*), 6) AS dup_frac
+       |FROM spans JOIN freq USING (h)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_exact_dedup" -> q31ExactDedup,
     "q32_minhash_neardup" -> q32MinhashNeardup,
@@ -669,7 +727,8 @@ object Dedup {
     "q75_simhash_pairs" -> q75SimhashPairs,
     "q76_dedup_clusters" -> q76DedupClusters,
     "q85_incremental_dedup" -> q85IncrementalDedup,
-    "q92_eval_split" -> q92EvalSplit)
+    "q92_eval_split" -> q92EvalSplit,
+    "q95_dup_span_fraction" -> q95DupSpanFraction)
 
   def oracleSql: Map[String, String] = Map(
     "q31_exact_dedup" -> q31Oracle,
@@ -680,5 +739,6 @@ object Dedup {
     "q75_simhash_pairs" -> q75Oracle,
     "q76_dedup_clusters" -> q76Oracle,
     "q85_incremental_dedup" -> q85Oracle,
-    "q92_eval_split" -> q92Oracle)
+    "q92_eval_split" -> q92Oracle,
+    "q95_dup_span_fraction" -> q95Oracle)
 }

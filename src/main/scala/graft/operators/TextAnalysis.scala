@@ -228,13 +228,70 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // q94 — unigram language-model scoring: the statistical quality
+  // signal production pipelines run beside the heuristic one (q29) —
+  // documents whose tokens are improbable under the corpus's own
+  // unigram distribution (gibberish, boilerplate soup, wrong-language
+  // residue) score a high mean negative log-likelihood and get culled
+  // by threshold. Two aggregations (vocab counts, per-doc mean) and
+  // one token join, the q68 shape. Determinism: each token's NLL is
+  // rounded to 6 decimals FIRST and summed as DECIMAL(28,6) — a raw
+  // double sum would depend on Spark's partition-order reduction and
+  // drift from the oracle's sequential sum.
+  // Scale notes (100 TB): the vocab aggregate is hash-partitioned on
+  // token (skewed head tokens are exactly what AQE/salting handle);
+  // the token join shuffles on the same key; the per-doc aggregate
+  // rides doc_id. Nothing is collected: the "model" stays distributed
+  // (a production variant would broadcast a pruned top-K vocab).
+  def q94UnigramLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.documentsSharded(spark, dir)
+      .select(col("doc_id"), explode(tokens(lower(trim(col("text"))))).as("tok"))
+    val vocab = ex.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("n_total"))
+      .select(col("n_total").cast("double").as("n_total"),
+        least(col("n_total"), lit(0L)).as("_k"))
+    // in-plan 1-row total joined on an optimizer-opaque constant key —
+    // same trick as q68 (a foldable key collapses to the banned
+    // cartesian, an eager count fires jobs during plan sweeps)
+    val nll = ex.join(vocab, Seq("tok"))
+      .withColumn("_k", least(col("cnt"), lit(0L)))
+      .join(total, Seq("_k"))
+      .select(col("doc_id"),
+        round(-log(col("cnt").cast("double") / col("n_total")), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 6)).as("tok_nll"))
+    nll.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        // cast the EXACT decimal sum to double, then one IEEE division:
+        // decimal-by-integer division rounds at engine-specific scales
+        // and drifted the 6th decimal between Spark and DuckDB
+        round(sum(col("tok_nll")).cast("double") / count(lit(1)), 6).as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q94Oracle: String =
+    """WITH ex AS (
+      |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+      |  FROM documents),
+      |vocab AS (SELECT tok, count(*) AS cnt FROM ex GROUP BY 1),
+      |total AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total FROM vocab),
+      |nll AS (
+      |  SELECT doc_id,
+      |    CAST(round(-ln(CAST(cnt AS DOUBLE) / (SELECT n_total FROM total)), 6)
+      |      AS DECIMAL(28,6)) AS tok_nll
+      |  FROM ex JOIN vocab USING (tok))
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  round(CAST(sum(tok_nll) AS DOUBLE) / count(*), 6) AS avg_nll
+      |FROM nll GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_stratified_sample" -> q58StratifiedSample,
     "q27_token_stats" -> q27TokenStats,
     "q28_lang_id" -> q28LangId,
     "q29_quality_score" -> q29QualityScore,
     "q30_fingerprint" -> q30Fingerprint,
-    "q52_bpe_tokens" -> q52BpeTokens)
+    "q52_bpe_tokens" -> q52BpeTokens,
+    "q94_unigram_lm_score" -> q94UnigramLmScore)
 
   def oracleSql: Map[String, String] = Map(
     "q58_stratified_sample" -> q58Oracle,
@@ -242,5 +299,6 @@ object TextAnalysis {
     "q28_lang_id" -> q28Oracle,
     "q29_quality_score" -> q29Oracle,
     "q30_fingerprint" -> q30Oracle,
-    "q52_bpe_tokens" -> q52Oracle)
+    "q52_bpe_tokens" -> q52Oracle,
+    "q94_unigram_lm_score" -> q94Oracle)
 }
