@@ -158,13 +158,80 @@ object Multimodal {
        |FROM sampled s JOIN base b ON s.doc_id = b.doc_id
        |ORDER BY s.doc_id, s.frame_idx""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q97 — PERCEPTUAL-hash dedup over the binary column: the image-tier
+  // analogue of q31's exact content dedup. An average-hash (aHash) is
+  // computed from the decoded histogram — bit k set iff bin k holds
+  // more than the mean bin mass — so re-encoded or slightly-corrupted
+  // copies of the same media (which q31's md5 sees as distinct) land
+  // in the same perceptual bucket; grouping on the hash yields
+  // keeper/copy counts. Bits are INTEGER comparisons (16·c_k > n), so
+  // both engines agree exactly — a float-fraction threshold would flip
+  // on rounding at the boundary.
+  // Scale notes (100 TB): hashing rides the same mapPartitions decode
+  // stage as q38 (codec init once per partition; a real deployment
+  // hashes the decoded thumbnail the same way); the dedup itself is
+  // q31's single hash-partitioned aggregation, keyed on a 16-bit int —
+  // at production bit widths (64-bit pHash) the same shape holds, with
+  // q75's multi-index Hamming probe as the near-match extension.
+  case class PHashed(doc_id: Long, ahash: Int)
+
+  /** aHash bits from payload bytes: bin k = count of bytes with low
+    * nibble k; bit k set iff 16·bin_k > total bytes (strictly above
+    * the mean). Integer-exact; empty payload hashes to 0.
+    */
+  def aHash(payload: Array[Byte]): Int = {
+    val bins = new Array[Long](16)
+    payload.foreach(b => bins((b & 0xff) % 16) += 1)
+    val n = payload.length.toLong
+    (0 until 16).map(k => if (bins(k) * 16 > n) 1 << k else 0).sum
+  }
+
+  def q97PhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val payloads = graft.sources.Tables.documentsSharded(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+    payloads.mapPartitions { rows =>
+      // per-partition: thumbnail decode + hash state init happens HERE
+      rows.map { case (id, bytes) => PHashed(id, aHash(bytes)) }
+    }.toDF()
+      .groupBy(col("ahash"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("ahash"))
+  }
+
+  /** aHash replayed in SQL: bin counts via the low-nibble hex-digit
+    * trick q38's oracle uses, bits by the same integer comparison.
+    */
+  val q97Oracle: String = {
+    val hexDigits = "0123456789abcdef"
+    val bitTerms = (0 until 16).map { k =>
+      s"""CASE WHEN 16 * len(list_filter(generate_series(1, CAST(n AS INTEGER)),
+         |      i -> substring(h, 2*i, 1) = '${hexDigits(k)}')) > n
+         |    THEN ${1 << k} ELSE 0 END""".stripMargin
+    }.mkString("\n    + ")
+    s"""WITH base AS (
+       |  SELECT doc_id, lower(hex(encode(text))) AS h,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+       |  FROM documents),
+       |bits AS (
+       |  SELECT doc_id,
+       |    CAST($bitTerms AS INTEGER) AS ahash
+       |  FROM base)
+       |SELECT ahash, min(doc_id) AS keeper_id, count(*) AS n_copies
+       |FROM bits GROUP BY 1 ORDER BY ahash""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_binary_meta" -> q37BinaryMeta,
     "q38_multimodal_decode" -> q38MultimodalDecode,
-    "q53_frame_sample" -> q53FrameSample)
+    "q53_frame_sample" -> q53FrameSample,
+    "q97_phash_dedup" -> q97PhashDedup)
 
   def oracleSql: Map[String, String] = Map(
     "q37_binary_meta" -> q37Oracle,
     "q38_multimodal_decode" -> q38Oracle,
-    "q53_frame_sample" -> q53Oracle)
+    "q53_frame_sample" -> q53Oracle,
+    "q97_phash_dedup" -> q97Oracle)
 }

@@ -74,6 +74,34 @@ object FormatQueries {
       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 
   // --------------------------------------------------------------------
+  // q96 — ORC round-trip: the columnar interchange format warehouses
+  // actually exchange besides parquet, through the same lossless
+  // contract as q54/q55. Binary columnar (no text codec in the loop),
+  // so this gates Spark's ORC writer/reader pair and its type mapping
+  // (DECIMAL-summed doubles detect any value drift).
+  def q96OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp(spark, "orc", dir)
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_returnflag"))
+      .write.mode("overwrite").orc(path)
+    spark.read.orc(path)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        exprSum(col("l_quantity")).as("sum_qty"),
+        exprSum(col("l_extendedprice")).as("sum_price"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q96Oracle: String =
+    """SELECT l_returnflag, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) AS sum_price,
+      |  COUNT(DISTINCT l_orderkey) AS n_orders
+      |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
+  // --------------------------------------------------------------------
   // q59 — corrupt-record tolerance: a JSON dataset where a
   // deterministic subset of lines (event_id % 100 = 0) is mangled into
   // non-JSON; the PERMISSIVE reader must keep every good row, shunt
@@ -168,6 +196,7 @@ object FormatQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_csv_roundtrip" -> q54CsvRoundtrip,
     "q55_json_roundtrip" -> q55JsonRoundtrip,
+    "q96_orc_roundtrip" -> q96OrcRoundtrip,
     "q59_corrupt_tolerant" -> q59CorruptTolerant,
     "q63_partition_pruning" -> q63PartitionPruning,
     "q64_schema_evolution" -> q64SchemaEvolution)
@@ -175,6 +204,7 @@ object FormatQueries {
   def oracleSql: Map[String, String] = Map(
     "q54_csv_roundtrip" -> q54Oracle,
     "q55_json_roundtrip" -> q55Oracle,
+    "q96_orc_roundtrip" -> q96Oracle,
     "q59_corrupt_tolerant" -> q59Oracle,
     "q63_partition_pruning" -> q63Oracle,
     "q64_schema_evolution" -> q64Oracle)
