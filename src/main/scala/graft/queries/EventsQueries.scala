@@ -96,13 +96,68 @@ object EventsQueries {
       |  CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket
       |FROM events ORDER BY event_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q98 — funnel analysis: first-touch view → click → purchase per
+  // user, each stage within FunnelGapSec of the previous — the
+  // conversion query every event warehouse serves. "First-touch" makes
+  // it deterministic: the funnel anchors on each user's EARLIEST view,
+  // then the earliest qualifying click after it, then the earliest
+  // qualifying purchase — pure min aggregates, no row ordering
+  // assumptions. Every stage joins and aggregates on user_id, so the
+  // whole funnel rides ONE key partitioning (AQE reuses it); at 100 TB
+  // this is three co-located hash aggs + two left joins, no window
+  // over the full event stream.
+  // one day: at the fixture's event density this lands a 90/35/25
+  // stage split at sf0.01, so every funnel stage is genuinely
+  // exercised (1 hour converted almost nobody, 30 days everybody)
+  val FunnelGapSec = 86400L
+
+  def q98Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"),
+      col("event_type"), col("ts").cast("long").as("sec"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("sec")).as("v_sec"))
+    val c = ev.filter(col("event_type") === "click").join(v, Seq("user_id"))
+      .filter(col("sec") > col("v_sec") && col("sec") <= col("v_sec") + FunnelGapSec)
+      .groupBy(col("user_id")).agg(min(col("sec")).as("c_sec"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, Seq("user_id"))
+      .filter(col("sec") > col("c_sec") && col("sec") <= col("c_sec") + FunnelGapSec)
+      .groupBy(col("user_id")).agg(min(col("sec")).as("p_sec"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("v_sec"), col("c_sec"), col("p_sec"),
+        (lit(1) + when(col("c_sec").isNotNull, 1).otherwise(0)
+          + when(col("p_sec").isNotNull, 1).otherwise(0)).as("stage"))
+      .orderBy(col("user_id"))
+  }
+
+  val q98Oracle: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type,
+       |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+       |  FROM events),
+       |v AS (SELECT user_id, min(sec) AS v_sec FROM e
+       |      WHERE event_type = 'view' GROUP BY 1),
+       |c AS (SELECT e.user_id, min(sec) AS c_sec FROM e JOIN v USING (user_id)
+       |      WHERE event_type = 'click'
+       |        AND sec > v_sec AND sec <= v_sec + $FunnelGapSec GROUP BY 1),
+       |p AS (SELECT e.user_id, min(sec) AS p_sec FROM e JOIN c USING (user_id)
+       |      WHERE event_type = 'purchase'
+       |        AND sec > c_sec AND sec <= c_sec + $FunnelGapSec GROUP BY 1)
+       |SELECT user_id, v_sec, c_sec, p_sec,
+       |  CAST(1 + CASE WHEN c_sec IS NOT NULL THEN 1 ELSE 0 END
+       |         + CASE WHEN p_sec IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS stage
+       |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+       |ORDER BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_event_windows" -> q23EventWindows,
     "q24_sessionization" -> q24Sessionization,
-    "q25_json_extract" -> q25JsonExtract)
+    "q25_json_extract" -> q25JsonExtract,
+    "q98_funnel" -> q98Funnel)
 
   def oracleSql: Map[String, String] = Map(
     "q23_event_windows" -> q23Oracle,
     "q24_sessionization" -> q24Oracle,
-    "q25_json_extract" -> q25Oracle)
+    "q25_json_extract" -> q25Oracle,
+    "q98_funnel" -> q98Oracle)
 }
