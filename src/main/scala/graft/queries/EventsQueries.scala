@@ -149,15 +149,53 @@ object EventsQueries {
        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
        |ORDER BY user_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q99 — cohort retention: users grouped by first-activity DAY (the
+  // cohort), then counted per (cohort_day, days_since) — the retention
+  // triangle every growth dashboard is built on. Day ids are integer
+  // epoch-second DIV 86400 (no calendar parsing, identical in both
+  // engines; the fixture spans 30 days, so daily cohorts give a real
+  // triangle where weekly ones gave 5 cells); the cohort assignment is
+  // one user_id aggregate and the retention count one (cohort, offset)
+  // aggregate over the distinct user-day pairs — co-located on the
+  // user_id partitioning until the final small rollup.
+  def q99Retention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"),
+      expr("CAST(ts AS LONG) DIV 86400").as("day"))
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    ev.join(cohort, Seq("user_id"))
+      .select(col("user_id"), col("cohort_day"),
+        (col("day") - col("cohort_day")).as("days_since"))
+      .distinct()
+      .groupBy(col("cohort_day"), col("days_since"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_day"), col("days_since"))
+  }
+
+  val q99Oracle: String =
+    """WITH e AS (
+      |  SELECT user_id,
+      |    CAST(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 86400
+      |      AS BIGINT) AS day
+      |  FROM events),
+      |cohort AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1),
+      |ud AS (
+      |  SELECT DISTINCT user_id, cohort_day, day - cohort_day AS days_since
+      |  FROM e JOIN cohort USING (user_id))
+      |SELECT cohort_day, days_since, count(*) AS n_users
+      |FROM ud GROUP BY 1, 2 ORDER BY cohort_day, days_since""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_event_windows" -> q23EventWindows,
     "q24_sessionization" -> q24Sessionization,
     "q25_json_extract" -> q25JsonExtract,
-    "q98_funnel" -> q98Funnel)
+    "q98_funnel" -> q98Funnel,
+    "q99_retention" -> q99Retention)
 
   def oracleSql: Map[String, String] = Map(
     "q23_event_windows" -> q23Oracle,
     "q24_sessionization" -> q24Oracle,
     "q25_json_extract" -> q25Oracle,
-    "q98_funnel" -> q98Oracle)
+    "q98_funnel" -> q98Oracle,
+    "q99_retention" -> q99Oracle)
 }

@@ -38,4 +38,20 @@ class FunnelSpec extends SparkSpec {
     val stages = got.values.map(_._4).toSet
     assert(stages == Set(1, 2, 3), s"not all funnel stages exercised: $stages")
   }
+
+  test("q99 retention triangle matches a driver-side recompute") {
+    val events = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts").cast("long").as("sec"))
+      .collect().map(r => (r.getLong(0), r.getLong(1) / 86400))
+    val cohort = events.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val expected = events.map { case (u, d) => (cohort(u), d - cohort(u), u) }
+      .distinct.groupBy(t => (t._1, t._2)).view.mapValues(_.length.toLong).toMap
+    val got = EventsQueries.q99Retention(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expected,
+      s"drift: ${(expected.toSet -- got.toSet).take(3)} / ${(got.toSet -- expected.toSet).take(3)}")
+    // day-zero cell of the earliest cohort covers every user active then;
+    // offsets > 0 must exist or the fixture isn't exercising retention
+    assert(got.keys.exists(_._2 > 0), "no nonzero retention offsets")
+  }
 }
