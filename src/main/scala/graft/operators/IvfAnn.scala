@@ -94,6 +94,70 @@ object IvfAnn {
     Index(cells, pivots)
   }
 
+  /** Lloyd-REFINED codebook: `iters` k-means iterations from the q49
+    * seed pivots — the "replace the random/seed pivots with k-means
+    * centroids" upgrade the base index's scaladoc names. Exactness is
+    * preserved through training: after each mean the centroid is
+    * rounded back to scaled-integer components (round-half-away, the
+    * shared engine semantics), so every assignment — including the
+    * final one — is the same exact int64 distance the seed index uses
+    * and the WHOLE training loop replays in DuckDB. A cell that loses
+    * all members keeps its previous centroid (the standard Lloyd
+    * convention).
+    * Scale notes (100 TB): each iteration is one per-row codegen
+    * assignment (no shuffle) plus one (cell, pos) aggregation whose
+    * result is k·dim rows — the codebook-sized collect the base index
+    * already makes; the corpus never moves. Iteration count is a small
+    * constant (2 here), as in any production IVF build.
+    */
+  def buildTrainedIndex(spark: SparkSession, dir: String, k: Int, iters: Int): Index =
+    buildTrainedIndexFrom(Tables.embeddingsSharded(spark, dir), k, iters)
+
+  def buildTrainedIndexFrom(vectors: DataFrame, k: Int, iters: Int): Index = {
+    val base = withScaledNorm(vectors)
+    var idx = buildIndexFrom(vectors, k)
+    for (_ <- 0 until iters) {
+      // element-wise member means: posexplode to (cell, pos, v), one
+      // two-key aggregation, k·dim rows back to the driver
+      val sums = idx.cells
+        .select(col("cell"), posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
+        .collect()
+        .groupBy(_.getInt(0))
+      val pivots = idx.pivots.map { case (cell, oldSv, oldNrm) =>
+        sums.get(cell) match {
+          case Some(rows) =>
+            // round half-AWAY-from-zero (BigDecimal HALF_UP on the IEEE
+            // quotient) — Math.round would round -0.5 toward +inf and
+            // diverge from both engines' round()
+            val sv = rows.sortBy(_.getInt(1)).map { r =>
+              BigDecimal(r.getLong(2).toDouble / r.getLong(3))
+                .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+            }
+            (cell, sv, sv.map(x => x * x).sum)
+          case None => (cell, oldSv, oldNrm)
+        }
+      }
+      val d = distArray(pivots)
+      idx = Index(base.select(col("vec_id"),
+        (array_position(d, array_min(d)) - 1).cast("int").as("cell"),
+        col("sv"), col("nrm")), pivots)
+    }
+    idx
+  }
+
+  /** Total exact squared-L2 distortion of an index's assignment — the
+    * quantity Lloyd iterations monotonically improve (up to centroid
+    * rounding); spec-asserted, not part of any query result.
+    */
+  def distortion(index: Index): Long = {
+    val d = distArray(index.pivots)
+    index.cells
+      .select(element_at(d, col("cell") + 1).as("dist"))
+      .agg(sum(col("dist"))).collect()(0).getLong(0)
+  }
+
   /** Probe the `nprobe` nearest cells per query; exact cosine top-k
     * within the probed set, ranked by (cos desc, cand_id).
     */

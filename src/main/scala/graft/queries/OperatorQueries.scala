@@ -157,6 +157,89 @@ object OperatorQueries {
       |ORDER BY query_id, rk""".stripMargin
 
   // --------------------------------------------------------------------
+  // q100 — TRAINED IVF probe (IvfAnn.buildTrainedIndex): q49's index
+  // with its seed pivots refined by two exact-integer Lloyd iterations
+  // before probing — the k-means codebook production IVF builds use.
+  // Centroids round back to scaled integers after every mean, so the
+  // full train→assign→probe chain is bit-reproducible and the DuckDB
+  // oracle replays BOTH iterations unrolled. Same probe geometry as
+  // q49 (2 cells, top-3); IvfTrainedSpec asserts training does not
+  // worsen distortion and keeps recall.
+  def q100IvfTrained(spark: SparkSession, dir: String): DataFrame = {
+    val index = IvfAnn.buildTrainedIndex(spark, dir, k = 8, iters = 2)
+    val queries = Tables.embeddingsSharded(spark, dir).filter(col("vec_id") % 25 === 0)
+    IvfAnn.probe(spark, index, queries, nprobe = 2, topK = 3)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  val q100Oracle: String = {
+    val sqlDot = (a: String, b: String) =>
+      s"CAST(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])) AS BIGINT)"
+    val sqlNrm = (v: String) => sqlDot(v, v)
+    // one Lloyd iteration: assign against `cents`, mean per (cell, pos)
+    // with round-half-away, empty cells keep the previous centroid
+    def iterate(prev: String, assigned: String, next: String): String =
+      s"""d_$assigned AS (
+         |  SELECT a.vec_id, s.cell, a.sv, a.nrm,
+         |    a.nrm + s.nrm - 2 * ${sqlDot("a.sv", "s.sv")} AS d
+         |  FROM base a CROSS JOIN $prev s),
+         |a_$assigned AS (
+         |  SELECT vec_id, cell, sv FROM d_$assigned
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1),
+         |m_$assigned AS (
+         |  SELECT cell, pos,
+         |    CAST(round(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+         |  FROM (SELECT cell,
+         |          unnest(generate_series(1, len(sv))) AS pos,
+         |          unnest(sv) AS v
+         |        FROM a_$assigned)
+         |  GROUP BY 1, 2),
+         |$next AS (
+         |  SELECT s.cell, COALESCE(n.nsv, s.sv) AS sv,
+         |    ${sqlNrm("COALESCE(n.nsv, s.sv)")} AS nrm
+         |  FROM $prev s LEFT JOIN
+         |    (SELECT cell, list(cv ORDER BY pos) AS nsv FROM m_$assigned GROUP BY 1) n
+         |    USING (cell))""".stripMargin
+    s"""WITH sva AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS sv
+       |  FROM embeddings),
+       |base AS (
+       |  SELECT vec_id, sv, ${sqlNrm("sv")} AS nrm
+       |  FROM sva),
+       |mm AS (
+       |  SELECT GREATEST(1, CAST(ceil(CAST(count(*) AS DOUBLE) / 8) AS BIGINT)) AS m
+       |  FROM embeddings),
+       |cent0 AS (
+       |  SELECT CAST(vec_id // (SELECT m FROM mm) AS INTEGER) AS cell, sv, nrm
+       |  FROM base WHERE vec_id % (SELECT m FROM mm) = 0),
+       |${iterate("cent0", "i1", "cent1")},
+       |${iterate("cent1", "i2", "cent2")},
+       |dists AS (
+       |  SELECT a.vec_id, s.cell, a.sv, a.nrm,
+       |    a.nrm + s.nrm - 2 * ${sqlDot("a.sv", "s.sv")} AS d
+       |  FROM base a CROSS JOIN cent2 s),
+       |assigned AS (
+       |  SELECT vec_id, cell, sv, nrm FROM dists
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1),
+       |qprobe AS (
+       |  SELECT vec_id AS query_id, sv AS qsv, nrm AS qnrm, cell
+       |  FROM dists WHERE vec_id % 25 = 0
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) <= 2),
+       |scored AS (
+       |  SELECT q.query_id, a.vec_id AS cand_id,
+       |    round(CAST(${sqlDot("q.qsv", "a.sv")} AS DOUBLE)
+       |      / sqrt(CAST(q.qnrm AS DOUBLE)) / sqrt(CAST(a.nrm AS DOUBLE)), 6) AS cos
+       |  FROM qprobe q JOIN assigned a ON q.cell = a.cell AND q.query_id <> a.vec_id),
+       |ranked AS (
+       |  SELECT query_id, cand_id, cos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS INTEGER) AS rk
+       |  FROM scored)
+       |SELECT query_id, rk, cand_id, cos FROM ranked WHERE rk <= 3
+       |ORDER BY query_id, rk""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
   // q50 — skew-safe two-phase aggregation (Skew.saltedCount): per-part
   // lineitem counts with the hot-key-spreading salt. The salt is
   // internal — the result equals a plain GROUP BY, which is the oracle.
@@ -290,7 +373,8 @@ object OperatorQueries {
     "q49_ivf_ann" -> q49IvfAnn,
     "q50_salted_count" -> q50SaltedCount,
     "q51_salted_join" -> q51SaltedJoin,
-    "q93_merge_upsert" -> q93MergeUpsert)
+    "q93_merge_upsert" -> q93MergeUpsert,
+    "q100_ivf_trained" -> q100IvfTrained)
 
   def oracleSql: Map[String, String] = Map(
     "q57_topk_agg" -> q57Oracle,
@@ -300,5 +384,6 @@ object OperatorQueries {
     "q49_ivf_ann" -> q49Oracle,
     "q50_salted_count" -> q50Oracle,
     "q51_salted_join" -> q51Oracle,
-    "q93_merge_upsert" -> q93Oracle)
+    "q93_merge_upsert" -> q93Oracle,
+    "q100_ivf_trained" -> q100Oracle)
 }
