@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.OperatorQueries.queries ++
       graft.sources.FormatQueries.queries ++
       graft.queries.StatsQueries.queries ++
-      graft.operators.Curation.queries
+      graft.operators.Curation.queries ++
+      graft.operators.ZOrder.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -39,5 +40,6 @@ object SparkEntry {
       graft.queries.OperatorQueries.oracleSql ++
       graft.sources.FormatQueries.oracleSql ++
       graft.queries.StatsQueries.oracleSql ++
-      graft.operators.Curation.oracleSql
+      graft.operators.Curation.oracleSql ++
+      graft.operators.ZOrder.oracleSql
 }

@@ -44,9 +44,70 @@ object Profiling {
       ProfiledCols.map(c => approx_count_distinct(col(c)).as(s"andv_$c")): _*)
   }
 
+  // --------------------------------------------------------------------
+  // q101 — data-quality expectation report: one row per audited column
+  // with row/null/distinct counts and typed min/max — the publish gate
+  // every warehouse load runs before a table goes live (the reference
+  // loads blind; this is the check its users would bolt on first).
+  // One single-column aggregate per audited column, unioned: each scan
+  // prunes to ONE column (columnar scans make per-column passes the
+  // scalable form — a single all-columns aggregate would pay q39's
+  // Expand or a wide row read instead). Numeric bounds stay DOUBLE and
+  // string bounds stay VARCHAR — casting doubles to strings for a
+  // uniform column would make the hash hostage to formatting.
+  def q101DqReport(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    def audit(c: String, numeric: Boolean): DataFrame = {
+      val col0 = col(c)
+      orders.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col0.isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col0).as("n_distinct"),
+        (if (numeric) min(col0).cast("double") else lit(null).cast("double")).as("min_num"),
+        (if (numeric) max(col0).cast("double") else lit(null).cast("double")).as("max_num"),
+        (if (numeric) lit(null).cast("string") else min(col0).cast("string")).as("min_str"),
+        (if (numeric) lit(null).cast("string") else max(col0).cast("string")).as("max_str"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_num"), col("max_num"),
+          col("min_str"), col("max_str"))
+    }
+    audit("o_orderkey", numeric = true)
+      .unionByName(audit("o_custkey", numeric = true))
+      .unionByName(audit("o_totalprice", numeric = true))
+      .unionByName(audit("o_orderstatus", numeric = false))
+      .orderBy(col("col_name"))
+  }
+
+  val q101Oracle: String = {
+    def num(c: String) =
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  CAST(min($c) AS DOUBLE) AS min_num, CAST(max($c) AS DOUBLE) AS max_num,
+         |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+         |FROM orders""".stripMargin
+    def str(c: String) =
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+         |  CAST(min($c) AS VARCHAR) AS min_str, CAST(max($c) AS VARCHAR) AS max_str
+         |FROM orders""".stripMargin
+    s"""${num("o_orderkey")}
+       |UNION ALL
+       |${num("o_custkey")}
+       |UNION ALL
+       |${num("o_totalprice")}
+       |UNION ALL
+       |${str("o_orderstatus")}
+       |ORDER BY col_name""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q39_profile_ndv" -> q39ProfileNdv)
+    "q39_profile_ndv" -> q39ProfileNdv,
+    "q101_dq_report" -> q101DqReport)
 
   def oracleSql: Map[String, String] = Map(
-    "q39_profile_ndv" -> q39Oracle)
+    "q39_profile_ndv" -> q39Oracle,
+    "q101_dq_report" -> q101Oracle)
 }
