@@ -356,6 +356,60 @@ object StreamingQueries {
       |JOIN nation ON c_nationkey = n_nationkey
       |ORDER BY event_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q103 — streaming dedup against a STATIC corpus index: the ingest
+  // front-door's dedup stage. New documents stream in (the doc_id%3=0
+  // delta, as q85) and are anti-joined per micro-batch against the
+  // accepted corpus's min-shingle-fingerprint index (q40's candidate
+  // key — near-dups collide on it where exact md5 never would) — a
+  // stream-static LEFT ANTI join, stateless on the stream side because
+  // the static side is complete by definition (contrast q72/q84,
+  // which need state to dedup the stream against ITSELF). Fingerprint
+  // matching is the aggressive drop-on-candidate policy; a verify-
+  // then-drop pipeline routes matches through q85's exact-Jaccard
+  // batch path instead. At 100 TB the index is a stored table
+  // re-resolved per batch (picks up the corpus as it grows) and only
+  // 32-byte fingerprints travel.
+  private def shingleFingerprint: org.apache.spark.sql.Column =
+    graft.functions.MinShingleMd5.min_shingle_md5(
+      split(lower(trim(col("text"))), " "), 3)
+
+  def q103StreamDedupStatic(spark: SparkSession, dir: String): DataFrame = {
+    val ss = EventsStreaming.streamSession(spark)
+    val index = graft.sources.Tables.documents(ss, dir)
+      .filter(col("doc_id") % 3 =!= 0)
+      .select(shingleFingerprint.as("fp")).distinct()
+    val kept = readDocumentsStream(ss, dir)
+      .filter(col("doc_id") % 3 === 0)
+      .withColumn("fp", shingleFingerprint)
+      .join(index, Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    EventsStreaming.runToMemory(kept, "q103_mem")
+      .orderBy(col("doc_id"))
+  }
+
+  val q103Oracle: String =
+    """WITH pre AS (
+      |  SELECT doc_id, lower(trim(text)) AS norm,
+      |    string_split(lower(trim(text)), ' ') AS toks
+      |  FROM documents),
+      |fp AS (
+      |  SELECT doc_id,
+      |    list_aggregate(list_transform(
+      |      CASE WHEN len(toks) >= 3
+      |        THEN list_transform(generate_series(1, len(toks) - 2),
+      |               i -> array_to_string(toks[i:i+2], ' '))
+      |        ELSE [norm] END,
+      |      s -> md5(s)), 'min') AS f
+      |  FROM pre)
+      |SELECT doc_id, lang, n_chars FROM documents
+      |WHERE doc_id % 3 = 0
+      |  AND doc_id NOT IN (
+      |    SELECT a.doc_id FROM fp a
+      |    WHERE a.doc_id % 3 = 0
+      |      AND a.f IN (SELECT f FROM fp WHERE doc_id % 3 <> 0))
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_stream_hourly" -> q45StreamHourly,
     "q46_stream_sessions" -> q46StreamSessions,
@@ -364,7 +418,8 @@ object StreamingQueries {
     "q80_stream_shard_sink" -> q80StreamShardSink,
     "q84_stream_dedup_watermark" -> q84StreamDedupWatermark,
     "q88_stream_curation_gate" -> q88StreamCurationGate,
-    "q91_stream_enrich" -> q91StreamEnrich)
+    "q91_stream_enrich" -> q91StreamEnrich,
+    "q103_stream_dedup_static" -> q103StreamDedupStatic)
 
   def oracleSql: Map[String, String] = Map(
     "q45_stream_hourly" -> q45Oracle,
@@ -374,5 +429,6 @@ object StreamingQueries {
     "q80_stream_shard_sink" -> q80Oracle,
     "q84_stream_dedup_watermark" -> q84Oracle,
     "q88_stream_curation_gate" -> q88Oracle,
-    "q91_stream_enrich" -> q91Oracle)
+    "q91_stream_enrich" -> q91Oracle,
+    "q103_stream_dedup_static" -> q103Oracle)
 }

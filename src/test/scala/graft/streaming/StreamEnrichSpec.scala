@@ -30,6 +30,33 @@ class StreamEnrichSpec extends SparkSpec {
     assert(stream.size.toLong == nEvents, s"${stream.size} enriched vs $nEvents events")
   }
 
+  test("stream-static anti join dedups the delta against the corpus index") {
+    // driver-side fingerprint: min md5 over 3-token shingles of the
+    // normalized text (whole text when shorter) — q40's candidate key
+    def fp(text: String): String = {
+      val norm = text.toLowerCase.trim
+      val toks = norm.split(" ", -1)
+      val shingles = if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSeq
+        else Seq(norm)
+      shingles.map { s =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      }.min
+    }
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), fp(r.getString(1))))
+    val corpusFps = docs.collect { case (id, f) if id % 3 != 0 => f }.toSet
+    val delta = docs.filter(_._1 % 3 == 0)
+    val expected = delta.collect { case (id, f) if !corpusFps(f) => id }.toSet
+    val kept = StreamingQueries.q103StreamDedupStatic(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == expected,
+      s"missing=${(expected -- kept).take(3)} extra=${(kept -- expected).take(3)}")
+    assert(delta.length > expected.size,
+      "no delta doc matched the corpus index — the anti join is untested")
+  }
+
   test("the enrichment join is stateless") {
     val ss = EventsStreaming.streamSession(spark)
     val events = EventsStreaming.readEventsStream(ss, dir)
