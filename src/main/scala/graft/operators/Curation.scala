@@ -724,6 +724,69 @@ object Curation {
   }
 
   // --------------------------------------------------------------------
+  // q104 — TOKEN-budget mixture rebalancing: q71 samples by document
+  // count with fixed per-source rates; the mixture a trainer actually
+  // specifies is TOKEN shares ("50% src0, 30% src1, ..."), and the
+  // feasible corpus is bound by the scarcest source. Given integer
+  // weights w_s, the feasible total is T = min_s(avail_s·Σw ÷ w_s),
+  // each source's budget is B_s = w_s·T ÷ Σw, and docs are accepted in
+  // deterministic md5 order while the running token sum stays within
+  // budget — all integer arithmetic, so both engines agree exactly.
+  // The plan stays ONE lazy tree: per-source availability is a 20-row
+  // aggregate whose min joins back through the optimizer-opaque 1-row
+  // key (q68's trick).
+  // Scale notes (100 TB): the per-source running sum is a window
+  // partitioned by source — fine while sources are few thousand; a
+  // corpus with giant single sources swaps it for the two-phase
+  // sharded cumsum (q74/SurrogateKeys shape: per-(source, shard)
+  // sums + shard offsets). The acceptance hash is per-row codegen.
+  private val MixSumW = 23L // 3 + 2 + 18×1 over the fixture's 20 sources
+
+  private def mixWeight: Column =
+    when(col("source") === "src0", 3L)
+      .when(col("source") === "src1", 2L).otherwise(1L)
+
+  def q104TokenMixture(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsSharded(spark, dir).select(
+      col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("bigint").as("n_tokens"),
+      md5(concat(col("doc_id").cast("string"), lit(":"), col("text"))).as("h"))
+      .withColumn("w", mixWeight)
+    val t = docs.groupBy(col("source"), col("w"))
+      .agg(sum(col("n_tokens")).as("avail"))
+      .agg(min(expr(s"avail * $MixSumW DIV w")).as("t"))
+      .select(col("t"), least(col("t"), lit(0L)).as("_k"))
+    val win = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("_k", least(col("n_tokens"), lit(0L)))
+      .join(t, Seq("_k"))
+      .withColumn("budget", expr(s"w * t DIV $MixSumW"))
+      .withColumn("cum", sum(col("n_tokens")).over(win))
+      .filter(col("cum") <= col("budget"))
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q104Oracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    md5(CAST(doc_id AS VARCHAR) || ':' || text) AS h,
+       |    CAST(CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 2
+       |      ELSE 1 END AS BIGINT) AS w
+       |  FROM documents),
+       |avail AS (SELECT source, w, sum(n_tokens) AS a FROM d GROUP BY 1, 2),
+       |t AS (SELECT min(CAST(a * $MixSumW // w AS BIGINT)) AS t FROM avail),
+       |cum AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    CAST(w * (SELECT t FROM t) // $MixSumW AS BIGINT) AS budget,
+       |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+       |  FROM d)
+       |SELECT doc_id, source, n_tokens FROM cum
+       |WHERE c <= budget ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------
   // q89 — shard COMPACTION: the maintenance pass every long-running
   // ingest needs. Streaming appends and incremental batches leave each
   // shard directory littered with small files (q80 writes one file set
@@ -777,7 +840,8 @@ object Curation {
     "q82_curation_pipeline" -> q82CurationPipeline,
     "q86_bloom_contamination" -> q86BloomContamination,
     "q89_compact_shards" -> q89CompactShards,
-    "q90_split_packing" -> q90SplitPacking)
+    "q90_split_packing" -> q90SplitPacking,
+    "q104_token_mixture" -> q104TokenMixture)
 
   def oracleSql: Map[String, String] = Map(
     "q67_contamination" -> q67Oracle,
@@ -791,5 +855,6 @@ object Curation {
     "q82_curation_pipeline" -> q82Oracle,
     "q86_bloom_contamination" -> q86Oracle,
     "q89_compact_shards" -> q89Oracle,
-    "q90_split_packing" -> q90Oracle)
+    "q90_split_packing" -> q90Oracle,
+    "q104_token_mixture" -> q104Oracle)
 }
