@@ -163,19 +163,15 @@ object Curation {
     // n_docs joins in as a 1-row aggregate so the whole query stays ONE
     // lazy plan (the previous eager .count() fired a job whenever the
     // query map was merely invoked for its plan, and snapshotted the
-    // count at build time). The join key must be a constant the
-    // OPTIMIZER cannot see through, else the equi-join collapses to the
-    // cartesian product the nested-loop sweep bans: aliased literals
-    // fall to FoldablePropagation, and `x * 0` is folded for
-    // non-nullable x — `least(count, 0)` evaluates to 0 on every row
-    // (counts are non-negative) but constraint propagation cannot prove
-    // it, so the hash join survives. AQE broadcasts the 1-row side.
+    // count at build time). The optimizer-opaque key is shared — see
+    // graft.plans.Opaque for why a plain literal collapses to the
+    // banned cartesian. AQE broadcasts the 1-row side.
     val nd = Tables.documents(spark, dir)
       .agg(count(lit(1)).as("n_docs_l"))
       .select(col("n_docs_l").cast("double").as("n_docs"),
-        least(col("n_docs_l"), lit(0L)).as("_k"))
+        graft.plans.Opaque.zeroKey(col("n_docs_l")).as("_k"))
     val scored = tf.join(df, Seq("tok"))
-      .withColumn("_k", least(col("df"), lit(0L)))
+      .withColumn("_k", graft.plans.Opaque.zeroKey(col("df")))
       .join(nd, Seq("_k"))
       .select(col("doc_id"), col("tok"),
         round(col("tf") * log(col("n_docs") / col("df")), 6).as("tfidf"))
@@ -733,15 +729,16 @@ object Curation {
   // deterministic md5 order while the running token sum stays within
   // budget — all integer arithmetic, so both engines agree exactly.
   // The plan stays ONE lazy tree: per-source availability is a 20-row
-  // aggregate whose min joins back through the optimizer-opaque 1-row
-  // key (q68's trick).
+  // aggregate, Σw is DERIVED from the sources actually present (a
+  // hardcoded sum would silently mis-budget a corpus with a different
+  // source set while the oracle, sharing the constant, still matched),
+  // and both 1-row values join back through the shared
+  // optimizer-opaque key (graft.plans.Opaque).
   // Scale notes (100 TB): the per-source running sum is a window
   // partitioned by source — fine while sources are few thousand; a
   // corpus with giant single sources swaps it for the two-phase
   // sharded cumsum (q74/SurrogateKeys shape: per-(source, shard)
   // sums + shard offsets). The acceptance hash is per-row codegen.
-  private val MixSumW = 23L // 3 + 2 + 18×1 over the fixture's 20 sources
-
   private def mixWeight: Column =
     when(col("source") === "src0", 3L)
       .when(col("source") === "src1", 2L).otherwise(1L)
@@ -752,15 +749,19 @@ object Curation {
       size(split(col("text"), " ")).cast("bigint").as("n_tokens"),
       md5(concat(col("doc_id").cast("string"), lit(":"), col("text"))).as("h"))
       .withColumn("w", mixWeight)
-    val t = docs.groupBy(col("source"), col("w"))
+    val avail = docs.groupBy(col("source"), col("w"))
       .agg(sum(col("n_tokens")).as("avail"))
-      .agg(min(expr(s"avail * $MixSumW DIV w")).as("t"))
-      .select(col("t"), least(col("t"), lit(0L)).as("_k"))
+    val sw = avail.agg(sum(col("w")).as("sumw"))
+      .select(col("sumw"), graft.plans.Opaque.zeroKey(col("sumw")).as("_k"))
+    val t = avail.withColumn("_k", graft.plans.Opaque.zeroKey(col("w")))
+      .join(sw, Seq("_k"))
+      .agg(min(expr("avail * sumw DIV w")).as("t"), max(col("sumw")).as("sumw"))
+      .select(col("t"), col("sumw"), graft.plans.Opaque.zeroKey(col("t")).as("_k"))
     val win = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.withColumn("_k", least(col("n_tokens"), lit(0L)))
+    docs.withColumn("_k", graft.plans.Opaque.zeroKey(col("n_tokens")))
       .join(t, Seq("_k"))
-      .withColumn("budget", expr(s"w * t DIV $MixSumW"))
+      .withColumn("budget", expr("w * t DIV sumw"))
       .withColumn("cum", sum(col("n_tokens")).over(win))
       .filter(col("cum") <= col("budget"))
       .select(col("doc_id"), col("source"), col("n_tokens"))
@@ -768,23 +769,25 @@ object Curation {
   }
 
   val q104Oracle: String =
-    s"""WITH d AS (
-       |  SELECT doc_id, source,
-       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-       |    md5(CAST(doc_id AS VARCHAR) || ':' || text) AS h,
-       |    CAST(CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 2
-       |      ELSE 1 END AS BIGINT) AS w
-       |  FROM documents),
-       |avail AS (SELECT source, w, sum(n_tokens) AS a FROM d GROUP BY 1, 2),
-       |t AS (SELECT min(CAST(a * $MixSumW // w AS BIGINT)) AS t FROM avail),
-       |cum AS (
-       |  SELECT doc_id, source, n_tokens,
-       |    CAST(w * (SELECT t FROM t) // $MixSumW AS BIGINT) AS budget,
-       |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
-       |  FROM d)
-       |SELECT doc_id, source, n_tokens FROM cum
-       |WHERE c <= budget ORDER BY doc_id""".stripMargin
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    md5(CAST(doc_id AS VARCHAR) || ':' || text) AS h,
+      |    CAST(CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 2
+      |      ELSE 1 END AS BIGINT) AS w
+      |  FROM documents),
+      |avail AS (SELECT source, w, sum(n_tokens) AS a FROM d GROUP BY 1, 2),
+      |sw AS (SELECT CAST(sum(w) AS BIGINT) AS sumw FROM avail),
+      |t AS (SELECT min(CAST(a * (SELECT sumw FROM sw) // w AS BIGINT)) AS t
+      |      FROM avail),
+      |cum AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    CAST(w * (SELECT t FROM t) // (SELECT sumw FROM sw) AS BIGINT) AS budget,
+      |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      |  FROM d)
+      |SELECT doc_id, source, n_tokens FROM cum
+      |WHERE c <= budget ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------
   // q89 — shard COMPACTION: the maintenance pass every long-running

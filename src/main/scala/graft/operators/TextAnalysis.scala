@@ -250,12 +250,12 @@ object TextAnalysis {
     val vocab = ex.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
     val total = vocab.agg(sum(col("cnt")).as("n_total"))
       .select(col("n_total").cast("double").as("n_total"),
-        least(col("n_total"), lit(0L)).as("_k"))
-    // in-plan 1-row total joined on an optimizer-opaque constant key —
-    // same trick as q68 (a foldable key collapses to the banned
+        graft.plans.Opaque.zeroKey(col("n_total")).as("_k"))
+    // in-plan 1-row total joined on the shared optimizer-opaque key
+    // (graft.plans.Opaque — a foldable key collapses to the banned
     // cartesian, an eager count fires jobs during plan sweeps)
     val nll = ex.join(vocab, Seq("tok"))
-      .withColumn("_k", least(col("cnt"), lit(0L)))
+      .withColumn("_k", graft.plans.Opaque.zeroKey(col("cnt")))
       .join(total, Seq("_k"))
       .select(col("doc_id"),
         round(-log(col("cnt").cast("double") / col("n_total")), 6)

@@ -39,7 +39,12 @@ object ZOrder {
     }.reduce(_ + _)
 
   /** Orders keyed by (customer, order day) — the two dimensions a
-    * fact table is typically range-queried on together.
+    * fact table is typically range-queried on together. [[zValue]]
+    * reads only the low [[ZBits]] bits of EACH key, so keys wider than
+    * 16 bits alias z-cells and dilute the clustering — a corpus whose
+    * keys outgrow the budget should quantize them into 2^16 RANGE
+    * buckets first (percentile buckets keep cells balanced under skew,
+    * which a plain modulo would not).
     */
   private[operators] def ordersWithZ(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir).select(
@@ -47,7 +52,7 @@ object ZOrder {
       col("o_custkey"),
       datediff(col("o_orderdate").cast("date"), lit("1970-01-01"))
         .cast("long").as("order_day"))
-      .withColumn("z", zValue(col("o_custkey"), col("order_day") % (1L << ZBits)))
+      .withColumn("z", zValue(col("o_custkey"), col("order_day")))
 
   def q102ZOrder(spark: SparkSession, dir: String): DataFrame =
     ordersWithZ(spark, dir)
@@ -63,7 +68,7 @@ object ZOrder {
        |SELECT o_orderkey, o_custkey, order_day,
        |  CAST(list_sum(list_transform(generate_series(0, ${ZBits - 1}),
        |    i -> (((o_custkey >> i) & 1) << (2*i))
-       |       + ((((order_day % ${1L << ZBits}) >> i) & 1) << (2*i + 1)))) AS BIGINT) AS z
+       |       + (((order_day >> i) & 1) << (2*i + 1)))) AS BIGINT) AS z
        |FROM base
        |ORDER BY o_orderkey""".stripMargin
 
