@@ -185,17 +185,79 @@ object EventsQueries {
       |SELECT cohort_day, days_since, count(*) AS n_users
       |FROM ud GROUP BY 1, 2 ORDER BY cohort_day, days_since""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q105 — incremental aggregate maintenance: the materialized-view
+  // upkeep every warehouse runs nightly. A per-(user, event_type)
+  // aggregate exists for history (events before the cutover day); the
+  // new day's delta is aggregated ALONE and merged into it with
+  // aggregate-algebra (counts/sums add, mins/maxes min/max over a full
+  // outer join) — the base data is never rescanned. The oracle is the
+  // full recompute over everything, so the gate proves merge-equals-
+  // recompute. The fixture cutover is mid-span (day 19740 of the
+  // 30-day window) so base, delta, overlap keys, and delta-only keys
+  // all genuinely occur.
+  // Scale notes (100 TB): one aggregate over the (pruned) delta
+  // partition, one key-partitioned outer-join merge against the stored
+  // view — the incremental cost is O(delta + |view|), not O(history);
+  // both sides hash on the same key so the merge co-locates.
+  val CutoverDay = 19740L
+
+  def q105IncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      col("user_id"), col("event_type"),
+      expr("CAST(ts AS LONG) DIV 86400").as("day"),
+      col("value"))
+    def aggOf(df: DataFrame): DataFrame = df
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(24, 6))).as("sv"),
+        min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+    mergeAggregates(aggOf(ev.filter(col("day") < CutoverDay)),
+      aggOf(ev.filter(col("day") >= CutoverDay)))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** The aggregate-algebra merge: counts/sums add, day bounds min/max,
+    * keys present on only one side pass through — a full outer join on
+    * the view key. Factored so the one-sided coalesce paths (which the
+    * evenly-active fixture never produces) are testable directly.
+    */
+  private[queries] def mergeAggregates(baseAgg: DataFrame, deltaAgg: DataFrame): DataFrame = {
+    val zeroSv = lit(0).cast(org.apache.spark.sql.types.DecimalType(24, 6))
+    val base = baseAgg.withColumnsRenamed(Map("n" -> "bn", "sv" -> "bsv",
+      "first_day" -> "bf", "last_day" -> "bl"))
+    val delta = deltaAgg.withColumnsRenamed(Map("n" -> "dn", "sv" -> "dsv",
+      "first_day" -> "df_", "last_day" -> "dl"))
+    base.join(delta, Seq("user_id", "event_type"), "full_outer")
+      .select(col("user_id"), col("event_type"),
+        (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_events"),
+        (coalesce(col("bsv"), zeroSv) + coalesce(col("dsv"), zeroSv))
+          .cast("double").as("sum_value"),
+        least(coalesce(col("bf"), col("df_")), coalesce(col("df_"), col("bf"))).as("first_day"),
+        greatest(coalesce(col("bl"), col("dl")), coalesce(col("dl"), col("bl"))).as("last_day"))
+  }
+
+  val q105Oracle: String =
+    """SELECT user_id, event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS sum_value,
+      |  min(CAST(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 86400 AS BIGINT)) AS first_day,
+      |  max(CAST(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 86400 AS BIGINT)) AS last_day
+      |FROM events GROUP BY 1, 2
+      |ORDER BY user_id, event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_event_windows" -> q23EventWindows,
     "q24_sessionization" -> q24Sessionization,
     "q25_json_extract" -> q25JsonExtract,
     "q98_funnel" -> q98Funnel,
-    "q99_retention" -> q99Retention)
+    "q99_retention" -> q99Retention,
+    "q105_incremental_agg" -> q105IncrementalAgg)
 
   def oracleSql: Map[String, String] = Map(
     "q23_event_windows" -> q23Oracle,
     "q24_sessionization" -> q24Oracle,
     "q25_json_extract" -> q25Oracle,
     "q98_funnel" -> q98Oracle,
-    "q99_retention" -> q99Oracle)
+    "q99_retention" -> q99Oracle,
+    "q105_incremental_agg" -> q105Oracle)
 }
