@@ -21,6 +21,7 @@ object SparkEntry {
       graft.queries.OperatorQueries.queries ++
       graft.sources.FormatQueries.queries ++
       graft.queries.StatsQueries.queries ++
+      graft.queries.TimeSeriesQueries.queries ++
       graft.operators.Curation.queries ++
       graft.operators.ZOrder.queries
 
@@ -40,6 +41,7 @@ object SparkEntry {
       graft.queries.OperatorQueries.oracleSql ++
       graft.sources.FormatQueries.oracleSql ++
       graft.queries.StatsQueries.oracleSql ++
+      graft.queries.TimeSeriesQueries.oracleSql ++
       graft.operators.Curation.oracleSql ++
       graft.operators.ZOrder.oracleSql
 }

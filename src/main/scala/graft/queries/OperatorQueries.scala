@@ -365,6 +365,68 @@ object OperatorQueries {
       |  UNION ALL SELECT * FROM inserts)
       |ORDER BY c_custkey""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q109 — snapshot diff (table audit): given yesterday's snapshot and
+  // today's, emit every row-level change (added / removed / changed)
+  // via ONE full outer join on the business key. Today's snapshot is
+  // derived in-plan from `orders` with the engine-portable md5-bucket
+  // idiom (q71's): ~5% of keys removed, ~10% get a price bump, ~5%
+  // re-inserted under fresh keys — so every diff class genuinely
+  // occurs and the oracle replays the derivation exactly.
+  // Scale notes (100 TB): both snapshots hash-partition on the key, so
+  // the full outer join co-locates with no broadcast requirement; the
+  // compare here reads the two business columns directly to stay
+  // oracle-exact — the wide-row production form computes an xxhash64
+  // row digest scan-side and shuffles only (key, digest), the same
+  // plan shape with 16 bytes per row on the wire.
+  def q109SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+      col("o_totalprice").as("p"))
+    val b = base.withColumn("bucket",
+      conv(substring(md5(col("k").cast("string")), 1, 2), 16, 10).cast("int"))
+    val snap = b.filter(col("bucket") >= 13)
+      .select(col("k"), col("st"),
+        when(col("bucket").between(13, 37), col("p") + 10.0)
+          .otherwise(col("p")).as("p"))
+      .unionByName(b.filter(col("bucket") >= 243)
+        .select((col("k") + 100000000L).as("k"), col("st"), col("p")))
+    val l = base.select(col("k").as("bk"), col("st").as("bst"), col("p").as("bp"))
+    val r = snap.select(col("k").as("sk"), col("st").as("sst"), col("p").as("sp"))
+    l.join(r, col("bk") === col("sk"), "full_outer")
+      .withColumn("change_type",
+        when(col("bk").isNull, "added")
+          .when(col("sk").isNull, "removed")
+          .when(col("bp") =!= col("sp") || col("bst") =!= col("sst"), "changed"))
+      .filter(col("change_type").isNotNull)
+      .select(coalesce(col("bk"), col("sk")).as("o_orderkey"),
+        col("change_type"), col("bp").as("old_price"), col("sp").as("new_price"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q109Oracle: String =
+    """WITH b AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS p,
+      |    CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2)
+      |      AS INTEGER) AS bucket
+      |  FROM orders),
+      |snap AS (
+      |  SELECT k, st,
+      |    CASE WHEN bucket BETWEEN 13 AND 37 THEN p + 10.0 ELSE p END AS p
+      |  FROM b WHERE bucket >= 13
+      |  UNION ALL
+      |  SELECT k + 100000000, st, p FROM b WHERE bucket >= 243),
+      |diff AS (
+      |  SELECT COALESCE(b.k, s.k) AS o_orderkey,
+      |    CASE WHEN b.k IS NULL THEN 'added'
+      |         WHEN s.k IS NULL THEN 'removed'
+      |         WHEN b.p <> s.p OR b.st <> s.st THEN 'changed' END AS change_type,
+      |    b.p AS old_price, s.p AS new_price
+      |  FROM b FULL OUTER JOIN snap s ON b.k = s.k)
+      |SELECT o_orderkey, change_type, old_price, new_price
+      |FROM diff WHERE change_type IS NOT NULL
+      |ORDER BY o_orderkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_topk_agg" -> q57TopkAgg,
     "q66_asof_native" -> q66AsofNative,
@@ -374,7 +436,8 @@ object OperatorQueries {
     "q50_salted_count" -> q50SaltedCount,
     "q51_salted_join" -> q51SaltedJoin,
     "q93_merge_upsert" -> q93MergeUpsert,
-    "q100_ivf_trained" -> q100IvfTrained)
+    "q100_ivf_trained" -> q100IvfTrained,
+    "q109_snapshot_diff" -> q109SnapshotDiff)
 
   def oracleSql: Map[String, String] = Map(
     "q57_topk_agg" -> q57Oracle,
@@ -385,5 +448,6 @@ object OperatorQueries {
     "q50_salted_count" -> q50Oracle,
     "q51_salted_join" -> q51Oracle,
     "q93_merge_upsert" -> q93Oracle,
-    "q100_ivf_trained" -> q100Oracle)
+    "q100_ivf_trained" -> q100Oracle,
+    "q109_snapshot_diff" -> q109Oracle)
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -121,6 +121,73 @@ object StatsQueries {
       |FROM sums""".stripMargin
 
   // --------------------------------------------------------------------
+  // q108 — winsorized aggregates: per-group p05/p95 thresholds picked
+  // by the q60 discrete-rank trick, broadcast back onto the rows, values
+  // clipped to the band, then re-aggregated — the outlier-robust
+  // statistics pass a feature/metrics pipeline runs before publishing.
+  // Thresholds are existing data values (no interpolation), so both
+  // engines pick bit-identical doubles; the clipped sum runs through
+  // DECIMAL so accumulation order cannot drift it.
+  // Scale notes (100 TB): pass 1 is one hash shuffle on the group key +
+  // the per-group sort any exact quantile pays; the threshold table is
+  // group-cardinality-sized and broadcast; pass 2 is a scan-side
+  // projection plus one aggregation. No global window anywhere.
+  def q108Winsorize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"), col("event_id"))
+    val byType = Window.partitionBy(col("event_type"))
+    val ranked = e
+      .withColumn("rn",
+        row_number().over(byType.orderBy(col("value"), col("event_id"))).cast("bigint"))
+      .withColumn("n", count(lit(1)).over(byType))
+    val th = ranked.groupBy(col("event_type"))
+      .agg(
+        max(when(col("rn") === floor((col("n") + 19) / 20).cast("bigint"),
+          col("value"))).as("p05"),
+        max(when(col("rn") === floor((col("n") * 19 + 19) / 20).cast("bigint"),
+          col("value"))).as("p95"))
+    val decSum = (c: Column) => sum(c.cast(DecimalType(24, 6))).cast("double")
+    e.join(broadcast(th), Seq("event_type"))
+      .withColumn("cv",
+        when(col("value") < col("p05"), col("p05"))
+          .when(col("value") > col("p95"), col("p95"))
+          .otherwise(col("value")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") < col("p05"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("value") > col("p95"), 1L).otherwise(0L)).as("n_clip_hi"),
+        min(col("p05")).as("p05"), min(col("p95")).as("p95"),
+        decSum(col("value")).as("sum_raw"),
+        decSum(col("cv")).as("sum_winsorized"))
+      .orderBy(col("event_type"))
+  }
+
+  val q108Oracle: String =
+    """WITH ranked AS (
+      |  SELECT event_type, value, event_id,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY value, event_id) AS BIGINT) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events),
+      |th AS (
+      |  SELECT event_type,
+      |    MAX(CASE WHEN rn = (n + 19) // 20 THEN value END) AS p05,
+      |    MAX(CASE WHEN rn = (n * 19 + 19) // 20 THEN value END) AS p95
+      |  FROM ranked GROUP BY 1)
+      |SELECT e.event_type, COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN value < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+      |  CAST(SUM(CASE WHEN value > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+      |  MIN(p05) AS p05, MIN(p95) AS p95,
+      |  CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS sum_raw,
+      |  CAST(SUM(CAST(CASE WHEN value < p05 THEN p05
+      |                     WHEN value > p95 THEN p95
+      |                     ELSE value END AS DECIMAL(24,6))) AS DOUBLE)
+      |    AS sum_winsorized
+      |FROM events e JOIN th USING (event_type)
+      |GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  // --------------------------------------------------------------------
   // q65 — the SQL surface itself: register the tables as views and run
   // ONE dialect-neutral SQL text through spark.sql — the SAME text the
   // DuckDB oracle executes. Proves a SQL-speaking user of the engine
@@ -145,11 +212,13 @@ object StatsQueries {
     "q65_sql_surface" -> q65SqlSurface,
     "q60_group_quantiles" -> q60GroupQuantiles,
     "q61_histogram" -> q61Histogram,
-    "q62_corr_exact" -> q62CorrExact)
+    "q62_corr_exact" -> q62CorrExact,
+    "q108_winsorize" -> q108Winsorize)
 
   def oracleSql: Map[String, String] = Map(
     "q65_sql_surface" -> q65Sql,
     "q60_group_quantiles" -> q60Oracle,
     "q61_histogram" -> q61Oracle,
-    "q62_corr_exact" -> q62Oracle)
+    "q62_corr_exact" -> q62Oracle,
+    "q108_winsorize" -> q108Oracle)
 }
