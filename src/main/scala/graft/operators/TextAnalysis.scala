@@ -284,7 +284,64 @@ object TextAnalysis {
       |  round(CAST(sum(tok_nll) AS DOUBLE) / count(*), 6) AS avg_nll
       |FROM nll GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q111 — fuzzy string join (spell-correction) via the deletion
+  // neighborhood: a deterministic "typo log" (each doc's first token
+  // with one md5-independent character deleted — position doc_id mod
+  // length) is matched back to the corpus vocabulary at edit distance
+  // exactly 1. The dictionary side explodes each word into its L
+  // single-deletion variants (bounded fan-out = word length) and the
+  // match is a hash EQUI-join on the variant string — never a pairwise
+  // levenshtein scan. The DuckDB oracle is an INDEPENDENT formulation
+  // (brute-force levenshtein(corrupted, w) = 1 with the length
+  // constraint), so the gate proves the neighborhood join implements
+  // the edit-distance semantics rather than mirroring the code.
+  // Scale notes (100 TB): both sides are linear in input (vocab ×
+  // avg word length vs query count); the join shuffles on the variant
+  // key and AQE broadcasts the smaller side. This is the blocking
+  // strategy record-linkage uses instead of the O(n·m) compare.
+  def q111FuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsSharded(spark, dir)
+    val dict = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0).distinct()
+    val variants = dict
+      .select(col("w"), explode(expr(
+        """transform(sequence(0, length(w) - 1),
+          |  i -> concat(substring(w, 1, i), substring(w, i + 2)))""".stripMargin))
+        .as("variant"))
+      .distinct()
+    val corrupted = docs
+      .select(col("doc_id"), element_at(split(col("text"), " "), 1).as("tok"))
+      .withColumn("delpos", (col("doc_id") % length(col("tok"))).cast("int"))
+      .select(col("doc_id"),
+        concat(expr("substring(tok, 1, delpos)"), expr("substring(tok, delpos + 2)"))
+          .as("corrupted"))
+    corrupted.join(variants, col("corrupted") === col("variant"))
+      .select(col("doc_id"), col("corrupted"), col("w").as("suggestion"))
+      .orderBy(col("doc_id"), col("suggestion"))
+  }
+
+  val q111Oracle: String =
+    """WITH dict AS (
+      |  SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents
+      |  ),
+      |q AS (
+      |  SELECT doc_id, string_split(text, ' ')[1] AS tok FROM documents),
+      |qc AS (
+      |  SELECT doc_id,
+      |    substring(tok, 1, CAST(doc_id % length(tok) AS INTEGER)) ||
+      |    substring(tok, CAST(doc_id % length(tok) AS INTEGER) + 2) AS corrupted
+      |  FROM q)
+      |SELECT doc_id, corrupted, w AS suggestion
+      |FROM qc JOIN dict
+      |  ON length(w) = length(corrupted) + 1
+      |  AND levenshtein(corrupted, w) = 1
+      |WHERE length(w) > 0
+      |ORDER BY doc_id, suggestion""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_fuzzy_join" -> q111FuzzyJoin,
     "q58_stratified_sample" -> q58StratifiedSample,
     "q27_token_stats" -> q27TokenStats,
     "q28_lang_id" -> q28LangId,
@@ -294,6 +351,7 @@ object TextAnalysis {
     "q94_unigram_lm_score" -> q94UnigramLmScore)
 
   def oracleSql: Map[String, String] = Map(
+    "q111_fuzzy_join" -> q111Oracle,
     "q58_stratified_sample" -> q58Oracle,
     "q27_token_stats" -> q27Oracle,
     "q28_lang_id" -> q28Oracle,

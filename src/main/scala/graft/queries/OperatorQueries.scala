@@ -427,6 +427,59 @@ object OperatorQueries {
       |FROM diff WHERE change_type IS NOT NULL
       |ORDER BY o_orderkey""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q115 — hierarchy transitive closure (the org-chart / BOM flatten):
+  // every (descendant, ancestor, depth) pair reachable through a
+  // parent-edge table, computed by POINTER DOUBLING — each round joins
+  // the closure to itself, so k rounds cover paths of length 2^k; the
+  // 5 rounds here close any hierarchy up to depth 32 (ids < 2^33 for
+  // this fixture's halving parent rule). The edge table is data (user
+  // ids with parent = id DIV 2 — a clean binary tree the oracle can
+  // also derive); the closure never exploits the arithmetic, only the
+  // edges. The DuckDB oracle is the natural RECURSIVE CTE extending
+  // one edge per step — an independent formulation of the same
+  // fixpoint, so the gate proves doubling ≡ naive recursion.
+  // Scale notes (100 TB): log2(depth) self-joins instead of depth
+  // chained joins — 5 rounds close a 4-billion-node tree; each round
+  // is one key-partitioned join + distinct, and each round's result is
+  // lazily localCheckpoint'ed so the plan stays linear in rounds (the
+  // exponential-lineage trap of iterative DataFrame algorithms — same
+  // medicine as q76). Block cost: ≤ rounds generations of a closure
+  // ≤ N·depth rows.
+  def q115HierarchyClosure(spark: SparkSession, dir: String): DataFrame = {
+    val nodes = Tables.events(spark, dir)
+      .select(col("user_id").as("node")).filter(col("node") >= 1L).distinct()
+    val edges = nodes.withColumn("parent", expr("node DIV 2"))
+      .filter(col("parent") >= 1L)
+    var closure = edges
+      .select(col("node"), col("parent").as("anc"), lit(1L).as("d"))
+      .localCheckpoint(false)
+    for (_ <- 1 to 5) {
+      val a = closure.select(col("node"), col("anc").as("mid"), col("d").as("d1"))
+      val b = closure.select(col("node").as("mid"), col("anc").as("anc2"),
+        col("d").as("d2"))
+      closure = closure.unionByName(
+          a.join(b, Seq("mid"))
+            .select(col("node"), col("anc2").as("anc"),
+              (col("d1") + col("d2")).as("d")))
+        .distinct()
+        .localCheckpoint(false)
+    }
+    closure.orderBy(col("node"), col("d"))
+  }
+
+  val q115Oracle: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT node, CAST(node // 2 AS BIGINT) AS parent
+      |  FROM (SELECT DISTINCT user_id AS node FROM events WHERE user_id >= 1)
+      |  WHERE node // 2 >= 1),
+      |anc AS (
+      |  SELECT node, parent AS anc, CAST(1 AS BIGINT) AS d FROM e
+      |  UNION ALL
+      |  SELECT a.node, e.parent, a.d + 1
+      |  FROM anc a JOIN e ON e.node = a.anc)
+      |SELECT node, anc, d FROM anc ORDER BY node, d""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_topk_agg" -> q57TopkAgg,
     "q66_asof_native" -> q66AsofNative,
@@ -437,7 +490,8 @@ object OperatorQueries {
     "q51_salted_join" -> q51SaltedJoin,
     "q93_merge_upsert" -> q93MergeUpsert,
     "q100_ivf_trained" -> q100IvfTrained,
-    "q109_snapshot_diff" -> q109SnapshotDiff)
+    "q109_snapshot_diff" -> q109SnapshotDiff,
+    "q115_hierarchy_closure" -> q115HierarchyClosure)
 
   def oracleSql: Map[String, String] = Map(
     "q57_topk_agg" -> q57Oracle,
@@ -449,5 +503,6 @@ object OperatorQueries {
     "q51_salted_join" -> q51Oracle,
     "q93_merge_upsert" -> q93Oracle,
     "q100_ivf_trained" -> q100Oracle,
-    "q109_snapshot_diff" -> q109Oracle)
+    "q109_snapshot_diff" -> q109Oracle,
+    "q115_hierarchy_closure" -> q115Oracle)
 }

@@ -188,6 +188,77 @@ object StatsQueries {
       |GROUP BY 1 ORDER BY event_type""".stripMargin
 
   // --------------------------------------------------------------------
+  // q112 — z-score outlier detection: per-group mean/stddev assembled
+  // from exact DECIMAL sums (q62's recipe — the five sums are order-
+  // independent, the final double chain is written with the same shape
+  // in both engines so the |z| > 3 membership decision cannot straddle
+  // an ulp), then every row more than 3 sample standard deviations from
+  // its group mean is emitted. The anomaly-flagging pass a metrics
+  // pipeline runs on every load.
+  // Scale notes (100 TB): one aggregation for the moments (group-
+  // cardinality-sized result, broadcast back), one scan-side filter —
+  // the shape of any two-pass statistic. No window at all.
+  def q112ZscoreOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val moments = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("value").cast(DecimalType(24, 6))).cast("double").as("sx"),
+        sum((col("value").cast(DecimalType(24, 6)) *
+          col("value").cast(DecimalType(24, 6)))).cast("double").as("sxx"))
+    e.join(broadcast(moments), Seq("event_type"))
+      .withColumn("mean", col("sx") / col("n"))
+      .withColumn("sd", sqrt((col("n") * col("sxx") - col("sx") * col("sx")) /
+        (col("n") * (col("n") - 1))))
+      .filter(abs(col("value") - col("mean")) > lit(3.0) * col("sd"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round((col("value") - col("mean")) / col("sd"), 4).as("z"))
+      .orderBy(col("event_id"))
+  }
+
+  val q112Oracle: String =
+    """WITH m AS (
+      |  SELECT event_type,
+      |    CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(value AS DECIMAL(24,6)) * CAST(value AS DECIMAL(24,6)))
+      |      AS DOUBLE) AS sxx
+      |  FROM events GROUP BY 1),
+      |j AS (
+      |  SELECT event_id, e.event_type, value,
+      |    sx / n AS mean,
+      |    sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS sd
+      |  FROM events e JOIN m USING (event_type))
+      |SELECT event_id, event_type, value, round((value - mean) / sd, 4) AS z
+      |FROM j WHERE abs(value - mean) > 3.0 * sd
+      |ORDER BY event_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q114 — correlated subqueries through the SQL surface: ONE dialect-
+  // neutral text (scalar COUNT subquery + correlated EXISTS) runs
+  // through spark.sql AND DuckDB verbatim. Catalyst decorrelates both
+  // into joins/aggregates — the plan the user gets for free from
+  // declarative SQL; the gate proves the rewrite preserves semantics.
+  // Scale notes (100 TB): after decorrelation this is a hash aggregate
+  // on o_custkey plus two key-partitioned joins — no per-row subquery
+  // execution survives in the physical plan.
+  val q114Sql: String =
+    """SELECT c_custkey, c_name,
+      |  (SELECT COUNT(*) FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F') AS n_f
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o2
+      |              WHERE o2.o_custkey = c.c_custkey
+      |                AND o2.o_totalprice > 400000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  def q114CorrelatedSubquery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    Tables.registerAll(spark, dir)
+    spark.sql(q114Sql)
+  }
+
+  // --------------------------------------------------------------------
   // q65 — the SQL surface itself: register the tables as views and run
   // ONE dialect-neutral SQL text through spark.sql — the SAME text the
   // DuckDB oracle executes. Proves a SQL-speaking user of the engine
@@ -213,12 +284,16 @@ object StatsQueries {
     "q60_group_quantiles" -> q60GroupQuantiles,
     "q61_histogram" -> q61Histogram,
     "q62_corr_exact" -> q62CorrExact,
-    "q108_winsorize" -> q108Winsorize)
+    "q108_winsorize" -> q108Winsorize,
+    "q112_zscore_outliers" -> q112ZscoreOutliers,
+    "q114_correlated_subquery" -> q114CorrelatedSubquery)
 
   def oracleSql: Map[String, String] = Map(
     "q65_sql_surface" -> q65Sql,
     "q60_group_quantiles" -> q60Oracle,
     "q61_histogram" -> q61Oracle,
     "q62_corr_exact" -> q62Oracle,
-    "q108_winsorize" -> q108Oracle)
+    "q108_winsorize" -> q108Oracle,
+    "q112_zscore_outliers" -> q112Oracle,
+    "q114_correlated_subquery" -> q114Sql)
 }

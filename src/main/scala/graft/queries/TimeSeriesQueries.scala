@@ -173,13 +173,89 @@ object TimeSeriesQueries {
       |  v IS NULL AS was_gap
       |FROM joined ORDER BY user_id, day""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q113 — peak concurrency (interval overlap maximum): for every day,
+  // the maximum number of user sessions active at the same instant.
+  // Sessions (q24's) are clipped into per-day segments, each segment
+  // becomes a +1 at its start and a -1 one second after its end
+  // (half-open), deltas collapse per (day, second), and a per-day
+  // running sum sweeps to the max — the distributed sweep-line. The
+  // capacity-planning query every operations team runs.
+  // Scale notes (100 TB): there is NO global sort — the sweep
+  // partitions by day (the time-sliced form of the classic algorithm),
+  // and the per-day row count is bounded by distinct active seconds
+  // (≤86 400 after the delta collapse) regardless of session volume.
+  // Sessions spanning days explode into at most span-days segments.
+  def q113MaxConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val segs = EventsQueries.q24Sessionization(spark, dir)
+      .select(col("user_id"), col("session_start_sec").as("s0"),
+        col("session_end_sec").as("s1"))
+      .withColumn("day", explode(expr("sequence(s0 DIV 86400, s1 DIV 86400)")))
+    val deltas = segs.select(col("day"),
+        greatest(col("s0"), col("day") * 86400L).as("t"), lit(1).as("d"))
+      .unionByName(segs.select(col("day"),
+        (least(col("s1"), col("day") * 86400L + 86399L) + 1L).as("t"),
+        lit(-1).as("d")))
+    val sweep = Window.partitionBy(col("day")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val conc = deltas.groupBy(col("day"), col("t"))
+      .agg(sum(col("d")).as("delta"))
+      .withColumn("conc", sum(col("delta")).over(sweep))
+      .groupBy(col("day")).agg(max(col("conc")).as("max_concurrent"))
+    val active = segs.groupBy(col("day")).agg(count(lit(1)).as("n_active"))
+    conc.join(active, Seq("day")).orderBy(col("day"))
+  }
+
+  val q113Oracle: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id,
+      |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec, ts
+      |  FROM events),
+      |lagged AS (
+      |  SELECT *, lag(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |    AS prev_sec
+      |  FROM flagged),
+      |sess AS (
+      |  SELECT user_id, sec,
+      |    CAST(SUM(CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800
+      |                  THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS session_id
+      |  FROM lagged),
+      |bounds AS (
+      |  SELECT user_id, session_id, MIN(sec) AS s0, MAX(sec) AS s1
+      |  FROM sess GROUP BY 1, 2),
+      |segs AS (
+      |  SELECT CAST(unnest(generate_series(s0 // 86400, s1 // 86400)) AS BIGINT)
+      |    AS day, s0, s1
+      |  FROM bounds),
+      |deltas AS (
+      |  SELECT day, GREATEST(s0, day * 86400) AS t, 1 AS d FROM segs
+      |  UNION ALL
+      |  SELECT day, LEAST(s1, day * 86400 + 86399) + 1 AS t, -1 AS d FROM segs),
+      |collapsed AS (
+      |  SELECT day, t, CAST(SUM(d) AS BIGINT) AS delta FROM deltas GROUP BY 1, 2),
+      |run AS (
+      |  SELECT day, CAST(SUM(delta) OVER (PARTITION BY day ORDER BY t
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS conc
+      |  FROM collapsed),
+      |peak AS (
+      |  SELECT day, MAX(conc) AS max_concurrent FROM run GROUP BY 1),
+      |active AS (
+      |  SELECT day, COUNT(*) AS n_active FROM segs GROUP BY 1)
+      |SELECT day, max_concurrent, n_active
+      |FROM peak JOIN active USING (day) ORDER BY day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_range_join" -> q106RangeJoin,
     "q107_rolling_features" -> q107RollingFeatures,
-    "q110_gap_fill" -> q110GapFill)
+    "q110_gap_fill" -> q110GapFill,
+    "q113_max_concurrency" -> q113MaxConcurrency)
 
   def oracleSql: Map[String, String] = Map(
     "q106_range_join" -> q106Oracle,
     "q107_rolling_features" -> q107Oracle,
-    "q110_gap_fill" -> q110Oracle)
+    "q110_gap_fill" -> q110Oracle,
+    "q113_max_concurrency" -> q113Oracle)
 }
