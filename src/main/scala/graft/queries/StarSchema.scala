@@ -234,7 +234,81 @@ object StarSchema {
       |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'P') AS DOUBLE), 0.0) AS "P_total"
       |FROM orders GROUP BY 1 ORDER BY anio""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q117 — unpivot / melt (q44's inverse): a wide per-day metrics table
+  // turned into long (day, metric, value) form via Dataset.unpivot —
+  // the wide→long reshape every metrics export needs. All measures are
+  // cast to DOUBLE first (unpivot requires a common value type); the
+  // oracle replays as the dialect-neutral UNION ALL of one SELECT per
+  // metric.
+  // Scale notes (100 TB): unpivot is a scan-side Expand (rows × k
+  // metrics) over the already-aggregated table — no shuffle beyond the
+  // day aggregate that builds the wide input.
+  def q117Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.events(spark, dir)
+      .groupBy(expr("CAST(ts AS LONG) DIV 86400").as("day"))
+      .agg(count(lit(1)).cast("double").as("n_events"),
+        countDistinct(col("user_id")).cast("double").as("n_users"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(24, 6)))
+          .cast("double").as("sum_value"))
+    wide.unpivot(Array(col("day")),
+        Array(col("n_events"), col("n_users"), col("sum_value")),
+        "metric", "value")
+      .orderBy(col("day"), col("metric"))
+  }
+
+  val q117Oracle: String =
+    """WITH d AS (
+      |  SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 86400
+      |      AS day,
+      |    CAST(COUNT(*) AS DOUBLE) AS n_events,
+      |    CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n_users,
+      |    CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS sum_value
+      |  FROM events GROUP BY 1)
+      |SELECT day, metric, value FROM (
+      |  SELECT day, 'n_events' AS metric, n_events AS value FROM d
+      |  UNION ALL SELECT day, 'n_users', n_users FROM d
+      |  UNION ALL SELECT day, 'sum_value', sum_value FROM d)
+      |ORDER BY day, metric""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q118 — the ranking-window surface: lag, lead, percent_rank,
+  // cume_dist and ntile in one pass over a per-group total order
+  // (event_type, ordered by value with the event_id tie-break that
+  // makes every rank deterministic). The rank-based functions are
+  // frame-independent and the offset functions are position-based, so
+  // no frame pinning is needed — but the ORDER BY must be unique or
+  // the engines may disagree on peers.
+  // Scale notes (100 TB): one hash shuffle on the group key + the
+  // per-group sort; all five functions ride the same window — Spark
+  // evaluates them in a single WindowExec pass.
+  def q118WindowSurface(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("prev_v", lag(col("value"), 1).over(w))
+      .withColumn("next_v", lead(col("value"), 1).over(w))
+      .withColumn("pct", round(percent_rank().over(w), 6))
+      .withColumn("cd", round(cume_dist().over(w), 6))
+      .withColumn("tile", ntile(4).over(w))
+      .orderBy(col("event_id"))
+  }
+
+  val q118Oracle: String =
+    """SELECT event_id, event_type, value,
+      |  lag(value) OVER w AS prev_v,
+      |  lead(value) OVER w AS next_v,
+      |  round(percent_rank() OVER w, 6) AS pct,
+      |  round(cume_dist() OVER w, 6) AS cd,
+      |  CAST(ntile(4) OVER w AS INTEGER) AS tile
+      |FROM events
+      |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+      |ORDER BY event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q117_unpivot" -> q117Unpivot,
+    "q118_window_surface" -> q118WindowSurface,
     "q44_pivot" -> q44Pivot,
     "q16_date_dim" -> q16DateDim,
     "q17_surrogate_fact" -> q17SurrogateFact,
@@ -245,6 +319,8 @@ object StarSchema {
     "q22_cube" -> q22Cube)
 
   def oracleSql: Map[String, String] = Map(
+    "q117_unpivot" -> q117Oracle,
+    "q118_window_surface" -> q118Oracle,
     "q44_pivot" -> q44Oracle,
     "q16_date_dim" -> q16Oracle,
     "q17_surrogate_fact" -> q17Oracle,

@@ -234,6 +234,84 @@ object StatsQueries {
       |ORDER BY event_id""".stripMargin
 
   // --------------------------------------------------------------------
+  // q116 — exact global median WITHOUT a global sort: the two-phase
+  // distributed selection. Pass 1 builds a bounded fixed-width
+  // histogram (one map-side-combined aggregate; bin count is bounded
+  // by value-range/width, so the collect is the same bounded class as
+  // the IVF codebook); the driver walks the histogram with integer
+  // arithmetic to find the bin holding global rank ceil(n/2) and the
+  // residual rank within it. Pass 2 ranks ONLY that bin's rows (window
+  // partitioned by bin — never a global window) and selects the
+  // residual rank. The oracle computes the same order statistic with
+  // DuckDB's global window — an independent formulation, so the gate
+  // proves two-phase selection ≡ global ranking.
+  // Scale notes (100 TB): this is how a global percentile is actually
+  // computed at scale — a full sort of 100 TB for one order statistic
+  // is the anti-pattern. Pass 2 touches ~n/bins rows; skewed bins can
+  // recurse (narrower bins within the target bin) — not needed here.
+  private val MedianBinWidth = 50000.0
+
+  def q116GlobalMedian(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    val binned = Tables.orders(spark, dir)
+      .select(col("o_totalprice").as("v"), col("o_orderkey"))
+      .withColumn("bin", floor(col("v") / MedianBinWidth).cast("bigint"))
+    val hist = binned.groupBy(col("bin")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val n = hist.map(_._2).sum
+    val k = (n + 1) / 2
+    // integer walk over the bounded histogram: target bin + prior mass
+    val cums = hist.scanLeft(0L)(_ + _._2).tail
+    val idx = cums.indexWhere(_ >= k)
+    val (targetBin, prior) = (hist(idx)._1, if (idx == 0) 0L else cums(idx - 1))
+    val wBin = Window.partitionBy(col("bin")).orderBy(col("v"), col("o_orderkey"))
+    binned.filter(col("bin") === targetBin)
+      .withColumn("rn", row_number().over(wBin).cast("bigint"))
+      .filter(col("rn") === (k - prior))
+      .select(lit(n).as("n_total"), col("v").as("median"))
+  }
+
+  val q116Oracle: String =
+    """WITH ranked AS (
+      |  SELECT o_totalprice AS v,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+      |      AS rn,
+      |    COUNT(*) OVER () AS n
+      |  FROM orders)
+      |SELECT CAST(n AS BIGINT) AS n_total, v AS median
+      |FROM ranked WHERE rn = (n + 1) // 2""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q119 — set-operation surface: INTERSECT and EXCEPT with their
+  // ANSI distinct semantics, tagged and unioned into one result — the
+  // customers who have both finished and open orders vs only finished.
+  // Scale notes (100 TB): Spark plans both as hash aggregates + joins
+  // on the key — same shuffle discipline as any distinct; no sort.
+  def q119SetOps(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    val o = Tables.orders(spark, dir)
+    val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    val open = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    f.intersect(open).withColumn("tag", lit("both"))
+      .unionByName(f.except(open).withColumn("tag", lit("only_f")))
+      .select(col("tag"), col("o_custkey"))
+      .orderBy(col("tag"), col("o_custkey"))
+  }
+
+  val q119Oracle: String =
+    """SELECT tag, o_custkey FROM (
+      |  SELECT 'both' AS tag, o_custkey FROM (
+      |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |    INTERSECT
+      |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      |  UNION ALL
+      |  SELECT 'only_f' AS tag, o_custkey FROM (
+      |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |    EXCEPT
+      |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'))
+      |ORDER BY tag, o_custkey""".stripMargin
+
+  // --------------------------------------------------------------------
   // q114 — correlated subqueries through the SQL surface: ONE dialect-
   // neutral text (scalar COUNT subquery + correlated EXISTS) runs
   // through spark.sql AND DuckDB verbatim. Catalyst decorrelates both
@@ -286,7 +364,9 @@ object StatsQueries {
     "q62_corr_exact" -> q62CorrExact,
     "q108_winsorize" -> q108Winsorize,
     "q112_zscore_outliers" -> q112ZscoreOutliers,
-    "q114_correlated_subquery" -> q114CorrelatedSubquery)
+    "q114_correlated_subquery" -> q114CorrelatedSubquery,
+    "q116_global_median" -> q116GlobalMedian,
+    "q119_set_ops" -> q119SetOps)
 
   def oracleSql: Map[String, String] = Map(
     "q65_sql_surface" -> q65Sql,
@@ -295,5 +375,7 @@ object StatsQueries {
     "q62_corr_exact" -> q62Oracle,
     "q108_winsorize" -> q108Oracle,
     "q112_zscore_outliers" -> q112Oracle,
-    "q114_correlated_subquery" -> q114Sql)
+    "q114_correlated_subquery" -> q114Sql,
+    "q116_global_median" -> q116Oracle,
+    "q119_set_ops" -> q119Oracle)
 }

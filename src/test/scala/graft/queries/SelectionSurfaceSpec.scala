@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** q116-q119: two-phase selection must equal the sort-based order
+  * statistic, unpivot must be pivot's inverse in shape, the window
+  * surface must respect rank bounds and partition edges, and the set
+  * ops must partition the key space.
+  */
+class SelectionSurfaceSpec extends SparkSpec {
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("q116 two-phase median equals the sort-based order statistic") {
+    val out = StatsQueries.q116GlobalMedian(spark, dir).collect()
+    assert(out.length == 1)
+    val vs = graft.sources.Tables.orders(spark, dir)
+      .select(col("o_totalprice"), col("o_orderkey"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).sortBy(identity)
+    val n = vs.length.toLong
+    val expected = vs(((n + 1) / 2 - 1).toInt)._1
+    assert(out.head.getAs[Long]("n_total") == n)
+    assert(out.head.getAs[Double]("median") == expected)
+  }
+
+  test("q117 unpivot emits one row per (day, metric)") {
+    val rows = StarSchema.q117Unpivot(spark, dir).collect()
+    val metrics = rows.map(_.getAs[String]("metric")).toSet
+    assert(metrics == Set("n_events", "n_users", "sum_value"))
+    val days = rows.map(_.getAs[Long]("day")).toSet
+    assert(rows.length == days.size * 3)
+    // n_events >= n_users on every day (distinct can't exceed count)
+    val byDay = rows.groupBy(_.getAs[Long]("day")).values
+    byDay.foreach { g =>
+      val m = g.map(r => r.getAs[String]("metric") -> r.getAs[Double]("value")).toMap
+      assert(m("n_events") >= m("n_users"))
+    }
+  }
+
+  test("q118 rank functions stay in bounds; offsets are null at edges") {
+    val rows = StarSchema.q118WindowSurface(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val pct = r.getAs[Double]("pct"); val cd = r.getAs[Double]("cd")
+      assert(pct >= 0.0 && pct <= 1.0 && cd > 0.0 && cd <= 1.0)
+      val t = r.getAs[Int]("tile"); assert(t >= 1 && t <= 4)
+    }
+    // exactly one null prev (the group minimum) and one null next per group
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    byType.values.foreach { g =>
+      assert(g.count(_.isNullAt(3)) == 1, "one null lag per group")
+      assert(g.count(_.isNullAt(4)) == 1, "one null lead per group")
+    }
+  }
+
+  test("q119 set ops partition the F-customer key space") {
+    val rows = StatsQueries.q119SetOps(spark, dir).collect()
+    val both = rows.filter(_.getAs[String]("tag") == "both")
+      .map(_.getAs[Long]("o_custkey")).toSet
+    val onlyF = rows.filter(_.getAs[String]("tag") == "only_f")
+      .map(_.getAs[Long]("o_custkey")).toSet
+    assert(both.nonEmpty && onlyF.nonEmpty)
+    assert((both & onlyF).isEmpty)
+    val o = graft.sources.Tables.orders(spark, dir)
+    val fKeys = o.filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey")).distinct().collect().map(_.getLong(0)).toSet
+    assert(both ++ onlyF == fKeys)
+    val oKeys = o.filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey")).distinct().collect().map(_.getLong(0)).toSet
+    assert(onlyF.forall(k => !oKeys.contains(k)))
+    assert(both.forall(oKeys.contains))
+  }
+}
