@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.sources.Tables
 
@@ -522,7 +523,75 @@ object Similarity {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // q121 — per-source centroid drift: each source's embedding centroid
+  // and every document's cosine alignment to its own source's centroid
+  // — the corpus-health statistic that catches a source whose content
+  // drifted from its cluster (low min/avg alignment). Exactness: the
+  // centroid is never materialized as floats — cos(v, mean(S)) equals
+  // cos(v, sum(S)), so all dot products run on exact DECIMAL sums of
+  // the scaled-integer components; only the final sqrt/divide chain is
+  // double, written with the same shape in both engines.
+  // Scale notes (100 TB): one posexplode (rows × dim) feeding three
+  // map-side-combined aggregates — (source,pos), (vec,source), and
+  // (source) — all hash-partitioned, the tiny per-source tables
+  // broadcast back. No pairwise comparisons anywhere: this is O(n·d),
+  // the cheapest corpus-drift signal there is.
+  def q121CentroidDrift(spark: SparkSession, dir: String): DataFrame = {
+    val sv = Tables.embeddingsSharded(spark, dir).select(col("vec_id"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * 1000000).cast("bigint")).as("sv"))
+    val src = Tables.documentsSharded(spark, dir)
+      .select(col("doc_id"), col("source"))
+    val pe = sv.join(src, sv("vec_id") === src("doc_id"))
+      .select(col("vec_id"), col("source"), posexplode(col("sv")))
+      .select(col("vec_id"), col("source"), col("pos"),
+        col("col").cast(DecimalType(18, 0)).as("x"))
+    val sums = pe.groupBy(col("source"), col("pos")).agg(sum(col("x")).as("s"))
+    val ssq = sums.groupBy(col("source")).agg(sum(col("s") * col("s")).as("ss"))
+    val per = pe.join(sums, Seq("source", "pos"))
+      .groupBy(col("vec_id"), col("source"))
+      .agg(sum(col("x") * col("s")).as("vs"), sum(col("x") * col("x")).as("vv"))
+    per.join(broadcast(ssq), Seq("source"))
+      .withColumn("cos", round(col("vs").cast("double") /
+        sqrt(col("vv").cast("double")) / sqrt(col("ss").cast("double")), 6))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("cos").cast(DecimalType(10, 6))).cast("double") /
+          count(lit(1)), 6).as("avg_cos"),
+        min(col("cos")).as("min_cos"), max(col("cos")).as("max_cos"))
+      .orderBy(col("source"))
+  }
+
+  val q121Oracle: String =
+    s"""WITH sv AS (
+       |  SELECT vec_id, $SqlScaled AS sv FROM embeddings),
+       |br AS (
+       |  SELECT s.vec_id, d.source, s.sv
+       |  FROM sv s JOIN documents d ON s.vec_id = d.doc_id),
+       |pe AS (
+       |  SELECT vec_id, source, i AS pos, CAST(sv[i] AS DECIMAL(18,0)) AS x
+       |  FROM br, unnest(generate_series(1, len(sv))) AS t(i)),
+       |sums AS (
+       |  SELECT source, pos, SUM(x) AS s FROM pe GROUP BY 1, 2),
+       |ssq AS (
+       |  SELECT source, SUM(s * s) AS ss FROM sums GROUP BY 1),
+       |per AS (
+       |  SELECT vec_id, source, SUM(x * s) AS vs, SUM(x * x) AS vv
+       |  FROM pe JOIN sums USING (source, pos) GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT per.source,
+       |    round(CAST(vs AS DOUBLE) / sqrt(CAST(vv AS DOUBLE))
+       |      / sqrt(CAST(ss AS DOUBLE)), 6) AS cos
+       |  FROM per JOIN ssq ON per.source = ssq.source)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  round(CAST(SUM(CAST(cos AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*), 6)
+       |    AS avg_cos,
+       |  MIN(cos) AS min_cos, MAX(cos) AS max_cos
+       |FROM scored GROUP BY 1 ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_centroid_drift" -> q121CentroidDrift,
     "q34_cosine_topk" -> q34CosineTopk,
     "q35_lsh_ann" -> q35LshAnn,
     "q36_embedding_neardup" -> q36EmbeddingNeardup,
@@ -532,6 +601,7 @@ object Similarity {
     "q87_quantized_rerank" -> q87QuantizedRerank)
 
   def oracleSql: Map[String, String] = Map(
+    "q121_centroid_drift" -> q121Oracle,
     "q34_cosine_topk" -> q34Oracle,
     "q35_lsh_ann" -> q35Oracle,
     "q36_embedding_neardup" -> q36Oracle,

@@ -428,6 +428,52 @@ object OperatorQueries {
       |ORDER BY o_orderkey""".stripMargin
 
   // --------------------------------------------------------------------
+  // q120 — temporal dimension lookup: every LINEITEM (the fact grain)
+  // resolves the customer state snapshot valid at its SHIP date — the
+  // event-to-versioned-dimension join a warehouse runs wherever facts
+  // carry event time and dimensions carry validity time. The ship date
+  // lands at or after the order date, so rows genuinely resolve
+  // different snapshots than the one their own order created. Runs on
+  // the AsOfJoin composition (one hash shuffle + per-key sort — q47's
+  // machinery, here fed by a cross-table probe); the oracle is
+  // DuckDB's native ASOF LEFT JOIN.
+  // Scale notes (100 TB): probe build is one key-partitioned join
+  // (lineitem⋈orders on the order key, AQE-broadcast when orders is
+  // the small side); the as-of itself never plans a range join.
+  def q120TemporalLookup(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val snapshots = o.groupBy(col("o_custkey").as("cliente"),
+        col("o_orderdate").cast("date").as("fecha"))
+      .agg(min(col("o_orderpriority")).as("prioridad"),
+        max(col("o_orderstatus")).as("estado"))
+    val probe = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate").cast("date").as("ship_day"))
+      .join(o.select(col("o_orderkey"), col("o_custkey").as("cliente")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("cliente"),
+        col("ship_day"))
+    AsOfJoin.asOf(probe, snapshots, "cliente", "ship_day", "fecha",
+        Seq("prioridad", "estado"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val q120Oracle: String =
+    """WITH snap AS (
+      |  SELECT o_custkey AS cliente, CAST(o_orderdate AS DATE) AS fecha,
+      |    MIN(o_orderpriority) AS prioridad, MAX(o_orderstatus) AS estado
+      |  FROM orders GROUP BY 1, 2),
+      |probe AS (
+      |  SELECT l_orderkey, l_linenumber, o_custkey AS cliente,
+      |    CAST(l_shipdate AS DATE) AS ship_day
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      |SELECT p.l_orderkey, p.l_linenumber, p.cliente, p.ship_day,
+      |  s.prioridad AS asof_prioridad, s.estado AS asof_estado
+      |FROM probe p ASOF LEFT JOIN snap s
+      |  ON p.cliente = s.cliente AND s.fecha <= p.ship_day
+      |ORDER BY p.l_orderkey, p.l_linenumber""".stripMargin
+
+  // --------------------------------------------------------------------
   // q115 — hierarchy transitive closure (the org-chart / BOM flatten):
   // every (descendant, ancestor, depth) pair reachable through a
   // parent-edge table, computed by POINTER DOUBLING — each round joins
@@ -491,7 +537,8 @@ object OperatorQueries {
     "q93_merge_upsert" -> q93MergeUpsert,
     "q100_ivf_trained" -> q100IvfTrained,
     "q109_snapshot_diff" -> q109SnapshotDiff,
-    "q115_hierarchy_closure" -> q115HierarchyClosure)
+    "q115_hierarchy_closure" -> q115HierarchyClosure,
+    "q120_temporal_lookup" -> q120TemporalLookup)
 
   def oracleSql: Map[String, String] = Map(
     "q57_topk_agg" -> q57Oracle,
@@ -504,5 +551,6 @@ object OperatorQueries {
     "q93_merge_upsert" -> q93Oracle,
     "q100_ivf_trained" -> q100Oracle,
     "q109_snapshot_diff" -> q109Oracle,
-    "q115_hierarchy_closure" -> q115Oracle)
+    "q115_hierarchy_closure" -> q115Oracle,
+    "q120_temporal_lookup" -> q120Oracle)
 }
