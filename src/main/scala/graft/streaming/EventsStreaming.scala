@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming over the `events` table: the streaming duals of
@@ -78,6 +79,73 @@ object EventsStreaming {
             SessionRow(userId, sid, evs.size.toLong, evs.map(_._2).min, evs.map(_._2).max)
           }.iterator
         })
+  }
+
+  /** Cumulative per-user totals carried by [[UserTotalsProcessor]].
+    * The value sum is an exact BigDecimal of each event's value rounded
+    * to scale 6 (the same rounding as Spark's double→DECIMAL(24,6)
+    * cast), so accumulation order across batches cannot drift it.
+    */
+  case class UserTotals(user_id: Long, n_events: Long, sum_value: BigDecimal,
+      first_sec: Long, last_sec: Long)
+
+  /** Per-user running totals on the transformWithState v2 arbitrary-
+    * state API (Spark 4.x): typed [[ValueState]] via the
+    * StatefulProcessorHandle instead of the single GroupState blob of
+    * flatMapGroupsWithState (q46's API). Each micro-batch folds its
+    * rows for the key into the state and emits the UPDATED cumulative
+    * row, so the final emission per user equals the batch aggregate —
+    * StreamStateV2Spec pins that across real micro-batch boundaries.
+    * Requires the RocksDB state-store provider (the v2 API's backing
+    * store; [[stateV2Session]] pins it session-locally).
+    */
+  class UserTotalsProcessor extends StatefulProcessor[Long, Event, UserTotals] {
+    @transient private var totals: ValueState[UserTotals] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[UserTotals]("totals",
+        Encoders.product[UserTotals], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[UserTotals] = {
+      var cur =
+        if (totals.exists()) totals.get()
+        else UserTotals(key, 0L, BigDecimal(0).setScale(6),
+          Long.MaxValue, Long.MinValue)
+      rows.foreach { e =>
+        cur = UserTotals(key, cur.n_events + 1L,
+          cur.sum_value + BigDecimal(java.math.BigDecimal.valueOf(e.value)
+            .setScale(6, java.math.RoundingMode.HALF_UP)),
+          math.min(cur.first_sec, e.sec), math.max(cur.last_sec, e.sec))
+      }
+      totals.update(cur)
+      Iterator.single(cur)
+    }
+  }
+
+  /** Running per-user totals via transformWithState (see
+    * [[UserTotalsProcessor]]). Emits the cumulative row per user per
+    * micro-batch that saw the user.
+    */
+  def userTotals(spark: SparkSession, events: DataFrame): Dataset[UserTotals] = {
+    import spark.implicits._
+    events.select(col("event_id"), col("ts").cast("long").as("sec"),
+        col("user_id"), col("value")).as[Event]
+      .groupByKey(_.user_id)
+      .transformWithState(new UserTotalsProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** [[streamSession]] plus the RocksDB state-store provider the
+    * transformWithState v2 API requires — pinned on the isolated
+    * session so batch queries and the HDFS-backed v1 streams keep the
+    * default provider.
+    */
+  def stateV2Session(spark: SparkSession): SparkSession = {
+    val s = streamSession(spark)
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s
   }
 
   /** Stateful streaming partitioning follows shuffle partitions AT

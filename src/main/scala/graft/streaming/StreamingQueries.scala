@@ -410,7 +410,41 @@ object StreamingQueries {
       |      AND a.f IN (SELECT f FROM fp WHERE doc_id % 3 <> 0))
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q122 — per-user running totals on the transformWithState v2
+  // arbitrary-state API (Spark 4.x, RocksDB-backed typed ValueState) —
+  // the modern replacement for flatMapGroupsWithState (q46's API), and
+  // the state-evolution story: named state variables with their own
+  // encoders and TTL instead of one opaque state blob. Each micro-batch
+  // emits the updated cumulative row per active user; on the finite
+  // single-batch fixture that is exactly the batch per-user aggregate,
+  // which the oracle expresses. StreamStateV2Spec drives the same
+  // processor across REAL micro-batch boundaries and checks the last
+  // emission per user still equals the batch totals.
+  // Scale notes (100 TB): state is one small fixed-width row per user
+  // partitioned by the key shuffle; RocksDB spills it off-heap — this
+  // is the API for state that outgrows the HDFS-backed store. The
+  // decimal accumulation keeps the sum exact in any arrival order.
+  def q122StreamUserTotals(spark: SparkSession, dir: String): DataFrame = {
+    val ss = EventsStreaming.stateV2Session(spark)
+    val events = EventsStreaming.readEventsStream(ss, dir)
+    val totals = EventsStreaming.userTotals(ss, events).toDF()
+      .select(col("user_id"), col("n_events"),
+        col("sum_value").cast("double").as("sum_value"),
+        col("first_sec"), col("last_sec"))
+    EventsStreaming.runToMemory(totals, "q122_mem")
+      .orderBy(col("user_id"))
+  }
+
+  val q122Oracle: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS sum_value,
+      |  MIN(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)) AS first_sec,
+      |  MAX(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)) AS last_sec
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_stream_user_totals" -> q122StreamUserTotals,
     "q45_stream_hourly" -> q45StreamHourly,
     "q46_stream_sessions" -> q46StreamSessions,
     "q72_stream_dedup" -> q72StreamDedup,
@@ -422,6 +456,7 @@ object StreamingQueries {
     "q103_stream_dedup_static" -> q103StreamDedupStatic)
 
   def oracleSql: Map[String, String] = Map(
+    "q122_stream_user_totals" -> q122Oracle,
     "q45_stream_hourly" -> q45Oracle,
     "q46_stream_sessions" -> q46Oracle,
     "q72_stream_dedup" -> q72Oracle,
