@@ -245,7 +245,59 @@ object EventsQueries {
       |FROM events GROUP BY 1, 2
       |ORDER BY user_id, event_type""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q124 — regex extraction surface: every digit run in the JSON props
+  // string via regexp_extract_all — the untyped-log field mining that
+  // precedes proper parsing. Count plus first/last runs as ints; the
+  // pattern is engine-neutral (no lookarounds — Java regex vs RE2
+  // differences stay out of play).
+  // Scale notes (100 TB): pure scan-side codegen projection, zero
+  // shuffle before the terminal sort.
+  def q124RegexExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        // Spark's idx defaults to capture group 1 (DuckDB's to 0) — an
+        // explicit group keeps one pattern valid in both engines
+        expr("regexp_extract_all(props, '([0-9]+)', 1)").as("runs"))
+      .select(col("event_id"),
+        size(col("runs")).as("n_runs"),
+        element_at(col("runs"), 1).cast("long").as("first_run"),
+        element_at(col("runs"), -1).cast("long").as("last_run"))
+      .orderBy(col("event_id"))
+
+  val q124Oracle: String =
+    """SELECT event_id,
+      |  CAST(len(regexp_extract_all(props, '[0-9]+')) AS INTEGER) AS n_runs,
+      |  CAST(regexp_extract_all(props, '[0-9]+')[1] AS BIGINT) AS first_run,
+      |  CAST(regexp_extract_all(props, '[0-9]+')[-1] AS BIGINT) AS last_run
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q126 — deterministic set aggregation: each user's distinct event
+  // types as ONE canonical string (collect_set → sort_array →
+  // array_join) — the segment-signature build. collect_set order is
+  // partition-dependent; the sort_array is what makes the result
+  // reproducible and oracle-comparable (DuckDB: string_agg DISTINCT
+  // with ORDER BY).
+  // Scale notes (100 TB): one hash aggregate on user_id; the set is
+  // bounded by the event-type vocabulary, so state per key is tiny.
+  def q126TypeSignature(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        array_join(sort_array(collect_set(col("event_type"))), ",").as("type_sig"),
+        countDistinct(col("event_type")).as("n_types"))
+      .orderBy(col("user_id"))
+
+  val q126Oracle: String =
+    """SELECT user_id,
+      |  string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS type_sig,
+      |  COUNT(DISTINCT event_type) AS n_types
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q124_regex_extract" -> q124RegexExtract,
+    "q126_type_signature" -> q126TypeSignature,
     "q23_event_windows" -> q23EventWindows,
     "q24_sessionization" -> q24Sessionization,
     "q25_json_extract" -> q25JsonExtract,
@@ -254,6 +306,8 @@ object EventsQueries {
     "q105_incremental_agg" -> q105IncrementalAgg)
 
   def oracleSql: Map[String, String] = Map(
+    "q124_regex_extract" -> q124Oracle,
+    "q126_type_signature" -> q126Oracle,
     "q23_event_windows" -> q23Oracle,
     "q24_sessionization" -> q24Oracle,
     "q25_json_extract" -> q25Oracle,

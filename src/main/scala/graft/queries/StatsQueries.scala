@@ -312,6 +312,76 @@ object StatsQueries {
       |ORDER BY tag, o_custkey""".stripMargin
 
   // --------------------------------------------------------------------
+  // q123 — equi-DEPTH histogram (q61's equi-width dual): per priority,
+  // order values split into 10 buckets of (near-)equal row count via
+  // integer rank arithmetic — bucket = (rn-1)·10 div n. The quantile-
+  // binning a feature pipeline uses when the distribution is skewed
+  // and fixed-width bins collapse.
+  // Scale notes (100 TB): one hash shuffle on the group key + the
+  // per-group sort any exact quantile pays (same budget as q60);
+  // bucketing is pure per-row arithmetic on the rank.
+  private val EqTiles = 10
+
+  def q123EquidepthHist(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    val byPrio = Window.partitionBy(col("o_orderpriority"))
+    val ranked = Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("rn", row_number()
+        .over(byPrio.orderBy(col("o_totalprice"), col("o_orderkey"))).cast("bigint"))
+      .withColumn("n", count(lit(1)).over(byPrio))
+    ranked
+      .withColumn("bucket",
+        floor((col("rn") - 1) * EqTiles / col("n")).cast("bigint"))
+      .groupBy(col("o_orderpriority").as("prioridad"), col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+      .orderBy(col("prioridad"), col("bucket"))
+  }
+
+  val q123Oracle: String =
+    s"""WITH ranked AS (
+       |  SELECT o_orderpriority, o_totalprice,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+       |      ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rn,
+       |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+       |  FROM orders)
+       |SELECT o_orderpriority AS prioridad,
+       |  CAST((rn - 1) * $EqTiles // n AS BIGINT) AS bucket,
+       |  COUNT(*) AS n_rows, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+       |FROM ranked GROUP BY 1, 2 ORDER BY prioridad, bucket""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q125 — share-of-total WITHOUT a global window: the grand total
+  // rides a SCALAR SUBQUERY — Spark executes it as its own tiny
+  // subquery stage and injects the result as a literal into the
+  // projection (the same mechanism as its runtime filters and q86's
+  // bloom bytes), so there is neither a `SUM() OVER ()` single-task
+  // window nor any join. ONE dialect-neutral SQL text runs through
+  // spark.sql AND DuckDB (a first attempt joined the 1-row total back
+  // on a constant key — Catalyst folds that into a nested-loop join,
+  // which the plan sweep rightly rejects). Exact DECIMAL sums on both
+  // levels; the share division is the only double arithmetic.
+  // Scale notes (100 TB): two aggregations over one scan lineage; the
+  // grand total is a driver-injected scalar — no global window, no
+  // skewed single-partition exchange, no broadcast.
+  val q125Sql: String =
+    """WITH t AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    SUM(CAST(value AS DECIMAL(24,6))) AS sv
+      |  FROM events GROUP BY event_type)
+      |SELECT event_type, n, CAST(sv AS DOUBLE) AS sum_value,
+      |  round(CAST(sv AS DOUBLE)
+      |    / CAST((SELECT SUM(sv) FROM t) AS DOUBLE), 6) AS share
+      |FROM t ORDER BY event_type""".stripMargin
+
+  def q125ShareOfTotal(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    Tables.registerAll(spark, dir)
+    spark.sql(q125Sql)
+  }
+
+  // --------------------------------------------------------------------
   // q114 — correlated subqueries through the SQL surface: ONE dialect-
   // neutral text (scalar COUNT subquery + correlated EXISTS) runs
   // through spark.sql AND DuckDB verbatim. Catalyst decorrelates both
@@ -366,7 +436,9 @@ object StatsQueries {
     "q112_zscore_outliers" -> q112ZscoreOutliers,
     "q114_correlated_subquery" -> q114CorrelatedSubquery,
     "q116_global_median" -> q116GlobalMedian,
-    "q119_set_ops" -> q119SetOps)
+    "q119_set_ops" -> q119SetOps,
+    "q123_equidepth_hist" -> q123EquidepthHist,
+    "q125_share_of_total" -> q125ShareOfTotal)
 
   def oracleSql: Map[String, String] = Map(
     "q65_sql_surface" -> q65Sql,
@@ -377,5 +449,7 @@ object StatsQueries {
     "q112_zscore_outliers" -> q112Oracle,
     "q114_correlated_subquery" -> q114Sql,
     "q116_global_median" -> q116Oracle,
-    "q119_set_ops" -> q119Oracle)
+    "q119_set_ops" -> q119Oracle,
+    "q123_equidepth_hist" -> q123Oracle,
+    "q125_share_of_total" -> q125Sql)
 }

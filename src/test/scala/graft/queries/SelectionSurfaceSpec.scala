@@ -55,6 +55,47 @@ class SelectionSurfaceSpec extends SparkSpec {
     }
   }
 
+  test("q123 buckets are equi-depth (counts differ by at most 1)") {
+    val rows = StatsQueries.q123EquidepthHist(spark, dir).collect()
+    rows.groupBy(_.getAs[String]("prioridad")).values.foreach { g =>
+      val counts = g.map(_.getAs[Long]("n_rows"))
+      assert(counts.max - counts.min <= 1, s"not equi-depth: ${counts.toList}")
+      // buckets are contiguous 0..9 and value ranges are ordered
+      assert(g.map(_.getAs[Long]("bucket")).sorted.sameElements(0L until 10L))
+      val sorted = g.sortBy(_.getAs[Long]("bucket"))
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo"))
+      }
+    }
+  }
+
+  test("q124 extracts every digit run with consistent bounds") {
+    val out = graft.queries.EventsQueries.q124RegexExtract(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val n = r.getAs[Int]("n_runs")
+      assert(n >= 1) // props always carries the k int
+      if (n == 1)
+        assert(r.getAs[Long]("first_run") == r.getAs[Long]("last_run"))
+    }
+  }
+
+  test("q125 shares sum to one") {
+    val rows = StatsQueries.q125ShareOfTotal(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4)
+  }
+
+  test("q126 signatures are sorted and duplicate-free") {
+    val rows = graft.queries.EventsQueries.q126TypeSignature(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val parts = r.getAs[String]("type_sig").split(",").toSeq
+      assert(parts == parts.sorted && parts.distinct == parts)
+      assert(parts.length.toLong == r.getAs[Long]("n_types"))
+    }
+  }
+
   test("q119 set ops partition the F-customer key space") {
     val rows = StatsQueries.q119SetOps(spark, dir).collect()
     val both = rows.filter(_.getAs[String]("tag") == "both")
