@@ -474,6 +474,60 @@ object OperatorQueries {
       |ORDER BY p.l_orderkey, p.l_linenumber""".stripMargin
 
   // --------------------------------------------------------------------
+  // q127 — last-touch attribution: every purchase resolves the same
+  // user's most recent preceding view/click (the marketing-attribution
+  // join), then keeps it only within a 1-day window. The as-of
+  // composition again (one hash shuffle on user_id + per-user sort) —
+  // never a range join; the oracle is DuckDB's native ASOF LEFT JOIN
+  // with the same window filter.
+  // Scale notes (100 TB): identical budget to q47/q120 — the as-of
+  // union+window is the only shuffle; the touch stream and purchase
+  // stream co-locate on the user key.
+  def q127Attribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("event_id"), col("user_id"),
+      col("event_type"), col("ts").cast("long").as("sec"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("sec"))
+    // unique per (user, second): ASOF tie handling is engine-specific,
+    // so equal-timestamp touches collapse to the max-id one (max_by —
+    // deterministic, ids are unique) before the as-of
+    val touches = e.filter(col("event_type").isin("view", "click"))
+      .groupBy(col("user_id"), col("sec").as("touch_sec"))
+      .agg(max(col("event_id")).as("touch_id"),
+        expr("max_by(event_type, event_id)").as("touch_type"))
+    val inWindow = col("asof_touch_sec").isNotNull &&
+      col("sec") - col("asof_touch_sec") <= 86400L
+    AsOfJoin.asOf(purchases, touches, "user_id", "sec", "touch_sec",
+        Seq("touch_id", "touch_type", "touch_sec"))
+      .select(col("event_id"), col("user_id"), col("sec"),
+        when(inWindow, col("asof_touch_id")).as("touch_id"),
+        when(inWindow, col("asof_touch_type")).as("touch_type"),
+        when(inWindow, col("sec") - col("asof_touch_sec")).as("gap_sec"))
+      .orderBy(col("event_id"))
+  }
+
+  val q127Oracle: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type,
+      |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+      |  FROM events),
+      |p AS (SELECT event_id, user_id, sec FROM e WHERE event_type = 'purchase'),
+      |t AS (
+      |  SELECT user_id, sec AS touch_sec, MAX(event_id) AS touch_id,
+      |    arg_max(event_type, event_id) AS touch_type
+      |  FROM e WHERE event_type IN ('view', 'click') GROUP BY 1, 2)
+      |SELECT p.event_id, p.user_id, p.sec,
+      |  CASE WHEN t.touch_sec IS NOT NULL AND p.sec - t.touch_sec <= 86400
+      |       THEN t.touch_id END AS touch_id,
+      |  CASE WHEN t.touch_sec IS NOT NULL AND p.sec - t.touch_sec <= 86400
+      |       THEN t.touch_type END AS touch_type,
+      |  CASE WHEN t.touch_sec IS NOT NULL AND p.sec - t.touch_sec <= 86400
+      |       THEN p.sec - t.touch_sec END AS gap_sec
+      |FROM p ASOF LEFT JOIN t
+      |  ON p.user_id = t.user_id AND t.touch_sec <= p.sec
+      |ORDER BY p.event_id""".stripMargin
+
+  // --------------------------------------------------------------------
   // q115 — hierarchy transitive closure (the org-chart / BOM flatten):
   // every (descendant, ancestor, depth) pair reachable through a
   // parent-edge table, computed by POINTER DOUBLING — each round joins
@@ -538,7 +592,8 @@ object OperatorQueries {
     "q100_ivf_trained" -> q100IvfTrained,
     "q109_snapshot_diff" -> q109SnapshotDiff,
     "q115_hierarchy_closure" -> q115HierarchyClosure,
-    "q120_temporal_lookup" -> q120TemporalLookup)
+    "q120_temporal_lookup" -> q120TemporalLookup,
+    "q127_attribution" -> q127Attribution)
 
   def oracleSql: Map[String, String] = Map(
     "q57_topk_agg" -> q57Oracle,
@@ -552,5 +607,6 @@ object OperatorQueries {
     "q100_ivf_trained" -> q100Oracle,
     "q109_snapshot_diff" -> q109Oracle,
     "q115_hierarchy_closure" -> q115Oracle,
-    "q120_temporal_lookup" -> q120Oracle)
+    "q120_temporal_lookup" -> q120Oracle,
+    "q127_attribution" -> q127Oracle)
 }

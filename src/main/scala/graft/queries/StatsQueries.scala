@@ -382,6 +382,37 @@ object StatsQueries {
   }
 
   // --------------------------------------------------------------------
+  // q128 — percent-of-parent: each (status, priority) cell's share
+  // within its status AND each status's share of the grand total — the
+  // two-level BI drill-down. Cell→parent is an equi join on the parent
+  // key (hash join, co-located); the grand total rides a scalar
+  // subquery (q125's mechanism). ONE dialect-neutral SQL text for both
+  // engines; exact DECIMAL sums at every level.
+  // Scale notes (100 TB): two aggregations + a parent-key join over
+  // group-cardinality-sized tables; the only full-data pass is the
+  // cell aggregate. No window at all.
+  val q128Sql: String =
+    """WITH cell AS (
+      |  SELECT o_orderstatus AS estado, o_orderpriority AS prioridad,
+      |    COUNT(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sv
+      |  FROM orders GROUP BY o_orderstatus, o_orderpriority),
+      |st AS (SELECT estado, SUM(sv) AS ssv FROM cell GROUP BY estado)
+      |SELECT c.estado, c.prioridad, c.n,
+      |  CAST(c.sv AS DOUBLE) AS total,
+      |  round(CAST(c.sv AS DOUBLE) / CAST(s.ssv AS DOUBLE), 6)
+      |    AS share_in_status,
+      |  round(CAST(s.ssv AS DOUBLE)
+      |    / CAST((SELECT SUM(sv) FROM cell) AS DOUBLE), 6) AS status_share
+      |FROM cell c JOIN st s ON c.estado = s.estado
+      |ORDER BY c.estado, c.prioridad""".stripMargin
+
+  def q128PercentOfParent(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    Tables.registerAll(spark, dir)
+    spark.sql(q128Sql)
+  }
+
+  // --------------------------------------------------------------------
   // q114 — correlated subqueries through the SQL surface: ONE dialect-
   // neutral text (scalar COUNT subquery + correlated EXISTS) runs
   // through spark.sql AND DuckDB verbatim. Catalyst decorrelates both
@@ -438,7 +469,8 @@ object StatsQueries {
     "q116_global_median" -> q116GlobalMedian,
     "q119_set_ops" -> q119SetOps,
     "q123_equidepth_hist" -> q123EquidepthHist,
-    "q125_share_of_total" -> q125ShareOfTotal)
+    "q125_share_of_total" -> q125ShareOfTotal,
+    "q128_percent_of_parent" -> q128PercentOfParent)
 
   def oracleSql: Map[String, String] = Map(
     "q65_sql_surface" -> q65Sql,
@@ -451,5 +483,6 @@ object StatsQueries {
     "q116_global_median" -> q116Oracle,
     "q119_set_ops" -> q119Oracle,
     "q123_equidepth_hist" -> q123Oracle,
-    "q125_share_of_total" -> q125Sql)
+    "q125_share_of_total" -> q125Sql,
+    "q128_percent_of_parent" -> q128Sql)
 }

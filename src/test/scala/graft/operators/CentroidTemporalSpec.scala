@@ -47,6 +47,46 @@ class CentroidTemporalSpec extends SparkSpec {
     assert(nNull > 0 && nHit > 0, s"degenerate fixture: $nNull null / $nHit hit")
   }
 
+  test("q127 attributes each purchase to the latest in-window touch") {
+    val out = OperatorQueries.q127Attribution(spark, dir).collect()
+    assert(out.nonEmpty)
+    // brute force from the raw events
+    val events = graft.sources.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts").cast("long").as("sec")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val touchesByUser = events.filter(e => e._3 == "view" || e._3 == "click")
+      .groupBy(_._2)
+    var attributed = 0
+    out.foreach { r =>
+      val (user, sec) = (r.getLong(1), r.getLong(2))
+      val best = touchesByUser.getOrElse(user, Array.empty)
+        .filter(_._4 <= sec).sortBy(t => (t._4, t._1)).lastOption
+        .filter(t => sec - t._4 <= 86400L)
+      best match {
+        case None => assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5))
+        case Some(t) =>
+          assert(r.getLong(3) == t._1 && r.getString(4) == t._3 &&
+            r.getLong(5) == sec - t._4, s"purchase ${r.getLong(0)} misattributed")
+          attributed += 1
+      }
+    }
+    assert(attributed > 0 && attributed < out.length,
+      "fixture must exercise both the attributed and the null branch")
+  }
+
+  test("q128 shares sum to one at both levels") {
+    val rows = graft.queries.StatsQueries.q128PercentOfParent(spark, dir).collect()
+    rows.groupBy(_.getAs[String]("estado")).values.foreach { g =>
+      assert(math.abs(g.map(_.getAs[Double]("share_in_status")).sum - 1.0) < 1e-4)
+      // status_share is constant within the status group
+      assert(g.map(_.getAs[Double]("status_share")).distinct.length == 1)
+    }
+    val statusShares = rows.groupBy(_.getAs[String]("estado"))
+      .values.map(_.head.getAs[Double]("status_share")).sum
+    assert(math.abs(statusShares - 1.0) < 1e-4)
+  }
+
   test("q121 alignment scores are cosines with full corpus coverage") {
     val rows = Similarity.q121CentroidDrift(spark, dir).collect()
     assert(rows.nonEmpty)
