@@ -295,7 +295,85 @@ object EventsQueries {
       |  COUNT(DISTINCT event_type) AS n_types
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q130 — event transition matrix: the Markov view of the event log —
+  // for every (from, to) pair of consecutive event types within a user,
+  // the count and the row-normalized transition probability. lead()
+  // over the per-user order, then ONE aggregate; the per-from totals
+  // ride a window PARTITIONED BY from_type over the aggregated table
+  // (vocabulary² rows — never data-sized). Counts are exact BIGINTs;
+  // the probability is one IEEE division of exact integers + round(6),
+  // so both engines agree bit-for-bit (the q128 mechanism).
+  // Scale notes (100 TB): one shuffle on user_id for the lead, one
+  // hash aggregate on the pair; the normalizing window touches only
+  // the |types|² aggregate. No global window, no join.
+  def q130Transitions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(spark, dir)
+      .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val byFrom = Window.partitionBy(col("from_type"))
+    pairs
+      .withColumn("p", round(
+        col("n").cast("double") / sum(col("n")).over(byFrom).cast("double"), 6))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val q130Oracle: String =
+    """WITH steps AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS to_type
+      |  FROM events),
+      |t AS (
+      |  SELECT from_type, to_type, COUNT(*) AS n FROM steps
+      |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  round(CAST(n AS DOUBLE)
+      |    / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+      |FROM t ORDER BY from_type, to_type""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q132 — hopping (sliding) windows: 1-hour windows advancing every
+  // 30 minutes, so each event lands in exactly TWO windows — the
+  // overlapping-window aggregation Structured Streaming shares
+  // (`window(ts, "1 hour", "30 minutes")`). Spark expands the window
+  // set per-row at scan time (an Expand of width/slide = 2 rows), then
+  // one hash aggregate; the oracle derives the same two window starts
+  // arithmetically (start ∈ {sec − sec % 1800, that − 1800}).
+  // Scale notes (100 TB): the Expand doubles scan-side rows BEFORE the
+  // aggregate's map-side combine, so shuffled bytes stay at
+  // |windows × types| partials — the overlap factor never reaches the
+  // wire. That multiplier is width/slide: keep it small by choosing
+  // slide proportional to width.
+  def q132HoppingWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(
+        window(col("ts"), "1 hour", "30 minutes")("start")
+          .cast("long").as("win_start_sec"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), exprSum(col("value")).as("sum_value"))
+      .orderBy(col("win_start_sec"), col("event_type"))
+
+  val q132Oracle: String =
+    """WITH e AS (
+      |  SELECT event_type, value,
+      |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+      |  FROM events),
+      |x AS (
+      |  SELECT event_type, value, sec - (sec % 1800) AS win_start_sec FROM e
+      |  UNION ALL
+      |  SELECT event_type, value, sec - (sec % 1800) - 1800 FROM e)
+      |SELECT win_start_sec, event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS sum_value
+      |FROM x GROUP BY 1, 2 ORDER BY win_start_sec, event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_transitions" -> q130Transitions,
+    "q132_hopping_windows" -> q132HoppingWindows,
     "q124_regex_extract" -> q124RegexExtract,
     "q126_type_signature" -> q126TypeSignature,
     "q23_event_windows" -> q23EventWindows,
@@ -306,6 +384,8 @@ object EventsQueries {
     "q105_incremental_agg" -> q105IncrementalAgg)
 
   def oracleSql: Map[String, String] = Map(
+    "q130_transitions" -> q130Oracle,
+    "q132_hopping_windows" -> q132Oracle,
     "q124_regex_extract" -> q124Oracle,
     "q126_type_signature" -> q126Oracle,
     "q23_event_windows" -> q23Oracle,

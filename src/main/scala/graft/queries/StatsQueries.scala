@@ -458,7 +458,76 @@ object StatsQueries {
     spark.sql(q65Sql)
   }
 
+  // --------------------------------------------------------------------
+  // q131 — GROUPING SETS beyond rollup/cube: two independent
+  // one-dimension reports in ONE pass over the data — the set
+  // ((estado), (prioridad)) is exactly the shape neither ROLLUP (q21)
+  // nor CUBE (q22) can express without computing cells nobody asked
+  // for. grouping() flags disambiguate "the NULL group" from
+  // "grouped-out" (cast to INT on both engines — Spark's grouping() is
+  // TINYINT, DuckDB's BIGINT); explicit NULLS FIRST pins the ordering
+  // (Spark defaults NULLS FIRST, DuckDB NULLS LAST). ONE
+  // dialect-neutral text runs through spark.sql AND DuckDB.
+  // Scale notes (100 TB): Spark plans grouping sets as an Expand (one
+  // replica per set — 2 here) feeding one hash aggregate with map-side
+  // combine; two separate GROUP BYs would scan the data twice.
+  val q131Sql: String =
+    """SELECT o_orderstatus AS estado, o_orderpriority AS prioridad,
+      |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_estado,
+      |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prioridad,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+      |ORDER BY g_estado, estado NULLS FIRST, prioridad NULLS FIRST""".stripMargin
+
+  def q131GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    Tables.registerAll(spark, dir)
+    spark.sql(q131Sql)
+  }
+
+  // --------------------------------------------------------------------
+  // q133 — deterministic per-group mode: the most frequent priority
+  // within each order status. Both engines HAVE a mode() aggregate,
+  // but neither defines its tie-break — so the portable form is the
+  // two-phase argmax: count per (group, value), then row_number over
+  // (count DESC, value DESC) picks one winner deterministically. The
+  // ranking window runs on the aggregated |groups × values| table,
+  // never on the data.
+  // Scale notes (100 TB): one map-side-combined aggregate is the only
+  // full-data shuffle; the argmax window touches group-cardinality
+  // rows. This is the same two-phase shape as q57's top-k.
+  def q133ModePerGroup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    val counts = Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus").as("estado"),
+        col("o_orderpriority").as("prioridad"))
+      .agg(count(lit(1)).as("n"))
+    val rank = Window.partitionBy(col("estado"))
+      .orderBy(col("n").desc, col("prioridad").desc)
+    counts.withColumn("rn", row_number().over(rank))
+      .filter(col("rn") === 1)
+      .select(col("estado"), col("prioridad").as("mode_prioridad"),
+        col("n").as("n_mode"))
+      .orderBy(col("estado"))
+  }
+
+  val q133Oracle: String =
+    """WITH counts AS (
+      |  SELECT o_orderstatus AS estado, o_orderpriority AS prioridad,
+      |    COUNT(*) AS n
+      |  FROM orders GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY estado
+      |    ORDER BY n DESC, prioridad DESC) AS rn
+      |  FROM counts)
+      |SELECT estado, prioridad AS mode_prioridad, n AS n_mode
+      |FROM ranked WHERE rn = 1 ORDER BY estado""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_grouping_sets" -> q131GroupingSets,
+    "q133_mode_per_group" -> q133ModePerGroup,
     "q65_sql_surface" -> q65SqlSurface,
     "q60_group_quantiles" -> q60GroupQuantiles,
     "q61_histogram" -> q61Histogram,
@@ -473,6 +542,8 @@ object StatsQueries {
     "q128_percent_of_parent" -> q128PercentOfParent)
 
   def oracleSql: Map[String, String] = Map(
+    "q131_grouping_sets" -> q131Sql,
+    "q133_mode_per_group" -> q133Oracle,
     "q65_sql_surface" -> q65Sql,
     "q60_group_quantiles" -> q60Oracle,
     "q61_histogram" -> q61Oracle,

@@ -193,7 +193,56 @@ object FormatQueries {
       |    ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS total_new_batch
       |FROM orders GROUP BY 1 ORDER BY estado""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q129 — storage-bucketed co-located join: both join sides are
+  // written as bucketed parquet tables (8 buckets on the join key,
+  // sorted within buckets), so the subsequent fact↔dim join is
+  // bucket-to-bucket — NO shuffle exchange on either side (locked by
+  // BucketedJoinSpec). This is the pre-partitioning the brief calls
+  // out for repeatedly-joined warehouse tables: pay the shuffle once
+  // at write time, never again at read time. The merge hint forces the
+  // sort-merge path at fixture scale (otherwise Spark broadcasts the
+  // small side and the bucket co-location is never exercised).
+  // Scale notes (100 TB): bucketed layout is THE amortization for
+  // join-heavy warehouses — every downstream join/aggregate on the
+  // bucket key skips its exchange; bucket count is chosen at write
+  // time to bound per-bucket file size (8 here for the fixture; a
+  // 100 TB orders table would use thousands). The final groupBy is the
+  // only shuffle in this plan.
+  def q129BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val base = tmp(spark, "bucketed", dir)
+    def writeBucketed(df: DataFrame, table: String, key: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      df.write.mode("overwrite").format("parquet")
+        .bucketBy(8, key).sortBy(key)
+        .option("path", s"$base/$table")
+        .saveAsTable(table)
+    }
+    writeBucketed(Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      "graft_q129_orders", "o_custkey")
+    writeBucketed(Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment")),
+      "graft_q129_customer", "c_custkey")
+    spark.table("graft_q129_orders").hint("merge")
+      .join(spark.table("graft_q129_customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segmento"))
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("total"),
+        countDistinct(col("o_custkey")).as("n_clientes"))
+      .orderBy(col("segmento"))
+  }
+
+  val q129Oracle: String =
+    """SELECT c_mktsegment AS segmento, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  COUNT(DISTINCT o_custkey) AS n_clientes
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY segmento""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_bucketed_join" -> q129BucketedJoin,
     "q54_csv_roundtrip" -> q54CsvRoundtrip,
     "q55_json_roundtrip" -> q55JsonRoundtrip,
     "q96_orc_roundtrip" -> q96OrcRoundtrip,
@@ -202,6 +251,7 @@ object FormatQueries {
     "q64_schema_evolution" -> q64SchemaEvolution)
 
   def oracleSql: Map[String, String] = Map(
+    "q129_bucketed_join" -> q129Oracle,
     "q54_csv_roundtrip" -> q54Oracle,
     "q55_json_roundtrip" -> q55Oracle,
     "q96_orc_roundtrip" -> q96Oracle,
