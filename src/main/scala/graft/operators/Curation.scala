@@ -831,7 +831,122 @@ object Curation {
   /** Compaction is content-neutral by contract: the oracle IS q78's. */
   val q89Oracle: String = q78Oracle
 
+  // --------------------------------------------------------------------
+  // q134 — deterministic k-fold assignment: every document lands in
+  // one of 5 folds by an md5-derived hash of its id — the
+  // cross-validation / multi-epoch-shuffle split that must be
+  // reproducible across runs AND across engines (no RNG, no
+  // row-order dependence). Folds are summarized (count, char mass,
+  // language spread, id range); disjointness and full coverage are
+  // arithmetic consequences of `hash % k`.
+  // Scale notes (100 TB): fold derivation is a scan-side codegen'd
+  // projection; the summary is one map-side-combined aggregate on a
+  // 5-value key. Nothing here is data-ordered, so the split is stable
+  // under repartitioning and incremental corpus growth (a new doc
+  // never moves an old one).
+  def q134KfoldSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("fold",
+        (conv(substring(md5(concat(lit("fold:"), col("doc_id").cast("string"))),
+          1, 8), 16, 10).cast("long") % 5).cast("int"))
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("fold"))
+
+  val q134Oracle: String =
+    """SELECT
+      |  CAST(CAST('0x' || substring(md5('fold:' || CAST(doc_id AS VARCHAR)), 1, 8)
+      |    AS BIGINT) % 5 AS INTEGER) AS fold,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  COUNT(DISTINCT lang) AS n_langs,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM documents GROUP BY 1 ORDER BY fold""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q135 — per-source document cap: keep at most 12 documents per
+  // source, preferring longer ones — the domain-frequency capping web
+  // corpora apply so one crawler-friendly site cannot dominate the
+  // mixture (a CAP, not a rate: small sources keep everything, big
+  // sources are truncated). Priority is (n_chars DESC, doc_id) — fully
+  // deterministic, no RNG. Contrast with q58 (stratified RATE
+  // sampling) and q104 (token-budget mixture).
+  // Scale notes (100 TB): one row_number window PARTITIONED BY source
+  // — per-key, skew bounded by the largest single source (salt the
+  // pathological one if a source exceeds a task); the report aggregate
+  // rides the same source partitioning (zero extra shuffle).
+  def q135SourceCap(spark: SparkSession, dir: String): DataFrame = {
+    val bySource = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("rn", row_number().over(bySource))
+      .withColumn("kept", col("rn") <= 12)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n_chars")).otherwise(0L)).as("kept_chars"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("source"))
+  }
+
+  val q135Oracle: String =
+    """WITH ranked AS (
+      |  SELECT source, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY n_chars DESC, doc_id) AS rn
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN rn <= 12 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN rn <= 12 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM ranked GROUP BY source ORDER BY source""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q136 — deterministic weighted sampling: each document is accepted
+  // with probability proportional to its (capped) length —
+  // quality-weighted downsampling with zero RNG state. The acceptance
+  // test is ALL-INTEGER: a 32-bit md5-derived uniform u and weight
+  // w = min(n_chars, 400)/400 accept iff u·400 < w·2³², so both
+  // engines compare exact BIGINT products (a double threshold would
+  // drift the boundary — the q104 lesson). Per-source acceptance
+  // report; expected rate = mean weight.
+  // Scale notes (100 TB): scan-side hash + integer compare, one
+  // aggregate on source — zero shuffle before the group-sized agg.
+  def q136WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val u32 = conv(substring(md5(concat(lit("ws:"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+    val wNum = least(col("n_chars"), lit(400L)) // weight numerator (den 400)
+    val accepted = u32 * 400L < wNum * 4294967296L
+    Tables.documents(spark, dir)
+      .withColumn("acc", accepted)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("acc"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("acc"), col("n_chars")).otherwise(0L)).as("sampled_chars"))
+      .orderBy(col("source"))
+  }
+
+  val q136Oracle: String =
+    """WITH t AS (
+      |  SELECT source, n_chars,
+      |    CAST('0x' || substring(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8)
+      |      AS BIGINT) AS u32,
+      |    CAST(least(n_chars, 400) AS BIGINT) AS wnum
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN u32 * 400 < wnum * 4294967296 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_sampled,
+      |  CAST(SUM(CASE WHEN u32 * 400 < wnum * 4294967296 THEN n_chars ELSE 0 END)
+      |    AS BIGINT) AS sampled_chars
+      |FROM t GROUP BY source ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_kfold_split" -> q134KfoldSplit,
+    "q135_source_cap" -> q135SourceCap,
+    "q136_weighted_sample" -> q136WeightedSample,
     "q67_contamination" -> q67Contamination,
     "q68_tfidf_topterms" -> q68TfidfTopterms,
     "q69_repetition" -> q69Repetition,
@@ -847,6 +962,9 @@ object Curation {
     "q104_token_mixture" -> q104TokenMixture)
 
   def oracleSql: Map[String, String] = Map(
+    "q134_kfold_split" -> q134Oracle,
+    "q135_source_cap" -> q135Oracle,
+    "q136_weighted_sample" -> q136Oracle,
     "q67_contamination" -> q67Oracle,
     "q68_tfidf_topterms" -> q68Oracle,
     "q69_repetition" -> q69Oracle,

@@ -580,7 +580,63 @@ object OperatorQueries {
       |  FROM anc a JOIN e ON e.node = a.anc)
       |SELECT node, anc, d FROM anc ORDER BY node, d""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q137 — bipartite PageRank, two unrolled iterations: node importance
+  // on the part↔supplier co-occurrence graph (distinct lineitem pairs,
+  // walked in both directions). The importance propagation is
+  // ALL-INTEGER: ranks live as BIGINTs scaled by 1e9, each transfer is
+  // `rank DIV degree` (exact in both engines — no decimal division
+  // whose rounding scale is engine-specific, the q100 lesson), and the
+  // damping is `85·x DIV 100`. Node ids are namespaced arithmetically
+  // (part → 2k, supplier → 2k+1) so the two key spaces can share one
+  // column. N rides scalar subqueries (q125's mechanism — never a
+  // 1-row cross join). The oracle is the same unrolled algebra in
+  // DuckDB (`//` + CAST — DuckDB's `//` yields HUGEINT).
+  // Scale notes (100 TB): each iteration is one equi-join of the edge
+  // list against the rank table (both hash-partitioned on node) + one
+  // map-side-combined aggregate — the standard distributed PageRank
+  // step; unrolling keeps the plan static, and a loop form would add
+  // q115's localCheckpoint per round. Degree skew (a hub part) is the
+  // known risk — AQE skew-split handles the join; the aggregate
+  // combines map-side so hub fan-in never concentrates on one task.
+  private def q137Text(intdiv: (String, String) => String): String = {
+    def d(a: String, b: String) = intdiv(a, b)
+    s"""WITH e AS (
+       |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM lineitem),
+       |ed AS (SELECT src, dst FROM e
+       |       UNION ALL SELECT dst AS src, src AS dst FROM e),
+       |deg AS (SELECT src AS node, COUNT(*) AS d FROM ed GROUP BY src),
+       |r0 AS (SELECT node, d,
+       |         ${d("CAST(1000000000 AS BIGINT)", "(SELECT COUNT(*) FROM deg)")} AS r
+       |       FROM deg),
+       |c1 AS (SELECT ed.dst AS node, SUM(${d("r0.r", "r0.d")}) AS c
+       |       FROM ed JOIN r0 ON ed.src = r0.node GROUP BY ed.dst),
+       |r1 AS (SELECT deg.node, deg.d,
+       |         ${d("CAST(150000000 AS BIGINT)", "(SELECT COUNT(*) FROM deg)")}
+       |           + ${d("(85 * COALESCE(c1.c, 0))", "100")} AS r
+       |       FROM deg LEFT JOIN c1 ON deg.node = c1.node),
+       |c2 AS (SELECT ed.dst AS node, SUM(${d("r1.r", "r1.d")}) AS c
+       |       FROM ed JOIN r1 ON ed.src = r1.node GROUP BY ed.dst),
+       |r2 AS (SELECT deg.node,
+       |         ${d("CAST(150000000 AS BIGINT)", "(SELECT COUNT(*) FROM deg)")}
+       |           + ${d("(85 * COALESCE(c2.c, 0))", "100")} AS r
+       |       FROM deg LEFT JOIN c2 ON deg.node = c2.node)
+       |SELECT ${d("node", "2")} AS supp_id, r AS rank_scaled
+       |FROM r2 WHERE node % 2 = 1
+       |ORDER BY rank_scaled DESC, supp_id""".stripMargin
+  }
+
+  def q137Pagerank(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(q137Text((a, b) => s"$a DIV $b"))
+  }
+
+  val q137Oracle: String =
+    q137Text((a, b) => s"CAST($a // $b AS BIGINT)")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q137_pagerank" -> q137Pagerank,
     "q57_topk_agg" -> q57TopkAgg,
     "q66_asof_native" -> q66AsofNative,
     "q47_asof_join" -> q47AsofJoin,
@@ -596,6 +652,7 @@ object OperatorQueries {
     "q127_attribution" -> q127Attribution)
 
   def oracleSql: Map[String, String] = Map(
+    "q137_pagerank" -> q137Oracle,
     "q57_topk_agg" -> q57Oracle,
     "q66_asof_native" -> q47Oracle,
     "q47_asof_join" -> q47Oracle,
