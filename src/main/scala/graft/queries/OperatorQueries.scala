@@ -592,21 +592,22 @@ object OperatorQueries {
   // column. N rides scalar subqueries (q125's mechanism — never a
   // 1-row cross join). The oracle is the same unrolled algebra in
   // DuckDB (`//` + CAST — DuckDB's `//` yields HUGEINT).
+  // The edge list and degree table are materialized ONCE through a
+  // lazy localCheckpoint (q115's medicine): inlined CTEs re-expand at
+  // every reference, and the first cut rescanned lineitem 16 times —
+  // each iteration must join a REUSED edge RDD, not re-derive it.
+  // Only the iteration algebra is shared SQL text; the prologue
+  // differs (views over the checkpointed frames vs inline CTEs).
   // Scale notes (100 TB): each iteration is one equi-join of the edge
   // list against the rank table (both hash-partitioned on node) + one
   // map-side-combined aggregate — the standard distributed PageRank
-  // step; unrolling keeps the plan static, and a loop form would add
-  // q115's localCheckpoint per round. Degree skew (a hub part) is the
-  // known risk — AQE skew-split handles the join; the aggregate
+  // step; unrolling keeps the plan static. Degree skew (a hub part) is
+  // the known risk — AQE skew-split handles the join; the aggregate
   // combines map-side so hub fan-in never concentrates on one task.
-  private def q137Text(intdiv: (String, String) => String): String = {
+  private def q137Text(prologue: String,
+      intdiv: (String, String) => String): String = {
     def d(a: String, b: String) = intdiv(a, b)
-    s"""WITH e AS (
-       |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
-       |  FROM lineitem),
-       |ed AS (SELECT src, dst FROM e
-       |       UNION ALL SELECT dst AS src, src AS dst FROM e),
-       |deg AS (SELECT src AS node, COUNT(*) AS d FROM ed GROUP BY src),
+    s"""WITH $prologue
        |r0 AS (SELECT node, d,
        |         ${d("CAST(1000000000 AS BIGINT)", "(SELECT COUNT(*) FROM deg)")} AS r
        |       FROM deg),
@@ -628,12 +629,32 @@ object OperatorQueries {
   }
 
   def q137Pagerank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
     Tables.registerAll(spark, dir)
-    spark.sql(q137Text((a, b) => s"$a DIV $b"))
+    val e = spark.sql(
+      """SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |FROM lineitem""".stripMargin)
+    val ed = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(false) // lazy: materializes on first action, reused by every iteration
+    ed.createOrReplaceTempView("q137_ed")
+    ed.groupBy(col("src").as("node")).count().withColumnRenamed("count", "d")
+      .localCheckpoint(false)
+      .createOrReplaceTempView("q137_deg")
+    spark.sql(q137Text(
+      """ed AS (SELECT src, dst FROM q137_ed),
+        |deg AS (SELECT node, d FROM q137_deg),""".stripMargin,
+      (a, b) => s"$a DIV $b"))
   }
 
   val q137Oracle: String =
-    q137Text((a, b) => s"CAST($a // $b AS BIGINT)")
+    q137Text(
+      """e AS (
+        |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem),
+        |ed AS (SELECT src, dst FROM e
+        |       UNION ALL SELECT dst AS src, src AS dst FROM e),
+        |deg AS (SELECT src AS node, COUNT(*) AS d FROM ed GROUP BY src),""".stripMargin,
+      (a, b) => s"CAST($a // $b AS BIGINT)")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q137_pagerank" -> q137Pagerank,
