@@ -340,7 +340,185 @@ object TextAnalysis {
       |WHERE length(w) > 0
       |ORDER BY doc_id, suggestion""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q138 — corpus boilerplate detection: the 20 most document-frequent
+  // 5-grams. Repeated templated spans (navigation chrome, license
+  // headers, cookie banners) are the classic web-corpus pollution;
+  // document frequency — not raw occurrences — is the boilerplate
+  // signal, so both counts are reported. Output is the top 20 by
+  // (df DESC, gram) — a unique tiebreak, so LIMIT is deterministic.
+  // Scale notes (100 TB): gram derivation is a scan-side higher-order
+  // transform (codegen'd, ~tokens per row fan-out); the aggregate is
+  // one hash-partitioned count per gram with map-side combine, and the
+  // top-20 is TakeOrdered (per-partition heads, never a global sort).
+  // Head grams are the hot keys — exactly the skew AQE handles; the
+  // distinct-doc count is exact here, approx_count_distinct at 100 TB.
+  def q138Boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documentsSharded(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(expr(
+        // Spark's sequence(1, n) DESCENDS for n < 1 — guard short docs
+        """CASE WHEN size(t) >= 5 THEN
+          |  transform(sequence(1, size(t) - 4),
+          |    i -> concat(element_at(t, i), ' ', element_at(t, i + 1), ' ',
+          |                element_at(t, i + 2), ' ', element_at(t, i + 3), ' ',
+          |                element_at(t, i + 4)))
+          |ELSE array() END""".stripMargin)).as("gram"))
+    grams.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("df_docs"),
+        count(lit(1)).as("n_occ"))
+      .orderBy(col("df_docs").desc, col("gram"))
+      .limit(20)
+  }
+
+  val q138Oracle: String =
+    """WITH l AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(t) - 3),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+      |           || ' ' || t[i+4])) AS gram
+      |  FROM l)
+      |SELECT gram, COUNT(DISTINCT doc_id) AS df_docs, COUNT(*) AS n_occ
+      |FROM g GROUP BY gram
+      |ORDER BY df_docs DESC, gram LIMIT 20""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q139 — pairwise source overlap via bottom-k sketches: each source is
+  // summarized by its 32 smallest-hashed distinct tokens (a KMV/bottom-k
+  // sketch), and pair similarity is estimated as |A∩B| / |A∪B| over the
+  // SKETCHES (inter / (64 - inter)). The pair list is NEVER enumerated:
+  // the intersection comes from a self EQUI-join of the sketch table on
+  // the token, with source_a < source_b as a post-filter — an explicit
+  // 20×20 pair table would need an inequality join (= the banned nested
+  // loop). Pairs with an empty sketch intersection are absent by
+  // construction. Hash ties break on the token string, so the sketch is
+  // fully deterministic and engine-portable (md5 prefix, the q134 form).
+  // Scale notes (100 TB): the per-source sketch is the ONLY corpus-sized
+  // work — one distinct + one bottom-k; the window-per-source form here
+  // is fine for dozens of sources, and the many-source form swaps in a
+  // partial-agg bottom-k (the TopKByLong shape) so no single task sees a
+  // whole source. The self-join touches 32·sources rows — negligible.
+  def q139SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bk = Tables.documentsSharded(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .distinct()
+      .withColumn("h",
+        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("h"), col("tok"))))
+      .filter(col("rn") <= 32)
+      .select(col("source"), col("tok"))
+    bk.as("a").join(bk.as("b"),
+        col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("k_common"))
+      .withColumn("jaccard_est",
+        round(col("k_common") / (lit(64.0) - col("k_common")), 6))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val q139Oracle: String =
+    """WITH toks AS (
+      |  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |bk AS (
+      |  SELECT source, tok FROM (
+      |    SELECT source, tok,
+      |      ROW_NUMBER() OVER (PARTITION BY source
+      |        ORDER BY CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT), tok)
+      |        AS rn
+      |    FROM toks) WHERE rn <= 32)
+      |SELECT a.source AS source_a, b.source AS source_b,
+      |  CAST(COUNT(*) AS BIGINT) AS k_common,
+      |  round(COUNT(*) / (64.0 - COUNT(*)), 6) AS jaccard_est
+      |FROM bk a JOIN bk b ON a.tok = b.tok AND a.source < b.source
+      |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q140 — BPE merge-step candidates: the 20 most frequent ADJACENT
+  // token pairs — one iteration of the byte-pair-encoding merge rule
+  // lifted to word level (count all adjacent pairs, merge the winner).
+  // Document support rides along to separate corpus-wide collocations
+  // from one doc repeating a pair. (df DESC would rank boilerplate —
+  // q138's job; a merge step ranks by TOTAL pair frequency.)
+  // Scale notes (100 TB): pair derivation is scan-side (zip of the
+  // token array with its own tail — linear fan-out), one combining
+  // aggregate, TakeOrdered top-20. The real BPE loop re-runs this query
+  // per merge; each iteration is one scan + one shuffle, which is how
+  // distributed tokenizer training actually spends its time.
+  def q140BpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.documentsSharded(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(t) >= 2 THEN
+          |  transform(sequence(1, size(t) - 1),
+          |    i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))
+          |ELSE array() END""".stripMargin)).as("pair"))
+    pairs.groupBy(col("pair"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("df_docs"))
+      .orderBy(col("n_occ").desc, col("pair"))
+      .limit(20)
+  }
+
+  val q140Oracle: String =
+    """WITH l AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |p AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(t)),
+      |      i -> t[i] || ' ' || t[i+1])) AS pair
+      |  FROM l)
+      |SELECT pair, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS df_docs
+      |FROM p GROUP BY pair
+      |ORDER BY n_occ DESC, pair LIMIT 20""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q141 — vocabulary coverage / OOV audit: fix the tokenizer vocab as
+  // the top-16 corpus tokens (count DESC, token — unique tiebreak) and
+  // report each source's out-of-vocabulary token share. The pretraining
+  // question this answers: which sources will fragment into rare-token
+  // sequences under a frequency-trained vocab. 16 keeps the rate
+  // non-trivial on the fixture's ~40-word vocabulary; production uses
+  // 32k-256k with identical shape.
+  // Scale notes (100 TB): the vocab build is one combining aggregate +
+  // TakeOrdered; the audit join BROADCASTS the 16-row (production:
+  // vocab-sized, still broadcastable) table against the token stream —
+  // zero shuffle on the corpus side before the per-source aggregate.
+  def q141VocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.documentsSharded(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+    val vocab = ex.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(16)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    ex.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 6))
+      .orderBy(col("source"))
+  }
+
+  val q141Oracle: String =
+    """WITH ex AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |vocab AS (
+      |  SELECT tok FROM (SELECT tok, COUNT(*) AS cnt FROM ex GROUP BY tok)
+      |  ORDER BY cnt DESC, tok LIMIT 16)
+      |SELECT source, COUNT(*) AS n_tokens,
+      |  CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |  round(CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |        / COUNT(*), 6) AS oov_rate
+      |FROM ex LEFT JOIN vocab v ON ex.tok = v.tok
+      |GROUP BY source ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q138_boilerplate" -> q138Boilerplate,
+    "q139_source_overlap" -> q139SourceOverlap,
+    "q140_bpe_merges" -> q140BpeMerges,
+    "q141_vocab_coverage" -> q141VocabCoverage,
     "q111_fuzzy_join" -> q111FuzzyJoin,
     "q58_stratified_sample" -> q58StratifiedSample,
     "q27_token_stats" -> q27TokenStats,
@@ -351,6 +529,10 @@ object TextAnalysis {
     "q94_unigram_lm_score" -> q94UnigramLmScore)
 
   def oracleSql: Map[String, String] = Map(
+    "q138_boilerplate" -> q138Oracle,
+    "q139_source_overlap" -> q139Oracle,
+    "q140_bpe_merges" -> q140Oracle,
+    "q141_vocab_coverage" -> q141Oracle,
     "q111_fuzzy_join" -> q111Oracle,
     "q58_stratified_sample" -> q58Oracle,
     "q27_token_stats" -> q27Oracle,
