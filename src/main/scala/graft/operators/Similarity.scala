@@ -590,7 +590,68 @@ object Similarity {
        |  MIN(cos) AS min_cos, MAX(cos) AS max_cos
        |FROM scored GROUP BY 1 ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q143 — deterministic contrastive pair mining: each vector gets a
+  // positive partner (same label) and a hard-negative candidate
+  // (different label) with ZERO RNG — the (anchor, pos, neg) triplets
+  // contrastive/embedding training consumes, reproducible across runs
+  // and engines. Positives pair each vector with the NEXT vector in
+  // md5-hash order within its (label, bucket) group — a per-group
+  // window, deterministic, uniformly "random" in hash order. Negatives
+  // take the minimum combined key h·2²⁰+vec_id over different-label
+  // vectors sharing the anchor's hash bucket — an all-integer argmin,
+  // so ties are impossible (vec_id is unique) and both engines pick
+  // the same partner. Group ends yield null pos / bucket-local
+  // cross-label absence yields null neg; anchors are never dropped.
+  // Scale notes (100 TB): the window partitions on (label, bucket) —
+  // bucket count is the knob that bounds partition size (16 here;
+  // production sizes it to corpus/task). The negative join is one
+  // bucket equi-join with the label inequality as a post-filter —
+  // never a cross join; the argmin aggregates map-side. vec_id < 2²⁰
+  // here; widen the shift at larger id spaces.
+  def q143ContrastivePairs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = Tables.embeddingsSharded(spark, dir)
+      .select(col("vec_id"), col("label"),
+        conv(substring(md5(concat(lit("cp:"), col("vec_id").cast("string"))),
+          1, 8), 16, 10).cast("long").as("h"))
+      .withColumn("bucket", col("h") % 16)
+    val pos = b.withColumn("pos_id", lead(col("vec_id"), 1).over(
+      Window.partitionBy(col("label"), col("bucket"))
+        .orderBy(col("h"), col("vec_id"))))
+    val neg = b.as("a").join(b.as("c"),
+        col("a.bucket") === col("c.bucket") && col("a.label") =!= col("c.label"))
+      .groupBy(col("a.vec_id").as("vec_id"))
+      .agg(min(col("c.h") * 1048576L + col("c.vec_id")).as("nk"))
+    pos.join(neg, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"), col("pos_id"),
+        (col("nk") % 1048576L).as("neg_id"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q143Oracle: String =
+    """WITH b AS (
+      |  SELECT vec_id, label,
+      |    CAST('0x' || substring(md5('cp:' || CAST(vec_id AS VARCHAR)), 1, 8)
+      |      AS BIGINT) AS h
+      |  FROM embeddings),
+      |bb AS (SELECT vec_id, label, h, h % 16 AS bucket FROM b),
+      |pos AS (
+      |  SELECT vec_id, label,
+      |    LEAD(vec_id) OVER (PARTITION BY label, bucket ORDER BY h, vec_id)
+      |      AS pos_id
+      |  FROM bb),
+      |neg AS (
+      |  SELECT a.vec_id, MIN(c.h * 1048576 + c.vec_id) AS nk
+      |  FROM bb a JOIN bb c ON a.bucket = c.bucket AND a.label <> c.label
+      |  GROUP BY a.vec_id)
+      |SELECT p.vec_id, p.label, p.pos_id,
+      |  CAST(n.nk % 1048576 AS BIGINT) AS neg_id
+      |FROM pos p LEFT JOIN neg n ON p.vec_id = n.vec_id
+      |ORDER BY p.vec_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q143_contrastive_pairs" -> q143ContrastivePairs,
     "q121_centroid_drift" -> q121CentroidDrift,
     "q34_cosine_topk" -> q34CosineTopk,
     "q35_lsh_ann" -> q35LshAnn,
@@ -601,6 +662,7 @@ object Similarity {
     "q87_quantized_rerank" -> q87QuantizedRerank)
 
   def oracleSql: Map[String, String] = Map(
+    "q143_contrastive_pairs" -> q143Oracle,
     "q121_centroid_drift" -> q121Oracle,
     "q34_cosine_topk" -> q34Oracle,
     "q35_lsh_ann" -> q35Oracle,

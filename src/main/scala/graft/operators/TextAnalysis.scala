@@ -514,7 +514,63 @@ object TextAnalysis {
       |FROM ex LEFT JOIN vocab v ON ex.tok = v.tok
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q144 — inverted-index construction: for the 50 most document-
+  // frequent tokens, the posting list (first 20 doc ids, ascending,
+  // comma-joined), document frequency, and collection frequency — the
+  // search-index build step, and the exact structure n-gram
+  // decontamination lookups read. Postings are CAPPED BEFORE
+  // collection (row_number ≤ 20 per token over the distinct pairs), so
+  // no executor ever materializes an unbounded list; the string join
+  // of a numerically-sorted id array is the engine-portable encoding
+  // (raw array columns stringify differently per engine).
+  // Scale notes (100 TB): stats and postings are separate aggregates
+  // joined via the BROADCAST 50-row top list; the per-token cap window
+  // partitions on the token — head-token skew is the q141 class
+  // (salt or pre-aggregate per shard for the full-posting form; the
+  // capped form only needs any 20, so a per-partition local cap
+  // before the window bounds the shuffle too).
+  def q144InvertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ex = Tables.documentsSharded(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val top = ex.groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("cf"))
+      .orderBy(col("df").desc, col("tok")).limit(50)
+    val postings = ex.select(col("tok"), col("doc_id")).distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("tok")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= 20)
+      .groupBy(col("tok"))
+      .agg(expr(
+        "array_join(transform(array_sort(collect_list(doc_id)), x -> CAST(x AS STRING)), ',')")
+        .as("postings"))
+    postings.join(broadcast(top), Seq("tok"))
+      .select(col("tok"), col("df"), col("cf"), col("postings"))
+      .orderBy(col("df").desc, col("tok"))
+  }
+
+  val q144Oracle: String =
+    """WITH ex AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |top AS (
+      |  SELECT tok, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS cf
+      |  FROM ex GROUP BY tok ORDER BY df DESC, tok LIMIT 50),
+      |capped AS (
+      |  SELECT tok, doc_id FROM (
+      |    SELECT tok, doc_id,
+      |      ROW_NUMBER() OVER (PARTITION BY tok ORDER BY doc_id) AS rn
+      |    FROM (SELECT DISTINCT tok, doc_id FROM ex))
+      |  WHERE rn <= 20),
+      |post AS (
+      |  SELECT tok, array_to_string(list_sort(list(doc_id)), ',') AS postings
+      |  FROM capped GROUP BY tok)
+      |SELECT t.tok, t.df, t.cf, p.postings
+      |FROM top t JOIN post p ON t.tok = p.tok
+      |ORDER BY t.df DESC, t.tok""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q144_inverted_index" -> q144InvertedIndex,
     "q138_boilerplate" -> q138Boilerplate,
     "q139_source_overlap" -> q139SourceOverlap,
     "q140_bpe_merges" -> q140BpeMerges,
@@ -529,6 +585,7 @@ object TextAnalysis {
     "q94_unigram_lm_score" -> q94UnigramLmScore)
 
   def oracleSql: Map[String, String] = Map(
+    "q144_inverted_index" -> q144Oracle,
     "q138_boilerplate" -> q138Oracle,
     "q139_source_overlap" -> q139Oracle,
     "q140_bpe_merges" -> q140Oracle,

@@ -371,7 +371,56 @@ object EventsQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS sum_value
       |FROM x GROUP BY 1, 2 ORDER BY win_start_sec, event_type""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q142 — trailing 7-day active users (DAU/WAU stickiness): for every
+  // observed day, the distinct users active that day and over the
+  // trailing 7-day window. The exact form: each distinct (user, day)
+  // pair COVERS report days d..d+6, so the trailing count is a
+  // distinct-over-explode — no per-day window state, no distinct
+  // inside a sliding frame (which Spark windows can't do exactly
+  // anyway). Report days are clipped to observed days by a semi join.
+  // Day ids are epoch-second DIV 86400 (the q99 convention).
+  // Scale notes (100 TB): the fan-out is a fixed 7×; both distincts
+  // and the counts hash-partition on (user, day)-derived keys with
+  // map-side combine. The same shape computes any trailing-window
+  // distinct; at 100 TB the exact form is the backfill job and the
+  // approximate daily-HLL-merge is the dashboard form.
+  def q142TrailingWau(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), expr("CAST(ts AS LONG) DIV 86400").as("day"))
+      .distinct()
+    val days = ud.select(col("day")).distinct()
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"), explode(expr("sequence(day, day + 6)")).as("day"))
+      .distinct()
+      .join(days, Seq("day"), "left_semi")
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day"))
+      .withColumn("stickiness", round(col("dau").cast("double") / col("wau"), 6))
+      .orderBy(col("day"))
+  }
+
+  val q142Oracle: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 86400
+      |      AS BIGINT) AS day
+      |  FROM events),
+      |days AS (SELECT DISTINCT day FROM ud),
+      |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+      |cover AS (
+      |  SELECT DISTINCT user_id, day + off AS day
+      |  FROM ud, (SELECT unnest(range(0, 7)) AS off)),
+      |wau AS (
+      |  SELECT c.day, count(*) AS wau FROM cover c
+      |  WHERE c.day IN (SELECT day FROM days) GROUP BY 1)
+      |SELECT day, dau, wau,
+      |  round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+      |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q142_trailing_wau" -> q142TrailingWau,
     "q130_transitions" -> q130Transitions,
     "q132_hopping_windows" -> q132HoppingWindows,
     "q124_regex_extract" -> q124RegexExtract,
@@ -384,6 +433,7 @@ object EventsQueries {
     "q105_incremental_agg" -> q105IncrementalAgg)
 
   def oracleSql: Map[String, String] = Map(
+    "q142_trailing_wau" -> q142Oracle,
     "q130_transitions" -> q130Oracle,
     "q132_hopping_windows" -> q132Oracle,
     "q124_regex_extract" -> q124Oracle,
