@@ -241,7 +241,60 @@ object FormatQueries {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY 1 ORDER BY segmento""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q145 — DYNAMIC partition pruning: q63's static prune needs the
+  // literal in the query; here the selective filter sits on a DIM
+  // table attribute, and only the join reveals which fact partitions
+  // matter. Catalyst turns the broadcast dim into a runtime partition
+  // filter on the fact scan (`dynamicpruningexpression` — locked by
+  // DppSpec), so the partitioned fact reads ONLY the era's year
+  // directories. The era attribute is carried through a crc-based
+  // tag so the dim filter cannot constant-fold into a static year
+  // predicate (that would silently degrade the test to q63).
+  // Scale notes (100 TB): DPP is THE mechanism that makes star joins
+  // on a date-partitioned 100 TB fact feasible — without it a
+  // "current quarter" dim filter still scans every year. Requires the
+  // dim to broadcast (it does: one row per year) and the join key to
+  // be the partition column.
+  def q145DynamicPruning(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp(spark, "dpp", dir)
+    Tables.orders(spark, dir)
+      .withColumn("anio", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("anio").parquet(path)
+    val fact = spark.read.parquet(path)
+    // era = crc32(year-string) parity — opaque to constant folding,
+    // deterministic in both engines
+    val dim = Tables.orders(spark, dir)
+      .select(year(col("o_orderdate")).as("anio")).distinct()
+      .withColumn("era", crc32(col("anio").cast("string")) % 2)
+    fact.join(broadcast(dim.filter(col("era") === 0)), Seq("anio"))
+      .groupBy(col("anio"))
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("total"))
+      .orderBy(col("anio"))
+  }
+
+  // DuckDB has no crc32 — dump the matching years arithmetically is
+  // impossible portably, so the oracle recomputes the SAME parity via
+  // a tiny lookup computed with Java's CRC32 at oracle-build time
+  // (the year range is data-independent only in span, so enumerate
+  // 1970-2100 — any year outside is absent from both sides anyway).
+  val q145Oracle: String = {
+    val keep = (1970 to 2100).filter { y =>
+      val c = new java.util.zip.CRC32()
+      c.update(y.toString.getBytes("UTF-8"))
+      c.getValue % 2 == 0
+    }
+    s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS anio,
+       |  COUNT(*) AS n_orders,
+       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+       |FROM orders
+       |WHERE CAST(year(o_orderdate) AS INTEGER) IN (${keep.mkString(", ")})
+       |GROUP BY 1 ORDER BY anio""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q145_dynamic_pruning" -> q145DynamicPruning,
     "q129_bucketed_join" -> q129BucketedJoin,
     "q54_csv_roundtrip" -> q54CsvRoundtrip,
     "q55_json_roundtrip" -> q55JsonRoundtrip,
@@ -251,6 +304,7 @@ object FormatQueries {
     "q64_schema_evolution" -> q64SchemaEvolution)
 
   def oracleSql: Map[String, String] = Map(
+    "q145_dynamic_pruning" -> q145Oracle,
     "q129_bucketed_join" -> q129Oracle,
     "q54_csv_roundtrip" -> q54Oracle,
     "q55_json_roundtrip" -> q55Oracle,

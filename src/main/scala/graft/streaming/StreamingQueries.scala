@@ -47,6 +47,90 @@ object StreamingQueries {
       |ORDER BY window_start, event_type""".stripMargin
 
   // --------------------------------------------------------------------
+  // q146 — NATIVE session windows: q46's sessionization through the
+  // built-in `session_window` aggregation instead of hand-rolled
+  // flatMapGroupsWithState — Spark merges overlapping [t, t+gap)
+  // intervals in the state store itself. Event times are truncated to
+  // whole seconds BEFORE windowing so the merge boundary (next event
+  // exactly gap after the previous ⇒ NEW session, a >= break — note:
+  // one-off from q46's > break) is integer-exact in both engines; the
+  // window end is last-event + gap by definition. Session windows only
+  // support APPEND mode, which emits a session when the watermark
+  // passes its end — so a finite stream would hold back every user's
+  // LAST session forever. The fixture is therefore staged as two
+  // micro-batches: the real events, then one far-future flush event
+  // per user whose only job is to advance the watermark past every
+  // real session (the flush sessions themselves are never emitted —
+  // exactly how production streams behave between a session's close
+  // and its emission).
+  // Scale notes (100 TB/day): state is merged-interval-per-(user,
+  // session) — strictly smaller than q46's event-buffering custom
+  // state, and eviction follows the watermark. This is the production
+  // sessionizer when no custom per-session payload is needed.
+  def q146StreamSessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    val ss = EventsStreaming.streamSession(spark)
+    val stage = s"${sys.props("java.io.tmpdir")}/graft_q146_" +
+      s"${ss.sparkContext.applicationId}_${math.abs(dir.hashCode)}"
+    val fs = new org.apache.hadoop.fs.Path(stage)
+      .getFileSystem(ss.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    val raw = ss.read.schema(EventsStreaming.eventsSchema)
+      .parquet(s"$dir/events.parquet")
+    raw.coalesce(1).write.parquet(s"$stage/b1.parquet")
+    // flush batch: one synthetic event per user, 30 days past the max
+    // raw event time (ts is NANOS here — the stream reader converts)
+    val maxTs = raw.agg(max(col("ts"))).head().getLong(0)
+    raw.select(col("user_id")).distinct()
+      .select((-col("user_id") - 1).as("event_id"),
+        lit(maxTs + 30L * 86400 * 1000000000L).as("ts"), col("user_id"),
+        lit("flush").as("event_type"), lit(0.0).as("value"),
+        lit(null).cast("string").as("props"))
+      .coalesce(1).write.parquet(s"$stage/b2.parquet")
+    // the file source orders batches by modification time — push the
+    // flush file decisively after the events file
+    new java.io.File(s"$stage/b2.parquet").listFiles()
+      .foreach(f => f.setLastModified(System.currentTimeMillis() + 600000L))
+    val events = EventsStreaming.readEventsStream(ss, s"$stage/*.parquet",
+      glob = "*.parquet", options = Map("maxFilesPerTrigger" -> "1"))
+    // no flush filter needed: flush sessions END 1800s after the final
+    // watermark, so append mode never emits them — and filtering before
+    // the watermark node would stop them advancing it
+    val agg = events
+      .select(col("user_id"),
+        timestamp_seconds(col("ts").cast("long")).as("tsec"))
+      .withWatermark("tsec", "0 seconds")
+      .groupBy(col("user_id"), session_window(col("tsec"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").cast("long").as("session_start_sec"),
+        col("session_window.end").cast("long").as("session_end_sec"),
+        col("n_events"))
+    EventsStreaming.runToMemory(agg, "q146_mem")
+      .orderBy(col("user_id"), col("session_start_sec"))
+  }
+
+  val q146Oracle: String =
+    """WITH e AS (
+      |  SELECT user_id,
+      |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+      |  FROM events),
+      |lagged AS (
+      |  SELECT *, lag(sec) OVER (PARTITION BY user_id ORDER BY sec) AS prev
+      |  FROM e),
+      |s AS (
+      |  SELECT *,
+      |    CAST(SUM(CASE WHEN prev IS NULL OR sec - prev >= 1800
+      |      THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY sec
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS sid
+      |  FROM lagged)
+      |SELECT user_id, MIN(sec) AS session_start_sec,
+      |  MAX(sec) + 1800 AS session_end_sec, COUNT(*) AS n_events
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start_sec""".stripMargin
+
+  // --------------------------------------------------------------------
   // q46 — streaming stateful sessionization via flatMapGroupsWithState
   // (streaming dual of q24, minus the value sum the streaming state
   // does not carry). Session ids are per-user counters, so the result
@@ -447,6 +531,7 @@ object StreamingQueries {
     "q122_stream_user_totals" -> q122StreamUserTotals,
     "q45_stream_hourly" -> q45StreamHourly,
     "q46_stream_sessions" -> q46StreamSessions,
+    "q146_stream_session_window" -> q146StreamSessionWindow,
     "q72_stream_dedup" -> q72StreamDedup,
     "q73_stream_join" -> q73StreamJoin,
     "q80_stream_shard_sink" -> q80StreamShardSink,
@@ -459,6 +544,7 @@ object StreamingQueries {
     "q122_stream_user_totals" -> q122Oracle,
     "q45_stream_hourly" -> q45Oracle,
     "q46_stream_sessions" -> q46Oracle,
+    "q146_stream_session_window" -> q146Oracle,
     "q72_stream_dedup" -> q72Oracle,
     "q73_stream_join" -> q73Oracle,
     "q80_stream_shard_sink" -> q80Oracle,
