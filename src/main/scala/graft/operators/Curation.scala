@@ -943,7 +943,102 @@ object Curation {
       |    AS BIGINT) AS sampled_chars
       |FROM t GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q148 — per-source unigram entropy: H = Σ (c/N)·ln(N/c) over each
+  // source's token distribution, plus vocab size and token mass — the
+  // diversity diagnostic that separates natural text from templated/
+  // repeated content (low entropy = boilerplate-heavy source; compare
+  // q69's within-doc repetition). Each term is rounded to 6 decimals
+  // and summed as an EXACT decimal (the q94 technique): an IEEE double
+  // sum would depend on partition-order reduction and drift from the
+  // oracle's sequential sum.
+  // Scale notes (100 TB): one (source, token) count — the same
+  // hash-partitioned aggregate as q94's vocab, head-token skew handled
+  // by map-side combine — then a source-sized rollup. Nothing
+  // collected, nothing quadratic.
+  def q148SourceEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables.documentsSharded(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    cnt.join(tot, Seq("source"))
+      .withColumn("term",
+        round((col("c").cast("double") / col("n")) *
+          log(col("n").cast("double") / col("c")), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"), max(col("n")).as("n_tokens"),
+        round(sum(col("term")).cast("double"), 6).as("entropy"))
+      .orderBy(col("source"))
+  }
+
+  val q148Oracle: String =
+    """WITH cnt AS (
+      |  SELECT source, tok, COUNT(*) AS c FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS tok
+      |    FROM documents)
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT source, SUM(c) AS n FROM cnt GROUP BY 1)
+      |SELECT source, COUNT(*) AS vocab, CAST(MAX(n) AS BIGINT) AS n_tokens,
+      |  round(CAST(SUM(CAST(round((CAST(c AS DOUBLE) / n)
+      |    * ln(CAST(n AS DOUBLE) / c), 6) AS DECIMAL(28,6))) AS DOUBLE), 6)
+      |    AS entropy
+      |FROM cnt JOIN tot USING (source)
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q149 — temperature-scaled mixture weights: sampling probabilities
+  // q_i ∝ p_i^(1/T) with 1/T = 0.5 (√-damping), the multilingual /
+  // multi-source rebalancing rule that upsamples small sources without
+  // letting any source's share explode. Each √-share is rounded to 6
+  // decimals FIRST and the normalization sums those exact decimals —
+  // a raw double Σ√p would drift with partition order (q148's lesson
+  // applied to a 20-row sum; cheap insurance, exact portability).
+  // Contrast q104 (hard token budgets) and q71 (fixed target shares):
+  // this derives the shares from the data itself.
+  // Scale notes (100 TB): two tiny aggregates over a source-sized
+  // frame joined back via the optimizer-opaque 1-row key (the q94
+  // mechanism — a foldable key would plan the banned cartesian).
+  def q149TemperatureMixture(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documentsSharded(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val tot = src.agg(sum(col("n_docs")).as("n"))
+      .select(col("n"), graft.plans.Opaque.zeroKey(col("n")).as("_k"))
+    val damped = src
+      .withColumn("_k", graft.plans.Opaque.zeroKey(col("n_docs")))
+      .join(tot, Seq("_k"))
+      .withColumn("share", round(col("n_docs").cast("double") / col("n"), 6))
+      .withColumn("sq",
+        round(sqrt(col("n_docs").cast("double") / col("n")), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+    val z = damped.agg(sum(col("sq")).as("z"))
+      .select(col("z"), graft.plans.Opaque.zeroKey(col("z")).as("_z"))
+    damped.withColumn("_z", graft.plans.Opaque.zeroKey(col("sq")))
+      .join(z, Seq("_z"))
+      .select(col("source"), col("n_docs"), col("share"),
+        round(col("sq").cast("double") / col("z").cast("double"), 6)
+          .as("temp_share"))
+      .orderBy(col("source"))
+  }
+
+  val q149Oracle: String =
+    """WITH src AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM src),
+      |damped AS (
+      |  SELECT source, n_docs,
+      |    round(CAST(n_docs AS DOUBLE) / (SELECT n FROM tot), 6) AS share,
+      |    CAST(round(sqrt(CAST(n_docs AS DOUBLE) / (SELECT n FROM tot)), 6)
+      |      AS DECIMAL(28,6)) AS sq
+      |  FROM src),
+      |z AS (SELECT SUM(sq) AS z FROM damped)
+      |SELECT source, n_docs, share,
+      |  round(CAST(sq AS DOUBLE) / CAST((SELECT z FROM z) AS DOUBLE), 6)
+      |    AS temp_share
+      |FROM damped ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q148_source_entropy" -> q148SourceEntropy,
+    "q149_temperature_mixture" -> q149TemperatureMixture,
     "q134_kfold_split" -> q134KfoldSplit,
     "q135_source_cap" -> q135SourceCap,
     "q136_weighted_sample" -> q136WeightedSample,
@@ -962,6 +1057,8 @@ object Curation {
     "q104_token_mixture" -> q104TokenMixture)
 
   def oracleSql: Map[String, String] = Map(
+    "q148_source_entropy" -> q148Oracle,
+    "q149_temperature_mixture" -> q149Oracle,
     "q134_kfold_split" -> q134Oracle,
     "q135_source_cap" -> q135Oracle,
     "q136_weighted_sample" -> q136Oracle,

@@ -656,7 +656,85 @@ object OperatorQueries {
         |deg AS (SELECT src AS node, COUNT(*) AS d FROM ed GROUP BY src),""".stripMargin,
       (a, b) => s"CAST($a // $b AS BIGINT)")
 
+  // --------------------------------------------------------------------
+  // q147 — sampled triangle counting (DOULION, Tsourakakis et al.
+  // KDD'09) + clustering coefficient on the co-supplier graph
+  // (suppliers connected when some part is sourced from both; s1 < s2
+  // orients each undirected edge once). The co-occurrence graph over
+  // uniform synthetic data is near-COMPLETE — C(n,2) edges, C(n,3)
+  // triangles — so the exact node-iterator join is Θ(n³) busywork at
+  // any SF (the first cut measured 25 s at sf0.1 enumerating 166 M
+  // triangles). DOULION keeps each edge iff a deterministic integer
+  // mix of its endpoints (s1·2654435761 + s2·40503, bits 12-15 — a
+  // Knuth multiplicative draw) lands in 1/16, counts EXACTLY on the
+  // sampled graph, and reports t/p³ = t·4096 as the unbiased full-
+  // graph estimate. The draw runs on the RAW pair stream (~16x the
+  // edge count) so it must be cheap: an md5 draw measurably dominated
+  // the first cut (~4 s of 6.6 s at sf0.1); integer mixing is ~free,
+  // exactly portable, and single-engine production would use
+  // xxhash64. Triangles come from the standard oriented join —
+  // edges (a,b)(b,c) closed by (a,c) — and the clustering coefficient
+  // 3·T/wedges uses exact integer wedge counts Σ d(d−1)/2, both on
+  // the sampled graph. The edge list is checkpointed once (the q137
+  // lesson: inlined CTEs re-expand; this text references e 3 times).
+  // Scale notes (100 TB): edge sampling cuts join traffic by p and
+  // wedge work by p² BEFORE any shuffle; the residual joins are hash
+  // equi-joins on an edge endpoint with map-side-combined aggregates.
+  // Hub skew survives sampling — the production refinement orients
+  // low-degree→high-degree; AQE skew-split covers the rest.
+  private def q147Text(prologue: String): String =
+    s"""WITH $prologue,
+       |tri AS (
+       |  SELECT COUNT(*) AS t
+       |  FROM e e1 JOIN e e2 ON e2.s1 = e1.s2
+       |            JOIN e e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2),
+       |wed AS (SELECT SUM(d * (d - 1)) AS w2 FROM deg)
+       |SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+       |  (SELECT COUNT(*) FROM e) AS n_edges,
+       |  (SELECT t FROM tri) AS n_triangles,
+       |  (SELECT t FROM tri) * 4096 AS est_triangles,
+       |  round(CAST(6 * (SELECT t FROM tri) AS DOUBLE)
+       |        / (SELECT w2 FROM wed), 6) AS clustering""".stripMargin
+
+  def q147Triangles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.registerAll(spark, dir)
+    val ps = spark.sql(
+      "SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem")
+    // sample BEFORE the pair-distinct: the raw pair fan-out is ~12x the
+    // distinct edge count, and the scan-side md5 filter shrinks that
+    // shuffle 16x (same result — the hash is a function of the pair)
+    val e = ps.as("a").join(ps.as("b"),
+        col("a.p") === col("b.p") && col("a.s") < col("b.s"))
+      .select(col("a.s").as("s1"), col("b.s").as("s2"))
+      .filter(expr("((s1 * 2654435761 + s2 * 40503) DIV 4096) % 16 = 0"))
+      .distinct()
+      .localCheckpoint(false)
+    e.createOrReplaceTempView("q147_e")
+    e.select(col("s1").as("v")).unionAll(e.select(col("s2").as("v")))
+      .groupBy(col("v")).count().withColumnRenamed("count", "d")
+      .localCheckpoint(false)
+      .createOrReplaceTempView("q147_deg")
+    spark.sql(q147Text(
+      """e AS (SELECT s1, s2 FROM q147_e),
+        |deg AS (SELECT v, d FROM q147_deg)""".stripMargin))
+  }
+
+  val q147Oracle: String = q147Text(
+    """ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+      |e AS (
+      |  SELECT s1, s2 FROM (
+      |    SELECT DISTINCT a.s AS s1, b.s AS s2
+      |    FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s)
+      |  WHERE CAST(((s1 * 2654435761 + s2 * 40503) // 4096) AS BIGINT)
+      |    % 16 = 0),
+      |deg AS (
+      |  SELECT v, COUNT(*) AS d FROM (
+      |    SELECT s1 AS v FROM e UNION ALL SELECT s2 AS v FROM e)
+      |  GROUP BY v)""".stripMargin)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q147_triangles" -> q147Triangles,
     "q137_pagerank" -> q137Pagerank,
     "q57_topk_agg" -> q57TopkAgg,
     "q66_asof_native" -> q66AsofNative,
@@ -673,6 +751,7 @@ object OperatorQueries {
     "q127_attribution" -> q127Attribution)
 
   def oracleSql: Map[String, String] = Map(
+    "q147_triangles" -> q147Oracle,
     "q137_pagerank" -> q137Oracle,
     "q57_topk_agg" -> q57Oracle,
     "q66_asof_native" -> q47Oracle,
