@@ -569,7 +569,43 @@ object TextAnalysis {
       |FROM top t JOIN post p ON t.tok = p.tok
       |ORDER BY t.df DESC, t.tok""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q152 — array higher-order-function surface: filter / exists /
+  // forall / transform / aggregate / array_distinct / array_sort /
+  // slice in ONE per-row pipeline, mirrored against DuckDB's list
+  // functions. These are the lambda forms every schema-flexible
+  // pipeline leans on once columns hold arrays; the gate pins their
+  // exact semantics (empty-array edges, sort order, slice bounds)
+  // cross-engine.
+  // Scale notes (100 TB): every operator here is a codegen'd scan-side
+  // expression — zero shuffle, zero UDFs, streams at scan speed; the
+  // whole point of HOFs over a per-element explode is that the row
+  // never leaves the operator.
+  def q152ArraySurface(spark: SparkSession, dir: String): DataFrame =
+    Tables.documentsSharded(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"),
+        expr("CAST(size(filter(t, x -> length(x) > 4)) AS BIGINT)").as("n_long"),
+        expr("exists(t, x -> length(x) >= 8)").as("has_very_long"),
+        expr("forall(t, x -> length(x) > 0)").as("all_nonempty"),
+        expr("array_join(slice(array_sort(array_distinct(t)), 1, 3), ',')")
+          .as("first3"),
+        expr("aggregate(transform(t, x -> length(x)), 0L, (a, x) -> a + x)")
+          .as("tot_chars"))
+      .orderBy(col("doc_id"))
+
+  val q152Oracle: String =
+    """SELECT doc_id,
+      |  len(list_filter(t, x -> len(x) > 4)) AS n_long,
+      |  len(list_filter(t, x -> len(x) >= 8)) > 0 AS has_very_long,
+      |  len(list_filter(t, x -> NOT len(x) > 0)) = 0 AS all_nonempty,
+      |  array_to_string(list_sort(list_distinct(t))[1:3], ',') AS first3,
+      |  CAST(list_sum(list_transform(t, x -> len(x))) AS BIGINT) AS tot_chars
+      |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q152_array_surface" -> q152ArraySurface,
     "q144_inverted_index" -> q144InvertedIndex,
     "q138_boilerplate" -> q138Boilerplate,
     "q139_source_overlap" -> q139SourceOverlap,
@@ -585,6 +621,7 @@ object TextAnalysis {
     "q94_unigram_lm_score" -> q94UnigramLmScore)
 
   def oracleSql: Map[String, String] = Map(
+    "q152_array_surface" -> q152Oracle,
     "q144_inverted_index" -> q144Oracle,
     "q138_boilerplate" -> q138Oracle,
     "q139_source_overlap" -> q139Oracle,

@@ -306,7 +306,55 @@ object StarSchema {
       |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
       |ORDER BY event_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q150 — late-arriving dimension (inferred members): facts reference
+  // customers the dimension does not know yet (simulated by hiding
+  // every 10th customer), and the warehouse must NOT drop or stall
+  // those facts — it synthesizes a placeholder member per unknown
+  // natural key ('_INFERRED_' segment), loads facts against the
+  // augmented dimension, and reports resolution per segment so the
+  // backfill job can find the placeholders later. This is the Kimball
+  // inferred-member pattern; the reference's J7→J12 chain silently
+  // DROPS such facts (q06 pins that trap) — this is the corrected
+  // form a production warehouse runs.
+  // Scale notes (100 TB): unknown keys come from one anti join on the
+  // dim key (facts-sized shuffle, dim side broadcast when it fits);
+  // placeholders are distinct-key-sized (tiny); the fact load joins
+  // against the augmented dim exactly as before — no second pass over
+  // history when the real member arrives, only a dim UPDATE.
+  def q150LateDimension(spark: SparkSession, dir: String): DataFrame = {
+    val known = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 10 =!= 0)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val orders = Tables.orders(spark, dir)
+    val placeholders = orders.select(col("o_custkey").as("c_custkey"))
+      .distinct()
+      .join(known, Seq("c_custkey"), "left_anti")
+      .select(col("c_custkey"), lit("_INFERRED_").as("c_mktsegment"))
+    val dim = known.unionByName(placeholders)
+    orders.join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segmento"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        graft.queries.Relational.moneySum(col("o_totalprice")).as("total"))
+      .orderBy(col("segmento"))
+  }
+
+  val q150Oracle: String =
+    """WITH known AS (
+      |  SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 10 <> 0),
+      |ph AS (
+      |  SELECT DISTINCT o_custkey AS c_custkey, '_INFERRED_' AS c_mktsegment
+      |  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM known)),
+      |dim AS (SELECT * FROM known UNION ALL SELECT * FROM ph)
+      |SELECT c_mktsegment AS segmento, COUNT(*) AS n_orders,
+      |  COUNT(DISTINCT o_custkey) AS n_customers,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders JOIN dim ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY segmento""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q150_late_dimension" -> q150LateDimension,
     "q117_unpivot" -> q117Unpivot,
     "q118_window_surface" -> q118WindowSurface,
     "q44_pivot" -> q44Pivot,
@@ -319,6 +367,7 @@ object StarSchema {
     "q22_cube" -> q22Cube)
 
   def oracleSql: Map[String, String] = Map(
+    "q150_late_dimension" -> q150Oracle,
     "q117_unpivot" -> q117Oracle,
     "q118_window_surface" -> q118Oracle,
     "q44_pivot" -> q44Oracle,

@@ -47,6 +47,33 @@ object StreamingQueries {
       |ORDER BY window_start, event_type""".stripMargin
 
   // --------------------------------------------------------------------
+  // q151 — streaming SLIDING (hopping) windows: q132's overlapping
+  // 1-hour/30-minute aggregate run as a stream — each event lands in
+  // exactly two open windows, maintained incrementally in the window
+  // state store. Complete mode (the q45 pattern) emits the final
+  // window set once the finite fixture drains; the oracle IS q132's —
+  // batch/stream parity pinned by the shared SQL text.
+  // Scale notes (100 TB/day): per-window state is one (window,
+  // event_type) aggregate row — 2x the tumbling-window state, bounded
+  // by watermark eviction in the production append-mode form.
+  def q151StreamHopping(spark: SparkSession, dir: String): DataFrame = {
+    val ss = EventsStreaming.streamSession(spark)
+    val events = EventsStreaming.readEventsStream(ss, dir)
+    val agg = events
+      .groupBy(
+        window(col("ts"), "1 hour", "30 minutes")("start")
+          .cast("long").as("win_start_sec"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(24, 6))).cast("double").as("sum_value"))
+    EventsStreaming.runToMemory(agg, "q151_mem", OutputMode.Complete)
+      .orderBy(col("win_start_sec"), col("event_type"))
+  }
+
+  /** Batch/stream parity: the oracle is q132's, verbatim. */
+  val q151Oracle: String = graft.queries.EventsQueries.q132Oracle
+
+  // --------------------------------------------------------------------
   // q146 — NATIVE session windows: q46's sessionization through the
   // built-in `session_window` aggregation instead of hand-rolled
   // flatMapGroupsWithState — Spark merges overlapping [t, t+gap)
@@ -532,6 +559,7 @@ object StreamingQueries {
     "q45_stream_hourly" -> q45StreamHourly,
     "q46_stream_sessions" -> q46StreamSessions,
     "q146_stream_session_window" -> q146StreamSessionWindow,
+    "q151_stream_hopping" -> q151StreamHopping,
     "q72_stream_dedup" -> q72StreamDedup,
     "q73_stream_join" -> q73StreamJoin,
     "q80_stream_shard_sink" -> q80StreamShardSink,
@@ -545,6 +573,7 @@ object StreamingQueries {
     "q45_stream_hourly" -> q45Oracle,
     "q46_stream_sessions" -> q46Oracle,
     "q146_stream_session_window" -> q146Oracle,
+    "q151_stream_hopping" -> q151Oracle,
     "q72_stream_dedup" -> q72Oracle,
     "q73_stream_join" -> q73Oracle,
     "q80_stream_shard_sink" -> q80Oracle,
