@@ -114,9 +114,12 @@ object StreamingQueries {
         lit(null).cast("string").as("props"))
       .coalesce(1).write.parquet(s"$stage/b2.parquet")
     // the file source orders batches by modification time — push the
-    // flush file decisively after the events file
-    new java.io.File(s"$stage/b2.parquet").listFiles()
-      .foreach(f => f.setLastModified(System.currentTimeMillis() + 600000L))
+    // flush files decisively after the events files, through the SAME
+    // Hadoop FS handle the rest of this staging block uses (a
+    // java.io.File mtime poke would silently no-op on any non-local FS)
+    val flushMtime = System.currentTimeMillis() + 600000L
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$stage/b2.parquet"))
+      .foreach(s => fs.setTimes(s.getPath, flushMtime, -1))
     val events = EventsStreaming.readEventsStream(ss, s"$stage/*.parquet",
       glob = "*.parquet", options = Map("maxFilesPerTrigger" -> "1"))
     // no flush filter needed: flush sessions END 1800s after the final
@@ -407,9 +410,14 @@ object StreamingQueries {
       .orderBy(col("doc_id"))
   }
 
-  val q88Oracle: String = {
+  /** The row-local gate (quality ≥ min → scrub → mixture) as DuckDB
+    * CTEs ending in `gated(doc_id, source, text)` — shared by q88's
+    * direct oracle and q153's manifest oracle so the gate semantics
+    * are written exactly once on the oracle side too.
+    */
+  private[graft] val gateCtes: String = {
     import graft.operators.Curation.{QualityMin, EmailRe, IdRe}
-    s"""WITH qual AS (
+    s"""qual AS (
        |  SELECT doc_id, source, text FROM (
        |    SELECT doc_id, source, text,
        |      len(string_split(text, ' ')) AS n_tokens,
@@ -424,13 +432,18 @@ object StreamingQueries {
        |  SELECT doc_id, source,
        |    regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
        |      '$IdRe', '<ID>', 'g') AS text
-       |  FROM qual)
-       |SELECT doc_id, source, text FROM scrubbed
-       |WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 4) <
-       |  CASE source WHEN 'src0' THEN '8000' WHEN 'src1' THEN '4000'
-       |    ELSE '2000' END
-       |ORDER BY doc_id""".stripMargin
+       |  FROM qual),
+       |gated AS (
+       |  SELECT doc_id, source, text FROM scrubbed
+       |  WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 4) <
+       |    CASE source WHEN 'src0' THEN '8000' WHEN 'src1' THEN '4000'
+       |      ELSE '2000' END)""".stripMargin
   }
+
+  val q88Oracle: String =
+    s"""WITH $gateCtes
+       |SELECT doc_id, source, text FROM gated
+       |ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------
   // q91 — STREAM-STATIC enrichment join: the third streaming join mode
@@ -554,7 +567,126 @@ object StreamingQueries {
       |  MAX(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)) AS last_sec
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q153 — END-TO-END streaming curation pipeline: the production
+  // ingest chain q88/q84/q80 each proved one stage of, composed as ONE
+  // streaming query — gate → bounded-state dedup → exactly-once shard
+  // sink — and oracle-checked through the read-back manifest, the same
+  // end-to-end gate q82 gives the batch pipeline.
+  //   stage 1  rowLocalGate (q88's function, THE one the batch pipeline
+  //            uses): quality ≥ min → PII scrub → mixture filter. Zero
+  //            state, zero shuffle — pure scan-side work per batch.
+  //   stage 2  dropDuplicatesWithinWatermark on doc_id (q84's bounded
+  //            form): the source is staged at-least-once (every doc
+  //            arrives twice — second copy in a later micro-batch, so
+  //            dedup state genuinely crosses a batch boundary), and
+  //            state per key lives one watermark horizon. Event time is
+  //            a deterministic per-doc ingest timestamp; duplicates of
+  //            a key are identical rows, so which arrival survives is
+  //            immaterial — the emitted set is deterministic.
+  //   stage 3  foreachBatch shard sink (q80's form): each micro-batch
+  //            OVERWRITES its own batch=<id> subdirectory — idempotent
+  //            on retry, exactly-once end to end.
+  // The oracle replays the gate (shared gateCtes text) and aggregates
+  // the same integer-only manifest; micro-batch boundaries cannot
+  // drift it because the manifest is commutative across batches.
+  // Scale notes (100 TB/day): this IS the ingest front-door — row-local
+  // work scan-side, the only state one id per watermark horizon, the
+  // only shuffle the per-batch write repartition. Everything cross-doc
+  // (repetition, contamination, near-dup) stays in the batch pipeline
+  // (q82) behind this door; q103 covers the stream-vs-stored-corpus
+  // dedup stage of that handoff.
+  val DocSinkShards = 16
+
+  /** Deterministic per-doc ingest event time: fixture docs carry no
+    * timestamp, and the watermark needs one. Seconds offset by
+    * doc_id % 600 keeps it integer-exact AND bounds the spread to 10
+    * minutes — strictly inside the 30-minute watermark delay at ANY
+    * scale factor, so the duplicate arrivals in the second micro-batch
+    * are always still covered by dedup state (an unbounded doc_id
+    * offset would out-range the horizon on a large fixture and
+    * re-emit evicted keys; q84's spec is where eviction itself is
+    * exercised deliberately).
+    */
+  private def docIngestTs: org.apache.spark.sql.Column =
+    timestamp_seconds(lit(1700000000L) + col("doc_id") % 600)
+
+  /** Start the gate→dedup→shard-sink stream over `docs`. Shared by
+    * q153 and the batch-parity StreamingSpec case.
+    */
+  private[graft] def curationSinkStart(docs: DataFrame, outDir: String,
+      ckptDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.operators.Curation.rowLocalGate(docs)
+      .withColumn("ingest_ts", docIngestTs)
+      .withWatermark("ingest_ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("doc_id")
+      .withColumn("shard", (col("doc_id") % DocSinkShards).cast("int"))
+      .writeStream
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        batch.drop("ingest_ts")
+          .repartition(DocSinkShards, col("shard"))
+          .write.mode("overwrite").partitionBy("shard")
+          .parquet(new org.apache.hadoop.fs.Path(outDir, s"batch=$batchId").toString)
+        ()
+      }
+      .start()
+
+  /** Per-shard manifest of the read-back curated shards: integer-only
+    * (count, id bounds, commutative bit_xor over doc_id:text), so the
+    * content hash pins the SCRUBBED text the gate emitted, across any
+    * batch split.
+    */
+  private[graft] def curationManifest(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(outDir)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"),
+        expr("bit_xor(CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', text)), 1, 12), 16, 10) AS BIGINT))")
+          .as("content_hash"))
+      .orderBy(col("shard"))
+
+  def q153StreamCurationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val ss = EventsStreaming.streamSession(spark)
+    val outDir = graft.sources.ShardPaths.resolve(ss, "q153", dir)
+    val ckptDir = graft.sources.ShardPaths.resolveCheckpoint(ss, "q153", dir)
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(ss.sessionState.newHadoopConf())
+    Seq(outDir, ckptDir).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    // at-least-once staging: copy the documents file twice into a
+    // staging dir and feed it with maxFilesPerTrigger=1, so the
+    // duplicate arrivals land in a LATER micro-batch than the originals
+    // — the dedup state provably survives a real batch boundary (the
+    // union-with-self form would put both copies in one batch).
+    val stage = graft.sources.ShardPaths.resolve(ss, "q153_stage", dir)
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    val raw = ss.read.schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    raw.coalesce(1).write.parquet(s"$stage/a1.parquet")
+    raw.coalesce(1).write.parquet(s"$stage/a2.parquet")
+    val docs = ss.readStream.schema(documentsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(s"$stage/*.parquet")
+    val q = curationSinkStart(docs, outDir, ckptDir)
+    q.processAllAvailable()
+    q.stop()
+    curationManifest(spark, outDir)
+  }
+
+  val q153Oracle: String =
+    s"""WITH $gateCtes
+       |SELECT CAST(doc_id % $DocSinkShards AS INTEGER) AS shard,
+       |  COUNT(*) AS n_docs,
+       |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+       |  bit_xor(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 12) AS BIGINT)) AS content_hash
+       |FROM gated GROUP BY 1 ORDER BY shard""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q153_stream_curation_pipeline" -> q153StreamCurationPipeline,
     "q122_stream_user_totals" -> q122StreamUserTotals,
     "q45_stream_hourly" -> q45StreamHourly,
     "q46_stream_sessions" -> q46StreamSessions,
@@ -569,6 +701,7 @@ object StreamingQueries {
     "q103_stream_dedup_static" -> q103StreamDedupStatic)
 
   def oracleSql: Map[String, String] = Map(
+    "q153_stream_curation_pipeline" -> q153Oracle,
     "q122_stream_user_totals" -> q122Oracle,
     "q45_stream_hourly" -> q45Oracle,
     "q46_stream_sessions" -> q46Oracle,
