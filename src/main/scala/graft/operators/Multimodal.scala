@@ -187,51 +187,107 @@ object Multimodal {
     (0 until 16).map(k => if (bins(k) * 16 > n) 1 << k else 0).sum
   }
 
-  def q97PhashDedup(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-media (doc_id, ahash) through the mapPartitions decode stage —
+    * shared by q97's bucket dedup and q154's cross-modal composition.
+    */
+  private[operators] def phashed(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val payloads = graft.sources.Tables.documentsSharded(spark, dir)
+    graft.sources.Tables.documentsSharded(spark, dir)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .as[(Long, Array[Byte])]
-    payloads.mapPartitions { rows =>
-      // per-partition: thumbnail decode + hash state init happens HERE
-      rows.map { case (id, bytes) => PHashed(id, aHash(bytes)) }
-    }.toDF()
+      .mapPartitions { rows =>
+        // per-partition: thumbnail decode + hash state init happens HERE
+        rows.map { case (id, bytes) => PHashed(id, aHash(bytes)) }
+      }.toDF()
+  }
+
+  def q97PhashDedup(spark: SparkSession, dir: String): DataFrame =
+    phashed(spark, dir)
       .groupBy(col("ahash"))
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("ahash"))
-  }
 
   /** aHash replayed in SQL: bin counts via the low-nibble hex-digit
     * trick q38's oracle uses, bits by the same integer comparison.
+    * CTE names are parameters so q154 can splice these next to
+    * Similarity's CTEs (which already claim `base`/`bands`).
     */
-  val q97Oracle: String = {
+  private[operators] def sqlAHashCtes(base: String, bits: String): String = {
     val hexDigits = "0123456789abcdef"
     val bitTerms = (0 until 16).map { k =>
       s"""CASE WHEN 16 * len(list_filter(generate_series(1, CAST(n AS INTEGER)),
          |      i -> substring(h, 2*i, 1) = '${hexDigits(k)}')) > n
          |    THEN ${1 << k} ELSE 0 END""".stripMargin
     }.mkString("\n    + ")
-    s"""WITH base AS (
+    s"""$base AS (
        |  SELECT doc_id, lower(hex(encode(text))) AS h,
        |    CAST(octet_length(encode(text)) AS BIGINT) AS n
        |  FROM documents),
-       |bits AS (
+       |$bits AS (
        |  SELECT doc_id,
        |    CAST($bitTerms AS INTEGER) AS ahash
-       |  FROM base)
+       |  FROM $base)""".stripMargin
+  }
+
+  val q97Oracle: String =
+    s"""WITH ${sqlAHashCtes("base", "bits")}
        |SELECT ahash, min(doc_id) AS keeper_id, count(*) AS n_copies
        |FROM bits GROUP BY 1 ORDER BY ahash""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q154 — CROSS-MODAL dedup composition: the last unconnected edge
+  // between the dedup tiers. A document survives iff it is kept by ALL
+  // THREE decisions: q56's minhash text keep, q79's banded embedding
+  // keep (both via Similarity.combinedKeeperSet = q83's set), AND the
+  // media tier — its doc_id is the phash keeper of its ahash bucket
+  // (q97's decision, computed over the FULL media corpus, not the doc
+  // slice: a media duplicate is a duplicate no matter which corpus
+  // slice its text lands in). The doc↔media bridge is the aligned
+  // doc_id key the testdata carries.
+  // Scale notes (100 TB): the phash frame rides the shared decode
+  // stage (codec init once per partition); bucket keepers are a
+  // hash-partitioned min over ≤ 2^16 ahash buckets, so the keeper
+  // join back is a provably-bounded broadcast (at production 64-bit
+  // phash widths the keeper table scales with distinct media, and the
+  // same join runs shuffled on ahash — flip the broadcast hint, shape
+  // unchanged). The combined keeper set contributes its two anti
+  // joins; the media join adds ONE extra shuffle of the hashed frame
+  // on doc_id to meet it.
+  def q154CrossModalKeepers(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = phashed(spark, dir)
+    val mediaKeepers = hashed.groupBy(col("ahash"))
+      .agg(min(col("doc_id")).as("keeper_id"))
+    graft.operators.Similarity.combinedKeeperSet(spark, dir)
+      .join(hashed, Seq("doc_id"))
+      .join(broadcast(mediaKeepers), Seq("ahash"))
+      .where(col("doc_id") === col("keeper_id"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("ahash"))
+      .orderBy(col("doc_id"))
   }
+
+  val q154Oracle: String =
+    s"""WITH ${graft.operators.Similarity.sqlCombinedCtes},
+       |${sqlAHashCtes("mbase", "mbits")},
+       |mkeep AS (
+       |  SELECT ahash, min(doc_id) AS keeper_id FROM mbits GROUP BY 1)
+       |SELECT d.doc_id, d.lang, d.n_chars, b.ahash
+       |FROM documents d
+       |JOIN mbits b ON d.doc_id = b.doc_id
+       |JOIN mkeep k ON b.ahash = k.ahash AND d.doc_id = k.keeper_id
+       |WHERE ${graft.operators.Similarity.sqlCombinedWhere("d.doc_id")}
+       |ORDER BY d.doc_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_binary_meta" -> q37BinaryMeta,
     "q38_multimodal_decode" -> q38MultimodalDecode,
     "q53_frame_sample" -> q53FrameSample,
-    "q97_phash_dedup" -> q97PhashDedup)
+    "q97_phash_dedup" -> q97PhashDedup,
+    "q154_crossmodal_keepers" -> q154CrossModalKeepers)
 
   def oracleSql: Map[String, String] = Map(
     "q37_binary_meta" -> q37Oracle,
     "q38_multimodal_decode" -> q38Oracle,
     "q53_frame_sample" -> q53Oracle,
-    "q97_phash_dedup" -> q97Oracle)
+    "q97_phash_dedup" -> q97Oracle,
+    "q154_crossmodal_keepers" -> q154Oracle)
 }

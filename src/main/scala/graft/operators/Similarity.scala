@@ -501,27 +501,44 @@ object Similarity {
   // both anti joins stay shuffled (AQE downgrades when small); the
   // bridge itself is just the key equality — no extra shuffle beyond
   // the two anti joins, which co-locate on the same doc_id hashing.
-  def q83CombinedKeepers(spark: SparkSession, dir: String): DataFrame = {
+  /** Unordered combined keeper set (kept by BOTH the minhash text
+    * decision and the banded embedding decision) — shared by q83 and
+    * Multimodal's q154 cross-modal composition so the doc-tier keep
+    * decision is written exactly once.
+    */
+  private[operators] def combinedKeeperSet(spark: SparkSession, dir: String): DataFrame = {
     val textKeepers = graft.operators.Dedup.keeperSet(spark, dir)
     val vecDiscards = bandedPairScan(spark, dir, None)
       .select(col("vec_b").as("doc_id")).distinct()
     textKeepers.join(vecDiscards, Seq("doc_id"), "left_anti")
-      .orderBy(col("doc_id"))
   }
 
-  val q83Oracle: String = {
+  def q83CombinedKeepers(spark: SparkSession, dir: String): DataFrame =
+    combinedKeeperSet(spark, dir).orderBy(col("doc_id"))
+
+  /** The full combined-keeper CTE chain (banded discards + minhash
+    * pairs) and its WHERE predicate — the SQL twin of
+    * [[combinedKeeperSet]], shared by the q83 and q154 oracles.
+    */
+  private[operators] lazy val sqlCombinedCtes: String = {
     val minhashPairs = graft.operators.Dedup.sqlMinhashPairs(
       "documents WHERE doc_id % 5 = 0")
-    s"""WITH $sqlBandedDiscardCtes,
+    s"""$sqlBandedDiscardCtes,
        |pairs AS (
        |$minhashPairs
-       |)
-       |SELECT doc_id, lang, n_chars FROM documents
-       |WHERE doc_id % 5 = 0
-       |  AND doc_id NOT IN (SELECT doc_b FROM pairs)
-       |  AND doc_id NOT IN (SELECT vec_b FROM discards)
-       |ORDER BY doc_id""".stripMargin
+       |)""".stripMargin
   }
+
+  private[operators] def sqlCombinedWhere(id: String): String =
+    s"""$id % 5 = 0
+       |  AND $id NOT IN (SELECT doc_b FROM pairs)
+       |  AND $id NOT IN (SELECT vec_b FROM discards)""".stripMargin
+
+  val q83Oracle: String =
+    s"""WITH $sqlCombinedCtes
+       |SELECT doc_id, lang, n_chars FROM documents
+       |WHERE ${sqlCombinedWhere("doc_id")}
+       |ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------
   // q121 — per-source centroid drift: each source's embedding centroid

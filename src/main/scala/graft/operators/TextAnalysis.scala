@@ -525,11 +525,14 @@ object TextAnalysis {
   // of a numerically-sorted id array is the engine-portable encoding
   // (raw array columns stringify differently per engine).
   // Scale notes (100 TB): stats and postings are separate aggregates
-  // joined via the BROADCAST 50-row top list; the per-token cap window
-  // partitions on the token — head-token skew is the q141 class
-  // (salt or pre-aggregate per shard for the full-posting form; the
-  // capped form only needs any 20, so a per-partition local cap
-  // before the window bounds the shuffle too).
+  // joined via the BROADCAST 50-row top list — and that same list
+  // SEMI-JOINS the exploded pair stream BEFORE the distinct and the
+  // cap window, so the postings-side shuffles carry only the 50 kept
+  // tokens' pairs (~vocab/50 less data), not the whole vocabulary.
+  // The per-token cap window partitions on the token — head-token
+  // skew is the q141 class (salt or pre-aggregate per shard for the
+  // full-posting form; the capped form only needs any 20, so a
+  // per-partition local cap before the window bounds the shuffle too).
   def q144InvertedIndex(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ex = Tables.documentsSharded(spark, dir)
@@ -537,7 +540,9 @@ object TextAnalysis {
     val top = ex.groupBy(col("tok"))
       .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("cf"))
       .orderBy(col("df").desc, col("tok")).limit(50)
-    val postings = ex.select(col("tok"), col("doc_id")).distinct()
+    val postings = ex
+      .join(broadcast(top.select(col("tok"))), Seq("tok"), "left_semi")
+      .select(col("tok"), col("doc_id")).distinct()
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("tok")).orderBy(col("doc_id"))))
       .filter(col("rn") <= 20)

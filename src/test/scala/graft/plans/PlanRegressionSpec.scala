@@ -113,6 +113,30 @@ class PlanRegressionSpec extends SparkSpec {
     finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("q144 prunes to the top tokens BELOW the postings cap window") {
+    // the 50-row top list semi-joins the exploded (tok, doc_id) stream
+    // before the row_number cap, so the window's shuffle carries only
+    // kept tokens' pairs — every WindowExec must have the LeftSemi
+    // broadcast join somewhere beneath it
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.SparkEntry.queries("q144_inverted_index")(spark, dir)
+        .queryExecution.executedPlan
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty, "q144 lost its postings cap window")
+      windows.foreach { w =>
+        val semi = w.collectFirst {
+          case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+              if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+        }
+        assert(semi.nonEmpty, "postings cap window runs over the unpruned token stream")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("no interpreted UDF stages in any registered hot path") {
     // Scala UDFs render as "UDF(" in executedPlan.toString (verified
     // against this Spark build — "ScalaUDF" never appears there)
