@@ -235,40 +235,79 @@ object StatsQueries {
 
   // --------------------------------------------------------------------
   // q116 — exact global median WITHOUT a global sort: the two-phase
-  // distributed selection. Pass 1 builds a bounded fixed-width
-  // histogram (one map-side-combined aggregate; bin count is bounded
-  // by value-range/width, so the collect is the same bounded class as
-  // the IVF codebook); the driver walks the histogram with integer
-  // arithmetic to find the bin holding global rank ceil(n/2) and the
-  // residual rank within it. Pass 2 ranks ONLY that bin's rows (window
-  // partitioned by bin — never a global window) and selects the
-  // residual rank. The oracle computes the same order statistic with
-  // DuckDB's global window — an independent formulation, so the gate
-  // proves two-phase selection ≡ global ranking.
+  // distributed selection, expressed as ONE lazy plan (no driver
+  // collect — constructing the DataFrame fires no jobs, so plan
+  // sweeps stay action-free). Level 1 builds a bounded fixed-width
+  // histogram (one map-side-combined aggregate), cumulates it with a
+  // window over HISTOGRAM ROWS (bounded by value-range/width — the
+  // one place an unpartitioned window is legitimate: its input is
+  // bin-count-sized, never data-sized), and picks the bin holding
+  // global rank ceil(n/2). Level 2 RE-BINS the target bin's rows into
+  // 1024 sub-bins and repeats the walk, so a value distribution
+  // concentrated in one level-1 bin still reaches the final ranking
+  // with a ~1024x smaller partition — the recursion the previous
+  // fixture-calibrated single level documented but didn't implement.
+  // The final row_number window ranks only the target SUB-bin's rows.
+  // The oracle computes the same order statistic with DuckDB's global
+  // window — an independent formulation, so the gate proves two-phase
+  // selection ≡ global ranking.
   // Scale notes (100 TB): this is how a global percentile is actually
   // computed at scale — a full sort of 100 TB for one order statistic
-  // is the anti-pattern. Pass 2 touches ~n/bins rows; skewed bins can
-  // recurse (narrower bins within the target bin) — not needed here.
+  // is the anti-pattern. The final window touches ~n/(bins·1024) rows;
+  // a further level is the same eight lines again if a distribution
+  // concentrates past two levels (identical-value mass is the floor:
+  // ranking within one value is then the answer itself).
   private val MedianBinWidth = 50000.0
+  private val MedianSubBins = 1024
+
+  /** Exact median of `data(v)` with `tie` as the deterministic
+    * tie-break, as one lazy two-level selection plan. Exposed for the
+    * concentrated-distribution spec; q116 binds it to orders.
+    */
+  private[graft] def globalMedianPlan(data: DataFrame): DataFrame = {
+    val binned = data.withColumn("bin",
+      floor(col("v") / MedianBinWidth).cast("bigint"))
+    // level-1 walk: cumulate the bounded histogram, pick the target bin
+    val wBins = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val target1 = binned.groupBy(col("bin")).agg(count(lit(1)).as("c"))
+      .withColumn("cumc", sum(col("c")).over(wBins))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .withColumn("k", expr("CAST((n + 1) DIV 2 AS BIGINT)"))
+      .filter(col("cumc") >= col("k"))
+      .orderBy(col("bin")).limit(1)
+      .select(col("bin"), (col("cumc") - col("c")).as("prior1"),
+        col("k"), col("n"))
+    // level-2: re-bin ONLY the target bin's rows, walk again
+    val subW = MedianBinWidth / MedianSubBins
+    val inBin = binned.join(broadcast(target1), Seq("bin"))
+      .withColumn("sbin", floor(col("v") / subW).cast("bigint"))
+    val wSub = Window.orderBy(col("sbin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val target2 = inBin.groupBy(col("sbin"))
+      .agg(count(lit(1)).as("c2"), max(col("prior1")).as("prior1"),
+        max(col("k")).as("k"), max(col("n")).as("n"))
+      .withColumn("cum2", col("prior1") + sum(col("c2")).over(wSub))
+      .filter(col("cum2") >= col("k"))
+      .orderBy(col("sbin")).limit(1)
+      .select(col("sbin"), (col("cum2") - col("c2")).as("prior"),
+        col("k"), col("n"))
+    // final ranking: only the target sub-bin's rows, partitioned window
+    val wFinal = Window.partitionBy(col("sbin"))
+      .orderBy(col("v"), col("tie"))
+    inBin.select(col("v"), col("tie"), col("sbin"))
+      .join(broadcast(target2), Seq("sbin"))
+      .withColumn("rn", row_number().over(wFinal).cast("bigint"))
+      .filter(col("rn") === col("k") - col("prior"))
+      .select(col("n").as("n_total"), col("v").as("median"))
+  }
 
   def q116GlobalMedian(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.Tables
-    val binned = Tables.orders(spark, dir)
-      .select(col("o_totalprice").as("v"), col("o_orderkey"))
-      .withColumn("bin", floor(col("v") / MedianBinWidth).cast("bigint"))
-    val hist = binned.groupBy(col("bin")).agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    val n = hist.map(_._2).sum
-    val k = (n + 1) / 2
-    // integer walk over the bounded histogram: target bin + prior mass
-    val cums = hist.scanLeft(0L)(_ + _._2).tail
-    val idx = cums.indexWhere(_ >= k)
-    val (targetBin, prior) = (hist(idx)._1, if (idx == 0) 0L else cums(idx - 1))
-    val wBin = Window.partitionBy(col("bin")).orderBy(col("v"), col("o_orderkey"))
-    binned.filter(col("bin") === targetBin)
-      .withColumn("rn", row_number().over(wBin).cast("bigint"))
-      .filter(col("rn") === (k - prior))
-      .select(lit(n).as("n_total"), col("v").as("median"))
+    globalMedianPlan(Tables.orders(spark, dir)
+      .select(col("o_totalprice").as("v"), col("o_orderkey").as("tie")))
   }
 
   val q116Oracle: String =

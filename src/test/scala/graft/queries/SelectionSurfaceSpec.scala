@@ -25,6 +25,34 @@ class SelectionSurfaceSpec extends SparkSpec {
     assert(out.head.getAs[Double]("median") == expected)
   }
 
+  test("q116 recursion: all mass in one level-1 bin still selects exactly") {
+    // every value lands in level-1 bin 0 (range < MedianBinWidth), so
+    // only the level-2 re-bin keeps the final ranking partition small —
+    // this is the concentrated distribution the single-level form
+    // silently degraded on
+    val df = spark.range(5000)
+      .select((col("id") * 10.0).as("v"), col("id").as("tie"))
+    val out = StatsQueries.globalMedianPlan(df).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("n_total") == 5000L)
+    // rank (5000+1) div 2 = 2500 -> value (2500-1)*10
+    assert(out.head.getAs[Double]("median") == 24990.0)
+  }
+
+  test("q116 construction fires no Spark jobs (plan sweeps stay action-free)") {
+    // a frame that THROWS on any evaluation: if construction ran an
+    // action (the old histogram collect), this call would raise
+    val poisoned = spark.range(10).select(
+      expr("CASE WHEN id >= 0 THEN CAST(raise_error('q116 was eager') AS DOUBLE) " +
+        "ELSE CAST(id AS DOUBLE) END").as("v"),
+      col("id").as("tie"))
+    val plan = StatsQueries.globalMedianPlan(poisoned) // must not throw
+    assert(plan.columns.toSeq == Seq("n_total", "median"))
+    // evaluating it DOES reach the poison — proving the assert above
+    // exercised laziness, not a dead plan
+    intercept[Exception] { plan.collect() }
+  }
+
   test("q117 unpivot emits one row per (day, metric)") {
     val rows = StarSchema.q117Unpivot(spark, dir).collect()
     val metrics = rows.map(_.getAs[String]("metric")).toSet
