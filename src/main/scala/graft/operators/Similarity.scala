@@ -625,7 +625,20 @@ object Similarity {
   // production sizes it to corpus/task). The negative join is one
   // bucket equi-join with the label inequality as a post-filter —
   // never a cross join; the argmin aggregates map-side. vec_id < 2²⁰
-  // here; widen the shift at larger id spaces.
+  // is ENFORCED scan-side ([[guardedPackedId]]): an id outside the
+  // pack range fails loud instead of silently corrupting the argmin
+  // ordering and the decoded neg_id — widen the shift at larger id
+  // spaces.
+  /** vec_id admitted into the h·2²⁰+vec_id packed key only if it fits
+    * the 20-bit pack range; anything else raises at execution time.
+    * Lives inside a needed column so column pruning can't drop it.
+    */
+  private[operators] def guardedPackedId(vecId: Column): Column =
+    when(vecId >= 0L && vecId < (1L << 20), vecId)
+      .otherwise(raise_error(concat(
+        lit("q143: vec_id outside the packed 20-bit range — widen the shift: "),
+        vecId.cast("string"))).cast("long"))
+
   def q143ContrastivePairs(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val b = Tables.embeddingsSharded(spark, dir)
@@ -639,7 +652,7 @@ object Similarity {
     val neg = b.as("a").join(b.as("c"),
         col("a.bucket") === col("c.bucket") && col("a.label") =!= col("c.label"))
       .groupBy(col("a.vec_id").as("vec_id"))
-      .agg(min(col("c.h") * 1048576L + col("c.vec_id")).as("nk"))
+      .agg(min(col("c.h") * 1048576L + guardedPackedId(col("c.vec_id"))).as("nk"))
     pos.join(neg, Seq("vec_id"), "left")
       .select(col("vec_id"), col("label"), col("pos_id"),
         (col("nk") % 1048576L).as("neg_id"))

@@ -44,4 +44,15 @@ class BloomContaminationSpec extends SparkSpec {
     assert(plan.contains("scalar-subquery"),
       s"expected the bloom bytes behind a scalar subquery:\n$plan")
   }
+
+  test("the private-API bridge still plans BloomFilterMightContain") {
+    // q86 reaches Catalyst's BloomFilterAggregate / BloomFilterMightContain
+    // through a bridge into private internals (the same mechanism
+    // InjectRuntimeFilter uses). A Spark upgrade that moves or renames
+    // them must fail HERE, loudly, not degrade into some other plan.
+    val plan = Curation.q86BloomContamination(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("might_contain") || plan.contains("BloomFilterMightContain"),
+      s"bloom membership probe vanished from the plan — Spark internals moved:\n$plan")
+  }
 }

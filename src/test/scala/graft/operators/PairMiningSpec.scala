@@ -56,6 +56,21 @@ class PairMiningSpec extends SparkSpec {
     }
   }
 
+  test("q143 packed-key guard: out-of-range vec_id fails loud") {
+    import org.apache.spark.sql.functions._
+    // in range: passes through unchanged
+    val ok = spark.range(3).select(
+      Similarity.guardedPackedId(col("id") + 1048573L).as("p")).collect()
+    assert(ok.map(_.getLong(0)).toSeq == Seq(1048573L, 1048574L, 1048575L))
+    // 2^20 itself is out of the pack range: the argmin key would
+    // collide with (h+1)·2^20 + 0 — must raise, not corrupt
+    val e = intercept[Exception] {
+      spark.range(1).select(
+        Similarity.guardedPackedId(col("id") + 1048576L).as("p")).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("q144 postings match a brute-force index build") {
     val docs = graft.sources.Tables.documents(spark, dir)
       .select("doc_id", "text").collect()
