@@ -351,21 +351,22 @@ object Similarity {
     }.reduce(_ + _) + lit(b * (1 << PairRows))).cast("int")
   }: _*)
 
-  /** The banded pair scan shared by q77 (sampled a-side, pair report)
-    * and q79 (full graph, keep/discard decision): emits
-    * (vec_a, vec_b, cos, same_label) for bucket-colliding pairs with
-    * cos ≥ 0.4, vec_a < vec_b, vec_a restricted by `aFilter`.
+  /** The banded pair scan shared by q77 (sampled a-side, pair report),
+    * q79 (full graph, keep/discard decision), and q156 (k-NN graph,
+    * thresholdless): emits (vec_a, vec_b, cos, same_label) for
+    * bucket-colliding pairs with cos ≥ minCos, vec_a < vec_b, vec_a
+    * restricted by `aFilter`.
     */
   private[operators] def bandedPairScan(spark: SparkSession, dir: String,
-      aFilter: Option[Column]): DataFrame =
-    bandedPairScanOf(Tables.embeddingsSharded(spark, dir), aFilter)
+      aFilter: Option[Column], minCos: Double = 0.4): DataFrame =
+    bandedPairScanOf(Tables.embeddingsSharded(spark, dir), aFilter, minCos)
 
   /** [[bandedPairScan]] over any (vec_id, label, embedding) frame —
     * lets SkewSpec drive the join with a pathological sign-pattern
     * cluster that the testdata doesn't exhibit.
     */
   private[operators] def bandedPairScanOf(raw: DataFrame,
-      aFilter: Option[Column]): DataFrame = {
+      aFilter: Option[Column], minCos: Double = 0.4): DataFrame = {
     val all = withScaledNorm(raw)
       .withColumn("bkeys", bandKeysCol)
     // foldable explode + element_at, not explode(bkeys): the inferred
@@ -387,7 +388,7 @@ object Similarity {
       .select(col("vec_a"), col("vec_id").as("vec_b"),
         cosine(dot(col("asv"), col("sv")), col("anrm"), col("nrm")).as("cos"),
         (col("label_a") === col("label")).as("same_label"))
-      .filter(col("cos") >= 0.4)
+      .filter(col("cos") >= minCos)
   }
 
   /** Diagnostic: the largest single band-bucket's share of one band's
@@ -458,12 +459,12 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
-  /** The banded discard-set CTE chain (base → bands → cands →
-    * discards) — the SQL twin of `bandedPairScan(_, _, None)` reduced
-    * to distinct vec_b, shared by q79 and q83 so the two oracles
-    * cannot drift.
+  /** base + bands + distinct colliding-candidate CTEs — the SQL twin
+    * of the banded bucket structure, shared by the q79/q83 discard
+    * chain and q156's k-NN graph so the bucket geometry is written
+    * once on the oracle side.
     */
-  private lazy val sqlBandedDiscardCtes: String = {
+  private lazy val sqlBandedCandCtes: String = {
     val bandRows = (0 until PairBands).map { b =>
       s"SELECT vec_id, CAST(${sqlBandKey(b)} AS INTEGER) AS bkey FROM base"
     }.mkString("\n  UNION ALL\n  ")
@@ -474,20 +475,80 @@ object Similarity {
        |cands AS (
        |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
        |  FROM bands x JOIN bands y
-       |    ON x.bkey = y.bkey AND x.vec_id < y.vec_id),
+       |    ON x.bkey = y.bkey AND x.vec_id < y.vec_id)""".stripMargin
+  }
+
+  /** The banded discard-set CTE chain (base → bands → cands →
+    * discards) — the SQL twin of `bandedPairScan(_, _, None)` reduced
+    * to distinct vec_b, shared by q79 and q83 so the two oracles
+    * cannot drift.
+    */
+  private lazy val sqlBandedDiscardCtes: String =
+    s"""$sqlBandedCandCtes,
        |discards AS (
        |  SELECT DISTINCT vec_b
        |  FROM cands
        |  JOIN base a ON vec_a = a.vec_id
        |  JOIN base b ON vec_b = b.vec_id
        |  WHERE ${sqlCos(SqlDot)} >= 0.4)""".stripMargin
-  }
 
   val q79Oracle: String =
     s"""WITH $sqlBandedDiscardCtes
        |SELECT vec_id, label FROM embeddings
        |WHERE vec_id NOT IN (SELECT vec_b FROM discards)
        |ORDER BY vec_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q156 — k-NN GRAPH construction from the banded candidates: every
+  // vector's top-K neighbors by exact cosine among its bucket-colliding
+  // candidates, both directions (the pair scan emits each unordered
+  // pair once; the graph symmetrizes it). This is the approximate-kNN
+  // graph an embedding pipeline builds before clustering / diversity
+  // sampling / graph-based ANN serving — and the banded candidate set
+  // is what makes it buildable at all: top-K over ALL pairs is the
+  // q34-class nested loop.
+  // Scale notes (100 TB): candidates come from the same band equi-join
+  // as q77 (neither side broadcast, first-colliding-band dedup, AQE
+  // skew-split on hot buckets); the top-K is a per-vector window over
+  // each vector's OWN candidate list — partition size is bounded by
+  // bucket geometry (rows per band trades recall for bucket size), so
+  // the window never sees corpus-sized partitions. Recall follows the
+  // same OR-amplification math as q77; raise PairRows at production
+  // thresholds for tighter buckets.
+  val KnnK = 3
+
+  def q156KnnGraph(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = bandedPairScan(spark, dir, None, minCos = -1.0)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+    val sym = pairs.unionByName(pairs.select(col("vec_b").as("vec_a"),
+      col("vec_a").as("vec_b"), col("cos")))
+    sym.withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_a")).orderBy(col("cos").desc, col("vec_b")))
+        .cast("int"))
+      .filter(col("rk") <= KnnK)
+      .select(col("vec_a").as("vec_id"), col("rk"),
+        col("vec_b").as("nbr_id"), col("cos"))
+      .orderBy(col("vec_id"), col("rk"))
+  }
+
+  val q156Oracle: String =
+    s"""WITH $sqlBandedCandCtes,
+       |pairs AS (
+       |  SELECT vec_a, vec_b, ${sqlCos(SqlDot)} AS cos
+       |  FROM cands
+       |  JOIN base a ON vec_a = a.vec_id
+       |  JOIN base b ON vec_b = b.vec_id),
+       |sym AS (
+       |  SELECT vec_a, vec_b, cos FROM pairs
+       |  UNION ALL
+       |  SELECT vec_b AS vec_a, vec_a AS vec_b, cos FROM pairs)
+       |SELECT vec_id, rk, nbr_id, cos FROM (
+       |  SELECT vec_a AS vec_id, vec_b AS nbr_id, cos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY vec_a
+       |      ORDER BY cos DESC, vec_b) AS INTEGER) AS rk
+       |  FROM sym)
+       |WHERE rk <= $KnnK ORDER BY vec_id, rk""".stripMargin
 
   // --------------------------------------------------------------------
   // q83 — COMBINED keepers: the doc↔vector bridge the pipeline story
@@ -689,7 +750,8 @@ object Similarity {
     "q77_embedding_neardup_bucketed" -> q77EmbeddingNeardupBucketed,
     "q79_embedding_keepers" -> q79EmbeddingKeepers,
     "q83_combined_keepers" -> q83CombinedKeepers,
-    "q87_quantized_rerank" -> q87QuantizedRerank)
+    "q87_quantized_rerank" -> q87QuantizedRerank,
+    "q156_knn_graph" -> q156KnnGraph)
 
   def oracleSql: Map[String, String] = Map(
     "q143_contrastive_pairs" -> q143Oracle,
@@ -700,5 +762,6 @@ object Similarity {
     "q77_embedding_neardup_bucketed" -> q77Oracle,
     "q79_embedding_keepers" -> q79Oracle,
     "q83_combined_keepers" -> q83Oracle,
-    "q87_quantized_rerank" -> q87Oracle)
+    "q87_quantized_rerank" -> q87Oracle,
+    "q156_knn_graph" -> q156Oracle)
 }

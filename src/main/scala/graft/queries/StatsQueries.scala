@@ -260,11 +260,13 @@ object StatsQueries {
   private val MedianBinWidth = 50000.0
   private val MedianSubBins = 1024
 
-  /** Exact median of `data(v)` with `tie` as the deterministic
-    * tie-break, as one lazy two-level selection plan. Exposed for the
-    * concentrated-distribution spec; q116 binds it to orders.
+  /** Exact nearest-rank selection of rank ceil(num·n/den) over
+    * `data(v)` with `tie` as the deterministic tie-break, as one lazy
+    * two-level plan emitting (n_total, v). num/den = 1/2 is the
+    * median; 99/100 the p99. Shared by q116 and q155.
     */
-  private[graft] def globalMedianPlan(data: DataFrame): DataFrame = {
+  private[graft] def selectRankPlan(data: DataFrame, num: Int, den: Int): DataFrame = {
+    require(num > 0 && num <= den, s"rank fraction $num/$den outside (0, 1]")
     val binned = data.withColumn("bin",
       floor(col("v") / MedianBinWidth).cast("bigint"))
     // level-1 walk: cumulate the bounded histogram, pick the target bin
@@ -275,7 +277,8 @@ object StatsQueries {
     val target1 = binned.groupBy(col("bin")).agg(count(lit(1)).as("c"))
       .withColumn("cumc", sum(col("c")).over(wBins))
       .withColumn("n", sum(col("c")).over(wAll))
-      .withColumn("k", expr("CAST((n + 1) DIV 2 AS BIGINT)"))
+      // nearest-rank: k = ceil(num·n/den), all-integer
+      .withColumn("k", expr(s"CAST(($num * n + ${den - 1}) DIV $den AS BIGINT)"))
       .filter(col("cumc") >= col("k"))
       .orderBy(col("bin")).limit(1)
       .select(col("bin"), (col("cumc") - col("c")).as("prior1"),
@@ -301,8 +304,14 @@ object StatsQueries {
       .join(broadcast(target2), Seq("sbin"))
       .withColumn("rn", row_number().over(wFinal).cast("bigint"))
       .filter(col("rn") === col("k") - col("prior"))
-      .select(col("n").as("n_total"), col("v").as("median"))
+      .select(col("n").as("n_total"), col("v"))
   }
+
+  /** Median as the 1/2 nearest-rank selection (kept as its own entry
+    * point for the concentrated-distribution spec).
+    */
+  private[graft] def globalMedianPlan(data: DataFrame): DataFrame =
+    selectRankPlan(data, 1, 2).select(col("n_total"), col("v").as("median"))
 
   def q116GlobalMedian(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.Tables
@@ -319,6 +328,47 @@ object StatsQueries {
       |  FROM orders)
       |SELECT CAST(n AS BIGINT) AS n_total, v AS median
       |FROM ranked WHERE rn = (n + 1) // 2""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q155 — generalized exact percentiles (p50/p90/p99) through the
+  // same lazy two-level selection as q116: three nearest-rank
+  // selections over one shared base, unioned into a tagged result.
+  // This is the production tail-latency statistic; approx_percentile's
+  // sketch merges are implementation-defined per engine, so the
+  // oracle-comparable form is the exact selection (the approx variant
+  // lives in Profiling next to the NDV sketch).
+  // Scale notes (100 TB): identical to q116 — each rank's final window
+  // touches ~n/(bins·1024) rows; three ranks are three bounded walks
+  // sharing one histogram subtree shape, never three global sorts.
+  def q155GlobalPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    val base = Tables.orders(spark, dir)
+      .select(col("o_totalprice").as("v"), col("o_orderkey").as("tie"))
+    Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+      .map { case (tag, num, den) =>
+        selectRankPlan(base, num, den)
+          .select(lit(tag).as("pct"), col("n_total"), col("v").as("value"))
+      }.reduce(_.unionByName(_))
+      .orderBy(col("pct"))
+  }
+
+  val q155Oracle: String =
+    """WITH ranked AS (
+      |  SELECT o_totalprice AS v,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+      |      AS rn,
+      |    COUNT(*) OVER () AS n
+      |  FROM orders)
+      |SELECT pct, n_total, value FROM (
+      |  SELECT 'p50' AS pct, CAST(n AS BIGINT) AS n_total, v AS value
+      |  FROM ranked WHERE rn = CAST((n + 1) // 2 AS BIGINT)
+      |  UNION ALL
+      |  SELECT 'p90', CAST(n AS BIGINT), v FROM ranked
+      |  WHERE rn = CAST((9 * n + 9) // 10 AS BIGINT)
+      |  UNION ALL
+      |  SELECT 'p99', CAST(n AS BIGINT), v FROM ranked
+      |  WHERE rn = CAST((99 * n + 99) // 100 AS BIGINT))
+      |ORDER BY pct""".stripMargin
 
   // --------------------------------------------------------------------
   // q119 — set-operation surface: INTERSECT and EXCEPT with their
@@ -575,6 +625,7 @@ object StatsQueries {
     "q112_zscore_outliers" -> q112ZscoreOutliers,
     "q114_correlated_subquery" -> q114CorrelatedSubquery,
     "q116_global_median" -> q116GlobalMedian,
+    "q155_global_percentiles" -> q155GlobalPercentiles,
     "q119_set_ops" -> q119SetOps,
     "q123_equidepth_hist" -> q123EquidepthHist,
     "q125_share_of_total" -> q125ShareOfTotal,
@@ -591,6 +642,7 @@ object StatsQueries {
     "q112_zscore_outliers" -> q112Oracle,
     "q114_correlated_subquery" -> q114Sql,
     "q116_global_median" -> q116Oracle,
+    "q155_global_percentiles" -> q155Oracle,
     "q119_set_ops" -> q119Oracle,
     "q123_equidepth_hist" -> q123Oracle,
     "q125_share_of_total" -> q125Sql,

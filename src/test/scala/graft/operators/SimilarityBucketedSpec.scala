@@ -25,6 +25,26 @@ class SimilarityBucketedSpec extends SparkSpec {
     }
   }
 
+  test("q156 top-k equals a per-vector sort of the symmetrized candidates") {
+    val pairs = Similarity.bandedPairScan(spark, dir, None, minCos = -1.0)
+      .select("vec_a", "vec_b", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val sym = pairs ++ pairs.map { case (a, b, c) => (b, a, c) }
+    val expected = sym.groupBy(_._1).toSeq.flatMap { case (v, g) =>
+      g.sortBy { case (_, nbr, c) => (-c, nbr) }.take(Similarity.KnnK)
+        .zipWithIndex.map { case ((_, nbr, c), i) => (v, i + 1, nbr, c) }
+    }.sortBy(t => (t._1, t._2))
+    val got = Similarity.q156KnnGraph(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got.nonEmpty, "knn graph is empty on the fixture")
+    assert(got == expected, "q156 drifted from the brute-force candidate sort")
+    // every vector with at least one candidate appears, and ranks are
+    // dense from 1
+    got.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._2).sorted == (1 to g.length).toList)
+    }
+  }
+
   test("q79 keepers and the full pair scan's discards partition the vectors") {
     val discards = Similarity.bandedPairScan(spark, dir, None)
       .select("vec_b").distinct().collect().map(_.getLong(0)).toSet

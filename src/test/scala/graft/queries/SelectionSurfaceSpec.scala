@@ -39,6 +39,32 @@ class SelectionSurfaceSpec extends SparkSpec {
     assert(out.head.getAs[Double]("median") == 24990.0)
   }
 
+  test("q155 percentiles equal the sort-based order statistics") {
+    val vs = graft.sources.Tables.orders(spark, dir)
+      .select(col("o_totalprice"), col("o_orderkey"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).sortBy(identity)
+    val n = vs.length.toLong
+    def nearest(num: Long, den: Long): Double =
+      vs(((num * n + den - 1) / den - 1).toInt)._1
+    val out = StatsQueries.q155GlobalPercentiles(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.keySet == Set("p50", "p90", "p99"))
+    assert(out.values.forall(_._1 == n))
+    assert(out("p50")._2 == nearest(1, 2))
+    assert(out("p90")._2 == nearest(9, 10))
+    assert(out("p99")._2 == nearest(99, 100))
+  }
+
+  test("q155 rank edges: p100 is the max, fraction must be in (0, 1]") {
+    val df = spark.range(1, 101)
+      .select((col("id") * 1.0).as("v"), col("id").as("tie"))
+    val top = StatsQueries.selectRankPlan(df, 1, 1).collect()
+    assert(top.head.getAs[Double]("v") == 100.0)
+    intercept[IllegalArgumentException] {
+      StatsQueries.selectRankPlan(df, 3, 2)
+    }
+  }
+
   test("q116 construction fires no Spark jobs (plan sweeps stay action-free)") {
     // a frame that THROWS on any evaluation: if construction ran an
     // action (the old histogram collect), this call would raise
