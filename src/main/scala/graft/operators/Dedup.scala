@@ -718,7 +718,110 @@ object Dedup {
        |FROM spans JOIN freq USING (h)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q157 — CONTENT-DEFINED chunking + chunk-level dedup: the
+  // sub-document granularity q95's fixed-length spans approximate.
+  // Boundaries are declared by a hash predicate on the TOKEN itself
+  // (md5(tok) mod 8 == 0 ends a chunk) — the token-granular form of a
+  // rolling-hash CDC cutpoint, so boundaries move WITH the content:
+  // inserting a sentence shifts every fixed-window span but leaves all
+  // chunks outside the edited region byte-identical, which is exactly
+  // why storage dedup and sub-doc corpus dedup chunk this way. Each
+  // chunk is re-assembled in position order, hashed, and an occurrence
+  // is a duplicate iff it is not the corpus-wide canonical first
+  // occurrence (min over the packed (doc_id, chunk) key — all-integer,
+  // 20-bit-guarded like q143's argmin). Output: per-doc chunk counts
+  // and the duplicated-token fraction — the signal that catches docs
+  // assembled from other docs' paragraphs.
+  // Scale notes (100 TB): one posexplode + a per-doc ROWS window for
+  // chunk ids (partition = one doc's tokens, bounded by doc length), a
+  // (doc, chunk) aggregate to build chunks, one hash-partitioned
+  // groupBy(chash) for canonical keys (NEVER a per-hash window — a
+  // boilerplate chunk repeated millions of times would make that
+  // window's partition corpus-sized; min+equi-join keeps it a combining
+  // aggregate), and the join back co-locates on chash. No pairwise
+  // anything.
+  val ChunkMod = 8
+
+  /** Content-defined chunks of a (doc_id, text) frame: (doc_id, chunk,
+    * c_tokens, chash). Exposed so CdcChunkSpec can drive the defining
+    * CDC property (an edit disturbs only the chunk containing it) on a
+    * synthetic 2-doc frame.
+    */
+  private[operators] def cdcChunkFrame(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tk = docs.select(col("doc_id"),
+      posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tk
+      .withColumn("bnd", (conv(substring(md5(col("tok")), 1, 4), 16, 10)
+        .cast("long") % ChunkMod === 0).cast("int"))
+      // chunk id = boundaries strictly before this token: the boundary
+      // token ENDS its own chunk
+      .withColumn("chunk", coalesce(sum(col("bnd")).over(wDoc), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk"))
+      .agg(count(lit(1)).as("c_tokens"),
+        md5(expr("array_join(transform(array_sort(collect_list(struct(pos, tok)))," +
+          " x -> x.tok), ' ')")).as("chash"))
+  }
+
+  def q157CdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = cdcChunkFrame(graft.sources.Tables
+      .documentsSharded(spark, dir).select(col("doc_id"), col("text")))
+    val keyed = chunks.withColumn("okey",
+      col("doc_id") * 1048576L + Similarity.guardedPackedId(col("chunk")))
+    val canon = keyed.groupBy(col("chash")).agg(min(col("okey")).as("minkey"))
+    keyed.join(canon, Seq("chash"))
+      .withColumn("is_dup", (col("okey") =!= col("minkey")).cast("int"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_chunks"),
+        sum(col("is_dup")).cast("bigint").as("n_dup_chunks"),
+        sum(col("is_dup") * col("c_tokens")).as("dup_tokens"))
+      .withColumn("dup_frac",
+        round(col("dup_tokens").cast("double") / col("n_tokens"), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  val q157Oracle: String =
+    s"""WITH l AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |tk AS (
+       |  SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos, unnest(t) AS tok
+       |  FROM l),
+       |b AS (
+       |  SELECT doc_id, pos, tok,
+       |    CASE WHEN CAST('0x' || substring(md5(tok), 1, 4) AS BIGINT)
+       |      % $ChunkMod = 0 THEN 1 ELSE 0 END AS bnd
+       |  FROM tk),
+       |ch AS (
+       |  SELECT doc_id, pos, tok,
+       |    COALESCE(SUM(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+       |  FROM b),
+       |chunks AS (
+       |  SELECT doc_id, chunk, COUNT(*) AS c_tokens,
+       |    md5(string_agg(tok, ' ' ORDER BY pos)) AS chash
+       |  FROM ch GROUP BY doc_id, chunk),
+       |keyed AS (
+       |  SELECT doc_id, chunk, c_tokens, chash,
+       |    doc_id * 1048576 + chunk AS okey
+       |  FROM chunks),
+       |canon AS (SELECT chash, MIN(okey) AS minkey FROM keyed GROUP BY chash)
+       |SELECT k.doc_id,
+       |  CAST(SUM(c_tokens) AS BIGINT) AS n_tokens,
+       |  COUNT(*) AS n_chunks,
+       |  CAST(SUM(CASE WHEN okey <> minkey THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dup_chunks,
+       |  CAST(SUM(CASE WHEN okey <> minkey THEN c_tokens ELSE 0 END) AS BIGINT)
+       |    AS dup_tokens,
+       |  round(CAST(SUM(CASE WHEN okey <> minkey THEN c_tokens ELSE 0 END)
+       |    AS DOUBLE) / SUM(c_tokens), 6) AS dup_frac
+       |FROM keyed k JOIN canon c ON k.chash = c.chash
+       |GROUP BY k.doc_id ORDER BY k.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q157_cdc_chunks" -> q157CdcChunks,
     "q31_exact_dedup" -> q31ExactDedup,
     "q32_minhash_neardup" -> q32MinhashNeardup,
     "q33_simhash" -> q33Simhash,
@@ -731,6 +834,7 @@ object Dedup {
     "q95_dup_span_fraction" -> q95DupSpanFraction)
 
   def oracleSql: Map[String, String] = Map(
+    "q157_cdc_chunks" -> q157Oracle,
     "q31_exact_dedup" -> q31Oracle,
     "q32_minhash_neardup" -> q32Oracle,
     "q33_simhash" -> q33Oracle,

@@ -690,15 +690,16 @@ object Similarity {
   // pack range fails loud instead of silently corrupting the argmin
   // ordering and the decoded neg_id — widen the shift at larger id
   // spaces.
-  /** vec_id admitted into the h·2²⁰+vec_id packed key only if it fits
-    * the 20-bit pack range; anything else raises at execution time.
-    * Lives inside a needed column so column pruning can't drop it.
+  /** An id admitted into a base·2²⁰+id packed key only if it fits the
+    * 20-bit pack range; anything else raises at execution time. Lives
+    * inside a needed column so column pruning can't drop it. Shared by
+    * q143's argmin key and q157's chunk-occurrence key.
     */
-  private[operators] def guardedPackedId(vecId: Column): Column =
-    when(vecId >= 0L && vecId < (1L << 20), vecId)
+  private[operators] def guardedPackedId(id: Column): Column =
+    when(id >= 0L && id < (1L << 20), id)
       .otherwise(raise_error(concat(
-        lit("q143: vec_id outside the packed 20-bit range — widen the shift: "),
-        vecId.cast("string"))).cast("long"))
+        lit("packed id outside the 20-bit range — widen the shift: "),
+        id.cast("string"))).cast("long"))
 
   def q143ContrastivePairs(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
