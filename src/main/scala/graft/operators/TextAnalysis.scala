@@ -285,6 +285,82 @@ object TextAnalysis {
       |FROM nll GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------
+  // q158 — BIGRAM language-model scoring, the context-aware upgrade of
+  // q94's unigram: P(cur|prev) = (c(prev,cur) + 1) / (c(prev·) + V),
+  // add-1 smoothed, scored as each doc's mean bigram NLL. This is the
+  // quality signal that separates plausible-word-soup (fools q94) from
+  // plausible-SEQUENCES; production pipelines threshold on it next to
+  // the heuristic gates. Bigrams are built scan-side from the token
+  // array (guarded sequence — a 1-token doc yields zero bigrams and
+  // drops out, exactly like the oracle's empty range), so no window
+  // and no self-join touches the token stream. Determinism follows
+  // q94's settled discipline: per-bigram NLL rounded to 6 decimals
+  // FIRST, summed as DECIMAL(28,6), one final IEEE division.
+  // Scale notes (100 TB): three hash-partitioned aggregates (bigram
+  // counts, context counts, distinct-vocab size) and two equi-joins on
+  // the bigram stream — the q68/q94 shape. Head contexts (stopwords)
+  // are the skew risk: AQE splits them, and a production variant
+  // broadcasts a pruned top-K bigram table instead of joining the
+  // full model. The vocab size rides the optimizer-opaque 1-row join
+  // (plans.Opaque), never a collect or a foldable-key cartesian.
+  /** Per-doc mean bigram NLL over any (doc_id, text) frame — q158
+    * binds it to documents; the spec drives edge cases (1-token docs)
+    * through a synthetic frame.
+    */
+  private[operators] def bigramLmScore(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      tokens(lower(trim(col("text")))).as("t"))
+    val bg = toks.select(col("doc_id"), explode(when(size(col("t")) >= 2,
+        expr("transform(sequence(1, size(t) - 1), " +
+          "i -> struct(element_at(t, i) AS prev, element_at(t, i + 1) AS cur))"))
+      .otherwise(array().cast("array<struct<prev:string,cur:string>>"))).as("bg"))
+      .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+    val cbg = bg.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("cnt_bg"))
+    val cctx = bg.groupBy(col("prev")).agg(count(lit(1)).as("cnt_ctx"))
+    val vsz = toks.select(explode(col("t")).as("tok"))
+      .agg(countDistinct(col("tok")).as("vsz"))
+      .select(col("vsz").cast("double").as("vsz"),
+        graft.plans.Opaque.zeroKey(col("vsz")).as("_k"))
+    val nll = bg.join(cbg, Seq("prev", "cur")).join(cctx, Seq("prev"))
+      .withColumn("_k", graft.plans.Opaque.zeroKey(col("cnt_bg")))
+      .join(vsz, Seq("_k"))
+      .select(col("doc_id"),
+        round(-log((col("cnt_bg").cast("double") + 1.0) /
+          (col("cnt_ctx").cast("double") + col("vsz"))), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 6)).as("bg_nll"))
+    nll.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("bg_nll")).cast("double") / count(lit(1)), 6).as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  def q158BigramLmScore(spark: SparkSession, dir: String): DataFrame =
+    bigramLmScore(Tables.documentsSharded(spark, dir)
+      .select(col("doc_id"), col("text")))
+
+  val q158Oracle: String =
+    """WITH l AS (
+      |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents),
+      |bg AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(t)), i -> t[i])) AS prev,
+      |    unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS cur
+      |  FROM l),
+      |ex AS (SELECT doc_id, unnest(t) AS tok FROM l),
+      |v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vsz FROM ex),
+      |cbg AS (SELECT prev, cur, count(*) AS cnt_bg FROM bg GROUP BY 1, 2),
+      |cctx AS (SELECT prev, count(*) AS cnt_ctx FROM bg GROUP BY 1),
+      |nll AS (
+      |  SELECT doc_id,
+      |    CAST(round(-ln((CAST(cnt_bg AS DOUBLE) + 1)
+      |      / (CAST(cnt_ctx AS DOUBLE) + (SELECT vsz FROM v))), 6)
+      |      AS DECIMAL(28,6)) AS bg_nll
+      |  FROM bg JOIN cbg USING (prev, cur) JOIN cctx USING (prev))
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  round(CAST(sum(bg_nll) AS DOUBLE) / count(*), 6) AS avg_nll
+      |FROM nll GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------
   // q111 — fuzzy string join (spell-correction) via the deletion
   // neighborhood: a deterministic "typo log" (each doc's first token
   // with one md5-independent character deleted — position doc_id mod
@@ -623,7 +699,8 @@ object TextAnalysis {
     "q29_quality_score" -> q29QualityScore,
     "q30_fingerprint" -> q30Fingerprint,
     "q52_bpe_tokens" -> q52BpeTokens,
-    "q94_unigram_lm_score" -> q94UnigramLmScore)
+    "q94_unigram_lm_score" -> q94UnigramLmScore,
+    "q158_bigram_lm_score" -> q158BigramLmScore)
 
   def oracleSql: Map[String, String] = Map(
     "q152_array_surface" -> q152Oracle,
@@ -639,5 +716,6 @@ object TextAnalysis {
     "q29_quality_score" -> q29Oracle,
     "q30_fingerprint" -> q30Oracle,
     "q52_bpe_tokens" -> q52Oracle,
-    "q94_unigram_lm_score" -> q94Oracle)
+    "q94_unigram_lm_score" -> q94Oracle,
+    "q158_bigram_lm_score" -> q158Oracle)
 }
