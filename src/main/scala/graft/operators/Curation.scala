@@ -1036,7 +1036,64 @@ object Curation {
       |    AS temp_share
       |FROM damped ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q160 — deterministic source-INTERLEAVED training order WITHOUT a
+  // global window: the data-ordering step of dataset assembly. Every
+  // source's docs are ranked in md5-hash order (the RNG-free shuffle),
+  // then round-robin-interleaved across sources — and the GLOBAL
+  // sequence position falls out arithmetically instead of through the
+  // banned unpartitioned window: a doc at per-source rank r in source
+  // s is preceded by exactly Σ_s' min(n_s', r-1) docs from earlier
+  // rounds plus the same-round docs of sources ordered before s that
+  // are large enough to reach round r. The per-source size table rides
+  // a 1-row sorted array through the optimizer-opaque join, so the
+  // position is two scan-side higher-order functions over a ~20-element
+  // array. Sources with unequal sizes drain naturally (exhausted
+  // sources drop out of later rounds) — the schedule a trainer
+  // actually wants.
+  // Scale notes (100 TB): ONE per-source window (partition = one
+  // source's docs; for a pathologically dominant source, swap in the
+  // two-phase SurrogateKeys rank — same contract) and zero global
+  // exchanges: seq is computed scan-side from the broadcast-sized size
+  // array. The final orderBy is presentation-only.
+  def q160InterleaveOrder(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = graft.sources.Tables.documentsSharded(spark, dir)
+      .select(col("doc_id"), col("source"),
+        md5(col("doc_id").cast("string")).as("h"))
+    val ranked = d.withColumn("r", row_number().over(
+      Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id")))
+      .cast("bigint"))
+    val sizes = d.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .agg(sort_array(collect_list(struct(col("source"), col("n")))).as("sz"))
+      .select(col("sz"), graft.plans.Opaque.zeroKey(size(col("sz"))).as("_k"))
+    ranked.withColumn("_k", graft.plans.Opaque.zeroKey(col("r")))
+      .join(sizes, Seq("_k"))
+      .withColumn("seq",
+        expr("aggregate(sz, CAST(0 AS BIGINT), (acc, x) -> acc + least(x.n, r - 1))") +
+        expr("size(filter(sz, x -> x.source < source AND x.n >= r))").cast("long") +
+        lit(1L))
+      .select(col("doc_id"), col("source"), col("r"), col("seq"))
+      .orderBy(col("seq"))
+  }
+
+  val q160Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+      |rk AS (
+      |  SELECT doc_id, source,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id)
+      |      AS BIGINT) AS r
+      |  FROM d),
+      |sz AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1)
+      |SELECT doc_id, source, r,
+      |  CAST((SELECT SUM(LEAST(n, x.r - 1)) FROM sz)
+      |    + (SELECT COUNT(*) FROM sz WHERE source < x.source AND n >= x.r)
+      |    + 1 AS BIGINT) AS seq
+      |FROM rk x ORDER BY seq""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q160_interleave_order" -> q160InterleaveOrder,
     "q148_source_entropy" -> q148SourceEntropy,
     "q149_temperature_mixture" -> q149TemperatureMixture,
     "q134_kfold_split" -> q134KfoldSplit,
@@ -1057,6 +1114,7 @@ object Curation {
     "q104_token_mixture" -> q104TokenMixture)
 
   def oracleSql: Map[String, String] = Map(
+    "q160_interleave_order" -> q160Oracle,
     "q148_source_entropy" -> q148Oracle,
     "q149_temperature_mixture" -> q149Oracle,
     "q134_kfold_split" -> q134Oracle,

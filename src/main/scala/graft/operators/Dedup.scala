@@ -719,6 +719,40 @@ object Dedup {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------
+  // q159 — dedup PROVENANCE: the audit trail for q56's keep/discard
+  // decision. For every discarded document: the canonical evidence
+  // keeper (smallest doc_a among its verified pairs — the id whose
+  // existence discarded it under greedy-by-id), the exact Jaccard with
+  // that keeper, how many verified near-dups point at it, and its
+  // strongest similarity. This is what answers a producer's "why was
+  // my document dropped" — a pipeline that cannot explain its discards
+  // cannot be debugged. Note the evidence keeper may itself be
+  // discarded by an even smaller id (greedy chains); resolving chains
+  // to cluster roots is q76's connected components.
+  // Scale notes (100 TB): one aggregate over the verified pair stream,
+  // grouped on doc_b — strictly cheaper than the pair scan that feeds
+  // it. min_by picks the keeper's jaccard without re-joining pairs.
+  def q159DedupProvenance(spark: SparkSession, dir: String): DataFrame =
+    minhashPairsOf(Tables.documentsSharded(spark, dir)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks")))
+      .groupBy(col("doc_b").as("doc_id"))
+      .agg(min(col("doc_a")).as("evidence_keeper"),
+        min_by(col("jaccard"), col("doc_a")).as("keeper_jaccard"),
+        count(lit(1)).as("n_evidence"),
+        max(col("jaccard")).as("max_jaccard"))
+      .orderBy(col("doc_id"))
+
+  val q159Oracle: String =
+    s"""WITH pairs AS (
+       |${sqlMinhashPairs("documents WHERE doc_id % 5 = 0")}
+       |)
+       |SELECT doc_b AS doc_id, MIN(doc_a) AS evidence_keeper,
+       |  min_by(jaccard, doc_a) AS keeper_jaccard,
+       |  COUNT(*) AS n_evidence, MAX(jaccard) AS max_jaccard
+       |FROM pairs GROUP BY doc_b ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------
   // q157 — CONTENT-DEFINED chunking + chunk-level dedup: the
   // sub-document granularity q95's fixed-length spans approximate.
   // Boundaries are declared by a hash predicate on the TOKEN itself
@@ -822,6 +856,7 @@ object Dedup {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q157_cdc_chunks" -> q157CdcChunks,
+    "q159_dedup_provenance" -> q159DedupProvenance,
     "q31_exact_dedup" -> q31ExactDedup,
     "q32_minhash_neardup" -> q32MinhashNeardup,
     "q33_simhash" -> q33Simhash,
@@ -835,6 +870,7 @@ object Dedup {
 
   def oracleSql: Map[String, String] = Map(
     "q157_cdc_chunks" -> q157Oracle,
+    "q159_dedup_provenance" -> q159Oracle,
     "q31_exact_dedup" -> q31Oracle,
     "q32_minhash_neardup" -> q32Oracle,
     "q33_simhash" -> q33Oracle,

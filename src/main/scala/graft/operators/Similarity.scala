@@ -742,8 +742,66 @@ object Similarity {
       |FROM pos p LEFT JOIN neg n ON p.vec_id = n.vec_id
       |ORDER BY p.vec_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q161 — per-DIMENSION embedding health stats: exact mean and
+  // population variance of every coordinate, plus the variance rank.
+  // Dead dimensions (variance ≈ 0) and runaway ones are the first
+  // thing to check when a retrained encoder degrades retrieval; this
+  // is the embedding-space analogue of q101's column profiler.
+  // Exactness: coordinates ride the q121 scaled-integer lift, moments
+  // accumulate as DECIMAL(18,0) sums, and only the final mean/variance
+  // expressions are double — written with the same shape in both
+  // engines. The rank window is over DIMENSION rows (64 here; bounded
+  // by model width, never by data) — the q116 bounded-window class.
+  // Scale notes (100 TB): one posexplode (rows × dim) into one
+  // map-side-combined aggregate keyed on the dimension — O(n·d), no
+  // joins, nothing collected.
+  def q161DimensionStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pe = Tables.embeddingsSharded(spark, dir)
+      .select(posexplode(transform(col("embedding"),
+        x => round(x.cast("double") * 1000000).cast("bigint"))).as(Seq("pos", "x")))
+      .select(col("pos"), col("x").cast(DecimalType(18, 0)).as("x"))
+    val stats = pe.groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("pos"), col("n"),
+        round(col("sx").cast("double") / col("n") / 1000000.0, 6).as("mean"),
+        round((col("sxx").cast("double") / col("n") -
+          (col("sx").cast("double") / col("n")) *
+          (col("sx").cast("double") / col("n"))) / 1000000000000.0, 6)
+          .as("variance"))
+    stats.withColumn("var_rank", row_number().over(
+        Window.orderBy(col("variance").desc, col("pos"))).cast("int"))
+      .orderBy(col("pos"))
+  }
+
+  val q161Oracle: String =
+    """WITH pe AS (
+      |  SELECT unnest(range(1, len(embedding) + 1)) AS pos1,
+      |    unnest(list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))) AS x
+      |  FROM embeddings),
+      |a AS (
+      |  SELECT CAST(pos1 - 1 AS INTEGER) AS pos, COUNT(*) AS n,
+      |    SUM(CAST(x AS DECIMAL(18,0))) AS sx,
+      |    SUM(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0))) AS sxx
+      |  FROM pe GROUP BY 1),
+      |s AS (
+      |  SELECT pos, n,
+      |    round(CAST(sx AS DOUBLE) / n / 1000000.0, 6) AS mean,
+      |    round((CAST(sxx AS DOUBLE) / n
+      |      - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+      |      / 1000000000000.0, 6) AS variance
+      |  FROM a)
+      |SELECT pos, n, mean, variance,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY variance DESC, pos) AS INTEGER)
+      |    AS var_rank
+      |FROM s ORDER BY pos""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q143_contrastive_pairs" -> q143ContrastivePairs,
+    "q161_dimension_stats" -> q161DimensionStats,
     "q121_centroid_drift" -> q121CentroidDrift,
     "q34_cosine_topk" -> q34CosineTopk,
     "q35_lsh_ann" -> q35LshAnn,
@@ -756,6 +814,7 @@ object Similarity {
 
   def oracleSql: Map[String, String] = Map(
     "q143_contrastive_pairs" -> q143Oracle,
+    "q161_dimension_stats" -> q161Oracle,
     "q121_centroid_drift" -> q121Oracle,
     "q34_cosine_topk" -> q34Oracle,
     "q35_lsh_ann" -> q35Oracle,
