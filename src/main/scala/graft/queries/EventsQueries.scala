@@ -246,6 +246,64 @@ object EventsQueries {
       |ORDER BY user_id, event_type""".stripMargin
 
   // --------------------------------------------------------------------
+  // q162 — RETRACTION-aware incremental aggregation: q105 handles
+  // insert-only deltas; real CDC feeds also retract (deletes, and
+  // updates as delete+insert). The stored view keeps only the
+  // RETRACTABLE aggregates — count and sum, which absorb a signed
+  // delta exactly — and a key whose count reaches zero VANISHES from
+  // the view, matching the group's disappearance under a recompute.
+  // min/max are deliberately absent: they are not retractable (a
+  // deleted extremum needs the key's full history to re-derive — at
+  // scale that is a per-affected-key q105-style rebuild, not algebra).
+  // CDC derivation is deterministic from the fixture: base = events
+  // with id % 10 != 0; the delta retracts id % 20 == 1 (all in base)
+  // and inserts id % 10 == 0 (all new). The oracle recomputes the
+  // final state directly — the gate proves merge-equals-recompute
+  // under retraction, exactly (DECIMAL sums are order-insensitive, so
+  // base - deletes + inserts is bit-equal to the direct sum).
+  // Scale notes (100 TB): one aggregate over the (pruned) delta, one
+  // key-co-located full-outer merge — O(delta + |view|), the q105
+  // shape, now closed under the full CDC op set.
+  /** The retractable view over any (event_id, user_id, event_type,
+    * value) frame — q162 binds it to events; the spec drives the
+    * all-rows-retracted path (key must VANISH) on a synthetic frame
+    * the evenly-active fixture never produces.
+    */
+  private[queries] def retractableView(ev: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(24, 6)
+    val view = ev.filter(col("event_id") % 10 =!= 0)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("bn"), sum(col("value").cast(dec)).as("bsv"))
+    val delta = ev.filter(col("event_id") % 20 === 1)
+      .withColumn("sgn", lit(-1L))
+      .unionByName(ev.filter(col("event_id") % 10 === 0)
+        .withColumn("sgn", lit(1L)))
+    val deltaAgg = delta.groupBy(col("user_id"), col("event_type"))
+      .agg(sum(col("sgn")).as("dn"),
+        sum(col("value").cast(dec) * col("sgn")).as("dsv"))
+    val zero = lit(0).cast(dec)
+    view.join(deltaAgg, Seq("user_id", "event_type"), "full_outer")
+      .select(col("user_id"), col("event_type"),
+        (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_events"),
+        (coalesce(col("bsv"), zero) + coalesce(col("dsv"), zero)).as("svd"))
+      .filter(col("n_events") > 0)
+      .select(col("user_id"), col("event_type"), col("n_events"),
+        col("svd").cast("double").as("sum_value"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  def q162RetractableAgg(spark: SparkSession, dir: String): DataFrame =
+    retractableView(Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value")))
+
+  val q162Oracle: String =
+    """SELECT user_id, event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE (event_id % 10 <> 0 AND event_id % 20 <> 1) OR event_id % 10 = 0
+      |GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin
+
+  // --------------------------------------------------------------------
   // q124 — regex extraction surface: every digit run in the JSON props
   // string via regexp_extract_all — the untyped-log field mining that
   // precedes proper parsing. Count plus first/last runs as ints; the
@@ -430,7 +488,8 @@ object EventsQueries {
     "q25_json_extract" -> q25JsonExtract,
     "q98_funnel" -> q98Funnel,
     "q99_retention" -> q99Retention,
-    "q105_incremental_agg" -> q105IncrementalAgg)
+    "q105_incremental_agg" -> q105IncrementalAgg,
+    "q162_retractable_agg" -> q162RetractableAgg)
 
   def oracleSql: Map[String, String] = Map(
     "q142_trailing_wau" -> q142Oracle,
@@ -443,5 +502,6 @@ object EventsQueries {
     "q25_json_extract" -> q25Oracle,
     "q98_funnel" -> q98Oracle,
     "q99_retention" -> q99Oracle,
-    "q105_incremental_agg" -> q105Oracle)
+    "q105_incremental_agg" -> q105Oracle,
+    "q162_retractable_agg" -> q162Oracle)
 }

@@ -685,8 +685,78 @@ object StreamingQueries {
        |  bit_xor(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 12) AS BIGINT)) AS content_hash
        |FROM gated GROUP BY 1 ORDER BY shard""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q163 — streaming dedup with index WRITE-BACK: q103 dedups a stream
+  // against a static fingerprint index; production ingest also APPENDS
+  // the survivors' fingerprints so later batches (and later runs) dedup
+  // against everything already admitted — the feedback loop that makes
+  // the index an accumulating corpus memory. Each micro-batch:
+  // (1) canonicalizes within-batch duplicates (min doc_id per md5
+  // fingerprint — deterministic, unlike dropDuplicates' arbitrary
+  // row), (2) anti-joins the CURRENT index — the static base PLUS
+  // every prior batch's appends, (3) OVERWRITES its own batch=<id>
+  // subdir in both the survivor sink and the index — idempotent on
+  // retry, so the loop is exactly-once end to end. The corpus is
+  // staged twice (q153's trick): the second arrival of every doc must
+  // be annihilated by the fingerprints batch 1 appended, which is the
+  // property a static index cannot give.
+  // Scale notes (100 TB/day): the index read is a parquet scan pruned
+  // to the fp column; the anti join shuffles on fp (both sides corpus-
+  // scale, never broadcast); appends are partition-dir writes. At
+  // production scale the index compacts on a schedule (q89's operator)
+  // and the join becomes the q85 asymmetric form.
+  def q163StreamIndexUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val ss = EventsStreaming.streamSession(spark)
+    val outDir = graft.sources.ShardPaths.resolve(ss, "q163", dir)
+    val idxDir = graft.sources.ShardPaths.resolve(ss, "q163_index", dir)
+    val ckptDir = graft.sources.ShardPaths.resolveCheckpoint(ss, "q163", dir)
+    val stage = graft.sources.ShardPaths.resolve(ss, "q163_stage", dir)
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(ss.sessionState.newHadoopConf())
+    Seq(outDir, idxDir, ckptDir, stage).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    val raw = ss.read.schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    // static base: the corpus third already admitted before this run
+    raw.filter(col("doc_id") % 3 === 0).select(md5(col("text")).as("fp"))
+      .distinct().write.parquet(s"$idxDir/batch=-1")
+    raw.coalesce(1).write.parquet(s"$stage/a1.parquet")
+    raw.coalesce(1).write.parquet(s"$stage/a2.parquet")
+    val docs = ss.readStream.schema(documentsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(s"$stage/*.parquet")
+    val q = docs.writeStream
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        val idx = batch.sparkSession.read.parquet(idxDir).select(col("fp"))
+        val fresh = batch.withColumn("fp", md5(col("text")))
+          .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+          .join(idx, Seq("fp"), "left_anti")
+        fresh.select(col("doc_id"), col("fp")).write.mode("overwrite")
+          .parquet(new org.apache.hadoop.fs.Path(outDir, s"batch=$batchId").toString)
+        fresh.select(col("fp")).write.mode("overwrite")
+          .parquet(new org.apache.hadoop.fs.Path(idxDir, s"batch=$batchId").toString)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(outDir).select(col("doc_id"), col("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q163Oracle: String =
+    """WITH fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
+      |canon AS (SELECT fp, MIN(doc_id) AS doc_id FROM fp GROUP BY fp)
+      |SELECT doc_id, fp FROM canon
+      |WHERE fp NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 3 = 0)
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q153_stream_curation_pipeline" -> q153StreamCurationPipeline,
+    "q163_stream_index_update" -> q163StreamIndexUpdate,
     "q122_stream_user_totals" -> q122StreamUserTotals,
     "q45_stream_hourly" -> q45StreamHourly,
     "q46_stream_sessions" -> q46StreamSessions,
@@ -702,6 +772,7 @@ object StreamingQueries {
 
   def oracleSql: Map[String, String] = Map(
     "q153_stream_curation_pipeline" -> q153Oracle,
+    "q163_stream_index_update" -> q163Oracle,
     "q122_stream_user_totals" -> q122Oracle,
     "q45_stream_hourly" -> q45Oracle,
     "q46_stream_sessions" -> q46Oracle,

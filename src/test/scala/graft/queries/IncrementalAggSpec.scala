@@ -39,4 +39,25 @@ class IncrementalAggSpec extends SparkSpec {
     assert(merged.keySet == Set((1L, "view"), (2L, "click"), (3L, "purchase")))
     assert(merged((1L, "view")) == ((3L, 7.0, 10L, 20L)))
   }
+
+  test("q162: a fully-retracted key VANISHES; partial retraction adjusts exactly") {
+    import spark.implicits._
+    // id scheme: %10==0 -> CDC insert, %20==1 -> CDC delete (of a base
+    // row), else base. User 1's ONLY base row (id 21, value 5) is
+    // retracted and nothing is inserted -> the key must disappear, as
+    // it would under a recompute. User 2 keeps one of two base rows and
+    // gains an insert.
+    val ev = Seq(
+      (21L, 1L, "view", 5.0),     // base for user 1, retracted (21 % 20 == 1)
+      (2L, 2L, "view", 1.0),      // base for user 2, kept
+      (41L, 2L, "view", 2.5),     // base for user 2, retracted
+      (30L, 2L, "view", 4.0))     // CDC insert for user 2
+      .toDF("event_id", "user_id", "event_type", "value")
+    val out = EventsQueries.retractableView(ev).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(!out.keySet.exists(_._1 == 1L),
+      "a key with all rows retracted must vanish from the view")
+    assert(out((2L, "view")) == ((2L, 5.0)),
+      s"partial retraction drifted: ${out((2L, "view"))}")
+  }
 }
