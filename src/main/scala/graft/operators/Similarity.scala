@@ -441,6 +441,85 @@ object Similarity {
   }
 
   // --------------------------------------------------------------------
+  // q165 — JOHNSON-LINDENSTRAUSS sketch fidelity: the 16 ±1
+  // hyperplanes that band the LSH buckets double as a dense random
+  // projection (signs give buckets; the RAW projections are a 16-dim
+  // JL sketch, 4× smaller than the 64-dim original). For every q77
+  // sampled near-dup pair the query emits original-space and
+  // sketch-space cosine side by side — the fidelity report that
+  // decides whether downstream stages (clustering, rerank prefilter)
+  // can run on the sketch. All projections are exact integer dots of
+  // the scaled vectors; only the final cosine chain is double, written
+  // with the same shape in both engines, so the report itself is
+  // hash-exact even though the sketch is lossy.
+  // Scale notes (100 TB): projections are per-row codegen (16 dot
+  // products in one pass, no shuffle to assign); the pair set is q77's
+  // band equi-join; the two sketch joins co-locate on the pair ids.
+  // Production tunes sketch width like PairRows — more planes, tighter
+  // JL error (~1/√k).
+  def q165JlSketch(spark: SparkSession, dir: String): DataFrame = {
+    val dot = graft.functions.DotProductLong.dot_product_long _
+    val pairs = bandedPairScan(spark, dir, Some(col("vec_id") % 10 === 0))
+      .select(col("vec_a"), col("vec_b"), col("cos").as("cos_orig"))
+    val sketch = withScaledNorm(Tables.embeddingsSharded(spark, dir))
+      .withColumn("pr", array((0 until PairBands * PairRows).map { k =>
+        dot(col("sv"), array(pairPlanes(k).map(v => lit(v.toLong)): _*))
+      }: _*))
+      .select(col("vec_id"), col("pr"), dot(col("pr"), col("pr")).as("pn"))
+    pairs
+      .join(sketch.select(col("vec_id").as("vec_a"), col("pr").as("pa"),
+        col("pn").as("na")), Seq("vec_a"))
+      .join(sketch.select(col("vec_id").as("vec_b"), col("pr").as("pb"),
+        col("pn").as("nb")), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("cos_orig"),
+        round(dot(col("pa"), col("pb")).cast("double") /
+          sqrt(col("na").cast("double")) / sqrt(col("nb").cast("double")), 6)
+          .as("cos_sketch"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val q165Oracle: String = {
+    val bandRows = (0 until PairBands).map { b =>
+      s"SELECT vec_id, CAST(${sqlBandKey(b)} AS INTEGER) AS bkey FROM base"
+    }.mkString("\n  UNION ALL\n  ")
+    val projExprs = (0 until PairBands * PairRows).map { k =>
+      val litList = pairPlanes(k).mkString("[", ", ", "]")
+      s"""CAST(list_sum(list_transform(generate_series(1, len(sv)),
+         |      i -> sv[i] * ($litList)[i])) AS BIGINT)""".stripMargin
+    }.mkString(",\n    ")
+    s"""WITH base AS (
+       |  $SqlBase),
+       |bands AS (
+       |  $bandRows),
+       |cands AS (
+       |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM bands x JOIN bands y
+       |    ON x.bkey = y.bkey AND x.vec_id % 10 = 0 AND x.vec_id < y.vec_id),
+       |proj AS (
+       |  SELECT vec_id, [$projExprs] AS pr FROM base),
+       |pp AS (
+       |  SELECT vec_id, pr,
+       |    CAST(list_sum(list_transform(generate_series(1, ${PairBands * PairRows}),
+       |      i -> pr[i] * pr[i])) AS BIGINT) AS pn
+       |  FROM proj),
+       |pairs AS (
+       |  SELECT vec_a, vec_b, ${sqlCos(SqlDot)} AS cos_orig
+       |  FROM cands
+       |  JOIN base a ON vec_a = a.vec_id
+       |  JOIN base b ON vec_b = b.vec_id)
+       |SELECT vec_a, vec_b, cos_orig,
+       |  round(CAST(list_sum(list_transform(generate_series(1, ${PairBands * PairRows}),
+       |      i -> pa.pr[i] * pb.pr[i])) AS DOUBLE)
+       |    / sqrt(CAST(pa.pn AS DOUBLE)) / sqrt(CAST(pb.pn AS DOUBLE)), 6)
+       |    AS cos_sketch
+       |FROM pairs
+       |JOIN pp pa ON vec_a = pa.vec_id
+       |JOIN pp pb ON vec_b = pb.vec_id
+       |WHERE cos_orig >= 0.4
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
   // q79 — the semantic-dedup DECISION the pair scan exists for: greedy
   // keep/discard over the FULL banded pair graph (no query sample —
   // every vector is a candidate on both sides). A vector is discarded
@@ -810,7 +889,8 @@ object Similarity {
     "q79_embedding_keepers" -> q79EmbeddingKeepers,
     "q83_combined_keepers" -> q83CombinedKeepers,
     "q87_quantized_rerank" -> q87QuantizedRerank,
-    "q156_knn_graph" -> q156KnnGraph)
+    "q156_knn_graph" -> q156KnnGraph,
+    "q165_jl_sketch" -> q165JlSketch)
 
   def oracleSql: Map[String, String] = Map(
     "q143_contrastive_pairs" -> q143Oracle,
@@ -823,5 +903,6 @@ object Similarity {
     "q79_embedding_keepers" -> q79Oracle,
     "q83_combined_keepers" -> q83Oracle,
     "q87_quantized_rerank" -> q87Oracle,
-    "q156_knn_graph" -> q156Oracle)
+    "q156_knn_graph" -> q156Oracle,
+    "q165_jl_sketch" -> q165Oracle)
 }

@@ -19,7 +19,7 @@ import graft.queries.Relational.{exprSum, moneySum}
   */
 object FormatQueries {
 
-  private def tmp(spark: SparkSession, tag: String, dir: String): String =
+  private[sources] def tmp(spark: SparkSession, tag: String, dir: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_rt_${tag}_" +
       s"${spark.sparkContext.applicationId}_${math.abs(dir.hashCode)}"
 
@@ -293,7 +293,56 @@ object FormatQueries {
        |GROUP BY 1 ORDER BY anio""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // q164 — DYNAMIC partition overwrite: the storage semantic behind
+  // "recompute one day": overwrite mode with partitionOverwriteMode=
+  // dynamic (set per-write, never on the shared session) replaces ONLY
+  // the partition directories present in the incoming frame — a static
+  // overwrite would wipe the whole table and a recompute job that
+  // touches one day must not destroy the other 29. Day 19740's rows
+  // are re-derived with corrected values (value·2 — exact in IEEE, so
+  // the oracle's CASE replays it bit-identically) and written dynamic;
+  // the read-back per-day aggregate proves every other day survived
+  // byte-identical and only the recomputed day changed. DynOverSpec
+  // additionally pins the FILES of an untouched partition as unchanged
+  // (the aggregate alone can't distinguish rewrite-same-bytes from
+  // untouched).
+  // Scale notes (100 TB): this is the nightly-backfill primitive for a
+  // date-partitioned fact — the write manifest scales with the days
+  // touched, not the table; combined with q63/q145 pruning the whole
+  // recompute reads and writes one partition.
+  val OverwriteDay = 19740L
+
+  def q164DynamicOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp(spark, "dynover", dir)
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"),
+        expr("CAST(ts AS LONG) DIV 86400").as("day"), col("value"))
+    ev.write.mode("overwrite").partitionBy("day").parquet(path)
+    ev.filter(col("day") === OverwriteDay)
+      .withColumn("value", col("value") * 2)
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day").parquet(path)
+    spark.read.parquet(path)
+      .groupBy(col("day").cast("bigint").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(24, 6)))
+          .cast("double").as("sum_value"))
+      .orderBy(col("day"))
+  }
+
+  val q164Oracle: String =
+    s"""SELECT CAST(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 86400
+       |    AS BIGINT) AS day,
+       |  COUNT(*) AS n_events,
+       |  CAST(SUM(CAST(CASE
+       |    WHEN CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 86400
+       |      = $OverwriteDay THEN value * 2 ELSE value END
+       |    AS DECIMAL(24,6))) AS DOUBLE) AS sum_value
+       |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q164_dynamic_overwrite" -> q164DynamicOverwrite,
     "q145_dynamic_pruning" -> q145DynamicPruning,
     "q129_bucketed_join" -> q129BucketedJoin,
     "q54_csv_roundtrip" -> q54CsvRoundtrip,
@@ -304,6 +353,7 @@ object FormatQueries {
     "q64_schema_evolution" -> q64SchemaEvolution)
 
   def oracleSql: Map[String, String] = Map(
+    "q164_dynamic_overwrite" -> q164Oracle,
     "q145_dynamic_pruning" -> q145Oracle,
     "q129_bucketed_join" -> q129Oracle,
     "q54_csv_roundtrip" -> q54Oracle,

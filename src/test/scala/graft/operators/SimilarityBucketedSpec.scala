@@ -45,6 +45,34 @@ class SimilarityBucketedSpec extends SparkSpec {
     }
   }
 
+  test("q165 sketch cosines match a brute-force projection; JL error stays bounded") {
+    val vecs = graft.sources.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.round(x.toDouble * 1e6)).toArray).toMap
+    def proj(v: Array[Long]): Array[Long] =
+      Similarity.pairPlanes.map(p => p.indices.map(i => v(i) * p(i)).sum)
+    val rows = Similarity.q165JlSketch(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { case (a, b, _, cs) =>
+      val (pa, pb) = (proj(vecs(a)), proj(vecs(b)))
+      val dot = pa.zip(pb).map { case (x, y) => x * y }.sum.toDouble
+      val expected = r6(dot / math.sqrt(pa.map(x => x * x).sum.toDouble) /
+        math.sqrt(pb.map(x => x * x).sum.toDouble))
+      assert(cs == expected, s"pair ($a,$b) sketch cosine drifted")
+    }
+    // JL sanity: the 16-plane sketch stays in the ~1/sqrt(k) error
+    // regime ON AVERAGE (individual pairs can and do stray — one
+    // sf0.001 pair's sketch cosine is negative; that is the lossiness
+    // the fidelity report exists to expose, not a bug)
+    val errs = rows.map { case (_, _, co, cs) => math.abs(co - cs) }
+    assert(errs.sum / errs.length < 0.4,
+      s"mean JL error ${errs.sum / errs.length} out of regime")
+  }
+
   test("q79 keepers and the full pair scan's discards partition the vectors") {
     val discards = Similarity.bandedPairScan(spark, dir, None)
       .select("vec_b").distinct().collect().map(_.getLong(0)).toSet
