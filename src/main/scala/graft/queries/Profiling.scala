@@ -103,11 +103,62 @@ object Profiling {
        |ORDER BY col_name""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // q166 — MERGEABLE distinct-count profiling via HLL sketches
+  // (Apache DataSketches HllSketch, the `hll_sketch_agg` family added
+  // in Spark 3.5): one partial sketch of user_id per event_type, then
+  // `hll_union_agg` merges the partials into the global estimate
+  // WITHOUT re-scanning — the commutative-merge property that makes
+  // sketch profiling the 100-TB form (each shard/partition aggregates
+  // its own sketch; merging k sketches is O(k·2^lgK) driver work, vs
+  // q39's exact form which shuffles every distinct value). The oracle
+  // cannot replay DataSketches bit-for-bit, so the query emits the
+  // EXACT ndv per group (DuckDB-verified) plus an `est_ok` flag
+  // asserting the sketch estimate lands within 5% — same
+  // fidelity-report contract as q165's JL sketch. The exact column
+  // exists for the gate; production keeps only the sketches.
+  def q166HllProfile(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def okFlag(est: org.apache.spark.sql.Column,
+               exact: org.apache.spark.sql.Column) =
+      (abs(est.cast("double") - exact.cast("double")) <=
+        exact.cast("double") * 0.05).as("est_ok")
+    // One pass builds the partial sketches AND the per-group exact ndv.
+    val per = ev.groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        countDistinct(col("user_id")).as("exact_ndv"))
+    val perRows = per.select(col("event_type"), col("exact_ndv"),
+      okFlag(hll_sketch_estimate(col("sk")), col("exact_ndv")))
+    // The merge path: union the per-group partials — no event re-scan.
+    val merged = per.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val totalExact = ev.agg(countDistinct(col("user_id")).as("exact_ndv"))
+    // 1-row × 1-row combine on a constant key — equi-join, so it plans
+    // a broadcast HASH join and stays inside the nested-loop lock.
+    val totalRow = merged.withColumn("k", lit(1))
+      .join(totalExact.withColumn("k", lit(1)), Seq("k"))
+      .select(lit("__ALL__").as("event_type"), col("exact_ndv"),
+        okFlag(col("est"), col("exact_ndv")))
+    perRows.unionByName(totalRow).orderBy(col("event_type"))
+  }
+
+  val q166Oracle: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS exact_ndv,
+      |  TRUE AS est_ok
+      |FROM events GROUP BY event_type
+      |UNION ALL
+      |SELECT '__ALL__' AS event_type, COUNT(DISTINCT user_id) AS exact_ndv,
+      |  TRUE AS est_ok
+      |FROM events
+      |ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_profile_ndv" -> q39ProfileNdv,
-    "q101_dq_report" -> q101DqReport)
+    "q101_dq_report" -> q101DqReport,
+    "q166_hll_profile" -> q166HllProfile)
 
   def oracleSql: Map[String, String] = Map(
     "q39_profile_ndv" -> q39Oracle,
-    "q101_dq_report" -> q101Oracle)
+    "q101_dq_report" -> q101Oracle,
+    "q166_hll_profile" -> q166Oracle)
 }

@@ -294,6 +294,75 @@ object StreamingQueries {
       |ORDER BY event_a, event_b""".stripMargin
 
   // --------------------------------------------------------------------
+  // q167 — watermarked stream-stream LEFT OUTER join: q73's
+  // action→reaction correlation, but events with NO follow-up within 10
+  // minutes must also emit (with a null reaction) — the "un-actioned
+  // event" report a real-time alerting pipeline runs. Outer emission is
+  // watermark-gated: a left row's null result is released only once the
+  // watermark proves no future right row can match it (raw-bound
+  // analysis: ts_a + 11 min < watermark), which is exactly the state
+  // eviction point — so join state stays bounded by the watermark
+  // horizon AND the outer semantics are deterministic. Rows younger
+  // than (max ts − 30 min − 11 min) are still held in state when the
+  // finite source drains and emit NOTHING — the oracle expresses that
+  // cutoff in micros-precision epoch arithmetic, making the
+  // held-back set hash-exact rather than fixture-tuned.
+  // The no-data micro-batch that follows the last data batch (enabled
+  // by default) is what flushes the evictable outer rows; StreamingSpec
+  // pins all three row classes (matched / null-emitted / held-back).
+  // Scale notes (100 TB/day): identical state shape to q73 — both
+  // sides shuffle on user_id, state per key bounded by the 41-minute
+  // horizon; the outer flush adds no state, only an eviction-time
+  // emit. Watermark delay tunes the latency/completeness trade.
+  def q167StreamOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ss = EventsStreaming.streamSession(spark)
+    val a = EventsStreaming.readEventsStream(ss, dir)
+      .select(col("event_id").as("event_a"), col("user_id"), col("ts").as("ts_a"))
+      .withWatermark("ts_a", "30 minutes")
+    val b = EventsStreaming.readEventsStream(ss, dir)
+      .select(col("event_id").as("event_b"), col("user_id").as("user_b"),
+        col("ts").as("ts_b"))
+      .withWatermark("ts_b", "30 minutes")
+    val joined = a.join(b,
+      col("user_id") === col("user_b") &&
+        col("ts_b") >= col("ts_a") - expr("INTERVAL 1 SECOND") &&
+        col("ts_b") <= col("ts_a") + expr("INTERVAL 11 MINUTES") &&
+        col("ts_b").cast("long") > col("ts_a").cast("long") &&
+        col("ts_b").cast("long") <= col("ts_a").cast("long") + 600,
+      "leftOuter")
+      .select(col("user_id"), col("event_a"), col("event_b"),
+        (col("ts_b").cast("long") - col("ts_a").cast("long")).as("gap_sec"))
+    EventsStreaming.runToMemory(joined, "q167_mem")
+      .orderBy(col("event_a"), col("event_b"))
+  }
+
+  val q167Oracle: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id,
+      |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |wm AS (SELECT max(us) - 1800000000 AS w FROM e),
+      |matched AS (
+      |  SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
+      |    b.sec - a.sec AS gap_sec
+      |  FROM e a JOIN e b
+      |    ON a.user_id = b.user_id AND b.sec > a.sec AND b.sec <= a.sec + 600),
+      |unmatched AS (
+      |  SELECT a.user_id, a.event_id AS event_a,
+      |    CAST(NULL AS BIGINT) AS event_b, CAST(NULL AS BIGINT) AS gap_sec
+      |  FROM e a
+      |  WHERE NOT EXISTS (
+      |      SELECT 1 FROM e b
+      |      WHERE b.user_id = a.user_id
+      |        AND b.sec > a.sec AND b.sec <= a.sec + 600)
+      |    AND a.us + 660000000 < (SELECT w FROM wm))
+      |SELECT * FROM matched
+      |UNION ALL
+      |SELECT * FROM unmatched
+      |ORDER BY event_a, event_b""".stripMargin
+
+  // --------------------------------------------------------------------
   // q80 — streaming ingestion into partitioned parquet shards via
   // foreachBatch: the streaming dual of q78's batch shard writer, and
   // the file-SINK coverage the other streaming queries (memory sink)
@@ -764,6 +833,7 @@ object StreamingQueries {
     "q151_stream_hopping" -> q151StreamHopping,
     "q72_stream_dedup" -> q72StreamDedup,
     "q73_stream_join" -> q73StreamJoin,
+    "q167_stream_outer_join" -> q167StreamOuterJoin,
     "q80_stream_shard_sink" -> q80StreamShardSink,
     "q84_stream_dedup_watermark" -> q84StreamDedupWatermark,
     "q88_stream_curation_gate" -> q88StreamCurationGate,
@@ -780,6 +850,7 @@ object StreamingQueries {
     "q151_stream_hopping" -> q151Oracle,
     "q72_stream_dedup" -> q72Oracle,
     "q73_stream_join" -> q73Oracle,
+    "q167_stream_outer_join" -> q167Oracle,
     "q80_stream_shard_sink" -> q80Oracle,
     "q84_stream_dedup_watermark" -> q84Oracle,
     "q88_stream_curation_gate" -> q88Oracle,

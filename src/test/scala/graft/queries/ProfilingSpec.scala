@@ -6,6 +6,28 @@ class ProfilingSpec extends SparkSpec {
 
   val dir = "/root/testdata/sf0.001"
 
+  test("q166: merged per-group HLL sketches match a monolithic sketch") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Tables
+    val ev = Tables.events(spark, dir)
+    // Merging the per-event_type partials must give the SAME estimate as
+    // one sketch over the whole column — the commutative-merge property
+    // the 100-TB profile relies on (shard-local sketches, no re-scan).
+    val merged = ev.groupBy("event_type")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .collect().head.getLong(0)
+    val mono = ev.agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))))
+      .collect().head.getLong(0)
+    assert(merged === mono, s"merged $merged vs monolithic $mono")
+  }
+
+  test("q166: every est_ok flag is true and the ALL row is present") {
+    val rows = Profiling.q166HllProfile(spark, dir).collect()
+    assert(rows.map(_.getString(0)).contains("__ALL__"))
+    rows.foreach(r => assert(r.getBoolean(2), s"estimate out of band: $r"))
+  }
+
   test("HLL approximate NDVs land within 10% of exact") {
     val exact = Profiling.q39ProfileNdv(spark, dir).collect().head
     val approx = Profiling.approxProfile(spark, dir).collect().head

@@ -89,6 +89,26 @@ class StreamingSpec extends SparkSpec {
     assert(got.select(col("event_id")).distinct().count() == base.count())
   }
 
+  test("q167 outer join emits all three row classes at the watermark gate") {
+    val out = StreamingQueries.q167StreamOuterJoin(spark, dir)
+    val rows = out.collect()
+    val matched = rows.count(r => !r.isNullAt(2))
+    val nullEmitted = rows.count(r => r.isNullAt(2))
+    // the inner rows must be exactly q73's result
+    val inner = StreamingQueries.q73StreamJoin(spark, dir).collect()
+    assert(matched === inner.length,
+      s"outer join's matched set $matched != inner join ${inner.length}")
+    assert(nullEmitted > 0, "watermark flush emitted no outer rows")
+    // the held-back class: unmatched events inside the final 41-minute
+    // horizon stay in state and must NOT appear
+    val emittedA = rows.map(_.getLong(1)).toSet
+    val allEvents = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id")).collect().map(_.getLong(0)).toSet
+    val heldBack = allEvents -- emittedA
+    assert(heldBack.nonEmpty,
+      "every event emitted — the watermark gate is not holding the tail")
+  }
+
   test("stream shard sink writes real shard dirs and reruns deterministically") {
     val a = StreamingQueries.q80StreamShardSink(spark, dir).collect()
     assert(a.nonEmpty)
