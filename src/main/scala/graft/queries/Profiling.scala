@@ -133,10 +133,14 @@ object Profiling {
     val merged = per.agg(
       hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
     val totalExact = ev.agg(countDistinct(col("user_id")).as("exact_ndv"))
-    // 1-row × 1-row combine on a constant key — equi-join, so it plans
-    // a broadcast HASH join and stays inside the nested-loop lock.
-    val totalRow = merged.withColumn("k", lit(1))
-      .join(totalExact.withColumn("k", lit(1)), Seq("k"))
+    // 1-row × 1-row combine on an optimizer-OPAQUE key (a plain lit(1)
+    // folds via FoldablePropagation and the join collapses to the
+    // banned cartesian — see graft.plans.Opaque): equi-join, so it
+    // plans a broadcast HASH join and stays inside the nested-loop lock.
+    val totalRow = merged
+      .withColumn("k", graft.plans.Opaque.zeroKey(col("est").cast("long")))
+      .join(totalExact
+        .withColumn("k", graft.plans.Opaque.zeroKey(col("exact_ndv"))), Seq("k"))
       .select(lit("__ALL__").as("event_type"), col("exact_ndv"),
         okFlag(col("est"), col("exact_ndv")))
     perRows.unionByName(totalRow).orderBy(col("event_type"))

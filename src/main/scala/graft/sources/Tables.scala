@@ -30,20 +30,32 @@ object Tables {
     val schema = schemaCache.computeIfAbsent((dir, name),
       _ => spark.read.parquet(path).schema)
     val df = spark.read.schema(schema).parquet(path)
-    if (name == "events") normalizeNanoTs(df) else df
+    if (name == "events") normalizeEventsTs(df) else df
   }
 
-  /** The events table carries parquet TIMESTAMP(NANOS) which Spark only
-    * reads as a nanosecond long (`spark.sql.legacy.parquet.nanosAsLong`,
-    * set in Verify/Bench/tests). Surface it at Spark's native µs
-    * precision; nanos within the same µs truncate, matching a
-    * `CAST(ts_ns AS TIMESTAMP)` in DuckDB.
+  /** Surface events.ts as session-zoned TIMESTAMP regardless of how the
+    * generator physically encoded it — the encoding has changed across
+    * testdata generations and the engine must read both:
+    *  - parquet TIMESTAMP(NANOS): Spark only reads it as a nanosecond
+    *    long (`spark.sql.legacy.parquet.nanosAsLong`, set in
+    *    Verify/Bench/tests) → truncate to µs, matching DuckDB's
+    *    `CAST(ts_ns AS TIMESTAMP)`.
+    *  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4
+    *    infers TIMESTAMP_NTZ, which rejects `CAST(ts AS BIGINT)` →
+    *    cast to the session-zoned type (sessions pin UTC, so the
+    *    wall-clock values are unchanged — the same ones DuckDB reads).
+    *  - already session-zoned TIMESTAMP: no-op.
     */
-  private def normalizeNanoTs(df: DataFrame): DataFrame =
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
-      .map(_ => df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000"))))
-      .getOrElse(df)
+  def normalizeEventsTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 
   /** Register every table as a temp view so `spark.sql` works too. */
   def registerAll(spark: SparkSession, dir: String): Unit =

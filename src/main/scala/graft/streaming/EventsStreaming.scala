@@ -18,24 +18,33 @@ import org.apache.spark.sql.types._
   */
 object EventsStreaming {
 
-  /** Events schema as Structured Streaming needs it declared up front.
-    * `ts` arrives as nanosecond int64 (see Tables.normalizeNanoTs). */
+  /** Events schema with `ts` already normalized to session-zoned
+    * TIMESTAMP — what [[readEventsStream]] surfaces and what staging
+    * blocks that rewrite the events table should write. */
   val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("event_id", LongType), StructField("ts", TimestampType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
   def readEventsStream(spark: SparkSession, dir: String,
       glob: String = "events.parquet",
-      options: Map[String, String] = Map.empty): DataFrame =
+      options: Map[String, String] = Map.empty): DataFrame = {
     // the file-stream source lists a DIRECTORY; the glob filter scopes
     // it to the events table. `glob`/`options` let specs stage multiple
     // files and force micro-batch boundaries (maxFilesPerTrigger).
-    spark.readStream.schema(eventsSchema)
-      .option("pathGlobFilter", glob)
-      .options(options)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // Structured Streaming requires the schema declared up front, but
+    // the generator's physical ts encoding has changed across testdata
+    // generations (int64 nanos vs TIMESTAMP_NTZ micros) — so take the
+    // schema from the files themselves (one driver-side footer read)
+    // and normalize ts the same way the batch loader does.
+    val fileSchema = spark.read
+      .option("pathGlobFilter", glob).parquet(dir).schema
+    graft.sources.Tables.normalizeEventsTs(
+      spark.readStream.schema(fileSchema)
+        .option("pathGlobFilter", glob)
+        .options(options)
+        .parquet(dir))
+  }
 
   /** Tumbling 1-hour windowed counts/sums with a 30-minute watermark —
     * the streaming form of EventsQueries.q23.

@@ -101,15 +101,17 @@ object StreamingQueries {
     val fs = new org.apache.hadoop.fs.Path(stage)
       .getFileSystem(ss.sessionState.newHadoopConf())
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
-    val raw = ss.read.schema(EventsStreaming.eventsSchema)
-      .parquet(s"$dir/events.parquet")
+    // stage through the batch loader so ts is normalized TIMESTAMP no
+    // matter how the generator encoded it; both staged batches then
+    // carry the schema readEventsStream infers back from the files
+    val raw = graft.sources.Tables.events(ss, dir)
     raw.coalesce(1).write.parquet(s"$stage/b1.parquet")
     // flush batch: one synthetic event per user, 30 days past the max
-    // raw event time (ts is NANOS here — the stream reader converts)
-    val maxTs = raw.agg(max(col("ts"))).head().getLong(0)
+    // raw event time — its only job is to advance the watermark
+    val maxSec = raw.agg(max(col("ts").cast("long"))).head().getLong(0)
     raw.select(col("user_id")).distinct()
       .select((-col("user_id") - 1).as("event_id"),
-        lit(maxTs + 30L * 86400 * 1000000000L).as("ts"), col("user_id"),
+        timestamp_seconds(lit(maxSec + 30L * 86400)).as("ts"), col("user_id"),
         lit("flush").as("event_type"), lit(0.0).as("value"),
         lit(null).cast("string").as("props"))
       .coalesce(1).write.parquet(s"$stage/b2.parquet")
