@@ -41,8 +41,14 @@ object Bench {
     // fill 22.5 s, q95 span-explode 9.4 s) landed in the public number
     // while the builder's probes showed 1.5–3.4 s / 1.3–2.6 s steady.
     // The warm budget only bounds a pathological hang (ambient load can
-    // 3× this box); past it remaining queries run cold but still timed.
+    // 3× this box). Past it the remaining queries DEGRADE rather than
+    // run stone-cold: a small-SF warm pass still pays the per-plan
+    // Janino + JIT cost (the 0.3–2 s fixed tier — round-8's driver run
+    // exhausted the budget mid-alphabet and every later query's timed
+    // number silently absorbed it) at a bounded per-query price.
     val warmBudgetNs = 600e9.toLong
+    val warmFallbackDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
+      "/root/testdata/sf0.001")
     var warmSpentNs = 0L
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       spark.catalog.clearCache()
@@ -52,6 +58,9 @@ object Bench {
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => }
         warmSpentNs += System.nanoTime() - w0
+      } else {
+        try fn(spark, warmFallbackDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => }
       }
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -1092,7 +1092,53 @@ object Curation {
       |    + 1 AS BIGINT) AS seq
       |FROM rk x ORDER BY seq""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q168 — k-ANONYMITY suppression gate: a release-side privacy pass.
+  // Every document carries a quasi-identifier tuple (lang, source,
+  // n_chars length bucket); a document may ship only if at least K
+  // documents share its exact tuple — smaller groups are suppressed,
+  // so no released row is distinguishable below cohort size K. This is
+  // the group-size dual of q70's in-text PII scrub: q70 redacts
+  // content, q168 suppresses rows whose metadata is identifying.
+  // Scale notes (100 TB): ONE shuffle — the cohort size is a count
+  // window over the quasi-id partition (groupBy + join-back would
+  // shuffle the corpus twice on the same key). Partition size = cohort
+  // size, bounded by the bucket granularity; the K filter then prunes
+  // scan-side of the next stage. The final orderBy is
+  // presentation-only.
+  val AnonK = 5
+
+  /** The gate itself, over any frame carrying the quasi-id columns —
+    * shared with KAnonymitySpec so the boundary test exercises the
+    * production operator, not a re-derivation.
+    */
+  private[operators] def kAnonymityGate(keyed: DataFrame, k: Int): DataFrame =
+    keyed.withColumn("cohort_n", count(lit(1)).over(
+        Window.partitionBy(col("lang"), col("source"), col("len_bucket"))))
+      .filter(col("cohort_n") >= k)
+
+  def q168KAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.documentsSharded(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr("n_chars div 100").as("len_bucket"))
+    kAnonymityGate(keyed, AnonK).orderBy(col("doc_id"))
+  }
+
+  val q168Oracle: String =
+    s"""WITH k AS (
+       |  SELECT doc_id, lang, source,
+       |    CAST(floor(n_chars / 100) AS BIGINT) AS len_bucket
+       |  FROM documents),
+       |sz AS (
+       |  SELECT lang, source, len_bucket, COUNT(*) AS cohort_n
+       |  FROM k GROUP BY 1, 2, 3)
+       |SELECT doc_id, lang, source, len_bucket, cohort_n
+       |FROM k JOIN sz USING (lang, source, len_bucket)
+       |WHERE cohort_n >= $AnonK
+       |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_k_anonymity" -> q168KAnonymity,
     "q160_interleave_order" -> q160InterleaveOrder,
     "q148_source_entropy" -> q148SourceEntropy,
     "q149_temperature_mixture" -> q149TemperatureMixture,
@@ -1114,6 +1160,7 @@ object Curation {
     "q104_token_mixture" -> q104TokenMixture)
 
   def oracleSql: Map[String, String] = Map(
+    "q168_k_anonymity" -> q168Oracle,
     "q160_interleave_order" -> q160Oracle,
     "q148_source_entropy" -> q148Oracle,
     "q149_temperature_mixture" -> q149Oracle,

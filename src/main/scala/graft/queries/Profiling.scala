@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.sources.Tables
 
@@ -156,13 +157,122 @@ object Profiling {
       |FROM events
       |ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q169 — MERGEABLE quantile profiling: `approx_percentile` (the
+  // KLL-style mergeable summary behind Spark's approximate quantiles)
+  // per event_type against the exact interpolated percentile, under
+  // the q165/q166 fidelity-report contract — the oracle cannot replay
+  // the sketch bit-for-bit, so the query emits the EXACT quantile
+  // (DuckDB-verified; both engines linearly interpolate at rank
+  // q·(n−1)) plus an `est_ok` flag asserting the sketch answer lands
+  // inside the tolerance. Production keeps only the sketches: the
+  // per-partition summaries merge commutatively, so a 100-TB profile
+  // is one pass + an O(groups·summary) reduce — the exact form
+  // shuffles every value to sort inside its group.
+  val QuantileQs: Seq[Double] = Seq(0.5, 0.9, 0.99)
+
+  /** Rank tolerance for the fidelity flag: the estimate must land at a
+    * value whose RANK is within ±2% of the requested quantile — the
+    * shape of `approx_percentile`'s actual guarantee (it returns a
+    * real data point at a rank within ε·n of the target; a VALUE-based
+    * band breaks whenever the distribution's tail is sparse).
+    */
+  val QuantileRankTol = 0.02
+
+  def q169QuantileProfile(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val qsArr = array(QuantileQs.map(lit): _*)
+    val loArr = array(QuantileQs.map(q => lit(math.max(q - QuantileRankTol, 0.0))): _*)
+    val hiArr = array(QuantileQs.map(q => lit(math.min(q + QuantileRankTol, 1.0))): _*)
+    val per = ev.groupBy(col("event_type"))
+      .agg(percentile(col("value"), qsArr).as("exact"),
+        percentile(col("value"), loArr).as("lo"),
+        percentile(col("value"), hiArr).as("hi"),
+        approx_percentile(col("value"), qsArr, lit(10000)).as("est"))
+    per.select(col("event_type"),
+        explode(arrays_zip(qsArr.as("q"), col("exact"), col("lo"), col("hi"),
+          col("est"))).as("z"))
+      .select(col("event_type"), col("z.q").as("q"),
+        // round through DECIMAL so the hash compare cannot drift on the
+        // interpolation's last ulp
+        col("z.exact").cast(DecimalType(24, 4)).cast("double").as("exact_q"),
+        (col("z.est") >= col("z.lo") && col("z.est") <= col("z.hi")).as("est_ok"))
+      .orderBy(col("event_type"), col("q"))
+  }
+
+  val q169Oracle: String =
+    """SELECT event_type, q, exact_q, TRUE AS est_ok FROM (
+      |  SELECT event_type, CAST(0.5 AS DOUBLE) AS q,
+      |    CAST(CAST(quantile_cont(value, 0.5) AS DECIMAL(24,4)) AS DOUBLE) AS exact_q
+      |  FROM events GROUP BY event_type
+      |  UNION ALL
+      |  SELECT event_type, CAST(0.9 AS DOUBLE) AS q,
+      |    CAST(CAST(quantile_cont(value, 0.9) AS DECIMAL(24,4)) AS DOUBLE) AS exact_q
+      |  FROM events GROUP BY event_type
+      |  UNION ALL
+      |  SELECT event_type, CAST(0.99 AS DOUBLE) AS q,
+      |    CAST(CAST(quantile_cont(value, 0.99) AS DECIMAL(24,4)) AS DOUBLE) AS exact_q
+      |  FROM events GROUP BY event_type)
+      |ORDER BY event_type, q""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q170 — heavy hitters through a QUERYABLE Count-Min sketch: the
+  // built-in `count_min_sketch` aggregate builds one serialized sketch
+  // per event_type, and the native [[graft.functions.CountMinEstimate]]
+  // expression probes it IN-PLAN (Spark ships the builder but no query
+  // function — without the expression the probe needs a driver-side
+  // collect, which would break plan laziness). The probe keys are the
+  // exact top-3 users per type; `est_ok` asserts the CMS contract
+  // (estimate never under-counts; over-counts by at most ε·N at the
+  // configured confidence). The exact column exists for the gate;
+  // production keeps only the sketches, which merge commutatively
+  // across shards — the 100-TB heavy-hitter form.
+  // Scale notes: the sketch agg is map-side partial (state = one
+  // ε=0.001 sketch per task per group); the probe joins a
+  // group-cardinality sketch frame to k probe rows — never the event
+  // stream. The per-type rank window partitions on event_type.
+  val CmsEps = 0.001
+  val CmsTopK = 3
+
+  def q170CmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+    val top = ev.groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("exact_n"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("event_type"))
+        .orderBy(col("exact_n").desc, col("user_id"))).cast("int"))
+      .filter(col("rk") <= CmsTopK)
+    val sketches = ev.groupBy(col("event_type"))
+      .agg(count_min_sketch(col("user_id"), lit(CmsEps), lit(0.99), lit(42)).as("sk"),
+        count(lit(1)).as("n_tot"))
+    val est = graft.functions.CountMinEstimate.cms_estimate(col("sk"), col("user_id"))
+    top.join(sketches, Seq("event_type"))
+      .select(col("event_type"), col("user_id"), col("rk"), col("exact_n"),
+        (est >= col("exact_n") &&
+          est <= col("exact_n") + ceil(lit(CmsEps) * col("n_tot")).cast("long"))
+          .as("est_ok"))
+      .orderBy(col("event_type"), col("rk"))
+  }
+
+  val q170Oracle: String =
+    s"""SELECT event_type, user_id, rk, exact_n, TRUE AS est_ok FROM (
+       |  SELECT event_type, user_id, COUNT(*) AS exact_n,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+       |      ORDER BY COUNT(*) DESC, user_id) AS INTEGER) AS rk
+       |  FROM events GROUP BY event_type, user_id)
+       |WHERE rk <= $CmsTopK ORDER BY event_type, rk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_profile_ndv" -> q39ProfileNdv,
     "q101_dq_report" -> q101DqReport,
-    "q166_hll_profile" -> q166HllProfile)
+    "q166_hll_profile" -> q166HllProfile,
+    "q169_quantile_profile" -> q169QuantileProfile,
+    "q170_cms_heavy_hitters" -> q170CmsHeavyHitters)
 
   def oracleSql: Map[String, String] = Map(
     "q39_profile_ndv" -> q39Oracle,
     "q101_dq_report" -> q101Oracle,
-    "q166_hll_profile" -> q166Oracle)
+    "q166_hll_profile" -> q166Oracle,
+    "q169_quantile_profile" -> q169Oracle,
+    "q170_cms_heavy_hitters" -> q170Oracle)
 }

@@ -28,6 +28,23 @@ class ProfilingSpec extends SparkSpec {
     rows.foreach(r => assert(r.getBoolean(2), s"estimate out of band: $r"))
   }
 
+  test("q169: mergeable quantile summaries stay inside the fidelity band") {
+    import org.apache.spark.sql.functions._
+    val rows = Profiling.q169QuantileProfile(spark, dir).collect()
+    assert(rows.length == 5 * Profiling.QuantileQs.length)
+    rows.foreach(r => assert(r.getBoolean(3), s"quantile estimate out of band: $r"))
+    // exact_q really is the interpolated percentile: recompute p50 for
+    // one group by hand
+    val vals = graft.sources.Tables.events(spark, dir)
+      .filter(col("event_type") === "click").select("value")
+      .collect().map(_.getDouble(0)).sorted
+    val idx = 0.5 * (vals.length - 1)
+    val lo = vals(idx.toInt)
+    val expected = lo + (idx - idx.toInt) * (vals(math.ceil(idx).toInt) - lo)
+    val got = rows.find(r => r.getString(0) == "click" && r.getDouble(1) == 0.5).get.getDouble(2)
+    assert(math.abs(got - expected) < 1e-3, s"p50 $got vs $expected")
+  }
+
   test("HLL approximate NDVs land within 10% of exact") {
     val exact = Profiling.q39ProfileNdv(spark, dir).collect().head
     val approx = Profiling.approxProfile(spark, dir).collect().head
