@@ -1137,7 +1137,92 @@ object Curation {
        |WHERE cohort_n >= $AnonK
        |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q172 — corpus-level BOILERPLATE SCRUB with text reconstruction
+  // (the C4-style line-dedup pass, over this corpus's 8-token
+  // segments since the synthetic text has no newlines): a segment that
+  // appears verbatim in >= BoilerplateMinDocs distinct documents is
+  // boilerplate (headers, footers, nav chrome at web scale) and is
+  // removed from EVERY document; the surviving segments are re-joined
+  // in original order. Documents whose every segment is boilerplate
+  // drop out entirely. This differs from q95 (which MEASURES the
+  // duplicated-span fraction) and q138 (which RANKS candidate 5-grams)
+  // — q172 performs the edit and emits the cleaned corpus.
+  // Scale notes (100 TB): segments are built scan-side (split +
+  // sequence/slice/array_join — no shuffle); the boilerplate set is a
+  // hash agg on the segment key; the removal is a shuffled left-anti
+  // join on the same key (AQE broadcasts when the set is small); the
+  // rebuild groups on doc_id. No window touches corpus-sized
+  // partitions and nothing is collected. The final orderBy is
+  // presentation-only.
+  val BoilerplateMinDocs = 3
+  val SegTokens = 8
+
+  def q172BoilerplateScrub(spark: SparkSession, dir: String): DataFrame =
+    boilerplateScrub(Tables.documentsSharded(spark, dir), BoilerplateMinDocs)
+      .orderBy(col("doc_id"))
+
+  /** The scrub over any (doc_id, text) frame — shared with
+    * BoilerplateScrubSpec so the fixture tests drive the production
+    * operator.
+    */
+  private[operators] def boilerplateScrub(docs: DataFrame, minDocs: Int): DataFrame = {
+    val arr = split(col("text"), " ")
+    val nSeg = ceil(size(arr).cast("double") / SegTokens).cast("int")
+    val segArr = transform(sequence(lit(0), greatest(nSeg, lit(1)) - 1),
+      i => array_join(slice(arr, i * SegTokens + 1, lit(SegTokens)), " "))
+    val segs = docs
+      .select(col("doc_id"), posexplode(segArr).as(Seq("seg_pos", "seg")))
+      .filter(length(col("seg")) > 0) // guard the empty-text edge
+    val boiler = segs.groupBy(col("seg"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("seg"))
+    val kept = segs.join(boiler, Seq("seg"), "left_anti")
+    val total = segs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_segs"))
+    kept.groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(array_sort(collect_list(
+          struct(col("seg_pos"), col("seg")))), s => s("seg")), " ")
+          .as("clean_text"),
+        count(lit(1)).as("n_kept"))
+      .join(total, Seq("doc_id"))
+      .select(col("doc_id"), col("clean_text"), col("n_kept"),
+        (col("n_segs") - col("n_kept")).as("n_dropped"))
+  }
+
+  /** DuckDB lacks WITH ORDINALITY; the ord index rides a bounded range
+    * join instead (tokens per doc are far below the 100k cap at any
+    * sf — n_chars is ~5 chars/token).
+    */
+  val q172Oracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+       |t2 AS (
+       |  SELECT doc_id, i AS ord, arr[i] AS tok
+       |  FROM toks JOIN (SELECT CAST(range AS BIGINT) AS i
+       |                  FROM range(1, 100000)) r ON i <= len(arr)),
+       |segs AS (
+       |  SELECT doc_id, CAST(floor((ord-1)/$SegTokens) AS BIGINT) AS seg_pos,
+       |    string_agg(tok, ' ' ORDER BY ord) AS seg
+       |  FROM t2 GROUP BY doc_id, CAST(floor((ord-1)/$SegTokens) AS BIGINT)),
+       |boiler AS (
+       |  SELECT seg FROM segs GROUP BY seg
+       |  HAVING COUNT(DISTINCT doc_id) >= $BoilerplateMinDocs),
+       |kept AS (
+       |  SELECT * FROM segs WHERE seg NOT IN (SELECT seg FROM boiler)),
+       |total AS (
+       |  SELECT doc_id, COUNT(*) AS n_segs FROM segs GROUP BY doc_id)
+       |SELECT k.doc_id,
+       |  string_agg(k.seg, ' ' ORDER BY k.seg_pos) AS clean_text,
+       |  COUNT(*) AS n_kept,
+       |  CAST(MIN(t.n_segs) - COUNT(*) AS BIGINT) AS n_dropped
+       |FROM kept k JOIN total t ON k.doc_id = t.doc_id
+       |GROUP BY k.doc_id
+       |ORDER BY k.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q172_boilerplate_scrub" -> q172BoilerplateScrub,
     "q168_k_anonymity" -> q168KAnonymity,
     "q160_interleave_order" -> q160InterleaveOrder,
     "q148_source_entropy" -> q148SourceEntropy,
@@ -1160,6 +1245,7 @@ object Curation {
     "q104_token_mixture" -> q104TokenMixture)
 
   def oracleSql: Map[String, String] = Map(
+    "q172_boilerplate_scrub" -> q172Oracle,
     "q168_k_anonymity" -> q168Oracle,
     "q160_interleave_order" -> q160Oracle,
     "q148_source_entropy" -> q148Oracle,
