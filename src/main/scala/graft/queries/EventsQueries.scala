@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.sources.Tables
 import graft.queries.Relational.exprSum
@@ -477,7 +478,134 @@ object EventsQueries {
       |  round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
       |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q173 — recency-DECAYED user value, top-k per event_type through the
+  // native TopKByLong aggregate: each event contributes
+  // value · 1/(1 + age_days) relative to the corpus's newest event, the
+  // per-(type, user) scores accumulate through DECIMAL so engine sum
+  // order cannot drift them, and the per-type top-5 ships as PARTIAL
+  // aggregate state (≤ k rows per map task — the q57 rationale; a rank
+  // window would shuffle every user row). The decay weight is a pure
+  // IEEE division on an integer age, so Spark and DuckDB compute
+  // bit-identical terms; round(…, 8) is the shared HALF_UP contract.
+  // The reference anchor ts (a 1-row max) joins through the
+  // optimizer-opaque key so the whole query stays ONE lazy plan.
+  // Scale notes (100 TB): two hash aggs (type,user → type) plus the
+  // 1-row anchor join — no window, nothing collected, partial agg
+  // bounds shuffle at k rows/task.
+  val DecayTopK = 3
+
+  def q173DecayedValue(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"),
+        col("ts").cast("long").as("sec"), col("value"))
+    val anchor = ev.agg(max(col("sec")).as("mx_sec"))
+      .withColumn("_k", graft.plans.Opaque.zeroKey(col("mx_sec")))
+    val scored = ev.withColumn("_k", graft.plans.Opaque.zeroKey(col("sec")))
+      .join(anchor, Seq("_k"))
+      .withColumn("age_days", expr("(mx_sec - sec) div 86400"))
+      .withColumn("term",
+        round(col("value") / (col("age_days") + 1), 8)
+          .cast(DecimalType(24, 8)))
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(col("term")).cast("double").as("score"))
+    scored.groupBy(col("event_type"))
+      .agg(graft.functions.TopKByLong.topk_by(
+        col("score"), col("user_id"), DecayTopK).as("top_users"))
+      .select(col("event_type"),
+        posexplode(col("top_users")).as(Seq("pos", "user_id")))
+      .select(col("event_type"), (col("pos") + 1).cast("int").as("rk"),
+        col("user_id"))
+      .orderBy(col("event_type"), col("rk"))
+  }
+
+  val q173Oracle: String =
+    s"""WITH e AS (
+       |  SELECT event_type, user_id,
+       |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec, value
+       |  FROM events),
+       |m AS (SELECT MAX(sec) AS mx_sec FROM e),
+       |s AS (
+       |  SELECT event_type, user_id,
+       |    CAST(SUM(CAST(round(value / (1 + CAST(floor((m.mx_sec - sec) / 86400.0)
+       |      AS BIGINT)), 8) AS DECIMAL(24,8))) AS DOUBLE) AS score
+       |  FROM e, m GROUP BY event_type, user_id)
+       |SELECT event_type, rk, user_id FROM (
+       |  SELECT event_type, user_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+       |      ORDER BY score DESC, user_id) AS INTEGER) AS rk
+       |  FROM s)
+       |WHERE rk <= $DecayTopK ORDER BY event_type, rk""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q174 — per-group OLS TREND (least-squares slope/intercept of value
+  // over time): the drift detector a data pipeline runs per segment.
+  // Everything reduces to the five classical sums — n, Σx, Σy, Σxy,
+  // Σx² — which are EXACT here: x is an integer second offset from the
+  // group's own first event (the offset join keeps x² inside long
+  // range; absolute epochs would overflow per-term), y carries 2
+  // decimals so x·y is exact in a double and accumulates through
+  // DECIMAL. Slope/intercept then evaluate in double from identical
+  // exact sums on both engines, rounded on the shared HALF_UP
+  // contract.
+  // Scale notes (100 TB): one agg for the per-group offset (a
+  // group-cardinality dim frame, broadcast back), one agg for the
+  // sums; no window, nothing collected.
+  def q174GroupTrend(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("ts").cast("long").as("sec"), col("value"))
+    val base = ev.groupBy(col("event_type")).agg(min(col("sec")).as("min_sec"))
+    val xy = ev.join(broadcast(base), Seq("event_type"))
+      .withColumn("x", col("sec") - col("min_sec"))
+    val sums = xy.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).cast(DecimalType(38, 0)).as("sx"),
+      sum(col("value").cast(DecimalType(24, 6))).as("sy"),
+      sum((col("x") * col("value")).cast(DecimalType(38, 6))).as("sxy"),
+      sum(col("x") * col("x")).cast(DecimalType(38, 0)).as("sxx"))
+    sums.select(col("event_type"), col("n"),
+        // divide in DOUBLE: a decimal quotient's scale truncates a
+        // per-second slope (~1e-6) to quantized steps on the Spark side
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("slope_raw"),
+        col("sx").cast("double").as("sxd"), col("sy").cast("double").as("syd"))
+      .select(col("event_type"), col("n"),
+        round(col("slope_raw") * 86400, 8).as("slope_per_day"),
+        round((col("syd") - col("slope_raw") * col("sxd")) / col("n"), 6)
+          .as("intercept"))
+      .orderBy(col("event_type"))
+  }
+
+  val q174Oracle: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec, value
+      |  FROM events),
+      |b AS (SELECT event_type, MIN(sec) AS min_sec FROM e GROUP BY event_type),
+      |xy AS (
+      |  SELECT e.event_type, e.sec - b.min_sec AS x, e.value
+      |  FROM e JOIN b ON e.event_type = b.event_type),
+      |s AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+      |    SUM(CAST(value AS DECIMAL(24,6))) AS sy,
+      |    SUM(CAST(x * value AS DECIMAL(38,6))) AS sxy,
+      |    CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx
+      |  FROM xy GROUP BY event_type),
+      |r AS (
+      |  SELECT event_type, n,
+      |    CAST(n * sxy - sx * sy AS DOUBLE) /
+      |      CAST(n * sxx - sx * sx AS DOUBLE) AS slope_raw,
+      |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+      |  FROM s)
+      |SELECT event_type, n, round(slope_raw * 86400, 8) AS slope_per_day,
+      |  round((syd - slope_raw * sxd) / n, 6) AS intercept
+      |FROM r ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q173_decayed_value" -> q173DecayedValue,
+    "q174_group_trend" -> q174GroupTrend,
     "q142_trailing_wau" -> q142TrailingWau,
     "q130_transitions" -> q130Transitions,
     "q132_hopping_windows" -> q132HoppingWindows,
@@ -492,6 +620,8 @@ object EventsQueries {
     "q162_retractable_agg" -> q162RetractableAgg)
 
   def oracleSql: Map[String, String] = Map(
+    "q173_decayed_value" -> q173Oracle,
+    "q174_group_trend" -> q174Oracle,
     "q142_trailing_wau" -> q142Oracle,
     "q130_transitions" -> q130Oracle,
     "q132_hopping_windows" -> q132Oracle,
