@@ -328,9 +328,15 @@ object TextAnalysis {
         round(-log((col("cnt_bg").cast("double") + 1.0) /
           (col("cnt_ctx").cast("double") + col("vsz"))), 6)
           .cast(org.apache.spark.sql.types.DecimalType(28, 6)).as("bg_nll"))
+    // emit the EXACT decimal sum, not a rounded average: the average's
+    // final double division lands exactly on .5 rounding boundaries
+    // for real docs (sf0.1 docs 361/4599: 67.766590/20, 34.078655/10)
+    // and Spark's BigDecimal-exact round disagrees with DuckDB's there.
+    // avg = sum_nll / n_bigrams is recoverable by any consumer.
     nll.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
-        round(sum(col("bg_nll")).cast("double") / count(lit(1)), 6).as("avg_nll"))
+        sum(col("bg_nll")).cast(
+          org.apache.spark.sql.types.DecimalType(28, 6)).as("sum_nll"))
       .orderBy(col("doc_id"))
   }
 
@@ -357,7 +363,7 @@ object TextAnalysis {
       |      AS DECIMAL(28,6)) AS bg_nll
       |  FROM bg JOIN cbg USING (prev, cur) JOIN cctx USING (prev))
       |SELECT doc_id, count(*) AS n_bigrams,
-      |  round(CAST(sum(bg_nll) AS DOUBLE) / count(*), 6) AS avg_nll
+      |  CAST(sum(bg_nll) AS DECIMAL(28,6)) AS sum_nll
       |FROM nll GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------

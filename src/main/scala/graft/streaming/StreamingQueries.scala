@@ -78,10 +78,13 @@ object StreamingQueries {
   // built-in `session_window` aggregation instead of hand-rolled
   // flatMapGroupsWithState — Spark merges overlapping [t, t+gap)
   // intervals in the state store itself. Event times are truncated to
-  // whole seconds BEFORE windowing so the merge boundary (next event
-  // exactly gap after the previous ⇒ NEW session, a >= break — note:
-  // one-off from q46's > break) is integer-exact in both engines; the
-  // window end is last-event + gap by definition. Session windows only
+  // whole seconds BEFORE windowing so the merge boundary is
+  // integer-exact in both engines — and that boundary MERGES touching
+  // windows: an event exactly gap seconds after the previous falls on
+  // the prior window's half-open end and Spark still coalesces the two
+  // (observed on sf0.1 user 511, gap = exactly 1800 s), so the break
+  // condition is a STRICT > — the same break as q46's custom state.
+  // The window end is last-event + gap by definition. Session windows only
   // support APPEND mode, which emits a session when the watermark
   // passes its end — so a finite stream would hold back every user's
   // LAST session forever. The fixture is therefore staged as two
@@ -151,7 +154,7 @@ object StreamingQueries {
       |  FROM e),
       |s AS (
       |  SELECT *,
-      |    CAST(SUM(CASE WHEN prev IS NULL OR sec - prev >= 1800
+      |    CAST(SUM(CASE WHEN prev IS NULL OR sec - prev > 1800
       |      THEN 1 ELSE 0 END)
       |      OVER (PARTITION BY user_id ORDER BY sec
       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)

@@ -30,14 +30,14 @@ class BigramLmSpec extends SparkSpec {
       val nlls = g.map { case (_, p, c) =>
         r6(-math.log((cbg((p, c)) + 1.0) / (cctx(p) + v)))
       }
-      id -> (g.length.toLong, r6(nlls.sum.toDouble / g.length).toDouble)
+      id -> (g.length.toLong, nlls.sum)
     }
     val got = TextAnalysis.q158BigramLmScore(spark, dir).collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      .map(r => r.getLong(0) -> (r.getLong(1), BigDecimal(r.getDecimal(2)))).toMap
     assert(got.keySet == expected.keySet)
     expected.foreach { case (id, (n, nll)) =>
       assert(got(id)._1 == n, s"doc $id bigram count")
-      assert(math.abs(got(id)._2 - nll) < 1e-9, s"doc $id nll: ${got(id)._2} vs $nll")
+      assert(got(id)._2 == nll, s"doc $id sum_nll: ${got(id)._2} vs $nll")
     }
   }
 
@@ -48,7 +48,8 @@ class BigramLmSpec extends SparkSpec {
       (2L, "alpha beta alpha beta alpha beta"),
       (3L, "alpha gamma beta delta gamma alpha")).toDF("doc_id", "text")
     val out = TextAnalysis.bigramLmScore(frame).collect()
-      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      .map(r => r.getLong(0) ->
+        (BigDecimal(r.getDecimal(2)) / r.getLong(1))).toMap
     assert(!out.contains(1L), "a 1-token doc produced a bigram row")
     assert(out(2L) < out(3L),
       "the repeated-bigram doc must score a LOWER mean NLL than the novel-bigram doc")

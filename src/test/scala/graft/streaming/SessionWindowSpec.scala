@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
 /** q146: native session windows must equal a batch gap-islands
-  * recomputation (>= 1800s break, second-truncated), and the staged
-  * flush batch must never leak into the output.
+  * recomputation (STRICT > 1800s break — session_window merges
+  * touching windows, pinned by the exact-gap fixture below), and the
+  * staged flush batch must never leak into the output.
   */
 class SessionWindowSpec extends SparkSpec {
 
@@ -24,7 +25,7 @@ class SessionWindowSpec extends SparkSpec {
     val expected = e
       .withColumn("prev", lag(col("sec"), 1).over(w))
       .withColumn("brk",
-        when(col("prev").isNull || col("sec") - col("prev") >= 1800, 1L)
+        when(col("prev").isNull || col("sec") - col("prev") > 1800, 1L)
           .otherwise(0L))
       .withColumn("sid", sum(col("brk")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -49,5 +50,28 @@ class SessionWindowSpec extends SparkSpec {
         assert(s2 >= e1, "sessions overlap — windows failed to merge")
       }
     }
+  }
+
+  test("an event exactly gap seconds after the previous MERGES (touching windows coalesce)") {
+    import spark.implicits._
+    val fixtureDir = java.nio.file.Files
+      .createTempDirectory("graft_sw_gap").toString
+    // user 1: gap exactly 1800 → one session; user 2: 1801 → two
+    Seq(
+      (1L, 1704067200L, 1L, "view", 1.0, null.asInstanceOf[String]),
+      (2L, 1704069000L, 1L, "view", 1.0, null.asInstanceOf[String]),
+      (3L, 1704067200L, 2L, "view", 1.0, null.asInstanceOf[String]),
+      (4L, 1704069001L, 2L, "view", 1.0, null.asInstanceOf[String]))
+      .toDF("event_id", "sec", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), timestamp_seconds(col("sec")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .coalesce(1).write.parquet(s"$fixtureDir/events.parquet")
+    val got = StreamingQueries.q146StreamSessionWindow(spark, fixtureDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 1704067200L, 1704070800L, 2L),
+      (2L, 1704067200L, 1704069000L, 1L),
+      (2L, 1704069001L, 1704070801L, 1L)),
+      s"boundary semantics drifted: ${got.toSeq}")
   }
 }
