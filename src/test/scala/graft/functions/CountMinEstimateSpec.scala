@@ -37,6 +37,17 @@ class CountMinEstimateSpec extends SparkSpec {
     assert(under == 0L, s"$under keys under-counted")
   }
 
+  test("cms_estimate is SQL-registered via GraftExtensions") {
+    graft.GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq(1L, 1L, 2L).toDF("k").createOrReplaceTempView("cms_in")
+    val est = spark.sql(
+      """SELECT cms_estimate(sk, 1L) AS e FROM (
+        |  SELECT count_min_sketch(k, 0.01d, 0.9d, 1) AS sk FROM cms_in)""".stripMargin)
+      .head().getLong(0)
+    assert(est == 2L)
+  }
+
   test("null sketch or null item yields null") {
     import spark.implicits._
     val sk = Seq(1L).toDF("k")
