@@ -691,7 +691,83 @@ object TextAnalysis {
       |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q175 — COLLOCATION mining by pointwise mutual information: which
+  // adjacent token pairs co-occur far more than their unigram
+  // frequencies predict (the multi-word-expression detector a
+  // tokenizer-training pipeline runs before merging tokens — PMI-high
+  // pairs are merge candidates with statistical support, vs q140's raw
+  // count ranking). PMI = ln(N_bg · c(a,b) / (c(a·) · c(·b))) over
+  // corpus totals; pairs below MinPairCount are noise and are gated
+  // out BEFORE ranking. The PMI value is rounded to 6 decimals and the
+  // rank runs ON THE ROUNDED value with a deterministic (prev, cur)
+  // tiebreak, so a last-ulp ln() divergence between engines cannot
+  // flip the ordering (the q158 rounding contract applied to ranking).
+  // Scale notes (100 TB): three hash aggs (pair, left-unigram,
+  // right-unigram) + two broadcast-sized joins on the unigram keys +
+  // one corpus-total 1-row opaque join; the rank window partitions on
+  // a constant-free single group of MinPairCount survivors — bounded
+  // by vocabulary², further gated by the count threshold; at a real
+  // 100-TB vocab the top-k would ride TopKByLong instead of a window,
+  // same contract as q173.
+  val MinPairCount = 5
+  val PmiTopK = 20
+
+  def q175PmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documentsSharded(spark, dir)
+      .select(col("doc_id"), tokens(lower(trim(col("text")))).as("t"))
+    val bg = toks.select(explode(when(size(col("t")) >= 2,
+        expr("transform(sequence(1, size(t) - 1), " +
+          "i -> struct(element_at(t, i) AS prev, element_at(t, i + 1) AS cur))"))
+      .otherwise(array().cast("array<struct<prev:string,cur:string>>"))).as("bg"))
+      .select(col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+    val pair = bg.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c_ab"))
+    val left = bg.groupBy(col("prev")).agg(count(lit(1)).as("c_a"))
+    val right = bg.groupBy(col("cur")).agg(count(lit(1)).as("c_b"))
+    val total = bg.agg(count(lit(1)).as("n_bg"))
+      .select(col("n_bg"), graft.plans.Opaque.zeroKey(col("n_bg")).as("_k"))
+    val pmi = pair.filter(col("c_ab") >= MinPairCount)
+      .join(left, Seq("prev")).join(right, Seq("cur"))
+      .withColumn("_k", graft.plans.Opaque.zeroKey(col("c_ab")))
+      .join(total, Seq("_k"))
+      .select(col("prev"), col("cur"), col("c_ab"),
+        round(log((col("n_bg") * col("c_ab")).cast("double") /
+          (col("c_a") * col("c_b")).cast("double")), 6).as("pmi"))
+    pmi.withColumn("rk", row_number().over(Window
+        .partitionBy(lit(0)) // single bounded group — survivors only
+        .orderBy(col("pmi").desc, col("prev"), col("cur"))).cast("int"))
+      .filter(col("rk") <= PmiTopK)
+      .select(col("rk"), col("prev"), col("cur"), col("c_ab"), col("pmi"))
+      .orderBy(col("rk"))
+  }
+
+  val q175Oracle: String =
+    s"""WITH l AS (
+       |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents),
+       |bg AS (
+       |  SELECT
+       |    unnest(list_transform(range(1, len(t)), i -> t[i])) AS prev,
+       |    unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS cur
+       |  FROM l),
+       |pair AS (SELECT prev, cur, COUNT(*) AS c_ab FROM bg GROUP BY 1, 2),
+       |lft AS (SELECT prev, COUNT(*) AS c_a FROM bg GROUP BY 1),
+       |rgt AS (SELECT cur, COUNT(*) AS c_b FROM bg GROUP BY 1),
+       |tot AS (SELECT COUNT(*) AS n_bg FROM bg),
+       |pmi AS (
+       |  SELECT prev, cur, c_ab,
+       |    round(ln(CAST(n_bg * c_ab AS DOUBLE) / CAST(c_a * c_b AS DOUBLE)), 6)
+       |      AS pmi
+       |  FROM pair JOIN lft USING (prev) JOIN rgt USING (cur), tot
+       |  WHERE c_ab >= $MinPairCount)
+       |SELECT rk, prev, cur, c_ab, pmi FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (
+       |    ORDER BY pmi DESC, prev, cur) AS INTEGER) AS rk
+       |  FROM pmi)
+       |WHERE rk <= $PmiTopK ORDER BY rk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q175_pmi_collocations" -> q175PmiCollocations,
     "q152_array_surface" -> q152ArraySurface,
     "q144_inverted_index" -> q144InvertedIndex,
     "q138_boilerplate" -> q138Boilerplate,
@@ -709,6 +785,7 @@ object TextAnalysis {
     "q158_bigram_lm_score" -> q158BigramLmScore)
 
   def oracleSql: Map[String, String] = Map(
+    "q175_pmi_collocations" -> q175Oracle,
     "q152_array_surface" -> q152Oracle,
     "q144_inverted_index" -> q144Oracle,
     "q138_boilerplate" -> q138Oracle,

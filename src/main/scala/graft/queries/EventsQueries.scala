@@ -603,7 +603,53 @@ object EventsQueries {
       |  round((syd - slope_raw * sxd) / n, 6) AS intercept
       |FROM r ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q176 — event-RATE anomaly hours: which hours' event counts sit more
+  // than 3 population standard deviations from their type's hourly
+  // mean — the volume-spike/outage monitor a pipeline runs over ingest
+  // telemetry. The 3σ test is ALL-INTEGER: |c − μ| > 3σ with μ = S1/n
+  // and σ² = (n·S2 − S1²)/n² is equivalent to
+  // (n·c − S1)² > 9·(n·S2 − S1²), every term an exact long — no
+  // double ever enters the flag, so the two engines cannot diverge
+  // even at a boundary (the q112 z-score query reports MAGNITUDES and
+  // rounds; this one only DECIDES, so it gets to stay integer).
+  // Scale notes (100 TB): two hash aggs (type×hour, then type) and a
+  // broadcast-sized join of per-type stats back onto hour rows.
+  def q176RateAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .select(col("event_type"), expr("CAST(ts AS LONG) div 3600").as("hr"))
+      .groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("cnt"))
+    val stats = hourly.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n_hours"), sum(col("cnt")).as("s1"),
+      sum(col("cnt") * col("cnt")).as("s2"))
+    hourly.join(broadcast(stats), Seq("event_type"))
+      .filter(
+        (col("n_hours") * col("cnt") - col("s1")) *
+          (col("n_hours") * col("cnt") - col("s1")) >
+          lit(9L) * (col("n_hours") * col("s2") - col("s1") * col("s1")))
+      .select(col("event_type"), (col("hr") * 3600).as("hour_start_sec"),
+        col("cnt"), col("n_hours"))
+      .orderBy(col("event_type"), col("hour_start_sec"))
+  }
+
+  val q176Oracle: String =
+    """WITH h AS (
+      |  SELECT event_type,
+      |    CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) AS hr,
+      |    COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |s AS (
+      |  SELECT event_type, COUNT(*) AS n_hours, SUM(cnt) AS s1,
+      |    SUM(cnt * cnt) AS s2
+      |  FROM h GROUP BY 1)
+      |SELECT h.event_type, h.hr * 3600 AS hour_start_sec, h.cnt, s.n_hours
+      |FROM h JOIN s USING (event_type)
+      |WHERE (s.n_hours * h.cnt - s.s1) * (s.n_hours * h.cnt - s.s1)
+      |  > 9 * (s.n_hours * s.s2 - s.s1 * s.s1)
+      |ORDER BY event_type, hour_start_sec""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q176_rate_anomalies" -> q176RateAnomalies,
     "q173_decayed_value" -> q173DecayedValue,
     "q174_group_trend" -> q174GroupTrend,
     "q142_trailing_wau" -> q142TrailingWau,
@@ -620,6 +666,7 @@ object EventsQueries {
     "q162_retractable_agg" -> q162RetractableAgg)
 
   def oracleSql: Map[String, String] = Map(
+    "q176_rate_anomalies" -> q176Oracle,
     "q173_decayed_value" -> q173Oracle,
     "q174_group_trend" -> q174Oracle,
     "q142_trailing_wau" -> q142Oracle,

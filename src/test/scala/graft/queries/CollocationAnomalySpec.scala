@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** q175/q176 against full in-memory recomputations on sf0.001: the PMI
+  * top-k list (values and order) and the integer 3σ anomaly set,
+  * cross-checked against its floating-point z-score formulation.
+  */
+class CollocationAnomalySpec extends SparkSpec {
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("q175 reproduces a brute-force PMI ranking") {
+    val texts = graft.sources.Tables.documents(spark, dir)
+      .select("text").collect().map(_.getString(0).toLowerCase.trim)
+    val bigrams = texts.flatMap { t =>
+      val toks = t.split(" ", -1)
+      toks.zip(toks.drop(1))
+    }
+    val cAb = bigrams.groupBy(identity).map { case (k, g) => k -> g.length }
+    val cA = bigrams.groupBy(_._1).map { case (k, g) => k -> g.length }
+    val cB = bigrams.groupBy(_._2).map { case (k, g) => k -> g.length }
+    val n = bigrams.length.toDouble
+    def r6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val expected = cAb.toSeq
+      .filter(_._2 >= graft.operators.TextAnalysis.MinPairCount)
+      .map { case ((a, b), ab) =>
+        (a, b, ab.toLong, r6(math.log(n * ab / (cA(a).toDouble * cB(b)))))
+      }
+      .sortBy { case (a, b, _, p) => (-p, a, b) }
+      .take(graft.operators.TextAnalysis.PmiTopK)
+      .zipWithIndex
+      .map { case ((a, b, ab, p), i) => (i + 1, a, b, ab, p.toDouble) }
+    val got = graft.operators.TextAnalysis.q175PmiCollocations(spark, dir)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.toSeq == expected, s"\n got=${got.toSeq}\n exp=$expected")
+  }
+
+  test("q176's integer 3-sigma test agrees with the floating-point z-score form") {
+    val hours = graft.sources.Tables.events(spark, dir)
+      .select(col("event_type"), expr("CAST(ts AS LONG) div 3600").as("hr"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).map { case ((t, h), g) => (t, h, g.length.toLong) }
+      .toSeq
+    val expected = hours.groupBy(_._1).flatMap { case (t, g) =>
+      val cs = g.map(_._3.toDouble)
+      val mu = cs.sum / cs.length
+      val sigma = math.sqrt(cs.map(c => (c - mu) * (c - mu)).sum / cs.length)
+      g.filter { case (_, _, c) => math.abs(c - mu) > 3 * sigma }
+        .map { case (_, h, c) => (t, h * 3600, c) }
+    }.toSet
+    val got = EventsQueries.q176RateAnomalies(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected, s"\n got=$got\n exp=$expected")
+  }
+}
