@@ -648,7 +648,82 @@ object EventsQueries {
       |  > 9 * (s.n_hours * s.s2 - s.s1 * s.s1)
       |ORDER BY event_type, hour_start_sec""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q178 — SESSIONIZED funnel: q24's gap-islands composed with q98's
+  // staged-progression semantics, but the time bound is the SESSION
+  // itself — a user converts in-session when a click follows the
+  // session's first view and a purchase follows that click, all inside
+  // one 30-minute-gap island. Per-session funnels are what product
+  // analytics actually reports (q98's per-user form can chain stages
+  // across days); the composition exercises sessionization feeding a
+  // staged min-filter chain, all co-located on user_id.
+  // Scale notes (100 TB): one user-partitioned window (q24's islands),
+  // then three (user, session)-keyed aggs chained by equi-joins on the
+  // SAME key — the shuffles co-locate, and AQE broadcasts the
+  // shrinking stage frames. No global window, nothing collected.
+  def q178SessionFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sess = Tables.events(spark, dir)
+      .withColumn("sec", col("ts").cast("long"))
+      .withColumn("prev_sec", lag(col("sec"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_sec").isNull || col("sec") - col("prev_sec") > 1800, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("user_id"), col("sid"), col("event_type"), col("sec"))
+    val k = Seq("user_id", "sid")
+    val v = sess.filter(col("event_type") === "view")
+      .groupBy(k.map(col): _*).agg(min(col("sec")).as("v_sec"))
+    val c = sess.filter(col("event_type") === "click").join(v, k)
+      .filter(col("sec") > col("v_sec"))
+      .groupBy(k.map(col): _*).agg(min(col("sec")).as("c_sec"))
+    val p = sess.filter(col("event_type") === "purchase").join(c, k)
+      .filter(col("sec") > col("c_sec"))
+      .groupBy(k.map(col): _*).agg(min(col("sec")).as("p_sec"))
+    val bounds = sess.groupBy(k.map(col): _*)
+      .agg(min(col("sec")).as("session_start_sec"))
+    v.join(c, k, "left").join(p, k, "left").join(bounds, k)
+      .select(col("user_id"), col("sid"), col("session_start_sec"),
+        (lit(1) + when(col("c_sec").isNotNull, 1).otherwise(0)
+          + when(col("p_sec").isNotNull, 1).otherwise(0)).as("stage"))
+      .orderBy(col("user_id"), col("sid"))
+  }
+
+  val q178Oracle: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_type,
+      |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec,
+      |    CAST(SUM(CASE WHEN prev IS NULL OR sec2 - prev > 1800 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS sid
+      |  FROM (
+      |    SELECT user_id, event_id, event_type, ts,
+      |      CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec2,
+      |      lag(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT))
+      |        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |    FROM events)),
+      |v AS (SELECT user_id, sid, min(sec) AS v_sec FROM flagged
+      |      WHERE event_type = 'view' GROUP BY 1, 2),
+      |c AS (SELECT f.user_id, f.sid, min(sec) AS c_sec
+      |      FROM flagged f JOIN v USING (user_id, sid)
+      |      WHERE event_type = 'click' AND sec > v_sec GROUP BY 1, 2),
+      |p AS (SELECT f.user_id, f.sid, min(sec) AS p_sec
+      |      FROM flagged f JOIN c USING (user_id, sid)
+      |      WHERE event_type = 'purchase' AND sec > c_sec GROUP BY 1, 2),
+      |b AS (SELECT user_id, sid, min(sec) AS session_start_sec
+      |      FROM flagged GROUP BY 1, 2)
+      |SELECT v.user_id, v.sid, b.session_start_sec,
+      |  1 + CASE WHEN c.c_sec IS NOT NULL THEN 1 ELSE 0 END
+      |    + CASE WHEN p.p_sec IS NOT NULL THEN 1 ELSE 0 END AS stage
+      |FROM v LEFT JOIN c USING (user_id, sid) LEFT JOIN p USING (user_id, sid)
+      |JOIN b USING (user_id, sid)
+      |ORDER BY user_id, sid""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q178_session_funnel" -> q178SessionFunnel,
     "q176_rate_anomalies" -> q176RateAnomalies,
     "q173_decayed_value" -> q173DecayedValue,
     "q174_group_trend" -> q174GroupTrend,
@@ -666,6 +741,7 @@ object EventsQueries {
     "q162_retractable_agg" -> q162RetractableAgg)
 
   def oracleSql: Map[String, String] = Map(
+    "q178_session_funnel" -> q178Oracle,
     "q176_rate_anomalies" -> q176Oracle,
     "q173_decayed_value" -> q173Oracle,
     "q174_group_trend" -> q174Oracle,

@@ -262,7 +262,54 @@ object Profiling {
        |  FROM events GROUP BY event_type, user_id)
        |WHERE rk <= $CmsTopK ORDER BY event_type, rk""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q177 — JOIN-KEY SKEW report: the pre-flight a pipeline runs before
+  // a big shuffle join to decide whether a key needs salting or an AQE
+  // skew hint. One pass builds per-key frequencies; the global top-5
+  // heaviest keys ship as TopKByLong PARTIAL-aggregate state (k rows
+  // per map task — no rank window, no global sort), alongside the key
+  // count and total rows. The output is ALL-INTEGER (key, cnt, n_keys,
+  // total_rows) — the skew ratio cnt·n_keys/total_rows is derivable,
+  // and emitting only integers means no rounding contract at all.
+  // Scale notes (100 TB): one hash agg on the key + one 5-row
+  // broadcast join back for the counts; the 1-row stats frame rides
+  // the optimizer-opaque key.
+  val SkewTopK = 5
+
+  def q177KeySkewReport(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(
+      graft.functions.TopKByLong.topk_by(
+        col("cnt").cast("double"), col("l_orderkey"), SkewTopK).as("top"),
+      count(lit(1)).as("n_keys"), sum(col("cnt")).as("total_rows"))
+    val top = stats
+      .select(posexplode(col("top")).as(Seq("pos", "l_orderkey")),
+        col("n_keys"), col("total_rows"))
+      .select(col("l_orderkey"), (col("pos") + 1).cast("int").as("rk"),
+        col("n_keys"), col("total_rows"))
+    top.join(counts, Seq("l_orderkey"))
+      .select(col("rk"), col("l_orderkey"), col("cnt"),
+        col("n_keys"), col("total_rows"))
+      .orderBy(col("rk"))
+  }
+
+  val q177Oracle: String =
+    s"""WITH counts AS (
+       |  SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+       |s AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       |    CAST(SUM(cnt) AS BIGINT) AS total_rows
+       |  FROM counts)
+       |SELECT rk, l_orderkey, cnt, n_keys, total_rows FROM (
+       |  SELECT l_orderkey, cnt,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, l_orderkey) AS INTEGER)
+       |      AS rk
+       |  FROM counts), s
+       |WHERE rk <= $SkewTopK ORDER BY rk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q177_key_skew_report" -> q177KeySkewReport,
     "q39_profile_ndv" -> q39ProfileNdv,
     "q101_dq_report" -> q101DqReport,
     "q166_hll_profile" -> q166HllProfile,
@@ -270,6 +317,7 @@ object Profiling {
     "q170_cms_heavy_hitters" -> q170CmsHeavyHitters)
 
   def oracleSql: Map[String, String] = Map(
+    "q177_key_skew_report" -> q177Oracle,
     "q39_profile_ndv" -> q39Oracle,
     "q101_dq_report" -> q101Oracle,
     "q166_hll_profile" -> q166Oracle,
