@@ -766,7 +766,58 @@ object TextAnalysis {
        |  FROM pmi)
        |WHERE rk <= $PmiTopK ORDER BY rk""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q179 — VOCAB-CONSTRAINED rewrite: q141 measures OOV; q179 performs
+  // the edit — every token outside the frequency-built top-16 vocab is
+  // replaced by the `<unk>` sentinel and the document re-joined in
+  // order, the preprocessing a fixed-vocab tokenizer applies before
+  // training. The vocab rides a 1-row collect_list array through the
+  // optimizer-opaque join (membership is order-independent, so the
+  // array needs no canonical ordering), and the rewrite is ONE
+  // scan-side transform over the split array — the lambda references
+  // only the materialized vocab column, keeping it out of the
+  // per-element re-evaluation trap.
+  // Scale notes (100 TB): vocab build = one combining agg + TakeOrdered
+  // (production: 32k–256k entries, still one broadcast row); the
+  // rewrite adds ZERO shuffles on the corpus side.
+  def q179UnkRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsSharded(spark, dir)
+    val ex = docs.select(explode(tokens(col("text"))).as("tok"))
+    val vocabArr = ex.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(16)
+      .agg(collect_list(col("tok")).as("vocab"))
+      .select(col("vocab"),
+        graft.plans.Opaque.zeroKey(size(col("vocab")).cast("long")).as("_k"))
+    docs.withColumn("_k", graft.plans.Opaque.zeroKey(col("n_chars")))
+      .join(vocabArr, Seq("_k"))
+      .select(col("doc_id"),
+        array_join(transform(tokens(col("text")),
+          t => when(array_contains(col("vocab"), t), t).otherwise(lit("<unk>"))),
+          " ").as("unk_text"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        size(filter(tokens(col("text")),
+          t => !array_contains(col("vocab"), t))).cast("long").as("n_oov"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q179Oracle: String =
+    """WITH ex AS (
+      |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |vocab AS (
+      |  SELECT tok FROM (SELECT tok, COUNT(*) AS cnt FROM ex GROUP BY tok)
+      |  ORDER BY cnt DESC, tok LIMIT 16),
+      |vl AS (SELECT list(tok) AS v FROM vocab)
+      |SELECT doc_id,
+      |  array_to_string(list_transform(string_split(text, ' '),
+      |    t -> CASE WHEN list_contains(v, t) THEN t ELSE '<unk>' END), ' ')
+      |    AS unk_text,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_filter(string_split(text, ' '),
+      |    t -> NOT list_contains(v, t))) AS BIGINT) AS n_oov
+      |FROM documents, vl ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q179_unk_rewrite" -> q179UnkRewrite,
     "q175_pmi_collocations" -> q175PmiCollocations,
     "q152_array_surface" -> q152ArraySurface,
     "q144_inverted_index" -> q144InvertedIndex,
@@ -785,6 +836,7 @@ object TextAnalysis {
     "q158_bigram_lm_score" -> q158BigramLmScore)
 
   def oracleSql: Map[String, String] = Map(
+    "q179_unk_rewrite" -> q179Oracle,
     "q175_pmi_collocations" -> q175Oracle,
     "q152_array_surface" -> q152Oracle,
     "q144_inverted_index" -> q144Oracle,

@@ -722,7 +722,43 @@ object EventsQueries {
       |JOIN b USING (user_id, sid)
       |ORDER BY user_id, sid""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q180 — CONVERSATION assembly: fold each user's event log into one
+  // ordered transcript document — the chat/interaction-format assembly
+  // step of a dialog training pipeline (events → "turn" lines →
+  // per-conversation document). Turn lines are `event_type#k` (the
+  // JSON props key; the double `value` stays out of the text so no
+  // float-to-string formatting contract is needed), ordered by
+  // microsecond event time with event_id as the total-order tiebreak;
+  // the fold is collect_list + one array_sort on a (us, event_id,
+  // line) struct — sorts lexicographically by field order, so the
+  // struct IS the sort key.
+  // Scale notes (100 TB): one shuffle (groupBy user); per-group state
+  // is the user's own turn list — the same bound any transcript
+  // assembly has to hold in memory to emit a document. No window.
+  def q180ConversationAssembly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"),
+      unix_micros(col("ts")).as("us"), col("event_id"),
+      concat_ws("#", col("event_type"),
+        coalesce(get_json_object(col("props"), "$.k"), lit("-"))).as("line"))
+    ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_turns"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("us"), col("event_id"), col("line")))),
+          s => s("line")), " | ").as("transcript"))
+      .orderBy(col("user_id"))
+  }
+
+  val q180Oracle: String =
+    """SELECT user_id, COUNT(*) AS n_turns,
+      |  string_agg(
+      |    event_type || '#' || COALESCE(json_extract_string(props, '$.k'), '-'),
+      |    ' | ' ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+      |    AS transcript
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q180_conversation_assembly" -> q180ConversationAssembly,
     "q178_session_funnel" -> q178SessionFunnel,
     "q176_rate_anomalies" -> q176RateAnomalies,
     "q173_decayed_value" -> q173DecayedValue,
@@ -741,6 +777,7 @@ object EventsQueries {
     "q162_retractable_agg" -> q162RetractableAgg)
 
   def oracleSql: Map[String, String] = Map(
+    "q180_conversation_assembly" -> q180Oracle,
     "q178_session_funnel" -> q178Oracle,
     "q176_rate_anomalies" -> q176Oracle,
     "q173_decayed_value" -> q173Oracle,
