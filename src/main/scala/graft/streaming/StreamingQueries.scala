@@ -477,6 +477,42 @@ object StreamingQueries {
       .options(options)
       .parquet(dir)
 
+  // --------------------------------------------------------------------
+  // q181 — STREAMING privacy gate: q168's k-anonymity suppression
+  // applied at INGEST. The cohort statistics are published from the
+  // reference corpus as a static frame (the same split a production
+  // gate uses — cohort sizes change on the corpus release cadence, not
+  // per arriving row), and each streamed document passes iff its
+  // quasi-identifier tuple joins a cohort of size >= K. The
+  // stream-static inner equi-join is STATELESS — no watermark, no
+  // state store — which is exactly why the gate belongs at ingest:
+  // per-row cost is one broadcast-hash probe.
+  // Scale notes (100 TB/day): the static side is cohort-cardinality
+  // (bounded by the quasi-id space) and broadcasts; the stream side
+  // never shuffles. Oracle = q168's batch semantics, since each doc
+  // arrives exactly once.
+  def q181StreamPrivacyGate(spark: SparkSession, dir: String): DataFrame = {
+    val ss = EventsStreaming.streamSession(spark)
+    val cohorts = graft.sources.Tables.documents(ss, dir)
+      .select(col("lang"), col("source"),
+        expr("n_chars div 100").as("len_bucket"))
+      .groupBy(col("lang"), col("source"), col("len_bucket"))
+      .agg(count(lit(1)).as("cohort_n"))
+      .filter(col("cohort_n") >= graft.operators.Curation.AnonK)
+    val arriving = readDocumentsStream(ss, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr("n_chars div 100").as("len_bucket"))
+    val gated = arriving.join(broadcast(cohorts),
+      Seq("lang", "source", "len_bucket"))
+    EventsStreaming.runToMemory(gated, "q181_mem")
+      .select(col("doc_id"), col("lang"), col("source"), col("len_bucket"),
+        col("cohort_n"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Batch/stream parity: q168's oracle, verbatim. */
+  val q181Oracle: String = graft.operators.Curation.q168Oracle
+
   def q88StreamCurationGate(spark: SparkSession, dir: String): DataFrame = {
     val ss = EventsStreaming.streamSession(spark)
     val gated = graft.operators.Curation.rowLocalGate(readDocumentsStream(ss, dir))
@@ -839,6 +875,7 @@ object StreamingQueries {
     "q72_stream_dedup" -> q72StreamDedup,
     "q73_stream_join" -> q73StreamJoin,
     "q167_stream_outer_join" -> q167StreamOuterJoin,
+    "q181_stream_privacy_gate" -> q181StreamPrivacyGate,
     "q80_stream_shard_sink" -> q80StreamShardSink,
     "q84_stream_dedup_watermark" -> q84StreamDedupWatermark,
     "q88_stream_curation_gate" -> q88StreamCurationGate,
@@ -856,6 +893,7 @@ object StreamingQueries {
     "q72_stream_dedup" -> q72Oracle,
     "q73_stream_join" -> q73Oracle,
     "q167_stream_outer_join" -> q167Oracle,
+    "q181_stream_privacy_gate" -> q181Oracle,
     "q80_stream_shard_sink" -> q80Oracle,
     "q84_stream_dedup_watermark" -> q84Oracle,
     "q88_stream_curation_gate" -> q88Oracle,
