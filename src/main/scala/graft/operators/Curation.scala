@@ -1195,9 +1195,14 @@ object Curation {
     * join instead (tokens per doc are far below the 100k cap at any
     * sf — n_chars is ~5 chars/token).
     */
-  val q172Oracle: String =
-    s"""WITH toks AS (
-       |  SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+  /** The scrub's CTE chain over a parameterized source relation
+    * `srcRel(doc_id, text)` — shared by q172 (whole corpus) and q182
+    * (gate survivors) so the segment geometry is written once on the
+    * oracle side.
+    */
+  private def sqlScrubCtes(srcRel: String): String =
+    s"""toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS arr FROM $srcRel),
        |t2 AS (
        |  SELECT doc_id, i AS ord, arr[i] AS tok
        |  FROM toks JOIN (SELECT CAST(range AS BIGINT) AS i
@@ -1212,16 +1217,72 @@ object Curation {
        |kept AS (
        |  SELECT * FROM segs WHERE seg NOT IN (SELECT seg FROM boiler)),
        |total AS (
-       |  SELECT doc_id, COUNT(*) AS n_segs FROM segs GROUP BY doc_id)
-       |SELECT k.doc_id,
-       |  string_agg(k.seg, ' ' ORDER BY k.seg_pos) AS clean_text,
-       |  COUNT(*) AS n_kept,
-       |  CAST(MIN(t.n_segs) - COUNT(*) AS BIGINT) AS n_dropped
-       |FROM kept k JOIN total t ON k.doc_id = t.doc_id
-       |GROUP BY k.doc_id
-       |ORDER BY k.doc_id""".stripMargin
+       |  SELECT doc_id, COUNT(*) AS n_segs FROM segs GROUP BY doc_id),
+       |scrubbed AS (
+       |  SELECT k.doc_id,
+       |    string_agg(k.seg, ' ' ORDER BY k.seg_pos) AS clean_text,
+       |    COUNT(*) AS n_kept,
+       |    CAST(MIN(t.n_segs) - COUNT(*) AS BIGINT) AS n_dropped
+       |  FROM kept k JOIN total t ON k.doc_id = t.doc_id
+       |  GROUP BY k.doc_id)""".stripMargin
+
+  val q172Oracle: String =
+    s"""WITH ${sqlScrubCtes("documents")}
+       |SELECT doc_id, clean_text, n_kept, n_dropped
+       |FROM scrubbed ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q182 — RELEASE pipeline: the privacy gate and the boilerplate
+  // scrub composed as ONE lazy plan — suppress quasi-identifier
+  // cohorts below K (q168), then scrub segments shared across the
+  // SURVIVING corpus (q172) — the order matters and is the one a real
+  // release runs: boilerplate frequencies are computed over what will
+  // actually ship, so a segment frequent only among suppressed docs is
+  // not treated as boilerplate. Output carries both decisions per doc
+  // (cohort_n from the gate, n_kept/n_dropped from the scrub). The
+  // composition discipline is q82's: every stage is the SAME operator
+  // function the standalone query registers (kAnonymityGate,
+  // boilerplateScrub), so parity with q168/q172 is structural.
+  // Scale notes (100 TB): the gate's one count-window shuffle, a
+  // doc_id equi-join, then the scrub's agg + anti-join — no new
+  // shuffle classes beyond the standalone stages; the gate output
+  // joins twice (survivor filter, final cohort_n attach) which at
+  // production scale is the documented q82-style persisted cut-point.
+  def q182ReleasePipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsSharded(spark, dir)
+    val keyed = docs.select(col("doc_id"), col("lang"), col("source"),
+      expr("n_chars div 100").as("len_bucket"))
+    val kept = kAnonymityGate(keyed, AnonK).select(col("doc_id"), col("cohort_n"))
+    val survivors = docs.select(col("doc_id"), col("text"))
+      .join(kept.select(col("doc_id")), Seq("doc_id"))
+    boilerplateScrub(survivors, BoilerplateMinDocs)
+      .join(kept, Seq("doc_id"))
+      .select(col("doc_id"), col("clean_text"), col("n_kept"),
+        col("n_dropped"), col("cohort_n"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q182Oracle: String =
+    s"""WITH kq AS (
+       |  SELECT doc_id, lang, source,
+       |    CAST(floor(n_chars / 100) AS BIGINT) AS len_bucket
+       |  FROM documents),
+       |ksz AS (
+       |  SELECT lang, source, len_bucket, COUNT(*) AS cohort_n
+       |  FROM kq GROUP BY 1, 2, 3),
+       |keptd AS (
+       |  SELECT doc_id, cohort_n
+       |  FROM kq JOIN ksz USING (lang, source, len_bucket)
+       |  WHERE cohort_n >= $AnonK),
+       |sdocs AS (
+       |  SELECT d.doc_id, d.text FROM documents d JOIN keptd USING (doc_id)),
+       |${sqlScrubCtes("sdocs")}
+       |SELECT s.doc_id, s.clean_text, s.n_kept, s.n_dropped, k.cohort_n
+       |FROM scrubbed s JOIN keptd k ON s.doc_id = k.doc_id
+       |ORDER BY s.doc_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q182_release_pipeline" -> q182ReleasePipeline,
     "q172_boilerplate_scrub" -> q172BoilerplateScrub,
     "q168_k_anonymity" -> q168KAnonymity,
     "q160_interleave_order" -> q160InterleaveOrder,
@@ -1245,6 +1306,7 @@ object Curation {
     "q104_token_mixture" -> q104TokenMixture)
 
   def oracleSql: Map[String, String] = Map(
+    "q182_release_pipeline" -> q182Oracle,
     "q172_boilerplate_scrub" -> q172Oracle,
     "q168_k_anonymity" -> q168Oracle,
     "q160_interleave_order" -> q160Oracle,

@@ -42,6 +42,33 @@ class BoilerplateScrubSpec extends SparkSpec {
     assert(out.forall(_.getLong(3) == 0L), "shared by 2 < minDocs=3 — keep")
   }
 
+  test("q182 composes the gate and the scrub structurally") {
+    val dir = "/root/testdata/sf0.01"
+    val gate = Curation.q168KAnonymity(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    val out = Curation.q182ReleasePipeline(spark, dir).collect()
+    // released set == gate survivors (the scrub edits, never drops,
+    // unless a doc is ALL boilerplate — assert subset + cohort match)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(gate.contains(id), s"doc $id shipped without passing the gate")
+      assert(gate(id) == r.getLong(4), s"doc $id cohort_n drifted")
+    }
+    // scrub frequencies are computed over survivors, not the corpus:
+    // re-run the standalone scrub on exactly the survivor docs and
+    // compare row-for-row
+    val survivors = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "text")
+      .filter(org.apache.spark.sql.functions.col("doc_id")
+        .isin(gate.keys.toSeq: _*))
+    val standalone = Curation.boilerplateScrub(
+        survivors, Curation.BoilerplateMinDocs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val composed = out
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(composed == standalone)
+  }
+
   test("on the real corpus clean_text is the original with whole segments removed") {
     val dir = "/root/testdata/sf0.001"
     val orig = graft.sources.Tables.documents(spark, dir)
