@@ -513,6 +513,52 @@ object StreamingQueries {
   /** Batch/stream parity: q168's oracle, verbatim. */
   val q181Oracle: String = graft.operators.Curation.q168Oracle
 
+  // --------------------------------------------------------------------
+  // q183 — STREAMING rate-anomaly monitor: q176's integer 3σ contract
+  // evaluated over a streaming hourly count. The stream maintains the
+  // per-(type, hour) counts (q45's windowed-agg machinery, Complete
+  // mode on the finite fixture); the per-type baseline statistics are
+  // static (they change on the monitoring recalibration cadence, not
+  // per event) and the σ test joins them against the MATERIALIZED
+  // window counts downstream of the sink — where an alerting consumer
+  // reads. The flag is the same all-integer rearrangement as q176, so
+  // batch and stream agree bit-for-bit and the oracle is q176's
+  // verbatim.
+  // Scale notes (100 TB/day): streaming state = one count per open
+  // (type, hour) window — watermark-bounded in the production append
+  // form; the baseline join is group-cardinality and broadcasts.
+  def q183StreamRateMonitor(spark: SparkSession, dir: String): DataFrame = {
+    val ss = EventsStreaming.streamSession(spark)
+    val hourly = EventsStreaming.readEventsStream(ss, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").cast("long").as("hour_start_sec"),
+        col("event_type"), col("cnt"))
+    val counts = EventsStreaming.runToMemory(hourly, "q183_mem",
+      OutputMode.Complete)
+    // the baseline comes from the BATCH table (the published reference
+    // statistics a monitor recalibrates against), not from the memory
+    // sink — which also avoids the MemoryPlan self-join, whose leaves
+    // fail analyzer reference deduplication
+    val stats = graft.sources.Tables.events(ss, dir)
+      .select(col("event_type"), expr("CAST(ts AS LONG) div 3600").as("hr"))
+      .groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("bcnt"))
+      .groupBy(col("event_type")).agg(
+        count(lit(1)).as("n_hours"), sum(col("bcnt")).as("s1"),
+        sum(col("bcnt") * col("bcnt")).as("s2"))
+    counts.join(broadcast(stats), Seq("event_type"))
+      .filter(
+        (col("n_hours") * col("cnt") - col("s1")) *
+          (col("n_hours") * col("cnt") - col("s1")) >
+          lit(9L) * (col("n_hours") * col("s2") - col("s1") * col("s1")))
+      .select(col("event_type"), col("hour_start_sec"), col("cnt"),
+        col("n_hours"))
+      .orderBy(col("event_type"), col("hour_start_sec"))
+  }
+
+  /** Batch/stream parity: q176's oracle, verbatim. */
+  val q183Oracle: String = graft.queries.EventsQueries.q176Oracle
+
   def q88StreamCurationGate(spark: SparkSession, dir: String): DataFrame = {
     val ss = EventsStreaming.streamSession(spark)
     val gated = graft.operators.Curation.rowLocalGate(readDocumentsStream(ss, dir))
@@ -876,6 +922,7 @@ object StreamingQueries {
     "q73_stream_join" -> q73StreamJoin,
     "q167_stream_outer_join" -> q167StreamOuterJoin,
     "q181_stream_privacy_gate" -> q181StreamPrivacyGate,
+    "q183_stream_rate_monitor" -> q183StreamRateMonitor,
     "q80_stream_shard_sink" -> q80StreamShardSink,
     "q84_stream_dedup_watermark" -> q84StreamDedupWatermark,
     "q88_stream_curation_gate" -> q88StreamCurationGate,
@@ -894,6 +941,7 @@ object StreamingQueries {
     "q73_stream_join" -> q73Oracle,
     "q167_stream_outer_join" -> q167Oracle,
     "q181_stream_privacy_gate" -> q181Oracle,
+    "q183_stream_rate_monitor" -> q183Oracle,
     "q80_stream_shard_sink" -> q80Oracle,
     "q84_stream_dedup_watermark" -> q84Oracle,
     "q88_stream_curation_gate" -> q88Oracle,
