@@ -277,7 +277,73 @@ object Multimodal {
        |WHERE ${graft.operators.Similarity.sqlCombinedWhere("d.doc_id")}
        |ORDER BY d.doc_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q184 — media NEAR-DUP CLUSTERS: q97 buckets exact perceptual
+  // matches; q184 merges buckets that differ by ONE aHash bit into
+  // connected components — the media analogue of q76's text clusters,
+  // built from sparse representative edges instead of within-bucket
+  // all-pairs: every media row links to its bucket keeper, and bucket
+  // keepers link when their hashes are Hamming-1 apart (16 XOR probes
+  // per bucket — the q75 multi-index idea applied at bucket
+  // granularity). The closure runs through the SAME
+  // [[graft.operators.Dedup.connectedComponents]] frontier iteration
+  // q76 uses. Like q76, the query runs on a deterministic sample
+  // (doc_id % 3 = 0) so the oracle's recursive-CTE closure stays
+  // tractable at sf0.1; the Spark side has no such constraint.
+  // Scale notes (100 TB): edges are O(media + buckets·16) — never
+  // bucket-quadratic; at 64-bit production phash the probe count is 64
+  // and the same shape holds.
+  def q184MediaClusters(spark: SparkSession, dir: String): DataFrame = {
+    val h = phashed(spark, dir).filter(col("doc_id") % 3 === 0)
+    val keepers = h.groupBy(col("ahash")).agg(min(col("doc_id")).as("k_id"))
+    val docEdges = h.join(keepers, Seq("ahash"))
+      .filter(col("doc_id") =!= col("k_id"))
+      .select(col("doc_id").as("doc_a"), col("k_id").as("doc_b"))
+    val probes = keepers
+      .select(col("k_id"), explode(expr(
+        "transform(sequence(0, 15), k -> ahash ^ shiftleft(1, k))"))
+        .as("nb_ahash"))
+    val k2 = keepers.select(col("ahash").as("nb_ahash"), col("k_id").as("nb_k"))
+    val bucketEdges = probes.join(k2, Seq("nb_ahash"))
+      .filter(col("k_id") < col("nb_k"))
+      .select(col("k_id").as("doc_a"), col("nb_k").as("doc_b"))
+    graft.operators.Dedup.connectedComponents(
+        h.select(col("doc_id")), docEdges.unionByName(bucketEdges))
+      .orderBy(col("doc_id"))
+  }
+
+  val q184Oracle: String =
+    s"""WITH RECURSIVE ${sqlAHashCtes("abase", "abits")},
+       |sbits AS (
+       |  SELECT doc_id, ahash FROM abits WHERE doc_id % 3 = 0),
+       |keepers AS (
+       |  SELECT ahash, min(doc_id) AS k_id FROM sbits GROUP BY 1),
+       |dedges AS (
+       |  SELECT b.doc_id AS u, k.k_id AS v
+       |  FROM sbits b JOIN keepers k USING (ahash)
+       |  WHERE b.doc_id <> k.k_id),
+       |bitsrc AS (SELECT CAST(range AS INTEGER) AS k FROM range(0, 16)),
+       |nedges AS (
+       |  SELECT k1.k_id AS u, k2.k_id AS v
+       |  FROM keepers k1, bitsrc b
+       |  JOIN keepers k2 ON TRUE
+       |  WHERE k2.ahash = xor(k1.ahash, (1 << b.k)) AND k1.k_id < k2.k_id),
+       |edges AS (
+       |  SELECT u, v FROM dedges UNION SELECT v, u FROM dedges
+       |  UNION SELECT u, v FROM nedges UNION SELECT v, u FROM nedges),
+       |reach AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |comp AS (
+       |  SELECT u AS doc_id, min(v) AS min_reach FROM reach GROUP BY u)
+       |SELECT s.doc_id,
+       |  COALESCE(LEAST(s.doc_id, c.min_reach), s.doc_id) AS cluster_id
+       |FROM sbits s LEFT JOIN comp c USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q184_media_clusters" -> q184MediaClusters,
     "q37_binary_meta" -> q37BinaryMeta,
     "q38_multimodal_decode" -> q38MultimodalDecode,
     "q53_frame_sample" -> q53FrameSample,
@@ -285,6 +351,7 @@ object Multimodal {
     "q154_crossmodal_keepers" -> q154CrossModalKeepers)
 
   def oracleSql: Map[String, String] = Map(
+    "q184_media_clusters" -> q184Oracle,
     "q37_binary_meta" -> q37Oracle,
     "q38_multimodal_decode" -> q38Oracle,
     "q53_frame_sample" -> q53Oracle,
