@@ -157,6 +157,47 @@ object OperatorQueries {
       |ORDER BY query_id, rk""".stripMargin
 
   // --------------------------------------------------------------------
+  // q185 — IVF index PERSISTENCE round-trip: build q49's index, persist
+  // BOTH halves the way a serving tier stores them — the cell
+  // assignments partitioned BY CELL (the layout a probe server scans
+  // selectively) and the codebook as a tiny parquet — then reload from
+  // storage and serve q49's exact probe from the reloaded index. This
+  // is the ANN analogue of q163's streaming index write-back: the index
+  // outlives the session that built it. The oracle is q49's VERBATIM —
+  // the storage round-trip must be value-neutral, which also pins the
+  // parquet type mapping for the array<bigint> vectors and the
+  // partition-column cell ids.
+  // Scale notes (100 TB): the codebook stays bounded (k rows); the
+  // cells write is one partitioned shuffle-free pass; a production
+  // server reads only probed cell partitions (partition pruning on the
+  // cell directory layout) instead of rejoining the full corpus.
+  def q185IvfPersist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val idxRoot = graft.sources.ShardPaths.resolve(spark, "q185_index", dir)
+    val built = IvfAnn.buildIndex(spark, dir, k = 8)
+    built.cells.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$idxRoot/cells")
+    built.pivots.toSeq.map { case (c, sv, n) => (c, sv.toSeq, n) }
+      .toDF("cell", "sv", "nrm").coalesce(1)
+      .write.mode("overwrite").parquet(s"$idxRoot/codebook")
+    val cells = spark.read.parquet(s"$idxRoot/cells")
+      .select(col("vec_id"), col("cell").cast("int").as("cell"),
+        col("sv"), col("nrm"))
+    val pivots = spark.read.parquet(s"$idxRoot/codebook").collect()
+      .map(r => (r.getAs[Int]("cell"), r.getAs[Seq[Long]]("sv").toArray,
+        r.getAs[Long]("nrm")))
+      .sortBy(_._1)
+    val queries = Tables.embeddingsSharded(spark, dir)
+      .filter(col("vec_id") % 25 === 0)
+    IvfAnn.probe(spark, IvfAnn.Index(cells, pivots), queries,
+        nprobe = 2, topK = 3)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** Storage round-trip is value-neutral: q49's oracle, verbatim. */
+  val q185Oracle: String = q49Oracle
+
+  // --------------------------------------------------------------------
   // q100 — TRAINED IVF probe (IvfAnn.buildTrainedIndex): q49's index
   // with its seed pivots refined by two exact-integer Lloyd iterations
   // before probing — the k-means codebook production IVF builds use.
@@ -741,6 +782,7 @@ object OperatorQueries {
     "q47_asof_join" -> q47AsofJoin,
     "q48_scd2_versions" -> q48Scd2Versions,
     "q49_ivf_ann" -> q49IvfAnn,
+    "q185_ivf_persist" -> q185IvfPersist,
     "q50_salted_count" -> q50SaltedCount,
     "q51_salted_join" -> q51SaltedJoin,
     "q93_merge_upsert" -> q93MergeUpsert,
@@ -758,6 +800,7 @@ object OperatorQueries {
     "q47_asof_join" -> q47Oracle,
     "q48_scd2_versions" -> q48Oracle,
     "q49_ivf_ann" -> q49Oracle,
+    "q185_ivf_persist" -> q185Oracle,
     "q50_salted_count" -> q50Oracle,
     "q51_salted_join" -> q51Oracle,
     "q93_merge_upsert" -> q93Oracle,

@@ -50,4 +50,22 @@ class IvfAnnSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("codebook is empty"))
   }
+
+  test("q185: the persisted+reloaded index probes identically to the in-memory one") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val direct = {
+      val idx = IvfAnn.buildIndex(spark, dir, k = 8)
+      val q = graft.sources.Tables.embeddingsSharded(spark, dir)
+        .filter(col("vec_id") % 25 === 0)
+      IvfAnn.probe(spark, idx, q, nprobe = 2, topK = 3).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    }
+    val reloaded = graft.queries.OperatorQueries.q185IvfPersist(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(reloaded == direct,
+      s"round-trip drifted: only-direct=${(direct -- reloaded).take(3)} " +
+        s"only-reloaded=${(reloaded -- direct).take(3)}")
+  }
 }
