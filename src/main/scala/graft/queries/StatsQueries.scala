@@ -614,7 +614,53 @@ object StatsQueries {
       |SELECT estado, prioridad AS mode_prioridad, n AS n_mode
       |FROM ranked WHERE rn = 1 ORDER BY estado""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q186 — EQUI-DEPTH discretization: bin every event's value into
+  // global quartiles — the feature-binning pass a training pipeline
+  // runs before bucketed embeddings or monotonic-feature models. The
+  // three thresholds are ONE 1-row percentile aggregate riding the
+  // optimizer-opaque join (no collect, no global window); the bucket
+  // id is then three scan-side comparisons against interpolated
+  // thresholds both engines compute bit-identically (same IEEE
+  // interpolation — the q169 contract), so even a value exactly ON a
+  // threshold bins the same way on both sides. Output is the bounded
+  // (event_type × bucket) contingency table with integer counts.
+  // Scale notes (100 TB): percentile is a sort-based agg on the value
+  // column only (column-pruned scan); the binning adds zero shuffles;
+  // the final agg is map-side combining on a ≤ groups×4 key space.
+  def q186EquiDepthBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
+    val th = ev.agg(
+        percentile(col("value"), array(lit(0.25), lit(0.5), lit(0.75))).as("t"))
+      .select(col("t")(0).as("t1"), col("t")(1).as("t2"), col("t")(2).as("t3"))
+      .withColumn("_k", graft.plans.Opaque.zeroKey(ceil(col("t3")).cast("long")))
+    ev.withColumn("_k", graft.plans.Opaque.zeroKey(ceil(col("value")).cast("long")))
+      .join(th, Seq("_k"))
+      .select(col("event_type"),
+        (lit(1) + when(col("value") > col("t1"), 1).otherwise(0)
+          + when(col("value") > col("t2"), 1).otherwise(0)
+          + when(col("value") > col("t3"), 1).otherwise(0)).as("bucket"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
+  val q186Oracle: String =
+    """WITH th AS (
+      |  SELECT quantile_cont(value, 0.25) AS t1,
+      |    quantile_cont(value, 0.5) AS t2,
+      |    quantile_cont(value, 0.75) AS t3
+      |  FROM events)
+      |SELECT event_type,
+      |  1 + CASE WHEN value > t1 THEN 1 ELSE 0 END
+      |    + CASE WHEN value > t2 THEN 1 ELSE 0 END
+      |    + CASE WHEN value > t3 THEN 1 ELSE 0 END AS bucket,
+      |  COUNT(*) AS n
+      |FROM events, th
+      |GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q186_equidepth_buckets" -> q186EquiDepthBuckets,
     "q131_grouping_sets" -> q131GroupingSets,
     "q133_mode_per_group" -> q133ModePerGroup,
     "q65_sql_surface" -> q65SqlSurface,
@@ -632,6 +678,7 @@ object StatsQueries {
     "q128_percent_of_parent" -> q128PercentOfParent)
 
   def oracleSql: Map[String, String] = Map(
+    "q186_equidepth_buckets" -> q186Oracle,
     "q131_grouping_sets" -> q131Sql,
     "q133_mode_per_group" -> q133Oracle,
     "q65_sql_surface" -> q65Sql,

@@ -41,6 +41,30 @@ class CollocationAnomalySpec extends SparkSpec {
     assert(got.toSeq == expected, s"\n got=${got.toSeq}\n exp=$expected")
   }
 
+  test("q186 buckets are equi-depth within tie tolerance and cover every row") {
+    val vals = graft.sources.Tables.events(spark, dir)
+      .select("value").collect().map(_.getDouble(0))
+    val out = StatsQueries.q186EquiDepthBuckets(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(out.map(_._3).sum == vals.length.toLong, "rows lost in binning")
+    assert(out.forall(r => r._2 >= 1 && r._2 <= 4))
+    // global bucket masses ~25% each (ties can skew only by the tied mass)
+    val byBucket = out.groupBy(_._2).map { case (b, g) => b -> g.map(_._3).sum }
+    byBucket.foreach { case (b, n) =>
+      assert(math.abs(n.toDouble / vals.length - 0.25) < 0.05,
+        s"bucket $b holds ${n.toDouble / vals.length} of the mass")
+    }
+    // thresholds really are the interpolated quartiles
+    val sorted = vals.sorted
+    def q(p: Double): Double = {
+      val idx = p * (sorted.length - 1)
+      val lo = sorted(idx.toInt)
+      lo + (idx - idx.toInt) * (sorted(math.ceil(idx).toInt) - lo)
+    }
+    val expB1 = vals.count(_ <= q(0.25)).toLong
+    assert(byBucket(1) == expB1, s"bucket 1: ${byBucket(1)} vs $expB1")
+  }
+
   test("q176's integer 3-sigma test agrees with the floating-point z-score form") {
     val hours = graft.sources.Tables.events(spark, dir)
       .select(col("event_type"), expr("CAST(ts AS LONG) div 3600").as("hr"))
