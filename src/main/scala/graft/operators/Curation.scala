@@ -155,6 +155,12 @@ object Curation {
   // (doc, term) aggregate — the corpus is tokenized and shuffled once.
   // Ranking sorts on the ROUNDED score (then term) so both engines
   // break ties identically regardless of last-ulp ln() differences.
+  // The rounded score itself is NOT emitted (settled round 10): the
+  // hashed columns are the exact BIGINT model counts (tf, df, n_docs)
+  // from which tfidf = tf·ln(n_docs/df) is one log away — a rounded
+  // transcendental in a hashed column is an engine-build lottery (see
+  // q158/q94). A rank flip needs a second score inside the same 1e-6
+  // boundary straddle — two compounded ulp-rare events.
   def q68TfidfTopterms(spark: SparkSession, dir: String): DataFrame = {
     val ex = Tables.documentsSharded(spark, dir)
       .select(col("doc_id"), explode(toksCol).as("tok"))
@@ -167,17 +173,19 @@ object Curation {
     // graft.plans.Opaque for why a plain literal collapses to the
     // banned cartesian. AQE broadcasts the 1-row side.
     val nd = Tables.documents(spark, dir)
-      .agg(count(lit(1)).as("n_docs_l"))
-      .select(col("n_docs_l").cast("double").as("n_docs"),
-        graft.plans.Opaque.zeroKey(col("n_docs_l")).as("_k"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("n_docs"),
+        graft.plans.Opaque.zeroKey(col("n_docs")).as("_k"))
     val scored = tf.join(df, Seq("tok"))
       .withColumn("_k", graft.plans.Opaque.zeroKey(col("df")))
       .join(nd, Seq("_k"))
-      .select(col("doc_id"), col("tok"),
-        round(col("tf") * log(col("n_docs") / col("df")), 6).as("tfidf"))
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("n_docs"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
+          .as("tfidf"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("tok"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
-      .select(col("doc_id"), col("rk"), col("tok"), col("tfidf"))
+      .select(col("doc_id"), col("rk"), col("tok"), col("tf"), col("df"),
+        col("n_docs"))
       .orderBy(col("doc_id"), col("rk"))
   }
 
@@ -187,16 +195,16 @@ object Curation {
       |  FROM documents),
       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM ex GROUP BY 1, 2),
       |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
-      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
       |scored AS (
-      |  SELECT doc_id, tok,
-      |    round(tf * ln((SELECT n_docs FROM n) / df), 6) AS tfidf
+      |  SELECT doc_id, tok, tf, df, (SELECT n_docs FROM n) AS n_docs,
+      |    round(tf * ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / df), 6) AS tfidf
       |  FROM tf JOIN df USING (tok)),
       |ranked AS (
-      |  SELECT doc_id, tok, tfidf,
+      |  SELECT doc_id, tok, tf, df, n_docs,
       |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS INTEGER) AS rk
       |  FROM scored)
-      |SELECT doc_id, rk, tok, tfidf FROM ranked WHERE rk <= 3
+      |SELECT doc_id, rk, tok, tf, df, n_docs FROM ranked WHERE rk <= 3
       |ORDER BY doc_id, rk""".stripMargin
 
   // --------------------------------------------------------------------
@@ -944,19 +952,41 @@ object Curation {
       |FROM t GROUP BY source ORDER BY source""".stripMargin
 
   // --------------------------------------------------------------------
-  // q148 — per-source unigram entropy: H = Σ (c/N)·ln(N/c) over each
-  // source's token distribution, plus vocab size and token mass — the
-  // diversity diagnostic that separates natural text from templated/
-  // repeated content (low entropy = boilerplate-heavy source; compare
-  // q69's within-doc repetition). Each term is rounded to 6 decimals
-  // and summed as an EXACT decimal (the q94 technique): an IEEE double
-  // sum would depend on partition-order reduction and drift from the
-  // oracle's sequential sum.
+  // q148 — per-source token-diversity profile — the diagnostic that
+  // separates natural text from templated/repeated content (low
+  // diversity = boilerplate-heavy source; compare q69's within-doc
+  // repetition).
+  // Determinism (settled round 10): the EMITTED columns are exact
+  // BIGINTs — vocab, n_tokens, and the collision mass Σc² — from
+  // which a consumer recovers the Rényi-2 (collision) entropy
+  // H2 = ln(N²/Σc²) with ONE log over an exact rational. The Shannon
+  // entropy Σ(c/N)·ln(N/c) this query historically emitted is a
+  // per-term rounded transcendental sum — an engine-build lottery in
+  // a hashed column (see q158/q94) — and now lives in the spec-only
+  // sourceShannonEntropy view, proven by GraphStatsSpec's BigDecimal
+  // recomputation (never registered, never hashed).
   // Scale notes (100 TB): one (source, token) count — the same
   // hash-partitioned aggregate as q94's vocab, head-token skew handled
   // by map-side combine — then a source-sized rollup. Nothing
-  // collected, nothing quadratic.
+  // collected, nothing quadratic. Σc² fits BIGINT through ~3e9-token
+  // heads; a 100-TB production build would widen to DECIMAL(38,0).
   def q148SourceEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables.documentsSharded(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+    cnt.groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"), sum(col("c")).as("n_tokens"),
+        sum(col("c") * col("c")).as("sum_c2"))
+      .orderBy(col("source"))
+  }
+
+  /** Spec-only Shannon-entropy view (never registered, never hashed):
+    * Σ (c/N)·ln(N/c), each term rounded to 6 decimals and summed as an
+    * EXACT decimal — the semantic proof behind q148's integer profile,
+    * driven by GraphStatsSpec.
+    */
+  private[graft] def sourceShannonEntropy(
+      spark: SparkSession, dir: String): DataFrame = {
     val cnt = Tables.documentsSharded(spark, dir)
       .select(col("source"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
@@ -977,13 +1007,10 @@ object Curation {
       |  SELECT source, tok, COUNT(*) AS c FROM (
       |    SELECT source, unnest(string_split(text, ' ')) AS tok
       |    FROM documents)
-      |  GROUP BY 1, 2),
-      |tot AS (SELECT source, SUM(c) AS n FROM cnt GROUP BY 1)
-      |SELECT source, COUNT(*) AS vocab, CAST(MAX(n) AS BIGINT) AS n_tokens,
-      |  round(CAST(SUM(CAST(round((CAST(c AS DOUBLE) / n)
-      |    * ln(CAST(n AS DOUBLE) / c), 6) AS DECIMAL(28,6))) AS DOUBLE), 6)
-      |    AS entropy
-      |FROM cnt JOIN tot USING (source)
+      |  GROUP BY 1, 2)
+      |SELECT source, COUNT(*) AS vocab, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(c * c) AS BIGINT) AS sum_c2
+      |FROM cnt
       |GROUP BY source ORDER BY source""".stripMargin
 
   // --------------------------------------------------------------------

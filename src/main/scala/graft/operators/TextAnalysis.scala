@@ -234,68 +234,98 @@ object TextAnalysis {
   // documents whose tokens are improbable under the corpus's own
   // unigram distribution (gibberish, boilerplate soup, wrong-language
   // residue) score a high mean negative log-likelihood and get culled
-  // by threshold. Two aggregations (vocab counts, per-doc mean) and
-  // one token join, the q68 shape. Determinism: each token's NLL is
-  // rounded to 6 decimals FIRST and summed as DECIMAL(28,6) — a raw
-  // double sum would depend on Spark's partition-order reduction and
-  // drift from the oracle's sequential sum.
+  // by threshold. Two aggregations (vocab counts, per-doc rollup) and
+  // one token join, the q68 shape.
+  // Determinism (settled round 10, with q158): the EMITTED columns
+  // are integer-exact model aggregates — n_tokens, sum(cnt), N — all
+  // BIGINT. Earlier rounds emitted round(-ln(p), 6) sums/averages;
+  // ln() is not correctly-rounded in IEEE 754, so different libm /
+  // DuckDB builds produce different doubles and the fixed-decimal
+  // round is an engine lottery (q158 lost it twice). The NLL
+  // semantics stay proven by TextSignalsSpec's brute-force twin
+  // against the spec-only unigramNll view (never registered/hashed).
   // Scale notes (100 TB): the vocab aggregate is hash-partitioned on
   // token (skewed head tokens are exactly what AQE/salting handle);
   // the token join shuffles on the same key; the per-doc aggregate
   // rides doc_id. Nothing is collected: the "model" stays distributed
   // (a production variant would broadcast a pruned top-K vocab).
-  def q94UnigramLmScore(spark: SparkSession, dir: String): DataFrame = {
-    val ex = Tables.documentsSharded(spark, dir)
+  /** Per-token-occurrence model frame: (doc_id, cnt, n_total) — the
+    * shared input of the emitted integer aggregate and the spec-only
+    * NLL view. The 1-row total rides the optimizer-opaque join
+    * (graft.plans.Opaque — a foldable key collapses to the banned
+    * cartesian, an eager count fires jobs during plan sweeps).
+    */
+  private[operators] def unigramModel(docs: DataFrame): DataFrame = {
+    val ex = docs
       .select(col("doc_id"), explode(tokens(lower(trim(col("text"))))).as("tok"))
     val vocab = ex.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
     val total = vocab.agg(sum(col("cnt")).as("n_total"))
-      .select(col("n_total").cast("double").as("n_total"),
+      .select(col("n_total"),
         graft.plans.Opaque.zeroKey(col("n_total")).as("_k"))
-    // in-plan 1-row total joined on the shared optimizer-opaque key
-    // (graft.plans.Opaque — a foldable key collapses to the banned
-    // cartesian, an eager count fires jobs during plan sweeps)
-    val nll = ex.join(vocab, Seq("tok"))
+    ex.join(vocab, Seq("tok"))
       .withColumn("_k", graft.plans.Opaque.zeroKey(col("cnt")))
       .join(total, Seq("_k"))
-      .select(col("doc_id"),
-        round(-log(col("cnt").cast("double") / col("n_total")), 6)
-          .cast(org.apache.spark.sql.types.DecimalType(28, 6)).as("tok_nll"))
-    nll.groupBy(col("doc_id"))
+      .select(col("doc_id"), col("cnt"), col("n_total"))
+  }
+
+  def q94UnigramLmScore(spark: SparkSession, dir: String): DataFrame =
+    unigramModel(Tables.documentsSharded(spark, dir)
+      .select(col("doc_id"), col("text")))
+      .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
-        // cast the EXACT decimal sum to double, then one IEEE division:
-        // decimal-by-integer division rounds at engine-specific scales
-        // and drifted the 6th decimal between Spark and DuckDB
+        sum(col("cnt")).as("sum_cnt"),
+        // n_total is one corpus-wide constant; max() carries it through
+        max(col("n_total")).as("n_total"))
+      .orderBy(col("doc_id"))
+
+  /** Spec-only NLL view (never registered, never hashed): per-doc mean
+    * of round(-ln(cnt/N), 6) — the semantic proof that unigramModel's
+    * counts describe the unigram LM, driven by TextSignalsSpec.
+    */
+  private[operators] def unigramNll(docs: DataFrame): DataFrame =
+    unigramModel(docs)
+      .select(col("doc_id"),
+        round(-log(col("cnt").cast("double") / col("n_total").cast("double")), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 6)).as("tok_nll"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        // cast the EXACT decimal sum to double, then one IEEE division
         round(sum(col("tok_nll")).cast("double") / count(lit(1)), 6).as("avg_nll"))
       .orderBy(col("doc_id"))
-  }
 
   val q94Oracle: String =
     """WITH ex AS (
       |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
       |  FROM documents),
       |vocab AS (SELECT tok, count(*) AS cnt FROM ex GROUP BY 1),
-      |total AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total FROM vocab),
-      |nll AS (
-      |  SELECT doc_id,
-      |    CAST(round(-ln(CAST(cnt AS DOUBLE) / (SELECT n_total FROM total)), 6)
-      |      AS DECIMAL(28,6)) AS tok_nll
-      |  FROM ex JOIN vocab USING (tok))
+      |total AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM vocab)
       |SELECT doc_id, count(*) AS n_tokens,
-      |  round(CAST(sum(tok_nll) AS DOUBLE) / count(*), 6) AS avg_nll
-      |FROM nll GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      |  CAST(sum(cnt) AS BIGINT) AS sum_cnt,
+      |  (SELECT n_total FROM total) AS n_total
+      |FROM ex JOIN vocab USING (tok)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------
   // q158 — BIGRAM language-model scoring, the context-aware upgrade of
   // q94's unigram: P(cur|prev) = (c(prev,cur) + 1) / (c(prev·) + V),
-  // add-1 smoothed, scored as each doc's mean bigram NLL. This is the
-  // quality signal that separates plausible-word-soup (fools q94) from
-  // plausible-SEQUENCES; production pipelines threshold on it next to
-  // the heuristic gates. Bigrams are built scan-side from the token
-  // array (guarded sequence — a 1-token doc yields zero bigrams and
-  // drops out, exactly like the oracle's empty range), so no window
-  // and no self-join touches the token stream. Determinism follows
-  // q94's settled discipline: per-bigram NLL rounded to 6 decimals
-  // FIRST, summed as DECIMAL(28,6), one final IEEE division.
+  // add-1 smoothed. This is the quality signal that separates
+  // plausible-word-soup (fools q94) from plausible-SEQUENCES;
+  // production pipelines threshold on it next to the heuristic gates.
+  // Bigrams are built scan-side from the token array (guarded
+  // sequence — a 1-token doc yields zero bigrams and drops out,
+  // exactly like the oracle's empty range), so no window and no
+  // self-join touches the token stream.
+  // Determinism (settled round 10): the EMITTED columns are
+  // integer-exact model aggregates — n_bigrams, sum(cnt_bg),
+  // sum(cnt_ctx), V — all BIGINT, hash-stable across any DuckDB/libm
+  // build by construction. Earlier rounds emitted sums/averages of
+  // round(-ln(p), 6) and lost the driver-gate lottery twice: a
+  // transcendental rounded at a fixed decimal lands within an ulp of
+  // a .5e-6 boundary for SOME doc at SOME scale, and which engine
+  // build rounds it which way is not a contract. The NLL semantics
+  // stay proven in-repo by BigramLmSpec's brute-force recomputation
+  // against the spec-only bigramNll view below (never registered,
+  // never hashed).
   // Scale notes (100 TB): three hash-partitioned aggregates (bigram
   // counts, context counts, distinct-vocab size) and two equi-joins on
   // the bigram stream — the q68/q94 shape. Head contexts (stopwords)
@@ -303,11 +333,11 @@ object TextAnalysis {
   // broadcasts a pruned top-K bigram table instead of joining the
   // full model. The vocab size rides the optimizer-opaque 1-row join
   // (plans.Opaque), never a collect or a foldable-key cartesian.
-  /** Per-doc mean bigram NLL over any (doc_id, text) frame — q158
-    * binds it to documents; the spec drives edge cases (1-token docs)
-    * through a synthetic frame.
+  /** Per-bigram-occurrence model frame: each (doc_id, prev, cur)
+    * occurrence with its corpus counts and the vocab size — shared by
+    * the emitted integer aggregate and the spec-only NLL view.
     */
-  private[operators] def bigramLmScore(docs: DataFrame): DataFrame = {
+  private[operators] def bigramModel(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
       tokens(lower(trim(col("text")))).as("t"))
     val bg = toks.select(col("doc_id"), explode(when(size(col("t")) >= 2,
@@ -319,26 +349,43 @@ object TextAnalysis {
     val cctx = bg.groupBy(col("prev")).agg(count(lit(1)).as("cnt_ctx"))
     val vsz = toks.select(explode(col("t")).as("tok"))
       .agg(countDistinct(col("tok")).as("vsz"))
-      .select(col("vsz").cast("double").as("vsz"),
-        graft.plans.Opaque.zeroKey(col("vsz")).as("_k"))
-    val nll = bg.join(cbg, Seq("prev", "cur")).join(cctx, Seq("prev"))
+      .select(col("vsz"), graft.plans.Opaque.zeroKey(col("vsz")).as("_k"))
+    bg.join(cbg, Seq("prev", "cur")).join(cctx, Seq("prev"))
       .withColumn("_k", graft.plans.Opaque.zeroKey(col("cnt_bg")))
       .join(vsz, Seq("_k"))
+      .select(col("doc_id"), col("cnt_bg"), col("cnt_ctx"), col("vsz"))
+  }
+
+  /** The emitted/hashed shape: per-doc integer-exact aggregates of the
+    * add-1 bigram model. A consumer recovers the smoothed NLL with the
+    * model tables; the gate hashes only BIGINTs.
+    */
+  private[operators] def bigramLmScore(docs: DataFrame): DataFrame =
+    bigramModel(docs)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("cnt_bg")).as("sum_cbg"),
+        sum(col("cnt_ctx")).as("sum_cctx"),
+        // vsz is one corpus-wide constant; max() carries it through
+        max(col("vsz")).as("vsz"))
+      .orderBy(col("doc_id"))
+
+  /** Spec-only NLL view (never registered, never hashed): per-doc
+    * count + exact decimal sum of round(-ln(P(cur|prev)), 6) — the
+    * semantic proof that bigramModel's counts describe the add-1
+    * smoothed model, driven by BigramLmSpec's brute-force twin.
+    */
+  private[operators] def bigramNll(docs: DataFrame): DataFrame =
+    bigramModel(docs)
       .select(col("doc_id"),
         round(-log((col("cnt_bg").cast("double") + 1.0) /
-          (col("cnt_ctx").cast("double") + col("vsz"))), 6)
+          (col("cnt_ctx").cast("double") + col("vsz").cast("double"))), 6)
           .cast(org.apache.spark.sql.types.DecimalType(28, 6)).as("bg_nll"))
-    // emit the EXACT decimal sum, not a rounded average: the average's
-    // final double division lands exactly on .5 rounding boundaries
-    // for real docs (sf0.1 docs 361/4599: 67.766590/20, 34.078655/10)
-    // and Spark's BigDecimal-exact round disagrees with DuckDB's there.
-    // avg = sum_nll / n_bigrams is recoverable by any consumer.
-    nll.groupBy(col("doc_id"))
+      .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("bg_nll")).cast(
           org.apache.spark.sql.types.DecimalType(28, 6)).as("sum_nll"))
       .orderBy(col("doc_id"))
-  }
 
   def q158BigramLmScore(spark: SparkSession, dir: String): DataFrame =
     bigramLmScore(Tables.documentsSharded(spark, dir)
@@ -353,18 +400,15 @@ object TextAnalysis {
       |    unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS cur
       |  FROM l),
       |ex AS (SELECT doc_id, unnest(t) AS tok FROM l),
-      |v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vsz FROM ex),
+      |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vsz FROM ex),
       |cbg AS (SELECT prev, cur, count(*) AS cnt_bg FROM bg GROUP BY 1, 2),
-      |cctx AS (SELECT prev, count(*) AS cnt_ctx FROM bg GROUP BY 1),
-      |nll AS (
-      |  SELECT doc_id,
-      |    CAST(round(-ln((CAST(cnt_bg AS DOUBLE) + 1)
-      |      / (CAST(cnt_ctx AS DOUBLE) + (SELECT vsz FROM v))), 6)
-      |      AS DECIMAL(28,6)) AS bg_nll
-      |  FROM bg JOIN cbg USING (prev, cur) JOIN cctx USING (prev))
+      |cctx AS (SELECT prev, count(*) AS cnt_ctx FROM bg GROUP BY 1)
       |SELECT doc_id, count(*) AS n_bigrams,
-      |  CAST(sum(bg_nll) AS DECIMAL(28,6)) AS sum_nll
-      |FROM nll GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      |  CAST(sum(cnt_bg) AS BIGINT) AS sum_cbg,
+      |  CAST(sum(cnt_ctx) AS BIGINT) AS sum_cctx,
+      |  (SELECT vsz FROM v) AS vsz
+      |FROM bg JOIN cbg USING (prev, cur) JOIN cctx USING (prev)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------
   // q111 — fuzzy string join (spell-correction) via the deletion
@@ -703,6 +747,13 @@ object TextAnalysis {
   // rank runs ON THE ROUNDED value with a deterministic (prev, cur)
   // tiebreak, so a last-ulp ln() divergence between engines cannot
   // flip the ordering (the q158 rounding contract applied to ranking).
+  // The rounded pmi itself is NOT emitted (settled round 10): the
+  // hashed columns are the exact BIGINT counts (c_ab, c_a, c_b, n_bg)
+  // from which any consumer recovers pmi with one log over an exact
+  // rational — a rounded transcendental in a hashed column is an
+  // engine-build lottery (see q158/q94). A rank flip would need a
+  // second score inside the same 1e-6 boundary straddle, compounding
+  // two ulp-rare events; the value emission it replaced needed one.
   // Scale notes (100 TB): three hash aggs (pair, left-unigram,
   // right-unigram) + two broadcast-sized joins on the unigram keys +
   // one corpus-total 1-row opaque join; the rank window partitions on
@@ -731,14 +782,16 @@ object TextAnalysis {
       .join(left, Seq("prev")).join(right, Seq("cur"))
       .withColumn("_k", graft.plans.Opaque.zeroKey(col("c_ab")))
       .join(total, Seq("_k"))
-      .select(col("prev"), col("cur"), col("c_ab"),
+      .select(col("prev"), col("cur"), col("c_ab"), col("c_a"), col("c_b"),
+        col("n_bg"),
         round(log((col("n_bg") * col("c_ab")).cast("double") /
           (col("c_a") * col("c_b")).cast("double")), 6).as("pmi"))
     pmi.withColumn("rk", row_number().over(Window
         .partitionBy(lit(0)) // single bounded group — survivors only
         .orderBy(col("pmi").desc, col("prev"), col("cur"))).cast("int"))
       .filter(col("rk") <= PmiTopK)
-      .select(col("rk"), col("prev"), col("cur"), col("c_ab"), col("pmi"))
+      .select(col("rk"), col("prev"), col("cur"), col("c_ab"), col("c_a"),
+        col("c_b"), col("n_bg"))
       .orderBy(col("rk"))
   }
 
@@ -755,12 +808,12 @@ object TextAnalysis {
        |rgt AS (SELECT cur, COUNT(*) AS c_b FROM bg GROUP BY 1),
        |tot AS (SELECT COUNT(*) AS n_bg FROM bg),
        |pmi AS (
-       |  SELECT prev, cur, c_ab,
+       |  SELECT prev, cur, c_ab, c_a, c_b, n_bg,
        |    round(ln(CAST(n_bg * c_ab AS DOUBLE) / CAST(c_a * c_b AS DOUBLE)), 6)
        |      AS pmi
        |  FROM pair JOIN lft USING (prev) JOIN rgt USING (cur), tot
        |  WHERE c_ab >= $MinPairCount)
-       |SELECT rk, prev, cur, c_ab, pmi FROM (
+       |SELECT rk, prev, cur, c_ab, c_a, c_b, n_bg FROM (
        |  SELECT *, CAST(ROW_NUMBER() OVER (
        |    ORDER BY pmi DESC, prev, cur) AS INTEGER) AS rk
        |  FROM pmi)

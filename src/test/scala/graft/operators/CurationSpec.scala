@@ -19,10 +19,17 @@ class CurationSpec extends SparkSpec {
     val byDoc = Curation.q68TfidfTopterms(spark, dir).collect()
       .groupBy(_.getAs[Long]("doc_id"))
     assert(byDoc.nonEmpty)
+    // tfidf itself is no longer emitted (integer-exact contract);
+    // recover it from the emitted model counts and check the ranking
+    def round6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     byDoc.foreach { case (_, rs) =>
       assert(rs.map(_.getAs[Int]("rk")).sorted.sameElements(1 to rs.length))
       assert(rs.length <= 3)
-      val scores = rs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("tfidf"))
+      val scores = rs.sortBy(_.getAs[Int]("rk")).map { r =>
+        round6(r.getAs[Long]("tf") *
+          math.log(r.getAs[Long]("n_docs").toDouble / r.getAs[Long]("df")))
+      }
       assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
     }
   }

@@ -14,12 +14,28 @@ class TextSignalsSpec extends SparkSpec {
     .select("doc_id", "text").collect()
     .map(r => r.getLong(0) -> r.getString(1)).toMap
 
-  test("q94 equals a driver-side unigram model") {
+  test("q94 emitted aggregates equal a driver-side unigram model") {
+    val toks = corpus.view.mapValues(_.toLowerCase.trim.split(" ", -1).toSeq).toMap
+    val vocab = toks.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = vocab.values.sum
+    val got = TextAnalysis.q94UnigramLmScore(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == corpus.size)
+    got.foreach { case (id, n, sumCnt, nTotal) =>
+      val ts = toks(id)
+      assert(n == ts.size, s"doc $id token count $n vs ${ts.size}")
+      assert(sumCnt == ts.map(vocab).sum, s"doc $id sum_cnt")
+      assert(nTotal == total, s"doc $id n_total $nTotal vs $total")
+    }
+  }
+
+  test("spec-only q94 NLL view equals a driver-side unigram model") {
     val toks = corpus.view.mapValues(_.toLowerCase.trim.split(" ", -1).toSeq).toMap
     val vocab = toks.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
     val total = vocab.values.sum.toDouble
     def round6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val got = TextAnalysis.q94UnigramLmScore(spark, dir).collect()
+    val got = TextAnalysis.unigramNll(
+        Tables.documents(spark, dir).select("doc_id", "text")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(got.length == corpus.size)
     got.foreach { case (id, n, avg) =>
@@ -28,7 +44,7 @@ class TextSignalsSpec extends SparkSpec {
       val sum = ts.map(t => BigDecimal(round6(-math.log(vocab(t) / total)))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
       // cast the exact decimal sum to double FIRST, then one IEEE
-      // division — mirrors the query (a BigDecimal division rounds
+      // division — mirrors the view (a BigDecimal division rounds
       // differently at the 6th-decimal boundary)
       val expected = round6(sum.toDouble / ts.size)
       assert(avg == expected, s"doc $id: $avg vs $expected")

@@ -25,6 +25,8 @@ class CollocationAnomalySpec extends SparkSpec {
     val n = bigrams.length.toDouble
     def r6(x: Double): BigDecimal =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    // ranking still runs on the rounded PMI; the emitted columns are
+    // the exact integer counts it derives from (tie-proof contract)
     val expected = cAb.toSeq
       .filter(_._2 >= graft.operators.TextAnalysis.MinPairCount)
       .map { case ((a, b), ab) =>
@@ -33,11 +35,12 @@ class CollocationAnomalySpec extends SparkSpec {
       .sortBy { case (a, b, _, p) => (-p, a, b) }
       .take(graft.operators.TextAnalysis.PmiTopK)
       .zipWithIndex
-      .map { case ((a, b, ab, p), i) => (i + 1, a, b, ab, p.toDouble) }
+      .map { case ((a, b, ab, _), i) =>
+        (i + 1, a, b, ab, cA(a).toLong, cB(b).toLong, bigrams.length.toLong) }
     val got = graft.operators.TextAnalysis.q175PmiCollocations(spark, dir)
       .collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3),
-        r.getDouble(4)))
+        r.getLong(4), r.getLong(5), r.getLong(6)))
     assert(got.toSeq == expected, s"\n got=${got.toSeq}\n exp=$expected")
   }
 

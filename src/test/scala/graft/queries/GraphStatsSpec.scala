@@ -49,7 +49,27 @@ class GraphStatsSpec extends SparkSpec {
       math.rint(6.0 * tri / w2 * 1e6) / 1e6)
   }
 
-  test("q148 entropy matches a BigDecimal recomputation and its bounds") {
+  test("q148 integer profile matches a driver-side recomputation") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1)))
+    val expected = docs.groupBy(_._1).map { case (src, g) =>
+      val counts = g.flatMap(_._2).groupBy(identity).map(_._2.length.toLong)
+      src -> ((counts.size.toLong, counts.sum, counts.map(c => c * c).sum))
+    }
+    val rows = graft.operators.Curation.q148SourceEntropy(spark, dir).collect()
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val got = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(expected(src) == got, s"$src: $got vs ${expected(src)}")
+      // collision entropy ln(N²/Σc²) recoverable and inside [0, ln(vocab)]
+      val h2 = math.log(got._2.toDouble * got._2 / got._3)
+      assert(h2 >= 0.0 && h2 <= math.log(got._1.toDouble) + 1e-6)
+    }
+    assert(rows.length == expected.size)
+  }
+
+  test("spec-only q148 Shannon view matches a BigDecimal recomputation") {
     val docs = graft.sources.Tables.documents(spark, dir)
       .select("source", "text").collect()
       .map(r => (r.getString(0), r.getString(1).split(" ", -1)))
@@ -61,7 +81,7 @@ class GraphStatsSpec extends SparkSpec {
       }.sum
       src -> ((counts.size.toLong, n, math.rint(h.toDouble * 1e6) / 1e6))
     }
-    val rows = graft.operators.Curation.q148SourceEntropy(spark, dir).collect()
+    val rows = graft.operators.Curation.sourceShannonEntropy(spark, dir).collect()
     rows.foreach { r =>
       val src = r.getString(0)
       val got = (r.getLong(1), r.getLong(2), r.getDouble(3))
