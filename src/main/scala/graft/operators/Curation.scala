@@ -1235,9 +1235,14 @@ object Curation {
        |  FROM toks JOIN (SELECT CAST(range AS BIGINT) AS i
        |                  FROM range(1, 100000)) r ON i <= len(arr)),
        |segs AS (
-       |  SELECT doc_id, CAST(floor((ord-1)/$SegTokens) AS BIGINT) AS seg_pos,
-       |    string_agg(tok, ' ' ORDER BY ord) AS seg
-       |  FROM t2 GROUP BY doc_id, CAST(floor((ord-1)/$SegTokens) AS BIGINT)),
+       |  SELECT * FROM (
+       |    SELECT doc_id, CAST(floor((ord-1)/$SegTokens) AS BIGINT) AS seg_pos,
+       |      string_agg(tok, ' ' ORDER BY ord) AS seg
+       |    FROM t2 GROUP BY doc_id, CAST(floor((ord-1)/$SegTokens) AS BIGINT))
+       |  -- empty-text edge: mirror the Spark side's length(seg) > 0
+       |  -- guard so an all-whitespace doc contributes no segment to
+       |  -- n_segs/clean_text in either engine
+       |  WHERE len(seg) > 0),
        |boiler AS (
        |  SELECT seg FROM segs GROUP BY seg
        |  HAVING COUNT(DISTINCT doc_id) >= $BoilerplateMinDocs),

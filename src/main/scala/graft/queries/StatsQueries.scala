@@ -633,8 +633,12 @@ object StatsQueries {
     val th = ev.agg(
         percentile(col("value"), array(lit(0.25), lit(0.5), lit(0.75))).as("t"))
       .select(col("t")(0).as("t1"), col("t")(1).as("t2"), col("t")(2).as("t3"))
-      .withColumn("_k", graft.plans.Opaque.zeroKey(ceil(col("t3")).cast("long")))
-    ev.withColumn("_k", graft.plans.Opaque.zeroKey(ceil(col("value")).cast("long")))
+      // zeroKey = least(c, 0) is the constant 0 only for non-negative
+      // inputs — abs() makes the invariant structural instead of
+      // leaning on the generator's value >= 0 (a negative value would
+      // otherwise get a non-matching key and silently drop its row)
+      .withColumn("_k", graft.plans.Opaque.zeroKey(abs(ceil(col("t3"))).cast("long")))
+    ev.withColumn("_k", graft.plans.Opaque.zeroKey(abs(ceil(col("value"))).cast("long")))
       .join(th, Seq("_k"))
       .select(col("event_type"),
         (lit(1) + when(col("value") > col("t1"), 1).otherwise(0)

@@ -20,7 +20,11 @@ object EventsStreaming {
 
   /** Events schema with `ts` already normalized to session-zoned
     * TIMESTAMP — what [[readEventsStream]] surfaces and what staging
-    * blocks that rewrite the events table should write. */
+    * blocks that rewrite the events table should write. Also the
+    * declared-schema FALLBACK when the stream's source directory has
+    * no matching files yet at construction time (a file-stream source
+    * populated later), where footer-based inference has nothing to
+    * read. */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", TimestampType),
     StructField("user_id", LongType), StructField("event_type", StringType),
@@ -36,9 +40,15 @@ object EventsStreaming {
     // the generator's physical ts encoding has changed across testdata
     // generations (int64 nanos vs TIMESTAMP_NTZ micros) — so take the
     // schema from the files themselves (one driver-side footer read)
-    // and normalize ts the same way the batch loader does.
-    val fileSchema = spark.read
-      .option("pathGlobFilter", glob).parquet(dir).schema
+    // and normalize ts the same way the batch loader does. An empty
+    // (not-yet-populated) source directory is a legitimate stream
+    // state: fall back to the declared contract schema instead of
+    // throwing at construction.
+    val fileSchema =
+      try spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+      catch { case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage != null && e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
+        eventsSchema }
     graft.sources.Tables.normalizeEventsTs(
       spark.readStream.schema(fileSchema)
         .option("pathGlobFilter", glob)

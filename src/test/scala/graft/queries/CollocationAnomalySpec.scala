@@ -44,6 +44,24 @@ class CollocationAnomalySpec extends SparkSpec {
     assert(got.toSeq == expected, s"\n got=${got.toSeq}\n exp=$expected")
   }
 
+  test("q186 conserves rows when values go negative (structural zeroKey)") {
+    // the opaque join key must be 0 for EVERY row — a negative value
+    // used to produce a non-matching key and silently drop the row
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q186_neg").toString
+    try {
+      Seq.tabulate(100) { i =>
+        (i.toLong, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+          i.toLong % 7, s"t${i % 3}", i.toDouble - 50.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$tmp/events.parquet")
+      val out = StatsQueries.q186EquiDepthBuckets(spark, tmp).collect()
+      assert(out.map(_.getLong(2)).sum == 100L, "negative values were dropped")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("q186 buckets are equi-depth within tie tolerance and cover every row") {
     val vals = graft.sources.Tables.events(spark, dir)
       .select("value").collect().map(_.getDouble(0))

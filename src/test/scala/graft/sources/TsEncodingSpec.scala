@@ -73,4 +73,19 @@ class TsEncodingSpec extends SparkSpec {
     assert(stream.isStreaming)
     assert(stream.schema("ts").dataType == TimestampType)
   }
+
+  test("readEventsStream on a not-yet-populated directory falls back to the contract schema") {
+    // a file-stream source pointed at an empty staging dir is a
+    // legitimate state (files arrive later); construction must not
+    // throw on schema inference, and the declared contract schema
+    // must apply so downstream plans still analyze
+    val empty = java.nio.file.Files.createTempDirectory("graft_empty_stream").toString
+    try {
+      val stream = EventsStreaming.readEventsStream(spark, empty)
+      assert(stream.isStreaming)
+      assert(stream.schema == EventsStreaming.eventsSchema)
+    } finally {
+      new java.io.File(empty).delete()
+    }
+  }
 }
