@@ -278,6 +278,99 @@ object Multimodal {
        |ORDER BY d.doc_id""".stripMargin
 
   // --------------------------------------------------------------------
+  // q171 — PERCEPTUAL dedup at PRODUCTION bit-width: q97/q154/q184 run
+  // a 16-bit aHash whose keeper table is provably ≤ 2^16 rows, so the
+  // keeper join back broadcasts; their scale notes promise that at the
+  // production 64-bit width the same join runs SHUFFLED on the hash
+  // with the shape otherwise unchanged. q171 builds that exact plan:
+  // a 64-bit aHash (bin k = count of bytes ≡ k mod 64, bit k set iff
+  // strictly above the mean bin mass — the q97 rule at 4× the width),
+  // bucket keepers, and the join back annotated `hint("shuffle_hash")`
+  // because a 64-bit hash space gives no row-count bound to justify a
+  // broadcast. Phash64Spec pins the ShuffledHashJoin (and the absence
+  // of BroadcastExchange) in the physical plan, turning the scale
+  // notes' claim into a regression-locked fact.
+  // Determinism: bits are integer comparisons (64·bin > n), the hash
+  // is a BIGINT, and bit 63 maps to Long.MinValue on both sides —
+  // two's-complement bit patterns, no floats anywhere.
+  // Scale notes (100 TB): one hash-partitioned aggregate + one
+  // shuffled equi-join on phash64, both AQE-splittable; the decode
+  // rides the shared mapPartitions stage (codec init once per
+  // partition), identical to q97.
+  case class PHashed64(doc_id: Long, phash64: Long)
+
+  /** 64-bit aHash: bin k = count of bytes ≡ k (mod 64); bit k set iff
+    * 64·bin_k > total bytes. Integer-exact; empty payload hashes to 0;
+    * bit 63 lands on Long's sign bit by design.
+    */
+  def aHash64(payload: Array[Byte]): Long = {
+    val bins = new Array[Long](64)
+    payload.foreach(b => bins((b & 0xff) % 64) += 1)
+    val n = payload.length.toLong
+    (0 until 64).foldLeft(0L) { (acc, k) =>
+      if (bins(k) * 64 > n) acc | (1L << k) else acc
+    }
+  }
+
+  private[operators] def phashed64(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.sources.Tables.documentsSharded(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) => PHashed64(id, aHash64(bytes)) }
+      }.toDF()
+  }
+
+  def q171Phash64Dedup(spark: SparkSession, dir: String): DataFrame = {
+    val h = phashed64(spark, dir)
+    val keepers = h.groupBy(col("phash64"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+    // production width ⇒ no bounded-broadcast argument; shuffle on the
+    // hash (AQE may still locally prefer SHJ build sides — the point
+    // is the exchange, not a broadcast)
+    h.join(keepers.hint("shuffle_hash"), Seq("phash64"))
+      .select(col("doc_id"), col("phash64"), col("keeper_id"), col("n_copies"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** aHash64 replayed in SQL: full byte values from hex pairs, binned
+    * mod 64, bits via bit_or over integer comparisons. DuckDB rejects
+    * `1::BIGINT << 63` (overflow-checked), so bit 63 is spelled
+    * `(1 << 62) * -2` — exactly Long.MinValue's two's-complement
+    * pattern, matching the Scala `1L << 63`.
+    */
+  val q171Oracle: String =
+    """WITH pbase AS (
+      |  SELECT doc_id, lower(hex(encode(text))) AS h,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+      |  FROM documents),
+      |pidx AS (
+      |  SELECT doc_id, h, n,
+      |    unnest(generate_series(1, CAST(n AS INTEGER))) AS i
+      |  FROM pbase),
+      |pbytes AS (
+      |  SELECT doc_id, n,
+      |    CAST(concat('0x', substring(h, 2*i - 1, 2)) AS INTEGER) % 64 AS k
+      |  FROM pidx),
+      |pbins AS (
+      |  SELECT doc_id, n, k, count(*) AS c FROM pbytes GROUP BY 1, 2, 3),
+      |phash AS (
+      |  SELECT b.doc_id,
+      |    COALESCE(bit_or(CASE WHEN 64 * x.c > x.n THEN
+      |        CASE WHEN x.k = 63 THEN (CAST(1 AS BIGINT) << 62) * CAST(-2 AS BIGINT)
+      |             ELSE CAST(1 AS BIGINT) << x.k END
+      |      ELSE CAST(0 AS BIGINT) END), 0) AS phash64
+      |  FROM pbase b LEFT JOIN pbins x ON b.doc_id = x.doc_id
+      |  GROUP BY 1),
+      |keep AS (
+      |  SELECT phash64, min(doc_id) AS keeper_id, count(*) AS n_copies
+      |  FROM phash GROUP BY 1)
+      |SELECT p.doc_id, p.phash64, k.keeper_id, k.n_copies
+      |FROM phash p JOIN keep k USING (phash64)
+      |ORDER BY p.doc_id""".stripMargin
+
+  // --------------------------------------------------------------------
   // q184 — media NEAR-DUP CLUSTERS: q97 buckets exact perceptual
   // matches; q184 merges buckets that differ by ONE aHash bit into
   // connected components — the media analogue of q76's text clusters,
@@ -348,6 +441,7 @@ object Multimodal {
     "q38_multimodal_decode" -> q38MultimodalDecode,
     "q53_frame_sample" -> q53FrameSample,
     "q97_phash_dedup" -> q97PhashDedup,
+    "q171_phash64_dedup" -> q171Phash64Dedup,
     "q154_crossmodal_keepers" -> q154CrossModalKeepers)
 
   def oracleSql: Map[String, String] = Map(
@@ -356,5 +450,6 @@ object Multimodal {
     "q38_multimodal_decode" -> q38Oracle,
     "q53_frame_sample" -> q53Oracle,
     "q97_phash_dedup" -> q97Oracle,
+    "q171_phash64_dedup" -> q171Oracle,
     "q154_crossmodal_keepers" -> q154Oracle)
 }

@@ -86,7 +86,13 @@ class PlanRegressionSpec extends SparkSpec {
     // any nested loop whose condition does NOT touch _pid is data-sized
     // and fails the sweep.
     val streaming = Set("q45_stream_hourly", "q46_stream_sessions",
-      "q72_stream_dedup", "q73_stream_join", "q80_stream_shard_sink")
+      "q72_stream_dedup", "q73_stream_join", "q80_stream_shard_sink",
+      "q84_stream_dedup_watermark", "q88_stream_curation_gate",
+      "q91_stream_enrich", "q103_stream_dedup_static",
+      "q122_stream_user_totals", "q146_stream_session_window",
+      "q151_stream_hopping", "q153_stream_curation_pipeline",
+      "q163_stream_index_update", "q167_stream_outer_join",
+      "q181_stream_privacy_gate", "q183_stream_rate_monitor")
     val baselines = Set("q34_cosine_topk", "q36_embedding_neardup")
     def dataSizedNestedLoops(
         plan: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
