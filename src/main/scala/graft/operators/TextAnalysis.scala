@@ -869,7 +869,123 @@ object TextAnalysis {
       |    t -> NOT list_contains(v, t))) AS BIGINT) AS n_oov
       |FROM documents, vl ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q187 — BM25 RANKED RETRIEVAL: top-k documents for a fixed query
+  // term set, the lexical search primitive a curation pipeline runs for
+  // targeted corpus pulls (and the sparse half of hybrid retrieval next
+  // to q34/q49's dense path). Okapi BM25 (Robertson et al., TREC-3)
+  // with Lucene's +1-inside-the-log idf so scores stay positive at any
+  // df: score(d) = Σ_t ln(1 + (N−df+0.5)/(df+0.5)) ·
+  // tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)), k1=1.2, b=0.75 (so the
+  // constants below are k1+1=2.2, k1·(1−b)=0.3, k1·b=0.9), avgdl as
+  // the exact rational sum_dl/n_docs.
+  // Determinism contract (the q68/q175 discipline): the score is a sum
+  // of per-term idf·tfpart doubles with a FIXED left-to-right
+  // association mirrored in both engine texts; every non-ln operation
+  // is IEEE-correctly-rounded so only ln contributes last-ulp
+  // divergence, the rank runs on the 6-decimal-ROUNDED score with a
+  // doc_id tiebreak, and the rounded score is NOT emitted — the hashed
+  // columns are the exact BIGINT model stats (tf_t, dl, df_t, n_docs,
+  // sum_dl) from which any consumer recovers the score. A rank flip
+  // needs a rounding-boundary straddle AND an adjacent competitor
+  // inside the same 1e-6 window — two compounded ulp-rare events.
+  // Scale notes (100 TB): one tokenize+explode feeds two hash aggs
+  // (per-doc length; per-doc tf GATED scan-side to the |Q| query
+  // terms, so that agg's input is the postings volume, not the
+  // corpus); df and the corpus totals are 1-row aggregates riding the
+  // optimizer-opaque join; the global top-k is the TopKByLong PARTIAL
+  // aggregate (≤ k rows of state per map task — no rank window, which
+  // the registry-wide sweep now bans); the k-row id frame broadcasts
+  // back for the stat columns. tf and dl share the doc_id hash
+  // partitioning, so the candidate join adds no third corpus shuffle.
+  val Bm25TopK = 10
+  val Bm25QueryTerms = Seq("hash", "join", "stream")
+
+  def q187Bm25Retrieval(spark: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.documentsSharded(spark, dir)
+      .select(col("doc_id"),
+        explode(tokens(lower(trim(col("text"))))).as("tok"))
+    val dln = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val Seq(tH, tJ, tS) = Bm25QueryTerms
+    val tf = ex.filter(col("tok").isin(Bm25QueryTerms: _*))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("tok") === tH, 1L).otherwise(0L)).as("tf_hash"),
+        sum(when(col("tok") === tJ, 1L).otherwise(0L)).as("tf_join"),
+        sum(when(col("tok") === tS, 1L).otherwise(0L)).as("tf_stream"))
+    val stats = dln.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .select(col("n_docs"), col("sum_dl"),
+        graft.plans.Opaque.zeroKey(col("n_docs")).as("_k"))
+    val dfr = tf.agg(
+        sum(when(col("tf_hash") > 0, 1L).otherwise(0L)).as("df_hash"),
+        sum(when(col("tf_join") > 0, 1L).otherwise(0L)).as("df_join"),
+        sum(when(col("tf_stream") > 0, 1L).otherwise(0L)).as("df_stream"))
+      .withColumn("_k", graft.plans.Opaque.zeroKey(col("df_hash")))
+    val cand = tf.join(dln, Seq("doc_id"))
+      .withColumn("_k", graft.plans.Opaque.zeroKey(col("dl")))
+      .join(stats, Seq("_k")).join(dfr, Seq("_k"))
+      .withColumn("norm", lit(0.9) * col("dl") * col("n_docs") / col("sum_dl"))
+    def idf(dfc: Column): Column =
+      log(lit(1.0) + (col("n_docs") - dfc + lit(0.5)) / (dfc + lit(0.5)))
+    def tpart(tfc: Column): Column =
+      (tfc * lit(2.2)) / (tfc + lit(0.3) + col("norm"))
+    val scored = cand.withColumn("score", round(
+      idf(col("df_hash")) * tpart(col("tf_hash")) +
+        idf(col("df_join")) * tpart(col("tf_join")) +
+        idf(col("df_stream")) * tpart(col("tf_stream")), 6))
+    val top = scored
+      .agg(graft.functions.TopKByLong.topk_by(
+        col("score"), col("doc_id"), Bm25TopK).as("ids"))
+      .select(posexplode(col("ids")).as(Seq("pos", "doc_id")))
+      .select((col("pos") + 1).cast("int").as("rk"), col("doc_id"))
+    broadcast(top).join(scored, Seq("doc_id"))
+      .select(col("rk"), col("doc_id"), col("tf_hash"), col("tf_join"),
+        col("tf_stream"), col("dl"), col("df_hash"), col("df_join"),
+        col("df_stream"), col("n_docs"), col("sum_dl"))
+      .orderBy(col("rk"))
+  }
+
+  val q187Oracle: String =
+    s"""WITH ex AS (
+       |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+       |  FROM documents),
+       |dln AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM ex GROUP BY 1),
+       |tf AS (
+       |  SELECT doc_id,
+       |    CAST(count(*) FILTER (WHERE tok = 'hash') AS BIGINT) AS tf_hash,
+       |    CAST(count(*) FILTER (WHERE tok = 'join') AS BIGINT) AS tf_join,
+       |    CAST(count(*) FILTER (WHERE tok = 'stream') AS BIGINT) AS tf_stream
+       |  FROM ex WHERE tok IN ('hash', 'join', 'stream') GROUP BY doc_id),
+       |stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(dl) AS BIGINT) AS sum_dl FROM dln),
+       |dfr AS (
+       |  SELECT CAST(count(*) FILTER (WHERE tf_hash > 0) AS BIGINT) AS df_hash,
+       |    CAST(count(*) FILTER (WHERE tf_join > 0) AS BIGINT) AS df_join,
+       |    CAST(count(*) FILTER (WHERE tf_stream > 0) AS BIGINT) AS df_stream
+       |  FROM tf),
+       |cand AS (
+       |  SELECT t.doc_id, tf_hash, tf_join, tf_stream, d.dl,
+       |    df_hash, df_join, df_stream, n_docs, sum_dl,
+       |    CAST(0.9 AS DOUBLE) * d.dl * n_docs / sum_dl AS norm
+       |  FROM tf t JOIN dln d USING (doc_id), stats, dfr),
+       |scored AS (
+       |  SELECT *, round(
+       |    ln(1 + (n_docs - df_hash + CAST(0.5 AS DOUBLE)) / (df_hash + CAST(0.5 AS DOUBLE)))
+       |      * ((tf_hash * CAST(2.2 AS DOUBLE)) / (tf_hash + CAST(0.3 AS DOUBLE) + norm)) +
+       |    ln(1 + (n_docs - df_join + CAST(0.5 AS DOUBLE)) / (df_join + CAST(0.5 AS DOUBLE)))
+       |      * ((tf_join * CAST(2.2 AS DOUBLE)) / (tf_join + CAST(0.3 AS DOUBLE) + norm)) +
+       |    ln(1 + (n_docs - df_stream + CAST(0.5 AS DOUBLE)) / (df_stream + CAST(0.5 AS DOUBLE)))
+       |      * ((tf_stream * CAST(2.2 AS DOUBLE)) / (tf_stream + CAST(0.3 AS DOUBLE) + norm)), 6)
+       |    AS score
+       |  FROM cand)
+       |SELECT rk, doc_id, tf_hash, tf_join, tf_stream, dl, df_hash, df_join,
+       |  df_stream, n_docs, sum_dl FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+       |    AS INTEGER) AS rk FROM scored)
+       |WHERE rk <= $Bm25TopK ORDER BY rk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q187_bm25_retrieval" -> q187Bm25Retrieval,
     "q179_unk_rewrite" -> q179UnkRewrite,
     "q175_pmi_collocations" -> q175PmiCollocations,
     "q152_array_surface" -> q152ArraySurface,
@@ -889,6 +1005,7 @@ object TextAnalysis {
     "q158_bigram_lm_score" -> q158BigramLmScore)
 
   def oracleSql: Map[String, String] = Map(
+    "q187_bm25_retrieval" -> q187Oracle,
     "q179_unk_rewrite" -> q179Oracle,
     "q175_pmi_collocations" -> q175Oracle,
     "q152_array_surface" -> q152Oracle,
