@@ -878,7 +878,93 @@ object Similarity {
       |    AS var_rank
       |FROM s ORDER BY pos""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q188 — HYBRID retrieval by RECIPROCAL RANK FUSION (Cormack,
+  // Clarke & Büttcher, SIGIR'09): fuse the sparse BM25 ranking (q187's
+  // scored frame) with a dense cosine ranking against a fixed query
+  // vector (vec_id 0, riding the 1-row opaque join; the query vector
+  // itself is excluded from its own candidate pool). Each list
+  // contributes 1/(RrfK + rank) for its top-RrfPoolN entries; absent
+  // lists contribute 0 (standard RRF over partial pools — at sf0.1 the
+  // id spaces genuinely differ: 5 000 docs vs 2 000 vectors).
+  // Determinism contract: BOTH pool ranks order on 6-decimal-rounded
+  // scores with an id tiebreak (the settled internal-sort-key
+  // discipline), and the fused score is divisions and additions of
+  // exact integers ONLY — every op is IEEE-correctly-rounded, so the
+  // rrf doubles are BIT-IDENTICAL across engines (no transcendental
+  // anywhere); emitted columns are the two integer ranks.
+  // Scale notes (100 TB): both pools are TopKByLong PARTIAL aggregates
+  // (k rows of state per map task, no rank window — the dense side is
+  // one codegen'd dot-product scan, the q49 IVF probe being the
+  // narrower-candidate variant); fusion joins two ≤RrfPoolN-row
+  // frames — driver-bounded by construction.
+  val RrfK = 60
+  val RrfPoolN = 50
+  val RrfTopK = 10
+
+  def q188HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val sparse = TextAnalysis.bm25Scored(spark, dir)
+      .agg(graft.functions.TopKByLong.topk_by(
+        col("score"), col("doc_id"), RrfPoolN).as("ids"))
+      .select(posexplode(col("ids")).as(Seq("pos", "doc_id")))
+      .select(col("doc_id"), (col("pos") + 1).cast("int").as("r_bm25"))
+    val all = withScaledNorm(Tables.embeddingsSharded(spark, dir))
+    val qv = all.filter(col("vec_id") === 0)
+      .select(col("sv").as("qsv"), col("nrm").as("qnrm"),
+        graft.plans.Opaque.zeroKey(col("nrm")).as("_k"))
+    val dense = all.filter(col("vec_id") =!= 0)
+      .withColumn("_k", graft.plans.Opaque.zeroKey(col("nrm")))
+      .join(qv, Seq("_k"))
+      .select(col("vec_id"),
+        cosine(dot(col("qsv"), col("sv")), col("qnrm"), col("nrm")).as("cos"))
+      .agg(graft.functions.TopKByLong.topk_by(
+        col("cos"), col("vec_id"), RrfPoolN).as("ids"))
+      .select(posexplode(col("ids")).as(Seq("pos", "doc_id")))
+      .select(col("doc_id"), (col("pos") + 1).cast("int").as("r_dense"))
+    val fused = sparse.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(RrfK) + col("r_bm25")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("r_dense")), lit(0.0)))
+    val top = fused.agg(graft.functions.TopKByLong.topk_by(
+        col("rrf"), col("doc_id"), RrfTopK).as("ids"))
+      .select(posexplode(col("ids")).as(Seq("pos", "doc_id")))
+      .select((col("pos") + 1).cast("int").as("rk"), col("doc_id"))
+    broadcast(top).join(fused, Seq("doc_id"))
+      .select(col("rk"), col("doc_id"), col("r_bm25"), col("r_dense"))
+      .orderBy(col("rk"))
+  }
+
+  val q188Oracle: String =
+    s"""WITH ${TextAnalysis.Bm25ScoredCtes},
+       |sr AS (
+       |  SELECT doc_id, r_bm25 FROM (
+       |    SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+       |      AS INTEGER) AS r_bm25 FROM scored)
+       |  WHERE r_bm25 <= $RrfPoolN),
+       |base AS (
+       |  $SqlBase),
+       |dscored AS (
+       |  SELECT b.vec_id, ${sqlCos(SqlDot)} AS cos
+       |  FROM (SELECT sv, nrm FROM base WHERE vec_id = 0) a, base b
+       |  WHERE b.vec_id <> 0),
+       |dr AS (
+       |  SELECT doc_id, r_dense FROM (
+       |    SELECT vec_id AS doc_id, CAST(ROW_NUMBER() OVER (ORDER BY cos DESC,
+       |      vec_id) AS INTEGER) AS r_dense FROM dscored)
+       |  WHERE r_dense <= $RrfPoolN),
+       |fused AS (
+       |  SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id, s.r_bm25, d.r_dense,
+       |    COALESCE(CAST(1 AS DOUBLE) / ($RrfK + s.r_bm25), CAST(0 AS DOUBLE)) +
+       |    COALESCE(CAST(1 AS DOUBLE) / ($RrfK + d.r_dense), CAST(0 AS DOUBLE))
+       |      AS rrf
+       |  FROM sr s FULL JOIN dr d ON s.doc_id = d.doc_id)
+       |SELECT rk, doc_id, r_bm25, r_dense FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id)
+       |    AS INTEGER) AS rk FROM fused)
+       |WHERE rk <= $RrfTopK ORDER BY rk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q188_hybrid_rrf" -> q188HybridRrf,
     "q143_contrastive_pairs" -> q143ContrastivePairs,
     "q161_dimension_stats" -> q161DimensionStats,
     "q121_centroid_drift" -> q121CentroidDrift,
@@ -893,6 +979,7 @@ object Similarity {
     "q165_jl_sketch" -> q165JlSketch)
 
   def oracleSql: Map[String, String] = Map(
+    "q188_hybrid_rrf" -> q188Oracle,
     "q143_contrastive_pairs" -> q143Oracle,
     "q161_dimension_stats" -> q161Oracle,
     "q121_centroid_drift" -> q121Oracle,

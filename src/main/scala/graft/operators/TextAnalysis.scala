@@ -901,7 +901,11 @@ object TextAnalysis {
   val Bm25TopK = 10
   val Bm25QueryTerms = Seq("hash", "join", "stream")
 
-  def q187Bm25Retrieval(spark: SparkSession, dir: String): DataFrame = {
+  /** The BM25-scored candidate frame (doc_id, tf_*, dl, df_*, n_docs,
+    * sum_dl, norm, score) — shared by q187's top-k and q188's RRF
+    * fusion pool.
+    */
+  private[operators] def bm25Scored(spark: SparkSession, dir: String): DataFrame = {
     val ex = Tables.documentsSharded(spark, dir)
       .select(col("doc_id"),
         explode(tokens(lower(trim(col("text"))))).as("tok"))
@@ -928,10 +932,14 @@ object TextAnalysis {
       log(lit(1.0) + (col("n_docs") - dfc + lit(0.5)) / (dfc + lit(0.5)))
     def tpart(tfc: Column): Column =
       (tfc * lit(2.2)) / (tfc + lit(0.3) + col("norm"))
-    val scored = cand.withColumn("score", round(
+    cand.withColumn("score", round(
       idf(col("df_hash")) * tpart(col("tf_hash")) +
         idf(col("df_join")) * tpart(col("tf_join")) +
         idf(col("df_stream")) * tpart(col("tf_stream")), 6))
+  }
+
+  def q187Bm25Retrieval(spark: SparkSession, dir: String): DataFrame = {
+    val scored = bm25Scored(spark, dir)
     val top = scored
       .agg(graft.functions.TopKByLong.topk_by(
         col("score"), col("doc_id"), Bm25TopK).as("ids"))
@@ -944,8 +952,12 @@ object TextAnalysis {
       .orderBy(col("rk"))
   }
 
-  val q187Oracle: String =
-    s"""WITH ex AS (
+  /** The `ex`→`scored` CTE chain mirroring [[bm25Scored]] — shared by
+    * the q187 and q188 oracle texts (identical score expression shape,
+    * so the engines' doubles agree to the settled contract).
+    */
+  private[operators] val Bm25ScoredCtes: String =
+    s"""ex AS (
        |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
        |  FROM documents),
        |dln AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM ex GROUP BY 1),
@@ -977,7 +989,10 @@ object TextAnalysis {
        |    ln(1 + (n_docs - df_stream + CAST(0.5 AS DOUBLE)) / (df_stream + CAST(0.5 AS DOUBLE)))
        |      * ((tf_stream * CAST(2.2 AS DOUBLE)) / (tf_stream + CAST(0.3 AS DOUBLE) + norm)), 6)
        |    AS score
-       |  FROM cand)
+       |  FROM cand)""".stripMargin
+
+  val q187Oracle: String =
+    s"""WITH $Bm25ScoredCtes
        |SELECT rk, doc_id, tf_hash, tf_join, tf_stream, dl, df_hash, df_join,
        |  df_stream, n_docs, sum_dl FROM (
        |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
