@@ -78,4 +78,28 @@ class Bm25Spec extends SparkSpec {
     assert(plan.contains("topkbylong") || plan.contains("TopKByLong"),
       s"top-k must ride the TopKByLong aggregate:\n$plan")
   }
+
+  test("plan: the corpus is tokenized once — consumers reuse the exchange") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = TextAnalysis.q187Bm25Retrieval(spark, dir)
+        .queryExecution.executedPlan
+      // every documents read must route through the cached perDoc
+      // boundary: zero direct file scans in the executed tree (the
+      // single real scan lives inside the one InMemoryRelation), and
+      // the multiple consumers show as InMemoryTableScan nodes
+      val direct = plan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.metadata.get("Location").exists(_.contains("documents")) => f
+      }
+      assert(direct.isEmpty,
+        s"documents scanned outside the perDoc cache boundary:\n$plan")
+      val cached = plan.collect {
+        case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => i
+      }
+      assert(cached.size >= 3,
+        s"expected >=3 perDoc cache consumers, found ${cached.size}:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }
