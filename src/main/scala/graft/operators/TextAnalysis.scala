@@ -1013,7 +1013,112 @@ object TextAnalysis {
        |    AS INTEGER) AS rk FROM scored)
        |WHERE rk <= $Bm25TopK ORDER BY rk""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q189 — CONTRASTIVE IMPORTANCE WEIGHTS for data selection (the
+  // DSIR / cc_net family: Xie et al., NeurIPS'23; Wenzek et al.,
+  // LREC'20): score every document by how much more likely a TARGET
+  // unigram LM (here: the lang='en' slice) makes it than the RAW-pool
+  // LM, w(d) = Σ_occurrences [ln p_t(tok) − ln p_r(tok)] with add-1
+  // smoothing over the shared vocabulary, then keep the top-k most
+  // target-like documents — the selection pass a pretraining pipeline
+  // runs to upsample quality-proxy data.
+  // Determinism contract: the per-TOKEN term rounds to 6 decimals and
+  // accumulates per-doc through exact DECIMAL arithmetic multiplied by
+  // exact BIGINT occurrence counts (the settled q94 sum-order rule),
+  // so the per-doc weight is an exact decimal on both engines modulo
+  // the per-token ln() ulp channel; the rank key is that exact decimal
+  // cast to double (identical bits from identical decimals) with a
+  // doc_id tiebreak, and the emitted columns are integer-exact model
+  // aggregates only (n_toks, Σc_t, Σc_r, N_t, N_r, V).
+  // Scale notes (100 TB): ONE tokenize+explode+shuffle builds the
+  // cached per-(doc,token) count boundary (the q187 rule); both LM
+  // count frames and the scoring join consume it. The raw-LM join is
+  // on the token key (vocabulary-sized — broadcastable at real vocab);
+  // the target LM left-joins the same key; constants ride 1-row opaque
+  // joins; top-k is the TopKByLong partial aggregate.
+  val DsirTopK = 20
+  val DsirTargetLang = "en"
+
+  def q189DsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documentsSharded(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(tokens(lower(trim(col("text"))))).as("tok"))
+      .groupBy(col("doc_id"), col("lang"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .cache()
+    val cr = g.groupBy(col("tok")).agg(sum(col("c")).as("cr"))
+    val ct = g.filter(col("lang") === DsirTargetLang)
+      .groupBy(col("tok")).agg(sum(col("c")).as("ct"))
+    val rconst = cr.agg(sum(col("cr")).as("n_r"), count(lit(1)).as("vsz"))
+      .withColumn("_k", graft.plans.Opaque.zeroKey(col("n_r")))
+    val tconst = ct.agg(sum(col("ct")).as("n_t"))
+      .withColumn("_k", graft.plans.Opaque.zeroKey(col("n_t")))
+    // both LM count frames are vocabulary-bounded (distinct tokens,
+    // not corpus rows) — broadcast them so the corpus-sized g never
+    // shuffles on the token key
+    val terms = g.join(broadcast(cr), Seq("tok"))
+      .join(broadcast(ct), Seq("tok"), "left_outer")
+      .withColumn("ct", coalesce(col("ct"), lit(0L)))
+      .withColumn("_k", graft.plans.Opaque.zeroKey(col("c")))
+      .join(rconst, Seq("_k")).join(tconst, Seq("_k"))
+      .withColumn("term", round(
+        log(col("ct") + lit(1L)) - log(col("n_t") + col("vsz")) -
+          log(col("cr") + lit(1L)) + log(col("n_r") + col("vsz")), 6)
+        .cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+    val perDoc = terms.groupBy(col("doc_id"), col("lang")).agg(
+      sum(col("term") * col("c")).as("w6"),
+      sum(col("c")).as("n_toks"),
+      sum(col("ct") * col("c")).as("sum_ct"),
+      sum(col("cr") * col("c")).as("sum_cr"),
+      max(col("n_t")).as("n_t"), max(col("n_r")).as("n_r"),
+      max(col("vsz")).as("vsz"))
+    val top = perDoc
+      .agg(graft.functions.TopKByLong.topk_by(
+        col("w6").cast("double"), col("doc_id"), DsirTopK).as("ids"))
+      .select(posexplode(col("ids")).as(Seq("pos", "doc_id")))
+      .select((col("pos") + 1).cast("int").as("rk"), col("doc_id"))
+    broadcast(top).join(perDoc, Seq("doc_id"))
+      .select(col("rk"), col("doc_id"), col("lang"), col("n_toks"),
+        col("sum_ct"), col("sum_cr"), col("n_t"), col("n_r"), col("vsz"))
+      .orderBy(col("rk"))
+  }
+
+  val q189Oracle: String =
+    s"""WITH ex AS (
+       |  SELECT doc_id, lang, unnest(string_split(lower(trim(text)), ' ')) AS tok
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, lang, tok, CAST(count(*) AS BIGINT) AS c
+       |  FROM ex GROUP BY 1, 2, 3),
+       |cr AS (SELECT tok, CAST(sum(c) AS BIGINT) AS cr FROM g GROUP BY 1),
+       |ct AS (
+       |  SELECT tok, CAST(sum(c) AS BIGINT) AS ct FROM g
+       |  WHERE lang = '$DsirTargetLang' GROUP BY 1),
+       |rconst AS (
+       |  SELECT CAST(sum(cr) AS BIGINT) AS n_r,
+       |    CAST(count(*) AS BIGINT) AS vsz FROM cr),
+       |tconst AS (SELECT CAST(sum(ct) AS BIGINT) AS n_t FROM ct),
+       |terms AS (
+       |  SELECT g.doc_id, g.lang, g.c, cr.cr, COALESCE(ct.ct, 0) AS ct,
+       |    n_t, n_r, vsz,
+       |    CAST(round(
+       |      ln(COALESCE(ct.ct, 0) + 1) - ln(n_t + vsz) -
+       |      ln(cr.cr + 1) + ln(n_r + vsz), 6) AS DECIMAL(28,6)) AS term
+       |  FROM g JOIN cr USING (tok) LEFT JOIN ct USING (tok), rconst, tconst),
+       |per_doc AS (
+       |  SELECT doc_id, lang, sum(term * c) AS w6,
+       |    CAST(sum(c) AS BIGINT) AS n_toks,
+       |    CAST(sum(ct * c) AS BIGINT) AS sum_ct,
+       |    CAST(sum(cr * c) AS BIGINT) AS sum_cr,
+       |    max(n_t) AS n_t, max(n_r) AS n_r, max(vsz) AS vsz
+       |  FROM terms GROUP BY 1, 2)
+       |SELECT rk, doc_id, lang, n_toks, sum_ct, sum_cr, n_t, n_r, vsz FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY CAST(w6 AS DOUBLE) DESC,
+       |    doc_id) AS INTEGER) AS rk FROM per_doc)
+       |WHERE rk <= $DsirTopK ORDER BY rk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q189_dsir_weights" -> q189DsirWeights,
     "q187_bm25_retrieval" -> q187Bm25Retrieval,
     "q179_unk_rewrite" -> q179UnkRewrite,
     "q175_pmi_collocations" -> q175PmiCollocations,
@@ -1034,6 +1139,7 @@ object TextAnalysis {
     "q158_bigram_lm_score" -> q158BigramLmScore)
 
   def oracleSql: Map[String, String] = Map(
+    "q189_dsir_weights" -> q189Oracle,
     "q187_bm25_retrieval" -> q187Oracle,
     "q179_unk_rewrite" -> q179Oracle,
     "q175_pmi_collocations" -> q175Oracle,
