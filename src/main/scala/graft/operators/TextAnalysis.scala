@@ -1051,7 +1051,10 @@ object TextAnalysis {
       .groupBy(col("tok")).agg(sum(col("c")).as("ct"))
     val rconst = cr.agg(sum(col("cr")).as("n_r"), count(lit(1)).as("vsz"))
       .withColumn("_k", graft.plans.Opaque.zeroKey(col("n_r")))
-    val tconst = ct.agg(sum(col("ct")).as("n_t"))
+    // coalesce: an empty target slice must yield n_t = 0 (all-raw
+    // weights), not a null that would null the opaque key and silently
+    // drop every row through the inner join
+    val tconst = ct.agg(coalesce(sum(col("ct")), lit(0L)).as("n_t"))
       .withColumn("_k", graft.plans.Opaque.zeroKey(col("n_t")))
     // both LM count frames are vocabulary-bounded (distinct tokens,
     // not corpus rows) — broadcast them so the corpus-sized g never
@@ -1097,7 +1100,7 @@ object TextAnalysis {
        |rconst AS (
        |  SELECT CAST(sum(cr) AS BIGINT) AS n_r,
        |    CAST(count(*) AS BIGINT) AS vsz FROM cr),
-       |tconst AS (SELECT CAST(sum(ct) AS BIGINT) AS n_t FROM ct),
+       |tconst AS (SELECT CAST(COALESCE(sum(ct), 0) AS BIGINT) AS n_t FROM ct),
        |terms AS (
        |  SELECT g.doc_id, g.lang, g.c, cr.cr, COALESCE(ct.ct, 0) AS ct,
        |    n_t, n_r, vsz,
