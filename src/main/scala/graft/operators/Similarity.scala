@@ -963,7 +963,111 @@ object Similarity {
        |    AS INTEGER) AS rk FROM fused)
        |WHERE rk <= $RrfTopK ORDER BY rk""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q190 — SEMANTIC dedup, cluster-bucketed (the SemDeDup recipe,
+  // Abbas et al. 2023): assign every embedding to its IVF cell (q49's
+  // deterministic seed codebook), generate candidate pairs only WITHIN
+  // a cell, call a pair duplicate at cos ≥ SemTau (the fixture's q36
+  // near-dup convention), and inside each duplicate pair KEEP the
+  // vector LESS similar to its cell centroid (the paper's
+  // keep-the-outlier rule — it preserves diversity), ties on the
+  // rounded centroid-cosine breaking to the smaller vec_id. The
+  // pair-local greedy form (drop any vector that loses at least one
+  // pair) is the same keeper semantic as q56/q79, with cluster cells
+  // replacing LSH bands as the candidate generator.
+  // Output: every vector with its kept flag, centroid cosine (rounded
+  // divide/sqrt — the quiet IEEE channel every cosine emitter shares),
+  // and its cell's population; cell LABELS are never emitted (the
+  // positional-vs-DIV labeling contract in IvfAnn.buildIndexFrom).
+  // Scale notes (100 TB): candidates are cell-bucketed — the
+  // within-cell pair join is an equi-join on the cell key whose block
+  // size is bounded by cell population (production k ~ thousands of
+  // cells keeps blocks small; fixture k=8); the codebook is the
+  // bounded IVF collect; the multi-consumer cell+centroid frame is a
+  // cached cut-point (the q82/q187 rule); no window, no nested loop.
+  val SemTau = 0.4
+
+  def q190SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val index = IvfAnn.buildIndex(spark, dir, k = 8)
+    val piv = index.pivots.toSeq.map { case (c, sv, n) => (c, sv.toSeq, n) }
+      .toDF("cell", "psv", "pnrm")
+    val cc = index.cells.join(broadcast(piv), Seq("cell"))
+      .withColumn("cos_centroid",
+        cosine(dot(col("sv"), col("psv")), col("nrm"), col("pnrm")))
+      .select(col("cell"), col("vec_id"), col("sv"), col("nrm"),
+        col("cos_centroid"))
+      .cache()
+    val a = cc.select(col("cell"), col("vec_id").as("va"),
+      col("sv").as("sva"), col("nrm").as("na"), col("cos_centroid").as("cca"))
+    val b = cc.select(col("cell"), col("vec_id").as("vb"),
+      col("sv").as("svb"), col("nrm").as("nb"), col("cos_centroid").as("ccb"))
+    val pairs = a.join(b, Seq("cell")).filter(col("va") < col("vb"))
+      .withColumn("cos", cosine(dot(col("sva"), col("svb")), col("na"), col("nb")))
+      .filter(col("cos") >= SemTau)
+    val dropped = pairs.select(
+        when(col("cca") > col("ccb"), col("va"))
+          .when(col("cca") < col("ccb"), col("vb"))
+          .otherwise(greatest(col("va"), col("vb"))).as("vec_id"))
+      .distinct()
+      .withColumn("_d", lit(1))
+    val ncell = cc.groupBy(col("cell")).agg(count(lit(1)).as("n_cell"))
+    cc.join(broadcast(ncell), Seq("cell"))
+      .join(broadcast(dropped), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("_d").isNull.as("kept"),
+        col("cos_centroid"), col("n_cell"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q190Oracle: String =
+    s"""WITH sva AS (
+       |  SELECT vec_id, $SqlScaled AS sv FROM embeddings),
+       |base AS (
+       |  SELECT vec_id, sv,
+       |    CAST(list_sum(list_transform(generate_series(1, len(sv)),
+       |      i -> sv[i] * sv[i])) AS BIGINT) AS nrm
+       |  FROM sva),
+       |mm AS (
+       |  SELECT GREATEST(1, CAST(ceil(CAST(count(*) AS DOUBLE) / 8) AS BIGINT)) AS m
+       |  FROM embeddings),
+       |seeds AS (
+       |  SELECT CAST(vec_id // (SELECT m FROM mm) AS INTEGER) AS cell, sv, nrm
+       |  FROM base WHERE vec_id % (SELECT m FROM mm) = 0),
+       |dists AS (
+       |  SELECT a.vec_id, s.cell, a.sv, a.nrm,
+       |    a.nrm + s.nrm - 2 * CAST(list_sum(list_transform(
+       |      generate_series(1, len(a.sv)), i -> a.sv[i] * s.sv[i])) AS BIGINT) AS d
+       |  FROM base a CROSS JOIN seeds s),
+       |assigned AS (
+       |  SELECT vec_id, cell, sv, nrm FROM dists
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1),
+       |cc AS (
+       |  SELECT a.vec_id, a.cell, a.sv, a.nrm,
+       |    round(CAST(CAST(list_sum(list_transform(generate_series(1, len(a.sv)),
+       |        i -> a.sv[i] * s.sv[i])) AS BIGINT) AS DOUBLE)
+       |      / sqrt(CAST(a.nrm AS DOUBLE)) / sqrt(CAST(s.nrm AS DOUBLE)), 6)
+       |      AS cos_centroid
+       |  FROM assigned a JOIN seeds s USING (cell)),
+       |pairs AS (
+       |  SELECT * FROM (
+       |    SELECT a.vec_id AS va, b.vec_id AS vb,
+       |      a.cos_centroid AS cca, b.cos_centroid AS ccb,
+       |      ${sqlCos(SqlDot)} AS cos
+       |    FROM cc a JOIN cc b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+       |  WHERE cos >= $SemTau),
+       |dropped AS (
+       |  SELECT DISTINCT CASE WHEN cca > ccb THEN va
+       |    WHEN cca < ccb THEN vb ELSE GREATEST(va, vb) END AS vec_id
+       |  FROM pairs),
+       |ncell AS (
+       |  SELECT cell, CAST(count(*) AS BIGINT) AS n_cell
+       |  FROM assigned GROUP BY 1)
+       |SELECT c.vec_id, (d.vec_id IS NULL) AS kept, c.cos_centroid, n.n_cell
+       |FROM cc c LEFT JOIN dropped d USING (vec_id) JOIN ncell n USING (cell)
+       |ORDER BY c.vec_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q190_semantic_dedup" -> q190SemanticDedup,
     "q188_hybrid_rrf" -> q188HybridRrf,
     "q143_contrastive_pairs" -> q143ContrastivePairs,
     "q161_dimension_stats" -> q161DimensionStats,
@@ -979,6 +1083,7 @@ object Similarity {
     "q165_jl_sketch" -> q165JlSketch)
 
   def oracleSql: Map[String, String] = Map(
+    "q190_semantic_dedup" -> q190Oracle,
     "q188_hybrid_rrf" -> q188Oracle,
     "q143_contrastive_pairs" -> q143Oracle,
     "q161_dimension_stats" -> q161Oracle,
