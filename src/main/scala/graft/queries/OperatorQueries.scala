@@ -281,6 +281,55 @@ object OperatorQueries {
   }
 
   // --------------------------------------------------------------------
+  // q191 — retrieval-quality EVALUATION of the ANN serving path: run
+  // q49's IVF probe verbatim and grade every query's top-3 against
+  // label-match relevance (a candidate is relevant iff it carries the
+  // query's label — the standard proxy when no human judgments exist).
+  // Per query it emits the integer-exact quality counters an eval
+  // harness aggregates into precision@k and MRR: n_rel (the
+  // precision@3 numerator) and first_rel_rank (the MRR reciprocal's
+  // denominator; NULL when nothing relevant surfaced). No score
+  // column is emitted, so the row hash carries no rounded-irrational
+  // channel at all.
+  // Scale notes (100 TB): the probe is q49's plan unchanged; the two
+  // label lookups are equi-joins on the id key against a 2-column
+  // pruned scan (AQE broadcasts the probe side — k rows per query —
+  // at any scale); one hash agg per query id. Nothing collected, no
+  // window.
+  def q191RetrievalEval(spark: SparkSession, dir: String): DataFrame = {
+    val res = q49IvfAnn(spark, dir)
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"))
+    res
+      .join(labels.select(col("vec_id").as("query_id"),
+        col("label").as("qlabel")), Seq("query_id"))
+      .join(labels.select(col("vec_id").as("cand_id"),
+        col("label").as("clabel")), Seq("cand_id"))
+      .groupBy(col("query_id"), col("qlabel"))
+      .agg(
+        sum(when(col("clabel") === col("qlabel"), 1L).otherwise(0L))
+          .as("n_rel"),
+        min(when(col("clabel") === col("qlabel"), col("rk")))
+          .as("first_rel_rank"))
+      .orderBy(col("query_id"))
+  }
+
+  val q191Oracle: String =
+    s"""WITH res AS (
+       |$q49Oracle
+       |),
+       |lab AS (SELECT vec_id, label FROM embeddings)
+       |SELECT r.query_id, lq.label AS qlabel,
+       |  CAST(sum(CASE WHEN lc.label = lq.label THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_rel,
+       |  CAST(min(CASE WHEN lc.label = lq.label THEN r.rk END) AS INTEGER)
+       |    AS first_rel_rank
+       |FROM res r
+       |  JOIN lab lq ON lq.vec_id = r.query_id
+       |  JOIN lab lc ON lc.vec_id = r.cand_id
+       |GROUP BY 1, 2 ORDER BY query_id""".stripMargin
+
+  // --------------------------------------------------------------------
   // q50 — skew-safe two-phase aggregation (Skew.saltedCount): per-part
   // lineitem counts with the hot-key-spreading salt. The salt is
   // internal — the result equals a plain GROUP BY, which is the oracle.
@@ -787,6 +836,7 @@ object OperatorQueries {
     "q51_salted_join" -> q51SaltedJoin,
     "q93_merge_upsert" -> q93MergeUpsert,
     "q100_ivf_trained" -> q100IvfTrained,
+    "q191_retrieval_eval" -> q191RetrievalEval,
     "q109_snapshot_diff" -> q109SnapshotDiff,
     "q115_hierarchy_closure" -> q115HierarchyClosure,
     "q120_temporal_lookup" -> q120TemporalLookup,
@@ -805,6 +855,7 @@ object OperatorQueries {
     "q51_salted_join" -> q51Oracle,
     "q93_merge_upsert" -> q93Oracle,
     "q100_ivf_trained" -> q100Oracle,
+    "q191_retrieval_eval" -> q191Oracle,
     "q109_snapshot_diff" -> q109Oracle,
     "q115_hierarchy_closure" -> q115Oracle,
     "q120_temporal_lookup" -> q120Oracle,
