@@ -1313,7 +1313,60 @@ object Curation {
        |FROM scrubbed s JOIN keptd k ON s.doc_id = k.doc_id
        |ORDER BY s.doc_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q192 — SELECTION pipeline: the round-10 curation capstone
+  // composing the new tier end-to-end — DSIR contrastive importance
+  // ranking (q189's scored frame) picks the SelPoolN most target-like
+  // documents, then the semantic near-dup verdict (q190's cluster-
+  // bucketed SemDeDup, joined on the embedding id) marks which
+  // selections survive dedup. Every selected document is emitted with
+  // its selection rank and two flags: has_embedding (dedup evidence
+  // exists at all) and curated (kept by SemDeDup, or no embedding to
+  // judge by — COALESCE(kept, TRUE), the conservative default a
+  // curation run uses for unembedded docs). All emitted columns are
+  // integers/booleans/strings — zero rounded-irrational channel.
+  // Scale notes (100 TB): the DSIR side is q189's plan (one cached
+  // doc-token boundary); the dedup side is q190's (cached cell
+  // boundary); the composition itself joins a SelPoolN-row broadcast
+  // against each — no new corpus pass, no window, no nested loop.
+  val SelPoolN = 200
+
+  def q192SelectionPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.dsirScored(spark, dir)
+    val sel = scored
+      .agg(graft.functions.TopKByLong.topk_by(
+        col("w6").cast("double"), col("doc_id"), SelPoolN).as("ids"))
+      .select(posexplode(col("ids")).as(Seq("pos", "doc_id")))
+      .select((col("pos") + 1).cast("int").as("sel_rank"), col("doc_id"))
+    val sem = Similarity.q190SemanticDedup(spark, dir)
+      .select(col("vec_id").as("doc_id"), col("kept"))
+    broadcast(sel).join(scored, Seq("doc_id"))
+      .join(sem, Seq("doc_id"), "left_outer")
+      .select(col("sel_rank"), col("doc_id"), col("lang"), col("n_toks"),
+        col("kept").isNotNull.as("has_embedding"),
+        coalesce(col("kept"), lit(true)).as("curated"))
+      .orderBy(col("sel_rank"))
+  }
+
+  val q192Oracle: String =
+    s"""WITH ${TextAnalysis.DsirPerDocCtes},
+       |sel AS (
+       |  SELECT doc_id, sel_rank FROM (
+       |    SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY CAST(w6 AS DOUBLE)
+       |      DESC, doc_id) AS INTEGER) AS sel_rank FROM per_doc)
+       |  WHERE sel_rank <= $SelPoolN),
+       |${Similarity.SemDroppedCtes},
+       |kept AS (
+       |  SELECT c.vec_id AS doc_id, (d.vec_id IS NULL) AS kept
+       |  FROM cc c LEFT JOIN dropped d USING (vec_id))
+       |SELECT s.sel_rank, s.doc_id, p.lang, p.n_toks,
+       |  (k.kept IS NOT NULL) AS has_embedding,
+       |  COALESCE(k.kept, TRUE) AS curated
+       |FROM sel s JOIN per_doc p USING (doc_id) LEFT JOIN kept k USING (doc_id)
+       |ORDER BY sel_rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q192_selection_pipeline" -> q192SelectionPipeline,
     "q182_release_pipeline" -> q182ReleasePipeline,
     "q172_boilerplate_scrub" -> q172BoilerplateScrub,
     "q168_k_anonymity" -> q168KAnonymity,
@@ -1338,6 +1391,7 @@ object Curation {
     "q104_token_mixture" -> q104TokenMixture)
 
   def oracleSql: Map[String, String] = Map(
+    "q192_selection_pipeline" -> q192Oracle,
     "q182_release_pipeline" -> q182Oracle,
     "q172_boilerplate_scrub" -> q172Oracle,
     "q168_k_anonymity" -> q168Oracle,

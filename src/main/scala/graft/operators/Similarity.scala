@@ -1019,8 +1019,13 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
-  val q190Oracle: String =
-    s"""WITH sva AS (
+  /** The `sva`→`dropped` CTE chain mirroring [[q190SemanticDedup]]'s
+    * cell assignment, centroid cosines and pair-local drop rule —
+    * shared by the q190 and q192 oracle texts. Defined BEFORE its
+    * consumers (strict-val source-order initialization).
+    */
+  private[operators] val SemDroppedCtes: String =
+    s"""sva AS (
        |  SELECT vec_id, $SqlScaled AS sv FROM embeddings),
        |base AS (
        |  SELECT vec_id, sv,
@@ -1058,7 +1063,10 @@ object Similarity {
        |dropped AS (
        |  SELECT DISTINCT CASE WHEN cca > ccb THEN va
        |    WHEN cca < ccb THEN vb ELSE GREATEST(va, vb) END AS vec_id
-       |  FROM pairs),
+       |  FROM pairs)""".stripMargin
+
+  val q190Oracle: String =
+    s"""WITH $SemDroppedCtes,
        |ncell AS (
        |  SELECT cell, CAST(count(*) AS BIGINT) AS n_cell
        |  FROM assigned GROUP BY 1)

@@ -1039,7 +1039,11 @@ object TextAnalysis {
   val DsirTopK = 20
   val DsirTargetLang = "en"
 
-  def q189DsirWeights(spark: SparkSession, dir: String): DataFrame = {
+  /** The DSIR-scored per-document frame (doc_id, lang, w6 exact
+    * decimal, n_toks, sum_ct, sum_cr, n_t, n_r, vsz) — shared by
+    * q189's top-k and q192's selection pipeline.
+    */
+  private[operators] def dsirScored(spark: SparkSession, dir: String): DataFrame = {
     val g = Tables.documentsSharded(spark, dir)
       .select(col("doc_id"), col("lang"),
         explode(tokens(lower(trim(col("text"))))).as("tok"))
@@ -1068,13 +1072,17 @@ object TextAnalysis {
         log(col("ct") + lit(1L)) - log(col("n_t") + col("vsz")) -
           log(col("cr") + lit(1L)) + log(col("n_r") + col("vsz")), 6)
         .cast(org.apache.spark.sql.types.DecimalType(28, 6)))
-    val perDoc = terms.groupBy(col("doc_id"), col("lang")).agg(
+    terms.groupBy(col("doc_id"), col("lang")).agg(
       sum(col("term") * col("c")).as("w6"),
       sum(col("c")).as("n_toks"),
       sum(col("ct") * col("c")).as("sum_ct"),
       sum(col("cr") * col("c")).as("sum_cr"),
       max(col("n_t")).as("n_t"), max(col("n_r")).as("n_r"),
       max(col("vsz")).as("vsz"))
+  }
+
+  def q189DsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = dsirScored(spark, dir)
     val top = perDoc
       .agg(graft.functions.TopKByLong.topk_by(
         col("w6").cast("double"), col("doc_id"), DsirTopK).as("ids"))
@@ -1086,8 +1094,13 @@ object TextAnalysis {
       .orderBy(col("rk"))
   }
 
-  val q189Oracle: String =
-    s"""WITH ex AS (
+  /** The `ex`→`per_doc` CTE chain mirroring [[dsirScored]] — shared by
+    * the q189 and q192 oracle texts. Defined BEFORE its consumers:
+    * strict vals initialize in source order, so a forward reference
+    * would interpolate null into the SQL.
+    */
+  private[operators] val DsirPerDocCtes: String =
+    s"""ex AS (
        |  SELECT doc_id, lang, unnest(string_split(lower(trim(text)), ' ')) AS tok
        |  FROM documents),
        |g AS (
@@ -1114,7 +1127,10 @@ object TextAnalysis {
        |    CAST(sum(ct * c) AS BIGINT) AS sum_ct,
        |    CAST(sum(cr * c) AS BIGINT) AS sum_cr,
        |    max(n_t) AS n_t, max(n_r) AS n_r, max(vsz) AS vsz
-       |  FROM terms GROUP BY 1, 2)
+       |  FROM terms GROUP BY 1, 2)""".stripMargin
+
+  val q189Oracle: String =
+    s"""WITH $DsirPerDocCtes
        |SELECT rk, doc_id, lang, n_toks, sum_ct, sum_cr, n_t, n_r, vsz FROM (
        |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY CAST(w6 AS DOUBLE) DESC,
        |    doc_id) AS INTEGER) AS rk FROM per_doc)
