@@ -1,0 +1,45 @@
+package graft.plans
+
+import graft.SparkSpec
+
+/** The driver gate hashes query outputs, so results must be
+  * bit-identical regardless of physical parallelism: partition count
+  * must not leak through double-sum orders, top-k partial-aggregate
+  * merges, or decimal accumulation. This spec runs the most
+  * order-sensitive queries (exact-decimal LM sums, TopKByLong
+  * rankings, pair-local dedup verdicts) under two different
+  * shuffle-partition settings and requires identical rows.
+  */
+class PartitionInvarianceSpec extends SparkSpec {
+
+  val dir = "/root/testdata/sf0.001"
+
+  // the tie/order-sensitive tier: LM scoring (decimal sums), retrieval
+  // rankings (TopKByLong merges), semantic dedup (pair-local verdict),
+  // and the composed pipeline over all three
+  val sensitive = Seq("q94_unigram_lm_score", "q158_bigram_lm_score",
+    "q173_decayed_value", "q187_bm25_retrieval", "q188_hybrid_rrf",
+    "q189_dsir_weights", "q190_semantic_dedup", "q191_retrieval_eval",
+    "q192_selection_pipeline")
+
+  test("results are bit-identical across shuffle-partition settings") {
+    def run(parts: Int): Map[String, Seq[String]] = {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      sensitive.map { q =>
+        val rows = graft.SparkEntry.queries(q)(s, dir).collect()
+          .map(_.toSeq.map(v => String.valueOf(v)).mkString("|"))
+          .toSeq.sorted
+        s.catalog.clearCache()
+        q -> rows
+      }.toMap
+    }
+    val at3 = run(3)
+    val at13 = run(13)
+    sensitive.foreach { q =>
+      assert(at3(q).nonEmpty, s"$q returned no rows")
+      assert(at3(q) == at13(q),
+        s"$q output depends on shuffle partition count")
+    }
+  }
+}
