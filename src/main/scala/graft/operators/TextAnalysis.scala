@@ -1043,7 +1043,7 @@ object TextAnalysis {
     * decimal, n_toks, sum_ct, sum_cr, n_t, n_r, vsz) — shared by
     * q189's top-k and q192's selection pipeline.
     */
-  private[operators] def dsirScored(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def dsirScored(spark: SparkSession, dir: String): DataFrame = {
     val g = Tables.documentsSharded(spark, dir)
       .select(col("doc_id"), col("lang"),
         explode(tokens(lower(trim(col("text"))))).as("tok"))
@@ -1099,7 +1099,7 @@ object TextAnalysis {
     * strict vals initialize in source order, so a forward reference
     * would interpolate null into the SQL.
     */
-  private[operators] val DsirPerDocCtes: String =
+  private[graft] val DsirPerDocCtes: String =
     s"""ex AS (
        |  SELECT doc_id, lang, unnest(string_split(lower(trim(text)), ' ')) AS tok
        |  FROM documents),

@@ -478,6 +478,73 @@ object StreamingQueries {
       .parquet(dir)
 
   // --------------------------------------------------------------------
+  // q193 — STREAMING DSIR gate: q189's contrastive importance
+  // weighting applied at INGEST. The two unigram LMs are published
+  // from the reference corpus as a ONE-ROW static model frame (token→
+  // count maps + corpus constants — LMs change on the corpus release
+  // cadence, not per arriving row; vocabulary-bounded, so the maps
+  // broadcast), and each streamed document scores ROW-LOCALLY: fold
+  // over its token array accumulating q189's exact per-token contract
+  // (term rounded once to 6 decimals, accumulated through exact
+  // DECIMAL — so the doc weight is identical to the batch per_doc.w6
+  // by construction, and the gate's w6 ≥ 0 compare sits on an exact
+  // decimal; a membership flip needs a per-token ln() ulp straddle
+  // AND the whole-doc sum within 1e-6 of the boundary — compounded).
+  // STATELESS: the model joins through the 1-row opaque key, no
+  // watermark, no state store — the ingest-gate discipline of
+  // q88/q181 extended from row-local predicates to model-based
+  // scoring. Emitted columns are integers/strings only.
+  // Scale notes (100 TB/day): the model row is vocabulary-bounded
+  // (production 100k-entry maps ≈ MBs — still one broadcast row); the
+  // stream side never shuffles; per-row cost is |tokens| map probes.
+  def q193StreamDsirGate(spark: SparkSession, dir: String): DataFrame = {
+    val ss = EventsStreaming.streamSession(spark)
+    val tgt = graft.operators.TextAnalysis.DsirTargetLang
+    val g = graft.sources.Tables.documents(ss, dir)
+      .select(col("lang"),
+        explode(split(lower(trim(col("text"))), " ")).as("tok"))
+    val cr = g.groupBy(col("tok")).agg(count(lit(1)).as("cr"))
+    val ct = g.filter(col("lang") === tgt)
+      .groupBy(col("tok")).agg(count(lit(1)).as("ct"))
+    val model = cr.join(ct, Seq("tok"), "left_outer")
+      .agg(
+        map_from_entries(collect_list(struct(col("tok"), col("cr"))))
+          .as("crm"),
+        map_from_entries(collect_list(struct(col("tok"),
+          coalesce(col("ct"), lit(0L))))).as("ctm"),
+        sum(col("cr")).as("n_r"),
+        coalesce(sum(col("ct")), lit(0L)).as("n_t"),
+        count(lit(1)).as("vsz"))
+      .withColumn("_k", graft.plans.Opaque.zeroKey(col("n_r")))
+    val zero = lit(BigDecimal(0)).cast(DecimalType(28, 6))
+    val scored = readDocumentsStream(ss, dir)
+      .withColumn("_k", graft.plans.Opaque.zeroKey(col("n_chars")))
+      .join(model, Seq("_k"))
+      .withColumn("toks", split(lower(trim(col("text"))), " "))
+      .withColumn("w6", aggregate(col("toks"), zero, (acc, t) =>
+        // re-cast: decimal + decimal widens to (29,6) and the fold
+        // accumulator must keep its declared type; magnitudes are
+        // |term| ≤ ~60 so the narrow cast is always exact
+        (acc + round(
+          log(coalesce(element_at(col("ctm"), t), lit(0L)) + lit(1L)) -
+            log(col("n_t") + col("vsz")) -
+            log(coalesce(element_at(col("crm"), t), lit(0L)) + lit(1L)) +
+            log(col("n_r") + col("vsz")), 6).cast(DecimalType(28, 6)))
+          .cast(DecimalType(28, 6))))
+    val kept = scored.filter(col("w6") >= 0)
+      .select(col("doc_id"), col("lang"),
+        size(col("toks")).cast("long").as("n_toks"))
+    EventsStreaming.runToMemory(kept, "q193_mem")
+      .orderBy(col("doc_id"))
+  }
+
+  /** The batch dual: q189's per_doc chain gated at w6 >= 0. */
+  val q193Oracle: String =
+    s"""WITH ${graft.operators.TextAnalysis.DsirPerDocCtes}
+       |SELECT doc_id, lang, n_toks FROM per_doc
+       |WHERE w6 >= 0 ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------
   // q181 — STREAMING privacy gate: q168's k-anonymity suppression
   // applied at INGEST. The cohort statistics are published from the
   // reference corpus as a static frame (the same split a production
@@ -923,6 +990,7 @@ object StreamingQueries {
     "q167_stream_outer_join" -> q167StreamOuterJoin,
     "q181_stream_privacy_gate" -> q181StreamPrivacyGate,
     "q183_stream_rate_monitor" -> q183StreamRateMonitor,
+    "q193_stream_dsir_gate" -> q193StreamDsirGate,
     "q80_stream_shard_sink" -> q80StreamShardSink,
     "q84_stream_dedup_watermark" -> q84StreamDedupWatermark,
     "q88_stream_curation_gate" -> q88StreamCurationGate,
@@ -942,6 +1010,7 @@ object StreamingQueries {
     "q167_stream_outer_join" -> q167Oracle,
     "q181_stream_privacy_gate" -> q181Oracle,
     "q183_stream_rate_monitor" -> q183Oracle,
+    "q193_stream_dsir_gate" -> q193Oracle,
     "q80_stream_shard_sink" -> q80Oracle,
     "q84_stream_dedup_watermark" -> q84Oracle,
     "q88_stream_curation_gate" -> q88Oracle,
