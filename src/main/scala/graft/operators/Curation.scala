@@ -586,7 +586,7 @@ object Curation {
     * (text, n_chars) — ONE definition shared by the batch gate and the
     * streaming gate (q88), so the two cannot drift.
     */
-  private[operators] def qualityScoreCol: Column = {
+  private[graft] def qualityScoreCol: Column = {
     val toks = split(col("text"), " ")
     val nToks = size(toks).cast("bigint")
     val nUniq = size(array_distinct(toks)).cast("bigint")

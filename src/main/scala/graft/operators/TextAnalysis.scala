@@ -1099,7 +1099,12 @@ object TextAnalysis {
     * strict vals initialize in source order, so a forward reference
     * would interpolate null into the SQL.
     */
-  private[graft] val DsirPerDocCtes: String =
+  /** Just the two-LM MODEL half (token counts + corpus constants from
+    * the raw `documents` table) — q194's ingest stack scores a
+    * DIFFERENT relation (the gated, scrubbed stream) against this
+    * same model, so the chain splits here.
+    */
+  private[graft] val DsirModelCtes: String =
     s"""ex AS (
        |  SELECT doc_id, lang, unnest(string_split(lower(trim(text)), ' ')) AS tok
        |  FROM documents),
@@ -1113,7 +1118,10 @@ object TextAnalysis {
        |rconst AS (
        |  SELECT CAST(sum(cr) AS BIGINT) AS n_r,
        |    CAST(count(*) AS BIGINT) AS vsz FROM cr),
-       |tconst AS (SELECT CAST(COALESCE(sum(ct), 0) AS BIGINT) AS n_t FROM ct),
+       |tconst AS (SELECT CAST(COALESCE(sum(ct), 0) AS BIGINT) AS n_t FROM ct)""".stripMargin
+
+  private[graft] val DsirPerDocCtes: String =
+    s"""$DsirModelCtes,
        |terms AS (
        |  SELECT g.doc_id, g.lang, g.c, cr.cr, COALESCE(ct.ct, 0) AS ct,
        |    n_t, n_r, vsz,

@@ -497,8 +497,11 @@ object StreamingQueries {
   // Scale notes (100 TB/day): the model row is vocabulary-bounded
   // (production 100k-entry maps ≈ MBs — still one broadcast row); the
   // stream side never shuffles; per-row cost is |tokens| map probes.
-  def q193StreamDsirGate(spark: SparkSession, dir: String): DataFrame = {
-    val ss = EventsStreaming.streamSession(spark)
+  /** The ONE-ROW DSIR model frame (token→count maps + corpus
+    * constants, with the opaque join key) — shared by q193's gate and
+    * q194's admission stack.
+    */
+  private def dsirModel(ss: SparkSession, dir: String): DataFrame = {
     val tgt = graft.operators.TextAnalysis.DsirTargetLang
     val g = graft.sources.Tables.documents(ss, dir)
       .select(col("lang"),
@@ -506,7 +509,7 @@ object StreamingQueries {
     val cr = g.groupBy(col("tok")).agg(count(lit(1)).as("cr"))
     val ct = g.filter(col("lang") === tgt)
       .groupBy(col("tok")).agg(count(lit(1)).as("ct"))
-    val model = cr.join(ct, Seq("tok"), "left_outer")
+    cr.join(ct, Seq("tok"), "left_outer")
       .agg(
         map_from_entries(collect_list(struct(col("tok"), col("cr"))))
           .as("crm"),
@@ -516,21 +519,33 @@ object StreamingQueries {
         coalesce(sum(col("ct")), lit(0L)).as("n_t"),
         count(lit(1)).as("vsz"))
       .withColumn("_k", graft.plans.Opaque.zeroKey(col("n_r")))
+  }
+
+  /** Row-local DSIR weight: fold the token array through q189's exact
+    * per-token contract (term rounded once to 6 decimals, accumulated
+    * through exact DECIMAL) against the model columns in scope.
+    */
+  private def dsirW6Fold(toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val zero = lit(BigDecimal(0)).cast(DecimalType(28, 6))
+    aggregate(toks, zero, (acc, t) =>
+      // re-cast: decimal + decimal widens to (29,6) and the fold
+      // accumulator must keep its declared type; magnitudes are
+      // |term| ≤ ~60 so the narrow cast is always exact
+      (acc + round(
+        log(coalesce(element_at(col("ctm"), t), lit(0L)) + lit(1L)) -
+          log(col("n_t") + col("vsz")) -
+          log(coalesce(element_at(col("crm"), t), lit(0L)) + lit(1L)) +
+          log(col("n_r") + col("vsz")), 6).cast(DecimalType(28, 6)))
+        .cast(DecimalType(28, 6)))
+  }
+
+  def q193StreamDsirGate(spark: SparkSession, dir: String): DataFrame = {
+    val ss = EventsStreaming.streamSession(spark)
     val scored = readDocumentsStream(ss, dir)
       .withColumn("_k", graft.plans.Opaque.zeroKey(col("n_chars")))
-      .join(model, Seq("_k"))
+      .join(dsirModel(ss, dir), Seq("_k"))
       .withColumn("toks", split(lower(trim(col("text"))), " "))
-      .withColumn("w6", aggregate(col("toks"), zero, (acc, t) =>
-        // re-cast: decimal + decimal widens to (29,6) and the fold
-        // accumulator must keep its declared type; magnitudes are
-        // |term| ≤ ~60 so the narrow cast is always exact
-        (acc + round(
-          log(coalesce(element_at(col("ctm"), t), lit(0L)) + lit(1L)) -
-            log(col("n_t") + col("vsz")) -
-            log(coalesce(element_at(col("crm"), t), lit(0L)) + lit(1L)) +
-            log(col("n_r") + col("vsz")), 6).cast(DecimalType(28, 6)))
-          .cast(DecimalType(28, 6))))
+      .withColumn("w6", dsirW6Fold(col("toks")))
     val kept = scored.filter(col("w6") >= 0)
       .select(col("doc_id"), col("lang"),
         size(col("toks")).cast("long").as("n_toks"))
@@ -543,6 +558,112 @@ object StreamingQueries {
     s"""WITH ${graft.operators.TextAnalysis.DsirPerDocCtes}
        |SELECT doc_id, lang, n_toks FROM per_doc
        |WHERE w6 >= 0 ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q194 — the COMPLETE streaming ADMISSION STACK: every stateless
+  // ingest gate this engine ships, chained in ONE pass over the
+  // arriving stream — (1) row-local quality score ≥ min, PII scrub,
+  // deterministic mixture downsampling (q88's rowLocalGate semantics,
+  // column-preserving so the later gates' quasi-identifiers ride
+  // through); (2) k-anonymity cohort gate (q181's broadcast cohort
+  // probe); (3) DSIR two-LM importance gate (q193's model fold) — run
+  // on the SCRUBBED text, i.e. the text that would actually be
+  // trained on (scrub placeholders are OOV to the raw-corpus LMs and
+  // take the add-1 OOV term — identical in both engines). Only the
+  // stateful stages (dedup, repetition, contamination) are excluded:
+  // they need shuffles or state and live in q153/q82.
+  // STATELESS throughout: two broadcast probes + row-local
+  // projections/filters — no watermark, no state store; per-row cost
+  // is two hash probes + |tokens| map lookups. This is the front door
+  // a 100 TB/day ingest runs before anything shuffles.
+  def q194StreamAdmissionStack(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Curation.{AnonK, EmailRe, IdRe, QualityMin}
+    val ss = EventsStreaming.streamSession(spark)
+    // stage 1 — rowLocalGate's exact stages, keeping lang/n_chars
+    val gated = readDocumentsStream(ss, dir)
+      .filter(graft.operators.Curation.qualityScoreCol >= QualityMin)
+      .withColumn("text",
+        regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          IdRe, "<ID>"))
+      .filter(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+        col("text"))), 1, 4) <
+        when(col("source") === "src0", "8000")
+          .when(col("source") === "src1", "4000").otherwise("2000"))
+    // stage 2 — k-anonymity cohorts from the reference corpus
+    val cohorts = graft.sources.Tables.documents(ss, dir)
+      .select(col("lang"), col("source"),
+        expr("n_chars div 100").as("len_bucket"))
+      .groupBy(col("lang"), col("source"), col("len_bucket"))
+      .agg(count(lit(1)).as("cohort_n"))
+      .filter(col("cohort_n") >= AnonK)
+      .drop("cohort_n")
+    val anon = gated.withColumn("len_bucket", expr("n_chars div 100"))
+      .join(broadcast(cohorts), Seq("lang", "source", "len_bucket"))
+    // stage 3 — DSIR gate on the scrubbed text
+    val admitted = anon
+      .withColumn("_k", graft.plans.Opaque.zeroKey(col("n_chars")))
+      .join(dsirModel(ss, dir), Seq("_k"))
+      .withColumn("toks", split(lower(trim(col("text"))), " "))
+      .withColumn("w6", dsirW6Fold(col("toks")))
+      .filter(col("w6") >= 0)
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(col("toks")).cast("long").as("n_toks"))
+    EventsStreaming.runToMemory(admitted, "q194_mem")
+      .orderBy(col("doc_id"))
+  }
+
+  val q194Oracle: String = {
+    import graft.operators.Curation.{AnonK, EmailRe, IdRe, QualityMin}
+    s"""WITH gated AS (
+       |  SELECT doc_id, lang, source, n_chars, text FROM (
+       |    SELECT doc_id, lang, source, n_chars,
+       |      regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+       |        '$IdRe', '<ID>', 'g') AS text
+       |    FROM (
+       |      SELECT doc_id, lang, source, n_chars, text,
+       |        len(string_split(text, ' ')) AS n_tokens,
+       |        len(list_distinct(string_split(text, ' '))) AS n_uniq,
+       |        len(text) - len(regexp_replace(text, '[.,;:!?]', '', 'g'))
+       |          AS punct
+       |      FROM documents)
+       |    WHERE round(0.4 * least(1.0, n_tokens / 100.0)
+       |        + 0.4 * (CAST(n_uniq AS DOUBLE) / n_tokens)
+       |        + 0.2 * (1.0 - CAST(punct AS DOUBLE) / n_chars), 6)
+       |      >= $QualityMin)
+       |  WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 4) <
+       |    CASE source WHEN 'src0' THEN '8000' WHEN 'src1' THEN '4000'
+       |      ELSE '2000' END),
+       |cohorts AS (
+       |  SELECT lang, source, n_chars // 100 AS len_bucket,
+       |    count(*) AS cohort_n
+       |  FROM documents GROUP BY 1, 2, 3),
+       |anon AS (
+       |  SELECT g.* FROM gated g
+       |  JOIN cohorts c ON g.lang = c.lang AND g.source = c.source
+       |    AND g.n_chars // 100 = c.len_bucket AND c.cohort_n >= $AnonK),
+       |${graft.operators.TextAnalysis.DsirModelCtes},
+       |sg AS (
+       |  SELECT doc_id, lang, source, tok, CAST(count(*) AS BIGINT) AS c
+       |  FROM (
+       |    SELECT doc_id, lang, source,
+       |      unnest(string_split(lower(trim(text)), ' ')) AS tok
+       |    FROM anon)
+       |  GROUP BY 1, 2, 3, 4),
+       |sterms AS (
+       |  SELECT sg.doc_id, sg.lang, sg.source, sg.c,
+       |    CAST(round(
+       |      ln(COALESCE(ct.ct, 0) + 1) - ln(n_t + vsz) -
+       |      ln(COALESCE(cr.cr, 0) + 1) + ln(n_r + vsz), 6)
+       |      AS DECIMAL(28,6)) AS term
+       |  FROM sg LEFT JOIN cr USING (tok) LEFT JOIN ct USING (tok),
+       |    rconst, tconst),
+       |sw AS (
+       |  SELECT doc_id, lang, source, sum(term * c) AS w6,
+       |    CAST(sum(c) AS BIGINT) AS n_toks
+       |  FROM sterms GROUP BY 1, 2, 3)
+       |SELECT doc_id, lang, source, n_toks FROM sw
+       |WHERE w6 >= 0 ORDER BY doc_id""".stripMargin
+  }
 
   // --------------------------------------------------------------------
   // q181 — STREAMING privacy gate: q168's k-anonymity suppression
@@ -991,6 +1112,7 @@ object StreamingQueries {
     "q181_stream_privacy_gate" -> q181StreamPrivacyGate,
     "q183_stream_rate_monitor" -> q183StreamRateMonitor,
     "q193_stream_dsir_gate" -> q193StreamDsirGate,
+    "q194_stream_admission_stack" -> q194StreamAdmissionStack,
     "q80_stream_shard_sink" -> q80StreamShardSink,
     "q84_stream_dedup_watermark" -> q84StreamDedupWatermark,
     "q88_stream_curation_gate" -> q88StreamCurationGate,
@@ -1011,6 +1133,7 @@ object StreamingQueries {
     "q181_stream_privacy_gate" -> q181Oracle,
     "q183_stream_rate_monitor" -> q183Oracle,
     "q193_stream_dsir_gate" -> q193Oracle,
+    "q194_stream_admission_stack" -> q194Oracle,
     "q80_stream_shard_sink" -> q80Oracle,
     "q84_stream_dedup_watermark" -> q84Oracle,
     "q88_stream_curation_gate" -> q88Oracle,
