@@ -854,7 +854,121 @@ object Dedup {
        |FROM keyed k JOIN canon c ON k.chash = c.chash
        |GROUP BY k.doc_id ORDER BY k.doc_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q195 — EXACT-Jaccard similarity self-join via PREFIX FILTERING
+  // (the AllPairs/PPJoin candidate scheme): the scale path for an
+  // *exact* set-similarity join, complementing q32's approximate
+  // MinHash route. Every document's distinct 3-shingle set is ordered
+  // by a single global total order (document frequency asc, then
+  // shingle asc — rarest first), and only the first
+  // |s| - ceil(tau*|s|) + 1 shingles (the "prefix") enter the
+  // candidate join. Prefix-filter theorem: two sets with
+  // J >= tau MUST share a prefix shingle under a common total order —
+  // if all common shingles sat in the suffixes, the overlap would be
+  // <= min(ceil(tau*|x|), ceil(tau*|y|)) - 1 < tau*min(|x|,|y|)
+  // <= tau/(1+tau)*(|x|+|y|), contradicting J >= tau. So the equi-join
+  // on prefix shingles is COMPLETE, and candidates are generated by
+  // rare shingles only (a stopword-shingle never lands in a prefix
+  // unless the doc is mostly stopwords), which is what keeps bucket
+  // sizes bounded where a join on ANY shared shingle explodes.
+  // tau = 0.5, kept integer-exact end to end: the prefix length is
+  // |s| - (|s|+1) div 2 + 1, the candidate length filter is
+  // 2*min(na,nb) >= max(na,nb), and the verify filter J >= 1/2 is the
+  // integer rearrangement 3*inter >= na + nb — no double ever decides
+  // membership; the emitted jaccard is one rounded division (the
+  // settled exact-rounded channel).
+  // Scale notes (100 TB): the df join shuffles postings keyed on the
+  // shingle (the AllPairs index build — inherent to the algorithm and
+  // map-side combined); the per-doc prefix window is bounded by the
+  // document's shingle count, never global; the candidate join is
+  // equi-keyed on prefix shingles; the verify re-join is keyed on
+  // doc_id. Nothing is collected, nothing is all-pairs. Runs on the
+  // deterministic doc_id %% 2 half so the driver-side oracle (which
+  // generates candidates from ANY shared shingle — a deliberately
+  // independent, complete-but-quadratic-ish formulation) stays cheap.
+  private val SimJoinTau = 0.5
+
+  def q195PrefixFilterJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val norm = lower(trim(col("text")))
+    val toks = split(norm, " ")
+    // cache the shingle-set boundary (the q82/q40 multi-consumer rule):
+    // three consumers (postings build + both verify re-joins) would
+    // each re-run the interpreted higher-order shingle transform over
+    // the corpus scan. Callers owning a long-lived session clearCache()
+    // after consuming the result — Verify and Bench both do.
+    val sh = Tables.documentsSharded(spark, dir)
+      .filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"),
+        array_distinct(when(size(toks) >= 3,
+          transform(sequence(lit(0), size(toks) - 3),
+            i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
+          .otherwise(array(norm))).as("s"))
+      .cache()
+    // postings + global df order (df asc, shingle asc — a total order)
+    val posted = sh.select(col("doc_id"),
+      size(col("s")).cast("bigint").as("nsh"), explode(col("s")).as("g"))
+    val dfreq = posted.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    // tau = 0.5 integer prefix length: |s| - ceil(|s|/2) + 1
+    val prefix = posted.join(dfreq, Seq("g"))
+      .withColumn("p", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
+      .filter(col("p") <= col("nsh") - expr("(nsh + 1) div 2") + 1)
+      .select(col("doc_id"), col("nsh"), col("g"))
+    val cands = prefix.as("x").join(prefix.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id") &&
+          lit(2) * least(col("x.nsh"), col("y.nsh")) >=
+            greatest(col("x.nsh"), col("y.nsh")))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("_dup"))
+      .select(col("doc_a"), col("doc_b"))
+    cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("s").as("sa")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("s").as("sb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa"), col("sb"))).cast("bigint").as("inter"),
+        size(col("sa")).cast("bigint").as("n_a"),
+        size(col("sb")).cast("bigint").as("n_b"))
+      .filter(lit(3) * col("inter") >= col("n_a") + col("n_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"), col("inter"),
+        round(col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")), 6).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Deliberately independent oracle: candidates from ANY shared
+    * shingle (complete for every tau > 0 because J >= tau > 0 implies
+    * a nonempty intersection), then the same integer-exact verify.
+    */
+  val q195Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+      |    THEN list_transform(generate_series(1, len(t) - 2),
+      |           i -> array_to_string(t[i:i+2], ' '))
+      |    ELSE [array_to_string(t, ' ')] END) AS s
+      |  FROM toks),
+      |post AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      |cand AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT doc_a, doc_b,
+      |    CAST(len(list_intersect(x.s, y.s)) AS BIGINT) AS inter,
+      |    CAST(len(x.s) AS BIGINT) AS n_a, CAST(len(y.s) AS BIGINT) AS n_b
+      |  FROM cand
+      |  JOIN sh x ON doc_a = x.doc_id
+      |  JOIN sh y ON doc_b = y.doc_id)
+      |SELECT doc_a, doc_b, n_a, n_b, inter,
+      |  round(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 6) AS jaccard
+      |FROM sc WHERE 3 * inter >= n_a + n_b
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q195_prefix_filter_join" -> q195PrefixFilterJoin,
     "q157_cdc_chunks" -> q157CdcChunks,
     "q159_dedup_provenance" -> q159DedupProvenance,
     "q31_exact_dedup" -> q31ExactDedup,
@@ -869,6 +983,7 @@ object Dedup {
     "q95_dup_span_fraction" -> q95DupSpanFraction)
 
   def oracleSql: Map[String, String] = Map(
+    "q195_prefix_filter_join" -> q195Oracle,
     "q157_cdc_chunks" -> q157Oracle,
     "q159_dedup_provenance" -> q159Oracle,
     "q31_exact_dedup" -> q31Oracle,
