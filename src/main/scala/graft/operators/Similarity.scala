@@ -1074,7 +1074,79 @@ object Similarity {
        |FROM cc c LEFT JOIN dropped d USING (vec_id) JOIN ncell n USING (cell)
        |ORDER BY c.vec_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q196 — INT8 SCALAR QUANTIZATION of the embedding table: the
+  // compression step an ANN serving layer runs before building its
+  // index (4x smaller vectors, SIMD-friendly integer distance). Each
+  // dimension gets a corpus-wide [min, max] range; each coordinate
+  // maps to code = floor((x - min) * 255 / (max - min)) in 0..255
+  // (dead dimensions — max = min — code to 0). Output is the per-vector
+  // code profile: dims, code sum, code energy (sum of squares), and
+  // the saturation count (codes pinned at 0 or 255 — the diagnostic
+  // for outlier-squashed ranges).
+  // Exactness: coordinates ride the q121 scaled-integer lift
+  // (round(x * 1e6) as BIGINT), ranges are integer min/max, and the
+  // quantizer numerator/denominator are integers. Spark evaluates
+  // floor((xi - mn) * 255 / span) through one double division: with
+  // |num| <= 2.8e8 and span >= 1, the quotient q <= 255 carries IEEE
+  // error <= 255 * 2^-53 ~ 3e-14 while nonzero fractional parts are
+  // >= 1/span >= 4.5e-7 — five orders of magnitude apart, so the floor
+  // equals exact integer division (DuckDB's //) for every
+  // representable input. Every emitted column is a BIGINT.
+  // Scale notes (100 TB): ONE posexplode -> d-row map-side-combined
+  // aggregate for the ranges; the d-row collect is model-width bounded
+  // (the q49/q185 codebook-collect class); quantize + profile is a
+  // row-local array fold over the corpus — no join, no second shuffle.
+  def q196Int8Quantize(spark: SparkSession, dir: String): DataFrame = {
+    val lift: Column => Column =
+      x => round(x.cast("double") * 1000000).cast("bigint")
+    val ranges = Tables.embeddingsSharded(spark, dir)
+      .select(posexplode(transform(col("embedding"), lift)).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val mnLit = array(ranges.map(r => lit(r._2)): _*)
+    val mxLit = array(ranges.map(r => lit(r._3)): _*)
+    val codes = transform(col("embedding"), (x, i) => {
+      val xi = lift(x)
+      val mn = element_at(mnLit, i + 1)
+      val mx = element_at(mxLit, i + 1)
+      when(mx === mn, lit(0L))
+        .otherwise(floor((xi - mn) * lit(255L) / (mx - mn)).cast("bigint"))
+    })
+    Tables.embeddingsSharded(spark, dir)
+      .select(col("vec_id"), codes.as("c"))
+      .select(col("vec_id"),
+        size(col("c")).cast("bigint").as("n_dims"),
+        aggregate(col("c"), lit(0L), (a, c) => a + c).as("code_sum"),
+        aggregate(col("c"), lit(0L), (a, c) => a + c * c).as("code_l2sq"),
+        size(filter(col("c"), c => c === 0L || c === 255L)).cast("bigint")
+          .as("n_sat"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q196Oracle: String =
+    """WITH pe AS (
+      |  SELECT vec_id,
+      |    CAST(unnest(range(1, len(embedding) + 1)) AS INTEGER) AS pos1,
+      |    unnest(list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))) AS x
+      |  FROM embeddings),
+      |mm AS (SELECT pos1, min(x) AS mn, max(x) AS mx FROM pe GROUP BY 1),
+      |codes AS (
+      |  SELECT vec_id, CASE WHEN mx = mn THEN 0
+      |    ELSE CAST((x - mn) * 255 // (mx - mn) AS BIGINT) END AS c
+      |  FROM pe JOIN mm USING (pos1))
+      |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dims,
+      |  CAST(sum(c) AS BIGINT) AS code_sum,
+      |  CAST(sum(c * c) AS BIGINT) AS code_l2sq,
+      |  CAST(sum(CASE WHEN c = 0 OR c = 255 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_sat
+      |FROM codes GROUP BY 1 ORDER BY vec_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q196_int8_quantize" -> q196Int8Quantize,
     "q190_semantic_dedup" -> q190SemanticDedup,
     "q188_hybrid_rrf" -> q188HybridRrf,
     "q143_contrastive_pairs" -> q143ContrastivePairs,
@@ -1091,6 +1163,7 @@ object Similarity {
     "q165_jl_sketch" -> q165JlSketch)
 
   def oracleSql: Map[String, String] = Map(
+    "q196_int8_quantize" -> q196Oracle,
     "q190_semantic_dedup" -> q190Oracle,
     "q188_hybrid_rrf" -> q188Oracle,
     "q143_contrastive_pairs" -> q143Oracle,
