@@ -1365,7 +1365,80 @@ object Curation {
        |FROM sel s JOIN per_doc p USING (doc_id) LEFT JOIN kept k USING (doc_id)
        |ORDER BY sel_rank""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q197 — RELEASE DIFF audit: the summary every corpus release ships
+  // alongside the data — how many documents were added, removed,
+  // changed, or untouched since the previous release, per source, with
+  // the net character delta. The two releases are deterministic views
+  // of the fixture: the "old" release lacks the doc_id % 7 == 0 slice
+  // (docs that arrived since), the "new" release drops the
+  // doc_id % 5 == 0 slice (docs removed by curation) and re-extracts
+  // the doc_id % 11 == 0 slice with a wider boilerplate margin (first
+  // three tokens dropped — the way a cleaning-rule rollout re-touches
+  // a subset of documents), so those docs surface as "changed" via
+  // content-hash inequality. (A PII-scrub was the first candidate
+  // change signal, but no document in the synthetic corpus matches the
+  // email/digit-run patterns, which would leave the "changed" arm
+  // untested — ReleaseDiffSpec pins that all four statuses occur.)
+  // Scale notes (100 TB): ONE full-outer hash join keyed on doc_id
+  // (both sides shuffle-partition on the key; at release scale this is
+  // the canonical snapshot-diff shape) into a source x status
+  // aggregate with map-side combine. Content equality is md5 compare —
+  // no text ships through the join, only (hash, length). All emitted
+  // measures are integers.
+  def q197ReleaseDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsSharded(spark, dir)
+    val old = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), col("source").as("src_old"),
+        md5(col("text")).as("h_old"), length(col("text")).as("c_old"))
+    val toks = split(col("text"), " ")
+    val recleaned = when(col("doc_id") % 11 === 0,
+      concat_ws(" ", slice(toks, lit(4), greatest(size(toks) - 3, lit(0)))))
+      .otherwise(col("text"))
+    val neu = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), col("source").as("src_new"),
+        md5(recleaned).as("h_new"), length(recleaned).as("c_new"))
+    old.join(neu, Seq("doc_id"), "full_outer")
+      .select(
+        coalesce(col("src_old"), col("src_new")).as("source"),
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") =!= col("h_new"), "changed")
+          .otherwise("unchanged").as("status"),
+        (coalesce(col("c_new"), lit(0)) - coalesce(col("c_old"), lit(0)))
+          .cast("bigint").as("d"))
+      .groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("d")).as("delta_chars"))
+      .orderBy(col("source"), col("status"))
+  }
+
+  val q197Oracle: String =
+    s"""WITH old AS (
+       |  SELECT doc_id, source AS src_old, md5(text) AS h_old,
+       |    len(text) AS c_old
+       |  FROM documents WHERE doc_id % 7 <> 0),
+       |neu AS (
+       |  SELECT doc_id, source AS src_new, md5(t2) AS h_new,
+       |    len(t2) AS c_new
+       |  FROM (
+       |    SELECT doc_id, source, CASE WHEN doc_id % 11 = 0
+       |      THEN array_to_string(string_split(text, ' ')[4:], ' ')
+       |      ELSE text END AS t2
+       |    FROM documents WHERE doc_id % 5 <> 0)),
+       |j AS (
+       |  SELECT COALESCE(src_old, src_new) AS source,
+       |    CASE WHEN h_old IS NULL THEN 'added'
+       |      WHEN h_new IS NULL THEN 'removed'
+       |      WHEN h_old <> h_new THEN 'changed'
+       |      ELSE 'unchanged' END AS status,
+       |    CAST(COALESCE(c_new, 0) - COALESCE(c_old, 0) AS BIGINT) AS d
+       |  FROM old FULL OUTER JOIN neu USING (doc_id))
+       |SELECT source, status, count(*) AS n_docs,
+       |  CAST(sum(d) AS BIGINT) AS delta_chars
+       |FROM j GROUP BY 1, 2 ORDER BY source, status""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q197_release_diff" -> q197ReleaseDiff,
     "q192_selection_pipeline" -> q192SelectionPipeline,
     "q182_release_pipeline" -> q182ReleasePipeline,
     "q172_boilerplate_scrub" -> q172BoilerplateScrub,
@@ -1391,6 +1464,7 @@ object Curation {
     "q104_token_mixture" -> q104TokenMixture)
 
   def oracleSql: Map[String, String] = Map(
+    "q197_release_diff" -> q197Oracle,
     "q192_selection_pipeline" -> q192Oracle,
     "q182_release_pipeline" -> q182Oracle,
     "q172_boilerplate_scrub" -> q172Oracle,
