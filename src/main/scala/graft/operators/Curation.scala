@@ -1369,7 +1369,10 @@ object Curation {
   // q197 — RELEASE DIFF audit: the summary every corpus release ships
   // alongside the data — how many documents were added, removed,
   // changed, or untouched since the previous release, per source, with
-  // the net character delta. The two releases are deterministic views
+  // the net character delta. (q109 is the row-level sibling on the
+  // warehouse side — it EMITS each changed orders row; this is the
+  // corpus-governance rollup: content-hash compare over text, grouped
+  // to the per-source summary a release note publishes.) The two releases are deterministic views
   // of the fixture: the "old" release lacks the doc_id % 7 == 0 slice
   // (docs that arrived since), the "new" release drops the
   // doc_id % 5 == 0 slice (docs removed by curation) and re-extracts

@@ -158,6 +158,20 @@ object IvfAnn {
       .agg(sum(col("dist"))).collect()(0).getLong(0)
   }
 
+  /** Assign an arbitrary `(vec_id, embedding)` frame to an EXISTING
+    * index's cells — the filtered-ANN building block (q198): the
+    * candidate set is restricted scan-side (metadata predicate pushed
+    * to the source), then re-labelled against the shared codebook with
+    * the same exact integer-scaled distance as [[buildIndexFrom]] — a
+    * pure per-row codegen projection, no shuffle and no index rebuild.
+    */
+  def assignTo(index: Index, vectors: DataFrame): DataFrame = {
+    val d = distArray(index.pivots)
+    withScaledNorm(vectors)
+      .withColumn("cell", (array_position(d, array_min(d)) - 1).cast("int"))
+      .select(col("vec_id"), col("cell"), col("sv"), col("nrm"))
+  }
+
   /** Probe the `nprobe` nearest cells per query; exact cosine top-k
     * within the probed set, ranked by (cos desc, cand_id).
     */

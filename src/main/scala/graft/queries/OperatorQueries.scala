@@ -823,7 +823,82 @@ object OperatorQueries {
       |    SELECT s1 AS v FROM e UNION ALL SELECT s2 AS v FROM e)
       |  GROUP BY v)""".stripMargin)
 
+  // --------------------------------------------------------------------
+  // q198 — METADATA-FILTERED ANN (the filtered-vector-search pattern
+  // every production retrieval stack serves: "nearest neighbours WHERE
+  // label predicate"): q49's shared IVF index, but the candidate set is
+  // PRE-filtered — the metadata predicate (label % 3 == 0) restricts
+  // the scan feeding the cell assignment, so non-matching vectors never
+  // enter the probe join at all (pre-filtering; post-filtering the
+  // top-k instead silently starves queries whose neighbourhoods are
+  // mostly filtered out). The shared codebook re-labels the filtered
+  // candidates via IvfAnn.assignTo — a pure codegen projection, no
+  // rebuild — and the probe widens to nprobe=3 (vs q49's 2), the
+  // standard compensation for a thinned candidate set. Queries are NOT
+  // filtered (any caller may search the restricted slice).
+  // Scale notes (100 TB): the predicate prunes scan-side (pushed to
+  // the source columns), assignment stays shuffle-free, and the probe
+  // equi-join scans filtered-corpus/k * nprobe vectors per query; with
+  // a partition-pruned q185-style layout the filter simply reads fewer
+  // cell partitions.
+  def q198FilteredAnn(spark: SparkSession, dir: String): DataFrame = {
+    val index = IvfAnn.buildIndex(spark, dir, k = 8)
+    val cands = Tables.embeddingsSharded(spark, dir)
+      .filter(col("label") % 3 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val fIndex = IvfAnn.Index(IvfAnn.assignTo(index, cands), index.pivots)
+    val queries = Tables.embeddingsSharded(spark, dir)
+      .filter(col("vec_id") % 25 === 0)
+    IvfAnn.probe(spark, fIndex, queries, nprobe = 3, topK = 3)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** q49's oracle with the candidate side restricted by the metadata
+    * predicate and the probe widened to 3 cells.
+    */
+  val q198Oracle: String =
+    """WITH sva AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS sv
+      |  FROM embeddings),
+      |base AS (
+      |  SELECT vec_id, label, sv,
+      |    CAST(list_sum(list_transform(generate_series(1, len(sv)), i -> sv[i] * sv[i])) AS BIGINT) AS nrm
+      |  FROM sva),
+      |mm AS (
+      |  SELECT GREATEST(1, CAST(ceil(CAST(count(*) AS DOUBLE) / 8) AS BIGINT)) AS m
+      |  FROM embeddings),
+      |seeds AS (
+      |  SELECT CAST(vec_id // (SELECT m FROM mm) AS INTEGER) AS cell, sv, nrm
+      |  FROM base WHERE vec_id % (SELECT m FROM mm) = 0),
+      |dists AS (
+      |  SELECT a.vec_id, a.label, s.cell, a.sv, a.nrm,
+      |    a.nrm + s.nrm - 2 * CAST(list_sum(list_transform(
+      |      generate_series(1, len(a.sv)), i -> a.sv[i] * s.sv[i])) AS BIGINT) AS d
+      |  FROM base a CROSS JOIN seeds s),
+      |assigned AS (
+      |  SELECT vec_id, cell, sv, nrm FROM dists
+      |  WHERE label % 3 = 0
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1),
+      |qprobe AS (
+      |  SELECT vec_id AS query_id, sv AS qsv, nrm AS qnrm, cell
+      |  FROM dists WHERE vec_id % 25 = 0
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) <= 3),
+      |scored AS (
+      |  SELECT q.query_id, a.vec_id AS cand_id,
+      |    round(CAST(CAST(list_sum(list_transform(generate_series(1, len(q.qsv)),
+      |        i -> q.qsv[i] * a.sv[i])) AS BIGINT) AS DOUBLE)
+      |      / sqrt(CAST(q.qnrm AS DOUBLE)) / sqrt(CAST(a.nrm AS DOUBLE)), 6) AS cos
+      |  FROM qprobe q JOIN assigned a ON q.cell = a.cell AND q.query_id <> a.vec_id),
+      |ranked AS (
+      |  SELECT query_id, cand_id, cos,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS INTEGER) AS rk
+      |  FROM scored)
+      |SELECT query_id, rk, cand_id, cos FROM ranked WHERE rk <= 3
+      |ORDER BY query_id, rk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q198_filtered_ann" -> q198FilteredAnn,
     "q147_triangles" -> q147Triangles,
     "q137_pagerank" -> q137Pagerank,
     "q57_topk_agg" -> q57TopkAgg,
@@ -843,6 +918,7 @@ object OperatorQueries {
     "q127_attribution" -> q127Attribution)
 
   def oracleSql: Map[String, String] = Map(
+    "q198_filtered_ann" -> q198Oracle,
     "q147_triangles" -> q147Oracle,
     "q137_pagerank" -> q137Oracle,
     "q57_topk_agg" -> q57Oracle,
