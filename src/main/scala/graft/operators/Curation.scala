@@ -1440,7 +1440,57 @@ object Curation {
        |  CAST(sum(d) AS BIGINT) AS delta_chars
        |FROM j GROUP BY 1, 2 ORDER BY source, status""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q199 — SINGLE-PASS OBSERVED GATE METRICS: the ingest counters every
+  // 100 TB curation run publishes (documents seen, kept, characters
+  // in/out) harvested via Spark's native `Dataset.observe`
+  // (CollectMetrics → AggregatingAccumulator) DURING the one pass that
+  // runs the gate — no second scan, no .count() re-derivation of the
+  // pipeline. Two observation points bracket the row-local gate
+  // (q88's): one on the source scan, one on the survivors; the action
+  // driving them is a `noop`-format write (executes the full plan,
+  // stores nothing — the counters-only audit run). The emitted frame
+  // is the 1-row audit record, all BIGINT.
+  // Scale notes (100 TB): observe adds a per-partition accumulator
+  // merged on the driver — constant memory, zero extra I/O; the same
+  // two-point bracket wraps the real shard writer in production (q78),
+  // where the action is the write itself.
+  def q199ObservedGate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Observation
+    val inObs = new Observation("q199_in")
+    val outObs = new Observation("q199_out")
+    val docs = Tables.documentsSharded(spark, dir)
+      .observe(inObs, count(lit(1)).as("n_in"),
+        sum(length(col("text"))).cast("bigint").as("chars_in"))
+    val kept = rowLocalGate(docs)
+      .observe(outObs, count(lit(1)).as("n_kept"),
+        sum(length(col("text"))).cast("bigint").as("chars_out"))
+    kept.write.format("noop").mode("overwrite").save()
+    val i = inObs.get
+    val o = outObs.get
+    import spark.implicits._
+    Seq((i("n_in").asInstanceOf[Long], i("chars_in").asInstanceOf[Long],
+      o("n_kept").asInstanceOf[Long], o("chars_out").asInstanceOf[Long]))
+      .toDF("n_in", "chars_in", "n_kept", "chars_out")
+  }
+
+  // lazy: referencing StreamingQueries' gate text from Curation's
+  // initializer would otherwise create a cross-object init cycle
+  // (StreamingQueries' own init imports Curation constants)
+  lazy val q199Oracle: String =
+    s"""WITH ${graft.streaming.StreamingQueries.gateCtes},
+       |i AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_in,
+       |    CAST(sum(len(text)) AS BIGINT) AS chars_in
+       |  FROM documents),
+       |o AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_kept,
+       |    CAST(COALESCE(sum(len(text)), 0) AS BIGINT) AS chars_out
+       |  FROM gated)
+       |SELECT n_in, chars_in, n_kept, chars_out FROM i, o""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q199_observed_gate" -> q199ObservedGate,
     "q197_release_diff" -> q197ReleaseDiff,
     "q192_selection_pipeline" -> q192SelectionPipeline,
     "q182_release_pipeline" -> q182ReleasePipeline,
@@ -1467,6 +1517,7 @@ object Curation {
     "q104_token_mixture" -> q104TokenMixture)
 
   def oracleSql: Map[String, String] = Map(
+    "q199_observed_gate" -> q199Oracle,
     "q197_release_diff" -> q197Oracle,
     "q192_selection_pipeline" -> q192Oracle,
     "q182_release_pipeline" -> q182Oracle,

@@ -20,7 +20,8 @@ class PartitionInvarianceSpec extends SparkSpec {
   val sensitive = Seq("q94_unigram_lm_score", "q158_bigram_lm_score",
     "q173_decayed_value", "q187_bm25_retrieval", "q188_hybrid_rrf",
     "q189_dsir_weights", "q190_semantic_dedup", "q191_retrieval_eval",
-    "q192_selection_pipeline", "q193_stream_dsir_gate")
+    "q192_selection_pipeline", "q193_stream_dsir_gate",
+    "q194_stream_admission_stack")
 
   test("results are bit-identical across shuffle-partition settings") {
     def run(parts: Int): Map[String, Seq[String]] = {
