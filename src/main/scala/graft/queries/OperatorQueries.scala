@@ -198,6 +198,92 @@ object OperatorQueries {
   val q185Oracle: String = q49Oracle
 
   // --------------------------------------------------------------------
+  // q200 — INCREMENTAL IVF MAINTENANCE (delta merge into the stored
+  // index): production vector indexes are not rebuilt per batch — the
+  // codebook is frozen on the standing corpus, each arriving delta is
+  // assigned against it (a pure projection, IvfAnn.assignTo) and
+  // APPENDED to the q185-style per-cell partition layout. Because cell
+  // assignment is per-vector deterministic against a fixed codebook,
+  // merged-index serving is bit-identical to a from-scratch rebuild
+  // over the union — IvfDeltaSpec asserts that equivalence; this query
+  // serves q49's probe geometry from the merged stored layout. The
+  // standing corpus is the vec_id % 10 != 0 slice, the delta the
+  // % 10 == 0 slice (so the codebook's seed set genuinely differs from
+  // q49's — some seed multiples fall in the delta and are absent, and
+  // the oracle's vec_id-derived cell labels stay a monotone relabeling
+  // of the positional ones, which equality joins and min-tie-breaks
+  // cannot distinguish).
+  // Scale notes (100 TB): the delta pass touches ONLY delta rows (one
+  // projection + one partitioned append — cells receiving no delta
+  // rows are untouched on storage); the probe reads cell partitions by
+  // pruning, exactly as q185. Compaction of accumulated small delta
+  // files inside a cell partition is q89's job.
+  def q200IvfDeltaMerge(spark: SparkSession, dir: String): DataFrame = {
+    val idxRoot = graft.sources.ShardPaths.resolve(spark, "q200_index", dir)
+    val all = Tables.embeddingsSharded(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val standing = all.filter(col("vec_id") % 10 =!= 0)
+    val delta = all.filter(col("vec_id") % 10 === 0)
+    val index = IvfAnn.buildIndexFrom(standing, k = 8)
+    index.cells.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$idxRoot/cells")
+    IvfAnn.assignTo(index, delta).write.mode("append").partitionBy("cell")
+      .parquet(s"$idxRoot/cells")
+    val cells = spark.read.parquet(s"$idxRoot/cells")
+      .select(col("vec_id"), col("cell").cast("int").as("cell"),
+        col("sv"), col("nrm"))
+    val queries = Tables.embeddingsSharded(spark, dir)
+      .filter(col("vec_id") % 25 === 0)
+    IvfAnn.probe(spark, IvfAnn.Index(cells, index.pivots), queries,
+        nprobe = 2, topK = 3)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** q49's probe SQL with the codebook seeded from the standing slice
+    * only, candidates spanning the full (merged) corpus.
+    */
+  val q200Oracle: String =
+    """WITH sva AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS sv
+      |  FROM embeddings),
+      |base AS (
+      |  SELECT vec_id, sv,
+      |    CAST(list_sum(list_transform(generate_series(1, len(sv)), i -> sv[i] * sv[i])) AS BIGINT) AS nrm
+      |  FROM sva),
+      |mm AS (
+      |  SELECT GREATEST(1, CAST(ceil(CAST(count(*) AS DOUBLE) / 8) AS BIGINT)) AS m
+      |  FROM embeddings WHERE vec_id % 10 <> 0),
+      |seeds AS (
+      |  SELECT CAST(vec_id // (SELECT m FROM mm) AS INTEGER) AS cell, sv, nrm
+      |  FROM base
+      |  WHERE vec_id % 10 <> 0 AND vec_id % (SELECT m FROM mm) = 0),
+      |dists AS (
+      |  SELECT a.vec_id, s.cell, a.sv, a.nrm,
+      |    a.nrm + s.nrm - 2 * CAST(list_sum(list_transform(
+      |      generate_series(1, len(a.sv)), i -> a.sv[i] * s.sv[i])) AS BIGINT) AS d
+      |  FROM base a CROSS JOIN seeds s),
+      |assigned AS (
+      |  SELECT vec_id, cell, sv, nrm FROM dists
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1),
+      |qprobe AS (
+      |  SELECT vec_id AS query_id, sv AS qsv, nrm AS qnrm, cell
+      |  FROM dists WHERE vec_id % 25 = 0
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) <= 2),
+      |scored AS (
+      |  SELECT q.query_id, a.vec_id AS cand_id,
+      |    round(CAST(CAST(list_sum(list_transform(generate_series(1, len(q.qsv)),
+      |        i -> q.qsv[i] * a.sv[i])) AS BIGINT) AS DOUBLE)
+      |      / sqrt(CAST(q.qnrm AS DOUBLE)) / sqrt(CAST(a.nrm AS DOUBLE)), 6) AS cos
+      |  FROM qprobe q JOIN assigned a ON q.cell = a.cell AND q.query_id <> a.vec_id),
+      |ranked AS (
+      |  SELECT query_id, cand_id, cos,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS INTEGER) AS rk
+      |  FROM scored)
+      |SELECT query_id, rk, cand_id, cos FROM ranked WHERE rk <= 3
+      |ORDER BY query_id, rk""".stripMargin
+
+  // --------------------------------------------------------------------
   // q100 — TRAINED IVF probe (IvfAnn.buildTrainedIndex): q49's index
   // with its seed pivots refined by two exact-integer Lloyd iterations
   // before probing — the k-means codebook production IVF builds use.
@@ -907,6 +993,7 @@ object OperatorQueries {
     "q48_scd2_versions" -> q48Scd2Versions,
     "q49_ivf_ann" -> q49IvfAnn,
     "q185_ivf_persist" -> q185IvfPersist,
+    "q200_ivf_delta_merge" -> q200IvfDeltaMerge,
     "q50_salted_count" -> q50SaltedCount,
     "q51_salted_join" -> q51SaltedJoin,
     "q93_merge_upsert" -> q93MergeUpsert,
@@ -927,6 +1014,7 @@ object OperatorQueries {
     "q48_scd2_versions" -> q48Oracle,
     "q49_ivf_ann" -> q49Oracle,
     "q185_ivf_persist" -> q185Oracle,
+    "q200_ivf_delta_merge" -> q200Oracle,
     "q50_salted_count" -> q50Oracle,
     "q51_salted_join" -> q51Oracle,
     "q93_merge_upsert" -> q93Oracle,
