@@ -1489,7 +1489,72 @@ object Curation {
        |  FROM gated)
        |SELECT n_in, chars_in, n_kept, chars_out FROM i, o""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q202 — PACKING SEGMENT MASKS: the per-window span table a trainer
+  // consumes NEXT TO q90's packed windows — for every training window,
+  // which documents occupy which in-window token ranges (the
+  // segment-ids / attention-mask metadata that stops cross-document
+  // attention in a packed batch). One row per (window, segment):
+  // seg is the within-window order, [a, b) the in-window token range;
+  // SplitPackingSpec's sibling invariant here is seams-tight coverage —
+  // every window's segments tile [0, SeqLen) exactly (except the
+  // shard's last window, which tiles [0, fill)).
+  // Scale notes (100 TB): identical shape to q90 — per-shard ROWS
+  // window for offsets, per-row span explode (a doc touches at most
+  // ceil(n/SeqLen)+1 windows), and the seg numbering is a window
+  // PARTITIONED by (shard, win) whose partitions are bounded by
+  // SeqLen (at most SeqLen single-token docs in one window). All
+  // emitted columns are integers.
+  def q202PackingMasks(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = tokenized(Tables.documentsSharded(spark, dir))
+      .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("end_off", col("start_off") + col("n_tokens"))
+    val spans = offs
+      .withColumn("win", explode(sequence(
+        expr(s"start_off DIV $SeqLen"), expr(s"(end_off - 1) DIV $SeqLen"))))
+      .select(col("shard"), col("win"), col("doc_id"),
+        (greatest(col("win") * SeqLen, col("start_off"))
+          - col("win") * SeqLen).as("a"),
+        (least((col("win") + 1) * SeqLen, col("end_off"))
+          - col("win") * SeqLen).as("b"))
+    // offsets strictly increase within a shard, so (shard, win, a) is
+    // unique and seg is deterministic
+    spans.withColumn("seg", row_number().over(
+        Window.partitionBy(col("shard"), col("win")).orderBy(col("a"))).cast("int"))
+      .select(col("shard"), col("win"), col("seg"), col("doc_id"),
+        col("a"), col("b"))
+      .orderBy(col("shard"), col("win"), col("seg"))
+  }
+
+  val q202Oracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, CAST(doc_id % $PackShards AS INTEGER) AS shard,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |offs AS (
+       |  SELECT doc_id, shard, n_tokens,
+       |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_off
+       |  FROM toks),
+       |spans AS (
+       |  SELECT doc_id, shard, start_off, start_off + n_tokens AS end_off,
+       |    CAST(unnest(generate_series(CAST(start_off // $SeqLen AS BIGINT),
+       |      CAST((start_off + n_tokens - 1) // $SeqLen AS BIGINT))) AS BIGINT) AS win
+       |  FROM offs),
+       |segs AS (
+       |  SELECT shard, win, doc_id,
+       |    CAST(greatest(win * $SeqLen, start_off) - win * $SeqLen AS BIGINT) AS a,
+       |    CAST(least((win + 1) * $SeqLen, end_off) - win * $SeqLen AS BIGINT) AS b
+       |  FROM spans)
+       |SELECT shard, win,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY shard, win ORDER BY a) AS INTEGER) AS seg,
+       |  doc_id, a, b
+       |FROM segs ORDER BY shard, win, seg""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q202_packing_masks" -> q202PackingMasks,
     "q199_observed_gate" -> q199ObservedGate,
     "q197_release_diff" -> q197ReleaseDiff,
     "q192_selection_pipeline" -> q192SelectionPipeline,
@@ -1517,6 +1582,7 @@ object Curation {
     "q104_token_mixture" -> q104TokenMixture)
 
   def oracleSql: Map[String, String] = Map(
+    "q202_packing_masks" -> q202Oracle,
     "q199_observed_gate" -> q199Oracle,
     "q197_release_diff" -> q197Oracle,
     "q192_selection_pipeline" -> q192Oracle,

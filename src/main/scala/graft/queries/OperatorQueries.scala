@@ -983,7 +983,82 @@ object OperatorQueries {
       |SELECT query_id, rk, cand_id, cos FROM ranked WHERE rk <= 3
       |ORDER BY query_id, rk""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q201 — BITEXT CANDIDATE MINING: the parallel-corpus bootstrap for
+  // translation data — for each English document (sampled queries),
+  // the nearest FRENCH document in embedding space, via the SHARED
+  // corpus IVF index with the candidate side restricted to lang='fr'
+  // (q198's pre-filter composed with the doc↔vec identity join the
+  // testdata aligns on doc_id = vec_id). Emits the top-1 match with
+  // its exact cosine; a production miner adds margin scoring
+  // (cos normalized by each side's k-NN neighbourhood mean, Artetxe &
+  // Schwenk 2019) on top of exactly this candidate stream.
+  // Scale notes (100 TB): the lang predicate joins doc metadata to the
+  // embedding scan BEFORE assignment (hash join on the aligned id,
+  // pruned to the fr slice); everything downstream is q198's shape —
+  // shared codebook projection, cell-keyed probe join, bounded
+  // per-query window.
+  def q201BitextMining(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val vecs = Tables.embeddingsSharded(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val index = IvfAnn.buildIndex(spark, dir, k = 8)
+    val fr = vecs.join(docs.filter(col("lang") === "fr").select(col("doc_id")),
+        col("vec_id") === col("doc_id"))
+      .select(col("vec_id"), col("embedding"))
+    val en = vecs.join(
+        docs.filter(col("lang") === "en" && col("doc_id") % 5 === 0)
+          .select(col("doc_id")),
+        col("vec_id") === col("doc_id"))
+      .select(col("vec_id"), col("embedding"))
+    IvfAnn.probe(spark, IvfAnn.Index(IvfAnn.assignTo(index, fr), index.pivots),
+        en, nprobe = 3, topK = 1)
+      .select(col("query_id"), col("cand_id"), col("cos"))
+      .orderBy(col("query_id"))
+  }
+
+  val q201Oracle: String =
+    """WITH sva AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS sv
+      |  FROM embeddings),
+      |base AS (
+      |  SELECT vec_id, sv,
+      |    CAST(list_sum(list_transform(generate_series(1, len(sv)), i -> sv[i] * sv[i])) AS BIGINT) AS nrm
+      |  FROM sva),
+      |mm AS (
+      |  SELECT GREATEST(1, CAST(ceil(CAST(count(*) AS DOUBLE) / 8) AS BIGINT)) AS m
+      |  FROM embeddings),
+      |seeds AS (
+      |  SELECT CAST(vec_id // (SELECT m FROM mm) AS INTEGER) AS cell, sv, nrm
+      |  FROM base WHERE vec_id % (SELECT m FROM mm) = 0),
+      |dists AS (
+      |  SELECT a.vec_id, s.cell, a.sv, a.nrm,
+      |    a.nrm + s.nrm - 2 * CAST(list_sum(list_transform(
+      |      generate_series(1, len(a.sv)), i -> a.sv[i] * s.sv[i])) AS BIGINT) AS d
+      |  FROM base a CROSS JOIN seeds s),
+      |assigned AS (
+      |  SELECT vec_id, cell, sv, nrm FROM dists
+      |  JOIN documents doc ON dists.vec_id = doc.doc_id AND doc.lang = 'fr'
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1),
+      |qprobe AS (
+      |  SELECT dists.vec_id AS query_id, sv AS qsv, nrm AS qnrm, cell
+      |  FROM dists
+      |  JOIN documents doc ON dists.vec_id = doc.doc_id AND doc.lang = 'en'
+      |  WHERE dists.vec_id % 5 = 0
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY dists.vec_id ORDER BY d, cell) <= 3),
+      |scored AS (
+      |  SELECT q.query_id, a.vec_id AS cand_id,
+      |    round(CAST(CAST(list_sum(list_transform(generate_series(1, len(q.qsv)),
+      |        i -> q.qsv[i] * a.sv[i])) AS BIGINT) AS DOUBLE)
+      |      / sqrt(CAST(q.qnrm AS DOUBLE)) / sqrt(CAST(a.nrm AS DOUBLE)), 6) AS cos
+      |  FROM qprobe q JOIN assigned a ON q.cell = a.cell AND q.query_id <> a.vec_id)
+      |SELECT query_id, cand_id, cos FROM scored
+      |QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) = 1
+      |ORDER BY query_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q201_bitext_mining" -> q201BitextMining,
     "q198_filtered_ann" -> q198FilteredAnn,
     "q147_triangles" -> q147Triangles,
     "q137_pagerank" -> q137Pagerank,
@@ -1005,6 +1080,7 @@ object OperatorQueries {
     "q127_attribution" -> q127Attribution)
 
   def oracleSql: Map[String, String] = Map(
+    "q201_bitext_mining" -> q201Oracle,
     "q198_filtered_ann" -> q198Oracle,
     "q147_triangles" -> q147Oracle,
     "q137_pagerank" -> q137Oracle,
