@@ -125,7 +125,19 @@ object Bench {
       }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
-    println((csLine +: Seq(1, 0).map(secondsLine)).find(_.length <= 1900)
+    // Second-preference encoding once the keyed dict overflows (~208
+    // queries): a centisecond ARRAY indexed by query number — the
+    // registry is gapless (DriverContractSpec), so queries_cs[i] is
+    // q(i+1); ~5 chars/query keeps 0.01 s precision to ~350 queries.
+    val csArrLine = {
+      val byNum = results.map { case (k, v) =>
+        k.takeWhile(_ != '_').drop(1).toInt -> math.round(v * 100)
+      }.toMap
+      val arr = (1 to byNum.keys.max).map(n => byNum.getOrElse(n, -1L))
+        .mkString("[", ",", "]")
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","q_unit":"cs","q_index":"queries_cs[i] is q(i+1)","queries_cs":$arr,"sf":"$sfDir"}"""
+    }
+    println((Seq(csLine, csArrLine) ++ Seq(1, 0).map(secondsLine)).find(_.length <= 1900)
       .getOrElse(s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":{},"sf":"$sfDir"}"""))
     spark.stop()
   }

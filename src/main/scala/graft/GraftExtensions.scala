@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{CountMinEstimate, DotProductLong, MinHashWindows, MinShingleMd5, SimHash16, TopKByLong}
+import graft.functions.{CountMinEstimate, DotProductLong, MinHashWindows, MinShingleMd5, ShingleSet, SimHash16, TopKByLong}
 
 /** Session extensions registering the engine's native functions for SQL
   * use. Install with
@@ -36,6 +36,8 @@ object GraftExtensions {
     "dot_product_long" -> (exprs => DotProductLong(exprs.head, exprs(1))),
     "min_shingle_md5" -> (exprs =>
       MinShingleMd5(exprs.head, litInt(exprs(1), "shingle size"))),
+    "shingle_set" -> (exprs =>
+      ShingleSet(exprs.head, litInt(exprs(1), "shingle size"))),
     "min_hash_windows" -> (exprs =>
       MinHashWindows(exprs.head, litInt(exprs(1), "salts"), litInt(exprs(2), "windows"))),
     "simhash16" -> (exprs => SimHash16(exprs.head)),

@@ -35,16 +35,15 @@ object Curation {
     * normalized text), with `toks` pre-materialized so the slice lambda
     * references a column, not a re-split (see q30/q40 lambda trap).
     */
-  private def docShingles(spark: SparkSession, dir: String): DataFrame = {
-    val pre = Tables.documentsSharded(spark, dir)
-      .select(col("doc_id"), lower(trim(col("text"))).as("norm"))
-      .withColumn("toks", split(col("norm"), " "))
-    pre.select(col("doc_id"),
-      array_distinct(when(size(col("toks")) >= 3,
-        transform(sequence(lit(0), size(col("toks")) - 3),
-          i => concat_ws(" ", slice(col("toks"), i + 1, lit(3)))))
-        .otherwise(array(col("norm")))).as("sh"))
-  }
+  private def docShingles(spark: SparkSession, dir: String): DataFrame =
+    // one compiled pass (graft.functions.ShingleSet) replacing the
+    // interpreted transform/slice/distinct chain — bit-identical
+    // semantics including the <3-token whole-norm fallback
+    // (ShingleSetSpec pins the equivalence), oracles unchanged
+    Tables.documentsSharded(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.ShingleSet.shingle_set(
+          split(lower(trim(col("text"))), " "), 3).as("sh"))
 
   // --------------------------------------------------------------------
   // q67 — benchmark contamination: documents sharing >= 2 distinct

@@ -900,10 +900,7 @@ object Dedup {
     val sh = Tables.documentsSharded(spark, dir)
       .filter(col("doc_id") % 2 === 0)
       .select(col("doc_id"),
-        array_distinct(when(size(toks) >= 3,
-          transform(sequence(lit(0), size(toks) - 3),
-            i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
-          .otherwise(array(norm))).as("s"))
+        graft.functions.ShingleSet.shingle_set(toks, 3).as("s"))
       .cache()
     // postings + global df order (df asc, shingle asc — a total order)
     val posted = sh.select(col("doc_id"),

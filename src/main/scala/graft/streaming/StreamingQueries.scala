@@ -702,6 +702,74 @@ object StreamingQueries {
   val q181Oracle: String = graft.operators.Curation.q168Oracle
 
   // --------------------------------------------------------------------
+  // q203 — STREAMING SEMANTIC WATCHLIST: the embedding-space sibling of
+  // the n-gram contamination gate (q67) run at INGEST — every arriving
+  // document is compared against a bounded watchlist of benchmark
+  // vectors (the doc_id % 97 slice, q67's benchmark convention) and
+  // every (doc, watchlist) pair inside the semantic neighbourhood
+  // (exact cosine >= 0.3) is flagged for review. Two stream-static
+  // joins, both STATELESS: the doc→vector lookup is an equi-join on
+  // the aligned id, and the watchlist comparison is a bounded fan-out
+  // join through the 1-row opaque key (|watchlist| rows per arriving
+  // doc — benchmark sets are bounded by construction, the q181 cohort
+  // argument). All scoring is the integer-scaled exact dot product
+  // (DotProductLong) with one rounded division.
+  // Scale notes (100 TB/day): the watchlist broadcasts (bounded); the
+  // vector lookup is the only shuffle-shaped piece and in production
+  // rides the aligned storage key; per-row cost is |watchlist| codegen
+  // dot products. Nothing here windows, watermarks, or keeps state.
+  private val WatchTau = 0.3
+
+  def q203StreamSemanticWatchlist(spark: SparkSession, dir: String): DataFrame = {
+    val ss = EventsStreaming.streamSession(spark)
+    val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      graft.functions.DotProductLong.dot_product_long(a, b)
+    val sv = transform(col("embedding"),
+      x => round(x.cast("double") * 1000000).cast("bigint"))
+    val vecs = graft.sources.Tables.embeddings(ss, dir)
+      .select(col("vec_id"), sv.as("sv"))
+      .withColumn("nrm", dot(col("sv"), col("sv")))
+    val watch = vecs.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("bench_id"), col("sv").as("wsv"),
+        col("nrm").as("wnrm"))
+      .withColumn("_k", graft.plans.Opaque.zeroKey(col("bench_id")))
+    val flagged = readDocumentsStream(ss, dir)
+      .select(col("doc_id"))
+      .join(vecs.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
+      .withColumn("_k", graft.plans.Opaque.zeroKey(col("doc_id")))
+      .join(broadcast(watch), Seq("_k"))
+      .filter(col("doc_id") =!= col("bench_id"))
+      .withColumn("cos", round(
+        dot(col("sv"), col("wsv")).cast("double") /
+          sqrt(col("nrm").cast("double")) / sqrt(col("wnrm").cast("double")), 6))
+      .filter(col("cos") >= WatchTau)
+      .select(col("doc_id"), col("bench_id"), col("cos"))
+    EventsStreaming.runToMemory(flagged, "q203_mem")
+      .orderBy(col("doc_id"), col("bench_id"))
+  }
+
+  val q203Oracle: String =
+    s"""WITH sv AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS s
+       |  FROM embeddings),
+       |b AS (
+       |  SELECT vec_id, s,
+       |    CAST(list_sum(list_transform(generate_series(1, len(s)), i -> s[i] * s[i])) AS BIGINT) AS nrm
+       |  FROM sv),
+       |w AS (SELECT vec_id AS bench_id, s AS ws, nrm AS wnrm FROM b WHERE vec_id % 97 = 0),
+       |c AS (
+       |  SELECT d.vec_id AS doc_id, w.bench_id,
+       |    round(CAST(list_sum(list_transform(generate_series(1, len(d.s)),
+       |      i -> d.s[i] * w.ws[i])) AS BIGINT)
+       |      / sqrt(CAST(d.nrm AS DOUBLE)) / sqrt(CAST(w.wnrm AS DOUBLE)), 6) AS cos
+       |  FROM b d CROSS JOIN w
+       |  WHERE d.vec_id <> w.bench_id)
+       |SELECT doc_id, bench_id, cos FROM c
+       |WHERE cos >= $WatchTau
+       |ORDER BY doc_id, bench_id""".stripMargin
+
+  // --------------------------------------------------------------------
   // q183 — STREAMING rate-anomaly monitor: q176's integer 3σ contract
   // evaluated over a streaming hourly count. The stream maintains the
   // per-(type, hour) counts (q45's windowed-agg machinery, Complete
@@ -1113,6 +1181,7 @@ object StreamingQueries {
     "q183_stream_rate_monitor" -> q183StreamRateMonitor,
     "q193_stream_dsir_gate" -> q193StreamDsirGate,
     "q194_stream_admission_stack" -> q194StreamAdmissionStack,
+    "q203_stream_semantic_watchlist" -> q203StreamSemanticWatchlist,
     "q80_stream_shard_sink" -> q80StreamShardSink,
     "q84_stream_dedup_watermark" -> q84StreamDedupWatermark,
     "q88_stream_curation_gate" -> q88StreamCurationGate,
@@ -1134,6 +1203,7 @@ object StreamingQueries {
     "q183_stream_rate_monitor" -> q183Oracle,
     "q193_stream_dsir_gate" -> q193Oracle,
     "q194_stream_admission_stack" -> q194Oracle,
+    "q203_stream_semantic_watchlist" -> q203Oracle,
     "q80_stream_shard_sink" -> q80Oracle,
     "q84_stream_dedup_watermark" -> q84Oracle,
     "q88_stream_curation_gate" -> q88Oracle,
