@@ -1144,7 +1144,111 @@ object TextAnalysis {
        |    doc_id) AS INTEGER) AS rk FROM per_doc)
        |WHERE rk <= $DsirTopK ORDER BY rk""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q204 — BPE TRAINER, three unrolled merge iterations: q140 ranks
+  // merge CANDIDATES for one step; this runs the actual trainer inner
+  // loop — count adjacent pairs over the whole corpus, adopt the most
+  // frequent pair as a merge (ties broken (count desc, pair asc), the
+  // deterministic trainer convention), RE-TOKENIZE every document by
+  // the greedy left-to-right non-overlapping merge fold, and repeat,
+  // so later iterations see and merge the symbols earlier ones built.
+  // Emits one row per iteration: the adopted merge, its corpus count,
+  // and the corpus token total after applying it.
+  // Distribution: the pair count is the canonical map-side-combined
+  // aggregate (the distributed-BPE step); the adopted merge is a 1-row
+  // frame joined through the opaque key (no collect, the dsirModel
+  // pattern), and the re-tokenize is a row-local array fold against
+  // the joined pair columns. Each iteration's token frame is cached —
+  // three consumers each (next pair count, next fold, token total); a
+  // production trainer persists iteration boundaries instead (the q78
+  // writer), same cut points. Callers owning a long-lived session
+  // clearCache() after consuming the result — Verify and Bench do.
+  // Exactness: counts and totals are BIGINT; the only strings are
+  // corpus tokens; the greedy fold is replayed in DuckDB via
+  // list_reduce with a chr(1) seed sentinel (no corpus token is a
+  // control character), so both engines re-tokenize identically.
+  private val BpeIters = 3
+
+  def q204BpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documentsSharded(spark, dir)
+      .select(col("doc_id"), split(lower(trim(col("text"))), " ").as("toks"))
+      .cache()
+    var docs = base
+    var out: DataFrame = null
+    for (it <- 1 to BpeIters) {
+      val best = docs.filter(size(col("toks")) >= 2)
+        .withColumn("i", explode(sequence(lit(1), size(col("toks")) - 1)))
+        .select(element_at(col("toks"), col("i")).as("pa"),
+          element_at(col("toks"), col("i") + 1).as("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("pa"), col("pb")).limit(1)
+        .withColumn("_k", graft.plans.Opaque.zeroKey(col("c")))
+      val merged = docs
+        .withColumn("_k", graft.plans.Opaque.zeroKey(size(col("toks"))))
+        .join(best, Seq("_k"))
+        .select(col("doc_id"), aggregate(col("toks"),
+          array().cast("array<string>"),
+          (acc, x) => when(
+            size(acc) > 0 && element_at(acc, -1) === col("pa") && x === col("pb"),
+            concat(slice(acc, lit(1), size(acc) - 1),
+              array(concat_ws(" ", col("pa"), col("pb")))))
+            .otherwise(concat(acc, array(x)))).as("toks"))
+      val nextDocs = if (it < BpeIters) merged.cache() else merged
+      val after = nextDocs
+        .agg(sum(size(col("toks"))).cast("bigint").as("corpus_tokens_after"))
+        .withColumn("_k", graft.plans.Opaque.zeroKey(col("corpus_tokens_after")))
+      val row = best.join(after, Seq("_k"))
+        .select(lit(it).cast("int").as("it"),
+          concat_ws(" ", col("pa"), col("pb")).as("pair"),
+          col("c").cast("bigint").as("cnt"), col("corpus_tokens_after"))
+      out = if (out == null) row else out.unionByName(row)
+      docs = nextDocs
+    }
+    out.orderBy(col("it"))
+  }
+
+  /** One oracle iteration: pair counts over t(i-1), the adopted merge,
+    * and the list_reduce greedy re-tokenize into t(i).
+    */
+  private def sqlBpeIter(i: Int): String = {
+    val prev = s"t${i - 1}"
+    s"""p$i AS (
+       |  SELECT pa, pb, count(*) AS c FROM (
+       |    SELECT unnest([toks[j] for j in range(1, len(toks))]) AS pa,
+       |      unnest([toks[j + 1] for j in range(1, len(toks))]) AS pb
+       |    FROM $prev)
+       |  GROUP BY 1, 2),
+       |b$i AS (SELECT pa, pb, c FROM p$i ORDER BY c DESC, pa, pb LIMIT 1),
+       |t$i AS (
+       |  -- the 1-row CROSS JOIN puts pa/pb in row scope: DuckDB forbids
+       |  -- subqueries inside lambda bodies
+       |  SELECT doc_id,
+       |    list_reduce([[chr(1)]] || list_transform(toks, x -> [x]),
+       |      (acc, x) -> CASE WHEN acc[-1] = pa AND x[1] = pb
+       |        THEN acc[:-2] || [pa || ' ' || pb]
+       |        ELSE acc || x END)[2:] AS toks
+       |  FROM $prev CROSS JOIN b$i)""".stripMargin
+  }
+
+  val q204Oracle: String = {
+    val iters = (1 to BpeIters).map(sqlBpeIter).mkString(",\n")
+    val rows = (1 to BpeIters).map { i =>
+      s"""SELECT $i AS it,
+         |  (SELECT pa || ' ' || pb FROM b$i) AS pair,
+         |  (SELECT CAST(c AS BIGINT) FROM b$i) AS cnt,
+         |  (SELECT CAST(sum(len(toks)) AS BIGINT) FROM t$i)
+         |    AS corpus_tokens_after""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH t0 AS (
+       |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+       |  FROM documents),
+       |$iters
+       |$rows
+       |ORDER BY it""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q204_bpe_train" -> q204BpeTrain,
     "q189_dsir_weights" -> q189DsirWeights,
     "q187_bm25_retrieval" -> q187Bm25Retrieval,
     "q179_unk_rewrite" -> q179UnkRewrite,
@@ -1166,6 +1270,7 @@ object TextAnalysis {
     "q158_bigram_lm_score" -> q158BigramLmScore)
 
   def oracleSql: Map[String, String] = Map(
+    "q204_bpe_train" -> q204Oracle,
     "q189_dsir_weights" -> q189Oracle,
     "q187_bm25_retrieval" -> q187Oracle,
     "q179_unk_rewrite" -> q179Oracle,
