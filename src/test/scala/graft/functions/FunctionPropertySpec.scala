@@ -39,6 +39,19 @@ class FunctionPropertySpec extends SparkSpec {
     })
   }
 
+  test("shingle_set equals a straight-line reference on random tokens") {
+    import spark.implicits._
+    check(Prop.forAll(Gen.nonEmptyListOf(token), Gen.choose(1, 4)) { (toks, n) =>
+      val expected =
+        if (toks.length < n) Seq(toks.mkString(" "))
+        else toks.sliding(n).map(_.mkString(" ")).toSeq.distinct
+      val got = Seq(Tuple1(toks)).toDF("toks")
+        .select(ShingleSet.shingle_set(col("toks"), n))
+        .first().getSeq[String](0)
+      got == expected
+    })
+  }
+
   test("min_hash_windows equals a straight-line reference on random tokens") {
     import spark.implicits._
     check(Prop.forAll(Gen.nonEmptyListOf(token), Gen.choose(1, 3), Gen.choose(1, 4)) {
