@@ -1167,6 +1167,12 @@ object TextAnalysis {
   // corpus tokens; the greedy fold is replayed in DuckDB via
   // list_reduce with a chr(1) seed sentinel (no corpus token is a
   // control character), so both engines re-tokenize identically.
+  // Degenerate-corpus contract: a corpus with ZERO adjacent pairs
+  // (every document a single token) has no trainable merge — this
+  // side emits no rows (the 1-row merge frame is empty and the opaque
+  // join drops everything), while the oracle's scalar subqueries
+  // would emit NULL-filled rows; a trainer run on such a corpus is a
+  // caller error, not a state this query defines output for.
   private val BpeIters = 3
 
   def q204BpeTrain(spark: SparkSession, dir: String): DataFrame = {
