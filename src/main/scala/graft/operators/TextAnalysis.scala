@@ -1253,7 +1253,94 @@ object TextAnalysis {
        |ORDER BY it""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // q205 — QUALITY-FILTER CALIBRATION MATRIX: before trusting either
+  // quality signal as a culling filter, audit how the HEURISTIC
+  // composite (q29's row-local score) and the STATISTICAL signal
+  // (mean corpus-frequency of the document's tokens, the q94 model
+  // family reduced to an exact division) agree — the 4×4 contingency
+  // of corpus-quartile buckets, where heavy off-diagonal mass means
+  // the filters would cull different documents and the threshold
+  // choice needs review.
+  // Determinism: the heuristic score is the proven q88/q194 oracle
+  // channel (divisions and one rounded composite); the statistical
+  // score is BIGINT-sum / BIGINT-count (one exact-rounded division,
+  // no transcendental); quartile thresholds are ONE 1-row percentile
+  // aggregate riding the opaque join with scan-side comparisons — the
+  // q186 contract, so a score exactly ON a threshold bins identically
+  // in both engines. Emitted cells are integer counts.
+  // Scale notes (100 TB): reuses q94's unigramModel (vocab agg +
+  // token join, both keyed on the token); the per-doc rollup rides
+  // doc_id; the percentile agg reads two columns of the per-doc frame
+  // (corpus-row count, not corpus-token count); the contingency is a
+  // 16-cell map-side-combined aggregate. No global window, no
+  // collect.
+  def q205QualityCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Curation.qualityScoreCol
+    val docs = Tables.documentsSharded(spark, dir)
+    val stat = unigramModel(docs.select(col("doc_id"), col("text")))
+      .groupBy(col("doc_id"))
+      .agg((sum(col("cnt")).cast("double") / count(lit(1))).as("s"))
+    val scored = docs.select(col("doc_id"), qualityScoreCol.as("h"))
+      .join(stat, Seq("doc_id"))
+    val th = scored.agg(
+        percentile(col("h"), array(lit(0.25), lit(0.5), lit(0.75))).as("th"),
+        percentile(col("s"), array(lit(0.25), lit(0.5), lit(0.75))).as("ts"))
+      .withColumn("_k",
+        graft.plans.Opaque.zeroKey(abs(ceil(element_at(col("ts"), 3))).cast("long")))
+    def bucket(v: Column, t: Column): Column =
+      lit(1) + when(v > element_at(t, 1), 1).otherwise(0) +
+        when(v > element_at(t, 2), 1).otherwise(0) +
+        when(v > element_at(t, 3), 1).otherwise(0)
+    scored.withColumn("_k", graft.plans.Opaque.zeroKey(col("doc_id")))
+      .join(th, Seq("_k"))
+      .select(bucket(col("h"), col("th")).as("bucket_h"),
+        bucket(col("s"), col("ts")).as("bucket_s"))
+      .groupBy(col("bucket_h"), col("bucket_s"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket_h"), col("bucket_s"))
+  }
+
+  val q205Oracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+      |  FROM documents),
+      |cnt AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+      |stat AS (
+      |  SELECT doc_id, CAST(sum(c) AS DOUBLE) / count(*) AS s
+      |  FROM tok JOIN cnt USING (tok) GROUP BY 1),
+      |h AS (
+      |  SELECT doc_id,
+      |    round(0.4 * least(1.0, n_tokens / 100.0)
+      |      + 0.4 * (CAST(n_uniq AS DOUBLE) / n_tokens)
+      |      + 0.2 * (1.0 - CAST(punct AS DOUBLE) / n_chars), 6) AS h
+      |  FROM (
+      |    SELECT doc_id, n_chars,
+      |      len(string_split(text, ' ')) AS n_tokens,
+      |      len(list_distinct(string_split(text, ' '))) AS n_uniq,
+      |      len(text) - len(regexp_replace(text, '[.,;:!?]', '', 'g'))
+      |        AS punct
+      |    FROM documents)),
+      |scored AS (SELECT doc_id, h, s FROM h JOIN stat USING (doc_id)),
+      |th AS (
+      |  SELECT quantile_cont(h, 0.25) AS h1, quantile_cont(h, 0.5) AS h2,
+      |    quantile_cont(h, 0.75) AS h3,
+      |    quantile_cont(s, 0.25) AS s1, quantile_cont(s, 0.5) AS s2,
+      |    quantile_cont(s, 0.75) AS s3
+      |  FROM scored)
+      |SELECT
+      |  1 + CASE WHEN h > h1 THEN 1 ELSE 0 END
+      |    + CASE WHEN h > h2 THEN 1 ELSE 0 END
+      |    + CASE WHEN h > h3 THEN 1 ELSE 0 END AS bucket_h,
+      |  1 + CASE WHEN s > s1 THEN 1 ELSE 0 END
+      |    + CASE WHEN s > s2 THEN 1 ELSE 0 END
+      |    + CASE WHEN s > s3 THEN 1 ELSE 0 END AS bucket_s,
+      |  count(*) AS n
+      |FROM scored, th
+      |GROUP BY 1, 2 ORDER BY bucket_h, bucket_s""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q205_quality_calibration" -> q205QualityCalibration,
     "q204_bpe_train" -> q204BpeTrain,
     "q189_dsir_weights" -> q189DsirWeights,
     "q187_bm25_retrieval" -> q187Bm25Retrieval,
@@ -1276,6 +1363,7 @@ object TextAnalysis {
     "q158_bigram_lm_score" -> q158BigramLmScore)
 
   def oracleSql: Map[String, String] = Map(
+    "q205_quality_calibration" -> q205Oracle,
     "q204_bpe_train" -> q204Oracle,
     "q189_dsir_weights" -> q189Oracle,
     "q187_bm25_retrieval" -> q187Oracle,
