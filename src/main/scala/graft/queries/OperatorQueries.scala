@@ -1057,7 +1057,134 @@ object OperatorQueries {
       |QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) = 1
       |ORDER BY query_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q206 — MARGIN-SCORED BITEXT RERANKING: the scoring layer q201's
+  // scaladoc promises — raw cosine over-selects hub candidates (ones
+  // near EVERYTHING), so the miner normalizes each pair score by the
+  // two sides' own neighbourhoods (Artetxe & Schwenk 2019, the
+  // "distance" margin): margin = cos(x,y) − (meanF(x) + meanB(y)) / 2,
+  // with meanF = mean of x's top-4 candidate cosines (per query) and
+  // meanB = mean of y's top-4 query cosines (per candidate). Because
+  // meanB varies per candidate, the margin genuinely RERANKS within a
+  // query — a hub with many strong suitors is demoted. Emits the
+  // top-margin pair per query.
+  // Determinism: cosines are the probe's rounded-6 doubles; the two
+  // neighbourhood sums accumulate as exact DECIMAL(28,6); the margin
+  // is divisions/subtractions of those (every op IEEE exactly-rounded
+  // — no transcendental), rounded once at emission; ranking ties break
+  // on cand_id. Scale notes (100 TB): everything happens on q201's
+  // scored candidate stream (query_id- and cand_id-keyed bounded
+  // windows + two small aggregates) — no new corpus pass, no new
+  // probe.
+  def q206BitextMargin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val vecs = Tables.embeddingsSharded(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val index = IvfAnn.buildIndex(spark, dir, k = 8)
+    val fr = vecs.join(docs.filter(col("lang") === "fr").select(col("doc_id")),
+        col("vec_id") === col("doc_id"))
+      .select(col("vec_id"), col("embedding"))
+    val en = vecs.join(
+        docs.filter(col("lang") === "en" && col("doc_id") % 5 === 0)
+          .select(col("doc_id")),
+        col("vec_id") === col("doc_id"))
+      .select(col("vec_id"), col("embedding"))
+    // all probed candidates, ranked per query by (cos desc, cand_id):
+    // probe's own rk, with an unreachable topK
+    val scored = IvfAnn.probe(spark,
+      IvfAnn.Index(IvfAnn.assignTo(index, fr), index.pivots),
+      en, nprobe = 3, topK = Int.MaxValue)
+      .cache()
+    val cosDec = col("cos").cast(DecimalType(28, 6))
+    val fwd = scored.filter(col("rk") <= 4)
+      .groupBy(col("query_id"))
+      .agg(sum(cosDec).as("sum_f"), count(lit(1)).as("k_f"))
+    val bwd = scored
+      .withColumn("brk", row_number().over(
+        Window.partitionBy(col("cand_id"))
+          .orderBy(col("cos").desc, col("query_id"))))
+      .filter(col("brk") <= 4)
+      .groupBy(col("cand_id"))
+      .agg(sum(cosDec).as("sum_b"), count(lit(1)).as("k_b"))
+    val margins = scored
+      .join(fwd, Seq("query_id")).join(bwd, Seq("cand_id"))
+      .withColumn("margin", round(col("cos") -
+        (col("sum_f").cast("double") / col("k_f") +
+          col("sum_b").cast("double") / col("k_b")) / lit(2.0), 6))
+    margins.withColumn("mrk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("margin").desc, col("cand_id"))))
+      .filter(col("mrk") === 1)
+      .select(col("query_id"), col("cand_id"), col("cos"), col("margin"))
+      .orderBy(col("query_id"))
+  }
+
+  val q206Oracle: String =
+    """WITH sva AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS sv
+      |  FROM embeddings),
+      |base AS (
+      |  SELECT vec_id, sv,
+      |    CAST(list_sum(list_transform(generate_series(1, len(sv)), i -> sv[i] * sv[i])) AS BIGINT) AS nrm
+      |  FROM sva),
+      |mm AS (
+      |  SELECT GREATEST(1, CAST(ceil(CAST(count(*) AS DOUBLE) / 8) AS BIGINT)) AS m
+      |  FROM embeddings),
+      |seeds AS (
+      |  SELECT CAST(vec_id // (SELECT m FROM mm) AS INTEGER) AS cell, sv, nrm
+      |  FROM base WHERE vec_id % (SELECT m FROM mm) = 0),
+      |dists AS (
+      |  SELECT a.vec_id, s.cell, a.sv, a.nrm,
+      |    a.nrm + s.nrm - 2 * CAST(list_sum(list_transform(
+      |      generate_series(1, len(a.sv)), i -> a.sv[i] * s.sv[i])) AS BIGINT) AS d
+      |  FROM base a CROSS JOIN seeds s),
+      |assigned AS (
+      |  SELECT vec_id, cell, sv, nrm FROM dists
+      |  JOIN documents doc ON dists.vec_id = doc.doc_id AND doc.lang = 'fr'
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1),
+      |qprobe AS (
+      |  SELECT dists.vec_id AS query_id, sv AS qsv, nrm AS qnrm, cell
+      |  FROM dists
+      |  JOIN documents doc ON dists.vec_id = doc.doc_id AND doc.lang = 'en'
+      |  WHERE dists.vec_id % 5 = 0
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY dists.vec_id ORDER BY d, cell) <= 3),
+      |scored AS (
+      |  SELECT q.query_id, a.vec_id AS cand_id,
+      |    round(CAST(CAST(list_sum(list_transform(generate_series(1, len(q.qsv)),
+      |        i -> q.qsv[i] * a.sv[i])) AS BIGINT) AS DOUBLE)
+      |      / sqrt(CAST(q.qnrm AS DOUBLE)) / sqrt(CAST(a.nrm AS DOUBLE)), 6) AS cos
+      |  FROM qprobe q JOIN assigned a ON q.cell = a.cell AND q.query_id <> a.vec_id),
+      |fwd AS (
+      |  SELECT query_id, sum(CAST(cos AS DECIMAL(28,6))) AS sum_f,
+      |    count(*) AS k_f
+      |  FROM (SELECT query_id, cos,
+      |          ROW_NUMBER() OVER (PARTITION BY query_id
+      |            ORDER BY cos DESC, cand_id) AS rk
+      |        FROM scored)
+      |  WHERE rk <= 4 GROUP BY 1),
+      |bwd AS (
+      |  SELECT cand_id, sum(CAST(cos AS DECIMAL(28,6))) AS sum_b,
+      |    count(*) AS k_b
+      |  FROM (SELECT cand_id, cos,
+      |          ROW_NUMBER() OVER (PARTITION BY cand_id
+      |            ORDER BY cos DESC, query_id) AS brk
+      |        FROM scored)
+      |  WHERE brk <= 4 GROUP BY 1),
+      |margins AS (
+      |  SELECT s.query_id, s.cand_id, s.cos,
+      |    round(s.cos - (CAST(sum_f AS DOUBLE) / k_f
+      |      + CAST(sum_b AS DOUBLE) / k_b) / 2.0, 6) AS margin
+      |  FROM scored s JOIN fwd USING (query_id) JOIN bwd USING (cand_id))
+      |SELECT query_id, cand_id, cos, margin FROM margins
+      |QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+      |  ORDER BY margin DESC, cand_id) = 1
+      |ORDER BY query_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q206_bitext_margin" -> q206BitextMargin,
     "q201_bitext_mining" -> q201BitextMining,
     "q198_filtered_ann" -> q198FilteredAnn,
     "q147_triangles" -> q147Triangles,
@@ -1080,6 +1207,7 @@ object OperatorQueries {
     "q127_attribution" -> q127Attribution)
 
   def oracleSql: Map[String, String] = Map(
+    "q206_bitext_margin" -> q206Oracle,
     "q201_bitext_mining" -> q201Oracle,
     "q198_filtered_ann" -> q198Oracle,
     "q147_triangles" -> q147Oracle,
