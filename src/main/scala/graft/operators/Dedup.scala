@@ -916,9 +916,8 @@ object Dedup {
         col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id") &&
           lit(2) * least(col("x.nsh"), col("y.nsh")) >=
             greatest(col("x.nsh"), col("y.nsh")))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("_dup"))
-      .select(col("doc_a"), col("doc_b"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
     cands
       .join(sh.select(col("doc_id").as("doc_a"), col("s").as("sa")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("s").as("sb")), Seq("doc_b"))

@@ -116,45 +116,73 @@ object OperatorQueries {
       .orderBy(col("query_id"), col("rk"))
   }
 
-  val q49Oracle: String =
-    """WITH sva AS (
-      |  SELECT vec_id,
-      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS sv
-      |  FROM embeddings),
-      |base AS (
-      |  SELECT vec_id, sv,
-      |    CAST(list_sum(list_transform(generate_series(1, len(sv)), i -> sv[i] * sv[i])) AS BIGINT) AS nrm
-      |  FROM sva),
-      |mm AS (
-      |  SELECT GREATEST(1, CAST(ceil(CAST(count(*) AS DOUBLE) / 8) AS BIGINT)) AS m
-      |  FROM embeddings),
-      |seeds AS (
-      |  SELECT CAST(vec_id // (SELECT m FROM mm) AS INTEGER) AS cell, sv, nrm
-      |  FROM base WHERE vec_id % (SELECT m FROM mm) = 0),
-      |dists AS (
-      |  SELECT a.vec_id, s.cell, a.sv, a.nrm,
-      |    a.nrm + s.nrm - 2 * CAST(list_sum(list_transform(
-      |      generate_series(1, len(a.sv)), i -> a.sv[i] * s.sv[i])) AS BIGINT) AS d
-      |  FROM base a CROSS JOIN seeds s),
-      |assigned AS (
-      |  SELECT vec_id, cell, sv, nrm FROM dists
-      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1),
-      |qprobe AS (
-      |  SELECT vec_id AS query_id, sv AS qsv, nrm AS qnrm, cell
-      |  FROM dists WHERE vec_id % 25 = 0
-      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) <= 2),
-      |scored AS (
-      |  SELECT q.query_id, a.vec_id AS cand_id,
-      |    round(CAST(CAST(list_sum(list_transform(generate_series(1, len(q.qsv)),
-      |        i -> q.qsv[i] * a.sv[i])) AS BIGINT) AS DOUBLE)
-      |      / sqrt(CAST(q.qnrm AS DOUBLE)) / sqrt(CAST(a.nrm AS DOUBLE)), 6) AS cos
-      |  FROM qprobe q JOIN assigned a ON q.cell = a.cell AND q.query_id <> a.vec_id),
-      |ranked AS (
+  /** The shared IVF oracle CTE chain (scaled vectors → codebook seeds
+    * → exact distances → cell assignment → probe → scored cosines)
+    * behind q49/q185, q191 (which nests q49's text), q198, q200, q201
+    * and q206 — parameterized by the codebook slice, the candidate
+    * restriction, the query restriction and the probe width so the
+    * variants cannot drift. Ends at `scored(query_id, cand_id, cos)`;
+    * callers append their ranking / margin SELECT.
+    *
+    * @param mmWhere       extra WHERE on the codebook-size count
+    *                      (q200's standing slice), "" for the full set
+    * @param seedExtra     predicate ANDed before the seed modulus
+    *                      ("vec_id % 10 <> 0 AND " for q200)
+    * @param assignedExtra JOIN/WHERE text after `FROM dists` in the
+    *                      candidate assignment (q198's label filter,
+    *                      q201/q206's lang join)
+    * @param qprobeExtra   JOIN text after `FROM dists` in the query
+    *                      probe (q201/q206's lang join)
+    */
+  private def sqlIvfScoredCtes(mmWhere: String, seedExtra: String,
+      assignedExtra: String, qprobeExtra: String, qprobeWhere: String,
+      nprobe: Int): String =
+    s"""sva AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS sv
+       |  FROM embeddings),
+       |base AS (
+       |  SELECT vec_id, label, sv,
+       |    CAST(list_sum(list_transform(generate_series(1, len(sv)), i -> sv[i] * sv[i])) AS BIGINT) AS nrm
+       |  FROM sva),
+       |mm AS (
+       |  SELECT GREATEST(1, CAST(ceil(CAST(count(*) AS DOUBLE) / 8) AS BIGINT)) AS m
+       |  FROM embeddings $mmWhere),
+       |seeds AS (
+       |  SELECT CAST(vec_id // (SELECT m FROM mm) AS INTEGER) AS cell, sv, nrm
+       |  FROM base WHERE ${seedExtra}vec_id % (SELECT m FROM mm) = 0),
+       |dists AS (
+       |  SELECT a.vec_id, a.label, s.cell, a.sv, a.nrm,
+       |    a.nrm + s.nrm - 2 * CAST(list_sum(list_transform(
+       |      generate_series(1, len(a.sv)), i -> a.sv[i] * s.sv[i])) AS BIGINT) AS d
+       |  FROM base a CROSS JOIN seeds s),
+       |assigned AS (
+       |  SELECT vec_id, cell, sv, nrm FROM dists$assignedExtra
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1),
+       |qprobe AS (
+       |  SELECT dists.vec_id AS query_id, sv AS qsv, nrm AS qnrm, cell
+       |  FROM dists$qprobeExtra
+       |  WHERE $qprobeWhere
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY dists.vec_id ORDER BY d, cell) <= $nprobe),
+       |scored AS (
+       |  SELECT q.query_id, a.vec_id AS cand_id,
+       |    round(CAST(CAST(list_sum(list_transform(generate_series(1, len(q.qsv)),
+       |        i -> q.qsv[i] * a.sv[i])) AS BIGINT) AS DOUBLE)
+       |      / sqrt(CAST(q.qnrm AS DOUBLE)) / sqrt(CAST(a.nrm AS DOUBLE)), 6) AS cos
+       |  FROM qprobe q JOIN assigned a ON q.cell = a.cell AND q.query_id <> a.vec_id)""".stripMargin
+
+  /** The shared top-k ranking tail over `scored`. */
+  private val sqlIvfTop3: String =
+    """ranked AS (
       |  SELECT query_id, cand_id, cos,
       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS INTEGER) AS rk
       |  FROM scored)
       |SELECT query_id, rk, cand_id, cos FROM ranked WHERE rk <= 3
       |ORDER BY query_id, rk""".stripMargin
+
+  val q49Oracle: String =
+    s"""WITH ${sqlIvfScoredCtes("", "", "", "", "vec_id % 25 = 0", 2)},
+       |$sqlIvfTop3""".stripMargin
 
   // --------------------------------------------------------------------
   // q185 — IVF index PERSISTENCE round-trip: build q49's index, persist
@@ -243,45 +271,9 @@ object OperatorQueries {
     * only, candidates spanning the full (merged) corpus.
     */
   val q200Oracle: String =
-    """WITH sva AS (
-      |  SELECT vec_id,
-      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS sv
-      |  FROM embeddings),
-      |base AS (
-      |  SELECT vec_id, sv,
-      |    CAST(list_sum(list_transform(generate_series(1, len(sv)), i -> sv[i] * sv[i])) AS BIGINT) AS nrm
-      |  FROM sva),
-      |mm AS (
-      |  SELECT GREATEST(1, CAST(ceil(CAST(count(*) AS DOUBLE) / 8) AS BIGINT)) AS m
-      |  FROM embeddings WHERE vec_id % 10 <> 0),
-      |seeds AS (
-      |  SELECT CAST(vec_id // (SELECT m FROM mm) AS INTEGER) AS cell, sv, nrm
-      |  FROM base
-      |  WHERE vec_id % 10 <> 0 AND vec_id % (SELECT m FROM mm) = 0),
-      |dists AS (
-      |  SELECT a.vec_id, s.cell, a.sv, a.nrm,
-      |    a.nrm + s.nrm - 2 * CAST(list_sum(list_transform(
-      |      generate_series(1, len(a.sv)), i -> a.sv[i] * s.sv[i])) AS BIGINT) AS d
-      |  FROM base a CROSS JOIN seeds s),
-      |assigned AS (
-      |  SELECT vec_id, cell, sv, nrm FROM dists
-      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1),
-      |qprobe AS (
-      |  SELECT vec_id AS query_id, sv AS qsv, nrm AS qnrm, cell
-      |  FROM dists WHERE vec_id % 25 = 0
-      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) <= 2),
-      |scored AS (
-      |  SELECT q.query_id, a.vec_id AS cand_id,
-      |    round(CAST(CAST(list_sum(list_transform(generate_series(1, len(q.qsv)),
-      |        i -> q.qsv[i] * a.sv[i])) AS BIGINT) AS DOUBLE)
-      |      / sqrt(CAST(q.qnrm AS DOUBLE)) / sqrt(CAST(a.nrm AS DOUBLE)), 6) AS cos
-      |  FROM qprobe q JOIN assigned a ON q.cell = a.cell AND q.query_id <> a.vec_id),
-      |ranked AS (
-      |  SELECT query_id, cand_id, cos,
-      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS INTEGER) AS rk
-      |  FROM scored)
-      |SELECT query_id, rk, cand_id, cos FROM ranked WHERE rk <= 3
-      |ORDER BY query_id, rk""".stripMargin
+    s"""WITH ${sqlIvfScoredCtes("WHERE vec_id % 10 <> 0",
+         "vec_id % 10 <> 0 AND ", "", "", "vec_id % 25 = 0", 2)},
+       |$sqlIvfTop3""".stripMargin
 
   // --------------------------------------------------------------------
   // q100 — TRAINED IVF probe (IvfAnn.buildTrainedIndex): q49's index
@@ -943,45 +935,9 @@ object OperatorQueries {
     * predicate and the probe widened to 3 cells.
     */
   val q198Oracle: String =
-    """WITH sva AS (
-      |  SELECT vec_id, label,
-      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS sv
-      |  FROM embeddings),
-      |base AS (
-      |  SELECT vec_id, label, sv,
-      |    CAST(list_sum(list_transform(generate_series(1, len(sv)), i -> sv[i] * sv[i])) AS BIGINT) AS nrm
-      |  FROM sva),
-      |mm AS (
-      |  SELECT GREATEST(1, CAST(ceil(CAST(count(*) AS DOUBLE) / 8) AS BIGINT)) AS m
-      |  FROM embeddings),
-      |seeds AS (
-      |  SELECT CAST(vec_id // (SELECT m FROM mm) AS INTEGER) AS cell, sv, nrm
-      |  FROM base WHERE vec_id % (SELECT m FROM mm) = 0),
-      |dists AS (
-      |  SELECT a.vec_id, a.label, s.cell, a.sv, a.nrm,
-      |    a.nrm + s.nrm - 2 * CAST(list_sum(list_transform(
-      |      generate_series(1, len(a.sv)), i -> a.sv[i] * s.sv[i])) AS BIGINT) AS d
-      |  FROM base a CROSS JOIN seeds s),
-      |assigned AS (
-      |  SELECT vec_id, cell, sv, nrm FROM dists
-      |  WHERE label % 3 = 0
-      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1),
-      |qprobe AS (
-      |  SELECT vec_id AS query_id, sv AS qsv, nrm AS qnrm, cell
-      |  FROM dists WHERE vec_id % 25 = 0
-      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) <= 3),
-      |scored AS (
-      |  SELECT q.query_id, a.vec_id AS cand_id,
-      |    round(CAST(CAST(list_sum(list_transform(generate_series(1, len(q.qsv)),
-      |        i -> q.qsv[i] * a.sv[i])) AS BIGINT) AS DOUBLE)
-      |      / sqrt(CAST(q.qnrm AS DOUBLE)) / sqrt(CAST(a.nrm AS DOUBLE)), 6) AS cos
-      |  FROM qprobe q JOIN assigned a ON q.cell = a.cell AND q.query_id <> a.vec_id),
-      |ranked AS (
-      |  SELECT query_id, cand_id, cos,
-      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS INTEGER) AS rk
-      |  FROM scored)
-      |SELECT query_id, rk, cand_id, cos FROM ranked WHERE rk <= 3
-      |ORDER BY query_id, rk""".stripMargin
+    s"""WITH ${sqlIvfScoredCtes("", "",
+         "\n  WHERE label % 3 = 0", "", "vec_id % 25 = 0", 3)},
+       |$sqlIvfTop3""".stripMargin
 
   // --------------------------------------------------------------------
   // q201 — BITEXT CANDIDATE MINING: the parallel-corpus bootstrap for
@@ -998,64 +954,45 @@ object OperatorQueries {
   // pruned to the fr slice); everything downstream is q198's shape —
   // shared codebook projection, cell-keyed probe join, bounded
   // per-query window.
-  def q201BitextMining(spark: SparkSession, dir: String): DataFrame = {
+  /** q201/q206's shared probed candidate stream: sampled en queries
+    * against fr candidates through the shared corpus codebook, ALL
+    * ranks retained (probe's rk is the per-query (cos desc, cand_id)
+    * rank).
+    */
+  private def bitextScored(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
     val vecs = Tables.embeddingsSharded(spark, dir)
       .select(col("vec_id"), col("embedding"))
     val index = IvfAnn.buildIndex(spark, dir, k = 8)
-    val fr = vecs.join(docs.filter(col("lang") === "fr").select(col("doc_id")),
-        col("vec_id") === col("doc_id"))
-      .select(col("vec_id"), col("embedding"))
-    val en = vecs.join(
-        docs.filter(col("lang") === "en" && col("doc_id") % 5 === 0)
-          .select(col("doc_id")),
-        col("vec_id") === col("doc_id"))
-      .select(col("vec_id"), col("embedding"))
+    def langSlice(pred: org.apache.spark.sql.Column) =
+      vecs.join(docs.filter(pred).select(col("doc_id")),
+          col("vec_id") === col("doc_id"))
+        .select(col("vec_id"), col("embedding"))
+    val fr = langSlice(col("lang") === "fr")
+    val en = langSlice(col("lang") === "en" && col("doc_id") % 5 === 0)
     IvfAnn.probe(spark, IvfAnn.Index(IvfAnn.assignTo(index, fr), index.pivots),
-        en, nprobe = 3, topK = 1)
-      .select(col("query_id"), col("cand_id"), col("cos"))
-      .orderBy(col("query_id"))
+      en, nprobe = 3, topK = Int.MaxValue)
   }
 
+  def q201BitextMining(spark: SparkSession, dir: String): DataFrame =
+    bitextScored(spark, dir)
+      .filter(col("rk") === 1)
+      .select(col("query_id"), col("cand_id"), col("cos"))
+      .orderBy(col("query_id"))
+
+  /** The q201/q206 shared CTE parameterization: fr candidates, sampled
+    * en queries, 3-cell probe.
+    */
+  private def sqlBitextScoredCtes: String = sqlIvfScoredCtes("", "",
+    "\n  JOIN documents doc ON dists.vec_id = doc.doc_id AND doc.lang = 'fr'",
+    "\n  JOIN documents doc ON dists.vec_id = doc.doc_id AND doc.lang = 'en'",
+    "dists.vec_id % 5 = 0", 3)
+
   val q201Oracle: String =
-    """WITH sva AS (
-      |  SELECT vec_id,
-      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS sv
-      |  FROM embeddings),
-      |base AS (
-      |  SELECT vec_id, sv,
-      |    CAST(list_sum(list_transform(generate_series(1, len(sv)), i -> sv[i] * sv[i])) AS BIGINT) AS nrm
-      |  FROM sva),
-      |mm AS (
-      |  SELECT GREATEST(1, CAST(ceil(CAST(count(*) AS DOUBLE) / 8) AS BIGINT)) AS m
-      |  FROM embeddings),
-      |seeds AS (
-      |  SELECT CAST(vec_id // (SELECT m FROM mm) AS INTEGER) AS cell, sv, nrm
-      |  FROM base WHERE vec_id % (SELECT m FROM mm) = 0),
-      |dists AS (
-      |  SELECT a.vec_id, s.cell, a.sv, a.nrm,
-      |    a.nrm + s.nrm - 2 * CAST(list_sum(list_transform(
-      |      generate_series(1, len(a.sv)), i -> a.sv[i] * s.sv[i])) AS BIGINT) AS d
-      |  FROM base a CROSS JOIN seeds s),
-      |assigned AS (
-      |  SELECT vec_id, cell, sv, nrm FROM dists
-      |  JOIN documents doc ON dists.vec_id = doc.doc_id AND doc.lang = 'fr'
-      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1),
-      |qprobe AS (
-      |  SELECT dists.vec_id AS query_id, sv AS qsv, nrm AS qnrm, cell
-      |  FROM dists
-      |  JOIN documents doc ON dists.vec_id = doc.doc_id AND doc.lang = 'en'
-      |  WHERE dists.vec_id % 5 = 0
-      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY dists.vec_id ORDER BY d, cell) <= 3),
-      |scored AS (
-      |  SELECT q.query_id, a.vec_id AS cand_id,
-      |    round(CAST(CAST(list_sum(list_transform(generate_series(1, len(q.qsv)),
-      |        i -> q.qsv[i] * a.sv[i])) AS BIGINT) AS DOUBLE)
-      |      / sqrt(CAST(q.qnrm AS DOUBLE)) / sqrt(CAST(a.nrm AS DOUBLE)), 6) AS cos
-      |  FROM qprobe q JOIN assigned a ON q.cell = a.cell AND q.query_id <> a.vec_id)
-      |SELECT query_id, cand_id, cos FROM scored
-      |QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) = 1
-      |ORDER BY query_id""".stripMargin
+    s"""WITH $sqlBitextScoredCtes
+       |SELECT query_id, cand_id, cos FROM scored
+       |QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) = 1
+       |ORDER BY query_id""".stripMargin
 
   // --------------------------------------------------------------------
   // q206 — MARGIN-SCORED BITEXT RERANKING: the scoring layer q201's
@@ -1079,24 +1016,10 @@ object OperatorQueries {
   def q206BitextMargin(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
-    val vecs = Tables.embeddingsSharded(spark, dir)
-      .select(col("vec_id"), col("embedding"))
-    val index = IvfAnn.buildIndex(spark, dir, k = 8)
-    val fr = vecs.join(docs.filter(col("lang") === "fr").select(col("doc_id")),
-        col("vec_id") === col("doc_id"))
-      .select(col("vec_id"), col("embedding"))
-    val en = vecs.join(
-        docs.filter(col("lang") === "en" && col("doc_id") % 5 === 0)
-          .select(col("doc_id")),
-        col("vec_id") === col("doc_id"))
-      .select(col("vec_id"), col("embedding"))
-    // all probed candidates, ranked per query by (cos desc, cand_id):
-    // probe's own rk, with an unreachable topK
-    val scored = IvfAnn.probe(spark,
-      IvfAnn.Index(IvfAnn.assignTo(index, fr), index.pivots),
-      en, nprobe = 3, topK = Int.MaxValue)
-      .cache()
+    // q201's candidate stream, cached: three consumers (fwd/bwd
+    // neighbourhood aggregates + the margin join). Callers owning a
+    // long-lived session clearCache() after consuming the result.
+    val scored = bitextScored(spark, dir).cache()
     val cosDec = col("cos").cast(DecimalType(28, 6))
     val fwd = scored.filter(col("rk") <= 4)
       .groupBy(col("query_id"))
@@ -1122,66 +1045,32 @@ object OperatorQueries {
   }
 
   val q206Oracle: String =
-    """WITH sva AS (
-      |  SELECT vec_id,
-      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS sv
-      |  FROM embeddings),
-      |base AS (
-      |  SELECT vec_id, sv,
-      |    CAST(list_sum(list_transform(generate_series(1, len(sv)), i -> sv[i] * sv[i])) AS BIGINT) AS nrm
-      |  FROM sva),
-      |mm AS (
-      |  SELECT GREATEST(1, CAST(ceil(CAST(count(*) AS DOUBLE) / 8) AS BIGINT)) AS m
-      |  FROM embeddings),
-      |seeds AS (
-      |  SELECT CAST(vec_id // (SELECT m FROM mm) AS INTEGER) AS cell, sv, nrm
-      |  FROM base WHERE vec_id % (SELECT m FROM mm) = 0),
-      |dists AS (
-      |  SELECT a.vec_id, s.cell, a.sv, a.nrm,
-      |    a.nrm + s.nrm - 2 * CAST(list_sum(list_transform(
-      |      generate_series(1, len(a.sv)), i -> a.sv[i] * s.sv[i])) AS BIGINT) AS d
-      |  FROM base a CROSS JOIN seeds s),
-      |assigned AS (
-      |  SELECT vec_id, cell, sv, nrm FROM dists
-      |  JOIN documents doc ON dists.vec_id = doc.doc_id AND doc.lang = 'fr'
-      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1),
-      |qprobe AS (
-      |  SELECT dists.vec_id AS query_id, sv AS qsv, nrm AS qnrm, cell
-      |  FROM dists
-      |  JOIN documents doc ON dists.vec_id = doc.doc_id AND doc.lang = 'en'
-      |  WHERE dists.vec_id % 5 = 0
-      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY dists.vec_id ORDER BY d, cell) <= 3),
-      |scored AS (
-      |  SELECT q.query_id, a.vec_id AS cand_id,
-      |    round(CAST(CAST(list_sum(list_transform(generate_series(1, len(q.qsv)),
-      |        i -> q.qsv[i] * a.sv[i])) AS BIGINT) AS DOUBLE)
-      |      / sqrt(CAST(q.qnrm AS DOUBLE)) / sqrt(CAST(a.nrm AS DOUBLE)), 6) AS cos
-      |  FROM qprobe q JOIN assigned a ON q.cell = a.cell AND q.query_id <> a.vec_id),
-      |fwd AS (
-      |  SELECT query_id, sum(CAST(cos AS DECIMAL(28,6))) AS sum_f,
-      |    count(*) AS k_f
-      |  FROM (SELECT query_id, cos,
-      |          ROW_NUMBER() OVER (PARTITION BY query_id
-      |            ORDER BY cos DESC, cand_id) AS rk
-      |        FROM scored)
-      |  WHERE rk <= 4 GROUP BY 1),
-      |bwd AS (
-      |  SELECT cand_id, sum(CAST(cos AS DECIMAL(28,6))) AS sum_b,
-      |    count(*) AS k_b
-      |  FROM (SELECT cand_id, cos,
-      |          ROW_NUMBER() OVER (PARTITION BY cand_id
-      |            ORDER BY cos DESC, query_id) AS brk
-      |        FROM scored)
-      |  WHERE brk <= 4 GROUP BY 1),
-      |margins AS (
-      |  SELECT s.query_id, s.cand_id, s.cos,
-      |    round(s.cos - (CAST(sum_f AS DOUBLE) / k_f
-      |      + CAST(sum_b AS DOUBLE) / k_b) / 2.0, 6) AS margin
-      |  FROM scored s JOIN fwd USING (query_id) JOIN bwd USING (cand_id))
-      |SELECT query_id, cand_id, cos, margin FROM margins
-      |QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
-      |  ORDER BY margin DESC, cand_id) = 1
-      |ORDER BY query_id""".stripMargin
+    s"""WITH $sqlBitextScoredCtes,
+       |fwd AS (
+       |  SELECT query_id, sum(CAST(cos AS DECIMAL(28,6))) AS sum_f,
+       |    count(*) AS k_f
+       |  FROM (SELECT query_id, cos,
+       |          ROW_NUMBER() OVER (PARTITION BY query_id
+       |            ORDER BY cos DESC, cand_id) AS rk
+       |        FROM scored)
+       |  WHERE rk <= 4 GROUP BY 1),
+       |bwd AS (
+       |  SELECT cand_id, sum(CAST(cos AS DECIMAL(28,6))) AS sum_b,
+       |    count(*) AS k_b
+       |  FROM (SELECT cand_id, cos,
+       |          ROW_NUMBER() OVER (PARTITION BY cand_id
+       |            ORDER BY cos DESC, query_id) AS brk
+       |        FROM scored)
+       |  WHERE brk <= 4 GROUP BY 1),
+       |margins AS (
+       |  SELECT s.query_id, s.cand_id, s.cos,
+       |    round(s.cos - (CAST(sum_f AS DOUBLE) / k_f
+       |      + CAST(sum_b AS DOUBLE) / k_b) / 2.0, 6) AS margin
+       |  FROM scored s JOIN fwd USING (query_id) JOIN bwd USING (cand_id))
+       |SELECT query_id, cand_id, cos, margin FROM margins
+       |QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+       |  ORDER BY margin DESC, cand_id) = 1
+       |ORDER BY query_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q206_bitext_margin" -> q206BitextMargin,

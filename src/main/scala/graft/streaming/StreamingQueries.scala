@@ -759,11 +759,17 @@ object StreamingQueries {
        |  FROM sv),
        |w AS (SELECT vec_id AS bench_id, s AS ws, nrm AS wnrm FROM b WHERE vec_id % 97 = 0),
        |c AS (
+       |  -- the documents join encodes the stream-side contract: only
+       |  -- vectors whose doc arrives on the documents stream are
+       |  -- scored (doc_id = vec_id is the fixture alignment, but a
+       |  -- dangling embeddings row must NOT produce a flag)
        |  SELECT d.vec_id AS doc_id, w.bench_id,
        |    round(CAST(list_sum(list_transform(generate_series(1, len(d.s)),
        |      i -> d.s[i] * w.ws[i])) AS BIGINT)
        |      / sqrt(CAST(d.nrm AS DOUBLE)) / sqrt(CAST(w.wnrm AS DOUBLE)), 6) AS cos
-       |  FROM b d CROSS JOIN w
+       |  FROM b d
+       |  JOIN documents doc ON d.vec_id = doc.doc_id
+       |  CROSS JOIN w
        |  WHERE d.vec_id <> w.bench_id)
        |SELECT doc_id, bench_id, cos FROM c
        |WHERE cos >= $WatchTau
