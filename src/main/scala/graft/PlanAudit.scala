@@ -34,6 +34,12 @@ object PlanAudit {
         "SortMergeJoin" -> plan.contains("SortMergeJoin"))
         .collect { case (f, true) => f }
       if (flags.nonEmpty) println(s"[audit] $name flags: ${flags.mkString(", ")}")
+      // queries may mark caches at build time; a prior query's cache
+      // substitutes InMemoryRelation into later plans and hides the
+      // subtree this audit exists to inspect (q207's cached cells were
+      // masking q49's pivot-distance condition) — audit each query's
+      // standalone plan, as Verify does
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

@@ -160,12 +160,15 @@ object OperatorQueries {
        |  SELECT vec_id, cell, sv, nrm FROM dists$assignedExtra
        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1),
        |qprobe AS (
-       |  SELECT dists.vec_id AS query_id, sv AS qsv, nrm AS qnrm, cell
+       |  SELECT dists.vec_id AS query_id, sv AS qsv, nrm AS qnrm, cell,
+       |    ROW_NUMBER() OVER (PARTITION BY dists.vec_id ORDER BY d, cell) AS prn
        |  FROM dists$qprobeExtra
        |  WHERE $qprobeWhere
-       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY dists.vec_id ORDER BY d, cell) <= $nprobe),
+       |  QUALIFY prn <= $nprobe),
        |scored AS (
-       |  SELECT q.query_id, a.vec_id AS cand_id,
+       |  -- rprobe (the rank of the cell the candidate was found in) is
+       |  -- unused by the top-k callers; q207's sweep filters on it
+       |  SELECT q.query_id, a.vec_id AS cand_id, q.prn AS rprobe,
        |    round(CAST(CAST(list_sum(list_transform(generate_series(1, len(q.qsv)),
        |        i -> q.qsv[i] * a.sv[i])) AS BIGINT) AS DOUBLE)
        |      / sqrt(CAST(q.qnrm AS DOUBLE)) / sqrt(CAST(a.nrm AS DOUBLE)), 6) AS cos
@@ -1072,7 +1075,88 @@ object OperatorQueries {
        |  ORDER BY margin DESC, cand_id) = 1
        |ORDER BY query_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q207 — PROBE-WIDTH TUNING SWEEP: the table an ANN operator
+  // publishes before anyone picks nprobe — q49's index probed at
+  // nprobe = 1..4, each width graded by q191's label-match relevance,
+  // rolled up to per-width macro counters: relevant hits found in the
+  // top-3, queries whose rank-1 hit is relevant, and queries with any
+  // relevant hit. The counters are NOT monotone in width — a wider
+  // probe can surface a strong irrelevant candidate that displaces a
+  // relevant one from the truncated top-k (it does, on this fixture) —
+  // which is exactly why the sweep table exists; only the candidate
+  // POOL grows monotonically (the spec's invariant).
+  // Determinism: every counter is an integer over the exact probe
+  // results; the four widths reuse ONE scored candidate set (the
+  // oracle filters on the probe rank; the Spark side unions the four
+  // probes — the same sets, since probe rank r candidates appear for
+  // every nprobe >= r).
+  // Scale notes (100 TB): one codebook build; the four probes share
+  // the assignment frame, each a cell-keyed join; eval joins the
+  // bounded label table; output is 4 rows.
+  def q207ProbeSweep(spark: SparkSession, dir: String): DataFrame = {
+    val index = IvfAnn.buildIndex(spark, dir, k = 8)
+    // cache: four probe plans re-derive the assignment projection over
+    // the corpus scan otherwise; callers clearCache() as usual
+    val cells = index.cells.cache()
+    val shared = IvfAnn.Index(cells, index.pivots)
+    val queries = Tables.embeddingsSharded(spark, dir)
+      .filter(col("vec_id") % 25 === 0)
+    val labels = Tables.embeddingsSharded(spark, dir)
+      .select(col("vec_id"), col("label"))
+    val results = (1 to 4).map { n =>
+      IvfAnn.probe(spark, shared, queries, nprobe = n, topK = 3)
+        .withColumn("nprobe", lit(n))
+    }.reduce(_ unionByName _)
+    val graded = results
+      .join(labels.select(col("vec_id").as("query_id"), col("label").as("qlabel")),
+        Seq("query_id"))
+      .join(labels.select(col("vec_id").as("cand_id"), col("label").as("clabel")),
+        Seq("cand_id"))
+    val perQuery = graded.groupBy(col("nprobe"), col("query_id"))
+      .agg(sum(when(col("clabel") === col("qlabel"), 1L).otherwise(0L)).as("n_rel"),
+        min(when(col("clabel") === col("qlabel"), col("rk"))).as("first_rel"))
+    perQuery.groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(col("n_rel")).as("rel_found"),
+        sum(when(col("first_rel") === 1, 1L).otherwise(0L)).as("hit_at_1"),
+        sum(when(col("n_rel") > 0, 1L).otherwise(0L)).as("any_rel"))
+      .orderBy(col("nprobe"))
+  }
+
+  val q207Oracle: String =
+    s"""WITH ${sqlIvfScoredCtes("", "", "", "", "vec_id % 25 = 0", 4)},
+       |sweep AS (
+       |  SELECT n.n AS nprobe, s.query_id, s.cand_id, s.cos
+       |  FROM scored s CROSS JOIN (VALUES (1), (2), (3), (4)) n(n)
+       |  WHERE s.rprobe <= n.n),
+       |ranked AS (
+       |  SELECT nprobe, query_id, cand_id,
+       |    ROW_NUMBER() OVER (PARTITION BY nprobe, query_id
+       |      ORDER BY cos DESC, cand_id) AS rk
+       |  FROM sweep),
+       |graded AS (
+       |  SELECT r.nprobe, r.query_id, r.rk,
+       |    (lc.label = lq.label) AS rel
+       |  FROM ranked r
+       |  JOIN embeddings lq ON r.query_id = lq.vec_id
+       |  JOIN embeddings lc ON r.cand_id = lc.vec_id
+       |  WHERE r.rk <= 3),
+       |per_query AS (
+       |  SELECT nprobe, query_id,
+       |    CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+       |    min(CASE WHEN rel THEN rk END) AS first_rel
+       |  FROM graded GROUP BY 1, 2)
+       |SELECT nprobe, count(*) AS n_queries,
+       |  CAST(sum(n_rel) AS BIGINT) AS rel_found,
+       |  CAST(sum(CASE WHEN first_rel = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS hit_at_1,
+       |  CAST(sum(CASE WHEN n_rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS any_rel
+       |FROM per_query GROUP BY 1 ORDER BY nprobe""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q207_probe_sweep" -> q207ProbeSweep,
     "q206_bitext_margin" -> q206BitextMargin,
     "q201_bitext_mining" -> q201BitextMining,
     "q198_filtered_ann" -> q198FilteredAnn,
@@ -1096,6 +1180,7 @@ object OperatorQueries {
     "q127_attribution" -> q127Attribution)
 
   def oracleSql: Map[String, String] = Map(
+    "q207_probe_sweep" -> q207Oracle,
     "q206_bitext_margin" -> q206Oracle,
     "q201_bitext_mining" -> q201Oracle,
     "q198_filtered_ann" -> q198Oracle,
