@@ -21,7 +21,12 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q173_decayed_value", "q187_bm25_retrieval", "q188_hybrid_rrf",
     "q189_dsir_weights", "q190_semantic_dedup", "q191_retrieval_eval",
     "q192_selection_pipeline", "q193_stream_dsir_gate",
-    "q194_stream_admission_stack")
+    "q194_stream_admission_stack",
+    // round 11: global sort-limit merge adoption + greedy fold (q204),
+    // decimal neighbourhood sums + margin rerank (q206), prefix-filter
+    // verify (q195), quantile thresholds + contingency (q205)
+    "q204_bpe_train", "q206_bitext_margin", "q195_prefix_filter_join",
+    "q205_quality_calibration")
 
   test("results are bit-identical across shuffle-partition settings") {
     def run(parts: Int): Map[String, Seq[String]] = {
