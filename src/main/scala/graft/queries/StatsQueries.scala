@@ -663,7 +663,92 @@ object StatsQueries {
       |FROM events, th
       |GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q208 — DISTRIBUTION-DRIFT AUDIT (χ² on binned halves): did the
+  // value distribution move between the first and second half of the
+  // event stream? The time split is the exact median event time, the
+  // bins are q186's global value quartiles, and each (half, bin) cell
+  // carries its observed count plus its χ² contribution against the
+  // homogeneity expectation e = N_half · bin_total / N — the table a
+  // release drift monitor publishes (consumers sum the contribs and
+  // compare to the χ²₃ critical value).
+  // Determinism: counts are BIGINT; both split points ride ONE 1-row
+  // percentile aggregate through the opaque join (the q186 contract —
+  // time as exact epoch-micros integers, so the interpolated median is
+  // a .0/.5 double both engines agree on); each contribution is a
+  // division/square chain of exactly-rounded IEEE ops on identical
+  // inputs, rounded once per CELL — never summed across cells inside
+  // the query, so no double-sum order exists to diverge.
+  // Scale notes (100 TB): two column-pruned percentile aggregates in
+  // one pass, one scan-side bucket/half projection, a ≤8-cell
+  // map-side-combined count, and a bounded 8-row totals join. No
+  // global window, nothing collected.
+  def q208DriftChi2(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(unix_micros(col("ts")).as("tus"), col("value"))
+    val th = ev.agg(
+        percentile(col("tus"), lit(0.5)).as("tmed"),
+        percentile(col("value"), array(lit(0.25), lit(0.5), lit(0.75))).as("t"))
+      .select(col("tmed"), col("t")(0).as("t1"), col("t")(1).as("t2"),
+        col("t")(2).as("t3"))
+      .withColumn("_k", graft.plans.Opaque.zeroKey(abs(ceil(col("t3"))).cast("long")))
+    val cells = ev
+      .withColumn("_k", graft.plans.Opaque.zeroKey(abs(ceil(col("value"))).cast("long")))
+      .join(th, Seq("_k"))
+      .select(
+        when(col("tus") <= col("tmed"), "old").otherwise("new").as("half"),
+        (lit(1) + when(col("value") > col("t1"), 1).otherwise(0)
+          + when(col("value") > col("t2"), 1).otherwise(0)
+          + when(col("value") > col("t3"), 1).otherwise(0)).as("bucket"))
+      .groupBy(col("half"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    // totals: bounded (≤ 8 rows) — half sizes, bin sizes, grand total
+    val halves = cells.groupBy(col("half")).agg(sum(col("n")).as("n_half"))
+    val bins = cells.groupBy(col("bucket")).agg(sum(col("n")).as("n_bin"))
+    val grand = cells.agg(sum(col("n")).as("n_all"))
+      .withColumn("_k", graft.plans.Opaque.zeroKey(col("n_all")))
+    cells.join(halves, Seq("half")).join(bins, Seq("bucket"))
+      .withColumn("_k", graft.plans.Opaque.zeroKey(col("n")))
+      .join(grand, Seq("_k"))
+      .withColumn("expected",
+        col("n_half").cast("double") * col("n_bin") / col("n_all"))
+      .select(col("half"), col("bucket"), col("n"),
+        round(col("expected"), 6).as("expected"),
+        round((col("n") - col("expected")) * (col("n") - col("expected"))
+          / col("expected"), 6).as("chi2_contrib"))
+      .orderBy(col("half"), col("bucket"))
+  }
+
+  val q208Oracle: String =
+    """WITH ev AS (SELECT epoch_us(ts) AS tus, value FROM events),
+      |th AS (
+      |  SELECT quantile_cont(tus, 0.5) AS tmed,
+      |    quantile_cont(value, 0.25) AS t1, quantile_cont(value, 0.5) AS t2,
+      |    quantile_cont(value, 0.75) AS t3
+      |  FROM ev),
+      |cells AS (
+      |  SELECT CASE WHEN tus <= tmed THEN 'old' ELSE 'new' END AS half,
+      |    1 + CASE WHEN value > t1 THEN 1 ELSE 0 END
+      |      + CASE WHEN value > t2 THEN 1 ELSE 0 END
+      |      + CASE WHEN value > t3 THEN 1 ELSE 0 END AS bucket,
+      |    count(*) AS n
+      |  FROM ev, th GROUP BY 1, 2),
+      |halves AS (SELECT half, CAST(sum(n) AS BIGINT) AS n_half FROM cells GROUP BY 1),
+      |bins AS (SELECT bucket, CAST(sum(n) AS BIGINT) AS n_bin FROM cells GROUP BY 1),
+      |grand AS (SELECT CAST(sum(n) AS BIGINT) AS n_all FROM cells),
+      |ex AS (
+      |  SELECT c.half, c.bucket, c.n,
+      |    CAST(h.n_half AS DOUBLE) * b.n_bin / g.n_all AS expected
+      |  FROM cells c
+      |  JOIN halves h USING (half)
+      |  JOIN bins b USING (bucket)
+      |  CROSS JOIN grand g)
+      |SELECT half, bucket, n, round(expected, 6) AS expected,
+      |  round((n - expected) * (n - expected) / expected, 6) AS chi2_contrib
+      |FROM ex ORDER BY half, bucket""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q208_drift_chi2" -> q208DriftChi2,
     "q186_equidepth_buckets" -> q186EquiDepthBuckets,
     "q131_grouping_sets" -> q131GroupingSets,
     "q133_mode_per_group" -> q133ModePerGroup,
@@ -682,6 +767,7 @@ object StatsQueries {
     "q128_percent_of_parent" -> q128PercentOfParent)
 
   def oracleSql: Map[String, String] = Map(
+    "q208_drift_chi2" -> q208Oracle,
     "q186_equidepth_buckets" -> q186Oracle,
     "q131_grouping_sets" -> q131Sql,
     "q133_mode_per_group" -> q133Oracle,
