@@ -64,7 +64,36 @@ object Bench {
         s"$warmFallbackDir missing; post-budget queries will time cold")
     var warmSpentNs = 0L
     var fallbackAnnounced = false
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // COST-AWARE run order: queries run by DESCENDING prior-round cost
+    // (BENCH_r11 centiseconds by query number; name as tiebreak), so if
+    // the warm budget ever exhausts, it exhausts on the CHEAP tail —
+    // whose small-SF fallback warm costs little — instead of landing
+    // sf0.1 first-touch in heavy queries' timed numbers (rounds 8/9/11
+    // all hit this under lexicographic order: the ~100 q1xx names sort
+    // first and absorb the budget, then the q8x–q9x block times against
+    // small-SF warms — q95 13.0 s vs its 1.3–2.6 s band). Queries newer
+    // than the table get Int.MaxValue: unknown cost warms first. The
+    // per-query clearCache isolation contract is unchanged — order
+    // affects only WHICH queries get target-SF warms under a tight
+    // budget, not what any query's timed pass measures.
+    val priorCostCs: Array[Int] = Array(
+      100,26,36,131,47,31,81,29,21,10,17,12,98,21,49,15,57,86,42,47,24,92,
+      33,96,95,291,47,48,43,47,51,106,47,36,46,28,17,22,163,51,173,225,118,
+      35,166,173,86,97,110,23,131,47,45,92,70,83,41,46,61,69,14,69,75,55,
+      37,78,45,92,40,59,36,139,381,44,45,288,49,77,113,100,124,755,128,174,
+      68,78,44,102,275,40,233,108,63,210,1303,602,87,46,42,254,50,31,110,
+      98,44,43,144,73,76,74,69,42,153,32,103,47,37,87,46,139,157,127,60,35,
+      53,34,62,85,115,41,62,41,17,17,18,12,212,134,53,50,48,41,86,165,86,
+      386,252,67,75,67,181,53,341,241,194,517,507,146,73,83,49,43,237,118,
+      63,63,391,37,80,30,68,280,45,60,104,33,54,135,67,162,60,415,138,230,
+      174,24,65,75,534,130,113,640,176,144,408,107,88,178,27,155,113,33,73,
+      141,103,130,212,120)
+    def costOf(name: String): Int = {
+      val n = name.takeWhile(_ != '_').drop(1).toInt
+      if (n >= 1 && n <= priorCostCs.length) priorCostCs(n - 1) else Int.MaxValue
+    }
+    val results = SparkEntry.queries.toSeq
+      .sortBy { case (name, _) => (-costOf(name), name) }.map { case (name, fn) =>
       spark.catalog.clearCache()
       System.gc()
       if (warmSpentNs < warmBudgetNs) {
@@ -129,15 +158,20 @@ object Bench {
     // queries): a centisecond ARRAY indexed by query number — the
     // registry is gapless (DriverContractSpec), so queries_cs[i] is
     // q(i+1); ~5 chars/query keeps 0.01 s precision to ~350 queries.
-    val csArrLine = {
+    // lazy + maxOption: on an empty or filtered results map the eager
+    // keys.max threw before the fallback encodings could be considered
+    lazy val csArrLine = {
       val byNum = results.map { case (k, v) =>
         k.takeWhile(_ != '_').drop(1).toInt -> math.round(v * 100)
       }.toMap
-      val arr = (1 to byNum.keys.max).map(n => byNum.getOrElse(n, -1L))
+      val arr = (1 to byNum.keys.maxOption.getOrElse(0))
+        .map(n => byNum.getOrElse(n, -1L))
         .mkString("[", ",", "]")
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","q_unit":"cs","q_index":"queries_cs[i] is q(i+1)","queries_cs":$arr,"sf":"$sfDir"}"""
     }
-    println((Seq(csLine, csArrLine) ++ Seq(1, 0).map(secondsLine)).find(_.length <= 1900)
+    println((LazyList(() => csLine, () => csArrLine)
+        ++ Seq(1, 0).map(dp => () => secondsLine(dp)))
+      .map(_()).find(_.length <= 1900)
       .getOrElse(s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":{},"sf":"$sfDir"}"""))
     spark.stop()
   }

@@ -678,16 +678,19 @@ object Dedup {
   val SpanLen = 8
 
   def q95DupSpanFraction(spark: SparkSession, dir: String): DataFrame = {
-    // toks materialized before the slice lambda (q30/q40 trap: inline
-    // expressions in interpreted lambda bodies re-evaluate per element)
     val pre = Tables.documentsSharded(spark, dir)
       .select(col("doc_id"), lower(trim(col("text"))).as("norm"))
       .withColumn("toks", split(col("norm"), " "))
+    // native ShingleSet (one compiled pass, distinct, first-occurrence
+    // order) replaces the interpreted sequence/transform/slice chain —
+    // the q195 migration. md5 AFTER the explode: hashing distinct
+    // shingles equals distincting hashed shingles, and the short-doc
+    // fallback element IS norm (toks came from split(norm, " ")), so
+    // md5(fallback) == md5(norm) — bit-identical to the old plan and
+    // the unchanged oracle.
     val spans = pre.select(col("doc_id"),
-      explode(array_distinct(when(size(col("toks")) >= SpanLen,
-        transform(sequence(lit(0), size(col("toks")) - SpanLen),
-          i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(SpanLen))))))
-        .otherwise(array(md5(col("norm")))))).as("h"))
+        explode(graft.functions.ShingleSet.shingle_set(col("toks"), SpanLen)).as("s"))
+      .select(col("doc_id"), md5(col("s")).as("h"))
     val docFreq = spans.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("df"))
     spans.join(docFreq, Seq("h"))

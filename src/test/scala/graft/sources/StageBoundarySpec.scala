@@ -1,0 +1,66 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** StageBoundary: the persisted cut-point behind q82's pipeline
+  * stages. The contract under test: (1) the build runs ONCE per
+  * dataset — a second apply over unchanged input reads the persisted
+  * boundary without evaluating the build; (2) any change to the input
+  * files (rewrite, add) changes the fingerprint and forces a rebuild,
+  * so a stale boundary can never answer for fresh data; (3) superseded
+  * fingerprints are garbage-collected, bounding disk to one boundary
+  * per (query, dataset).
+  */
+class StageBoundarySpec extends SparkSpec {
+
+  private def freshInput(rows: Seq[Long]): String = {
+    val d = Files.createTempDirectory("graft_sb_in").toString
+    import spark.implicits._
+    rows.toDF("v").coalesce(1).write.mode("overwrite").parquet(s"$d/t")
+    d
+  }
+
+  test("build runs once per dataset; unchanged input reuses the boundary") {
+    val dir = freshInput(Seq(1L, 2L, 3L))
+    spark.conf.set("graft.shards.dir",
+      Files.createTempDirectory("graft_sb_out").toString)
+    var builds = 0
+    def boundary() = StageBoundary(spark, "sbspec", dir) {
+      builds += 1
+      spark.read.parquet(s"$dir/t").withColumn("w", col("v") * 2)
+    }
+    val first = boundary().collect().map(_.getLong(1)).sorted
+    assert(first.sameElements(Array(2L, 4L, 6L)))
+    assert(builds == 1)
+    val second = boundary().collect().map(_.getLong(1)).sorted
+    assert(second.sameElements(first), "read-back drifted from the build")
+    assert(builds == 1, "unchanged input must not re-evaluate the build")
+  }
+
+  test("changed input changes the fingerprint and forces a rebuild") {
+    val dir = freshInput(Seq(1L, 2L))
+    spark.conf.set("graft.shards.dir",
+      Files.createTempDirectory("graft_sb_out").toString)
+    def boundary() = StageBoundary(spark, "sbspec2", dir)(
+      spark.read.parquet(s"$dir/t"))
+    assert(boundary().count() == 2)
+    // rewrite the input in place: same path, new listing (files change)
+    import spark.implicits._
+    Seq(10L, 20L, 30L).toDF("v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/t")
+    val after = boundary()
+    assert(after.count() == 3, "stale boundary answered for fresh data")
+    assert(after.select(sum(col("v"))).collect()(0).getLong(0) == 60L)
+    // superseded fingerprint was garbage-collected: one fp_ dir remains
+    val root = new org.apache.hadoop.fs.Path(
+      ShardPaths.resolve(spark, "sbspec2", dir))
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val fps = fs.listStatus(root).map(_.getPath.getName)
+      .filter(n => n.startsWith("fp_") && !n.endsWith("__tmp"))
+    assert(fps.length == 1, s"expected one live fingerprint, got ${fps.toSeq}")
+  }
+}
