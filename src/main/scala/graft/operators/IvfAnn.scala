@@ -56,6 +56,39 @@ object IvfAnn {
   def buildIndex(spark: SparkSession, dir: String, k: Int): Index =
     buildIndexFrom(Tables.embeddingsSharded(spark, dir), k)
 
+  /** The SHARED seed index for (dir, k), through persisted stage
+    * boundaries (StageBoundary): cells and codebook are built once per
+    * DATASET and reloaded by every consumer — q49's probe, q190's
+    * semantic dedup, q198's filtered ANN, the bitext miners and q207's
+    * sweep all use the same (dir, k=8) index, and before this boundary
+    * each invocation re-ran the corpus count + codebook collect + cell
+    * assignment per SESSION (the q82 rule). Reload is value-neutral by
+    * the same parquet type-mapping contract q185's persistence
+    * round-trip pins (exact int64 components); assignment against a
+    * fixed codebook is per-vector deterministic, so reloaded-index
+    * serving is bit-identical to a fresh build (IvfDeltaSpec's
+    * equivalence). A 100 TB serving tier stores exactly this layout
+    * and never rebuilds per query.
+    */
+  def sharedIndex(spark: SparkSession, dir: String, k: Int): Index = {
+    import spark.implicits._
+    // at most one real build feeds both boundaries (same fingerprint);
+    // on a double hit the build never runs — only the k-row codebook
+    // collect from parquet remains
+    lazy val built = buildIndex(spark, dir, k)
+    val cells = graft.sources.StageBoundary(spark, s"ivf${k}cells", dir)(
+      built.cells)
+    val cb = graft.sources.StageBoundary(spark, s"ivf${k}cb", dir)(
+      built.pivots.toSeq.map { case (c, sv, n) => (c, sv.toSeq, n) }
+        .toDF("cell", "sv", "nrm").coalesce(1))
+    val pivots = cb.collect()
+      .map(r => (r.getAs[Int]("cell"), r.getAs[Seq[Long]]("sv").toArray,
+        r.getAs[Long]("nrm")))
+      .sortBy(_._1)
+    Index(cells.select(col("vec_id"), col("cell").cast("int").as("cell"),
+      col("sv"), col("nrm")), pivots)
+  }
+
   /** Index an arbitrary `(vec_id, embedding)` frame — the id space need
     * not be dense or zero-based.
     */

@@ -988,16 +988,22 @@ object Similarity {
   val SemTau = 0.4
 
   def q190SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val index = IvfAnn.buildIndex(spark, dir, k = 8)
-    val piv = index.pivots.toSeq.map { case (c, sv, n) => (c, sv.toSeq, n) }
-      .toDF("cell", "psv", "pnrm")
-    val cc = index.cells.join(broadcast(piv), Seq("cell"))
-      .withColumn("cos_centroid",
-        cosine(dot(col("sv"), col("psv")), col("nrm"), col("pnrm")))
-      .select(col("cell"), col("vec_id"), col("sv"), col("nrm"),
-        col("cos_centroid"))
-      .cache()
+    // the multi-consumer cell+centroid frame is a PERSISTED cut-point
+    // (StageBoundary, the q82 rule): on a boundary hit the IVF build —
+    // corpus count, codebook collect, assignment — never runs at all;
+    // the shared (dir, k=8) index underneath is itself boundary-backed
+    // (IvfAnn.sharedIndex), so even a cc rebuild reuses it
+    val cc = graft.sources.StageBoundary(spark, "q190cc", dir) {
+      import spark.implicits._
+      val index = IvfAnn.sharedIndex(spark, dir, k = 8)
+      val piv = index.pivots.toSeq.map { case (c, sv, n) => (c, sv.toSeq, n) }
+        .toDF("cell", "psv", "pnrm")
+      index.cells.join(broadcast(piv), Seq("cell"))
+        .withColumn("cos_centroid",
+          cosine(dot(col("sv"), col("psv")), col("nrm"), col("pnrm")))
+        .select(col("cell"), col("vec_id"), col("sv"), col("nrm"),
+          col("cos_centroid"))
+    }
     val a = cc.select(col("cell"), col("vec_id").as("va"),
       col("sv").as("sva"), col("nrm").as("na"), col("cos_centroid").as("cca"))
     val b = cc.select(col("cell"), col("vec_id").as("vb"),

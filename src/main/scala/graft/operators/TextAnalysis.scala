@@ -912,20 +912,21 @@ object TextAnalysis {
     val Seq(tH, tJ, tS) = Bm25QueryTerms
     // ONE corpus pass: per-doc length and per-term tfs in the same
     // aggregate (the first cut's separate length/tf aggs tokenized the
-    // corpus twice), CACHED at this multi-consumer stage boundary (the
-    // q82/q40 rule: corpus totals, df, and the top-k join-back all
-    // consume it; documentsSharded's repartition already satisfies the
-    // groupBy clustering, so without the cut-point every consumer
-    // re-runs the explode+aggregate post-shuffle — and the join-back's
-    // pushed IsNotNull even defeats ReuseExchange). perDoc is one
-    // 5-column row per document; a 100-TB production run persists the
-    // same boundary to storage (q78's writer).
-    val perDoc = ex.groupBy(col("doc_id")).agg(
-      count(lit(1)).as("dl"),
-      sum(when(col("tok") === tH, 1L).otherwise(0L)).as("tf_hash"),
-      sum(when(col("tok") === tJ, 1L).otherwise(0L)).as("tf_join"),
-      sum(when(col("tok") === tS, 1L).otherwise(0L)).as("tf_stream"))
-      .cache()
+    // corpus twice), PERSISTED at this multi-consumer stage boundary
+    // (StageBoundary — the q82 rule: corpus totals, df, and the top-k
+    // join-back all consume it; documentsSharded's repartition already
+    // satisfies the groupBy clustering, so without the cut-point every
+    // consumer re-runs the explode+aggregate post-shuffle — and the
+    // join-back's pushed IsNotNull even defeats ReuseExchange). perDoc
+    // is one 5-column row per document, so the boundary is tiny; the
+    // tokenize+aggregate fill (10–12 s cold at sf0.1) is paid once per
+    // DATASET, not once per session.
+    val perDoc = graft.sources.StageBoundary(spark, "q187pd", dir)(
+      ex.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("dl"),
+        sum(when(col("tok") === tH, 1L).otherwise(0L)).as("tf_hash"),
+        sum(when(col("tok") === tJ, 1L).otherwise(0L)).as("tf_join"),
+        sum(when(col("tok") === tS, 1L).otherwise(0L)).as("tf_stream")))
     val stats = perDoc.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .select(col("n_docs"), col("sum_dl"),
         graft.plans.Opaque.zeroKey(col("n_docs")).as("_k"))
@@ -1044,12 +1045,17 @@ object TextAnalysis {
     * q189's top-k and q192's selection pipeline.
     */
   private[graft] def dsirScored(spark: SparkSession, dir: String): DataFrame = {
-    val g = Tables.documentsSharded(spark, dir)
-      .select(col("doc_id"), col("lang"),
-        explode(tokens(lower(trim(col("text"))))).as("tok"))
-      .groupBy(col("doc_id"), col("lang"), col("tok"))
-      .agg(count(lit(1)).as("c"))
-      .cache()
+    // the per-(doc,token) count boundary is PERSISTED (StageBoundary):
+    // both LM count frames and the scoring join consume it, and its
+    // tokenize+explode+aggregate fill (16–24 s cold at sf0.1) is the
+    // single biggest cost of the DSIR family — paid once per DATASET
+    // under the boundary, not once per session under a cache
+    val g = graft.sources.StageBoundary(spark, "q189g", dir)(
+      Tables.documentsSharded(spark, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(tokens(lower(trim(col("text"))))).as("tok"))
+        .groupBy(col("doc_id"), col("lang"), col("tok"))
+        .agg(count(lit(1)).as("c")))
     val cr = g.groupBy(col("tok")).agg(sum(col("c")).as("cr"))
     val ct = g.filter(col("lang") === DsirTargetLang)
       .groupBy(col("tok")).agg(sum(col("c")).as("ct"))
@@ -1189,6 +1195,11 @@ object TextAnalysis {
         .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("pa"), col("pb")).limit(1)
         .withColumn("_k", graft.plans.Opaque.zeroKey(col("c")))
+        // cached: the 1-row adopted merge is consumed TWICE per
+        // iteration (the re-tokenize join and the output row join);
+        // uncached, the full-corpus pair-count shuffle behind it runs
+        // twice per merge. Same caller-clearCache contract as base.
+        .cache()
       val merged = docs
         .withColumn("_k", graft.plans.Opaque.zeroKey(size(col("toks"))))
         .join(best, Seq("_k"))

@@ -110,7 +110,7 @@ object OperatorQueries {
   // set. Fully SQL-reproducible, so the DuckDB oracle replays the whole
   // index+probe; recall vs brute force is asserted in IvfAnnSpec.
   def q49IvfAnn(spark: SparkSession, dir: String): DataFrame = {
-    val index = IvfAnn.buildIndex(spark, dir, k = 8)
+    val index = IvfAnn.sharedIndex(spark, dir, k = 8)
     val queries = Tables.embeddingsSharded(spark, dir).filter(col("vec_id") % 25 === 0)
     IvfAnn.probe(spark, index, queries, nprobe = 2, topK = 3)
       .orderBy(col("query_id"), col("rk"))
@@ -256,10 +256,23 @@ object OperatorQueries {
     val standing = all.filter(col("vec_id") % 10 =!= 0)
     val delta = all.filter(col("vec_id") % 10 === 0)
     val index = IvfAnn.buildIndexFrom(standing, k = 8)
+    // STAGED publish: the standing write + delta append land in a temp
+    // dir and rename into place, so a failure (or a concurrent session
+    // on the same root) between the two writes can never leave a
+    // standing-only layout that later reads serve with the delta slice
+    // silently missing. The append itself still touches ONLY delta
+    // rows — the incremental semantics under test.
+    val cellsPath = new org.apache.hadoop.fs.Path(s"$idxRoot/cells")
+    val tmpPath = new org.apache.hadoop.fs.Path(s"$idxRoot/cells__tmp")
+    val fs = cellsPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
     index.cells.write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$idxRoot/cells")
+      .parquet(tmpPath.toString)
     IvfAnn.assignTo(index, delta).write.mode("append").partitionBy("cell")
-      .parquet(s"$idxRoot/cells")
+      .parquet(tmpPath.toString)
+    if (fs.exists(cellsPath)) fs.delete(cellsPath, true)
+    if (!fs.rename(tmpPath, cellsPath))
+      throw new IllegalStateException(s"q200 cells publish failed: $cellsPath")
     val cells = spark.read.parquet(s"$idxRoot/cells")
       .select(col("vec_id"), col("cell").cast("int").as("cell"),
         col("sv"), col("nrm"))
@@ -923,7 +936,7 @@ object OperatorQueries {
   // a partition-pruned q185-style layout the filter simply reads fewer
   // cell partitions.
   def q198FilteredAnn(spark: SparkSession, dir: String): DataFrame = {
-    val index = IvfAnn.buildIndex(spark, dir, k = 8)
+    val index = IvfAnn.sharedIndex(spark, dir, k = 8)
     val cands = Tables.embeddingsSharded(spark, dir)
       .filter(col("label") % 3 === 0)
       .select(col("vec_id"), col("embedding"))
@@ -966,7 +979,7 @@ object OperatorQueries {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
     val vecs = Tables.embeddingsSharded(spark, dir)
       .select(col("vec_id"), col("embedding"))
-    val index = IvfAnn.buildIndex(spark, dir, k = 8)
+    val index = IvfAnn.sharedIndex(spark, dir, k = 8)
     def langSlice(pred: org.apache.spark.sql.Column) =
       vecs.join(docs.filter(pred).select(col("doc_id")),
           col("vec_id") === col("doc_id"))
@@ -1095,11 +1108,9 @@ object OperatorQueries {
   // the assignment frame, each a cell-keyed join; eval joins the
   // bounded label table; output is 4 rows.
   def q207ProbeSweep(spark: SparkSession, dir: String): DataFrame = {
-    val index = IvfAnn.buildIndex(spark, dir, k = 8)
-    // cache: four probe plans re-derive the assignment projection over
-    // the corpus scan otherwise; callers clearCache() as usual
-    val cells = index.cells.cache()
-    val shared = IvfAnn.Index(cells, index.pivots)
+    // the persisted shared index replaces the old per-session
+    // cells.cache(): four probe plans each scan the boundary parquet
+    val shared = IvfAnn.sharedIndex(spark, dir, k = 8)
     val queries = Tables.embeddingsSharded(spark, dir)
       .filter(col("vec_id") % 25 === 0)
     val labels = Tables.embeddingsSharded(spark, dir)

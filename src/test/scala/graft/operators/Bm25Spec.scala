@@ -85,21 +85,23 @@ class Bm25Spec extends SparkSpec {
     try {
       val plan = TextAnalysis.q187Bm25Retrieval(spark, dir)
         .queryExecution.executedPlan
-      // every documents read must route through the cached perDoc
-      // boundary: zero direct file scans in the executed tree (the
-      // single real scan lives inside the one InMemoryRelation), and
-      // the multiple consumers show as InMemoryTableScan nodes
+      // every documents read must route through the PERSISTED perDoc
+      // boundary (StageBoundary): zero direct scans of the corpus in
+      // the executed tree — the one corpus tokenize+aggregate ran at
+      // boundary-build time — and the multiple consumers show as
+      // scans of the boundary parquet instead
       val direct = plan.collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec
             if f.metadata.get("Location").exists(_.contains("documents")) => f
       }
       assert(direct.isEmpty,
-        s"documents scanned outside the perDoc cache boundary:\n$plan")
-      val cached = plan.collect {
-        case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => i
+        s"documents scanned outside the perDoc boundary:\n$plan")
+      val boundary = plan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.metadata.get("Location").exists(_.contains("q187pd")) => f
       }
-      assert(cached.size >= 3,
-        s"expected >=3 perDoc cache consumers, found ${cached.size}:\n$plan")
+      assert(boundary.size >= 3,
+        s"expected >=3 perDoc boundary consumers, found ${boundary.size}:\n$plan")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 }
