@@ -46,6 +46,63 @@ object Curation {
           split(lower(trim(col("text"))), " "), 3).as("sh"))
 
   // --------------------------------------------------------------------
+  // q212 — contamination REPORT across n-gram levels: the overlap
+  // audit an eval-integrity review runs before fixing a single
+  // decontamination n. 3-gram overlap over-flags (common phrases),
+  // 8-gram under-flags (only verbatim spans) — the report quantifies
+  // that tradeoff on THIS corpus: per n ∈ {3, 5, 8}, how many
+  // train-bench doc pairs share at least one n-shingle and how many
+  // distinct train docs a decontamination pass at that n would drop.
+  // The q67 join shape at each level (no broadcast hint — the bench
+  // slice scales with the corpus; AQE upgrades when genuinely small).
+  // Scale notes (100 TB): three passes, a bounded constant — each one
+  // shingle explode + one shuffled equi-join on the shingle key + a
+  // distinct + two-counter aggregate; levels don't share state, so a
+  // production run schedules them as independent jobs. Output is 3
+  // rows.
+  val ContamLevels: Seq[Int] = Seq(3, 5, 8)
+
+  def q212ContaminationLevels(spark: SparkSession, dir: String): DataFrame =
+    ContamLevels.map { n =>
+      val sh = Tables.documentsSharded(spark, dir)
+        .select(col("doc_id"),
+          graft.functions.ShingleSet.shingle_set(toksCol, n).as("sh"))
+      val bench = sh.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("bench_id"), explode_outer(col("sh")).as("g"))
+      val train = sh.filter(col("doc_id") % 5 === 0 && col("doc_id") % 97 =!= 0)
+        .select(col("doc_id").as("train_id"), explode_outer(col("sh")).as("g"))
+      train.join(bench, Seq("g"))
+        .select(col("train_id"), col("bench_id")).distinct()
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("train_id")).as("n_contaminated"))
+        .select(lit(n).as("ngram"), col("n_pairs"), col("n_contaminated"))
+    }.reduce(_ unionByName _).orderBy(col("ngram"))
+
+  val q212Oracle: String = {
+    val level = (n: Int) =>
+      s"""SELECT $n AS ngram, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(count(DISTINCT train_id) AS BIGINT) AS n_contaminated
+         |FROM (
+         |  SELECT DISTINCT train_id, bench_id FROM (
+         |    SELECT doc_id AS train_id, unnest(s) AS g FROM sh$n
+         |    WHERE doc_id % 5 = 0 AND doc_id % 97 <> 0) t
+         |  JOIN (
+         |    SELECT doc_id AS bench_id, unnest(s) AS g FROM sh$n
+         |    WHERE doc_id % 97 = 0) b USING (g))""".stripMargin
+    val shingles = (n: Int) =>
+      s"""sh$n AS (
+         |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= $n
+         |    THEN list_transform(generate_series(1, len(t) - ${n - 1}),
+         |           i -> array_to_string(t[i:i+${n - 1}], ' '))
+         |    ELSE [array_to_string(t, ' ')] END) AS s
+         |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
+         |        FROM documents))""".stripMargin
+    s"""WITH ${ContamLevels.map(shingles).mkString(",\n")}
+       |${ContamLevels.map(level).mkString("\nUNION ALL\n")}
+       |ORDER BY ngram""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
   // q67 — benchmark contamination: documents sharing >= 2 distinct
   // 3-shingles with a held-out "benchmark" slice (doc_id % 97 == 0) are
   // flagged with the benchmark doc and the overlap count — the
@@ -351,7 +408,10 @@ object Curation {
   // window (never global), the span explode is per-row arithmetic
   // (a doc touches ceil(n/SeqLen)+1 windows at most), and the final
   // per-(shard, win) aggregate rides the same shard partitioning.
-  def q90SplitPacking(spark: SparkSession, dir: String): DataFrame = {
+  /** q90's window table without the presentation sort — q214's waste
+    * audit aggregates it directly.
+    */
+  private def splitWindows(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val offs = tokenized(Tables.documentsSharded(spark, dir))
@@ -367,8 +427,78 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("tok_in_win")).as("win_tokens"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
-      .orderBy(col("shard"), col("win"))
   }
+
+  def q90SplitPacking(spark: SparkSession, dir: String): DataFrame =
+    splitWindows(spark, dir).orderBy(col("shard"), col("win"))
+
+  // --------------------------------------------------------------------
+  // q214 — PACKING-WASTE audit: what the two packers actually cost.
+  // q74's first-token assignment can underfill a window (padding the
+  // trainer burns compute on) or overflow it (tokens a fixed-length
+  // loader truncates); q90's split packer holds every non-final shard
+  // window at exactly SeqLen. This report prices both on the same
+  // corpus — per strategy: window count, token mass, total underfill
+  // and total overflow vs the SeqLen capacity — the number that
+  // justifies (or not) the split packer's extra span explode. Padding
+  // fraction ≈ underfill / (n_windows·SeqLen) is a consumer-side
+  // divide, kept out of the hash.
+  // Scale notes (100 TB): both window tables ride the q74/q90 shapes
+  // (per-shard ROWS windows, never global); the audit adds one
+  // map-side-combined 2×4-counter aggregate per strategy over window
+  // rows (corpus/SeqLen of them). Output is 2 rows.
+  def q214PackingWaste(spark: SparkSession, dir: String): DataFrame = {
+    def audit(wins: DataFrame, name: String): DataFrame = wins
+      .agg(count(lit(1)).as("n_windows"),
+        sum(col("win_tokens")).as("tokens"),
+        sum(greatest(lit(0L), lit(SeqLen.toLong) - col("win_tokens")))
+          .as("underfill"),
+        sum(greatest(lit(0L), col("win_tokens") - lit(SeqLen.toLong)))
+          .as("overflow"))
+      .select(lit(name).as("strategy"), col("n_windows"), col("tokens"),
+        col("underfill"), col("overflow"))
+    audit(packedWindows(spark, dir), "first_token")
+      .unionByName(audit(splitWindows(spark, dir), "split"))
+      .orderBy(col("strategy"))
+  }
+
+  val q214Oracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, CAST(doc_id % $PackShards AS INTEGER) AS shard,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |offs AS (
+       |  SELECT doc_id, shard, n_tokens,
+       |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_off
+       |  FROM toks),
+       |ft AS (
+       |  SELECT shard, CAST(start_off // $SeqLen AS BIGINT) AS win,
+       |    CAST(sum(n_tokens) AS BIGINT) AS win_tokens
+       |  FROM offs GROUP BY 1, 2),
+       |spans AS (
+       |  SELECT doc_id, shard, start_off, start_off + n_tokens AS end_off,
+       |    CAST(unnest(generate_series(CAST(start_off // $SeqLen AS BIGINT),
+       |      CAST((start_off + n_tokens - 1) // $SeqLen AS BIGINT))) AS BIGINT) AS win
+       |  FROM offs),
+       |sp AS (
+       |  SELECT shard, win,
+       |    CAST(sum(least((win + 1) * $SeqLen, end_off)
+       |      - greatest(win * $SeqLen, start_off)) AS BIGINT) AS win_tokens
+       |  FROM spans GROUP BY 1, 2),
+       |audit AS (
+       |  SELECT 'first_token' AS strategy, count(*) AS n_windows,
+       |    CAST(sum(win_tokens) AS BIGINT) AS tokens,
+       |    CAST(sum(greatest(0, $SeqLen - win_tokens)) AS BIGINT) AS underfill,
+       |    CAST(sum(greatest(0, win_tokens - $SeqLen)) AS BIGINT) AS overflow
+       |  FROM ft
+       |  UNION ALL
+       |  SELECT 'split', count(*),
+       |    CAST(sum(win_tokens) AS BIGINT),
+       |    CAST(sum(greatest(0, $SeqLen - win_tokens)) AS BIGINT),
+       |    CAST(sum(greatest(0, win_tokens - $SeqLen)) AS BIGINT)
+       |  FROM sp)
+       |SELECT * FROM audit ORDER BY strategy""".stripMargin
 
   val q90Oracle: String =
     s"""WITH toks AS (
@@ -1570,6 +1700,8 @@ object Curation {
     "q134_kfold_split" -> q134KfoldSplit,
     "q135_source_cap" -> q135SourceCap,
     "q136_weighted_sample" -> q136WeightedSample,
+    "q212_contamination_levels" -> q212ContaminationLevels,
+    "q214_packing_waste" -> q214PackingWaste,
     "q67_contamination" -> q67Contamination,
     "q68_tfidf_topterms" -> q68TfidfTopterms,
     "q69_repetition" -> q69Repetition,
@@ -1598,6 +1730,8 @@ object Curation {
     "q134_kfold_split" -> q134Oracle,
     "q135_source_cap" -> q135Oracle,
     "q136_weighted_sample" -> q136Oracle,
+    "q212_contamination_levels" -> q212Oracle,
+    "q214_packing_waste" -> q214Oracle,
     "q67_contamination" -> q67Oracle,
     "q68_tfidf_topterms" -> q68Oracle,
     "q69_repetition" -> q69Oracle,

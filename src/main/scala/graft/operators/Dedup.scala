@@ -368,6 +368,62 @@ object Dedup {
   }
 
   // --------------------------------------------------------------------
+  // q211 — DEDUP YIELD report: what the q76 near-dup clustering is
+  // WORTH, sized by cluster. Per cluster size: how many clusters, the
+  // token mass they carry, and the tokens dedup reclaims when each
+  // cluster keeps its canonical (min-id) member — the greedy-by-id
+  // keeper q56/q159 use, so the report prices the exact decision the
+  // pipeline ships. Singleton clusters appear as the size-1 row
+  // (savings 0 by construction), so the report also reads as "what
+  // fraction of the corpus is near-duplicated at all" — the headline
+  // number a dedup stage is judged by before anyone looks at pairs.
+  // Scale notes (100 TB): rides q76's frontier connected components
+  // (bucketed pairs, no all-pairs); the two report aggregates are
+  // cluster-keyed then size-keyed — each output-bounded, map-side
+  // combined. min_by picks the keeper's token count without a second
+  // join back to the docs.
+  def q211DedupYield(spark: SparkSession, dir: String): DataFrame = {
+    val sample = Tables.documentsSharded(spark, dir)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+    val comp = connectedComponents(sample.select(col("doc_id")),
+      q32MinhashNeardup(spark, dir).select(col("doc_a"), col("doc_b")))
+    val clusters = comp.join(sample, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        sum(col("n_tokens")).as("c_tokens"),
+        min_by(col("n_tokens"), col("doc_id")).as("kept_tokens"))
+    clusters.groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("c_tokens")).as("tokens_total"),
+        sum(col("c_tokens") - col("kept_tokens")).as("tokens_saved"))
+      .orderBy(col("cluster_size"))
+  }
+
+  /** q76's full WITH..SELECT nests as the `comp` CTE body (the same
+    * trick q76 plays on q32's text), so the closure logic cannot
+    * drift between the cluster query and the yield report.
+    */
+  val q211Oracle: String = {
+    s"""WITH comp AS (
+       |${q76Oracle.replace("ORDER BY doc_id", "")}
+       |),
+       |toks AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |cl AS (
+       |  SELECT cluster_id, count(*) AS cluster_size,
+       |    CAST(sum(n_tokens) AS BIGINT) AS c_tokens,
+       |    min_by(n_tokens, doc_id) AS kept_tokens
+       |  FROM comp JOIN toks USING (doc_id) GROUP BY 1)
+       |SELECT cluster_size, count(*) AS n_clusters,
+       |  CAST(sum(c_tokens) AS BIGINT) AS tokens_total,
+       |  CAST(sum(c_tokens - kept_tokens) AS BIGINT) AS tokens_saved
+       |FROM cl GROUP BY 1 ORDER BY cluster_size""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
   // q33 — SimHash: 16-bit signature; bit j set when the majority of
   // tokens have bit j set in their md5. Near-dup pairs are then simhash
   // values at small Hamming distance — the signature itself is the
@@ -977,6 +1033,7 @@ object Dedup {
     "q56_dedup_keepers" -> q56DedupKeepers,
     "q75_simhash_pairs" -> q75SimhashPairs,
     "q76_dedup_clusters" -> q76DedupClusters,
+    "q211_dedup_yield" -> q211DedupYield,
     "q85_incremental_dedup" -> q85IncrementalDedup,
     "q92_eval_split" -> q92EvalSplit,
     "q95_dup_span_fraction" -> q95DupSpanFraction)
@@ -992,6 +1049,7 @@ object Dedup {
     "q56_dedup_keepers" -> q56Oracle,
     "q75_simhash_pairs" -> q75Oracle,
     "q76_dedup_clusters" -> q76Oracle,
+    "q211_dedup_yield" -> q211Oracle,
     "q85_incremental_dedup" -> q85Oracle,
     "q92_eval_split" -> q92Oracle,
     "q95_dup_span_fraction" -> q95Oracle)

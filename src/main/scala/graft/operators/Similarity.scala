@@ -596,7 +596,11 @@ object Similarity {
   // thresholds for tighter buckets.
   val KnnK = 3
 
-  def q156KnnGraph(spark: SparkSession, dir: String): DataFrame = {
+  /** The UNSORTED kNN graph — q156's body without the presentation
+    * sort, so q210's hubness aggregate composes without inheriting a
+    * sort it immediately destroys.
+    */
+  private def knnGraph(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pairs = bandedPairScan(spark, dir, None, minCos = -1.0)
       .select(col("vec_a"), col("vec_b"), col("cos"))
@@ -608,8 +612,64 @@ object Similarity {
       .filter(col("rk") <= KnnK)
       .select(col("vec_a").as("vec_id"), col("rk"),
         col("vec_b").as("nbr_id"), col("cos"))
-      .orderBy(col("vec_id"), col("rk"))
   }
+
+  def q156KnnGraph(spark: SparkSession, dir: String): DataFrame =
+    knnGraph(spark, dir).orderBy(col("vec_id"), col("rk"))
+
+  // --------------------------------------------------------------------
+  // q210 — kNN-graph HUBNESS audit: the in-degree distribution of
+  // q156's graph. High-dimensional similarity graphs grow "hubs" —
+  // vectors that appear in a disproportionate share of other vectors'
+  // top-k lists — and hubness is the standard diagnostic for degraded
+  // ANN recall and biased diversity sampling (a hub crowds true
+  // neighbors out of every list it joins). Per observed in-degree:
+  // how many vectors carry it, with min/max ids as exemplars; vectors
+  // nobody lists (in-degree 0, including band-isolated ones) are a
+  // first-class row via the left join from the full table.
+  // Scale notes (100 TB): the in-degree aggregate keys on nbr_id —
+  // hot by definition at the hubs — but count is map-side combined so
+  // partials absorb the skew before the shuffle; the histogram input
+  // is one row per vector and its output is bounded by k·n distinct
+  // degrees (in practice dozens). Rides q156's banded graph, so no
+  // all-pairs anything.
+  def q210KnnHubness(spark: SparkSession, dir: String): DataFrame = {
+    val knn = knnGraph(spark, dir)
+    val deg = Tables.embeddingsSharded(spark, dir).select(col("vec_id"))
+      .join(knn.select(col("nbr_id")), col("nbr_id") === col("vec_id"),
+        "left_outer")
+      .groupBy(col("vec_id")).agg(count(col("nbr_id")).as("in_deg"))
+    deg.groupBy(col("in_deg"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("vec_id")).as("min_vec"), max(col("vec_id")).as("max_vec"))
+      .orderBy(col("in_deg"))
+  }
+
+  val q210Oracle: String =
+    s"""WITH $sqlBandedCandCtes,
+       |pairs AS (
+       |  SELECT vec_a, vec_b, ${sqlCos(SqlDot)} AS cos
+       |  FROM cands
+       |  JOIN base a ON vec_a = a.vec_id
+       |  JOIN base b ON vec_b = b.vec_id),
+       |sym AS (
+       |  SELECT vec_a, vec_b, cos FROM pairs
+       |  UNION ALL
+       |  SELECT vec_b AS vec_a, vec_a AS vec_b, cos FROM pairs),
+       |knn AS (
+       |  SELECT vec_a AS vec_id, vec_b AS nbr_id FROM (
+       |    SELECT vec_a, vec_b,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_a
+       |        ORDER BY cos DESC, vec_b) AS rk
+       |    FROM sym)
+       |  WHERE rk <= $KnnK),
+       |deg AS (
+       |  SELECT e.vec_id, count(k.nbr_id) AS in_deg
+       |  FROM embeddings e LEFT JOIN knn k ON k.nbr_id = e.vec_id
+       |  GROUP BY 1)
+       |SELECT in_deg, count(*) AS n_vecs, min(vec_id) AS min_vec,
+       |  max(vec_id) AS max_vec
+       |FROM deg GROUP BY 1 ORDER BY in_deg""".stripMargin
 
   val q156Oracle: String =
     s"""WITH $sqlBandedCandCtes,
@@ -1151,7 +1211,65 @@ object Similarity {
       |    AS n_sat
       |FROM codes GROUP BY 1 ORDER BY vec_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q209 — PER-SUBSPACE COVARIANCE STATS: the second-moment matrix an
+  // OPQ/PCA/whitening stage fits before product quantization — PQ
+  // splits the d dims into subspace blocks and learns a rotation per
+  // block, which needs exactly the within-block covariance. Dims ride
+  // the q121 scaled-integer lift, so every emitted stat is an exact
+  // BIGINT (n, Σxᵢ, Σxⱼ, Σxᵢxⱼ per within-block dim pair i ≤ j); the
+  // covariance itself is (Σxᵢxⱼ − ΣxᵢΣxⱼ/n)/n — a consumer-side divide
+  // kept out of the hash (the q191 no-rounded-channel discipline).
+  // Scale notes (100 TB): one posexplode (d rows/vec) + one bounded
+  // within-block sequence explode (≤ CovBlock more per dim row —
+  // d·B/2 avg pair rows per vector, NOT d²) feeding a map-side-combined
+  // hash agg; output is d·(B+1)/2 rows (544 at d=64, B=16), bounded by
+  // model width, never by corpus size. The block structure is the
+  // point: full-d covariance would square the expansion for entries a
+  // per-block rotation never reads. A BLAS Gram-matrix mapPartitions
+  // would cut constant factors at extreme d; the declarative form
+  // keeps codegen and the oracle.
+  val CovBlock = 16
+
+  def q209SubspaceCov(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddingsSharded(spark, dir)
+      .select(col("vec_id"), scaled.as("sv"))
+    val ei = base
+      .select(col("sv"), posexplode(col("sv")).as(Seq("i", "xi")))
+      .withColumn("blk", (col("i") / CovBlock).cast("int"))
+    val pairs = ei
+      .select(col("blk"), col("i"), col("xi"),
+        explode(sequence(col("i"),
+          col("blk") * CovBlock + lit(CovBlock - 1))).as("j"),
+        col("sv"))
+      .withColumn("xj", element_at(col("sv"), col("j") + 1))
+    pairs.groupBy(col("blk"), col("i"), col("j"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xi")).as("s_i"), sum(col("xj")).as("s_j"),
+        sum(col("xi") * col("xj")).as("s_ij"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  val q209Oracle: String =
+    s"""WITH sva AS (
+       |  SELECT vec_id, $SqlScaled AS sv FROM embeddings),
+       |ei AS (
+       |  SELECT vec_id, sv, unnest(generate_series(1, len(sv))) - 1 AS i
+       |  FROM sva),
+       |ej AS (
+       |  SELECT CAST(i // $CovBlock AS INTEGER) AS blk, CAST(i AS INTEGER) AS i,
+       |    CAST(unnest(generate_series(i,
+       |      (i // $CovBlock) * $CovBlock + ${CovBlock - 1})) AS INTEGER) AS j,
+       |    sv
+       |  FROM ei),
+       |ex AS (SELECT blk, i, j, sv[i + 1] AS xi, sv[j + 1] AS xj FROM ej)
+       |SELECT blk, i, j, count(*) AS n, CAST(sum(xi) AS BIGINT) AS s_i,
+       |  CAST(sum(xj) AS BIGINT) AS s_j, CAST(sum(xi * xj) AS BIGINT) AS s_ij
+       |FROM ex GROUP BY 1, 2, 3 ORDER BY i, j""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q209_subspace_cov" -> q209SubspaceCov,
+    "q210_knn_hubness" -> q210KnnHubness,
     "q196_int8_quantize" -> q196Int8Quantize,
     "q190_semantic_dedup" -> q190SemanticDedup,
     "q188_hybrid_rrf" -> q188HybridRrf,
@@ -1169,6 +1287,8 @@ object Similarity {
     "q165_jl_sketch" -> q165JlSketch)
 
   def oracleSql: Map[String, String] = Map(
+    "q209_subspace_cov" -> q209Oracle,
+    "q210_knn_hubness" -> q210Oracle,
     "q196_int8_quantize" -> q196Oracle,
     "q190_semantic_dedup" -> q190Oracle,
     "q188_hybrid_rrf" -> q188Oracle,

@@ -1166,7 +1166,73 @@ object OperatorQueries {
        |    AS any_rel
        |FROM per_query GROUP BY 1 ORDER BY nprobe""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q213 — RECALL@K curve: q207's tuning sweep along the OTHER axis.
+  // q207 fixes k and widens the probe; this fixes the probe (q49's
+  // 2-cell geometry) and deepens the cutoff — ONE top-10 probe, graded
+  // at k ∈ {1, 3, 5, 10} by label-match relevance (q191's proxy). The
+  // two sweeps together are how a serving tier picks its operating
+  // point (nprobe × k) against a recall target. All counters are
+  // integer-exact (the q191 no-score-column discipline).
+  // Scale notes (100 TB): the k sweep costs NO extra probe — a 4-way
+  // literal-array explode over the top-10 rows (bounded: 10 rows per
+  // query before the explode) filtered to rk <= k; no join against a
+  // values frame (that would plan the banned nested loop), no window
+  // beyond the probe's own per-query rank. Label joins are the q191
+  // equi-joins; output is 4 rows.
+  val RecallKs: Seq[Int] = Seq(1, 3, 5, 10)
+
+  def q213RecallAtK(spark: SparkSession, dir: String): DataFrame = {
+    val index = IvfAnn.sharedIndex(spark, dir, k = 8)
+    val queries = Tables.embeddingsSharded(spark, dir)
+      .filter(col("vec_id") % 25 === 0)
+    val res = IvfAnn.probe(spark, index, queries, nprobe = 2, topK = 10)
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"))
+    val swept = res
+      .withColumn("k", explode(array(RecallKs.map(lit): _*)))
+      .filter(col("rk") <= col("k"))
+    val per = swept
+      .join(labels.select(col("vec_id").as("query_id"),
+        col("label").as("qlabel")), Seq("query_id"))
+      .join(labels.select(col("vec_id").as("cand_id"),
+        col("label").as("clabel")), Seq("cand_id"))
+      .groupBy(col("k"), col("query_id"))
+      .agg(sum(when(col("clabel") === col("qlabel"), 1L).otherwise(0L))
+        .as("n_rel"))
+    per.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(col("n_rel")).as("rel_found"),
+        sum(when(col("n_rel") > 0, 1L).otherwise(0L)).as("n_hit"))
+      .orderBy(col("k"))
+  }
+
+  val q213Oracle: String =
+    s"""WITH ${sqlIvfScoredCtes("", "", "", "", "vec_id % 25 = 0", 2)},
+       |ranked AS (
+       |  SELECT query_id, cand_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, cand_id) AS INTEGER) AS rk
+       |  FROM scored),
+       |swept AS (
+       |  SELECT k.k, t.query_id, t.cand_id
+       |  FROM (SELECT * FROM ranked WHERE rk <= 10) t
+       |  CROSS JOIN (VALUES (1), (3), (5), (10)) k(k)
+       |  WHERE t.rk <= k.k),
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |per AS (
+       |  SELECT s.k, s.query_id,
+       |    sum(CASE WHEN lc.label = lq.label THEN 1 ELSE 0 END) AS n_rel
+       |  FROM swept s
+       |    JOIN lab lq ON lq.vec_id = s.query_id
+       |    JOIN lab lc ON lc.vec_id = s.cand_id
+       |  GROUP BY 1, 2)
+       |SELECT k, count(*) AS n_queries, CAST(sum(n_rel) AS BIGINT) AS rel_found,
+       |  CAST(sum(CASE WHEN n_rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+       |FROM per GROUP BY 1 ORDER BY k""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q213_recall_at_k" -> q213RecallAtK,
     "q207_probe_sweep" -> q207ProbeSweep,
     "q206_bitext_margin" -> q206BitextMargin,
     "q201_bitext_mining" -> q201BitextMining,
@@ -1191,6 +1257,7 @@ object OperatorQueries {
     "q127_attribution" -> q127Attribution)
 
   def oracleSql: Map[String, String] = Map(
+    "q213_recall_at_k" -> q213Oracle,
     "q207_probe_sweep" -> q207Oracle,
     "q206_bitext_margin" -> q206Oracle,
     "q201_bitext_mining" -> q201Oracle,
