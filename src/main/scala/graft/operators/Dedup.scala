@@ -947,6 +947,178 @@ object Dedup {
   // independent, complete-but-quadratic-ish formulation) stays cheap.
   private val SimJoinTau = 0.5
 
+  // --------------------------------------------------------------------
+  // q217 — MINHASH SKETCH-FIDELITY audit (the q169/q170 sketch tier,
+  // for the dedup sketch): over the band-colliding candidate pairs,
+  // cross-tabulate the 8-component signature AGREEMENT count (the
+  // minhash Jaccard estimate, agree/8) against the exact verify
+  // verdict (J ≥ 0.9). The resulting table is the empirical
+  // P(near-dup | agreement) calibration — what prices the verify
+  // stage (how many candidates at each estimate level are worth the
+  // exact re-check) and validates the b=2/r=4 collision threshold on
+  // THIS corpus. Counters only (the q191 discipline); the estimate
+  // never leaves integer space.
+  // Scale notes (100 TB): the candidate join is q32's band equi-join;
+  // the signature re-join ships 8 fixed-width components per side;
+  // the audit aggregate has ≤ 9 output rows. No window, no all-pairs.
+  def q217SketchFidelity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsSharded(spark, dir)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+    val sigs = minhashSignatures(docs)
+      .select(col("doc_id"), col("toks"),
+        array((0 until NumHashes).map(i => col(s"h$i")): _*).as("sig"))
+    val bands = bandRows(docs)
+    val firstColl = array_position(
+      zip_with(col("x.bkeys"), col("y.bkeys"), (a, b) => a === b), true) - 1
+    val cands = bands.as("x").join(bands.as("y"),
+        col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id") &&
+          firstColl === col("x.band"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val ag = cands
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa"),
+        col("toks").as("ta")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb"),
+        col("toks").as("tb")), Seq("doc_b"))
+      .select(
+        size(filter(zip_with(col("sa"), col("sb"), (a, b) => a === b),
+          x => x)).as("n_agree"),
+        size(array_intersect(col("ta"), col("tb"))).cast("bigint").as("inter"),
+        size(col("ta")).cast("bigint").as("na"),
+        size(col("tb")).cast("bigint").as("nb"))
+    ag.groupBy(col("n_agree"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(round(col("inter").cast("double")
+          / (col("na") + col("nb") - col("inter")), 6) >= 0.9, 1L)
+          .otherwise(0L)).as("n_above"))
+      .orderBy(col("n_agree"))
+  }
+
+  val q217Oracle: String = {
+    val agreeSum = (0 until NumHashes)
+      .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH ${sqlSigBandCtes("documents WHERE doc_id % 5 = 0")},
+       |cands AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |ag AS (
+       |  SELECT CAST($agreeSum AS INTEGER) AS n_agree,
+       |    len(list_intersect(ta.toks, tb.toks)) AS i,
+       |    len(ta.toks) AS na, len(tb.toks) AS nb
+       |  FROM cands
+       |  JOIN sigs sa ON doc_a = sa.doc_id
+       |  JOIN sigs sb ON doc_b = sb.doc_id
+       |  JOIN docs ta ON doc_a = ta.doc_id
+       |  JOIN docs tb ON doc_b = tb.doc_id)
+       |SELECT n_agree, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(CASE WHEN round(CAST(i AS DOUBLE) / (na + nb - i), 6) >= 0.9
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+       |FROM ag GROUP BY 1 ORDER BY n_agree""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // q215 — CANDIDATE-GENERATION RECALL eval: does the q32 LSH band
+  // stage actually find the near-dup pairs? Ground truth is the EXACT
+  // token-set Jaccard ≥ 0.9 pair set over the same %5 sample, built
+  // the scalable way (q195's prefix-filter family at τ = 0.9: rarest-
+  // first prefix postings + the 9·max ≤ 10·min length filter — exact,
+  // no all-pairs scan); the candidate stage under eval is q32's
+  // banded+verified pair set. One row of counters: exact pairs, banded
+  // pairs, misses (band collisions the geometry never produced — the
+  // LSH false-negative rate the b=2, r=4 threshold math predicts), and
+  // spurious pairs (must be 0 — banded pairs are exact-verified, so a
+  // nonzero value is a bug, not a tuning artifact; the spec pins it).
+  // This is the dedup twin of q191's retrieval eval: a pipeline that
+  // cannot measure its candidate recall cannot be tuned.
+  // Scale notes (100 TB): both sides are bucketed equi-joins (prefix
+  // postings / band keys); the comparison is one full-outer on the
+  // pair key + a 4-counter aggregate. Output is 1 row.
+  val RecallTau = 0.9
+
+  def q215LshRecallEval(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documentsSharded(spark, dir)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+      .cache()
+    val posted = docs.select(col("doc_id"),
+      size(col("toks")).cast("bigint").as("nt"), explode(col("toks")).as("g"))
+    val dfreq = posted.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    // τ = 0.9 prefix length: nt - ceil(0.9·nt) + 1, integer arithmetic
+    val prefix = posted.join(dfreq, Seq("g"))
+      .withColumn("p", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
+      .filter(col("p") <= col("nt") - expr("(9 * nt + 9) div 10") + 1)
+      .select(col("doc_id"), col("nt"), col("g"))
+    val cands = prefix.as("x").join(prefix.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id") &&
+          lit(10) * least(col("x.nt"), col("y.nt")) >=
+            lit(9) * greatest(col("x.nt"), col("y.nt")))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val exact = cands
+      .join(docs.select(col("doc_id").as("doc_a"), col("toks").as("ta")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("toks").as("tb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ta"), col("tb"))).cast("bigint").as("inter"),
+        size(col("ta")).cast("bigint").as("na"),
+        size(col("tb")).cast("bigint").as("nb"))
+      .filter(round(col("inter").cast("double")
+        / (col("na") + col("nb") - col("inter")), 6) >= RecallTau)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("ex"))
+    val banded = q32MinhashNeardup(spark, dir)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("bd"))
+    exact.join(banded, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        sum(when(col("ex").isNotNull, 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("bd").isNotNull, 1L).otherwise(0L)).as("n_banded"),
+        sum(when(col("ex").isNotNull && col("bd").isNull, 1L).otherwise(0L))
+          .as("n_missed"),
+        sum(when(col("bd").isNotNull && col("ex").isNull, 1L).otherwise(0L))
+          .as("n_spurious"))
+  }
+
+  /** Independent ground-truth formulation (the q195 oracle's argument):
+    * J ≥ τ > 0 implies at least one shared token, so the any-shared-
+    * token candidate set is complete and the exact filter over it IS
+    * the τ-pair set. The banded side nests q32's oracle verbatim.
+    */
+  val q215Oracle: String = {
+    val bandedNoOrder = q32Oracle.replace("ORDER BY doc_a, doc_b", "")
+    s"""WITH banded AS (
+       |$bandedNoOrder
+       |),
+       |docs AS (
+       |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM (SELECT doc_id, unnest(toks) AS g FROM docs) x
+       |  JOIN (SELECT doc_id, unnest(toks) AS g FROM docs) y
+       |    ON x.g = y.g AND x.doc_id < y.doc_id),
+       |exact AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT doc_a, doc_b,
+       |      round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+       |        / (len(a.toks) + len(b.toks)
+       |           - len(list_intersect(a.toks, b.toks))), 6) AS j
+       |    FROM cand
+       |    JOIN docs a ON doc_a = a.doc_id
+       |    JOIN docs b ON doc_b = b.doc_id)
+       |  WHERE j >= $RecallTau)
+       |SELECT
+       |  (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM banded) AS n_banded,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM exact e
+       |   WHERE NOT EXISTS (SELECT 1 FROM banded b
+       |     WHERE b.doc_a = e.doc_a AND b.doc_b = e.doc_b)) AS n_missed,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM banded b
+       |   WHERE NOT EXISTS (SELECT 1 FROM exact e
+       |     WHERE e.doc_a = b.doc_a AND e.doc_b = b.doc_b)) AS n_spurious""".stripMargin
+  }
+
   def q195PrefixFilterJoin(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val norm = lower(trim(col("text")))
@@ -1034,6 +1206,8 @@ object Dedup {
     "q75_simhash_pairs" -> q75SimhashPairs,
     "q76_dedup_clusters" -> q76DedupClusters,
     "q211_dedup_yield" -> q211DedupYield,
+    "q215_lsh_recall_eval" -> q215LshRecallEval,
+    "q217_sketch_fidelity" -> q217SketchFidelity,
     "q85_incremental_dedup" -> q85IncrementalDedup,
     "q92_eval_split" -> q92EvalSplit,
     "q95_dup_span_fraction" -> q95DupSpanFraction)
@@ -1050,6 +1224,8 @@ object Dedup {
     "q75_simhash_pairs" -> q75Oracle,
     "q76_dedup_clusters" -> q76Oracle,
     "q211_dedup_yield" -> q211Oracle,
+    "q215_lsh_recall_eval" -> q215Oracle,
+    "q217_sketch_fidelity" -> q217Oracle,
     "q85_incremental_dedup" -> q85Oracle,
     "q92_eval_split" -> q92Oracle,
     "q95_dup_span_fraction" -> q95Oracle)

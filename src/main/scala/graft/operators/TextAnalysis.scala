@@ -198,6 +198,42 @@ object TextAnalysis {
        |FROM documents ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------
+  // q218 — TOKENIZER FERTILITY by language: per-lang totals of
+  // characters, whitespace words and q52's subword-regex tokens — the
+  // audit behind "how many training tokens does each language cost per
+  // unit of text". Fertility (subwords per word, chars per subword) is
+  // THE multilingual-tokenizer acceptance metric: a language whose
+  // fertility is 2× pays 2× the context budget for the same content,
+  // and vocabulary decisions are made from exactly these per-language
+  // sums. All emitted columns are exact integer totals; the ratios are
+  // consumer-side divides (the q209/q191 discipline).
+  // Scale notes (100 TB): one scan, three row-local counters, one
+  // map-side-combined aggregate keyed on lang (cardinality ~languages,
+  // never corpus) — the cheapest query shape there is. Output is one
+  // row per language.
+  def q218LangFertility(spark: SparkSession, dir: String): DataFrame =
+    Tables.documentsSharded(spark, dir)
+      .select(col("lang"),
+        length(col("text")).cast("bigint").as("chars"),
+        size(split(col("text"), " ")).cast("bigint").as("words"),
+        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+          .cast("bigint").as("subwords"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("chars")).as("n_chars"),
+        sum(col("words")).as("n_words"),
+        sum(col("subwords")).as("n_subwords"))
+      .orderBy(col("lang"))
+
+  val q218Oracle: String =
+    s"""SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(len(text)) AS BIGINT) AS n_chars,
+       |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+       |  CAST(sum(len(regexp_extract_all(text, '$BpePattern'))) AS BIGINT)
+       |    AS n_subwords
+       |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin
+
+  // --------------------------------------------------------------------
   // q58 — deterministic stratified sampling: per-language keep rates
   // (the data-mixing step of a training pipeline), with a pure
   // arithmetic multiplicative hash so the decision is reproducible and
@@ -1350,7 +1386,77 @@ object TextAnalysis {
       |FROM scored, th
       |GROUP BY 1, 2 ORDER BY bucket_h, bucket_s""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q216 — VOCABULARY-GROWTH curve (Heaps' law): distinct-token count
+  // at nested corpus prefixes (25/50/75/100% of the id range), with
+  // the token mass each prefix carries — the curve that sizes a
+  // tokenizer's vocabulary and predicts how much new text still grows
+  // it (V ≈ K·Nᵝ; the fit itself is a consumer-side regression, the
+  // exact integer points are the query's job). Prefixes nest by
+  // doc_id, so the curve is reproducible under any partitioning.
+  // Scale notes (100 TB): ONE corpus tokenize feeding two bounded
+  // aggregates — per-token first-occurrence (vocabulary-sized) and
+  // per-doc counts (corpus-rows-sized, 1 row/doc); the 4 cutoffs ride
+  // a 1-row bounds frame exploded and BROADCAST through the opaque
+  // constant key (no cartesian, no window). Counting vocab as "tokens
+  // whose FIRST doc falls in the prefix" turns 4 distinct-counts over
+  // nested corpora into one grouped count over the vocab frame.
+  val HeapsPcts: Seq[Int] = Seq(25, 50, 75, 100)
+
+  def q216VocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.documentsSharded(spark, dir)
+      .select(col("doc_id"), explode(tokens(lower(trim(col("text"))))).as("tok"))
+    val firstDoc = ex.groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
+    val perDoc = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_toks"))
+    val cuts = broadcast(perDoc
+      .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .select(col("lo"), col("hi"),
+        explode(array(HeapsPcts.map(lit): _*)).as("pct"))
+      .withColumn("cutoff",
+        col("lo") + expr("(hi - lo + 1) * pct DIV 100"))
+      .withColumn("_k", graft.plans.Opaque.zeroKey(col("lo"))))
+    val dstats = perDoc
+      .withColumn("_k", graft.plans.Opaque.zeroKey(col("doc_id")))
+      .join(cuts, Seq("_k"))
+      .filter(col("doc_id") < col("cutoff"))
+      .groupBy(col("pct"), col("cutoff"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    val vstats = firstDoc
+      .withColumn("_k", graft.plans.Opaque.zeroKey(col("first_doc")))
+      .join(cuts, Seq("_k"))
+      .filter(col("first_doc") < col("cutoff"))
+      .groupBy(col("pct"))
+      .agg(count(lit(1)).as("vocab"))
+    dstats.join(vstats, Seq("pct"))
+      .select(col("pct"), col("cutoff"), col("n_docs"), col("n_tokens"),
+        col("vocab"))
+      .orderBy(col("pct"))
+  }
+
+  val q216Oracle: String =
+    s"""WITH ex AS (
+       |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+       |  FROM documents),
+       |fd AS (SELECT tok, min(doc_id) AS first_doc FROM ex GROUP BY 1),
+       |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks FROM ex GROUP BY 1),
+       |b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM pd),
+       |cuts AS (
+       |  SELECT p.pct, lo + CAST((hi - lo + 1) * p.pct // 100 AS BIGINT) AS cutoff
+       |  FROM b CROSS JOIN (VALUES (${HeapsPcts.mkString("), (")})) p(pct)),
+       |dstats AS (
+       |  SELECT pct, cutoff, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_toks) AS BIGINT) AS n_tokens
+       |  FROM cuts JOIN pd ON doc_id < cutoff GROUP BY 1, 2),
+       |vstats AS (
+       |  SELECT pct, CAST(count(*) AS BIGINT) AS vocab
+       |  FROM cuts JOIN fd ON first_doc < cutoff GROUP BY 1)
+       |SELECT d.pct, d.cutoff, n_docs, n_tokens, vocab
+       |FROM dstats d JOIN vstats v ON d.pct = v.pct
+       |ORDER BY d.pct""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q216_vocab_growth" -> q216VocabGrowth,
+    "q218_lang_fertility" -> q218LangFertility,
     "q205_quality_calibration" -> q205QualityCalibration,
     "q204_bpe_train" -> q204BpeTrain,
     "q189_dsir_weights" -> q189DsirWeights,
@@ -1374,6 +1480,8 @@ object TextAnalysis {
     "q158_bigram_lm_score" -> q158BigramLmScore)
 
   def oracleSql: Map[String, String] = Map(
+    "q216_vocab_growth" -> q216Oracle,
+    "q218_lang_fertility" -> q218Oracle,
     "q205_quality_calibration" -> q205Oracle,
     "q204_bpe_train" -> q204Oracle,
     "q189_dsir_weights" -> q189Oracle,
