@@ -948,6 +948,48 @@ object Dedup {
   private val SimJoinTau = 0.5
 
   // --------------------------------------------------------------------
+  // q219 — SOURCE-COPY matrix: q32's verified near-dup pairs rolled up
+  // by (source_a, source_b) — which sources duplicate which. This is
+  // the provenance/licensing audit a corpus release runs: heavy
+  // off-diagonal mass means one source is scraping or mirroring
+  // another (and the discard side of dedup will silently bias AGAINST
+  // the higher-id source), heavy diagonal mass means within-source
+  // boilerplate. n_victims counts distinct doc_b per cell — the
+  // documents the greedy-by-id keeper rule would actually discard, so
+  // the matrix also prices dedup's per-source data loss.
+  // Scale notes (100 TB): two equi-joins from the (bounded) verified
+  // pair stream to a 2-column pruned documents scan, then a
+  // sources²-bounded aggregate. Strictly cheaper than the pair scan
+  // feeding it.
+  def q219SourceCopyMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documentsSharded(spark, dir)
+      .select(col("doc_id"), col("source"))
+    q32MinhashNeardup(spark, dir)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("source_a")),
+        Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("source_b")),
+        Seq("doc_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("doc_b")).as("n_victims"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val q219Oracle: String = {
+    val pairsNoOrder = q32Oracle.replace("ORDER BY doc_a, doc_b", "")
+    s"""WITH pairs AS (
+       |$pairsNoOrder
+       |)
+       |SELECT a.source AS source_a, b.source AS source_b,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(count(DISTINCT doc_b) AS BIGINT) AS n_victims
+       |FROM pairs
+       |JOIN documents a ON doc_a = a.doc_id
+       |JOIN documents b ON doc_b = b.doc_id
+       |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
   // q217 — MINHASH SKETCH-FIDELITY audit (the q169/q170 sketch tier,
   // for the dedup sketch): over the band-colliding candidate pairs,
   // cross-tabulate the 8-component signature AGREEMENT count (the
@@ -1208,6 +1250,7 @@ object Dedup {
     "q211_dedup_yield" -> q211DedupYield,
     "q215_lsh_recall_eval" -> q215LshRecallEval,
     "q217_sketch_fidelity" -> q217SketchFidelity,
+    "q219_source_copy_matrix" -> q219SourceCopyMatrix,
     "q85_incremental_dedup" -> q85IncrementalDedup,
     "q92_eval_split" -> q92EvalSplit,
     "q95_dup_span_fraction" -> q95DupSpanFraction)
@@ -1226,6 +1269,7 @@ object Dedup {
     "q211_dedup_yield" -> q211Oracle,
     "q215_lsh_recall_eval" -> q215Oracle,
     "q217_sketch_fidelity" -> q217Oracle,
+    "q219_source_copy_matrix" -> q219Oracle,
     "q85_incremental_dedup" -> q85Oracle,
     "q92_eval_split" -> q92Oracle,
     "q95_dup_span_fraction" -> q95Oracle)

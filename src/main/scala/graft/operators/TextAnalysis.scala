@@ -89,6 +89,31 @@ object TextAnalysis {
   }
 
   // --------------------------------------------------------------------
+  // q221 — LANG-ID CONFUSION MATRIX: q28's marker-word classifier
+  // graded against the corpus's ground-truth lang column, as the
+  // (actual, predicted, count) matrix plus a per-cell min-id exemplar
+  // for debugging. This is the eval the lang-id operator ships with —
+  // per-class precision/recall fall straight out of the matrix
+  // (consumer-side ratios; the cells stay integer). The "unknown"
+  // prediction column is first-class: it is where short, marker-free
+  // documents land and the knob a coverage/accuracy tradeoff tunes.
+  // Scale notes (100 TB): rides q28's row-local classifier (one scan,
+  // no joins) into a languages²-bounded aggregate.
+  def q221LangIdConfusion(spark: SparkSession, dir: String): DataFrame =
+    q28LangId(spark, dir)
+      .groupBy(col("lang_actual"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("example_doc"))
+      .orderBy(col("lang_actual"), col("pred_lang"))
+
+  val q221Oracle: String =
+    s"""WITH graded AS (
+       |${q28Oracle.replace("ORDER BY doc_id", "")}
+       |)
+       |SELECT lang_actual, pred_lang, count(*) AS n_docs,
+       |  min(doc_id) AS example_doc
+       |FROM graded GROUP BY 1, 2 ORDER BY lang_actual, pred_lang""".stripMargin
+
+  // --------------------------------------------------------------------
   // q29 — quality scoring: length score, unique-token ratio, punctuation
   // density → weighted composite.
   def q29QualityScore(spark: SparkSession, dir: String): DataFrame = {
@@ -1457,6 +1482,7 @@ object TextAnalysis {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q216_vocab_growth" -> q216VocabGrowth,
     "q218_lang_fertility" -> q218LangFertility,
+    "q221_langid_confusion" -> q221LangIdConfusion,
     "q205_quality_calibration" -> q205QualityCalibration,
     "q204_bpe_train" -> q204BpeTrain,
     "q189_dsir_weights" -> q189DsirWeights,
@@ -1482,6 +1508,7 @@ object TextAnalysis {
   def oracleSql: Map[String, String] = Map(
     "q216_vocab_growth" -> q216Oracle,
     "q218_lang_fertility" -> q218Oracle,
+    "q221_langid_confusion" -> q221Oracle,
     "q205_quality_calibration" -> q205Oracle,
     "q204_bpe_train" -> q204Oracle,
     "q189_dsir_weights" -> q189Oracle,

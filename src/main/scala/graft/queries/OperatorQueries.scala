@@ -1167,6 +1167,63 @@ object OperatorQueries {
        |FROM per_query GROUP BY 1 ORDER BY nprobe""".stripMargin
 
   // --------------------------------------------------------------------
+  // q220 — IVF CELL-BALANCE report: per-cell population and total
+  // exact squared-L2 distortion of the shared index's assignment — the
+  // index-health diagnostic behind probe-latency skew (a cell holding
+  // 10× its share makes every probe that touches it 10× slower; the
+  // fix is re-seeding or salting the hot cell) and codebook quality
+  // (distortion is what Lloyd iterations, q100, minimize). Cells are
+  // keyed by their MIN member vec_id, not the internal label — the
+  // positional-vs-DIV labeling contract (IvfAnn.buildIndexFrom) says
+  // labels never leave the engine, and the min-id anchor is invariant
+  // under any monotone relabeling.
+  // Scale notes (100 TB): one broadcast join of the k-row codebook to
+  // the cells frame, one codegen distance per row, one k-bounded
+  // aggregate. Output is k rows.
+  def q220CellBalance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val index = IvfAnn.sharedIndex(spark, dir, k = 8)
+    val piv = index.pivots.toSeq.map { case (c, sv, n) => (c, sv.toSeq, n) }
+      .toDF("cell", "psv", "pnrm")
+    index.cells.join(broadcast(piv), Seq("cell"))
+      .withColumn("d", col("nrm") + col("pnrm") - lit(2L) *
+        graft.functions.DotProductLong.dot_product_long(col("sv"), col("psv")))
+      .groupBy(col("cell"))
+      .agg(min(col("vec_id")).as("anchor_vec"),
+        count(lit(1)).as("n_vecs"), sum(col("d")).as("sum_sqdist"))
+      .select(col("anchor_vec"), col("n_vecs"), col("sum_sqdist"))
+      .orderBy(col("anchor_vec"))
+  }
+
+  val q220Oracle: String =
+    s"""WITH sva AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS sv
+       |  FROM embeddings),
+       |base AS (
+       |  SELECT vec_id, sv,
+       |    CAST(list_sum(list_transform(generate_series(1, len(sv)),
+       |      i -> sv[i] * sv[i])) AS BIGINT) AS nrm
+       |  FROM sva),
+       |mm AS (
+       |  SELECT GREATEST(1, CAST(ceil(CAST(count(*) AS DOUBLE) / 8) AS BIGINT)) AS m
+       |  FROM embeddings),
+       |seeds AS (
+       |  SELECT CAST(vec_id // (SELECT m FROM mm) AS INTEGER) AS cell, sv, nrm
+       |  FROM base WHERE vec_id % (SELECT m FROM mm) = 0),
+       |dists AS (
+       |  SELECT a.vec_id, s.cell,
+       |    a.nrm + s.nrm - 2 * CAST(list_sum(list_transform(
+       |      generate_series(1, len(a.sv)), i -> a.sv[i] * s.sv[i])) AS BIGINT) AS d
+       |  FROM base a CROSS JOIN seeds s),
+       |assigned AS (
+       |  SELECT vec_id, cell, d FROM dists
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1)
+       |SELECT min(vec_id) AS anchor_vec, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(sum(d) AS BIGINT) AS sum_sqdist
+       |FROM assigned GROUP BY cell ORDER BY anchor_vec""".stripMargin
+
+  // --------------------------------------------------------------------
   // q213 — RECALL@K curve: q207's tuning sweep along the OTHER axis.
   // q207 fixes k and widens the probe; this fixes the probe (q49's
   // 2-cell geometry) and deepens the cutoff — ONE top-10 probe, graded
@@ -1233,6 +1290,7 @@ object OperatorQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q213_recall_at_k" -> q213RecallAtK,
+    "q220_cell_balance" -> q220CellBalance,
     "q207_probe_sweep" -> q207ProbeSweep,
     "q206_bitext_margin" -> q206BitextMargin,
     "q201_bitext_mining" -> q201BitextMining,
@@ -1258,6 +1316,7 @@ object OperatorQueries {
 
   def oracleSql: Map[String, String] = Map(
     "q213_recall_at_k" -> q213Oracle,
+    "q220_cell_balance" -> q220Oracle,
     "q207_probe_sweep" -> q207Oracle,
     "q206_bitext_margin" -> q206Oracle,
     "q201_bitext_mining" -> q201Oracle,
