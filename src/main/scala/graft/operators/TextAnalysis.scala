@@ -114,6 +114,129 @@ object TextAnalysis {
        |FROM graded GROUP BY 1, 2 ORDER BY lang_actual, pred_lang""".stripMargin
 
   // --------------------------------------------------------------------
+  // q222 — RAG CHUNKING: fixed-length token chunks with stride overlap
+  // (128-token chunks every 96 tokens → 32-token overlap) — the
+  // retrieval-ingestion sibling of q74's training packer. Packing
+  // concatenates ACROSS documents (a training window doesn't care
+  // where a doc ends); a retrieval chunker must stay WITHIN the
+  // document and overlap chunks so no answer span is split across a
+  // boundary without a chunk that contains it whole. Every chunk
+  // carries its offset, true length (the tail chunk is short) and
+  // content hash — the (id, span, hash) triple a vector store indexes.
+  // The chunk count arithmetic keeps the numerator non-negative
+  // (greatest(0, n-len)) so Spark's truncating DIV and DuckDB's
+  // flooring // cannot diverge on short documents.
+  // Scale notes (100 TB): pure row-local arithmetic — one explode of
+  // ~n/stride per doc, a slice and one md5 per chunk; no shuffle at
+  // all until a consumer aggregates. The stride/len constants are the
+  // recall-vs-storage knob a retrieval stack tunes.
+  val ChunkLen = 128
+  val ChunkStride = 96
+
+  def q222RagChunking(spark: SparkSession, dir: String): DataFrame = {
+    val pre = Tables.documentsSharded(spark, dir)
+      .select(col("doc_id"), split(lower(trim(col("text"))), " ").as("toks"))
+      .withColumn("extra", expr(
+        s"(greatest(0, size(toks) - $ChunkLen) + ${ChunkStride - 1}) DIV $ChunkStride"))
+    pre.select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), col("extra").cast("int"))).as("chunk_idx"))
+      .withColumn("chunk",
+        slice(col("toks"), col("chunk_idx") * ChunkStride + 1, lit(ChunkLen)))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * ChunkStride).cast("bigint").as("start_tok"),
+        size(col("chunk")).cast("bigint").as("n_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  val q222Oracle: String =
+    s"""WITH pre AS (
+       |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+       |  FROM documents),
+       |info AS (
+       |  SELECT doc_id, toks,
+       |    CAST((greatest(0, len(toks) - $ChunkLen) + ${ChunkStride - 1})
+       |      // $ChunkStride AS BIGINT) AS extra
+       |  FROM pre),
+       |chunks AS (
+       |  SELECT doc_id, toks,
+       |    CAST(unnest(generate_series(0, extra)) AS INTEGER) AS chunk_idx
+       |  FROM info)
+       |SELECT doc_id, chunk_idx,
+       |  CAST(chunk_idx * $ChunkStride AS BIGINT) AS start_tok,
+       |  CAST(len(toks[chunk_idx * $ChunkStride + 1 :
+       |    chunk_idx * $ChunkStride + $ChunkLen]) AS BIGINT) AS n_tokens,
+       |  md5(array_to_string(toks[chunk_idx * $ChunkStride + 1 :
+       |    chunk_idx * $ChunkStride + $ChunkLen], ' ')) AS chunk_hash
+       |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q224 — N-GRAM INVENTORY DIFF between releases: the
+  // tokenizer/novelty twin of q197's corpus diff. The standing release
+  // (doc_id % 10 ≠ 0) and the arriving delta (% 10 = 0) each induce a
+  // 3-shingle inventory (per-doc DISTINCT via the native ShingleSet,
+  // so the per-side counts are document frequencies); the report
+  // buckets every shingle as only_standing / only_delta / both with
+  // type counts, df mass on each side, and a min-shingle exemplar.
+  // only_delta mass is the novelty signal that drives tokenizer
+  // retraining and flags topic/contamination shifts; a large
+  // only_standing bucket says the delta under-samples the corpus.
+  // (Whitespace TOKENS would be the classic unit, but any corpus with
+  // a closed token vocabulary — like this fixture — makes that report
+  // vacuous; the n-gram inventory is strictly finer and is what
+  // SentencePiece-style trainers actually count.)
+  // Scale notes (100 TB): shingle-keyed aggregates and one full-outer
+  // join — ALL inventory-bounded, never corpus-row-bounded; the
+  // 3-row rollup is map-side combined.
+  def q224VocabDiff(spark: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.documentsSharded(spark, dir)
+      .select(col("doc_id"), explode(graft.functions.ShingleSet.shingle_set(
+        tokens(lower(trim(col("text")))), 3)).as("tok"))
+    val a = ex.filter(col("doc_id") % 10 =!= 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("df_a"))
+    val b = ex.filter(col("doc_id") % 10 === 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("df_b"))
+    a.join(b, Seq("tok"), "full_outer")
+      .select(col("tok"),
+        when(col("df_a").isNotNull && col("df_b").isNotNull, "both")
+          .when(col("df_a").isNotNull, "only_standing")
+          .otherwise("only_delta").as("status"),
+        coalesce(col("df_a"), lit(0L)).as("dfa"),
+        coalesce(col("df_b"), lit(0L)).as("dfb"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("dfa")).as("df_standing"), sum(col("dfb")).as("df_delta"),
+        min(col("tok")).as("example_token"))
+      .orderBy(col("status"))
+  }
+
+  val q224Oracle: String =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+      |    THEN list_transform(generate_series(1, len(t) - 2),
+      |           i -> array_to_string(t[i:i+2], ' '))
+      |    ELSE [array_to_string(t, ' ')] END) AS s
+      |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
+      |        FROM documents)),
+      |ex AS (SELECT doc_id, unnest(s) AS tok FROM sh),
+      |a AS (SELECT tok, CAST(count(*) AS BIGINT) AS df_a FROM ex
+      |      WHERE doc_id % 10 <> 0 GROUP BY 1),
+      |b AS (SELECT tok, CAST(count(*) AS BIGINT) AS df_b FROM ex
+      |      WHERE doc_id % 10 = 0 GROUP BY 1),
+      |j AS (
+      |  SELECT COALESCE(a.tok, b.tok) AS tok,
+      |    CASE WHEN a.tok IS NOT NULL AND b.tok IS NOT NULL THEN 'both'
+      |      WHEN a.tok IS NOT NULL THEN 'only_standing'
+      |      ELSE 'only_delta' END AS status,
+      |    COALESCE(df_a, 0) AS dfa, COALESCE(df_b, 0) AS dfb
+      |  FROM a FULL OUTER JOIN b ON a.tok = b.tok)
+      |SELECT status, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(dfa) AS BIGINT) AS df_standing,
+      |  CAST(sum(dfb) AS BIGINT) AS df_delta,
+      |  min(tok) AS example_token
+      |FROM j GROUP BY 1 ORDER BY status""".stripMargin
+
+  // --------------------------------------------------------------------
   // q29 — quality scoring: length score, unique-token ratio, punctuation
   // density → weighted composite.
   def q29QualityScore(spark: SparkSession, dir: String): DataFrame = {
@@ -1483,6 +1606,8 @@ object TextAnalysis {
     "q216_vocab_growth" -> q216VocabGrowth,
     "q218_lang_fertility" -> q218LangFertility,
     "q221_langid_confusion" -> q221LangIdConfusion,
+    "q222_rag_chunking" -> q222RagChunking,
+    "q224_ngram_diff" -> q224VocabDiff,
     "q205_quality_calibration" -> q205QualityCalibration,
     "q204_bpe_train" -> q204BpeTrain,
     "q189_dsir_weights" -> q189DsirWeights,
@@ -1509,6 +1634,8 @@ object TextAnalysis {
     "q216_vocab_growth" -> q216Oracle,
     "q218_lang_fertility" -> q218Oracle,
     "q221_langid_confusion" -> q221Oracle,
+    "q222_rag_chunking" -> q222Oracle,
+    "q224_ngram_diff" -> q224Oracle,
     "q205_quality_calibration" -> q205Oracle,
     "q204_bpe_train" -> q204Oracle,
     "q189_dsir_weights" -> q189Oracle,

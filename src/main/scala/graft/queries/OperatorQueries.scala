@@ -1224,6 +1224,61 @@ object OperatorQueries {
        |FROM assigned GROUP BY cell ORDER BY anchor_vec""".stripMargin
 
   // --------------------------------------------------------------------
+  // q223 — HARD-NEGATIVE mining via the ANN probe: for every sampled
+  // query, the most-similar DIFFERENT-label candidate in its probed
+  // cells — the semi-hard negatives contrastive embedding training
+  // wants (similar enough to be informative, wrong by label). q143
+  // mines negatives by hash-bucket argmin (cheap, similarity-blind);
+  // this is the similarity-RANKED miner a production pipeline runs
+  // against its serving index, and it shares that index (sharedIndex)
+  // rather than building one. Determinism: the probe ranks by
+  // (cos desc, cand_id), so min(rk) over different-label candidates
+  // picks a unique partner; queries whose probe set has no cross-label
+  // candidate drop out on both engines.
+  // Scale notes (100 TB): the probe is q49's plan with the rank
+  // retained; label lookups are the q191 equi-joins; min_by rides the
+  // unique rank key — one aggregate per query id, no window beyond the
+  // probe's own.
+  def q223HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val index = IvfAnn.sharedIndex(spark, dir, k = 8)
+    val queries = Tables.embeddingsSharded(spark, dir)
+      .filter(col("vec_id") % 25 === 0)
+    val res = IvfAnn.probe(spark, index, queries,
+      nprobe = 2, topK = Int.MaxValue)
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"))
+    res
+      .join(labels.select(col("vec_id").as("query_id"),
+        col("label").as("qlabel")), Seq("query_id"))
+      .join(labels.select(col("vec_id").as("cand_id"),
+        col("label").as("clabel")), Seq("cand_id"))
+      .filter(col("clabel") =!= col("qlabel"))
+      .groupBy(col("query_id"), col("qlabel"))
+      .agg(min_by(col("cand_id"), col("rk")).as("neg_id"),
+        min_by(col("cos"), col("rk")).as("neg_cos"),
+        min(col("rk")).as("neg_rk"))
+      .orderBy(col("query_id"))
+  }
+
+  val q223Oracle: String =
+    s"""WITH ${sqlIvfScoredCtes("", "", "", "", "vec_id % 25 = 0", 2)},
+       |ranked AS (
+       |  SELECT query_id, cand_id, cos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, cand_id) AS INTEGER) AS rk
+       |  FROM scored),
+       |lab AS (SELECT vec_id, label FROM embeddings)
+       |SELECT r.query_id, lq.label AS qlabel,
+       |  min_by(r.cand_id, r.rk) AS neg_id,
+       |  min_by(r.cos, r.rk) AS neg_cos,
+       |  CAST(min(r.rk) AS INTEGER) AS neg_rk
+       |FROM ranked r
+       |  JOIN lab lq ON lq.vec_id = r.query_id
+       |  JOIN lab lc ON lc.vec_id = r.cand_id
+       |WHERE lc.label <> lq.label
+       |GROUP BY 1, 2 ORDER BY query_id""".stripMargin
+
+  // --------------------------------------------------------------------
   // q213 — RECALL@K curve: q207's tuning sweep along the OTHER axis.
   // q207 fixes k and widens the probe; this fixes the probe (q49's
   // 2-cell geometry) and deepens the cutoff — ONE top-10 probe, graded
@@ -1291,6 +1346,7 @@ object OperatorQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q213_recall_at_k" -> q213RecallAtK,
     "q220_cell_balance" -> q220CellBalance,
+    "q223_hard_negatives" -> q223HardNegatives,
     "q207_probe_sweep" -> q207ProbeSweep,
     "q206_bitext_margin" -> q206BitextMargin,
     "q201_bitext_mining" -> q201BitextMining,
@@ -1317,6 +1373,7 @@ object OperatorQueries {
   def oracleSql: Map[String, String] = Map(
     "q213_recall_at_k" -> q213Oracle,
     "q220_cell_balance" -> q220Oracle,
+    "q223_hard_negatives" -> q223Oracle,
     "q207_probe_sweep" -> q207Oracle,
     "q206_bitext_margin" -> q206Oracle,
     "q201_bitext_mining" -> q201Oracle,
