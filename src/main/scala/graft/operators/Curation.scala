@@ -1277,6 +1277,41 @@ object Curation {
         Window.partitionBy(col("lang"), col("source"), col("len_bucket"))))
       .filter(col("cohort_n") >= k)
 
+  // --------------------------------------------------------------------
+  // q226 — l-DIVERSITY audit: the classic strengthening of q168's
+  // k-anonymity. A cohort can be large (k-anonymous) yet still leak —
+  // if every member shares the same SENSITIVE value, cohort membership
+  // reveals it. Here the quasi-id is (source, length bucket) and the
+  // sensitive attribute is lang: per cohort, its size n, its distinct
+  // sensitive count l, and the release verdict n ≥ K AND l ≥ L. The
+  // audit emits every cohort WITH its verdict (a privacy review needs
+  // the suppressed ones most), so it composes with q168: k-anonymity
+  // gates rows, l-diversity gates what a cohort's membership implies.
+  // Scale notes (100 TB): one cohort-keyed aggregate (count +
+  // count-distinct over a small sensitive domain), map-side combined;
+  // output is cohort-bounded. No window needed — unlike q168 the audit
+  // emits cohorts, not rows.
+  val DiversityL = 2
+
+  def q226LDiversity(spark: SparkSession, dir: String): DataFrame =
+    Tables.documentsSharded(spark, dir)
+      .select(col("source"), expr("n_chars div 100").as("len_bucket"),
+        col("lang"))
+      .groupBy(col("source"), col("len_bucket"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("lang")).as("l_distinct"))
+      .withColumn("released",
+        col("n") >= AnonK && col("l_distinct") >= DiversityL)
+      .orderBy(col("source"), col("len_bucket"))
+
+  val q226Oracle: String =
+    s"""SELECT source, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  CAST(count(DISTINCT lang) AS BIGINT) AS l_distinct,
+       |  (count(*) >= $AnonK AND count(DISTINCT lang) >= $DiversityL)
+       |    AS released
+       |FROM documents GROUP BY 1, 2 ORDER BY source, len_bucket""".stripMargin
+
   def q168KAnonymity(spark: SparkSession, dir: String): DataFrame = {
     val keyed = Tables.documentsSharded(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"),
@@ -1702,6 +1737,7 @@ object Curation {
     "q136_weighted_sample" -> q136WeightedSample,
     "q212_contamination_levels" -> q212ContaminationLevels,
     "q214_packing_waste" -> q214PackingWaste,
+    "q226_l_diversity" -> q226LDiversity,
     "q67_contamination" -> q67Contamination,
     "q68_tfidf_topterms" -> q68TfidfTopterms,
     "q69_repetition" -> q69Repetition,
@@ -1732,6 +1768,7 @@ object Curation {
     "q136_weighted_sample" -> q136Oracle,
     "q212_contamination_levels" -> q212Oracle,
     "q214_packing_waste" -> q214Oracle,
+    "q226_l_diversity" -> q226Oracle,
     "q67_contamination" -> q67Oracle,
     "q68_tfidf_topterms" -> q68Oracle,
     "q69_repetition" -> q69Oracle,

@@ -1267,7 +1267,89 @@ object Similarity {
        |  CAST(sum(xj) AS BIGINT) AS s_j, CAST(sum(xi * xj) AS BIGINT) AS s_ij
        |FROM ex GROUP BY 1, 2, 3 ORDER BY i, j""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q227 — PRINCIPAL DIRECTION per subspace via POWER ITERATION: two
+  // unrolled matrix-vector iterations on each block's Gram matrix
+  // (q209's exact moments, averaged per row) — the rotation-fitting
+  // step OPQ/PCA runs on exactly the statistics q209 collects. The
+  // q100 Lloyd discipline applied to power iteration: after every
+  // matvec the vector renormalizes to a ±1000 integer scale through
+  // one double divide + round, and both engines execute the SAME IEEE
+  // op sequence (cast, divide, ×1000, round-half-away), so the whole
+  // trained loop replays in DuckDB bit-for-bit. Emitted vectors are
+  // exact BIGINTs; v1 AND v2 ship so convergence is visible.
+  // Scale notes (100 TB): everything downstream of q209's one corpus
+  // pass operates on d·(B+1)/2-row frames — matvecs are equi-joins on
+  // (blk, j) over model-width-bounded data; per-block maxima are
+  // 4-row aggregates. Corpus size never reappears. The ÷n averaging
+  // also bounds the second matvec's products inside int64 at any
+  // corpus scale.
+  def q227PowerIteration(spark: SparkSession, dir: String): DataFrame = {
+    val cov = q209SubspaceCov(spark, dir)
+    val sym = cov.select(col("blk"), col("i"), col("j"), col("s_ij"), col("n"))
+      .unionByName(cov.filter(col("i") =!= col("j"))
+        .select(col("blk"), col("j").as("i"), col("i").as("j"),
+          col("s_ij"), col("n")))
+      .withColumn("m", round(col("s_ij").cast("double") / col("n")).cast("bigint"))
+    val u1 = sym.groupBy(col("blk"), col("i")).agg(sum(col("m")).as("u1"))
+    val n1 = u1.groupBy(col("blk"))
+      .agg(greatest(max(abs(col("u1"))), lit(1L)).as("mx1"))
+    val v1 = u1.join(n1, Seq("blk"))
+      .withColumn("v1",
+        round(col("u1").cast("double") / col("mx1") * 1000).cast("bigint"))
+    val u2 = sym
+      .join(v1.select(col("blk"), col("i").as("j"), col("v1")), Seq("blk", "j"))
+      .groupBy(col("blk"), col("i")).agg(sum(col("m") * col("v1")).as("u2"))
+    val n2 = u2.groupBy(col("blk"))
+      .agg(greatest(max(abs(col("u2"))), lit(1L)).as("mx2"))
+    u2.join(n2, Seq("blk"))
+      .withColumn("v2",
+        round(col("u2").cast("double") / col("mx2") * 1000).cast("bigint"))
+      .join(v1.select(col("blk"), col("i"), col("v1")), Seq("blk", "i"))
+      .select(col("blk"), col("i"), col("v1"), col("v2"))
+      .orderBy(col("blk"), col("i"))
+  }
+
+  /** q209's oracle nests as the moment source; both iterations replay
+    * with the same double-op sequence the Spark side runs.
+    */
+  val q227Oracle: String = {
+    val covNoOrder = q209Oracle.replace("ORDER BY i, j", "")
+    s"""WITH cov AS (
+       |$covNoOrder
+       |),
+       |sym AS (
+       |  SELECT blk, i, j, s_ij, n FROM cov
+       |  UNION ALL
+       |  SELECT blk, j AS i, i AS j, s_ij, n FROM cov WHERE i <> j),
+       |mm AS (
+       |  SELECT blk, i, j,
+       |    CAST(round(CAST(s_ij AS DOUBLE) / n) AS BIGINT) AS m
+       |  FROM sym),
+       |u1 AS (SELECT blk, i, CAST(sum(m) AS BIGINT) AS u1
+       |       FROM mm GROUP BY 1, 2),
+       |n1 AS (SELECT blk, GREATEST(max(abs(u1)), 1) AS mx1
+       |       FROM u1 GROUP BY 1),
+       |v1 AS (
+       |  SELECT u1.blk, i,
+       |    CAST(round(CAST(u1 AS DOUBLE) / mx1 * 1000) AS BIGINT) AS v1
+       |  FROM u1 JOIN n1 ON u1.blk = n1.blk),
+       |u2 AS (
+       |  SELECT mm.blk, mm.i, CAST(sum(mm.m * v1.v1) AS BIGINT) AS u2
+       |  FROM mm JOIN v1 ON mm.blk = v1.blk AND mm.j = v1.i
+       |  GROUP BY 1, 2),
+       |n2 AS (SELECT blk, GREATEST(max(abs(u2)), 1) AS mx2
+       |       FROM u2 GROUP BY 1)
+       |SELECT u2.blk, u2.i, v1.v1,
+       |  CAST(round(CAST(u2 AS DOUBLE) / mx2 * 1000) AS BIGINT) AS v2
+       |FROM u2
+       |JOIN n2 ON u2.blk = n2.blk
+       |JOIN v1 ON v1.blk = u2.blk AND v1.i = u2.i
+       |ORDER BY u2.blk, u2.i""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q227_power_iteration" -> q227PowerIteration,
     "q209_subspace_cov" -> q209SubspaceCov,
     "q210_knn_hubness" -> q210KnnHubness,
     "q196_int8_quantize" -> q196Int8Quantize,
@@ -1287,6 +1369,7 @@ object Similarity {
     "q165_jl_sketch" -> q165JlSketch)
 
   def oracleSql: Map[String, String] = Map(
+    "q227_power_iteration" -> q227Oracle,
     "q209_subspace_cov" -> q209Oracle,
     "q210_knn_hubness" -> q210Oracle,
     "q196_int8_quantize" -> q196Oracle,

@@ -133,8 +133,12 @@ object TextAnalysis {
   val ChunkLen = 128
   val ChunkStride = 96
 
-  def q222RagChunking(spark: SparkSession, dir: String): DataFrame = {
-    val pre = Tables.documentsSharded(spark, dir)
+  /** The chunker as a ROW-LOCAL transform over any (doc_id, text, ...)
+    * frame — batch (q222) and stream (q225) run THE SAME function, so
+    * the two cannot drift (the rowLocalGate discipline).
+    */
+  private[graft] def chunked(docs: DataFrame): DataFrame = {
+    val pre = docs
       .select(col("doc_id"), split(lower(trim(col("text"))), " ").as("toks"))
       .withColumn("extra", expr(
         s"(greatest(0, size(toks) - $ChunkLen) + ${ChunkStride - 1}) DIV $ChunkStride"))
@@ -146,8 +150,11 @@ object TextAnalysis {
         (col("chunk_idx") * ChunkStride).cast("bigint").as("start_tok"),
         size(col("chunk")).cast("bigint").as("n_tokens"),
         md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
-      .orderBy(col("doc_id"), col("chunk_idx"))
   }
+
+  def q222RagChunking(spark: SparkSession, dir: String): DataFrame =
+    chunked(Tables.documentsSharded(spark, dir))
+      .orderBy(col("doc_id"), col("chunk_idx"))
 
   val q222Oracle: String =
     s"""WITH pre AS (

@@ -1172,7 +1172,30 @@ object StreamingQueries {
       |WHERE fp NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 3 = 0)
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q225 — STREAMING RAG chunk ingestion: q222's chunker applied at
+  // the document stream's edge — the ingestion path a live retrieval
+  // stack runs (new documents arrive, chunks + content hashes flow to
+  // the vector-store writer). The transform is THE SAME row-local
+  // function the batch query runs (TextAnalysis.chunked — the
+  // rowLocalGate parity discipline), so the oracle is q222's
+  // VERBATIM: stream output must equal the batch chunk table.
+  // Scale notes (100 TB/day ingest): chunking is stateless and
+  // row-local — no watermark, no state store; it parallelizes with
+  // source partitions and backpressure is the only coupling.
+  def q225StreamRagChunks(spark: SparkSession, dir: String): DataFrame = {
+    val ss = EventsStreaming.streamSession(spark)
+    val chunks = graft.operators.TextAnalysis.chunked(
+      readDocumentsStream(ss, dir))
+    EventsStreaming.runToMemory(chunks, "q225_mem")
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** Stream-equals-batch: q222's oracle verbatim. */
+  val q225Oracle: String = graft.operators.TextAnalysis.q222Oracle
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q225_stream_rag_chunks" -> q225StreamRagChunks,
     "q153_stream_curation_pipeline" -> q153StreamCurationPipeline,
     "q163_stream_index_update" -> q163StreamIndexUpdate,
     "q122_stream_user_totals" -> q122StreamUserTotals,
@@ -1195,6 +1218,7 @@ object StreamingQueries {
     "q103_stream_dedup_static" -> q103StreamDedupStatic)
 
   def oracleSql: Map[String, String] = Map(
+    "q225_stream_rag_chunks" -> q225Oracle,
     "q153_stream_curation_pipeline" -> q153Oracle,
     "q163_stream_index_update" -> q163Oracle,
     "q122_stream_user_totals" -> q122Oracle,
