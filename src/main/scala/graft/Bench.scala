@@ -65,8 +65,8 @@ object Bench {
     var warmSpentNs = 0L
     var fallbackAnnounced = false
     // COST-AWARE run order: queries run by DESCENDING prior-round cost
-    // (BENCH_r11 centiseconds by query number; name as tiebreak), so if
-    // the warm budget ever exhausts, it exhausts on the CHEAP tail —
+    // (round-12 closing-run centiseconds by query number; name as
+    // tiebreak), so if the warm budget ever exhausts, it exhausts on the CHEAP tail —
     // whose small-SF fallback warm costs little — instead of landing
     // sf0.1 first-touch in heavy queries' timed numbers (rounds 8/9/11
     // all hit this under lexicographic order: the ~100 q1xx names sort
@@ -77,17 +77,17 @@ object Bench {
     // affects only WHICH queries get target-SF warms under a tight
     // budget, not what any query's timed pass measures.
     val priorCostCs: Array[Int] = Array(
-      100,26,36,131,47,31,81,29,21,10,17,12,98,21,49,15,57,86,42,47,24,92,
-      33,96,95,291,47,48,43,47,51,106,47,36,46,28,17,22,163,51,173,225,118,
-      35,166,173,86,97,110,23,131,47,45,92,70,83,41,46,61,69,14,69,75,55,
-      37,78,45,92,40,59,36,139,381,44,45,288,49,77,113,100,124,755,128,174,
-      68,78,44,102,275,40,233,108,63,210,1303,602,87,46,42,254,50,31,110,
-      98,44,43,144,73,76,74,69,42,153,32,103,47,37,87,46,139,157,127,60,35,
-      53,34,62,85,115,41,62,41,17,17,18,12,212,134,53,50,48,41,86,165,86,
-      386,252,67,75,67,181,53,341,241,194,517,507,146,73,83,49,43,237,118,
-      63,63,391,37,80,30,68,280,45,60,104,33,54,135,67,162,60,415,138,230,
-      174,24,65,75,534,130,113,640,176,144,408,107,88,178,27,155,113,33,73,
-      141,103,130,212,120)
+      144,16,21,96,26,20,36,21,18,10,13,8,18,13,44,9,27,91,27,38,18,52,25,
+      62,61,163,38,37,38,33,34,74,36,29,31,20,11,13,123,38,175,145,80,30,96,
+      123,67,77,43,20,91,33,35,80,42,51,25,32,49,62,11,43,54,52,29,72,43,77,
+      45,38,23,123,278,32,38,233,35,62,74,83,75,59,80,135,45,78,46,67,140,
+      31,134,36,25,65,103,196,40,29,32,187,32,23,76,73,38,31,150,49,72,51,
+      46,36,147,23,81,30,28,68,23,160,99,96,74,29,34,26,44,69,94,31,32,41,
+      13,13,12,13,170,49,44,40,50,42,82,78,74,282,175,46,44,41,109,34,201,
+      123,134,197,105,120,59,47,47,32,177,92,93,30,318,39,54,19,55,87,30,43,
+      90,33,60,92,62,61,48,161,123,211,160,21,49,70,175,74,54,244,161,144,
+      269,73,37,86,12,161,100,22,54,59,81,109,99,108,76,247,306,78,76,48,
+      361,70,60,25,81,40,31,44,78,85,67,61,172)
     def costOf(name: String): Int = {
       val n = name.takeWhile(_ != '_').drop(1).toInt
       if (n >= 1 && n <= priorCostCs.length) priorCostCs(n - 1) else Int.MaxValue

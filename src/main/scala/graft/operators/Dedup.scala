@@ -1165,16 +1165,16 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val norm = lower(trim(col("text")))
     val toks = split(norm, " ")
-    // cache the shingle-set boundary (the q82/q40 multi-consumer rule):
-    // three consumers (postings build + both verify re-joins) would
-    // each re-run the interpreted higher-order shingle transform over
-    // the corpus scan. Callers owning a long-lived session clearCache()
-    // after consuming the result — Verify and Bench both do.
-    val sh = Tables.documentsSharded(spark, dir)
-      .filter(col("doc_id") % 2 === 0)
-      .select(col("doc_id"),
-        graft.functions.ShingleSet.shingle_set(toks, 3).as("s"))
-      .cache()
+    // the shingle-set boundary is PERSISTED (StageBoundary, the q82
+    // rule): three consumers (postings build + both verify re-joins)
+    // would each re-run the shingle pass over the corpus scan, and the
+    // old session cache refilled once per session and leaked until the
+    // caller's clearCache. The boundary is built once per dataset.
+    val sh = graft.sources.StageBoundary(spark, "q195sh", dir)(
+      Tables.documentsSharded(spark, dir)
+        .filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"),
+          graft.functions.ShingleSet.shingle_set(toks, 3).as("s")))
     // postings + global df order (df asc, shingle asc — a total order)
     val posted = sh.select(col("doc_id"),
       size(col("s")).cast("bigint").as("nsh"), explode(col("s")).as("g"))
