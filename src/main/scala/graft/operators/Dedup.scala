@@ -948,6 +948,72 @@ object Dedup {
   private val SimJoinTau = 0.5
 
   // --------------------------------------------------------------------
+  // q228 — PAIR EVIDENCE at span granularity: for every q32 verified
+  // near-dup pair, HOW the two documents overlap — their 8-token span
+  // inventories, the shared-span count, and the containment of the
+  // smaller side (n_shared / min). q159 answers "why was this doc
+  // dropped" at pair level; this answers "show me the overlap" at
+  // span level — the evidence a human reviewer or an appeals process
+  // actually reads, and the signal that separates a full-document
+  // mirror (containment ≈ 1) from heavy boilerplate sharing
+  // (containment mid-range with large inventories) from REORDERED
+  // near-dups (n_shared = 0: same token set, no common 8-span —
+  // token-set Jaccard is order-blind, span evidence is not; the
+  // fixture's shuffled-duplicate class lands here). Spans ride the
+  // native ShingleSet(8) pass (the q95 alphabet, lower/trim
+  // normalized).
+  // Scale notes (100 TB): two equi-joins from the bounded verified
+  // pair stream to the per-doc span arrays; the intersection is a
+  // per-row array op on the join output — no explode, no span-keyed
+  // shuffle (that's q95's corpus-wide job; this touches only paired
+  // docs).
+  def q228PairEvidence(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsSharded(spark, dir)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), graft.functions.ShingleSet.shingle_set(
+        split(lower(trim(col("text"))), " "), SpanLen).as("spans"))
+    q32MinhashNeardup(spark, dir)
+      .join(docs.select(col("doc_id").as("doc_a"), col("spans").as("sa")),
+        Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("spans").as("sb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(col("sa")).cast("bigint").as("na_spans"),
+        size(col("sb")).cast("bigint").as("nb_spans"),
+        size(array_intersect(col("sa"), col("sb"))).cast("bigint")
+          .as("n_shared"))
+      .withColumn("containment", round(col("n_shared").cast("double")
+        / least(col("na_spans"), col("nb_spans")), 6))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q228Oracle: String = {
+    val pairsNoOrder = q32Oracle.replace("ORDER BY doc_a, doc_b", "")
+    s"""WITH pairs AS (
+       |$pairsNoOrder
+       |),
+       |sp AS (
+       |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= $SpanLen
+       |    THEN list_transform(generate_series(1, len(t) - ${SpanLen - 1}),
+       |           i -> array_to_string(t[i:i+${SpanLen - 1}], ' '))
+       |    ELSE [array_to_string(t, ' ')] END) AS spans
+       |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
+       |        FROM documents WHERE doc_id % 5 = 0)),
+       |ev AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(a.spans) AS BIGINT) AS na_spans,
+       |    CAST(len(b.spans) AS BIGINT) AS nb_spans,
+       |    CAST(len(list_intersect(a.spans, b.spans)) AS BIGINT) AS n_shared
+       |  FROM pairs
+       |  JOIN sp a ON doc_a = a.doc_id
+       |  JOIN sp b ON doc_b = b.doc_id)
+       |SELECT doc_a, doc_b, na_spans, nb_spans, n_shared,
+       |  round(CAST(n_shared AS DOUBLE) / least(na_spans, nb_spans), 6)
+       |    AS containment
+       |FROM ev ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
   // q219 — SOURCE-COPY matrix: q32's verified near-dup pairs rolled up
   // by (source_a, source_b) — which sources duplicate which. This is
   // the provenance/licensing audit a corpus release runs: heavy
@@ -1251,6 +1317,7 @@ object Dedup {
     "q215_lsh_recall_eval" -> q215LshRecallEval,
     "q217_sketch_fidelity" -> q217SketchFidelity,
     "q219_source_copy_matrix" -> q219SourceCopyMatrix,
+    "q228_pair_evidence" -> q228PairEvidence,
     "q85_incremental_dedup" -> q85IncrementalDedup,
     "q92_eval_split" -> q92EvalSplit,
     "q95_dup_span_fraction" -> q95DupSpanFraction)
@@ -1270,6 +1337,7 @@ object Dedup {
     "q215_lsh_recall_eval" -> q215Oracle,
     "q217_sketch_fidelity" -> q217Oracle,
     "q219_source_copy_matrix" -> q219Oracle,
+    "q228_pair_evidence" -> q228Oracle,
     "q85_incremental_dedup" -> q85Oracle,
     "q92_eval_split" -> q92Oracle,
     "q95_dup_span_fraction" -> q95Oracle)

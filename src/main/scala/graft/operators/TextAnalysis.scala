@@ -353,6 +353,67 @@ object TextAnalysis {
        |FROM documents ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------
+  // q229 — CURRICULUM PHASES by LM-score quartile: split the corpus
+  // into four training phases by each document's mean unigram-token
+  // frequency (q94's exact model stats; low mean count = rare-token-
+  // heavy = "hard") and report each phase's document count, token
+  // mass, count mass and score range — the schedule a curriculum-
+  // learning run feeds to its sampler (easy phases first, hard last).
+  // The quartile thresholds are ONE 1-row interpolated-percentile
+  // aggregate riding the optimizer-opaque join (the q186 mechanism —
+  // both engines interpolate bit-identically per the q169 contract),
+  // and the score itself is one rounded IEEE divide of two exact
+  // integers, so phase membership cannot flip between engines.
+  // Scale notes (100 TB): rides q94's one corpus pass + vocab join;
+  // the percentile is a sort-based agg on ONE double column; phasing
+  // is three scan-side comparisons; output is 4 rows.
+  def q229CurriculumPhases(spark: SparkSession, dir: String): DataFrame = {
+    val stats = unigramModel(Tables.documentsSharded(spark, dir)
+        .select(col("doc_id"), col("text")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("cnt")).as("sum_cnt"))
+      .withColumn("score",
+        round(col("sum_cnt").cast("double") / col("n_tokens"), 6))
+    val th = stats
+      .agg(expr("percentile(score, array(0.25, 0.5, 0.75))").as("th"),
+        count(lit(1)).as("nd"))
+      .withColumn("_k", graft.plans.Opaque.zeroKey(col("nd")))
+    stats.withColumn("_k", graft.plans.Opaque.zeroKey(col("n_tokens")))
+      .join(th, Seq("_k"))
+      .withColumn("phase",
+        when(col("score") <= element_at(col("th"), 1), 1)
+          .when(col("score") <= element_at(col("th"), 2), 2)
+          .when(col("score") <= element_at(col("th"), 3), 3)
+          .otherwise(4))
+      .groupBy(col("phase"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tokens"),
+        sum(col("sum_cnt")).as("cnt_mass"),
+        min(col("score")).as("min_score"), max(col("score")).as("max_score"))
+      .orderBy(col("phase"))
+  }
+
+  val q229Oracle: String =
+    """WITH ex AS (
+      |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+      |  FROM documents),
+      |vocab AS (SELECT tok, count(*) AS cnt FROM ex GROUP BY 1),
+      |stats AS (
+      |  SELECT doc_id, count(*) AS n_tokens, CAST(sum(cnt) AS BIGINT) AS sum_cnt,
+      |    round(CAST(sum(cnt) AS DOUBLE) / count(*), 6) AS score
+      |  FROM ex JOIN vocab USING (tok) GROUP BY doc_id),
+      |th AS (SELECT quantile_cont(score, [0.25, 0.5, 0.75]) AS th FROM stats)
+      |SELECT phase, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS tokens,
+      |  CAST(sum(sum_cnt) AS BIGINT) AS cnt_mass,
+      |  min(score) AS min_score, max(score) AS max_score
+      |FROM (
+      |  SELECT s.*, CASE WHEN score <= th[1] THEN 1 WHEN score <= th[2] THEN 2
+      |    WHEN score <= th[3] THEN 3 ELSE 4 END AS phase
+      |  FROM stats s, th)
+      |GROUP BY 1 ORDER BY phase""".stripMargin
+
+  // --------------------------------------------------------------------
   // q218 — TOKENIZER FERTILITY by language: per-lang totals of
   // characters, whitespace words and q52's subword-regex tokens — the
   // audit behind "how many training tokens does each language cost per
@@ -1614,6 +1675,7 @@ object TextAnalysis {
     "q218_lang_fertility" -> q218LangFertility,
     "q221_langid_confusion" -> q221LangIdConfusion,
     "q222_rag_chunking" -> q222RagChunking,
+    "q229_curriculum_phases" -> q229CurriculumPhases,
     "q224_ngram_diff" -> q224VocabDiff,
     "q205_quality_calibration" -> q205QualityCalibration,
     "q204_bpe_train" -> q204BpeTrain,
@@ -1642,6 +1704,7 @@ object TextAnalysis {
     "q218_lang_fertility" -> q218Oracle,
     "q221_langid_confusion" -> q221Oracle,
     "q222_rag_chunking" -> q222Oracle,
+    "q229_curriculum_phases" -> q229Oracle,
     "q224_ngram_diff" -> q224Oracle,
     "q205_quality_calibration" -> q205Oracle,
     "q204_bpe_train" -> q204Oracle,
