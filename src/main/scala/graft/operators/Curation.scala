@@ -1278,6 +1278,74 @@ object Curation {
       .filter(col("cohort_n") >= k)
 
   // --------------------------------------------------------------------
+  // q230 — DATASET CARD: the one-row corpus summary a release ships
+  // alongside its data — document/token/char totals, language and
+  // source counts, vocabulary size, the exact-duplicate surplus
+  // (n_docs − distinct texts, q31's signal as a headline number) and
+  // the quality-gate pass count (q29's composite at q82's threshold).
+  // Every emitted field is an exact integer, so the card is
+  // reproducible to the digit across engines and releases — the
+  // property that makes cards diffable (q197/q224 diff content; this
+  // diffs the summary).
+  // Scale notes (100 TB): two corpus passes — one row-local
+  // multi-counter aggregate (count-distincts over bounded domains plus
+  // the content-hash NDV, which is the one genuinely corpus-keyed
+  // distinct and shuffles on the hash), and one tokenize for the
+  // vocabulary NDV — joined via the optimizer-opaque 1-row key.
+  def q230DatasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsSharded(spark, dir)
+    val main = docs.select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars"),
+        size(split(col("text"), " ")).cast("bigint").as("n_toks"),
+        (qualityScoreCol >= QualityMin).cast("long").as("q_ok"),
+        md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("h")).as("n_unique_texts"),
+        sum(col("q_ok")).as("n_quality_pass"))
+      .withColumn("_k", graft.plans.Opaque.zeroKey(col("n_docs")))
+    val vocab = docs
+      .select(explode(split(lower(trim(col("text"))), " ")).as("tok"))
+      .agg(countDistinct(col("tok")).as("vocab"))
+      .withColumn("_k", graft.plans.Opaque.zeroKey(col("vocab")))
+    main.join(vocab, Seq("_k"))
+      .select(col("n_docs"), col("n_tokens"), col("sum_chars"),
+        col("n_langs"), col("n_sources"),
+        (col("n_docs") - col("n_unique_texts")).as("n_exact_dups"),
+        col("n_quality_pass"), col("vocab"))
+  }
+
+  val q230Oracle: String =
+    s"""WITH q AS (
+       |  SELECT doc_id, lang, source, n_chars, text,
+       |    len(string_split(text, ' ')) AS n_tokens,
+       |    len(list_distinct(string_split(text, ' '))) AS n_uniq,
+       |    len(text) - len(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct
+       |  FROM documents),
+       |main AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       |    CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups,
+       |    CAST(sum(CASE WHEN round(0.4 * least(1.0, n_tokens / 100.0)
+       |        + 0.4 * (CAST(n_uniq AS DOUBLE) / n_tokens)
+       |        + 0.2 * (1.0 - CAST(punct AS DOUBLE) / n_chars), 6)
+       |        >= $QualityMin THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_pass
+       |  FROM q),
+       |voc AS (
+       |  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab FROM (
+       |    SELECT unnest(string_split(lower(trim(text)), ' ')) AS tok
+       |    FROM documents))
+       |SELECT n_docs, n_tokens, sum_chars, n_langs, n_sources,
+       |  n_exact_dups, n_quality_pass, vocab
+       |FROM main, voc""".stripMargin
+
+  // --------------------------------------------------------------------
   // q226 — l-DIVERSITY audit: the classic strengthening of q168's
   // k-anonymity. A cohort can be large (k-anonymous) yet still leak —
   // if every member shares the same SENSITIVE value, cohort membership
@@ -1738,6 +1806,7 @@ object Curation {
     "q212_contamination_levels" -> q212ContaminationLevels,
     "q214_packing_waste" -> q214PackingWaste,
     "q226_l_diversity" -> q226LDiversity,
+    "q230_dataset_card" -> q230DatasetCard,
     "q67_contamination" -> q67Contamination,
     "q68_tfidf_topterms" -> q68TfidfTopterms,
     "q69_repetition" -> q69Repetition,
@@ -1769,6 +1838,7 @@ object Curation {
     "q212_contamination_levels" -> q212Oracle,
     "q214_packing_waste" -> q214Oracle,
     "q226_l_diversity" -> q226Oracle,
+    "q230_dataset_card" -> q230Oracle,
     "q67_contamination" -> q67Oracle,
     "q68_tfidf_topterms" -> q68Oracle,
     "q69_repetition" -> q69Oracle,

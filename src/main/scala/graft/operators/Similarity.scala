@@ -1268,6 +1268,47 @@ object Similarity {
        |FROM ex GROUP BY 1, 2, 3 ORDER BY i, j""".stripMargin
 
   // --------------------------------------------------------------------
+  // q231 — ROBUST SCALING stats per embedding dimension: median and
+  // MAD (median absolute deviation) of every dimension over the
+  // scaled-integer lift — the outlier-resistant normalization prep
+  // (q196's min/max quantizer saturates on one outlier; median/MAD
+  // does not, which is why robust scalers use it). Medians are the
+  // interpolated-percentile aggregate both engines compute
+  // bit-identically (the q169/q186 contract); the deviation |v − med|
+  // is the same IEEE subtract+abs on both sides, so the second
+  // percentile's input is identical too. min/max ride along for the
+  // saturation comparison against q196.
+  // Scale notes (100 TB): one posexplode (d rows/vec) into two
+  // d-group percentile aggregates with a d-row broadcast join between
+  // them — group count is model width, never corpus size.
+  def q231RobustScaling(spark: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.embeddingsSharded(spark, dir)
+      .select(posexplode(scaled).as(Seq("dim", "v")))
+    val med = ex.groupBy(col("dim"))
+      .agg(expr("percentile(v, 0.5)").as("med"))
+    ex.join(broadcast(med), Seq("dim"))
+      .withColumn("dev", abs(col("v") - col("med")))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), max(col("med")).as("med"),
+        expr("percentile(dev, 0.5)").as("mad"),
+        min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+      .orderBy(col("dim"))
+  }
+
+  val q231Oracle: String =
+    s"""WITH sva AS (
+       |  SELECT $SqlScaled AS sv FROM embeddings),
+       |ei AS (SELECT sv, unnest(generate_series(1, len(sv))) AS i FROM sva),
+       |ex AS (SELECT CAST(i - 1 AS INTEGER) AS dim, sv[i] AS v FROM ei),
+       |med AS (SELECT dim, quantile_cont(v, 0.5) AS med FROM ex GROUP BY 1),
+       |ag AS (
+       |  SELECT e.dim, CAST(count(*) AS BIGINT) AS n, max(med) AS med,
+       |    quantile_cont(abs(v - med), 0.5) AS mad,
+       |    CAST(min(v) AS BIGINT) AS vmin, CAST(max(v) AS BIGINT) AS vmax
+       |  FROM ex e JOIN med USING (dim) GROUP BY 1)
+       |SELECT dim, n, med, mad, vmin, vmax FROM ag ORDER BY dim""".stripMargin
+
+  // --------------------------------------------------------------------
   // q227 — PRINCIPAL DIRECTION per subspace via POWER ITERATION: two
   // unrolled matrix-vector iterations on each block's Gram matrix
   // (q209's exact moments, averaged per row) — the rotation-fitting
@@ -1350,6 +1391,7 @@ object Similarity {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q227_power_iteration" -> q227PowerIteration,
+    "q231_robust_scaling" -> q231RobustScaling,
     "q209_subspace_cov" -> q209SubspaceCov,
     "q210_knn_hubness" -> q210KnnHubness,
     "q196_int8_quantize" -> q196Int8Quantize,
@@ -1370,6 +1412,7 @@ object Similarity {
 
   def oracleSql: Map[String, String] = Map(
     "q227_power_iteration" -> q227Oracle,
+    "q231_robust_scaling" -> q231Oracle,
     "q209_subspace_cov" -> q209Oracle,
     "q210_knn_hubness" -> q210Oracle,
     "q196_int8_quantize" -> q196Oracle,
