@@ -77,17 +77,17 @@ object Bench {
     // affects only WHICH queries get target-SF warms under a tight
     // budget, not what any query's timed pass measures.
     val priorCostCs: Array[Int] = Array(
-      144,16,21,96,26,20,36,21,18,10,13,8,18,13,44,9,27,91,27,38,18,52,25,
-      62,61,163,38,37,38,33,34,74,36,29,31,20,11,13,123,38,175,145,80,30,96,
-      123,67,77,43,20,91,33,35,80,42,51,25,32,49,62,11,43,54,52,29,72,43,77,
-      45,38,23,123,278,32,38,233,35,62,74,83,75,59,80,135,45,78,46,67,140,
-      31,134,36,25,65,103,196,40,29,32,187,32,23,76,73,38,31,150,49,72,51,
-      46,36,147,23,81,30,28,68,23,160,99,96,74,29,34,26,44,69,94,31,32,41,
-      13,13,12,13,170,49,44,40,50,42,82,78,74,282,175,46,44,41,109,34,201,
-      123,134,197,105,120,59,47,47,32,177,92,93,30,318,39,54,19,55,87,30,43,
-      90,33,60,92,62,61,48,161,123,211,160,21,49,70,175,74,54,244,161,144,
-      269,73,37,86,12,161,100,22,54,59,81,109,99,108,76,247,306,78,76,48,
-      361,70,60,25,81,40,31,44,78,85,67,61,172)
+      148,14,29,96,40,23,37,23,15,10,11,9,24,18,42,11,27,84,35,46,95,64,37,
+      49,61,154,29,41,27,49,43,81,40,32,34,27,16,18,141,40,133,184,100,25,
+      94,131,77,79,44,22,90,38,38,92,51,49,26,41,44,71,17,44,54,53,32,64,44,
+      82,41,40,26,107,308,31,38,305,49,69,97,90,75,57,85,145,45,90,41,77,
+      124,30,171,38,29,67,99,210,30,45,48,189,31,35,92,94,40,35,127,55,87,
+      55,46,27,134,28,75,52,43,93,39,145,114,106,67,37,34,29,43,75,110,33,
+      36,35,22,15,15,16,208,39,53,54,38,51,87,102,89,289,207,37,45,60,106,
+      41,263,134,159,200,100,100,60,56,32,31,195,84,61,36,359,41,64,28,58,
+      98,34,39,83,20,48,95,70,84,74,133,126,264,157,31,44,76,165,110,48,264,
+      186,130,226,87,36,93,15,157,71,35,58,58,90,102,99,98,58,220,314,70,53,
+      37,307,64,41,25,61,39,29,37,51,75,54,52,164,153,103,72,109)
     def costOf(name: String): Int = {
       val n = name.takeWhile(_ != '_').drop(1).toInt
       if (n >= 1 && n <= priorCostCs.length) priorCostCs(n - 1) else Int.MaxValue
