@@ -26,7 +26,16 @@ class PartitionInvarianceSpec extends SparkSpec {
     // decimal neighbourhood sums + margin rerank (q206), prefix-filter
     // verify (q195), quantile thresholds + contingency (q205)
     "q204_bpe_train", "q206_bitext_margin", "q195_prefix_filter_join",
-    "q205_quality_calibration")
+    "q205_quality_calibration",
+    // round 12: interpolated-percentile thresholds feeding phase/bin
+    // membership (q229, q231), renormalized power iterates (q227 —
+    // double divide+round per iteration), probe-rank min_by mining
+    // (q223), recall sweep over the ranked probe (q213), and the
+    // sketch-agreement cross-tab whose inputs ride partial-agg merges
+    // (q217)
+    "q229_curriculum_phases", "q231_robust_scaling",
+    "q227_power_iteration", "q223_hard_negatives", "q213_recall_at_k",
+    "q217_sketch_fidelity")
 
   test("results are bit-identical across shuffle-partition settings") {
     def run(parts: Int): Map[String, Seq[String]] = {
