@@ -8,6 +8,49 @@ import org.apache.spark.sql.SparkSession
   * pays for). Prints ONE JSON line for the driver.
   */
 object Bench {
+
+  /** Prior-round per-query cost table (centiseconds), indexed by query
+    * number (entry i is q(i+1)) — drives the cost-aware warm order
+    * below. GENERATED, not hand-maintained: refresh at round close
+    * with `python3 tools/gen_cost_table.py <bench.json>` which emits
+    * this literal from the closing run; BenchCostTableSpec fails the
+    * build if the registry grows past the table, so a skipped refresh
+    * is loud, not silent.
+    */
+  val priorCostCs: Array[Int] = Array(
+    148,14,29,96,40,23,37,23,15,10,11,9,24,18,42,11,27,84,35,46,95,64,37,
+    49,61,154,29,41,27,49,43,81,40,32,34,27,16,18,141,40,133,184,100,25,
+    94,131,77,79,44,22,90,38,38,92,51,49,26,41,44,71,17,44,54,53,32,64,44,
+    82,41,40,26,107,308,31,38,305,49,69,97,90,75,57,85,145,45,90,41,77,
+    124,30,171,38,29,67,99,210,30,45,48,189,31,35,92,94,40,35,127,55,87,
+    55,46,27,134,28,75,52,43,93,39,145,114,106,67,37,34,29,43,75,110,33,
+    36,35,22,15,15,16,208,39,53,54,38,51,87,102,89,289,207,37,45,60,106,
+    41,263,134,159,200,100,100,60,56,32,31,195,84,61,36,359,41,64,28,58,
+    98,34,39,83,20,48,95,70,84,74,133,126,264,157,31,44,76,165,110,48,264,
+    186,130,226,87,36,93,15,157,71,35,58,58,90,102,99,98,58,220,314,70,53,
+    37,307,64,41,25,61,39,29,37,51,75,54,52,164,153,103,72,109)
+
+  def costOf(name: String): Int = {
+    val n = name.takeWhile(_ != '_').drop(1).toInt
+    if (n >= 1 && n <= priorCostCs.length) priorCostCs(n - 1) else Int.MaxValue
+  }
+
+  /** BOUNDARY OWNERS sort first regardless of steady-state cost:
+    * their warm pass funds a persisted per-DATASET boundary
+    * (StageBoundary) that the rest of their family reads, so their
+    * steady-state centiseconds understate what their warm pass is
+    * worth. Under a tight budget, leaving them late means the one
+    * query that would have built the boundary for everyone instead
+    * builds it inside its own timed pass (the 60 s stress run put
+    * q82 at 4.0 s that way). The set is the boundary-creating
+    * entry point per family; consumers (q188, q191, q192, q210,
+    * q211, ...) ride whatever these build.
+    */
+  val boundaryOwners = Set("q82_curation_pipeline", "q187_bm25_retrieval",
+    "q189_dsir_weights", "q190_semantic_dedup", "q195_prefix_filter_join",
+    "q49_ivf_ann", "q32_minhash_neardup", "q156_knn_graph",
+    "q215_lsh_recall_eval", "q76_dedup_clusters", "q182_release_pipeline")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -76,35 +119,6 @@ object Bench {
     // per-query clearCache isolation contract is unchanged — order
     // affects only WHICH queries get target-SF warms under a tight
     // budget, not what any query's timed pass measures.
-    val priorCostCs: Array[Int] = Array(
-      148,14,29,96,40,23,37,23,15,10,11,9,24,18,42,11,27,84,35,46,95,64,37,
-      49,61,154,29,41,27,49,43,81,40,32,34,27,16,18,141,40,133,184,100,25,
-      94,131,77,79,44,22,90,38,38,92,51,49,26,41,44,71,17,44,54,53,32,64,44,
-      82,41,40,26,107,308,31,38,305,49,69,97,90,75,57,85,145,45,90,41,77,
-      124,30,171,38,29,67,99,210,30,45,48,189,31,35,92,94,40,35,127,55,87,
-      55,46,27,134,28,75,52,43,93,39,145,114,106,67,37,34,29,43,75,110,33,
-      36,35,22,15,15,16,208,39,53,54,38,51,87,102,89,289,207,37,45,60,106,
-      41,263,134,159,200,100,100,60,56,32,31,195,84,61,36,359,41,64,28,58,
-      98,34,39,83,20,48,95,70,84,74,133,126,264,157,31,44,76,165,110,48,264,
-      186,130,226,87,36,93,15,157,71,35,58,58,90,102,99,98,58,220,314,70,53,
-      37,307,64,41,25,61,39,29,37,51,75,54,52,164,153,103,72,109)
-    def costOf(name: String): Int = {
-      val n = name.takeWhile(_ != '_').drop(1).toInt
-      if (n >= 1 && n <= priorCostCs.length) priorCostCs(n - 1) else Int.MaxValue
-    }
-    // BOUNDARY OWNERS sort first regardless of steady-state cost:
-    // their warm pass funds a persisted per-DATASET boundary
-    // (StageBoundary) that the rest of their family reads, so their
-    // steady-state centiseconds understate what their warm pass is
-    // worth. Under a tight budget, leaving them late means the one
-    // query that would have built the boundary for everyone instead
-    // builds it inside its own timed pass (the 60 s stress run put
-    // q82 at 4.0 s that way). The set is the boundary-creating
-    // entry point per family; consumers (q188, q191, q192, ...) ride
-    // whatever these build.
-    val boundaryOwners = Set("q82_curation_pipeline", "q187_bm25_retrieval",
-      "q189_dsir_weights", "q190_semantic_dedup", "q195_prefix_filter_join",
-      "q49_ivf_ann")
     val results = SparkEntry.queries.toSeq
       .sortBy { case (name, _) =>
         (if (boundaryOwners(name)) 0 else 1, -costOf(name), name)

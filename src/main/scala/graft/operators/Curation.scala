@@ -785,8 +785,12 @@ object Curation {
     // what a 100 TB pipeline run does anyway (executor memory cannot
     // hold a corpus intermediate; restarts must not re-run upstream
     // stages). Both cuts are the stage MINIMA (decontaminated ≈ 2/3 of
-    // the sample, mixture ≈ 13%); staleness is impossible — the
-    // boundary is keyed by the input listing's fingerprint.
+    // the sample, mixture ≈ 13%). The boundary is keyed by the input
+    // listing's (path, length, mtime) fingerprint — any file add /
+    // remove / resize / rewrite invalidates it; the one blind spot is
+    // a same-size in-place rewrite inside the FS's mtime granularity
+    // (regenerated fixtures should delete-then-write, which the driver
+    // does).
     val decon = graft.sources.StageBoundary(spark, "q82s1", dir)(
       decontaminated(spark, dir))
     val mixed = graft.sources.StageBoundary(spark, "q82s2", dir)(
@@ -1513,14 +1517,21 @@ object Curation {
   // boilerplateScrub), so parity with q168/q172 is structural.
   // Scale notes (100 TB): the gate's one count-window shuffle, a
   // doc_id equi-join, then the scrub's agg + anti-join — no new
-  // shuffle classes beyond the standalone stages; the gate output
-  // joins twice (survivor filter, final cohort_n attach) which at
-  // production scale is the documented q82-style persisted cut-point.
+  // shuffle classes beyond the standalone stages. The gate output is
+  // a PERSISTED cut-point (StageBoundary, the q82 rule): it is
+  // consumed by FOUR subtrees — the survivor filter under each of the
+  // scrub's three `segs` consumers (boiler freq, anti-join left side,
+  // per-doc totals; Spark does not CSE DataFrame subtrees across
+  // differently-keyed exchanges) plus the final cohort_n attach — so
+  // unmaterialized, the count-window + join ran 4x per session (the
+  // round-12 q182-vs-q172 bench anomaly: same scrub, 4-7x the line).
   def q182ReleasePipeline(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documentsSharded(spark, dir)
-    val keyed = docs.select(col("doc_id"), col("lang"), col("source"),
-      expr("n_chars div 100").as("len_bucket"))
-    val kept = kAnonymityGate(keyed, AnonK).select(col("doc_id"), col("cohort_n"))
+    val kept = graft.sources.StageBoundary(spark, "q182kept", dir) {
+      val keyed = docs.select(col("doc_id"), col("lang"), col("source"),
+        expr("n_chars div 100").as("len_bucket"))
+      kAnonymityGate(keyed, AnonK).select(col("doc_id"), col("cohort_n"))
+    }
     val survivors = docs.select(col("doc_id"), col("text"))
       .join(kept.select(col("doc_id")), Seq("doc_id"))
     boilerplateScrub(survivors, BoilerplateMinDocs)

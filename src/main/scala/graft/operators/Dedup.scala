@@ -111,7 +111,7 @@ object Dedup {
       .withColumn("bkey", element_at(col("bkeys"), col("band") + 1))
   }
 
-  private[operators] def minhashPairsOf(docs: DataFrame): DataFrame = {
+  private[graft] def minhashPairsOf(docs: DataFrame): DataFrame = {
     // Plan shape (round 4): TWO shuffles total — the band exchange
     // (shared by both self-join sides via ReuseExchange) and the final
     // sort. Token sets ride THROUGH the band join, so the exact-Jaccard
@@ -142,11 +142,27 @@ object Dedup {
       .filter(col("jaccard") >= 0.9)
   }
 
+  /** q32's verified pair set as a PERSISTED stage boundary (the q82
+    * rule): the highest-fan-in intermediate in the dedup-audit tier —
+    * q32 itself, the keeper set (q56/q81/q159), the cluster family
+    * (q76/q211), the recall eval (q215), the span evidence (q228) and
+    * the source-copy matrix (q219) all consume the same
+    * dataset-determined pairs. Unmaterialized, each consumer re-ran
+    * the signature → band → bucket-join → verify chain per session;
+    * the boundary pays it once per DATASET, which is what a 100 TB
+    * dedup stage does anyway (the verified pair list is a checkpoint
+    * artifact, not a per-query recompute). Fingerprint-keyed, so
+    * regenerated input invalidates it (see StageBoundary).
+    */
+  def q32Pairs(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.StageBoundary(spark, "q32pairs", dir)(
+      minhashPairsOf(Tables.documentsSharded(spark, dir)
+        .filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"),
+          array_distinct(split(col("text"), " ")).as("toks"))))
+
   def q32MinhashNeardup(spark: SparkSession, dir: String): DataFrame =
-    minhashPairsOf(Tables.documentsSharded(spark, dir)
-      .filter(col("doc_id") % 5 === 0)
-      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks")))
-      .orderBy(col("doc_a"), col("doc_b"))
+    q32Pairs(spark, dir).orderBy(col("doc_a"), col("doc_b"))
 
   /** The q32 pair SQL over any FROM-clause body supplying
     * (doc_id, text) — the DuckDB twin of [[minhashPairsOf]], shared by
@@ -220,7 +236,7 @@ object Dedup {
     * be a wasted corpus-sized exchange).
     */
   def keeperSet(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = q32MinhashNeardup(spark, dir)
+    val pairs = q32Pairs(spark, dir)
     // NO broadcast hint on the discard set: it scales with the corpus
     // (a near-dup-heavy 100 TB corpus discards billions of ids), so the
     // anti join must stay a shuffled join; AQE downgrades it to
@@ -334,12 +350,22 @@ object Dedup {
     labels
   }
 
-  def q76DedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = q32MinhashNeardup(spark, dir).select(col("doc_a"), col("doc_b"))
-    val docs = Tables.documentsSharded(spark, dir)
-      .filter(col("doc_id") % 5 === 0).select(col("doc_id"))
-    connectedComponents(docs, pairs).orderBy(col("doc_id"))
-  }
+  /** The q32 sample's component labels as a PERSISTED stage boundary:
+    * the iterative min-label propagation (localCheckpoint per round)
+    * is a per-DATASET computation consumed by q76 and q211 — exactly
+    * the artifact a dedup stage checkpoints (cluster assignments),
+    * never recomputes per report.
+    */
+  private def sampleComponents(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.StageBoundary(spark, "q76cc", dir) {
+      connectedComponents(
+        Tables.documentsSharded(spark, dir)
+          .filter(col("doc_id") % 5 === 0).select(col("doc_id")),
+        q32Pairs(spark, dir).select(col("doc_a"), col("doc_b")))
+    }
+
+  def q76DedupClusters(spark: SparkSession, dir: String): DataFrame =
+    sampleComponents(spark, dir).orderBy(col("doc_id"))
 
   // the q32 pair query nests as a CTE body (DuckDB allows a full
   // WITH..SELECT inside a CTE); the recursive closure then takes the
@@ -387,8 +413,7 @@ object Dedup {
       .filter(col("doc_id") % 5 === 0)
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
-    val comp = connectedComponents(sample.select(col("doc_id")),
-      q32MinhashNeardup(spark, dir).select(col("doc_a"), col("doc_b")))
+    val comp = sampleComponents(spark, dir)
     val clusters = comp.join(sample, Seq("doc_id"))
       .groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"),
@@ -972,7 +997,7 @@ object Dedup {
       .filter(col("doc_id") % 5 === 0)
       .select(col("doc_id"), graft.functions.ShingleSet.shingle_set(
         split(lower(trim(col("text"))), " "), SpanLen).as("spans"))
-    q32MinhashNeardup(spark, dir)
+    q32Pairs(spark, dir)
       .join(docs.select(col("doc_id").as("doc_a"), col("spans").as("sa")),
         Seq("doc_a"))
       .join(docs.select(col("doc_id").as("doc_b"), col("spans").as("sb")),
@@ -1030,7 +1055,7 @@ object Dedup {
   def q219SourceCopyMatrix(spark: SparkSession, dir: String): DataFrame = {
     val src = Tables.documentsSharded(spark, dir)
       .select(col("doc_id"), col("source"))
-    q32MinhashNeardup(spark, dir)
+    q32Pairs(spark, dir)
       .join(src.select(col("doc_id").as("doc_a"), col("source").as("source_a")),
         Seq("doc_a"))
       .join(src.select(col("doc_id").as("doc_b"), col("source").as("source_b")),
@@ -1142,41 +1167,58 @@ object Dedup {
   // cannot measure its candidate recall cannot be tuned.
   // Scale notes (100 TB): both sides are bucketed equi-joins (prefix
   // postings / band keys); the comparison is one full-outer on the
-  // pair key + a 4-counter aggregate. Output is 1 row.
+  // pair key + a 4-counter aggregate. Output is 1 row. BOTH sides are
+  // dataset-determined artifacts, so both ride persisted boundaries:
+  // the exact τ-pair ground truth ("q215ex" — a ground-truth set is
+  // computed once per corpus release, then every eval and every
+  // threshold sweep reads it) and q32's banded pair set ("q32pairs").
+  // The steady-state eval is two bounded parquet reads + the
+  // full-outer + the 4-counter agg.
   val RecallTau = 0.9
 
+  /** The exact τ=0.9 Jaccard pair set via prefix-filtered (PPJoin)
+    * set-similarity join — the eval's ground truth, persisted once per
+    * dataset.
+    */
+  private def exactTauPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.StageBoundary(spark, "q215ex", dir) {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documentsSharded(spark, dir)
+        .filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+        .cache()
+      val posted = docs.select(col("doc_id"),
+        size(col("toks")).cast("bigint").as("nt"), explode(col("toks")).as("g"))
+      val dfreq = posted.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      // τ = 0.9 prefix length: nt - ceil(0.9·nt) + 1, integer arithmetic
+      val prefix = posted.join(dfreq, Seq("g"))
+        .withColumn("p", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
+        .filter(col("p") <= col("nt") - expr("(9 * nt + 9) div 10") + 1)
+        .select(col("doc_id"), col("nt"), col("g"))
+      val cands = prefix.as("x").join(prefix.as("y"),
+          col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id") &&
+            lit(10) * least(col("x.nt"), col("y.nt")) >=
+              lit(9) * greatest(col("x.nt"), col("y.nt")))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val exact = cands
+        .join(docs.select(col("doc_id").as("doc_a"), col("toks").as("ta")), Seq("doc_a"))
+        .join(docs.select(col("doc_id").as("doc_b"), col("toks").as("tb")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("ta"), col("tb"))).cast("bigint").as("inter"),
+          size(col("ta")).cast("bigint").as("na"),
+          size(col("tb")).cast("bigint").as("nb"))
+        .filter(round(col("inter").cast("double")
+          / (col("na") + col("nb") - col("inter")), 6) >= RecallTau)
+        .select(col("doc_a"), col("doc_b"))
+      exact
+    }
+
   def q215LshRecallEval(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documentsSharded(spark, dir)
-      .filter(col("doc_id") % 5 === 0)
-      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
-      .cache()
-    val posted = docs.select(col("doc_id"),
-      size(col("toks")).cast("bigint").as("nt"), explode(col("toks")).as("g"))
-    val dfreq = posted.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    // τ = 0.9 prefix length: nt - ceil(0.9·nt) + 1, integer arithmetic
-    val prefix = posted.join(dfreq, Seq("g"))
-      .withColumn("p", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
-      .filter(col("p") <= col("nt") - expr("(9 * nt + 9) div 10") + 1)
-      .select(col("doc_id"), col("nt"), col("g"))
-    val cands = prefix.as("x").join(prefix.as("y"),
-        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id") &&
-          lit(10) * least(col("x.nt"), col("y.nt")) >=
-            lit(9) * greatest(col("x.nt"), col("y.nt")))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    val exact = cands
-      .join(docs.select(col("doc_id").as("doc_a"), col("toks").as("ta")), Seq("doc_a"))
-      .join(docs.select(col("doc_id").as("doc_b"), col("toks").as("tb")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("ta"), col("tb"))).cast("bigint").as("inter"),
-        size(col("ta")).cast("bigint").as("na"),
-        size(col("tb")).cast("bigint").as("nb"))
-      .filter(round(col("inter").cast("double")
-        / (col("na") + col("nb") - col("inter")), 6) >= RecallTau)
+    val exact = exactTauPairs(spark, dir)
       .select(col("doc_a"), col("doc_b"), lit(1).as("ex"))
-    val banded = q32MinhashNeardup(spark, dir)
+    val banded = q32Pairs(spark, dir)
       .select(col("doc_a"), col("doc_b"), lit(1).as("bd"))
     exact.join(banded, Seq("doc_a", "doc_b"), "full_outer")
       .agg(

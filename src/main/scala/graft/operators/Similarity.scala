@@ -598,21 +598,28 @@ object Similarity {
 
   /** The UNSORTED kNN graph — q156's body without the presentation
     * sort, so q210's hubness aggregate composes without inheriting a
-    * sort it immediately destroys.
+    * sort it immediately destroys. PERSISTED as a stage boundary (the
+    * q82 rule): the graph is a dataset-determined artifact consumed by
+    * q156 and q210 (and, in a production pipeline, every clustering /
+    * diversity-sampling stage downstream), so the band join + top-K
+    * window run once per DATASET, not once per consumer per session —
+    * exactly how an embedding pipeline ships its kNN graph (built at
+    * index time, read at serving/analysis time).
     */
-  private def knnGraph(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val pairs = bandedPairScan(spark, dir, None, minCos = -1.0)
-      .select(col("vec_a"), col("vec_b"), col("cos"))
-    val sym = pairs.unionByName(pairs.select(col("vec_b").as("vec_a"),
-      col("vec_a").as("vec_b"), col("cos")))
-    sym.withColumn("rk", row_number().over(
-        Window.partitionBy(col("vec_a")).orderBy(col("cos").desc, col("vec_b")))
-        .cast("int"))
-      .filter(col("rk") <= KnnK)
-      .select(col("vec_a").as("vec_id"), col("rk"),
-        col("vec_b").as("nbr_id"), col("cos"))
-  }
+  private def knnGraph(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.StageBoundary(spark, "q156knn", dir) {
+      import org.apache.spark.sql.expressions.Window
+      val pairs = bandedPairScan(spark, dir, None, minCos = -1.0)
+        .select(col("vec_a"), col("vec_b"), col("cos"))
+      val sym = pairs.unionByName(pairs.select(col("vec_b").as("vec_a"),
+        col("vec_a").as("vec_b"), col("cos")))
+      sym.withColumn("rk", row_number().over(
+          Window.partitionBy(col("vec_a")).orderBy(col("cos").desc, col("vec_b")))
+          .cast("int"))
+        .filter(col("rk") <= KnnK)
+        .select(col("vec_a").as("vec_id"), col("rk"),
+          col("vec_b").as("nbr_id"), col("cos"))
+    }
 
   def q156KnnGraph(spark: SparkSession, dir: String): DataFrame =
     knnGraph(spark, dir).orderBy(col("vec_id"), col("rk"))

@@ -16,17 +16,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Layout: `<shards base>/<query>_<md5(dir)>/fp_<fingerprint>` where
   * the fingerprint hashes the input directory's recursive file listing
-  * (path, length, modification time). Regenerated or edited input data
-  * changes the fingerprint, so a stale boundary can never answer for
-  * fresh data — the correctness gate (Verify) stays sound with zero
-  * cross-run coordination. Older fingerprints under the same query
-  * root are deleted best-effort on write, bounding disk to one
-  * boundary per (query, dataset).
+  * (path, length, modification time). Any file add, remove, resize, or
+  * rewrite changes the fingerprint, so a stale boundary cannot answer
+  * for fresh data — the correctness gate (Verify) stays sound with
+  * zero cross-run coordination. (The one blind spot: an in-place
+  * same-size rewrite within the filesystem's mtime granularity —
+  * ~1 s on many local FS — is invisible to a metadata-only key;
+  * regenerated-fixture workflows should delete-then-write.) Older fingerprints under the same query
+  * root are deleted best-effort after a successful publish, bounding
+  * disk to one boundary per (query, dataset).
   *
-  * Writes are atomic: build into `<dest>__tmp`, then FS rename into
-  * place (the q200 advice — a failure mid-write must not leave a
-  * half boundary that later reads serve silently). A concurrent
-  * builder losing the rename race just reads the winner's boundary.
+  * Writes are atomic: build into a PER-ATTEMPT unique tmp dir
+  * (`<dest>__tmp_<uuid>` — a shared literal tmp let concurrent
+  * builders of the same fingerprint clobber each other's in-progress
+  * write and publish a partial directory), verify the tmp's own
+  * `_SUCCESS` marker, then FS rename into place (a failure mid-write
+  * must not leave a half boundary that later reads serve silently).
+  * A concurrent builder losing the rename race waits for the winner's
+  * `_SUCCESS` before reading. Superseded fingerprints are deleted
+  * AFTER a successful publish — a concurrent session still scanning
+  * an old fingerprint keeps its files until the new boundary exists,
+  * and a failed rename never destroys the only good boundary.
   */
 object StageBoundary {
 
@@ -41,20 +51,33 @@ object StageBoundary {
     val dest = new Path(root, s"fp_${fingerprint(spark, dir)}")
     val marker = new Path(dest, "_SUCCESS")
     if (!fs.exists(marker)) {
-      val tmp = new Path(root, dest.getName + "__tmp")
-      if (fs.exists(tmp)) fs.delete(tmp, true)
+      // per-attempt unique tmp: two builders racing the same
+      // fingerprint each write their own dir, so neither can overwrite
+      // the other mid-write or publish a partial directory
+      val tmp = new Path(root,
+        dest.getName + "__tmp_" + java.util.UUID.randomUUID().toString.take(8))
       build.write.mode("overwrite").parquet(tmp.toString)
-      // drop superseded fingerprints before publishing the new one
-      if (fs.exists(root)) fs.listStatus(root).foreach { st =>
-        val n = st.getPath.getName
-        if (n.startsWith("fp_") && !n.endsWith("__tmp") && n != dest.getName)
-          try fs.delete(st.getPath, true) catch { case _: Exception => }
-      }
+      if (!fs.exists(new Path(tmp, "_SUCCESS")))
+        throw new IllegalStateException(
+          s"stage boundary write left no _SUCCESS marker: $tmp")
       if (!fs.rename(tmp, dest)) {
-        // lost a race to a concurrent builder — its boundary is ours too
+        // lost a race to a concurrent builder — its boundary is ours
+        // too, once its _SUCCESS appears (rename-then-marker is atomic
+        // per attempt, but give a slow FS a bounded grace window)
         fs.delete(tmp, true)
+        val deadline = System.nanoTime() + 30e9.toLong
+        while (!fs.exists(marker) && System.nanoTime() < deadline)
+          Thread.sleep(200)
         if (!fs.exists(marker))
           throw new IllegalStateException(s"stage boundary rename failed: $dest")
+      }
+      // publish first, clean up second: drop superseded fingerprints
+      // and orphaned tmp dirs only once the new boundary is live
+      if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("fp_") && n != dest.getName &&
+            !n.startsWith(dest.getName + "__tmp_"))
+          try fs.delete(st.getPath, true) catch { case _: Exception => }
       }
     }
     spark.read.parquet(dest.toString)

@@ -19,4 +19,21 @@ class EntryContractSpec extends SparkSpec {
     val missing = (1 to nums.max).toSet.diff(nums)
     assert(missing.isEmpty, s"registry numbering holes: ${missing.toSeq.sorted}")
   }
+
+  test("bench cost table covers the whole registry") {
+    // the table is generated (tools/gen_cost_table.py) from each
+    // round's closing bench run; a query added without refreshing it
+    // would silently warm in Int.MaxValue-first order — fail loud here
+    // instead
+    val n = SparkEntry.queries.keySet
+      .map(_.drop(1).takeWhile(_.isDigit).toInt).max
+    assert(Bench.priorCostCs.length >= n,
+      s"Bench.priorCostCs has ${Bench.priorCostCs.length} entries but the " +
+        s"registry reaches q$n — regenerate with tools/gen_cost_table.py")
+  }
+
+  test("every bench boundary owner names a registered query") {
+    val dangling = Bench.boundaryOwners.diff(SparkEntry.queries.keySet)
+    assert(dangling.isEmpty, s"boundary owners not in registry: $dangling")
+  }
 }

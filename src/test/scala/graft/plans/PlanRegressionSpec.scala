@@ -46,9 +46,29 @@ class PlanRegressionSpec extends SparkSpec {
   // bounded-input exemptions.
 
   test("LSH band self-join shares one shuffle via exchange reuse") {
-    val p = planOf("q32_minhash_neardup")
+    // the property lives in the boundary BUILD plan (q32's pair set is
+    // a persisted StageBoundary; its registered query reads the
+    // boundary back — asserted next)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val p = try {
+      import org.apache.spark.sql.functions._
+      graft.operators.Dedup.minhashPairsOf(
+        graft.sources.Tables.documentsSharded(spark, dir)
+          .filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"),
+            array_distinct(split(col("text"), " ")).as("toks")))
+        .queryExecution.executedPlan.toString
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
     assert(p.contains("ReusedExchange"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q32's registered query reads the persisted pair boundary") {
+    val p = planOf("q32_minhash_neardup")
+    assert(p.contains("q32pairs_"), p)
+    assert(!p.contains("Generate"), // no band explode in the steady plan
+      s"steady-state q32 must not recompute the band join:\n$p")
   }
 
   test("aggregation queries combine map-side (partial + final hash aggregate)") {
