@@ -18,17 +18,17 @@ object Bench {
     * is loud, not silent.
     */
   val priorCostCs: Array[Int] = Array(
-    148,14,29,96,40,23,37,23,15,10,11,9,24,18,42,11,27,84,35,46,95,64,37,
-    49,61,154,29,41,27,49,43,81,40,32,34,27,16,18,141,40,133,184,100,25,
-    94,131,77,79,44,22,90,38,38,92,51,49,26,41,44,71,17,44,54,53,32,64,44,
-    82,41,40,26,107,308,31,38,305,49,69,97,90,75,57,85,145,45,90,41,77,
-    124,30,171,38,29,67,99,210,30,45,48,189,31,35,92,94,40,35,127,55,87,
-    55,46,27,134,28,75,52,43,93,39,145,114,106,67,37,34,29,43,75,110,33,
-    36,35,22,15,15,16,208,39,53,54,38,51,87,102,89,289,207,37,45,60,106,
-    41,263,134,159,200,100,100,60,56,32,31,195,84,61,36,359,41,64,28,58,
-    98,34,39,83,20,48,95,70,84,74,133,126,264,157,31,44,76,165,110,48,264,
-    186,130,226,87,36,93,15,157,71,35,58,58,90,102,99,98,58,220,314,70,53,
-    37,307,64,41,25,61,39,29,37,51,75,54,52,164,153,103,72,109)
+    86,15,20,94,32,25,38,33,18,13,11,12,25,19,48,12,26,123,33,36,22,45,21,47,
+    84,171,44,46,32,54,40,69,41,25,33,30,14,18,132,46,175,210,79,29,101,113,
+    67,73,58,20,85,40,44,74,46,58,24,38,59,60,12,41,55,45,28,55,42,75,41,44,
+    28,117,291,30,49,236,61,53,73,90,84,74,93,147,64,85,42,71,140,35,121,45,
+    27,74,223,235,33,40,33,206,40,29,89,80,46,28,203,51,71,45,68,32,137,25,76,
+    34,27,68,28,137,111,101,58,31,35,25,42,76,97,29,40,30,14,13,17,13,201,45,
+    60,45,62,46,74,142,68,286,234,48,46,44,109,41,211,137,126,193,94,113,71,
+    51,37,33,181,83,61,33,317,45,61,26,58,85,45,37,84,31,72,102,74,86,56,581,
+    114,220,151,24,63,67,180,101,66,254,155,144,339,70,34,99,13,159,68,30,63,
+    55,75,102,103,78,52,359,335,44,58,32,970,64,46,25,63,38,30,42,65,76,52,46,
+    188,86,75,94,99,60)
 
   def costOf(name: String): Int = {
     val n = name.takeWhile(_ != '_').drop(1).toInt
@@ -49,7 +49,8 @@ object Bench {
   val boundaryOwners = Set("q82_curation_pipeline", "q187_bm25_retrieval",
     "q189_dsir_weights", "q190_semantic_dedup", "q195_prefix_filter_join",
     "q49_ivf_ann", "q32_minhash_neardup", "q156_knn_graph",
-    "q215_lsh_recall_eval", "q76_dedup_clusters", "q182_release_pipeline")
+    "q215_lsh_recall_eval", "q76_dedup_clusters", "q182_release_pipeline",
+    "q232_tokenizer_apply")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

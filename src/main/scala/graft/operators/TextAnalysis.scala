@@ -1433,7 +1433,13 @@ object TextAnalysis {
   // caller error, not a state this query defines output for.
   private val BpeIters = 3
 
-  def q204BpeTrain(spark: SparkSession, dir: String): DataFrame = {
+  /** The trainer loop with the adopted merge's SIDES kept as separate
+    * columns — q204 presents the space-joined pair; q232's
+    * tokenizer-apply needs (pa, pb) un-joined because a round-2+ side
+    * can itself contain spaces (a merge of a merge), making the
+    * presentation string unsplittable.
+    */
+  private[operators] def bpeTrainFull(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.documentsSharded(spark, dir)
       .select(col("doc_id"), split(lower(trim(col("text"))), " ").as("toks"))
       .cache()
@@ -1467,14 +1473,19 @@ object TextAnalysis {
         .agg(sum(size(col("toks"))).cast("bigint").as("corpus_tokens_after"))
         .withColumn("_k", graft.plans.Opaque.zeroKey(col("corpus_tokens_after")))
       val row = best.join(after, Seq("_k"))
-        .select(lit(it).cast("int").as("it"),
-          concat_ws(" ", col("pa"), col("pb")).as("pair"),
+        .select(lit(it).cast("int").as("it"), col("pa"), col("pb"),
           col("c").cast("bigint").as("cnt"), col("corpus_tokens_after"))
       out = if (out == null) row else out.unionByName(row)
       docs = nextDocs
     }
-    out.orderBy(col("it"))
+    out
   }
+
+  def q204BpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeTrainFull(spark, dir)
+      .select(col("it"), concat_ws(" ", col("pa"), col("pb")).as("pair"),
+        col("cnt"), col("corpus_tokens_after"))
+      .orderBy(col("it"))
 
   /** One oracle iteration: pair counts over t(i-1), the adopted merge,
     * and the list_reduce greedy re-tokenize into t(i).
@@ -1670,7 +1681,87 @@ object TextAnalysis {
        |FROM dstats d JOIN vstats v ON d.pct = v.pct
        |ORDER BY d.pct""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q232 — TOKENIZER APPLY at corpus scale: q204 TRAINS the merge
+  // table; this applies it to the whole corpus in ONE pass — the shape
+  // every tokenized-dataset build runs (train once on a sample/epoch,
+  // apply to 100 TB). The plan is the new piece: the trained merges
+  // are a PERSISTED model boundary ("q204m", built by the trainer
+  // once per dataset), pivoted into a single ordered array row and
+  // attached through the opaque 1-row join (no collect), and the
+  // application is a row-local NESTED fold — outer fold over the
+  // merge list in adoption order, inner fold the greedy left-to-right
+  // merge over the doc's tokens (q204's own re-tokenize, so "apply"
+  // provably replays the trainer's corpus evolution: the result IS
+  // t_BpeIters). Output: per-source token mass before/after and the
+  // compression ratio — the number a tokenizer change is judged by.
+  // Exactness: token counts are BIGINT; the single rounded division
+  // is the proven oracle channel. Degenerate corpus (no trainable
+  // merge) leaves the model frame empty and the opaque join emits no
+  // rows — q204's documented contract.
+  // Scale notes (100 TB): the model is BpeIters rows pivoted to ONE
+  // row (broadcast by AQE through the opaque key); the corpus pass is
+  // scan → row-local fold → per-source map-side-combined agg — no
+  // shuffle carries tokenized payload, no window, no collect. A
+  // production apply with a 50k-merge vocab swaps the inner fold for
+  // a native trie Expression; the plan (bounded model × one corpus
+  // pass) is unchanged.
+  def q232TokenizerApply(spark: SparkSession, dir: String): DataFrame = {
+    val model = graft.sources.StageBoundary(spark, "q204m", dir)(
+        bpeTrainFull(spark, dir))
+      .withColumn("_k", graft.plans.Opaque.zeroKey(col("cnt")))
+      .groupBy(col("_k"))
+      .agg(array_sort(collect_list(struct(col("it"), col("pa"), col("pb"))))
+        .as("ms"))
+    val docs = Tables.documentsSharded(spark, dir)
+      .select(col("doc_id"), col("source"),
+        split(lower(trim(col("text"))), " ").as("toks"))
+    val applyOne = (t: Column, m: Column) =>
+      aggregate(t, array().cast("array<string>"), (acc, x) =>
+        when(size(acc) > 0 && element_at(acc, -1) === m.getField("pa")
+            && x === m.getField("pb"),
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(concat_ws(" ", m.getField("pa"), m.getField("pb")))))
+          .otherwise(concat(acc, array(x))))
+    docs
+      .withColumn("_k", graft.plans.Opaque.zeroKey(size(col("toks"))))
+      .join(model, Seq("_k"))
+      .select(col("source"), size(col("toks")).cast("bigint").as("nb"),
+        size(aggregate(col("ms"), col("toks"), applyOne))
+          .cast("bigint").as("na"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nb")).as("tokens_before"),
+        sum(col("na")).as("tokens_after"),
+        round(sum(col("na")).cast("double") / sum(col("nb")).cast("double"), 6)
+          .as("ratio"))
+      .orderBy(col("source"))
+  }
+
+  /** The oracle rides q204's own iteration CTEs: t\$BpeIters IS the
+    * fully-applied corpus, so apply-parity is structural, not
+    * re-derived.
+    */
+  val q232Oracle: String = {
+    val iters = (1 to BpeIters).map(sqlBpeIter).mkString(",\n")
+    s"""WITH t0 AS (
+       |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+       |  FROM documents),
+       |$iters
+       |SELECT d.source,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(len(b.toks)) AS BIGINT) AS tokens_before,
+       |  CAST(sum(len(a.toks)) AS BIGINT) AS tokens_after,
+       |  round(CAST(sum(len(a.toks)) AS DOUBLE)
+       |    / CAST(sum(len(b.toks)) AS DOUBLE), 6) AS ratio
+       |FROM documents d
+       |  JOIN t0 b ON b.doc_id = d.doc_id
+       |  JOIN t$BpeIters a ON a.doc_id = d.doc_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q232_tokenizer_apply" -> q232TokenizerApply,
     "q216_vocab_growth" -> q216VocabGrowth,
     "q218_lang_fertility" -> q218LangFertility,
     "q221_langid_confusion" -> q221LangIdConfusion,
@@ -1708,6 +1799,7 @@ object TextAnalysis {
     "q224_ngram_diff" -> q224Oracle,
     "q205_quality_calibration" -> q205Oracle,
     "q204_bpe_train" -> q204Oracle,
+    "q232_tokenizer_apply" -> q232Oracle,
     "q189_dsir_weights" -> q189Oracle,
     "q187_bm25_retrieval" -> q187Oracle,
     "q179_unk_rewrite" -> q179Oracle,
