@@ -28,7 +28,7 @@ object Bench {
     51,37,33,181,83,61,33,317,45,61,26,58,85,45,37,84,31,72,102,74,86,56,581,
     114,220,151,24,63,67,180,101,66,254,155,144,339,70,34,99,13,159,68,30,63,
     55,75,102,103,78,52,359,335,44,58,32,970,64,46,25,63,38,30,42,65,76,52,46,
-    188,86,75,94,99,60)
+    188,86,75,94,99,60,50)
 
   def costOf(name: String): Int = {
     val n = name.takeWhile(_ != '_').drop(1).toInt

@@ -1343,7 +1343,79 @@ object OperatorQueries {
        |  CAST(sum(CASE WHEN n_rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
        |FROM per GROUP BY 1 ORDER BY k""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q233 — RETRIEVE-THEN-RERANK: the two-stage serving shape every
+  // production retrieval stack runs — a cheap first-stage retriever
+  // (the IVF probe, shared persisted index) pulls a BOUNDED top-10
+  // pool per query, then an expensive second-stage scorer re-orders
+  // ONLY the pool. The rerank scorer here is exact integer L1 distance
+  // over the full scaled vectors — a deterministic stand-in with the
+  // real shape: it touches both vectors per (query, cand) PAIR, which
+  // is affordable precisely because the pool is bounded (10 rows/query,
+  // never the corpus — the cross-encoder economics). Output: the top-3
+  // after rerank with both ranks and the shift between them — the
+  // rank-agreement evidence a team reviews before paying for a
+  // reranker in serving.
+  // Determinism: L1 over int64-scaled components is BIGINT-exact; both
+  // rank windows order by (score, cand_id) — no float ties.
+  // Scale notes (100 TB): stage 1 is q49's probe plan against the
+  // persisted index; stage 2 is two equi-joins attaching sv to pool
+  // rows (pool is |queries|·10, orders of magnitude below the corpus)
+  // plus a per-query window over ≤10 rows. The expensive scorer's
+  // cost scales with the POOL, not the corpus — swap the L1 column
+  // for a model-server call and the plan is unchanged.
+  def q233CrossRerank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val index = IvfAnn.sharedIndex(spark, dir, k = 8)
+    val queries = Tables.embeddingsSharded(spark, dir)
+      .filter(col("vec_id") % 25 === 0)
+    val pool = IvfAnn.probe(spark, index, queries, nprobe = 2, topK = 10)
+    val sv = index.cells.select(col("vec_id"), col("sv"))
+    pool
+      .join(sv.select(col("vec_id").as("query_id"), col("sv").as("qsv")),
+        Seq("query_id"))
+      .join(sv.select(col("vec_id").as("cand_id"), col("sv").as("csv")),
+        Seq("cand_id"))
+      .withColumn("l1", aggregate(
+        zip_with(col("qsv"), col("csv"), (a, b) => abs(a - b)),
+        lit(0L), (s, x) => s + x))
+      .withColumn("rerank_rk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("l1"), col("cand_id"))).cast("int"))
+      .filter(col("rerank_rk") <= 3)
+      .select(col("query_id"), col("rerank_rk"), col("cand_id"),
+        col("rk").as("retrieve_rk"), col("l1"),
+        (col("rk") - col("rerank_rk")).cast("int").as("rank_shift"))
+      .orderBy(col("query_id"), col("rerank_rk"))
+  }
+
+  val q233Oracle: String =
+    s"""WITH ${sqlIvfScoredCtes("", "", "", "", "vec_id % 25 = 0", 2)},
+       |ranked AS (
+       |  SELECT query_id, cand_id, cos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, cand_id) AS INTEGER) AS rk
+       |  FROM scored),
+       |pool AS (SELECT query_id, cand_id, rk FROM ranked WHERE rk <= 10),
+       |l1s AS (
+       |  SELECT p.query_id, p.cand_id, p.rk,
+       |    CAST(list_sum(list_transform(generate_series(1, len(q.sv)),
+       |      i -> abs(q.sv[i] - c.sv[i]))) AS BIGINT) AS l1
+       |  FROM pool p
+       |    JOIN base q ON q.vec_id = p.query_id
+       |    JOIN base c ON c.vec_id = p.cand_id),
+       |rr AS (
+       |  SELECT query_id, cand_id, rk, l1,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY l1, cand_id) AS INTEGER) AS rerank_rk
+       |  FROM l1s)
+       |SELECT query_id, rerank_rk, cand_id, rk AS retrieve_rk, l1,
+       |  CAST(rk - rerank_rk AS INTEGER) AS rank_shift
+       |FROM rr WHERE rerank_rk <= 3
+       |ORDER BY query_id, rerank_rk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q233_cross_rerank" -> q233CrossRerank,
     "q213_recall_at_k" -> q213RecallAtK,
     "q220_cell_balance" -> q220CellBalance,
     "q223_hard_negatives" -> q223HardNegatives,
@@ -1372,6 +1444,7 @@ object OperatorQueries {
 
   def oracleSql: Map[String, String] = Map(
     "q213_recall_at_k" -> q213Oracle,
+    "q233_cross_rerank" -> q233Oracle,
     "q220_cell_balance" -> q220Oracle,
     "q223_hard_negatives" -> q223Oracle,
     "q207_probe_sweep" -> q207Oracle,
