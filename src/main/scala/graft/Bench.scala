@@ -13,22 +13,22 @@ object Bench {
     * number (entry i is q(i+1)) — drives the cost-aware warm order
     * below. GENERATED, not hand-maintained: refresh at round close
     * with `python3 tools/gen_cost_table.py <bench.json>` which emits
-    * this literal from the closing run; BenchCostTableSpec fails the
+    * this literal from the closing run; EntryContractSpec fails the
     * build if the registry grows past the table, so a skipped refresh
     * is loud, not silent.
     */
   val priorCostCs: Array[Int] = Array(
-    86,15,20,94,32,25,38,33,18,13,11,12,25,19,48,12,26,123,33,36,22,45,21,47,
-    84,171,44,46,32,54,40,69,41,25,33,30,14,18,132,46,175,210,79,29,101,113,
-    67,73,58,20,85,40,44,74,46,58,24,38,59,60,12,41,55,45,28,55,42,75,41,44,
-    28,117,291,30,49,236,61,53,73,90,84,74,93,147,64,85,42,71,140,35,121,45,
-    27,74,223,235,33,40,33,206,40,29,89,80,46,28,203,51,71,45,68,32,137,25,76,
-    34,27,68,28,137,111,101,58,31,35,25,42,76,97,29,40,30,14,13,17,13,201,45,
-    60,45,62,46,74,142,68,286,234,48,46,44,109,41,211,137,126,193,94,113,71,
-    51,37,33,181,83,61,33,317,45,61,26,58,85,45,37,84,31,72,102,74,86,56,581,
-    114,220,151,24,63,67,180,101,66,254,155,144,339,70,34,99,13,159,68,30,63,
-    55,75,102,103,78,52,359,335,44,58,32,970,64,46,25,63,38,30,42,65,76,52,46,
-    188,86,75,94,99,60,50)
+    92,16,26,106,36,25,41,25,11,10,10,6,23,16,52,8,29,109,39,41,28,52,26,56,
+    65,186,42,47,40,35,43,34,43,29,39,84,10,14,170,63,149,193,99,31,129,135,
+    72,81,65,29,93,49,38,86,45,65,26,35,53,70,11,54,62,47,33,63,57,91,32,46,
+    25,135,301,36,45,15,52,63,80,92,81,74,79,162,51,88,47,67,179,48,176,40,21,
+    62,115,189,36,49,37,238,39,31,75,61,34,38,157,58,73,53,64,27,158,27,86,49,
+    42,91,32,159,146,121,65,28,39,28,63,75,115,36,41,37,18,15,11,11,200,41,64,
+    43,65,56,96,112,93,307,195,53,51,50,118,42,243,166,165,17,89,140,48,68,41,
+    37,212,92,66,30,359,40,59,23,68,100,37,57,94,21,52,98,68,64,63,170,145,
+    245,204,23,68,70,177,57,48,279,412,169,282,59,45,107,13,159,101,35,70,51,
+    95,115,131,98,60,34,40,63,51,30,84,61,42,32,62,43,33,48,53,81,48,51,195,
+    55,79,57,116,60,55)
 
   def costOf(name: String): Int = {
     val n = name.takeWhile(_ != '_').drop(1).toInt
@@ -109,7 +109,7 @@ object Bench {
     var warmSpentNs = 0L
     var fallbackAnnounced = false
     // COST-AWARE run order: queries run by DESCENDING prior-round cost
-    // (round-12 closing-run centiseconds by query number; name as
+    // (prior full-run centiseconds by query number; name as
     // tiebreak), so if the warm budget ever exhausts, it exhausts on the CHEAP tail —
     // whose small-SF fallback warm costs little — instead of landing
     // sf0.1 first-touch in heavy queries' timed numbers (rounds 8/9/11

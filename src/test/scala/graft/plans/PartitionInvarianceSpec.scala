@@ -35,12 +35,24 @@ class PartitionInvarianceSpec extends SparkSpec {
     // (q217)
     "q229_curriculum_phases", "q231_robust_scaling",
     "q227_power_iteration", "q223_hard_negatives", "q213_recall_at_k",
-    "q217_sketch_fidelity")
+    "q217_sketch_fidelity",
+    // round 13: merge-table pivot + nested greedy fold over the
+    // trained-merges boundary (q232), L1 rerank window over the
+    // probe's double-cos pool ranking (q233)
+    "q232_tokenizer_apply", "q233_cross_rerank")
 
   test("results are bit-identical across shuffle-partition settings") {
     def run(parts: Int): Map[String, Seq[String]] = {
       val s = spark.newSession()
       s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      // fresh boundary root per setting: StageBoundary-backed queries
+      // must REBUILD their boundaries under each partition count, or
+      // the second run would just read the first run's parquet and the
+      // build path's order-sensitivity would go untested (the driver
+      // builds boundaries fresh at its own parallelism, so build
+      // invariance is what the hash gate actually needs)
+      s.conf.set("graft.shards.dir", java.nio.file.Files
+        .createTempDirectory(s"graft_pinv_$parts").toString)
       sensitive.map { q =>
         val rows = graft.SparkEntry.queries(q)(s, dir).collect()
           .map(_.toSeq.map(v => String.valueOf(v)).mkString("|"))

@@ -60,7 +60,27 @@ class StageBoundarySpec extends SparkSpec {
       ShardPaths.resolve(spark, "sbspec2", dir))
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val fps = fs.listStatus(root).map(_.getPath.getName)
-      .filter(n => n.startsWith("fp_") && !n.endsWith("__tmp"))
+      .filter(n => n.startsWith("fp_") && !n.contains("__tmp"))
     assert(fps.length == 1, s"expected one live fingerprint, got ${fps.toSeq}")
+  }
+
+  test("an orphaned tmp from a crashed attempt neither blocks nor survives") {
+    val dir = freshInput(Seq(5L))
+    spark.conf.set("graft.shards.dir",
+      Files.createTempDirectory("graft_sb_out").toString)
+    val root = new org.apache.hadoop.fs.Path(
+      ShardPaths.resolve(spark, "sbspec3", dir))
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // a builder that died mid-write leaves a per-attempt tmp dir with
+    // no _SUCCESS; a later build must ignore it and clean it up after
+    // its own publish
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, "fp_deadbeef__tmp_crashed"))
+    val out = StageBoundary(spark, "sbspec3", dir)(
+      spark.read.parquet(s"$dir/t"))
+    assert(out.count() == 1)
+    val names = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("fp_"))
+    assert(names.length == 1 && !names(0).contains("__tmp"),
+      s"expected only the live boundary after publish, got ${names.toSeq}")
   }
 }
