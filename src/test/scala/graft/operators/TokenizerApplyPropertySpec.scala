@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.SparkSpec
+
+/** ScalaCheck invariants for q232's nested merge fold — the Spark-side
+  * `aggregate(merges, toks, applyOne)` expression against an in-memory
+  * reference, over arbitrary token arrays and arbitrary ordered merge
+  * lists (including merges whose sides contain spaces, i.e. merges of
+  * merges — the case the pivoted (pa, pb) model exists for).
+  */
+class TokenizerApplyPropertySpec extends SparkSpec {
+
+  private def check(prop: Prop, trials: Int = 8): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(trials), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def mergeGreedy(toks: List[String], pa: String, pb: String): List[String] =
+    toks.foldLeft(List.empty[String]) { (acc, x) =>
+      if (acc.nonEmpty && acc.last == pa && x == pb)
+        acc.init :+ s"$pa $pb"
+      else acc :+ x
+    }
+
+  private val tok: Gen[String] = Gen.oneOf("a", "b", "c", "ab", "x")
+  private val doc: Gen[List[String]] = Gen.listOf(tok)
+  private val merge: Gen[(String, String)] = for {
+    pa <- Gen.oneOf("a", "b", "c", "a b", "b c")
+    pb <- Gen.oneOf("a", "b", "c", "a b")
+  } yield (pa, pb)
+
+  test("nested fold equals sequential greedy merges for any merge list") {
+    import spark.implicits._
+    check(Prop.forAll(Gen.nonEmptyListOf(doc), Gen.listOfN(3, merge)) {
+      (docs, merges) =>
+        val expected = docs.map(d =>
+          merges.foldLeft(d) { case (t, (pa, pb)) => mergeGreedy(t, pa, pb) })
+        val df = docs.zipWithIndex.map { case (d, i) => (i.toLong, d) }
+          .toDF("id", "toks")
+        val ms = merges.zipWithIndex
+          .map { case ((pa, pb), i) => (i, pa, pb) }
+          .toDF("it", "pa", "pb")
+          .withColumn("_k", lit(0L))
+          .groupBy(col("_k"))
+          .agg(array_sort(collect_list(struct(col("it"), col("pa"), col("pb"))))
+            .as("ms"))
+        val applyOne = (t: org.apache.spark.sql.Column,
+            m: org.apache.spark.sql.Column) =>
+          aggregate(t, array().cast("array<string>"), (acc, x) =>
+            when(size(acc) > 0 && element_at(acc, -1) === m.getField("pa")
+                && x === m.getField("pb"),
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(concat_ws(" ", m.getField("pa"), m.getField("pb")))))
+              .otherwise(concat(acc, array(x))))
+        val got = df.withColumn("_k", lit(0L)).join(ms, Seq("_k"))
+          .select(col("id"), aggregate(col("ms"), col("toks"), applyOne).as("t2"))
+          .collect()
+          .map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+        docs.indices.forall(i => got(i.toLong) == expected(i))
+    })
+  }
+}
