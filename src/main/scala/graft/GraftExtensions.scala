@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{CountMinEstimate, DotProductLong, MinHashWindows, MinShingleMd5, ShingleSet, SimHash16, TopKByLong}
+import graft.functions.{BpeApply, CountMinEstimate, DotProductLong, MinHashWindows, MinShingleMd5, ShingleSet, SimHash16, TopKByLong}
 
 /** Session extensions registering the engine's native functions for SQL
   * use. Install with
@@ -41,6 +41,7 @@ object GraftExtensions {
     "min_hash_windows" -> (exprs =>
       MinHashWindows(exprs.head, litInt(exprs(1), "salts"), litInt(exprs(2), "windows"))),
     "simhash16" -> (exprs => SimHash16(exprs.head)),
+    "bpe_apply" -> (exprs => BpeApply(exprs.head, exprs(1))),
     "cms_estimate" -> (exprs => CountMinEstimate(exprs.head, exprs(1))),
     "topk_by" -> (exprs =>
       TopKByLong(exprs.head, exprs(1), litInt(exprs(2), "k"))

@@ -1701,33 +1701,33 @@ object TextAnalysis {
   // rows — q204's documented contract.
   // Scale notes (100 TB): the model is BpeIters rows pivoted to ONE
   // row (broadcast by AQE through the opaque key); the corpus pass is
-  // scan → row-local fold → per-source map-side-combined agg — no
-  // shuffle carries tokenized payload, no window, no collect. A
-  // production apply with a 50k-merge vocab swaps the inner fold for
-  // a native trie Expression; the plan (bounded model × one corpus
-  // pass) is unchanged.
+  // scan → row-local native BpeApply kernel (one compiled buffer loop
+  // per merge — the nested interpreted-HOF fold it replaces is fuzzed
+  // bit-identical in TokenizerApplyPropertySpec) → per-source
+  // map-side-combined agg — no shuffle carries tokenized payload, no
+  // window, no collect. A production apply with a 50k-merge vocab
+  // swaps the per-merge loop for a trie inside the same Expression;
+  // the plan (bounded model × one corpus pass) is unchanged.
   def q232TokenizerApply(spark: SparkSession, dir: String): DataFrame = {
     val model = graft.sources.StageBoundary(spark, "q204m", dir)(
         bpeTrainFull(spark, dir))
       .withColumn("_k", graft.plans.Opaque.zeroKey(col("cnt")))
       .groupBy(col("_k"))
       .agg(array_sort(collect_list(struct(col("it"), col("pa"), col("pb"))))
+        .as("ms0"))
+      // pa/pb only, in adoption order — projected once on the 1-row
+      // model frame, never per corpus row
+      .select(col("_k"), transform(col("ms0"),
+        m => struct(m.getField("pa").as("pa"), m.getField("pb").as("pb")))
         .as("ms"))
     val docs = Tables.documentsSharded(spark, dir)
       .select(col("doc_id"), col("source"),
         split(lower(trim(col("text"))), " ").as("toks"))
-    val applyOne = (t: Column, m: Column) =>
-      aggregate(t, array().cast("array<string>"), (acc, x) =>
-        when(size(acc) > 0 && element_at(acc, -1) === m.getField("pa")
-            && x === m.getField("pb"),
-          concat(slice(acc, lit(1), size(acc) - 1),
-            array(concat_ws(" ", m.getField("pa"), m.getField("pb")))))
-          .otherwise(concat(acc, array(x))))
     docs
       .withColumn("_k", graft.plans.Opaque.zeroKey(size(col("toks"))))
       .join(model, Seq("_k"))
       .select(col("source"), size(col("toks")).cast("bigint").as("nb"),
-        size(aggregate(col("ms"), col("toks"), applyOne))
+        size(graft.functions.BpeApply.bpe_apply(col("toks"), col("ms")))
           .cast("bigint").as("na"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),

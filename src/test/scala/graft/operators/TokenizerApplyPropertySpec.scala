@@ -5,11 +5,13 @@ import org.scalacheck.{Gen, Prop, Test => SCTest}
 
 import graft.SparkSpec
 
-/** ScalaCheck invariants for q232's nested merge fold — the Spark-side
-  * `aggregate(merges, toks, applyOne)` expression against an in-memory
-  * reference, over arbitrary token arrays and arbitrary ordered merge
+/** ScalaCheck invariants for q232's merge application: the native
+  * BpeApply expression against (a) an in-memory reference and (b) the
+  * nested higher-order `aggregate(merges, toks, ...)` chain it
+  * replaced, over arbitrary token arrays and arbitrary ordered merge
   * lists (including merges whose sides contain spaces, i.e. merges of
-  * merges — the case the pivoted (pa, pb) model exists for).
+  * merges — the case the pivoted (pa, pb) model exists for). The HOF
+  * parity leg is what keeps the DuckDB oracle unchanged.
   */
 class TokenizerApplyPropertySpec extends SparkSpec {
 
@@ -33,7 +35,7 @@ class TokenizerApplyPropertySpec extends SparkSpec {
     pb <- Gen.oneOf("a", "b", "c", "a b")
   } yield (pa, pb)
 
-  test("nested fold equals sequential greedy merges for any merge list") {
+  test("BpeApply equals the in-memory reference AND the HOF chain") {
     import spark.implicits._
     check(Prop.forAll(Gen.nonEmptyListOf(doc), Gen.listOfN(3, merge)) {
       (docs, merges) =>
@@ -47,7 +49,12 @@ class TokenizerApplyPropertySpec extends SparkSpec {
           .withColumn("_k", lit(0L))
           .groupBy(col("_k"))
           .agg(array_sort(collect_list(struct(col("it"), col("pa"), col("pb"))))
+            .as("ms0"))
+          .select(col("_k"), transform(col("ms0"), m =>
+            struct(m.getField("pa").as("pa"), m.getField("pb").as("pb")))
             .as("ms"))
+        // the interpreted HOF chain BpeApply replaced — kept as the
+        // executable spec of its semantics
         val applyOne = (t: org.apache.spark.sql.Column,
             m: org.apache.spark.sql.Column) =>
           aggregate(t, array().cast("array<string>"), (acc, x) =>
@@ -56,11 +63,19 @@ class TokenizerApplyPropertySpec extends SparkSpec {
               concat(slice(acc, lit(1), size(acc) - 1),
                 array(concat_ws(" ", m.getField("pa"), m.getField("pb")))))
               .otherwise(concat(acc, array(x))))
-        val got = df.withColumn("_k", lit(0L)).join(ms, Seq("_k"))
-          .select(col("id"), aggregate(col("ms"), col("toks"), applyOne).as("t2"))
+        val both = df.withColumn("_k", lit(0L)).join(ms, Seq("_k"))
+          .select(col("id"),
+            graft.functions.BpeApply.bpe_apply(col("toks"), col("ms"))
+              .as("native"),
+            aggregate(col("ms"), col("toks"), applyOne).as("hof"))
           .collect()
-          .map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
-        docs.indices.forall(i => got(i.toLong) == expected(i))
+          .map(r => r.getLong(0) ->
+            (r.getSeq[String](1).toList, r.getSeq[String](2).toList))
+          .toMap
+        docs.indices.forall { i =>
+          val (native, hof) = both(i.toLong)
+          native == expected(i) && hof == expected(i)
+        }
     })
   }
 }
