@@ -28,7 +28,7 @@ object Bench {
     37,212,92,66,30,359,40,59,23,68,100,37,57,94,21,52,98,68,64,63,170,145,
     245,204,23,68,70,177,57,48,279,412,169,282,59,45,107,13,159,101,35,70,51,
     95,115,131,98,60,34,40,63,51,30,84,61,42,32,62,43,33,48,53,81,48,51,195,
-    55,79,57,116,60,55)
+    55,79,57,116,60,55,60)
 
   def costOf(name: String): Int = {
     val n = name.takeWhile(_ != '_').drop(1).toInt
@@ -50,7 +50,7 @@ object Bench {
     "q189_dsir_weights", "q190_semantic_dedup", "q195_prefix_filter_join",
     "q49_ivf_ann", "q32_minhash_neardup", "q156_knn_graph",
     "q215_lsh_recall_eval", "q76_dedup_clusters", "q182_release_pipeline",
-    "q232_tokenizer_apply")
+    "q232_tokenizer_apply", "q234_bitmap_cube")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1760,7 +1760,97 @@ object TextAnalysis {
        |GROUP BY d.source ORDER BY d.source""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // q234 — distinct-count cube via RE-AGGREGABLE bitmap state: the one
+  // aggregation plan shape the registry lacked. COUNT(DISTINCT) is not
+  // re-aggregable — a per-(source, lang) distinct count cannot be
+  // rolled up to per-source without rescanning the corpus, which is
+  // why production warehouses maintain distinct-count CUBES as merged
+  // sketch state (ClickHouse groupBitmapState, Druid sketches). Spark
+  // 3.5+ ships the exact-bitmap version natively: group values into
+  // 32768-bit buckets (`bitmap_bucket_number`), build one bitmap per
+  // (group, bucket) with `bitmap_construct_agg(bitmap_bit_position)`,
+  // and roll UP by OR-merging the binary state (`bitmap_or_agg`) —
+  // level-2 aggregates consume level-1's serialized buffers, never the
+  // raw rows.
+  //
+  // Here: per-(source, lang) vocabulary over the 16-bit md5 token
+  // space (the engine's portable hash, q157's idiom), persisted as a
+  // StageBoundary — the cube IS the production artifact, maintained
+  // incrementally per corpus release. The three report levels
+  // (source×lang, source, corpus) all read the cube: sources×langs×2
+  // buckets of 4 KB bitmaps, zero document scans in the timed plan.
+  // Exact at this width by construction (a bitmap is not a sketch);
+  // the DuckDB oracle is plain COUNT(DISTINCT h) at every level.
+  // Scale notes (100 TB): the build is one corpus pass with map-side
+  // partial bitmaps (OR is commutative — PartitionInvarianceSpec
+  // pins order-insensitivity); shuffle carries
+  // groups×buckets×4 KB, not tokens. At a production 64-bit hash
+  // space the same plan swaps bitmap_* for hll_sketch_agg /
+  // hll_union_agg (Spark ships both; bounded state, approximate) —
+  // the cube/rollup shape is unchanged.
+  val BitmapCubeLevels = Seq("corpus", "source", "source_lang")
+
+  private[operators] def bitmapCube(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), col("lang"),
+        explode(tokens(lower(trim(col("text"))))).as("tok"))
+      // +1: bitmap_bucket_number/bit_position treat 0 as its own
+      // bucket; shifting the 16-bit hash to [1, 65536] keeps the
+      // domain a clean 2-bucket bijection
+      .select(col("source"), col("lang"),
+        (conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long") + 1L)
+          .as("h"))
+      .groupBy(col("source"), col("lang"),
+        expr("bitmap_bucket_number(h)").as("bkt"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(h))").as("bm"))
+
+  def q234BitmapCube(spark: SparkSession, dir: String): DataFrame = {
+    val cube = graft.sources.StageBoundary(spark, "q234cube", dir)(
+      bitmapCube(Tables.documentsSharded(spark, dir)))
+    val byLang = cube.groupBy(col("source"), col("lang"))
+      .agg(sum(expr("bitmap_count(bm)")).as("vocab"))
+      .select(lit("source_lang").as("level"), col("source"), col("lang"),
+        col("vocab"))
+    val bySource = cube.groupBy(col("source"), col("bkt"))
+      .agg(expr("bitmap_or_agg(bm)").as("bm"))
+      .groupBy(col("source"))
+      .agg(sum(expr("bitmap_count(bm)")).as("vocab"))
+      .select(lit("source").as("level"), col("source"), lit("*").as("lang"),
+        col("vocab"))
+    val corpus = cube.groupBy(col("bkt"))
+      .agg(expr("bitmap_or_agg(bm)").as("bm"))
+      .agg(sum(expr("bitmap_count(bm)")).as("vocab"))
+      .select(lit("corpus").as("level"), lit("*").as("source"),
+        lit("*").as("lang"), col("vocab"))
+    byLang.unionByName(bySource).unionByName(corpus)
+      .withColumn("vocab", col("vocab").cast("bigint"))
+      .orderBy(col("level"), col("source"), col("lang"))
+  }
+
+  val q234Oracle: String =
+    """WITH tk AS (
+      |  SELECT source, lang,
+      |    unnest(string_split(lower(trim(text)), ' ')) AS tok
+      |  FROM documents),
+      |h AS (
+      |  SELECT source, lang,
+      |    CAST('0x' || substring(md5(tok), 1, 4) AS BIGINT) AS h
+      |  FROM tk)
+      |SELECT * FROM (
+      |  SELECT 'source_lang' AS level, source, lang,
+      |    CAST(COUNT(DISTINCT h) AS BIGINT) AS vocab
+      |  FROM h GROUP BY source, lang
+      |  UNION ALL
+      |  SELECT 'source', source, '*', CAST(COUNT(DISTINCT h) AS BIGINT)
+      |  FROM h GROUP BY source
+      |  UNION ALL
+      |  SELECT 'corpus', '*', '*', CAST(COUNT(DISTINCT h) AS BIGINT)
+      |  FROM h)
+      |ORDER BY level, source, lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q234_bitmap_cube" -> q234BitmapCube,
     "q232_tokenizer_apply" -> q232TokenizerApply,
     "q216_vocab_growth" -> q216VocabGrowth,
     "q218_lang_fertility" -> q218LangFertility,
@@ -1791,6 +1881,7 @@ object TextAnalysis {
     "q158_bigram_lm_score" -> q158BigramLmScore)
 
   def oracleSql: Map[String, String] = Map(
+    "q234_bitmap_cube" -> q234Oracle,
     "q216_vocab_growth" -> q216Oracle,
     "q218_lang_fertility" -> q218Oracle,
     "q221_langid_confusion" -> q221Oracle,

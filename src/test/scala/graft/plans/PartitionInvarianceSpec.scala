@@ -39,7 +39,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     // round 13: merge-table pivot + nested greedy fold over the
     // trained-merges boundary (q232), L1 rerank window over the
     // probe's double-cos pool ranking (q233)
-    "q232_tokenizer_apply", "q233_cross_rerank")
+    "q232_tokenizer_apply", "q233_cross_rerank",
+    // round 13 (cont.): bitmap-state cube build + OR-merge rollup
+    // (q234 — partial bitmap merges across partitions must commute)
+    "q234_bitmap_cube")
 
   test("results are bit-identical across shuffle-partition settings") {
     def run(parts: Int): Map[String, Seq[String]] = {
