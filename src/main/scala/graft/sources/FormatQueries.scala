@@ -341,7 +341,68 @@ object FormatQueries {
        |    AS DECIMAL(24,6))) AS DOUBLE) AS sum_value
        |FROM events GROUP BY 1 ORDER BY day""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q235 — NESTED schema pruning, end to end: every flat-table query
+  // in the registry exercises top-level column pruning; production
+  // multimodal corpora are not flat — a media/document table carries a
+  // typed metadata STRUCT and a per-chunk ARRAY OF STRUCTS next to a
+  // payload column that dwarfs both. The write materializes that
+  // layout (doc payload + meta struct + chunk structs); the read-back
+  // touches ONLY meta.lang and chunks[].n_toks, and Catalyst's nested
+  // schema pruning must narrow the parquet ReadSchema to exactly those
+  // leaves — the payload and every sibling subfield stay unread
+  // (NestedPruningSpec pins the scan's ReadSchema string: no `text`,
+  // no sibling leaves). Chunk sums are row-local folds over the pruned
+  // int array; the only shuffle is the final per-lang aggregate.
+  // Scale notes (100 TB): nested pruning is what keeps a media table
+  // queryable — catalog queries over a binary-payload corpus read KBs
+  // of metadata leaves per row group instead of the payload column;
+  // without it every "count chunks by lang" scans the petabyte. Same
+  // mechanism as top-level pruning, but it must survive the
+  // struct/array extraction path, which is why it gets its own gate.
+  val NestedChunk = 64
+
+  private[sources] def q235ReadBack(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp(spark, "nested", dir)
+    Tables.documents(spark, dir)
+      .withColumn("nt", size(split(lower(trim(col("text"))), " ")))
+      .select(col("doc_id"), col("text"),
+        struct(col("lang"), col("source"), col("n_chars")).as("meta"),
+        // chunk structs: (idx, n_toks) per NestedChunk-token slice —
+        // the last chunk carries the remainder ((nt-1)/chunk is double
+        // division; the int cast truncates, correct for nt >= 1)
+        transform(sequence(lit(0),
+            ((col("nt") - 1) / NestedChunk).cast("int")),
+          i => struct(i.as("idx"),
+            least(col("nt") - i * NestedChunk, lit(NestedChunk))
+              .as("n_toks"))).as("chunks"))
+      .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+      .select(col("meta.lang").as("lang"),
+        col("chunks.n_toks").as("chunk_toks"))
+  }
+
+  def q235NestedPruning(spark: SparkSession, dir: String): DataFrame =
+    q235ReadBack(spark, dir)
+      .select(col("lang"), size(col("chunk_toks")).as("n_chunks"),
+        aggregate(col("chunk_toks"), lit(0L), (a, x) => a + x).as("n_toks"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chunks")).cast("bigint").as("n_chunks"),
+        sum(col("n_toks")).as("n_tokens"))
+      .orderBy(col("lang"))
+
+  val q235Oracle: String =
+    s"""WITH d AS (
+       |  SELECT lang, len(string_split(lower(trim(text)), ' ')) AS n
+       |  FROM documents)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM((n - 1) // $NestedChunk + 1) AS BIGINT) AS n_chunks,
+       |  CAST(SUM(n) AS BIGINT) AS n_tokens
+       |FROM d GROUP BY 1 ORDER BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q235_nested_pruning" -> q235NestedPruning,
     "q164_dynamic_overwrite" -> q164DynamicOverwrite,
     "q145_dynamic_pruning" -> q145DynamicPruning,
     "q129_bucketed_join" -> q129BucketedJoin,
@@ -353,6 +414,7 @@ object FormatQueries {
     "q64_schema_evolution" -> q64SchemaEvolution)
 
   def oracleSql: Map[String, String] = Map(
+    "q235_nested_pruning" -> q235Oracle,
     "q164_dynamic_overwrite" -> q164Oracle,
     "q145_dynamic_pruning" -> q145Oracle,
     "q129_bucketed_join" -> q129Oracle,
