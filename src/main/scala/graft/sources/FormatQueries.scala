@@ -401,7 +401,81 @@ object FormatQueries {
        |  CAST(SUM(n) AS BIGINT) AS n_tokens
        |FROM d GROUP BY 1 ORDER BY lang""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q236 — semi-structured ingestion through VARIANT: two producer
+  // generations emit DIVERGENT event JSON (gen A: extra is an object
+  // {flag}, one-element vals; gen B: extra is a bare number,
+  // two-element vals) and the warehouse lands both in ONE variant
+  // column — no schema migration, no lossy string re-parsing
+  // downstream. The variant is written to parquet and read back (the
+  // storage path: Spark 4 encodes variant as a binary
+  // metadata+value pair, so typed extraction later never re-parses
+  // text), then typed-path extraction drives the report:
+  // variant_get for paths present in every generation,
+  // try_variant_get where generations diverge (path into a scalar,
+  // object-to-int cast) — the NULLs are the contract, counted per
+  // type. This is the plan shape flat from_json can't express: one
+  // column, per-row schema, codegen'd binary path access.
+  // Scale notes (100 TB): event streams always carry generational
+  // schema drift; the variant encoding makes extraction
+  // O(path-depth) binary navigation instead of a JSON text parse per
+  // row per field, and parquet stores the value bytes columnar. The
+  // aggregate is the only shuffle.
+  def q236VariantJson(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp(spark, "variant", dir)
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+    val genA = ev.filter(col("event_id") % 3 === 0)
+      .select(to_json(struct(
+        col("event_id").as("id"),
+        struct(col("event_type").as("type"), col("k")).as("meta"),
+        array(col("value")).as("vals"),
+        struct(lit(true).as("flag")).as("extra"))).as("js"))
+    val genB = ev.filter(col("event_id") % 3 =!= 0)
+      .select(to_json(struct(
+        col("event_id").as("id"),
+        struct(col("event_type").as("type"), col("k")).as("meta"),
+        array(col("value"), col("value") * 2).as("vals"),
+        col("k").as("extra"))).as("js"))
+    genA.unionByName(genB)
+      .select(parse_json(col("js")).as("v"))
+      .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+      .select(
+        expr("variant_get(v, '$.meta.type', 'string')").as("event_type"),
+        expr("variant_get(v, '$.meta.k', 'int')").as("k"),
+        expr("variant_get(v, '$.vals[0]', 'double')").as("v0"),
+        // generation-divergent paths: NULL where the shape differs
+        expr("try_variant_get(v, '$.vals[1]', 'double')").as("v1"),
+        expr("try_variant_get(v, '$.extra.flag', 'boolean')").as("flag"),
+        expr("try_variant_get(v, '$.extra', 'int')").as("ex_num"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k")).cast("bigint").as("sum_k"),
+        exprSum(col("v0")).as("sum_v0"),
+        count(col("v1")).as("n_gen_b"),
+        count(col("flag")).as("n_gen_a"),
+        sum(col("ex_num")).cast("bigint").as("sum_extra"))
+      .orderBy(col("event_type"))
+  }
+
+  val q236Oracle: String =
+    """WITH e AS (
+      |  SELECT event_type, value,
+      |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+      |    event_id % 3 = 0 AS gen_a
+      |  FROM events)
+      |SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS sum_v0,
+      |  COUNT(*) FILTER (WHERE NOT gen_a) AS n_gen_b,
+      |  COUNT(*) FILTER (WHERE gen_a) AS n_gen_a,
+      |  CAST(SUM(CASE WHEN gen_a THEN NULL ELSE k END) AS BIGINT) AS sum_extra
+      |FROM e GROUP BY 1 ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q236_variant_json" -> q236VariantJson,
     "q235_nested_pruning" -> q235NestedPruning,
     "q164_dynamic_overwrite" -> q164DynamicOverwrite,
     "q145_dynamic_pruning" -> q145DynamicPruning,
@@ -414,6 +488,7 @@ object FormatQueries {
     "q64_schema_evolution" -> q64SchemaEvolution)
 
   def oracleSql: Map[String, String] = Map(
+    "q236_variant_json" -> q236Oracle,
     "q235_nested_pruning" -> q235Oracle,
     "q164_dynamic_overwrite" -> q164Oracle,
     "q145_dynamic_pruning" -> q145Oracle,
