@@ -375,7 +375,70 @@ object Relational {
       |  CAST(length(o_orderpriority) AS INTEGER) AS prio_len
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q237 — RUNTIME bloom-filter join pruning: the third pruning
+  // mechanism after static partition pruning (q63) and dynamic
+  // partition pruning (q145), and the only one that works when the
+  // join key is NOT the partition column and the dim is too large to
+  // broadcast. Catalyst's InjectRuntimeFilter turns the selective dim
+  // filter into a bloom_filter_agg scalar subquery and plants
+  // might_contain(xxhash64(l_partkey)) on the fact side BELOW the
+  // shuffle, so fact rows that cannot match never enter the exchange
+  // (RuntimeFilterSpec locks both halves in the optimized plan).
+  // False positives only weaken the pre-filter — the join still
+  // verifies equality, so results are exact and the driver hash gate
+  // is untouched.
+  // The derived session (the streaming precedent for conf isolation)
+  // sets the fixture-scale knobs: the application-side scan threshold
+  // is 10 GB by default — a REAL fact table passes it naturally, the
+  // 60 MB fixture must waive it — and broadcast is disabled because a
+  // broadcast join needs no runtime filter (the fixture dim would
+  // broadcast; the 100 TB shape this query pins is the
+  // too-big-to-broadcast dim joined through a shuffle).
+  // Scale notes (100 TB): on a shuffle join, every fact row pays
+  // serialize+exchange before a non-matching key is discarded; the
+  // bloom filter moves that discard to the scan for the cost of one
+  // ~8 MB broadcast bitmap. This is the standard semi-join reduction
+  // for fact-to-large-dim joins.
+  def q237RuntimeFilter(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(s.conf.set(k, v)) }
+    s.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "0")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "100MB")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    runtimeFilterJoin(s, dir)
+  }
+
+  /** The join itself, on the caller's session — split out so
+    * RuntimeFilterSpec can assert the injected plan. */
+  private[graft] def runtimeFilterJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = graft.sources.Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val p = graft.sources.Tables.part(s, dir)
+      .filter(col("p_brand") === "Brand#13")
+      .select(col("p_partkey"), col("p_type"))
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"))
+      .agg(count(lit(1)).as("n_items"),
+        exprSum(col("l_quantity")).as("sum_qty"),
+        exprSum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("p_type"))
+  }
+
+  val q237Oracle: String =
+    """SELECT p_type, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) AS sum_price
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand = 'Brand#13'
+      |GROUP BY 1 ORDER BY p_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q237_runtime_filter" -> q237RuntimeFilter,
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_project_rename" -> q02ProjectRename,
     "q03_filter" -> q03Filter,
@@ -393,6 +456,7 @@ object Relational {
     "q15_scalar_funcs" -> q15ScalarFuncs)
 
   def oracleSql: Map[String, String] = Map(
+    "q237_runtime_filter" -> q237Oracle,
     "q01_pricing_summary" -> q01Oracle,
     "q02_project_rename" -> q02Oracle,
     "q03_filter" -> q03Oracle,
