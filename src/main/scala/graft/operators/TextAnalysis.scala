@@ -1849,7 +1849,66 @@ object TextAnalysis {
       |  FROM h)
       |ORDER BY level, source, lang""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q238 — HLL sketch rollup: q234's cube at a 64-bit-domain scale.
+  // The bitmap cube is exact but its state is O(domain) — fine at the
+  // 16-bit portable-hash width, impossible at a production 64-bit
+  // token/entity space. The HLL path bounds state at 2^lgK registers
+  // per group regardless of domain: per-(source, lang) sketches via
+  // hll_sketch_agg, rolled up per source by hll_union_agg over the
+  // BINARY state (the same aggregate-of-aggregate-state shape as
+  // q234, approximate instead of exact), estimates surfaced with
+  // hll_sketch_estimate. Correctness channel (q170's CMS precedent —
+  // DuckDB cannot replay a DataSketches HLL): the oracle carries the
+  // exact per-source distinct plus constant-true flags, and the Spark
+  // side computes the flags for real — est within the sketch's own
+  // 3-sigma envelope (1.04/sqrt(2^lgK) per the HLL paper; lgK=12 →
+  // 4.9%) for BOTH the direct sketch and the union-of-lang-sketches
+  // path. A drifting estimate or a lossy union flips a flag and the
+  // driver hash gate goes red. Register merges are max()s —
+  // order-insensitive, so the estimate is partition-deterministic.
+  // Scale notes (100 TB): this is THE distinct-count rollup at
+  // unbounded domains — per-partition sketches (KBs) merge up a
+  // dimension hierarchy with no rescan; the corpus pass is one
+  // map-side-combined sketch build.
+  val HllLgK = 12
+  val HllBand = 3.0 * 1.04 / math.sqrt((1 << HllLgK).toDouble)
+
+  def q238HllRollup(spark: SparkSession, dir: String): DataFrame = {
+    val h = Tables.documentsSharded(spark, dir)
+      .select(col("source"), col("lang"),
+        explode(tokens(lower(trim(col("text"))))).as("tok"))
+      .select(col("source"), col("lang"),
+        conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long").as("h"))
+    val perLang = h.groupBy(col("source"), col("lang"))
+      .agg(expr(s"hll_sketch_agg(h, $HllLgK)").as("sk"))
+    val viaUnion = perLang.groupBy(col("source"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est_u"))
+    val direct = h.groupBy(col("source"))
+      .agg(expr(s"hll_sketch_estimate(hll_sketch_agg(h, $HllLgK))").as("est_d"),
+        countDistinct(col("h")).as("vocab_exact"))
+    direct.join(viaUnion, Seq("source"))
+      .select(col("source"), col("vocab_exact"),
+        (abs(col("est_d") - col("vocab_exact")).cast("double")
+          / col("vocab_exact") <= HllBand).as("direct_in_band"),
+        (abs(col("est_u") - col("vocab_exact")).cast("double")
+          / col("vocab_exact") <= HllBand).as("union_in_band"))
+      .orderBy(col("source"))
+  }
+
+  val q238Oracle: String =
+    """WITH tk AS (
+      |  SELECT source,
+      |    unnest(string_split(lower(trim(text)), ' ')) AS tok
+      |  FROM documents)
+      |SELECT source,
+      |  COUNT(DISTINCT CAST('0x' || substring(md5(tok), 1, 4) AS BIGINT))
+      |    AS vocab_exact,
+      |  TRUE AS direct_in_band, TRUE AS union_in_band
+      |FROM tk GROUP BY 1 ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q238_hll_rollup" -> q238HllRollup,
     "q234_bitmap_cube" -> q234BitmapCube,
     "q232_tokenizer_apply" -> q232TokenizerApply,
     "q216_vocab_growth" -> q216VocabGrowth,
@@ -1881,6 +1940,7 @@ object TextAnalysis {
     "q158_bigram_lm_score" -> q158BigramLmScore)
 
   def oracleSql: Map[String, String] = Map(
+    "q238_hll_rollup" -> q238Oracle,
     "q234_bitmap_cube" -> q234Oracle,
     "q216_vocab_growth" -> q216Oracle,
     "q218_lang_fertility" -> q218Oracle,
