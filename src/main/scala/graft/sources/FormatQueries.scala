@@ -474,7 +474,47 @@ object FormatQueries {
       |  CAST(SUM(CASE WHEN gen_a THEN NULL ELSE k END) AS BIGINT) AS sum_extra
       |FROM e GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q239 — XML round-trip: the remaining interchange format Spark 4
+  // ships natively (the spark-xml package folded into core), under
+  // the same lossless contract as q54/q55/q96 — and, like q235, with
+  // a NESTED element in the loop: the order's status/total ride a
+  // child element, so the writer's nested-element emission and the
+  // reader's struct recovery are both gated, plus the timestamp
+  // text codec. Explicit read schema (no inference pass — an
+  // inference scan doubles the read at scale).
+  // Scale notes (100 TB): XML is the B2B/legacy-feed ingestion
+  // format; the write is distributed (one file per task) and the
+  // read a distributed text scan — same shape as the CSV/JSON pair.
+  def q239XmlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp(spark, "xml", dir)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        struct(col("o_orderstatus").as("status"),
+          col("o_totalprice").as("total")).as("info"),
+        col("o_orderdate"))
+      .write.mode("overwrite").option("rowTag", "order").format("xml")
+      .save(path)
+    spark.read.option("rowTag", "order")
+      .schema("o_orderkey BIGINT, " +
+        "info STRUCT<status: STRING, total: DOUBLE>, " +
+        "o_orderdate TIMESTAMP")
+      .format("xml").load(path)
+      .groupBy(col("info.status").as("estado"))
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(col("info.total")).as("total"),
+        date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("primera"))
+      .orderBy(col("estado"))
+  }
+
+  val q239Oracle: String =
+    """SELECT o_orderstatus AS estado, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  strftime(MIN(o_orderdate), '%Y-%m-%d') AS primera
+      |FROM orders GROUP BY 1 ORDER BY estado""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q239_xml_roundtrip" -> q239XmlRoundtrip,
     "q236_variant_json" -> q236VariantJson,
     "q235_nested_pruning" -> q235NestedPruning,
     "q164_dynamic_overwrite" -> q164DynamicOverwrite,
@@ -488,6 +528,7 @@ object FormatQueries {
     "q64_schema_evolution" -> q64SchemaEvolution)
 
   def oracleSql: Map[String, String] = Map(
+    "q239_xml_roundtrip" -> q239Oracle,
     "q236_variant_json" -> q236Oracle,
     "q235_nested_pruning" -> q235Oracle,
     "q164_dynamic_overwrite" -> q164Oracle,
