@@ -765,6 +765,56 @@ object OperatorQueries {
       |SELECT node, anc, d FROM anc ORDER BY node, d""".stripMargin
 
   // --------------------------------------------------------------------
+  // q240 — ENGINE-LEVEL recursion: the same ancestor fixpoint as q115,
+  // but declared as a Spark 4 recursive CTE (WITH RECURSIVE) instead
+  // of hand-rolled pointer-doubling — the executor's recursive-union
+  // loop owns iteration, termination, and intermediate reuse, the way
+  // a warehouse user actually writes hierarchy queries. q115 keeps the
+  // doubling form (log-depth rounds, the 100 TB-deep-tree shape); q240
+  // pins that the DECLARATIVE form answers identically — its DuckDB
+  // oracle is the same WITH RECURSIVE text modulo dialect, so the gate
+  // proves Spark's recursive execution against DuckDB's. The report
+  // aggregates per depth (pairs, distinct descendants, distinct
+  // ancestors) rather than dumping the closure — a different result
+  // surface than q115's row set.
+  // Scale notes (100 TB): linear recursion extends one edge per step —
+  // each iteration is one key-partitioned join of the previous
+  // generation against the edge table + a union, the standard
+  // recursive-CTE execution; depth bounds iterations (~log2(max id)
+  // for this tree). For trees deeper than wide, q115's doubling is
+  // the better plan; the point here is the engine mechanism.
+  def q240RecursiveCte(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .select(col("user_id").as("node")).filter(col("node") >= 1L).distinct()
+      .withColumn("parent", expr("node DIV 2"))
+      .filter(col("parent") >= 1L)
+      .createOrReplaceTempView("g240_edges")
+    spark.sql(
+      """WITH RECURSIVE up(node, anc, d) AS (
+        |  SELECT node, parent, CAST(1 AS BIGINT) FROM g240_edges
+        |  UNION ALL
+        |  SELECT u.node, e.parent, u.d + 1
+        |  FROM up u JOIN g240_edges e ON e.node = u.anc)
+        |SELECT d, COUNT(*) AS n_pairs, COUNT(DISTINCT node) AS n_nodes,
+        |  COUNT(DISTINCT anc) AS n_ancs
+        |FROM up GROUP BY d ORDER BY d""".stripMargin)
+  }
+
+  val q240Oracle: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT node, CAST(node // 2 AS BIGINT) AS parent
+      |  FROM (SELECT DISTINCT user_id AS node FROM events WHERE user_id >= 1)
+      |  WHERE node // 2 >= 1),
+      |up AS (
+      |  SELECT node, parent AS anc, CAST(1 AS BIGINT) AS d FROM e
+      |  UNION ALL
+      |  SELECT u.node, e.parent, u.d + 1
+      |  FROM up u JOIN e ON e.node = u.anc)
+      |SELECT d, COUNT(*) AS n_pairs, COUNT(DISTINCT node) AS n_nodes,
+      |  COUNT(DISTINCT anc) AS n_ancs
+      |FROM up GROUP BY d ORDER BY d""".stripMargin
+
+  // --------------------------------------------------------------------
   // q137 — bipartite PageRank, two unrolled iterations: node importance
   // on the part↔supplier co-occurrence graph (distinct lineitem pairs,
   // walked in both directions). The importance propagation is
@@ -1439,6 +1489,7 @@ object OperatorQueries {
     "q191_retrieval_eval" -> q191RetrievalEval,
     "q109_snapshot_diff" -> q109SnapshotDiff,
     "q115_hierarchy_closure" -> q115HierarchyClosure,
+    "q240_recursive_cte" -> q240RecursiveCte,
     "q120_temporal_lookup" -> q120TemporalLookup,
     "q127_attribution" -> q127Attribution)
 
@@ -1467,6 +1518,7 @@ object OperatorQueries {
     "q191_retrieval_eval" -> q191Oracle,
     "q109_snapshot_diff" -> q109Oracle,
     "q115_hierarchy_closure" -> q115Oracle,
+    "q240_recursive_cte" -> q240Oracle,
     "q120_temporal_lookup" -> q120Oracle,
     "q127_attribution" -> q127Oracle)
 }
