@@ -142,6 +142,48 @@ object StarSchema {
       |WHERE rk <= 3 ORDER BY c_nationkey, rk""".stripMargin
 
   // --------------------------------------------------------------------
+  // q241 — correlated LATERAL subquery with LIMIT: the declarative
+  // "top-k matches per driving row" form. Naively this is a nested
+  // loop (one ordered sub-scan per part); Catalyst's DecorrelateInnerQuery
+  // must rewrite it into a row_number window over the fact keyed by
+  // the correlation column + an EQUI-join back to the driving table —
+  // LateralTopkSpec locks the decorrelated shape (Window + equi-join,
+  // no nested loop). The full tiebreak in the lateral ORDER BY
+  // (price, orderkey, linenumber) makes the selected rows unique, so
+  // both engines pick identical top-2 sets. DuckDB executes the SAME
+  // lateral SQL — the gate proves the decorrelation is
+  // semantics-preserving against an engine that runs laterals
+  // natively.
+  // Scale notes (100 TB): the decorrelated plan is one hash shuffle
+  // of the fact on the correlation key + a per-key sorted limit —
+  // same cost class as q19; the lateral FORM costs nothing extra
+  // once decorrelated, which is exactly what the spec pins.
+  def q241LateralTopk(spark: SparkSession, dir: String): DataFrame = {
+    Tables.part(spark, dir).createOrReplaceTempView("g241_part")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("g241_li")
+    spark.sql(
+      """SELECT p.p_partkey, p.p_brand, t.l_orderkey, t.l_extendedprice
+        |FROM g241_part p, LATERAL (
+        |  SELECT l_orderkey, l_extendedprice FROM g241_li
+        |  WHERE g241_li.l_partkey = p.p_partkey
+        |  ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |  LIMIT 2) t
+        |WHERE p.p_size = 1
+        |ORDER BY p.p_partkey, t.l_extendedprice DESC, t.l_orderkey"""
+        .stripMargin)
+  }
+
+  val q241Oracle: String =
+    """SELECT p.p_partkey, p.p_brand, t.l_orderkey, t.l_extendedprice
+      |FROM part p, LATERAL (
+      |  SELECT l_orderkey, l_extendedprice FROM lineitem li
+      |  WHERE li.l_partkey = p.p_partkey
+      |  ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+      |  LIMIT 2) t
+      |WHERE p.p_size = 1
+      |ORDER BY p_partkey, l_extendedprice DESC, l_orderkey""".stripMargin
+
+  // --------------------------------------------------------------------
   // q20 — running total window (cumulative sum per customer over order
   // date). The cumulative DECIMAL sum is exact at every prefix, so the
   // result is order-of-evaluation independent.
@@ -362,6 +404,7 @@ object StarSchema {
     "q17_surrogate_fact" -> q17SurrogateFact,
     "q18_role_playing_dates" -> q18RolePlayingDates,
     "q19_top_per_group" -> q19TopPerGroup,
+    "q241_lateral_topk" -> q241LateralTopk,
     "q20_running_total" -> q20RunningTotal,
     "q21_rollup" -> q21Rollup,
     "q22_cube" -> q22Cube)
@@ -375,6 +418,7 @@ object StarSchema {
     "q17_surrogate_fact" -> q17Oracle,
     "q18_role_playing_dates" -> q18Oracle,
     "q19_top_per_group" -> q19Oracle,
+    "q241_lateral_topk" -> q241Oracle,
     "q20_running_total" -> q20Oracle,
     "q21_rollup" -> q21Oracle,
     "q22_cube" -> q22Oracle)
