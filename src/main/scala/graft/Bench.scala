@@ -28,7 +28,7 @@ object Bench {
     37,212,92,66,30,359,40,59,23,68,100,37,57,94,21,52,98,68,64,63,170,145,
     245,204,23,68,70,177,57,48,279,412,169,282,59,45,107,13,159,101,35,70,51,
     95,115,131,98,60,34,40,63,51,30,84,61,42,32,62,43,33,48,53,81,48,51,195,
-    55,79,57,116,60,55,60,85,185,110,80,210,220,160,130)
+    55,79,57,116,60,55,60,85,185,110,80,210,220,160,130,100)
 
   def costOf(name: String): Int = {
     val n = name.takeWhile(_ != '_').drop(1).toInt

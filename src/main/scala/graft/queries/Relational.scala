@@ -376,6 +376,70 @@ object Relational {
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
   // --------------------------------------------------------------------
+  // q243 — AQE RUNTIME skew-join mitigation: the brief's third answer
+  // to key skew after manual salting (q50/q51) and the skew REPORT
+  // (q177) — the engine one. A hot key (90% of fact rows) lands one
+  // reduce partition orders of magnitude above the median; AQE's
+  // OptimizeSkewedJoin reads the real map-output statistics at
+  // runtime and splits that partition across map-index ranges, each
+  // split joining the (replicated) dim side — no salting column, no
+  // query rewrite (AqeSkewSpec locks `SortMergeJoin(skew=true)` and
+  // the `skewed` AQEShuffleRead in the final adaptive plan). The
+  // consumer is exchange-free below the join (a post-join filter,
+  // never a groupBy/orderBy) because a downstream redistribution
+  // would make the split's partitioning moot — that placement IS part
+  // of the pattern. The driver gate sorts rows itself, so no final
+  // ORDER BY is needed.
+  // Derived-session knobs are fixture-scale only: the 256 MB/5x
+  // defaults fire naturally on a real hot key at 100 TB; the 1 KB
+  // threshold here keeps even the 6 k-row spec fixture (further
+  // thinned by the pushed-down %7 filter) above the skew bar. The
+  // repartition(8) gives the join shuffle multiple map outputs —
+  // split granularity is the map index, so a single-mapper stage
+  // (one parquet file at fixture scale) could never split.
+  // Scale notes (100 TB): this is THE zero-touch skew answer — the
+  // salting queries document the manual fallback for engines without
+  // runtime stats; AQE replans from observed sizes, handling drift
+  // (today's hot key is not yesterday's) with no pipeline change.
+  def q243AqeSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(s.conf.set(k, v)) }
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "1KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    skewJoin(s, dir)
+  }
+
+  /** The skewed join on the caller's session — exposed so AqeSkewSpec
+    * can assert the FINAL adaptive plan after execution. */
+  private[graft] def skewJoin(s: SparkSession, dir: String): DataFrame = {
+    val fact = graft.sources.Tables.events(s, dir)
+      .select(col("event_id")).repartition(8)
+      .withColumn("k", when(col("event_id") % 10 < 9, lit(0L))
+        .otherwise(col("event_id") % 997))
+    val dim = s.range(0, 997).toDF("k")
+      .withColumn("grp", col("k") % 10)
+    fact.join(dim, Seq("k"))
+      .filter(col("event_id") % 7 === 0)
+      .select(col("event_id"), col("k"), col("grp"))
+  }
+
+  val q243Oracle: String =
+    """WITH f AS (
+      |  SELECT event_id,
+      |    CASE WHEN event_id % 10 < 9 THEN 0
+      |         ELSE event_id % 997 END AS k
+      |  FROM events),
+      |d AS (
+      |  SELECT CAST(unnest(range(0, 997)) AS BIGINT) AS k)
+      |SELECT event_id, f.k, f.k % 10 AS grp
+      |FROM f JOIN d ON f.k = d.k
+      |WHERE event_id % 7 = 0""".stripMargin
+
+  // --------------------------------------------------------------------
   // q242 — COST-BASED join reordering: every other optimization the
   // registry pins is rule-based; this one needs STATISTICS. The query
   // is written in the worst order — fact-first, the selective dim
@@ -528,6 +592,7 @@ object Relational {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q237_runtime_filter" -> q237RuntimeFilter,
     "q242_cbo_reorder" -> q242CboReorder,
+    "q243_aqe_skew_join" -> q243AqeSkewJoin,
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_project_rename" -> q02ProjectRename,
     "q03_filter" -> q03Filter,
@@ -547,6 +612,7 @@ object Relational {
   def oracleSql: Map[String, String] = Map(
     "q237_runtime_filter" -> q237Oracle,
     "q242_cbo_reorder" -> q242Oracle,
+    "q243_aqe_skew_join" -> q243Oracle,
     "q01_pricing_summary" -> q01Oracle,
     "q02_project_rename" -> q02Oracle,
     "q03_filter" -> q03Oracle,
