@@ -18,17 +18,17 @@ object Bench {
     * is loud, not silent.
     */
   val priorCostCs: Array[Int] = Array(
-    92,16,26,106,36,25,41,25,11,10,10,6,23,16,52,8,29,109,39,41,28,52,26,56,
-    65,186,42,47,40,35,43,34,43,29,39,84,10,14,170,63,149,193,99,31,129,135,
-    72,81,65,29,93,49,38,86,45,65,26,35,53,70,11,54,62,47,33,63,57,91,32,46,
-    25,135,301,36,45,15,52,63,80,92,81,74,79,162,51,88,47,67,179,48,176,40,21,
-    62,115,189,36,49,37,238,39,31,75,61,34,38,157,58,73,53,64,27,158,27,86,49,
-    42,91,32,159,146,121,65,28,39,28,63,75,115,36,41,37,18,15,11,11,200,41,64,
-    43,65,56,96,112,93,307,195,53,51,50,118,42,243,166,165,17,89,140,48,68,41,
-    37,212,92,66,30,359,40,59,23,68,100,37,57,94,21,52,98,68,64,63,170,145,
-    245,204,23,68,70,177,57,48,279,412,169,282,59,45,107,13,159,101,35,70,51,
-    95,115,131,98,60,34,40,63,51,30,84,61,42,32,62,43,33,48,53,81,48,51,195,
-    55,79,57,116,60,55,60,85,185,110,80,210,220,160,130,100)
+    141,26,23,105,43,22,38,28,16,18,18,17,22,20,57,13,34,132,33,54,31,71,23,
+    72,103,223,31,48,47,47,55,30,44,32,41,34,16,19,159,41,166,243,103,30,118,
+    129,78,93,62,22,120,44,42,92,54,59,33,39,47,73,21,44,80,68,36,68,44,82,49,
+    45,30,142,345,34,44,20,57,66,95,127,93,75,137,158,53,107,53,82,178,46,162,
+    44,34,78,117,244,39,43,40,198,33,29,99,81,39,47,217,63,85,69,64,29,164,28,
+    117,44,33,109,31,153,105,119,72,31,40,33,58,79,109,39,35,35,17,25,21,26,
+    222,52,64,58,54,56,96,96,95,343,180,43,58,50,127,44,232,120,175,19,134,
+    121,82,60,38,52,189,116,68,34,387,45,74,40,60,102,43,47,86,26,62,100,73,
+    90,61,163,142,226,182,32,75,85,183,84,51,256,254,166,347,74,43,105,22,193,
+    97,40,82,68,110,142,142,120,64,34,40,63,54,39,77,65,45,27,64,42,29,39,55,
+    80,47,51,206,63,98,85,103,48,59,30,40,148,76,84,242,195,94,82,46)
 
   def costOf(name: String): Int = {
     val n = name.takeWhile(_ != '_').drop(1).toInt
