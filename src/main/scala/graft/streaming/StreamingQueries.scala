@@ -255,6 +255,76 @@ object StreamingQueries {
   val q84Oracle: String = q72Oracle
 
   // --------------------------------------------------------------------
+  // q244 — checkpoint RECOVERY across a query restart: the streaming
+  // production property no single-run query can pin. A stateful
+  // per-type aggregate runs over half the corpus and stops; the other
+  // half arrives; a NEW query starts against the SAME checkpoint. The
+  // restart must recover BOTH sides of the checkpoint contract: the
+  // source offsets (half A is never re-read — re-processing would
+  // double-count it into the recovered aggregate state) and the state
+  // store (half A's counts survive the process boundary — losing them
+  // leaves half-B-only totals). Either corruption changes the final
+  // totals, so the DuckDB oracle (the whole-corpus batch aggregate)
+  // is a complete gate over restart semantics; StreamRestartSpec
+  // additionally pins that run 2's input-row count is EXACTLY half B.
+  // Complete-mode output goes through foreachBatch overwriting one
+  // parquet snapshot — the idempotent "latest state" sink a
+  // dashboard-style consumer reads.
+  // Scale notes (100 TB/day): restart-from-checkpoint is how every
+  // production stream deploys (upgrade, rebalance, crash); state
+  // lives in the RocksDB-backed store keyed by group, offsets in the
+  // checkpoint log — both scale with keys and files, not history.
+  def q244StreamRestart(spark: SparkSession, dir: String): DataFrame = {
+    val ss = EventsStreaming.streamSession(spark)
+    val outDir = graft.sources.ShardPaths.resolve(ss, "q244", dir)
+    val ckptDir = graft.sources.ShardPaths.resolveCheckpoint(ss, "q244", dir)
+    val stage = graft.sources.ShardPaths.resolve(ss, "q244_stage", dir)
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(ss.sessionState.newHadoopConf())
+    Seq(outDir, ckptDir, stage).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    val raw = graft.sources.Tables.events(ss, dir)
+    raw.filter(col("event_id") % 2 === 0)
+      .coalesce(1).write.parquet(s"$stage/a1.parquet")
+    q244Run(ss, stage, ckptDir, outDir)
+    raw.filter(col("event_id") % 2 =!= 0)
+      .coalesce(1).write.parquet(s"$stage/a2.parquet")
+    q244Run(ss, stage, ckptDir, outDir)
+    spark.read.parquet(outDir)
+      .select(col("event_type"), col("n_events"),
+        col("dec_sum").cast("double").as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** One run of q244's restartable aggregate: start against the
+    * checkpoint, drain, stop. Returns the run's total input rows so
+    * StreamRestartSpec can pin offset recovery (run 2 == |half B|).
+    */
+  private[streaming] def q244Run(ss: SparkSession, stage: String,
+      ckptDir: String, outDir: String): Long = {
+    val agg = EventsStreaming
+      .readEventsStream(ss, s"$stage/*.parquet", glob = "*.parquet")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(24, 6))).as("dec_sum"))
+    val q = agg.writeStream.outputMode("complete")
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("overwrite").parquet(outDir)
+      }
+      .start()
+    q.processAllAvailable()
+    val rows = q.recentProgress.map(_.numInputRows).sum
+    q.stop()
+    rows
+  }
+
+  val q244Oracle: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  // --------------------------------------------------------------------
   // q73 — watermarked stream-stream join: each event joined to the same
   // user's follow-up events within 10 minutes (the "action → reaction"
   // correlation pattern). Both sides carry a 30-minute watermark and
@@ -1204,6 +1274,7 @@ object StreamingQueries {
     "q146_stream_session_window" -> q146StreamSessionWindow,
     "q151_stream_hopping" -> q151StreamHopping,
     "q72_stream_dedup" -> q72StreamDedup,
+    "q244_stream_restart" -> q244StreamRestart,
     "q73_stream_join" -> q73StreamJoin,
     "q167_stream_outer_join" -> q167StreamOuterJoin,
     "q181_stream_privacy_gate" -> q181StreamPrivacyGate,
@@ -1227,6 +1298,7 @@ object StreamingQueries {
     "q146_stream_session_window" -> q146Oracle,
     "q151_stream_hopping" -> q151Oracle,
     "q72_stream_dedup" -> q72Oracle,
+    "q244_stream_restart" -> q244Oracle,
     "q73_stream_join" -> q73Oracle,
     "q167_stream_outer_join" -> q167Oracle,
     "q181_stream_privacy_gate" -> q181Oracle,
