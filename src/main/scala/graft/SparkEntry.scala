@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.StatsQueries.queries ++
       graft.queries.TimeSeriesQueries.queries ++
       graft.operators.Curation.queries ++
-      graft.operators.ZOrder.queries
+      graft.operators.ZOrder.queries ++
+      graft.queries.PlannerMechanisms.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -43,5 +44,6 @@ object SparkEntry {
       graft.queries.StatsQueries.oracleSql ++
       graft.queries.TimeSeriesQueries.oracleSql ++
       graft.operators.Curation.oracleSql ++
-      graft.operators.ZOrder.oracleSql
+      graft.operators.ZOrder.oracleSql ++
+      graft.queries.PlannerMechanisms.oracleSql
 }

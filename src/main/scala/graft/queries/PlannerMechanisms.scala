@@ -1,0 +1,343 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.{ShardPaths, Tables}
+
+/** Planner/runtime join + write mechanisms (q245–q250): each query pins
+  * a Catalyst or executor MECHANISM no earlier query exercises, on the
+  * real testdata tables with a DuckDB oracle. Completes the round-13
+  * engine-mechanism tier (q234–q244) on the join-planning and
+  * write-path side:
+  *
+  *   - q245 null-aware ANTI join — NOT IN's tri-valued logic as a
+  *     single join (vs q14's left_anti, which is NOT EXISTS);
+  *   - q246 collation-aware grouping/join — Spark 4 collations push
+  *     case-equivalence into the engine's hash/compare;
+  *   - q247 dynamic partition overwrite — partition-level idempotent
+  *     backfill on the write path;
+  *   - q248 exchange + scalar-subquery reuse — one shuffle feeds a
+  *     diamond self-join and repeated subqueries;
+  *   - q249 AQE empty-relation propagation — a runtime-empty join side
+  *     eliminates the join at execution time;
+  *   - q250 ExistenceJoin — disjunctive membership (IN-subquery OR
+  *     local predicate) planned as the internal existence join type.
+  *
+  * Reference provenance: the reference engine's query surface is plain
+  * Python ETL (the /root/reference/processing scripts) with no optimizer to
+  * speak of; these queries document how the SAME relational semantics
+  * (anti joins, case-normalized lookups, partitioned rewrites) are
+  * expressed so Spark's planner machinery does the heavy lifting at
+  * 100 TB.
+  */
+object PlannerMechanisms {
+
+  /** Exact, order-independent money sum (see [[Relational.moneySum]]). */
+  private def moneySum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  // --------------------------------------------------------------------
+  // q245 — NULL-AWARE anti join: `NOT IN (subquery)` under SQL's
+  // tri-valued logic. q14's left_anti is NOT EXISTS — a NULL probe key
+  // simply never matches and SURVIVES; NOT IN is stricter: a NULL
+  // probe key can never be PROVEN absent (NULL = x is unknown for
+  // every x), so the row is dropped, and a single NULL in the subquery
+  // drops EVERYTHING. Expressing that as a join needs the join
+  // condition `(k = k') OR isnull(k = k')`, which a hash join cannot
+  // evaluate — except in Spark's special-cased single-column
+  // null-aware anti join (BroadcastHashJoin, LeftAnti,
+  // isNullAwareAntiJoin=true; NullAwareAntiJoinSpec pins the flag and
+  // both semantic halves). Here: non-negative-balance customers with
+  // no finalized order — customers whose balance is negative get a
+  // NULL probe key (their membership is declared unknowable) and are
+  // excluded by the semantics, not by a hand-written filter.
+  // Scale notes (100 TB): NAAJ is BROADCAST-ONLY — Spark must see
+  // every build key (plus whether any is NULL) on one node, so an
+  // unbounded build side degrades to BroadcastNestedLoopJoin. The
+  // production rule this query documents: keep NOT IN subqueries
+  // bounded (dedup'd key sets, not fact tables), or rewrite to
+  // NOT EXISTS (q14's shape) when the key is provably non-null —
+  // the planner's choice between the two IS the semantic difference.
+  def q245NullAwareAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"),
+        when(col("c_acctbal") < 0, lit(null).cast("bigint"))
+          .otherwise(col("c_custkey")).as("probe_key"))
+      .createOrReplaceTempView("graft_q245_cust")
+    Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey"))
+      .createOrReplaceTempView("graft_q245_fin")
+    spark.sql(
+      """SELECT c_custkey, c_name FROM graft_q245_cust
+        |WHERE probe_key NOT IN (SELECT o_custkey FROM graft_q245_fin)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val q245Oracle: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE (CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END)
+      |  NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q246 — COLLATION-aware grouping and join (Spark 4 string
+  // collations): case-insensitive entity resolution at the ENGINE
+  // level. Every earlier case-merge in the registry normalizes with
+  // lower() (a projection); a collated column instead changes the
+  // EQUALITY — groupBy hashes the collation key, the join compares
+  // under UTF8_LCASE — so the original text survives untouched and
+  // every operator downstream of the column is case-insensitive for
+  // free. The fixture scrambles c_mktsegment's case per row (even
+  // custkeys lowercased), groups by the collated label, and joins a
+  // lowercase-keyed segment dim under collation; CollationSpec pins
+  // the collated grouping-key type, the variant merge, and the
+  // cross-case join. The oracle is the lower()-normalized equivalent
+  // — the two MUST agree, which is exactly the property that makes
+  // collations safe to adopt.
+  // Scale notes (100 TB): normalize-with-lower() materializes a
+  // second copy of every string column it normalizes (and loses the
+  // original); a collated comparison is computed in the hash/compare
+  // path with no extra column, and partitioning/grouping on the
+  // collated key shuffles original bytes once. Collation keys cost a
+  // transform per comparison — for hot join keys, a one-off
+  // lower()-projected BUCKETED layout still wins; collations win on
+  // ad-hoc grouping and mixed-source text.
+  def q246CollationGroup(spark: SparkSession, dir: String): DataFrame = {
+    val labeled = Tables.customer(spark, dir)
+      .select(
+        when(col("c_custkey") % 2 === 0, lower(col("c_mktsegment")))
+          .otherwise(col("c_mktsegment")).as("label"),
+        col("c_acctbal"))
+    val dim = Tables.customer(spark, dir)
+      .select(lower(col("c_mktsegment")).as("seg")).distinct()
+      .withColumn("code", substring(col("seg"), 1, 2))
+    labeled
+      .join(dim, collate(col("label"), "UTF8_LCASE") === collate(col("seg"), "UTF8_LCASE"))
+      .groupBy(collate(col("label"), "UTF8_LCASE").as("k"))
+      .agg(
+        max(col("seg")).as("seg"),
+        max(col("code")).as("code"),
+        countDistinct(col("label")).as("n_case_variants"),
+        count(lit(1)).as("n_rows"),
+        moneySum(col("c_acctbal")).as("sum_bal"))
+      .drop("k")
+      .orderBy(col("seg"))
+  }
+
+  val q246Oracle: String =
+    """WITH lab AS (
+      |  SELECT CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+      |              ELSE c_mktsegment END AS label,
+      |         c_acctbal
+      |  FROM customer),
+      |dim AS (
+      |  SELECT DISTINCT lower(c_mktsegment) AS seg,
+      |         substring(lower(c_mktsegment), 1, 2) AS code
+      |  FROM customer)
+      |SELECT max(d.seg) AS seg, max(d.code) AS code,
+      |  COUNT(DISTINCT l.label) AS n_case_variants,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      |FROM lab l JOIN dim d ON lower(l.label) = d.seg
+      |GROUP BY lower(l.label)
+      |ORDER BY seg""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q247 — DYNAMIC partition overwrite: partition-level idempotent
+  // backfill on the write path. Every earlier write in the registry
+  // (q54 CSV, q96 ORC, q235/q239, the boundaries) replaces its whole
+  // output; a 100 TB table is repaired one partition at a time —
+  // `mode(overwrite)` + `partitionOverwriteMode=dynamic` deletes ONLY
+  // the partitions the incoming frame actually contains, atomically
+  // per partition, leaving every other partition's files untouched
+  // (DynamicOverwriteSpec pins untouched-partition files byte-stable
+  // and contrasts STATIC mode, which drops them). The fixture builds
+  // a per-(lang, source) stats table partitioned by lang, then
+  // re-lands the 'en' partition with a corrected build tag — the
+  // daily-backfill ritual of any partitioned warehouse.
+  // Scale notes (100 TB): this is THE incremental-publish primitive —
+  // a backfill touching 1 of 10 000 date partitions rewrites 10 GB,
+  // not 100 TB, and readers of other partitions never see a gap. The
+  // overwritten set is determined by the DATA (no hand-maintained
+  // partition list), so a late-arriving shard republishes exactly its
+  // own partitions.
+  def q247DynamicOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(s.conf.set(k, v)) }
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val out = ShardPaths.resolve(s, "q247", dir)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    writePass(s, dir, out, None)
+    writePass(s, dir, out, Some("en"))
+    s.read.parquet(out)
+      .select(col("lang"), col("source"), col("n_docs"),
+        col("sum_chars"), col("build"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** One publish pass: full table (lang=None) or a single lang's
+    * backfill. Exposed so DynamicOverwriteSpec can drive the passes
+    * separately and inspect the untouched partitions' files between
+    * them. */
+  private[graft] def writePass(s: SparkSession, dir: String, out: String,
+      only: Option[String]): Unit = {
+    val docs = Tables.documents(s, dir)
+    val scoped = only.fold(docs)(l => docs.filter(col("lang") === l))
+    scoped.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+      .withColumn("build", lit(if (only.isEmpty) "v1" else "v2"))
+      .write.partitionBy("lang").mode("overwrite").parquet(out)
+  }
+
+  val q247Oracle: String =
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CASE WHEN lang = 'en' THEN 'v2' ELSE 'v1' END AS build
+      |FROM documents
+      |GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q248 — EXCHANGE and SCALAR-SUBQUERY reuse: a diamond plan where
+  // one shuffle feeds multiple consumers WITHIN a single query. The
+  // monthly revenue aggregate is self-joined one month apart
+  // (month-over-month delta) and its total/count are referenced twice
+  // each as scalar subqueries in the filter ("this or the prior month
+  // beat the average", in exact rev*n > total decimal arithmetic —
+  // avg() would round differently across engines). Catalyst's
+  // ReuseExchangeAndSubquery rule plans the monthly aggregate's
+  // shuffle ONCE — the second join side and the repeated subqueries
+  // read ReusedExchange/ReusedSubquery nodes (ExchangeReuseSpec pins
+  // one of each in the executed plan). The StageBoundary pattern is
+  // the CROSS-query materialization of the same idea; this query pins
+  // the engine's automatic WITHIN-query form.
+  // Scale notes (100 TB): a fact-sized aggregate feeding a diamond
+  // would scan and shuffle the fact TWICE if reuse failed — the
+  // difference between one 100 TB scan and two is the whole game; the
+  // spec makes a silent reuse regression (e.g. a non-deterministic
+  // expression sneaking into one branch) loud.
+  def q248ExchangeReuse(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_q248_orders")
+    spark.sql(
+      """WITH m AS (
+        |  SELECT date_trunc('month', o_orderdate) AS mon,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM graft_q248_orders GROUP BY 1)
+        |SELECT cur.mon AS mon,
+        |       CAST(cur.rev AS DOUBLE) AS rev,
+        |       CAST(cur.rev - prev.rev AS DOUBLE) AS mom_delta
+        |FROM m cur JOIN m prev ON cur.mon = prev.mon + INTERVAL '1' MONTH
+        |WHERE cur.rev * (SELECT COUNT(*) FROM m) > (SELECT SUM(rev) FROM m)
+        |   OR prev.rev * (SELECT COUNT(*) FROM m) > (SELECT SUM(rev) FROM m)
+        |ORDER BY mon""".stripMargin)
+  }
+
+  val q248Oracle: String =
+    """WITH m AS (
+      |  -- DuckDB's month-granularity date_trunc yields DATE; Spark's
+      |  -- yields TIMESTAMP — align the canonical textual form
+      |  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon,
+      |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY 1)
+      |SELECT cur.mon AS mon,
+      |       CAST(cur.rev AS DOUBLE) AS rev,
+      |       CAST(cur.rev - prev.rev AS DOUBLE) AS mom_delta
+      |FROM m cur JOIN m prev ON cur.mon = prev.mon + INTERVAL 1 MONTH
+      |WHERE cur.rev * (SELECT COUNT(*) FROM m) > (SELECT SUM(rev) FROM m)
+      |   OR prev.rev * (SELECT COUNT(*) FROM m) > (SELECT SUM(rev) FROM m)
+      |ORDER BY mon""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q249 — AQE EMPTY-RELATION propagation: the runtime complement of
+  // static join elimination. The oversized-document blocklist
+  // (n_chars > 1e6) is structurally part of the plan — tomorrow's
+  // corpus release may populate it — but is EMPTY for this corpus,
+  // which no static rule can know (the predicate compares a data
+  // column). AQE observes the built side's zero rows at runtime and
+  // rewrites the anti join to its left child, so the per-lang
+  // survivor stats pay ZERO join cost (AqeEmptyRelationSpec pins:
+  // initial plan joins, final adaptive plan has no join node). Third
+  // member of the runtime-replan family: q243 splits a skewed
+  // exchange, q237 prunes with a runtime bloom filter, q249 deletes a
+  // dead operator.
+  // Scale notes (100 TB): gating pipelines carry many
+  // usually-empty guards (blocklists, quarantine sets, manual
+  // overrides). Keeping them in the PLAN costs nothing at runtime
+  // precisely because of this rule — the alternative (a driver-side
+  // count-then-branch) serializes an extra job per guard and splits
+  // the lineage.
+  def q249AqeEmptyRelation(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val blocklist = docs.filter(col("n_chars") > 1000000L)
+      .select(col("doc_id"))
+    docs.join(blocklist, Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("bigint").as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
+  val q249Oracle: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents
+      |WHERE doc_id NOT IN
+      |  (SELECT doc_id FROM documents WHERE n_chars > 1000000)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q250 — EXISTENCE join: disjunctive membership. `IN (subquery) OR
+  // local-predicate` can be neither a semi join (rows failing the
+  // subquery may still pass the disjunct) nor a filter (the subquery
+  // is a relation); Catalyst plans the internal ExistenceJoin type —
+  // a semi join that DOESN'T filter, emitting every probe row plus an
+  // `exists` bit the filter then consumes (ExistenceJoinSpec pins the
+  // join type and the disjunctive semantics). Here: keep documents
+  // that have a gold-label embedding OR are long enough — the typical
+  // curation union of "editorially pinned" and "metric-qualified".
+  // Scale notes (100 TB): the naive rewrite is a UNION of a semi join
+  // and a filter with a dedup — two corpus scans and a
+  // corpus-sized distinct. ExistenceJoin is one scan, one hash
+  // lookup per row, no dedup; the planner derives it from the natural
+  // SQL, which is why the query text should STAY declarative.
+  def q250ExistenceJoin(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir).createOrReplaceTempView("graft_q250_docs")
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"))
+      .createOrReplaceTempView("graft_q250_emb")
+    spark.sql(
+      """SELECT doc_id, lang, n_chars FROM graft_q250_docs
+        |WHERE doc_id IN (SELECT vec_id FROM graft_q250_emb WHERE label = 1)
+        |   OR n_chars >= 400
+        |ORDER BY doc_id""".stripMargin)
+  }
+
+  val q250Oracle: String =
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE doc_id IN (SELECT vec_id FROM embeddings WHERE label = 1)
+      |   OR n_chars >= 400
+      |ORDER BY doc_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q245_null_aware_anti_join" -> q245NullAwareAntiJoin,
+    "q246_collation_group" -> q246CollationGroup,
+    "q247_dynamic_overwrite" -> q247DynamicOverwrite,
+    "q248_exchange_reuse" -> q248ExchangeReuse,
+    "q249_aqe_empty_relation" -> q249AqeEmptyRelation,
+    "q250_existence_join" -> q250ExistenceJoin)
+
+  def oracleSql: Map[String, String] = Map(
+    "q245_null_aware_anti_join" -> q245Oracle,
+    "q246_collation_group" -> q246Oracle,
+    "q247_dynamic_overwrite" -> q247Oracle,
+    "q248_exchange_reuse" -> q248Oracle,
+    "q249_aqe_empty_relation" -> q249Oracle,
+    "q250_existence_join" -> q250Oracle)
+}
