@@ -4,9 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.sources.{ShardPaths, Tables}
+import graft.sources.Tables
 
-/** Planner/runtime join + write mechanisms (q245–q250): each query pins
+/** Planner/runtime join + write mechanisms (q245–q249): each query pins
   * a Catalyst or executor MECHANISM no earlier query exercises, on the
   * real testdata tables with a DuckDB oracle. Completes the round-13
   * engine-mechanism tier (q234–q244) on the join-planning and
@@ -16,13 +16,11 @@ import graft.sources.{ShardPaths, Tables}
   *     single join (vs q14's left_anti, which is NOT EXISTS);
   *   - q246 collation-aware grouping/join — Spark 4 collations push
   *     case-equivalence into the engine's hash/compare;
-  *   - q247 dynamic partition overwrite — partition-level idempotent
-  *     backfill on the write path;
-  *   - q248 exchange + scalar-subquery reuse — one shuffle feeds a
+  *   - q247 exchange + scalar-subquery reuse — one shuffle feeds a
   *     diamond self-join and repeated subqueries;
-  *   - q249 AQE empty-relation propagation — a runtime-empty join side
+  *   - q248 AQE empty-relation propagation — a runtime-empty join side
   *     eliminates the join at execution time;
-  *   - q250 ExistenceJoin — disjunctive membership (IN-subquery OR
+  *   - q249 ExistenceJoin — disjunctive membership (IN-subquery OR
   *     local predicate) planned as the internal existence join type.
   *
   * Reference provenance: the reference engine's query surface is plain
@@ -146,66 +144,7 @@ object PlannerMechanisms {
       |ORDER BY seg""".stripMargin
 
   // --------------------------------------------------------------------
-  // q247 — DYNAMIC partition overwrite: partition-level idempotent
-  // backfill on the write path. Every earlier write in the registry
-  // (q54 CSV, q96 ORC, q235/q239, the boundaries) replaces its whole
-  // output; a 100 TB table is repaired one partition at a time —
-  // `mode(overwrite)` + `partitionOverwriteMode=dynamic` deletes ONLY
-  // the partitions the incoming frame actually contains, atomically
-  // per partition, leaving every other partition's files untouched
-  // (DynamicOverwriteSpec pins untouched-partition files byte-stable
-  // and contrasts STATIC mode, which drops them). The fixture builds
-  // a per-(lang, source) stats table partitioned by lang, then
-  // re-lands the 'en' partition with a corrected build tag — the
-  // daily-backfill ritual of any partitioned warehouse.
-  // Scale notes (100 TB): this is THE incremental-publish primitive —
-  // a backfill touching 1 of 10 000 date partitions rewrites 10 GB,
-  // not 100 TB, and readers of other partitions never see a gap. The
-  // overwritten set is determined by the DATA (no hand-maintained
-  // partition list), so a late-arriving shard republishes exactly its
-  // own partitions.
-  def q247DynamicOverwrite(spark: SparkSession, dir: String): DataFrame = {
-    val s = spark.newSession()
-    spark.conf.getAll.foreach { case (k, v) =>
-      scala.util.Try(s.conf.set(k, v)) }
-    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    val out = ShardPaths.resolve(s, "q247", dir)
-    val fs = new org.apache.hadoop.fs.Path(out)
-      .getFileSystem(s.sessionState.newHadoopConf())
-    fs.delete(new org.apache.hadoop.fs.Path(out), true)
-    writePass(s, dir, out, None)
-    writePass(s, dir, out, Some("en"))
-    s.read.parquet(out)
-      .select(col("lang"), col("source"), col("n_docs"),
-        col("sum_chars"), col("build"))
-      .orderBy(col("lang"), col("source"))
-  }
-
-  /** One publish pass: full table (lang=None) or a single lang's
-    * backfill. Exposed so DynamicOverwriteSpec can drive the passes
-    * separately and inspect the untouched partitions' files between
-    * them. */
-  private[graft] def writePass(s: SparkSession, dir: String, out: String,
-      only: Option[String]): Unit = {
-    val docs = Tables.documents(s, dir)
-    val scoped = only.fold(docs)(l => docs.filter(col("lang") === l))
-    scoped.groupBy(col("lang"), col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_chars")).as("sum_chars"))
-      .withColumn("build", lit(if (only.isEmpty) "v1" else "v2"))
-      .write.partitionBy("lang").mode("overwrite").parquet(out)
-  }
-
-  val q247Oracle: String =
-    """SELECT lang, source, COUNT(*) AS n_docs,
-      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
-      |  CASE WHEN lang = 'en' THEN 'v2' ELSE 'v1' END AS build
-      |FROM documents
-      |GROUP BY lang, source
-      |ORDER BY lang, source""".stripMargin
-
-  // --------------------------------------------------------------------
-  // q248 — EXCHANGE and SCALAR-SUBQUERY reuse: a diamond plan where
+  // q247 — EXCHANGE and SCALAR-SUBQUERY reuse: a diamond plan where
   // one shuffle feeds multiple consumers WITHIN a single query. The
   // monthly revenue aggregate is self-joined one month apart
   // (month-over-month delta) and its total/count are referenced twice
@@ -223,13 +162,13 @@ object PlannerMechanisms {
   // difference between one 100 TB scan and two is the whole game; the
   // spec makes a silent reuse regression (e.g. a non-deterministic
   // expression sneaking into one branch) loud.
-  def q248ExchangeReuse(spark: SparkSession, dir: String): DataFrame = {
-    Tables.orders(spark, dir).createOrReplaceTempView("graft_q248_orders")
+  def q247ExchangeReuse(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_q247_orders")
     spark.sql(
       """WITH m AS (
         |  SELECT date_trunc('month', o_orderdate) AS mon,
         |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
-        |  FROM graft_q248_orders GROUP BY 1)
+        |  FROM graft_q247_orders GROUP BY 1)
         |SELECT cur.mon AS mon,
         |       CAST(cur.rev AS DOUBLE) AS rev,
         |       CAST(cur.rev - prev.rev AS DOUBLE) AS mom_delta
@@ -239,7 +178,7 @@ object PlannerMechanisms {
         |ORDER BY mon""".stripMargin)
   }
 
-  val q248Oracle: String =
+  val q247Oracle: String =
     """WITH m AS (
       |  -- DuckDB's month-granularity date_trunc yields DATE; Spark's
       |  -- yields TIMESTAMP — align the canonical textual form
@@ -255,7 +194,7 @@ object PlannerMechanisms {
       |ORDER BY mon""".stripMargin
 
   // --------------------------------------------------------------------
-  // q249 — AQE EMPTY-RELATION propagation: the runtime complement of
+  // q248 — AQE EMPTY-RELATION propagation: the runtime complement of
   // static join elimination. The oversized-document blocklist
   // (n_chars > 1e6) is structurally part of the plan — tomorrow's
   // corpus release may populate it — but is EMPTY for this corpus,
@@ -265,7 +204,7 @@ object PlannerMechanisms {
   // survivor stats pay ZERO join cost (AqeEmptyRelationSpec pins:
   // initial plan joins, final adaptive plan has no join node). Third
   // member of the runtime-replan family: q243 splits a skewed
-  // exchange, q237 prunes with a runtime bloom filter, q249 deletes a
+  // exchange, q237 prunes with a runtime bloom filter, q248 deletes a
   // dead operator.
   // Scale notes (100 TB): gating pipelines carry many
   // usually-empty guards (blocklists, quarantine sets, manual
@@ -273,7 +212,7 @@ object PlannerMechanisms {
   // precisely because of this rule — the alternative (a driver-side
   // count-then-branch) serializes an extra job per guard and splits
   // the lineage.
-  def q249AqeEmptyRelation(spark: SparkSession, dir: String): DataFrame = {
+  def q248AqeEmptyRelation(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val blocklist = docs.filter(col("n_chars") > 1000000L)
       .select(col("doc_id"))
@@ -284,7 +223,7 @@ object PlannerMechanisms {
       .orderBy(col("lang"))
   }
 
-  val q249Oracle: String =
+  val q248Oracle: String =
     """SELECT lang, COUNT(*) AS n_docs,
       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       |FROM documents
@@ -293,7 +232,7 @@ object PlannerMechanisms {
       |GROUP BY lang ORDER BY lang""".stripMargin
 
   // --------------------------------------------------------------------
-  // q250 — EXISTENCE join: disjunctive membership. `IN (subquery) OR
+  // q249 — EXISTENCE join: disjunctive membership. `IN (subquery) OR
   // local-predicate` can be neither a semi join (rows failing the
   // subquery may still pass the disjunct) nor a filter (the subquery
   // is a relation); Catalyst plans the internal ExistenceJoin type —
@@ -307,19 +246,19 @@ object PlannerMechanisms {
   // corpus-sized distinct. ExistenceJoin is one scan, one hash
   // lookup per row, no dedup; the planner derives it from the natural
   // SQL, which is why the query text should STAY declarative.
-  def q250ExistenceJoin(spark: SparkSession, dir: String): DataFrame = {
-    Tables.documents(spark, dir).createOrReplaceTempView("graft_q250_docs")
+  def q249ExistenceJoin(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir).createOrReplaceTempView("graft_q249_docs")
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"))
-      .createOrReplaceTempView("graft_q250_emb")
+      .createOrReplaceTempView("graft_q249_emb")
     spark.sql(
-      """SELECT doc_id, lang, n_chars FROM graft_q250_docs
-        |WHERE doc_id IN (SELECT vec_id FROM graft_q250_emb WHERE label = 1)
+      """SELECT doc_id, lang, n_chars FROM graft_q249_docs
+        |WHERE doc_id IN (SELECT vec_id FROM graft_q249_emb WHERE label = 1)
         |   OR n_chars >= 400
         |ORDER BY doc_id""".stripMargin)
   }
 
-  val q250Oracle: String =
+  val q249Oracle: String =
     """SELECT doc_id, lang, n_chars FROM documents
       |WHERE doc_id IN (SELECT vec_id FROM embeddings WHERE label = 1)
       |   OR n_chars >= 400
@@ -328,16 +267,14 @@ object PlannerMechanisms {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q245_null_aware_anti_join" -> q245NullAwareAntiJoin,
     "q246_collation_group" -> q246CollationGroup,
-    "q247_dynamic_overwrite" -> q247DynamicOverwrite,
-    "q248_exchange_reuse" -> q248ExchangeReuse,
-    "q249_aqe_empty_relation" -> q249AqeEmptyRelation,
-    "q250_existence_join" -> q250ExistenceJoin)
+    "q247_exchange_reuse" -> q247ExchangeReuse,
+    "q248_aqe_empty_relation" -> q248AqeEmptyRelation,
+    "q249_existence_join" -> q249ExistenceJoin)
 
   def oracleSql: Map[String, String] = Map(
     "q245_null_aware_anti_join" -> q245Oracle,
     "q246_collation_group" -> q246Oracle,
-    "q247_dynamic_overwrite" -> q247Oracle,
-    "q248_exchange_reuse" -> q248Oracle,
-    "q249_aqe_empty_relation" -> q249Oracle,
-    "q250_existence_join" -> q250Oracle)
+    "q247_exchange_reuse" -> q247Oracle,
+    "q248_aqe_empty_relation" -> q248Oracle,
+    "q249_existence_join" -> q249Oracle)
 }

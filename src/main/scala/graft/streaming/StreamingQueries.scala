@@ -325,6 +325,82 @@ object StreamingQueries {
       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 
   // --------------------------------------------------------------------
+  // q250 — the RocksDB STATE STORE provider: the production state
+  // backend. Every other stateful query in the registry runs on the
+  // default HDFS-backed provider, which keeps the ENTIRE state map
+  // on-heap per partition — fine for bounded keys (event types,
+  // session windows inside a watermark), fatal for unbounded ones. A
+  // per-USER aggregate is exactly that case: state cardinality grows
+  // with the user population, so the production deployment points the
+  // state store at RocksDB (native memory + local SSD, point lookups
+  // instead of a resident hash map) with CHANGELOG checkpointing —
+  // per batch it uploads only the delta file, not a full state
+  // snapshot (the StageBoundary incremental-publish idea applied to
+  // operator state). Results are backend-invariant — the DuckDB
+  // whole-corpus oracle proves the aggregate; RocksDbStateSpec pins
+  // the mechanism (rocksdb* metrics in the operator's progress, a
+  // .changelog file in the checkpoint, per-user state rows) and
+  // backend-equality against the default provider.
+  // Scale notes (100 TB/day): state backend choice is THE streaming
+  // memory-scale lever — a 1e9-key aggregate is ~100 GB of state per
+  // executor-set on-heap (OOM) vs an SSD-resident RocksDB per
+  // partition; changelog checkpointing turns per-batch state upload
+  // from O(state) to O(delta).
+  def q250RocksdbState(spark: SparkSession, dir: String): DataFrame = {
+    val ss = rocksSession(spark)
+    val outDir = graft.sources.ShardPaths.resolve(ss, "q250", dir)
+    val ckptDir = graft.sources.ShardPaths.resolveCheckpoint(ss, "q250", dir)
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(ss.sessionState.newHadoopConf())
+    Seq(outDir, ckptDir).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    q250Run(ss, dir, ckptDir, outDir)
+    spark.read.parquet(outDir)
+      .select(col("user_id"), col("n_events"),
+        col("dec_sum").cast("double").as("sum_value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** [[EventsStreaming.streamSession]] plus the RocksDB provider and
+    * changelog-checkpointing confs. Exposed for RocksDbStateSpec. */
+  private[streaming] def rocksSession(spark: SparkSession): SparkSession = {
+    val ss = EventsStreaming.streamSession(spark)
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    ss.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
+    ss
+  }
+
+  /** One run of q250's per-user aggregate on the caller's session;
+    * returns the final progress so RocksDbStateSpec can inspect the
+    * state operator's backend metrics. */
+  private[streaming] def q250Run(ss: SparkSession, dir: String,
+      ckptDir: String, outDir: String)
+      : org.apache.spark.sql.streaming.StreamingQueryProgress = {
+    val agg = EventsStreaming.readEventsStream(ss, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(24, 6))).as("dec_sum"))
+    val q = agg.writeStream.outputMode("complete")
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("overwrite").parquet(outDir)
+      }
+      .start()
+    q.processAllAvailable()
+    val prog = q.recentProgress.last
+    q.stop()
+    prog
+  }
+
+  val q250Oracle: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin
+
+  // --------------------------------------------------------------------
   // q73 — watermarked stream-stream join: each event joined to the same
   // user's follow-up events within 10 minutes (the "action → reaction"
   // correlation pattern). Both sides carry a 30-minute watermark and
@@ -1275,6 +1351,7 @@ object StreamingQueries {
     "q151_stream_hopping" -> q151StreamHopping,
     "q72_stream_dedup" -> q72StreamDedup,
     "q244_stream_restart" -> q244StreamRestart,
+    "q250_stream_rocksdb" -> q250RocksdbState,
     "q73_stream_join" -> q73StreamJoin,
     "q167_stream_outer_join" -> q167StreamOuterJoin,
     "q181_stream_privacy_gate" -> q181StreamPrivacyGate,
@@ -1299,6 +1376,7 @@ object StreamingQueries {
     "q151_stream_hopping" -> q151Oracle,
     "q72_stream_dedup" -> q72Oracle,
     "q244_stream_restart" -> q244Oracle,
+    "q250_stream_rocksdb" -> q250Oracle,
     "q73_stream_join" -> q73Oracle,
     "q167_stream_outer_join" -> q167Oracle,
     "q181_stream_privacy_gate" -> q181Oracle,

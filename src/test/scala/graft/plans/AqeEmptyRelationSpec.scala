@@ -2,7 +2,7 @@ package graft.plans
 
 import graft.SparkSpec
 
-/** q249 — AQE empty-relation propagation. The oracle proves the
+/** q248 — AQE empty-relation propagation. The oracle proves the
   * survivor stats; this spec locks the runtime elimination: the
   * blocklist anti join is present in the INITIAL plan (the guard is
   * structurally real) and absent from the FINAL adaptive plan (AQE
@@ -13,7 +13,7 @@ class AqeEmptyRelationSpec extends SparkSpec {
 
   test("a runtime-empty anti-join side is eliminated from the final plan") {
     val df = graft.queries.PlannerMechanisms
-      .q249AqeEmptyRelation(spark, "/root/testdata/sf0.001")
+      .q248AqeEmptyRelation(spark, "/root/testdata/sf0.001")
     assert(df.collect().nonEmpty)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("isFinalPlan=true"), "adaptive plan not final")

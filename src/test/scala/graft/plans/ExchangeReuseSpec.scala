@@ -2,7 +2,7 @@ package graft.plans
 
 import graft.SparkSpec
 
-/** q248 — within-query exchange and scalar-subquery reuse. The oracle
+/** q247 — within-query exchange and scalar-subquery reuse. The oracle
   * proves the month-over-month rows; this spec locks the diamond:
   * the monthly aggregate's shuffle is planned ONCE (a ReusedExchange
   * node feeds the second join side) and the repeated scalar
@@ -15,7 +15,7 @@ class ExchangeReuseSpec extends SparkSpec {
 
   test("the diamond reuses the aggregate exchange and the scalar subqueries") {
     val df = graft.queries.PlannerMechanisms
-      .q248ExchangeReuse(spark, "/root/testdata/sf0.001")
+      .q247ExchangeReuse(spark, "/root/testdata/sf0.001")
     assert(df.collect().nonEmpty)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("ReusedExchange"),

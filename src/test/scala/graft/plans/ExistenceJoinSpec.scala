@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
-/** q250 — ExistenceJoin. The oracle proves the selected rows; this
+/** q249 — ExistenceJoin. The oracle proves the selected rows; this
   * spec locks the join TYPE (the disjunctive membership is one
   * existence join — a non-filtering semi join emitting an `exists`
   * bit — not a union-with-dedup of a semi join and a filter) and the
@@ -16,14 +16,14 @@ class ExistenceJoinSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
   test("IN-subquery OR local predicate plans as an ExistenceJoin") {
-    val df = graft.queries.PlannerMechanisms.q250ExistenceJoin(spark, sf)
+    val df = graft.queries.PlannerMechanisms.q249ExistenceJoin(spark, sf)
     assert(df.queryExecution.optimizedPlan.toString.contains("ExistenceJoin"),
       s"disjunctive membership not planned as an existence join:\n" +
         df.queryExecution.optimizedPlan.toString)
   }
 
   test("each disjunct admits rows the other rejects") {
-    val got = graft.queries.PlannerMechanisms.q250ExistenceJoin(spark, sf)
+    val got = graft.queries.PlannerMechanisms.q249ExistenceJoin(spark, sf)
     val gotIds = got.collect().map(_.getLong(0)).toSet
     val docs = graft.sources.Tables.documents(spark, sf)
     val gold = graft.sources.Tables.embeddings(spark, sf)

@@ -51,4 +51,24 @@ class DynOverSpec extends SparkSpec {
     assert(filesOf(FormatQueries.OverwriteDay) != targetBefore,
       "the recomputed day's files were not replaced")
   }
+
+  test("the dynamic option is load-bearing: static overwrite drops the rest") {
+    // same two writes WITHOUT the dynamic option: mode(overwrite) under
+    // the default STATIC semantics wipes the whole table, so the
+    // one-day recompute leaves only its own partition — the failure
+    // mode q164's option exists to prevent
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_q164_static").toString
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"),
+        expr("CAST(ts AS LONG) DIV 86400").as("day"), col("value"))
+    ev.write.mode("overwrite").partitionBy("day").parquet(out)
+    ev.filter(col("day") === FormatQueries.OverwriteDay)
+      .withColumn("value", col("value") * 2)
+      .write.mode("overwrite").partitionBy("day").parquet(out)
+    val days = spark.read.parquet(out).select(col("day"))
+      .distinct().collect().map(_.get(0).toString.toLong).toSeq
+    assert(days == Seq(FormatQueries.OverwriteDay),
+      s"static overwrite should keep only the written day, got $days")
+  }
 }
