@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.sources.Tables
 
-/** Planner/runtime join + write mechanisms (q245–q249): each query pins
+/** Planner/runtime join + write mechanisms (q245–q249, q251): each query pins
   * a Catalyst or executor MECHANISM no earlier query exercises, on the
   * real testdata tables with a DuckDB oracle. Completes the round-13
   * engine-mechanism tier (q234–q244) on the join-planning and
@@ -21,7 +21,11 @@ import graft.sources.Tables
   *   - q248 AQE empty-relation propagation — a runtime-empty join side
   *     eliminates the join at execution time;
   *   - q249 ExistenceJoin — disjunctive membership (IN-subquery OR
-  *     local predicate) planned as the internal existence join type.
+  *     local predicate) planned as the internal existence join type;
+  *   - q251 storage-partitioned join — DataSource V2 tables reporting
+  *     KeyGroupedPartitioning join with zero shuffle exchanges
+  *     (q250, the RocksDB state backend, lives with the streaming
+  *     queries).
   *
   * Reference provenance: the reference engine's query surface is plain
   * Python ETL (the /root/reference/processing scripts) with no optimizer to
@@ -264,17 +268,85 @@ object PlannerMechanisms {
       |   OR n_chars >= 400
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q251 — STORAGE-PARTITIONED join (SPJ): the DataSource V2 form of
+  // the exchange-free co-located join. q129 pins the V1 mechanism
+  // (Hive bucketBy tables); modern table formats (Iceberg/Delta)
+  // instead REPORT their layout through the connector API — the scan
+  // advertises KeyGroupedPartitioning over the join key and each
+  // split carries its partition VALUE (HasPartitionKey), so Catalyst
+  // aligns the two sides split-by-split and plans the join with NO
+  // shuffle exchange on either side (SpjSpec pins zero exchanges
+  // below the join). Because partition values are first-class (not
+  // just a bucket count), the planner also handles MISMATCHED key
+  // sets by padding empty splits (`pushPartValues`) — exercised for
+  // real at sf0.001, where only 10 of the customer side's 25 nations
+  // have suppliers; V1 bucketing would shuffle there. Both sides are
+  // per-nation aggregates staged into graft.sources.SpjSource's
+  // key-grouped layout (bounded: ≤25 keys).
+  // Scale notes (100 TB): SPJ is how lakehouse fact-fact joins skip
+  // the shuffle entirely — two tables partitioned by the same key
+  // join at scan parallelism with zero exchange bytes; the padding
+  // path keeps that true across partition-set drift (late-arriving
+  // partitions, asymmetric retention), which is the everyday state
+  // of two independently-loaded 100 TB tables.
+  def q251StoragePartitionedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(s.conf.set(k, v)) }
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val root = spjStage(s, dir)
+    spjJoin(s, root).orderBy(col("nationkey"))
+  }
+
+  /** Stage both per-nation aggregates into the key-grouped layout;
+    * returns the local root. Exposed for SpjSpec. */
+  private[graft] def spjStage(s: SparkSession, dir: String): String = {
+    val root = new org.apache.hadoop.fs.Path(
+      graft.sources.ShardPaths.resolve(s, "q251", dir)).toUri.getPath
+    def agg(df: DataFrame, key: String): Seq[(Long, Long)] =
+      df.groupBy(col(key).cast("long").as("k")).count()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    graft.sources.SpjSource.stage(
+      agg(Tables.customer(s, dir), "c_nationkey"), s"$root/cust")
+    graft.sources.SpjSource.stage(
+      agg(Tables.supplier(s, dir), "s_nationkey"), s"$root/supp")
+    root
+  }
+
+  /** The SPJ join itself (no final sort). Exposed for SpjSpec's
+    * exchange-free plan assertion. */
+  private[graft] def spjJoin(s: SparkSession, root: String): DataFrame =
+    graft.sources.SpjSource.load(s, s"$root/cust")
+      .withColumnRenamed("v", "n_cust")
+      .join(graft.sources.SpjSource.load(s, s"$root/supp")
+        .withColumnRenamed("v", "n_supp"), Seq("k"))
+      .select(col("k").as("nationkey"), col("n_cust"), col("n_supp"))
+
+  val q251Oracle: String =
+    """WITH c AS (
+      |  SELECT c_nationkey AS k, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+      |s AS (
+      |  SELECT s_nationkey AS k, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+      |SELECT CAST(c.k AS BIGINT) AS nationkey, c.n_cust, s.n_supp
+      |FROM c JOIN s ON c.k = s.k
+      |ORDER BY nationkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q245_null_aware_anti_join" -> q245NullAwareAntiJoin,
     "q246_collation_group" -> q246CollationGroup,
     "q247_exchange_reuse" -> q247ExchangeReuse,
     "q248_aqe_empty_relation" -> q248AqeEmptyRelation,
-    "q249_existence_join" -> q249ExistenceJoin)
+    "q249_existence_join" -> q249ExistenceJoin,
+    "q251_storage_partitioned_join" -> q251StoragePartitionedJoin)
 
   def oracleSql: Map[String, String] = Map(
     "q245_null_aware_anti_join" -> q245Oracle,
     "q246_collation_group" -> q246Oracle,
     "q247_exchange_reuse" -> q247Oracle,
     "q248_aqe_empty_relation" -> q248Oracle,
-    "q249_existence_join" -> q249Oracle)
+    "q249_existence_join" -> q249Oracle,
+    "q251_storage_partitioned_join" -> q251Oracle)
 }

@@ -1,0 +1,137 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import scala.jdk.CollectionConverters._
+
+/** DataSource V2 source with a KEY-GROUPED physical layout — the
+  * connector contract behind storage-partitioned joins (SPJ). The
+  * table is a directory of `k=<key>` subdirectories, one pipe-separated
+  * data file each; the scan reports
+  * [[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning]]
+  * over the key column and every input partition exposes its key via
+  * [[HasPartitionKey]], which is exactly what Iceberg/Delta-style
+  * tables report so Catalyst can plan a join between two such tables
+  * WITHOUT any shuffle exchange (`spark.sql.sources.v2.bucketing
+  * .enabled`; SpjSpec pins the exchange-free join). q129 pins the V1
+  * (Hive bucketing) form of co-located joins; this source pins the V2
+  * form — partition VALUES are first-class, so the planner can also
+  * pad mismatched key sets (`pushPartValues`) instead of falling back
+  * to a full shuffle when one side is missing keys.
+  *
+  * The layout is deliberately minimal (fixed `(k BIGINT, v BIGINT)`
+  * schema, text payload): the mechanism under test is the
+  * partitioning METADATA contract between connector and planner, not
+  * a storage format.
+  */
+class SpjSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SpjSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new SpjTable(properties.get("path"))
+}
+
+object SpjSource {
+  val schema: StructType = StructType(Seq(
+    StructField("k", LongType, nullable = false),
+    StructField("v", LongType, nullable = false)))
+
+  def load(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("graft.sources.SpjSource").option("path", path).load()
+
+  /** Stage a bounded (key, value) frame into the key-grouped layout:
+    * one `k=<key>` directory per key. Bounded-by-construction callers
+    * only (per-nation aggregates, codebooks) — the collect is the
+    * staging step, not the query path.
+    */
+  def stage(rows: Seq[(Long, Long)], root: String): Unit = {
+    val dir = java.nio.file.Paths.get(root)
+    if (java.nio.file.Files.exists(dir)) {
+      import scala.jdk.StreamConverters._
+      java.nio.file.Files.walk(dir).toScala(Seq).reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    rows.groupBy(_._1).foreach { case (k, kv) =>
+      val d = dir.resolve(s"k=$k")
+      java.nio.file.Files.createDirectories(d)
+      val body = kv.map { case (key, v) => s"$key|$v" }.mkString("\n")
+      java.nio.file.Files.write(d.resolve("data.psv"),
+        (body + "\n").getBytes("UTF-8"))
+    }
+  }
+}
+
+class SpjTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"spj($path)"
+  override def schema(): StructType = SpjSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def partitioning(): Array[Transform] =
+    Array(Expressions.identity("k"))
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder { override def build(): Scan = new SpjScan(path) }
+}
+
+/** One input partition per key directory; [[partitionKey]] is what lets
+  * the planner group splits by key value and align the two join sides.
+  */
+case class SpjInputPartition(key: Long, file: String)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](key))
+}
+
+class SpjScan(path: String) extends Scan with Batch
+    with SupportsReportPartitioning {
+  override def readSchema(): StructType = SpjSource.schema
+  override def toBatch: Batch = this
+
+  private lazy val parts: Array[SpjInputPartition] = {
+    val root = java.nio.file.Paths.get(path)
+    import scala.jdk.StreamConverters._
+    java.nio.file.Files.list(root).toScala(Seq)
+      .filter(p => p.getFileName.toString.startsWith("k="))
+      .map { p =>
+        val k = p.getFileName.toString.stripPrefix("k=").toLong
+        SpjInputPartition(k, p.resolve("data.psv").toString)
+      }
+      .sortBy(_.key).toArray
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    parts.toArray[InputPartition]
+
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(Array(Expressions.identity("k")), parts.length)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new SpjReader(p.asInstanceOf[SpjInputPartition].file)
+    }
+}
+
+class SpjReader(file: String) extends PartitionReader[InternalRow] {
+  private val lines = java.nio.file.Files
+    .readAllLines(java.nio.file.Paths.get(file)).iterator()
+  private var row: InternalRow = _
+  override def next(): Boolean = {
+    if (!lines.hasNext) return false
+    val cols = lines.next().split('|')
+    row = new GenericInternalRow(Array[Any](cols(0).toLong, cols(1).toLong))
+    true
+  }
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
+}

@@ -1,0 +1,56 @@
+package graft.plans
+
+import graft.SparkSpec
+
+/** q251 — storage-partitioned join. The oracle proves the joined
+  * counts; this spec locks the V2 mechanism: the join between two
+  * KeyGroupedPartitioning-reporting scans plans with ZERO shuffle
+  * exchanges (the V1 analogue is q129's bucketed-table pin), and the
+  * partition-values contract holds under MISMATCHED key sets — at
+  * sf0.001 only 10 of the customer side's 25 nations have suppliers,
+  * so the planner must pad/align split-by-split instead of falling
+  * back to a shuffle.
+  */
+class SpjSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def spjSession() = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s
+  }
+
+  test("the V2 key-grouped join plans with zero shuffle exchanges") {
+    val s = spjSession()
+    val root = graft.queries.PlannerMechanisms.spjStage(s, sf)
+    val j = graft.queries.PlannerMechanisms.spjJoin(s, root)
+    assert(j.collect().nonEmpty)
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"expected a shuffle-family join riding the reported partitioning:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"the storage-partitioned join must not shuffle either side:\n$plan")
+    assert(plan.contains("BatchScan spj("),
+      s"join sides are not the V2 key-grouped scans:\n$plan")
+  }
+
+  test("mismatched key sets align on the common keys (pushed values)") {
+    val s = spjSession()
+    val root = graft.queries.PlannerMechanisms.spjStage(s, sf)
+    import org.apache.spark.sql.functions.col
+    val cust = graft.sources.SpjSource.load(s, s"$root/cust")
+      .select(col("k")).collect().map(_.getLong(0)).toSet
+    val supp = graft.sources.SpjSource.load(s, s"$root/supp")
+      .select(col("k")).collect().map(_.getLong(0)).toSet
+    assert(cust != supp,
+      "fixture no longer has mismatched key sets; the padding path is untested")
+    val joined = graft.queries.PlannerMechanisms.spjJoin(s, root)
+      .collect().map(_.getLong(0)).toSet
+    assert(joined == cust.intersect(supp),
+      s"joined keys $joined != common keys ${cust.intersect(supp)}")
+  }
+}
