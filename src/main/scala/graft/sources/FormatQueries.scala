@@ -513,7 +513,61 @@ object FormatQueries {
       |  strftime(MIN(o_orderdate), '%Y-%m-%d') AS primera
       |FROM orders GROUP BY 1 ORDER BY estado""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q252 — PARQUET AGGREGATE PUSHDOWN: ungrouped COUNT/MIN/MAX
+  // answered from row-group FOOTER statistics — the scan's ReadSchema
+  // IS the aggregate results and zero data pages are decoded
+  // (`PushedAggregation: [COUNT(*), MIN(..), MAX(..)]` on the
+  // BatchScan; AggPushdownSpec pins it per table and value-equality
+  // with the pushdown disabled). The release-audit shape: row counts
+  // and key ranges for every table of a corpus drop, the first thing
+  // a 100 TB ingest validates. Needs the V2 read path
+  // (`useV1SourceList=""`) and no data filters — a residual filter
+  // forces real row reads, which is why the audit is whole-table by
+  // design. MIN/MAX pushdown is only sound where footer stats are
+  // trustworthy for the type (integral keys here; Spark itself
+  // refuses pushdown for floating/timestamp edge cases).
+  // Scale notes (100 TB): this is O(files) metadata I/O instead of
+  // O(rows) decode — the difference between auditing a drop in
+  // seconds from footers and a full-corpus scan; the same footers
+  // feed row-group skipping (q63) and z-order pruning (q102).
+  def q252AggPushdown(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(s.conf.set(k, v)) }
+    s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    s.conf.set("spark.sql.sources.useV1SourceList", "")
+    footerAudit(s, dir)
+  }
+
+  /** The three-table footer audit on the caller's session. Exposed for
+    * AggPushdownSpec's plan + pushdown-off equality checks. */
+  private[sources] def footerAudit(s: SparkSession, dir: String): DataFrame = {
+    def audit(table: String, key: String): DataFrame =
+      Tables.load(s, dir, table).agg(
+        count(lit(1)).as("n_rows"),
+        min(col(key)).as("min_key"), max(col(key)).as("max_key"))
+        .select(lit(table).as("tbl"), col("n_rows"),
+          col("min_key"), col("max_key"))
+    audit("documents", "doc_id")
+      .unionByName(audit("orders", "o_orderkey"))
+      .unionByName(audit("lineitem", "l_orderkey"))
+      .orderBy(col("tbl"))
+  }
+
+  val q252Oracle: String =
+    """SELECT 'documents' AS tbl, COUNT(*) AS n_rows,
+      |  MIN(doc_id) AS min_key, MAX(doc_id) AS max_key FROM documents
+      |UNION ALL
+      |SELECT 'lineitem', COUNT(*), MIN(l_orderkey), MAX(l_orderkey)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'orders', COUNT(*), MIN(o_orderkey), MAX(o_orderkey)
+      |FROM orders
+      |ORDER BY tbl""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q252_agg_pushdown" -> q252AggPushdown,
     "q239_xml_roundtrip" -> q239XmlRoundtrip,
     "q236_variant_json" -> q236VariantJson,
     "q235_nested_pruning" -> q235NestedPruning,
@@ -528,6 +582,7 @@ object FormatQueries {
     "q64_schema_evolution" -> q64SchemaEvolution)
 
   def oracleSql: Map[String, String] = Map(
+    "q252_agg_pushdown" -> q252Oracle,
     "q239_xml_roundtrip" -> q239Oracle,
     "q236_variant_json" -> q236Oracle,
     "q235_nested_pruning" -> q235Oracle,
