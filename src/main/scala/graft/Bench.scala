@@ -29,7 +29,7 @@ object Bench {
     90,61,163,142,226,182,32,75,85,183,84,51,256,254,166,347,74,43,105,22,193,
     97,40,82,68,110,142,142,120,64,34,40,63,54,39,77,65,45,27,64,42,29,39,55,
     80,47,51,206,63,98,85,103,48,59,30,40,148,76,84,242,195,94,82,46,380,
-    45,55,90,25,22,175,110,70)
+    45,55,90,25,22,175,110,70,400)
 
   def costOf(name: String): Int = {
     val n = name.takeWhile(_ != '_').drop(1).toInt

@@ -401,6 +401,81 @@ object StreamingQueries {
       |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin
 
   // --------------------------------------------------------------------
+  // q253 — Trigger.AvailableNow: the SELF-TERMINATING rate-limited
+  // drain, i.e. "batch job over a streaming source". Every other
+  // streaming query here drains with processAllAvailable() — a test
+  // harness call; a production incremental job (the nightly load)
+  // instead starts with AvailableNow, which snapshots the available
+  // offsets at start, processes them in MULTIPLE rate-limited
+  // micro-batches (maxFilesPerTrigger=1 → one batch per staged file,
+  // so state/checkpoint pacing matches a live stream), and then
+  // TERMINATES on its own — awaitTermination() returns with no
+  // stop(). Combined with the checkpoint, successive runs are
+  // incremental: run 2 sees only the files staged after run 1
+  // (AvailableNowSpec pins >1 batch per run, self-termination, and
+  // the run-2 delta). The corpus lands per event-type with count,
+  // value sum, and high-water event id — the shape of an
+  // incremental ingest ledger.
+  // Scale notes (100 TB/day): AvailableNow is THE scheduling
+  // primitive for incremental pipelines — cron-started, drains
+  // exactly the backlog under the same rate limits as a live run
+  // (bounded batch state, no OOM on a day's backlog), exits, and the
+  // checkpoint carries exactly-once across runs. processAllAvailable
+  // blocks a driver forever on a source that keeps appending;
+  // AvailableNow's start-time snapshot is what makes termination
+  // well-defined.
+  def q253StreamAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val ss = EventsStreaming.streamSession(spark)
+    val outDir = graft.sources.ShardPaths.resolve(ss, "q253", dir)
+    val ckptDir = graft.sources.ShardPaths.resolveCheckpoint(ss, "q253", dir)
+    val stage = graft.sources.ShardPaths.resolve(ss, "q253_stage", dir)
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(ss.sessionState.newHadoopConf())
+    Seq(outDir, ckptDir, stage).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    val raw = graft.sources.Tables.events(ss, dir)
+    (0 until 4).foreach { i =>
+      raw.filter(col("event_id") % 4 === i)
+        .coalesce(1).write.parquet(s"$stage/s$i.parquet")
+    }
+    q253Run(ss, stage, ckptDir, outDir)
+    spark.read.parquet(outDir)
+      .select(col("event_type"), col("n_events"),
+        col("dec_sum").cast("double").as("sum_value"), col("last_id"))
+      .orderBy(col("event_type"))
+  }
+
+  /** One AvailableNow run: drains whatever is staged in ≥1 rate-limited
+    * micro-batches and terminates by itself. Returns (batches, rows)
+    * so AvailableNowSpec can pin the pacing and the run-2 delta. */
+  private[streaming] def q253Run(ss: SparkSession, stage: String,
+      ckptDir: String, outDir: String): (Int, Long) = {
+    val agg = EventsStreaming
+      .readEventsStream(ss, s"$stage/*.parquet", glob = "*.parquet",
+        options = Map("maxFilesPerTrigger" -> "1"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(24, 6))).as("dec_sum"),
+        max(col("event_id")).as("last_id"))
+    val q = agg.writeStream.outputMode("complete")
+      .option("checkpointLocation", ckptDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("overwrite").parquet(outDir)
+      }
+      .start()
+    // the mechanism: NO stop() — the trigger ends the query itself
+    q.awaitTermination()
+    (q.recentProgress.length, q.recentProgress.map(_.numInputRows).sum)
+  }
+
+  val q253Oracle: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS sum_value,
+      |  MAX(event_id) AS last_id
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  // --------------------------------------------------------------------
   // q73 — watermarked stream-stream join: each event joined to the same
   // user's follow-up events within 10 minutes (the "action → reaction"
   // correlation pattern). Both sides carry a 30-minute watermark and
@@ -1352,6 +1427,7 @@ object StreamingQueries {
     "q72_stream_dedup" -> q72StreamDedup,
     "q244_stream_restart" -> q244StreamRestart,
     "q250_stream_rocksdb" -> q250RocksdbState,
+    "q253_stream_available_now" -> q253StreamAvailableNow,
     "q73_stream_join" -> q73StreamJoin,
     "q167_stream_outer_join" -> q167StreamOuterJoin,
     "q181_stream_privacy_gate" -> q181StreamPrivacyGate,
@@ -1377,6 +1453,7 @@ object StreamingQueries {
     "q72_stream_dedup" -> q72Oracle,
     "q244_stream_restart" -> q244Oracle,
     "q250_stream_rocksdb" -> q250Oracle,
+    "q253_stream_available_now" -> q253Oracle,
     "q73_stream_join" -> q73Oracle,
     "q167_stream_outer_join" -> q167Oracle,
     "q181_stream_privacy_gate" -> q181Oracle,
