@@ -18,18 +18,18 @@ object Bench {
     * is loud, not silent.
     */
   val priorCostCs: Array[Int] = Array(
-    141,26,23,105,43,22,38,28,16,18,18,17,22,20,57,13,34,132,33,54,31,71,23,
-    72,103,223,31,48,47,47,55,30,44,32,41,34,16,19,159,41,166,243,103,30,118,
-    129,78,93,62,22,120,44,42,92,54,59,33,39,47,73,21,44,80,68,36,68,44,82,49,
-    45,30,142,345,34,44,20,57,66,95,127,93,75,137,158,53,107,53,82,178,46,162,
-    44,34,78,117,244,39,43,40,198,33,29,99,81,39,47,217,63,85,69,64,29,164,28,
-    117,44,33,109,31,153,105,119,72,31,40,33,58,79,109,39,35,35,17,25,21,26,
-    222,52,64,58,54,56,96,96,95,343,180,43,58,50,127,44,232,120,175,19,134,
-    121,82,60,38,52,189,116,68,34,387,45,74,40,60,102,43,47,86,26,62,100,73,
-    90,61,163,142,226,182,32,75,85,183,84,51,256,254,166,347,74,43,105,22,193,
-    97,40,82,68,110,142,142,120,64,34,40,63,54,39,77,65,45,27,64,42,29,39,55,
-    80,47,51,206,63,98,85,103,48,59,30,40,148,76,84,242,195,94,82,46,380,
-    45,55,90,25,22,175,110,70,400)
+    124,14,34,114,40,22,72,27,15,10,15,9,25,27,80,18,58,106,46,49,28,72,37,90,
+    84,201,43,47,53,55,53,40,47,45,109,111,15,19,158,67,151,184,125,36,119,
+    133,96,100,69,24,106,44,45,107,64,68,35,43,64,121,18,49,91,64,43,69,52,85,
+    51,52,36,152,337,39,49,17,67,78,91,102,79,75,160,164,49,99,63,84,161,43,
+    155,49,29,81,112,240,57,46,57,204,54,37,119,69,53,42,171,73,86,76,63,56,
+    154,33,105,62,38,79,36,134,154,127,115,41,56,39,52,103,116,48,50,44,24,28,
+    18,27,232,64,70,48,61,58,99,97,92,324,191,48,60,55,133,49,249,145,175,18,
+    107,122,64,71,45,48,218,109,78,57,428,49,69,29,77,94,52,79,89,41,58,147,
+    80,64,69,169,125,280,182,35,86,87,198,129,69,269,211,168,320,88,55,103,14,
+    183,132,48,78,81,119,111,121,115,55,33,43,51,58,38,77,63,60,35,66,51,37,
+    47,64,75,84,57,170,65,88,68,121,47,81,32,45,156,67,86,240,214,94,83,76,
+    234,24,33,82,15,19,116,44,41,373)
 
   def costOf(name: String): Int = {
     val n = name.takeWhile(_ != '_').drop(1).toInt
