@@ -29,7 +29,7 @@ object Bench {
     80,64,69,169,125,280,182,35,86,87,198,129,69,269,211,168,320,88,55,103,14,
     183,132,48,78,81,119,111,121,115,55,33,43,51,58,38,77,63,60,35,66,51,37,
     47,64,75,84,57,170,65,88,68,121,47,81,32,45,156,67,86,240,214,94,83,76,
-    234,24,33,82,15,19,116,44,41,373)
+    234,24,33,82,15,19,116,44,41,373,55)
 
   def costOf(name: String): Int = {
     val n = name.takeWhile(_ != '_').drop(1).toInt

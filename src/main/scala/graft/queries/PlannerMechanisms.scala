@@ -6,7 +6,8 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.sources.Tables
 
-/** Planner/runtime join + write mechanisms (q245–q249, q251): each query pins
+/** Planner/runtime join + write mechanisms (q245–q249, q251, q254):
+  * each query pins
   * a Catalyst or executor MECHANISM no earlier query exercises, on the
   * real testdata tables with a DuckDB oracle. Completes the round-13
   * engine-mechanism tier (q234–q244) on the join-planning and
@@ -23,9 +24,12 @@ import graft.sources.Tables
   *   - q249 ExistenceJoin — disjunctive membership (IN-subquery OR
   *     local predicate) planned as the internal existence join type;
   *   - q251 storage-partitioned join — DataSource V2 tables reporting
-  *     KeyGroupedPartitioning join with zero shuffle exchanges
-  *     (q250, the RocksDB state backend, lives with the streaming
-  *     queries).
+  *     KeyGroupedPartitioning join with zero shuffle exchanges;
+  *   - q254 SQL-language scalar + table functions — catalog macros
+  *     inlined at plan time, the transparent middle ground between
+  *     native expressions and banned opaque UDFs
+  *     (q250, the RocksDB state backend, and q253, AvailableNow,
+  *     live with the streaming queries).
   *
   * Reference provenance: the reference engine's query surface is plain
   * Python ETL (the /root/reference/processing scripts) with no optimizer to
@@ -334,13 +338,69 @@ object PlannerMechanisms {
       |FROM c JOIN s ON c.k = s.k
       |ORDER BY nationkey""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q254 — SQL-language functions (scalar + table-valued): the third
+  // point on the extensibility spectrum this registry documents. The
+  // functions/ package shows native Catalyst expressions (maximum
+  // control, codegen); the registry bans opaque Scala/Python UDFs
+  // (black boxes the optimizer can't see through); BETWEEN the two
+  // sit Spark 4's SQL-language functions — reusable, catalog-visible
+  // macros whose bodies are INLINED at plan time. The scalar
+  // avg-word-length scorer disappears into the aggregate expression
+  // (whole-stage codegen keeps running), and the table-valued
+  // per-source profile inlines as a subquery whose literal argument
+  // becomes a parquet-scan PUSHED FILTER — a parameterized view with
+  // zero evaluation overhead (SqlFunctionSpec pins the pushed
+  // literal, the absence of any UDF/Invoke node, and macro ≡ inline
+  // equality).
+  // Scale notes (100 TB): shared logic as SQL functions keeps every
+  // consumer's plan fully transparent — predicates still push down
+  // THROUGH the macro, codegen spans stay wide, and a scorer fix
+  // lands in the catalog once instead of in every pipeline's jar. An
+  // opaque UDF with the same body would block both the pushdown and
+  // codegen everywhere it appears.
+  def q254SqlFunctions(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir).createOrReplaceTempView("graft_q254_docs")
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_q254_wlen(
+        |    text STRING, n_chars BIGINT)
+        |RETURNS DOUBLE
+        |RETURN CAST(n_chars AS DOUBLE) /
+        |  (length(text) - length(replace(text, ' ', '')) + 1)""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_q254_profile(src STRING)
+        |RETURNS TABLE(lang STRING, n_docs BIGINT, avg_wlen DOUBLE)
+        |RETURN SELECT lang, COUNT(*),
+        |  CAST(SUM(CAST(graft_q254_wlen(text, n_chars) AS DECIMAL(24,6)))
+        |    AS DOUBLE) / COUNT(*)
+        |FROM graft_q254_docs WHERE source = src GROUP BY lang""".stripMargin)
+    spark.sql(
+      """SELECT 'src0' AS source, * FROM graft_q254_profile('src0')
+        |UNION ALL
+        |SELECT 'src1' AS source, * FROM graft_q254_profile('src1')
+        |ORDER BY source, lang""".stripMargin)
+  }
+
+  val q254Oracle: String =
+    """WITH scored AS (
+      |  SELECT source, lang,
+      |    CAST(CAST(n_chars AS DOUBLE) /
+      |      (length(text) - length(replace(text, ' ', '')) + 1)
+      |      AS DECIMAL(24,6)) AS wlen
+      |  FROM documents WHERE source IN ('src0', 'src1'))
+      |SELECT source, lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(wlen) AS DOUBLE) / COUNT(*) AS avg_wlen
+      |FROM scored GROUP BY source, lang
+      |ORDER BY source, lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q245_null_aware_anti_join" -> q245NullAwareAntiJoin,
     "q246_collation_group" -> q246CollationGroup,
     "q247_exchange_reuse" -> q247ExchangeReuse,
     "q248_aqe_empty_relation" -> q248AqeEmptyRelation,
     "q249_existence_join" -> q249ExistenceJoin,
-    "q251_storage_partitioned_join" -> q251StoragePartitionedJoin)
+    "q251_storage_partitioned_join" -> q251StoragePartitionedJoin,
+    "q254_sql_functions" -> q254SqlFunctions)
 
   def oracleSql: Map[String, String] = Map(
     "q245_null_aware_anti_join" -> q245Oracle,
@@ -348,5 +408,6 @@ object PlannerMechanisms {
     "q247_exchange_reuse" -> q247Oracle,
     "q248_aqe_empty_relation" -> q248Oracle,
     "q249_existence_join" -> q249Oracle,
-    "q251_storage_partitioned_join" -> q251Oracle)
+    "q251_storage_partitioned_join" -> q251Oracle,
+    "q254_sql_functions" -> q254Oracle)
 }
