@@ -10,8 +10,8 @@ import graft.sources.Tables
   * each query pins
   * a Catalyst or executor MECHANISM no earlier query exercises, on the
   * real testdata tables with a DuckDB oracle. Completes the round-13
-  * engine-mechanism tier (q234–q244) on the join-planning and
-  * write-path side:
+  * engine-mechanism tier (q234–q244) on the join-planning and runtime
+  * side:
   *
   *   - q245 null-aware ANTI join — NOT IN's tri-valued logic as a
   *     single join (vs q14's left_anti, which is NOT EXISTS);

@@ -53,4 +53,29 @@ class SpjSpec extends SparkSpec {
     assert(joined == cust.intersect(supp),
       s"joined keys $joined != common keys ${cust.intersect(supp)}")
   }
+
+  test("exchange-free result equals the shuffled join on random key sets") {
+    // fixed-seed randomized staging: overlapping-but-unequal key sets
+    // with duplicate rows per key on one side; the SPJ plan must
+    // produce bit-identical rows to the same join with the mechanism
+    // OFF (plain shuffle path)
+    val rnd = new scala.util.Random(254)
+    val left = (0 until 40).map(_ =>
+      (rnd.nextInt(12).toLong, rnd.nextInt(1000).toLong))
+    val right = (0 until 15).map(_ =>
+      (rnd.nextInt(18).toLong, rnd.nextInt(1000).toLong))
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_spj_prop").toString
+    graft.sources.SpjSource.stage(left, s"$base/cust")
+    graft.sources.SpjSource.stage(right, s"$base/supp")
+    def rows(session: org.apache.spark.sql.SparkSession) =
+      graft.queries.PlannerMechanisms.spjJoin(session, base)
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted
+    val on = spjSession()
+    val off = spark.newSession()
+    off.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+    off.conf.set("spark.sql.shuffle.partitions", "4")
+    assert(rows(on).sameElements(rows(off)),
+      "storage-partitioned join changed the join result")
+  }
 }
