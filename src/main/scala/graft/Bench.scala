@@ -18,18 +18,18 @@ object Bench {
     * is loud, not silent.
     */
   val priorCostCs: Array[Int] = Array(
-    124,14,34,114,40,22,72,27,15,10,15,9,25,27,80,18,58,106,46,49,28,72,37,90,
-    84,201,43,47,53,55,53,40,47,45,109,111,15,19,158,67,151,184,125,36,119,
-    133,96,100,69,24,106,44,45,107,64,68,35,43,64,121,18,49,91,64,43,69,52,85,
-    51,52,36,152,337,39,49,17,67,78,91,102,79,75,160,164,49,99,63,84,161,43,
-    155,49,29,81,112,240,57,46,57,204,54,37,119,69,53,42,171,73,86,76,63,56,
-    154,33,105,62,38,79,36,134,154,127,115,41,56,39,52,103,116,48,50,44,24,28,
-    18,27,232,64,70,48,61,58,99,97,92,324,191,48,60,55,133,49,249,145,175,18,
-    107,122,64,71,45,48,218,109,78,57,428,49,69,29,77,94,52,79,89,41,58,147,
-    80,64,69,169,125,280,182,35,86,87,198,129,69,269,211,168,320,88,55,103,14,
-    183,132,48,78,81,119,111,121,115,55,33,43,51,58,38,77,63,60,35,66,51,37,
-    47,64,75,84,57,170,65,88,68,121,47,81,32,45,156,67,86,240,214,94,83,76,
-    234,24,33,82,15,19,116,44,41,373,55)
+    102,16,18,99,36,39,42,26,17,17,12,11,25,16,63,11,28,121,35,60,22,48,25,67,
+    69,179,44,49,44,60,52,52,43,32,45,37,16,21,144,47,163,223,148,24,108,137,
+    92,97,75,23,101,47,39,102,54,46,31,36,51,62,18,64,70,54,38,66,50,87,48,39,
+    19,142,419,38,42,17,53,78,104,101,66,85,75,149,59,98,57,83,155,37,173,37,
+    26,79,103,229,41,35,37,210,44,30,96,81,53,32,160,63,81,67,71,40,142,36,
+    108,43,34,78,32,146,108,127,64,33,65,30,48,74,103,37,37,35,16,21,16,19,
+    223,60,60,47,63,46,83,100,90,370,196,49,50,75,137,49,252,123,160,20,285,
+    117,69,73,31,34,238,126,63,46,440,39,70,26,70,116,45,70,76,30,54,94,75,87,
+    90,178,150,334,163,30,89,84,231,87,58,280,194,147,334,68,46,113,22,162,
+    139,44,64,63,103,108,136,102,59,35,39,61,60,36,91,74,50,31,59,36,30,46,62,
+    88,44,47,174,76,88,84,119,55,53,54,38,181,61,83,241,166,113,80,51,230,24,
+    29,58,18,17,101,44,29,391,19)
 
   def costOf(name: String): Int = {
     val n = name.takeWhile(_ != '_').drop(1).toInt
