@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.sources.Tables
 
-/** Planner/runtime join + write mechanisms (q245–q249, q251, q254):
+/** Planner/runtime join + write mechanisms (q245–q249, q251, q254, q255):
   * each query pins
   * a Catalyst or executor MECHANISM no earlier query exercises, on the
   * real testdata tables with a DuckDB oracle. Completes the round-13
@@ -27,7 +27,9 @@ import graft.sources.Tables
   *     KeyGroupedPartitioning join with zero shuffle exchanges;
   *   - q254 SQL-language scalar + table functions — catalog macros
   *     inlined at plan time, the transparent middle ground between
-  *     native expressions and banned opaque UDFs
+  *     native expressions and banned opaque UDFs;
+  *   - q255 connector-side manifest pruning — pushed key predicates
+  *     drop whole partitions at V2 planning time
   *     (q250, the RocksDB state backend, and q253, AvailableNow,
   *     live with the streaming queries).
   *
@@ -393,6 +395,39 @@ object PlannerMechanisms {
       |FROM scored GROUP BY source, lang
       |ORDER BY source, lang""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q255 — CONNECTOR-side manifest pruning: key-column predicates
+  // pushed into the V2 source are evaluated against the partition
+  // VALUES at planning time, so whole `k=` partitions never become
+  // input splits. q63 pins Spark's OWN directory pruning over a
+  // parquet layout it manages; for V2 tables the pruning decision
+  // lives in the CONNECTOR (Iceberg/Delta prune from partition-stats
+  // manifests), which is the contract SpjSource's ScanBuilder
+  // implements. Every pushed filter stays residual — Spark
+  // re-verifies rows, so pruning is purely an I/O reduction and a
+  // connector pruning BUG can never corrupt results
+  // (ManifestPruningSpec pins planned-split count == matching keys,
+  // the `keys=m/n` plan evidence, and pruned ≡ unpruned results).
+  // Scale notes (100 TB): a date-ranged query against a
+  // 10 000-partition table should list and open ~the matching
+  // partitions' files, and the listing itself must be metadata-only —
+  // at lakehouse scale the manifest prune IS the difference between
+  // a planning step and a full-table file listing.
+  def q255ManifestPruning(spark: SparkSession, dir: String): DataFrame = {
+    val root = spjStage(spark, dir)
+    graft.sources.SpjSource.load(spark, s"$root/cust")
+      .filter(col("k") >= 5 && col("k") < 12)
+      .select(col("k").as("nationkey"), col("v").as("n_cust"))
+      .orderBy(col("nationkey"))
+  }
+
+  val q255Oracle: String =
+    """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+      |  COUNT(*) AS n_cust
+      |FROM customer
+      |WHERE c_nationkey >= 5 AND c_nationkey < 12
+      |GROUP BY 1 ORDER BY nationkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q245_null_aware_anti_join" -> q245NullAwareAntiJoin,
     "q246_collation_group" -> q246CollationGroup,
@@ -400,7 +435,8 @@ object PlannerMechanisms {
     "q248_aqe_empty_relation" -> q248AqeEmptyRelation,
     "q249_existence_join" -> q249ExistenceJoin,
     "q251_storage_partitioned_join" -> q251StoragePartitionedJoin,
-    "q254_sql_functions" -> q254SqlFunctions)
+    "q254_sql_functions" -> q254SqlFunctions,
+    "q255_manifest_pruning" -> q255ManifestPruning)
 
   def oracleSql: Map[String, String] = Map(
     "q245_null_aware_anti_join" -> q245Oracle,
@@ -409,5 +445,6 @@ object PlannerMechanisms {
     "q248_aqe_empty_relation" -> q248Oracle,
     "q249_existence_join" -> q249Oracle,
     "q251_storage_partitioned_join" -> q251Oracle,
-    "q254_sql_functions" -> q254Oracle)
+    "q254_sql_functions" -> q254Oracle,
+    "q255_manifest_pruning" -> q255Oracle)
 }

@@ -80,7 +80,37 @@ class SpjTable(path: String) extends Table with SupportsRead {
   override def partitioning(): Array[Transform] =
     Array(Expressions.identity("k"))
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder { override def build(): Scan = new SpjScan(path) }
+    new SpjScanBuilder(path)
+}
+
+/** Filter pushdown as MANIFEST PRUNING: key-column predicates are
+  * evaluated against the partition VALUES at planning time, so whole
+  * `k=<key>` directories are never listed into the scan — the
+  * connector-side analogue of what Iceberg/Delta do with partition
+  * stats manifests (q63 pins Spark's OWN directory pruning; here the
+  * SOURCE prunes, which is where the decision lives for V2 tables).
+  * Every filter is also returned as a residual, so Spark re-evaluates
+  * on rows and correctness NEVER depends on the pruning being right —
+  * pruning is purely an I/O reduction, exactly the production
+  * contract.
+  */
+class SpjScanBuilder(path: String)
+    extends ScanBuilder with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
+  private var pushed: Array[Filter] = Array.empty
+
+  private def prunable(f: Filter): Boolean = f match {
+    case EqualTo("k", _) | GreaterThan("k", _) | GreaterThanOrEqual("k", _)
+       | LessThan("k", _) | LessThanOrEqual("k", _) | In("k", _) => true
+    case _ => false
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(prunable)
+    filters // all residual: pruning reduces I/O, rows are still verified
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new SpjScan(path, pushed)
 }
 
 /** One input partition per key directory; [[partitionKey]] is what lets
@@ -92,22 +122,44 @@ case class SpjInputPartition(key: Long, file: String)
     new GenericInternalRow(Array[Any](key))
 }
 
-class SpjScan(path: String) extends Scan with Batch
-    with SupportsReportPartitioning {
+class SpjScan(path: String,
+    pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    extends Scan with Batch with SupportsReportPartitioning {
+  import org.apache.spark.sql.sources._
   override def readSchema(): StructType = SpjSource.schema
   override def toBatch: Batch = this
 
-  private lazy val parts: Array[SpjInputPartition] = {
+  private def keep(k: Long): Boolean = pushed.forall {
+    case EqualTo("k", v)            => k == v.asInstanceOf[Number].longValue
+    case GreaterThan("k", v)        => k > v.asInstanceOf[Number].longValue
+    case GreaterThanOrEqual("k", v) => k >= v.asInstanceOf[Number].longValue
+    case LessThan("k", v)           => k < v.asInstanceOf[Number].longValue
+    case LessThanOrEqual("k", v)    => k <= v.asInstanceOf[Number].longValue
+    case In("k", vs) => vs.exists(_.asInstanceOf[Number].longValue == k)
+    case _ => true
+  }
+
+  private lazy val allKeys: Seq[Long] = {
     val root = java.nio.file.Paths.get(path)
     import scala.jdk.StreamConverters._
     java.nio.file.Files.list(root).toScala(Seq)
-      .filter(p => p.getFileName.toString.startsWith("k="))
-      .map { p =>
-        val k = p.getFileName.toString.stripPrefix("k=").toLong
-        SpjInputPartition(k, p.resolve("data.psv").toString)
-      }
-      .sortBy(_.key).toArray
+      .map(_.getFileName.toString)
+      .filter(_.startsWith("k="))
+      .map(_.stripPrefix("k=").toLong).sorted
   }
+
+  private lazy val parts: Array[SpjInputPartition] =
+    allKeys.filter(keep).map { k =>
+      SpjInputPartition(k,
+        java.nio.file.Paths.get(path, s"k=$k", "data.psv").toString)
+    }.toArray
+
+  /** Printed inside the plan's BatchScan line — carries the pruning
+    * evidence (`keys=<kept>/<total>`) the way production connectors
+    * surface their pushed state. */
+  override def description(): String =
+    s"SpjScan(keys=${parts.length}/${allKeys.length}, " +
+      s"pushed=[${pushed.mkString(", ")}])"
 
   override def planInputPartitions(): Array[InputPartition] =
     parts.toArray[InputPartition]
