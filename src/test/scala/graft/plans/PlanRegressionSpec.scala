@@ -141,6 +141,15 @@ class PlanRegressionSpec extends SparkSpec {
           case w: org.apache.spark.sql.execution.window.WindowExec
               if w.partitionSpec.isEmpty => w.nodeName
         }
+        // the "functions, not UDFs" contract, mechanized: no registered
+        // batch query may evaluate an opaque closure — scalar logic is
+        // either built-in (codegen'd) or a native Expression in
+        // functions/; SQL-language macros (q254) inline and so never
+        // appear as a UDF node either
+        val planStr = plan.toString
+        assert(!planStr.contains("ScalaUDF") &&
+            !planStr.contains("BatchEvalPython"),
+          s"$q plans an opaque UDF node")
         if (!boundedGlobalWindows(q))
           assert(globalWins.isEmpty,
             s"$q plans an unpartitioned (single-task) window")
