@@ -29,7 +29,7 @@ object Bench {
     90,178,150,334,163,30,89,84,231,87,58,280,194,147,334,68,46,113,22,162,
     139,44,64,63,103,108,136,102,59,35,39,61,60,36,91,74,50,31,59,36,30,46,62,
     88,44,47,174,76,88,84,119,55,53,54,38,181,61,83,241,166,113,80,51,230,24,
-    29,58,18,17,101,44,29,391,19,55)
+    29,58,18,17,101,44,29,391,19,55,290)
 
   def costOf(name: String): Int = {
     val n = name.takeWhile(_ != '_').drop(1).toInt

@@ -476,6 +476,89 @@ object StreamingQueries {
       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 
   // --------------------------------------------------------------------
+  // q256 — UPDATE-mode incremental PUBLISH to a partitioned serving
+  // table: the composed production sink none of the earlier sink
+  // patterns covers. q80 appends idempotently; q244/q250/q253
+  // overwrite a whole complete-mode snapshot — fine for small
+  // outputs, O(result) per batch at scale. The incremental form:
+  // UPDATE output mode hands foreachBatch ONLY the groups whose
+  // aggregate changed in that micro-batch, and the batch writes them
+  // with partition-scoped DYNAMIC overwrite — so a micro-batch that
+  // touches 2 of 10 000 day-partitions rewrites exactly those 2, and
+  // an ingest of new days never rewrites (or even reads) history
+  // (StreamPublishSpec pins: run 2 reads only the delta, the
+  // pre-split days' FILES are byte-identical after run 2, and the
+  // final table equals the whole-corpus aggregate). The day grain
+  // equals the partition grain ON PURPOSE: dynamic overwrite replaces
+  // whole partitions, so a partition must be exactly one update
+  // group — a (day, type) grain under day-partitioning would drop a
+  // day's un-updated types on publish (the classic trap, documented
+  // here instead of discovered in production).
+  // Scale notes (100 TB/day): this is the streaming-upsert-to-
+  // parquet pattern for serving tables without a table format —
+  // per-batch write cost is O(changed partitions); with a
+  // row-level-capable format (Iceberg/Delta) the same update-mode
+  // stream feeds MERGE instead, at row grain.
+  val PublishSplitDay = 19740L
+
+  def q256StreamIncrementalPublish(spark: SparkSession, dir: String): DataFrame = {
+    val ss = EventsStreaming.streamSession(spark)
+    ss.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val outDir = graft.sources.ShardPaths.resolve(ss, "q256", dir)
+    val ckptDir = graft.sources.ShardPaths.resolveCheckpoint(ss, "q256", dir)
+    val stage = graft.sources.ShardPaths.resolve(ss, "q256_stage", dir)
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(ss.sessionState.newHadoopConf())
+    Seq(outDir, ckptDir, stage).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    val raw = graft.sources.Tables.events(ss, dir)
+      .withColumn("day", expr("CAST(ts AS LONG) DIV 86400"))
+    raw.filter(col("day") < PublishSplitDay).drop("day")
+      .coalesce(1).write.parquet(s"$stage/a1.parquet")
+    q256Run(ss, stage, ckptDir, outDir)
+    raw.filter(col("day") >= PublishSplitDay).drop("day")
+      .coalesce(1).write.parquet(s"$stage/a2.parquet")
+    q256Run(ss, stage, ckptDir, outDir)
+    spark.read.parquet(outDir)
+      .select(col("day").cast("bigint").as("day"), col("n_events"),
+        col("dec_sum").cast("double").as("sum_value"))
+      .orderBy(col("day"))
+  }
+
+  /** One update-mode publish run against the checkpoint: drains
+    * whatever is newly staged, rewrites ONLY the day partitions whose
+    * aggregate changed. Returns the run's input-row count for
+    * StreamPublishSpec's delta pin. */
+  private[streaming] def q256Run(ss: SparkSession, stage: String,
+      ckptDir: String, outDir: String): Long = {
+    val agg = EventsStreaming
+      .readEventsStream(ss, s"$stage/*.parquet", glob = "*.parquet")
+      .withColumn("day", expr("CAST(ts AS LONG) DIV 86400"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(24, 6))).as("dec_sum"))
+    val q = agg.writeStream.outputMode("update")
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        // update mode: b holds only the day groups this batch changed;
+        // dynamic overwrite replaces exactly those day partitions
+        b.write.mode("overwrite").partitionBy("day").parquet(outDir)
+      }
+      .start()
+    q.processAllAvailable()
+    val rows = q.recentProgress.map(_.numInputRows).sum
+    q.stop()
+    rows
+  }
+
+  val q256Oracle: String =
+    """SELECT CAST(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 86400
+      |    AS BIGINT) AS day,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+
+  // --------------------------------------------------------------------
   // q73 — watermarked stream-stream join: each event joined to the same
   // user's follow-up events within 10 minutes (the "action → reaction"
   // correlation pattern). Both sides carry a 30-minute watermark and
@@ -1428,6 +1511,7 @@ object StreamingQueries {
     "q244_stream_restart" -> q244StreamRestart,
     "q250_stream_rocksdb" -> q250RocksdbState,
     "q253_stream_available_now" -> q253StreamAvailableNow,
+    "q256_stream_incremental_publish" -> q256StreamIncrementalPublish,
     "q73_stream_join" -> q73StreamJoin,
     "q167_stream_outer_join" -> q167StreamOuterJoin,
     "q181_stream_privacy_gate" -> q181StreamPrivacyGate,
@@ -1454,6 +1538,7 @@ object StreamingQueries {
     "q244_stream_restart" -> q244Oracle,
     "q250_stream_rocksdb" -> q250Oracle,
     "q253_stream_available_now" -> q253Oracle,
+    "q256_stream_incremental_publish" -> q256Oracle,
     "q73_stream_join" -> q73Oracle,
     "q167_stream_outer_join" -> q167Oracle,
     "q181_stream_privacy_gate" -> q181Oracle,
