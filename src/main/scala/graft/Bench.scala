@@ -18,18 +18,18 @@ object Bench {
     * is loud, not silent.
     */
   val priorCostCs: Array[Int] = Array(
-    102,16,18,99,36,39,42,26,17,17,12,11,25,16,63,11,28,121,35,60,22,48,25,67,
-    69,179,44,49,44,60,52,52,43,32,45,37,16,21,144,47,163,223,148,24,108,137,
-    92,97,75,23,101,47,39,102,54,46,31,36,51,62,18,64,70,54,38,66,50,87,48,39,
-    19,142,419,38,42,17,53,78,104,101,66,85,75,149,59,98,57,83,155,37,173,37,
-    26,79,103,229,41,35,37,210,44,30,96,81,53,32,160,63,81,67,71,40,142,36,
-    108,43,34,78,32,146,108,127,64,33,65,30,48,74,103,37,37,35,16,21,16,19,
-    223,60,60,47,63,46,83,100,90,370,196,49,50,75,137,49,252,123,160,20,285,
-    117,69,73,31,34,238,126,63,46,440,39,70,26,70,116,45,70,76,30,54,94,75,87,
-    90,178,150,334,163,30,89,84,231,87,58,280,194,147,334,68,46,113,22,162,
-    139,44,64,63,103,108,136,102,59,35,39,61,60,36,91,74,50,31,59,36,30,46,62,
-    88,44,47,174,76,88,84,119,55,53,54,38,181,61,83,241,166,113,80,51,230,24,
-    29,58,18,17,101,44,29,391,19,55,290)
+    101,16,21,99,33,32,47,28,16,16,23,11,26,18,70,15,42,90,29,51,28,54,26,66,
+    70,253,50,53,42,58,54,35,40,37,42,24,16,18,152,47,173,223,106,36,108,150,
+    99,111,67,21,102,47,47,78,62,71,44,32,63,69,18,64,87,80,40,78,46,86,50,46,
+    35,131,317,39,42,15,94,79,86,98,86,75,138,155,57,88,51,70,158,36,191,41,
+    28,76,109,199,31,40,37,246,60,32,109,72,47,35,128,75,65,72,65,43,153,34,
+    107,45,47,82,46,159,140,125,75,48,39,43,51,82,105,46,43,50,17,19,19,18,
+    195,62,71,49,58,57,94,103,86,348,242,57,60,53,137,58,251,145,154,20,111,
+    119,87,66,40,41,242,104,61,53,379,41,70,29,76,88,41,41,95,27,66,133,90,63,
+    60,199,129,290,164,43,84,79,204,89,48,248,253,180,339,74,42,96,20,173,131,
+    40,65,54,109,109,117,102,56,29,42,47,64,38,88,65,71,31,61,51,34,45,60,79,
+    73,58,220,72,80,86,115,41,64,36,46,174,59,82,283,197,106,82,50,210,24,28,
+    67,15,21,111,43,31,298,21,20,233)
 
   def costOf(name: String): Int = {
     val n = name.takeWhile(_ != '_').drop(1).toInt
