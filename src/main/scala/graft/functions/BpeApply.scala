@@ -32,7 +32,14 @@ import org.apache.spark.unsafe.types.UTF8String
 case class BpeApply(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // Propagate the token array's element-nullability: compute() carries
+  // input elements (possibly null) into the output unchanged, so a
+  // declared containsNull=false over a null-admitting input would lie
+  // to downstream codegen (consumers elide null checks it licenses).
+  override def dataType: DataType = left.dataType match {
+    case ArrayType(_, n) => ArrayType(StringType, containsNull = n)
+    case _ => ArrayType(StringType, containsNull = true)
+  }
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     val tokOk = left.dataType match {
@@ -81,9 +88,16 @@ object BpeApply {
     val nm = merges.numElements()
     var m = 0
     while (m < nm) {
-      val pair = merges.getStruct(m, 2)
-      val pa = pair.getUTF8String(0)
-      val pb = pair.getUTF8String(1)
+      // a null merge entry (or null half) names no adjacent pair —
+      // skip it rather than NPE; null TOKENS simply never equal a
+      // non-null pa/pb below, so they pass through untouched
+      val pair = if (merges.isNullAt(m)) null else merges.getStruct(m, 2)
+      val pa = if (pair == null || pair.isNullAt(0)) null
+               else pair.getUTF8String(0)
+      val pb = if (pair == null || pair.isNullAt(1)) null
+               else pair.getUTF8String(1)
+      if (pa == null || pb == null) { m += 1 }
+      else {
       val merged = UTF8String.concatWs(sep, pa, pb)
       val out = new Array[UTF8String](cur.length)
       var k = 0
@@ -96,6 +110,7 @@ object BpeApply {
       }
       cur = if (k == out.length) out else java.util.Arrays.copyOf(out, k)
       m += 1
+      }
     }
     new GenericArrayData(cur.asInstanceOf[Array[Any]])
   }

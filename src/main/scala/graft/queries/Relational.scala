@@ -469,12 +469,26 @@ object Relational {
     s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     cboTables(s, dir)
-    cboJoin(s)
+    cboJoin(s, dir)
+  }
+
+  /** Dataset discriminator baked into the METASTORE TABLE NAMES, not
+    * just the stats-done marker: the metastore is JVM-global, so a
+    * globally-named table written for dataset A then rebuilt for
+    * dataset B would let A's still-present marker answer A's next
+    * invocation with B's rows. Name-scoping makes (table, dataset) a
+    * bijection — the marker and the table it guards can never refer
+    * to different datasets.
+    */
+  private[graft] def cboSuffix(dir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
   }
 
   /** Write + ANALYZE the three join sides (idempotent per dataset).
     * Exposed for CboReorderSpec. */
   private[graft] def cboTables(s: SparkSession, dir: String): Unit = {
+    val sfx = cboSuffix(dir)
     val base = s"${sys.props("java.io.tmpdir")}/graft_cbo_" +
       s"${s.sparkContext.applicationId}_${math.abs(dir.hashCode)}"
     // stats only for what the reorderer consumes: row counts plus
@@ -495,28 +509,30 @@ object Relational {
       marker.createNewFile()
     }
     save(graft.sources.Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_quantity")), "graft_q242_li",
+      .select(col("l_orderkey"), col("l_quantity")), s"graft_q242_li_$sfx",
       "l_orderkey")
     save(graft.sources.Tables.orders(s, dir)
-      .select(col("o_orderkey"), col("o_custkey")), "graft_q242_o",
+      .select(col("o_orderkey"), col("o_custkey")), s"graft_q242_o_$sfx",
       "o_orderkey, o_custkey")
     save(graft.sources.Tables.customer(s, dir)
-      .select(col("c_custkey"), col("c_mktsegment")), "graft_q242_c",
+      .select(col("c_custkey"), col("c_mktsegment")), s"graft_q242_c_$sfx",
       "c_custkey, c_mktsegment")
   }
 
   /** The deliberately badly-ordered 3-way join. Exposed for
     * CboReorderSpec's with/without-stats plan comparison. */
-  private[graft] def cboJoin(s: SparkSession): DataFrame =
+  private[graft] def cboJoin(s: SparkSession, dir: String): DataFrame = {
+    val sfx = cboSuffix(dir)
     s.sql(
-      """SELECT c_mktsegment, COUNT(*) AS n_items,
+      s"""SELECT c_mktsegment, COUNT(*) AS n_items,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE)
         |    AS sum_qty
-        |FROM graft_q242_li
-        |JOIN graft_q242_o ON l_orderkey = o_orderkey
-        |JOIN graft_q242_c ON o_custkey = c_custkey
+        |FROM graft_q242_li_$sfx
+        |JOIN graft_q242_o_$sfx ON l_orderkey = o_orderkey
+        |JOIN graft_q242_c_$sfx ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }
 
   val q242Oracle: String =
     """SELECT c_mktsegment, COUNT(*) AS n_items,

@@ -71,17 +71,46 @@ object StageBoundary {
         if (!fs.exists(marker))
           throw new IllegalStateException(s"stage boundary rename failed: $dest")
       }
-      // publish first, clean up second: drop superseded fingerprints
-      // and orphaned tmp dirs only once the new boundary is live
-      if (fs.exists(root)) fs.listStatus(root).foreach { st =>
-        val n = st.getPath.getName
-        if (n.startsWith("fp_") && n != dest.getName &&
-            !n.startsWith(dest.getName + "__tmp_"))
-          try fs.delete(st.getPath, true) catch { case _: Exception => }
-      }
+      // publish first, clean up second: drop superseded PUBLISHED
+      // fingerprints immediately (no reader starts on one once ours is
+      // live), but age-gate every __tmp_ dir — a tmp of ANY
+      // fingerprint may be another session's in-progress build
+      // (deleting it mid-write fails that builder on vanished files),
+      // while a tmp older than the grace window is a crashed attempt
+      // (including ones for OUR fingerprint, which would otherwise
+      // leak disk until the data changes).
+      cleanup(fs, root, keep = dest.getName)
     }
     spark.read.parquet(dest.toString)
   }
+
+  /** Grace window before a `__tmp_` dir is presumed crashed. A live
+    * builder touches its tmp continuously while Spark writes part
+    * files, so an mtime this stale means no writer survives; 1 h is
+    * far beyond any boundary build here (seconds) while still
+    * reclaiming crashed attempts within the session's lifetime.
+    */
+  private val tmpGraceMs: Long = 60L * 60 * 1000
+
+  /** Post-publish sweep: delete superseded published fingerprints
+    * unconditionally, and any `__tmp_` attempt dir (any fingerprint,
+    * including `keep`'s own crashed attempts) whose mtime is older
+    * than [[tmpGraceMs]]. Exposed for StageBoundarySpec.
+    */
+  private[sources] def cleanup(fs: org.apache.hadoop.fs.FileSystem,
+                               root: Path, keep: String): Unit =
+    if (fs.exists(root)) {
+      val now = System.currentTimeMillis()
+      fs.listStatus(root).foreach { st =>
+        val n = st.getPath.getName
+        val isTmp = n.contains("__tmp_")
+        val doomed =
+          if (isTmp) now - st.getModificationTime > tmpGraceMs
+          else n.startsWith("fp_") && n != keep
+        if (doomed)
+          try fs.delete(st.getPath, true) catch { case _: Exception => }
+      }
+    }
 
   /** Hash of the input dir's recursive (path, length, mtime) listing —
     * metadata-only (one FS listing, no data read), changes whenever any

@@ -78,4 +78,26 @@ class TokenizerApplyPropertySpec extends SparkSpec {
         }
     })
   }
+
+  test("null tokens and null merges: declared type matches delivered data") {
+    // The SQL-registered bpe_apply accepts arbitrary array<string>
+    // input, so the declared element-nullability must follow the
+    // input's — a containsNull=false claim over a null-carrying
+    // array licenses downstream codegen to elide null checks it
+    // then violates. Null tokens pass through untouched; null merge
+    // entries (or null halves) name no pair and are skipped.
+    val out = spark.range(1).select(
+      graft.functions.BpeApply.bpe_apply(
+        expr("array('a', CAST(NULL AS STRING), 'a', 'b')"),
+        expr("""array(named_struct('pa', 'a', 'pb', 'b'),
+               |      CAST(NULL AS STRUCT<pa: STRING, pb: STRING>),
+               |      named_struct('pa', CAST(NULL AS STRING), 'pb', 'b'))"""
+          .stripMargin)).as("r"))
+    val schema = out.schema("r").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+    assert(schema.containsNull,
+      "null-admitting input must yield a null-admitting declared type")
+    val got = out.collect()(0).getSeq[String](0).toList
+    assert(got == List("a", null, "a b"), s"got $got")
+  }
 }

@@ -64,23 +64,40 @@ class StageBoundarySpec extends SparkSpec {
     assert(fps.length == 1, s"expected one live fingerprint, got ${fps.toSeq}")
   }
 
-  test("an orphaned tmp from a crashed attempt neither blocks nor survives") {
+  test("tmp sweep is age-gated: fresh tmps survive, stale ones go") {
     val dir = freshInput(Seq(5L))
     spark.conf.set("graft.shards.dir",
       Files.createTempDirectory("graft_sb_out").toString)
     val root = new org.apache.hadoop.fs.Path(
       ShardPaths.resolve(spark, "sbspec3", dir))
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    // a builder that died mid-write leaves a per-attempt tmp dir with
-    // no _SUCCESS; a later build must ignore it and clean it up after
-    // its own publish
-    fs.mkdirs(new org.apache.hadoop.fs.Path(root, "fp_deadbeef__tmp_crashed"))
+    // a RECENT tmp of another fingerprint may be a concurrent
+    // session's in-progress build — the post-publish sweep must NOT
+    // delete it (deleting a live builder's dir fails it on vanished
+    // part files); only once its mtime says no writer survives is it
+    // a crashed attempt to reclaim
+    val live = new org.apache.hadoop.fs.Path(root, "fp_deadbeef__tmp_inflight")
+    fs.mkdirs(live)
     val out = StageBoundary(spark, "sbspec3", dir)(
       spark.read.parquet(s"$dir/t"))
     assert(out.count() == 1)
+    val afterPublish = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.contains("__tmp"))
+    assert(afterPublish.sameElements(Array("fp_deadbeef__tmp_inflight")),
+      s"fresh in-progress tmp must survive the sweep: ${afterPublish.toSeq}")
+    // backdate it past the grace window, plus a crashed tmp of the
+    // CURRENT fingerprint (previously leaked forever by the prefix
+    // guard) — both are reclaimed by the next publish's sweep
+    val fpDir = fs.listStatus(root).map(_.getPath.getName)
+      .find(n => n.startsWith("fp_") && !n.contains("__tmp")).get
+    val crashedSameFp = new org.apache.hadoop.fs.Path(root, fpDir + "__tmp_dead")
+    fs.mkdirs(crashedSameFp)
+    fs.setTimes(live, 1000L, 1000L)
+    fs.setTimes(crashedSameFp, 1000L, 1000L)
+    StageBoundary.cleanup(fs, root, keep = fpDir)
     val names = fs.listStatus(root).map(_.getPath.getName)
       .filter(_.startsWith("fp_"))
-    assert(names.length == 1 && !names(0).contains("__tmp"),
-      s"expected only the live boundary after publish, got ${names.toSeq}")
+    assert(names.sameElements(Array(fpDir)),
+      s"expected only the live boundary after the stale sweep, got ${names.toSeq}")
   }
 }
