@@ -428,7 +428,109 @@ object PlannerMechanisms {
       |WHERE c_nationkey >= 5 AND c_nationkey < 12
       |GROUP BY 1 ORDER BY nationkey""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q257 — AQE RUNTIME join-strategy demotion (shuffle → broadcast):
+  // the fourth member of the runtime-replan family, and the one that
+  // changes the JOIN ALGORITHM itself. q243 splits a skewed exchange,
+  // q237 plants a runtime bloom filter, q248 deletes a runtime-empty
+  // side; here the static planner — denied a broadcast because it
+  // cannot size a FILTERED dim (selectivity of c_mktsegment='BUILDING'
+  // is unknowable without column stats, so conservative deployments
+  // pin autoBroadcastJoinThreshold=-1) — plans a SortMergeJoin, and
+  // AQE reads the dim's ACTUAL shuffle-write bytes at stage boundary,
+  // sees they fit the adaptive broadcast threshold, and re-plans the
+  // join as a BroadcastHashJoin with a LocalShuffleRead on the fact
+  // side (no fact-side wide exchange ever runs). AqeDemotionSpec pins
+  // both halves: SortMergeJoin in the initial plan, BroadcastHashJoin
+  // in the final adaptive plan.
+  // Scale notes (100 TB): this is the stats-free answer to the
+  // broadcast-sizing dilemma — a static mis-broadcast OOMs the
+  // driver/executors, a static non-broadcast shuffles the full fact
+  // table; runtime demotion pays one dim-side shuffle write (tiny by
+  // observation) to turn the fact side's shuffle into a local read.
+  // The adaptive threshold stays at the broadcast default (10 MB here)
+  // — unlike q243's fixture-scaled knobs, nothing is tuned for test
+  // size; a filtered dim under the bar converts at any SF.
+  def q257AqeJoinDemotion(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(s.conf.set(k, v)) }
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10m")
+    demotedJoin(s, dir)
+  }
+
+  /** The statically-SMJ, adaptively-BHJ join on the caller's session —
+    * exposed so AqeDemotionSpec can assert both plan halves after
+    * execution. */
+  private[graft] def demotedJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("c_nationkey"))
+
+  val q257Oracle: String =
+    """SELECT c_nationkey, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q259 — V2 FUNCTION-CATALOG scalar function: the third function-
+  // resolution path after native Catalyst expressions (compile-time,
+  // GraftExtensions) and SQL-language macros (q254, plan-time
+  // inlining) — the function arrives FROM A CATALOG (the
+  // FunctionCatalog API Iceberg/Delta use to ship `bucket`/`truncate`
+  // to the engine), is bound against the actual input schema at
+  // analysis time, and plans through the MAGIC-method `Invoke` path
+  // (codegen'd, unboxed — V2FunctionSpec pins that no interpreted
+  // ApplyFunctionExpression node survives). The function is the
+  // token-budget primitive `clip_len(text, cap)`; the query is the
+  // per-language ingested-characters report under a 500-char context
+  // budget. See [[graft.functions.GraftFunctionCatalog]].
+  // Scale notes (100 TB): catalog functions are how a deployment adds
+  // scalar surface WITHOUT session-extension jars — resolution is
+  // per-query, the bound instance is serialized to executors like any
+  // expression, and the magic-invoke form keeps it inside whole-stage
+  // codegen (an opaque UDF would fence the span).
+  def q259V2FunctionCatalog(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(s.conf.set(k, v)) }
+    s.conf.set("spark.sql.catalog.graft_fns",
+      classOf[graft.functions.GraftFunctionCatalog].getName)
+    catalogFnReport(s, dir)
+  }
+
+  /** The clip_len report on the caller's session (catalog conf must
+    * already be set). Exposed for V2FunctionSpec's plan assertions. */
+  private[graft] def catalogFnReport(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir).createOrReplaceTempView("graft_q259_docs")
+    s.sql(
+      """SELECT lang,
+        |  SUM(CAST(graft_fns.ops.clip_len(text, 500) AS BIGINT))
+        |    AS clipped_chars,
+        |  COUNT(*) AS n_docs
+        |FROM graft_q259_docs
+        |GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  val q259Oracle: String =
+    """SELECT lang,
+      |  CAST(SUM(LEAST(length(text), 500)) AS BIGINT) AS clipped_chars,
+      |  COUNT(*) AS n_docs
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q259_v2_function_catalog" -> q259V2FunctionCatalog,
+    "q257_aqe_join_demotion" -> q257AqeJoinDemotion,
     "q245_null_aware_anti_join" -> q245NullAwareAntiJoin,
     "q246_collation_group" -> q246CollationGroup,
     "q247_exchange_reuse" -> q247ExchangeReuse,
@@ -439,6 +541,8 @@ object PlannerMechanisms {
     "q255_manifest_pruning" -> q255ManifestPruning)
 
   def oracleSql: Map[String, String] = Map(
+    "q259_v2_function_catalog" -> q259Oracle,
+    "q257_aqe_join_demotion" -> q257Oracle,
     "q245_null_aware_anti_join" -> q245Oracle,
     "q246_collation_group" -> q246Oracle,
     "q247_exchange_reuse" -> q247Oracle,

@@ -566,7 +566,54 @@ object FormatQueries {
       |FROM orders
       |ORDER BY tbl""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q258 — FILE-METADATA provenance columns: `_metadata.file_path` /
+  // `_metadata.row_index` are hidden columns the parquet scan
+  // materializes from the SPLIT, not from the data — zero bytes in the
+  // files, available on any table, no schema change. Every earlier
+  // provenance answer in the registry carries lineage as DATA (q159's
+  // provenance columns, q78's manifest keys); this is the engine's
+  // free alternative: which physical file does each row live in, and
+  // at which position. The query writes documents into 8 hash-named
+  // shard directories (repartition on the shard key → exactly one
+  // file per shard), reads them back, and rebuilds the per-shard
+  // inventory FROM THE FILE PATHS ALONE — the group key is a regexp
+  // over _metadata.file_path and the position check is
+  // max(_metadata.row_index), neither touching a data column. The
+  // oracle recomputes the same inventory from doc_id arithmetic, so a
+  // hash match proves path-derived provenance ≡ data-derived truth
+  // (and max_ri = n_rows - 1 proves the one-file-per-shard layout).
+  // MetadataColumnsSpec pins that the scan's ReadSchema stays
+  // data-free (only doc_id's shard feed is read) — the metadata
+  // columns must not widen the projection.
+  // Scale notes (100 TB): file-level lineage (which input shard fed a
+  // bad row, which file to quarantine/recompact) must not require
+  // baking a path column into petabytes of data; the metadata column
+  // is computed per-split at scan time and prunes like any other
+  // column. row_index is per-file, so (file_path, row_index) is the
+  // stable global row id a dedup/audit pipeline can cite.
+  def q258FileProvenance(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp(spark, "meta", dir)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), (col("doc_id") % 8).cast("int").as("s"))
+      .repartition(8, col("s"))
+      .write.mode("overwrite").partitionBy("s").parquet(path)
+    spark.read.parquet(path)
+      .select(col("_metadata.file_path").as("fp"),
+        col("_metadata.row_index").as("ri"))
+      .groupBy(regexp_extract(col("fp"), "/s=(\\d+)/", 1).cast("int")
+        .as("shard"))
+      .agg(count(lit(1)).as("n_rows"), max(col("ri")).as("max_ri"))
+      .orderBy(col("shard"))
+  }
+
+  val q258Oracle: String =
+    """SELECT CAST(doc_id % 8 AS INTEGER) AS shard,
+      |  COUNT(*) AS n_rows, COUNT(*) - 1 AS max_ri
+      |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q258_file_provenance" -> q258FileProvenance,
     "q252_agg_pushdown" -> q252AggPushdown,
     "q239_xml_roundtrip" -> q239XmlRoundtrip,
     "q236_variant_json" -> q236VariantJson,
@@ -582,6 +629,7 @@ object FormatQueries {
     "q64_schema_evolution" -> q64SchemaEvolution)
 
   def oracleSql: Map[String, String] = Map(
+    "q258_file_provenance" -> q258Oracle,
     "q252_agg_pushdown" -> q252Oracle,
     "q239_xml_roundtrip" -> q239Oracle,
     "q236_variant_json" -> q236Oracle,
