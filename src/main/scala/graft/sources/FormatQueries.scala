@@ -612,7 +612,89 @@ object FormatQueries {
       |  COUNT(*) AS n_rows, COUNT(*) - 1 AS max_ri
       |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q260 — V2 WRITE commit protocol: the full task-stage / driver-
+  // publish contract under a lakehouse sink ([[SinkSource]]). Every
+  // earlier write in the registry rides an engine-managed committer
+  // (parquet/ORC/CSV, q164's dynamic overwrite, q256's foreachBatch);
+  // here the CONNECTOR owns the protocol: tasks stage attempt files
+  // and report commit messages, the driver's single BatchWrite.commit
+  // moves winners into data/ and swaps a manifest atomically, readers
+  // plan from the manifest alone — so failed attempts, zombie
+  // retries, and aborted queries are invisible by construction
+  // (SinkProtocolSpec pins staging invisibility, abort cleanup, and
+  // overwrite-as-truncate-at-commit). The query pushes the whole
+  // events table through the sink keyed by event_id % 101 and
+  // aggregates the read-back; the oracle aggregates the source — a
+  // hash match gates the writer, the commit, the manifest, and the
+  // reader end-to-end.
+  // Scale notes (100 TB): this is the object-store sink discipline —
+  // no rename-based directory commit (S3 renames are copies), one
+  // driver-side manifest swap as the only atomic point, task retries
+  // resolved by attempt-unique staged names + message-listed winners.
+  def q260V2CommitWrite(spark: SparkSession, dir: String): DataFrame = {
+    val root = ShardPaths.resolve(spark, "q260", dir)
+    val keyed = Tables.events(spark, dir)
+      .select((col("event_id") % 101).as("k"), col("event_id").as("v"))
+      .repartition(8, col("k"))
+    SinkSource.write(keyed, root, overwrite = true)
+    SinkSource.load(spark, root)
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
+      .orderBy(col("k"))
+  }
+
+  val q260Oracle: String =
+    """SELECT event_id % 101 AS k, COUNT(*) AS n_rows,
+      |  CAST(SUM(event_id) AS BIGINT) AS sum_v
+      |FROM events GROUP BY 1 ORDER BY k""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q261 — V2 METADATA delete: `DELETE FROM` resolved through a
+  // TableCatalog onto [[SinkTable.deleteWhere]] — the delete drops
+  // whole manifest entries (the layout key is the partition grain), no
+  // data file is opened or rewritten, and `canDeleteWhere` REJECTS any
+  // predicate finer than the key so a delete can never silently
+  // approximate (SinkDeleteSpec pins the rejection and the
+  // files-untouched property). The query stages the events frame,
+  // deletes the k >= 64 tail plus the k = 3 partition, and aggregates
+  // the survivors; the oracle applies the same predicate to the
+  // source.
+  // Scale notes (100 TB): GDPR-style deletes and retention sweeps on
+  // a petabyte table must be manifest operations when the predicate
+  // aligns with the partition grain — a rewrite-based delete of one
+  // expired day in a date-partitioned corpus would copy the other
+  // 9 999 days. The reject-don't-approximate contract is what makes
+  // that safe to automate.
+  def q261V2MetadataDelete(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(s.conf.set(k, v)) }
+    val root = ShardPaths.resolve(s, "q261", dir)
+    val keyed = Tables.events(s, dir)
+      .select((col("event_id") % 101).as("k"), col("event_id").as("v"))
+      .repartition(8, col("k"))
+    SinkSource.write(keyed, s"$root/t", overwrite = true)
+    s.conf.set("spark.sql.catalog.graft_sink",
+      classOf[SinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_sink.root", root)
+    s.sql("DELETE FROM graft_sink.t WHERE k >= 64 OR k = 3")
+    SinkSource.load(s, s"$root/t")
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
+      .orderBy(col("k"))
+  }
+
+  val q261Oracle: String =
+    """SELECT event_id % 101 AS k, COUNT(*) AS n_rows,
+      |  CAST(SUM(event_id) AS BIGINT) AS sum_v
+      |FROM events
+      |WHERE NOT (event_id % 101 >= 64 OR event_id % 101 = 3)
+      |GROUP BY 1 ORDER BY k""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q260_v2_commit_write" -> q260V2CommitWrite,
+    "q261_v2_metadata_delete" -> q261V2MetadataDelete,
     "q258_file_provenance" -> q258FileProvenance,
     "q252_agg_pushdown" -> q252AggPushdown,
     "q239_xml_roundtrip" -> q239XmlRoundtrip,
@@ -629,6 +711,8 @@ object FormatQueries {
     "q64_schema_evolution" -> q64SchemaEvolution)
 
   def oracleSql: Map[String, String] = Map(
+    "q260_v2_commit_write" -> q260Oracle,
+    "q261_v2_metadata_delete" -> q261Oracle,
     "q258_file_provenance" -> q258Oracle,
     "q252_agg_pushdown" -> q252Oracle,
     "q239_xml_roundtrip" -> q239Oracle,

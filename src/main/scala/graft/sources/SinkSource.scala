@@ -1,0 +1,387 @@
+package graft.sources
+
+import java.util
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import scala.jdk.CollectionConverters._
+
+/** DataSource V2 WRITE path with the full commit protocol — the sink
+  * contract a production table format runs on. The registry's earlier
+  * sinks are either engine-managed (parquet/ORC/CSV writers, q164's
+  * dynamic overwrite, q256's foreachBatch publish) or row-at-a-time
+  * side effects (the REST/JDBC K-sinks); this connector implements
+  * what sits UNDER a lakehouse table: every task stages its rows into
+  * an invisible attempt file and reports a [[WriterCommitMessage]];
+  * only the DRIVER's `BatchWrite.commit` — running once, after every
+  * task committed — moves staged files into the data directory and
+  * publishes a new MANIFEST VERSION (write-new-then-rename, never an
+  * in-place overwrite), and the read side plans splits from the
+  * highest manifest version alone — so a torn write, a failed task's
+  * retry siblings, or an aborted query can never leak rows into a
+  * reader (`abort` deletes the whole staging attempt). Overwrite mode
+  * is [[SupportsTruncate]]: truncation happens at COMMIT time by
+  * publishing a manifest that lists only the new files — the old data
+  * stays readable until the new version lands. All I/O goes through
+  * the Hadoop FS API (tasks stage on executors), so the layout works
+  * unchanged on HDFS; the versioned-manifest publish is exactly the
+  * no-directory-rename discipline object stores force.
+  *
+  * The layout is keyed like [[SpjSource]]'s (each task writes one file
+  * PER DISTINCT KEY it sees; manifest lines are `k|file|rows`), which
+  * is what makes [[SupportsDelete]] a pure METADATA operation: a
+  * key-aligned predicate drops whole manifest entries — no data file
+  * is opened, exactly Iceberg/Delta's partition-level delete — and
+  * `canDeleteWhere` REFUSES anything finer (a `v`-predicate would need
+  * a rewrite), so a delete can never silently approximate.
+  *
+  * Fixed `(k BIGINT, v BIGINT)` text payload for the same reason as
+  * SpjSource: the mechanism under test is the commit/read/delete
+  * protocol, not a storage format.
+  */
+class SinkSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SinkSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new SinkTable(properties.get("path"))
+}
+
+object SinkSource {
+  val schema: StructType = StructType(Seq(
+    StructField("k", LongType, nullable = false),
+    StructField("v", LongType, nullable = false)))
+
+  def load(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("graft.sources.SinkSource").option("path", path).load()
+
+  def write(df: DataFrame, path: String, overwrite: Boolean): Unit =
+    df.write.format("graft.sources.SinkSource").option("path", path)
+      .mode(if (overwrite) "overwrite" else "append").save()
+
+  private[sources] def fs(path: String): FileSystem =
+    new Path(path).getFileSystem(new Configuration())
+
+  /** Highest published manifest version under `path`, or 0 if never
+    * committed. */
+  private[sources] def currentVersion(path: String): Int = {
+    val f = fs(path)
+    val root = new Path(path)
+    if (!f.exists(root)) 0
+    else f.listStatus(root).map(_.getPath.getName)
+      .collect { case n if n.startsWith("manifest.v") && n.endsWith(".psv") =>
+        n.stripPrefix("manifest.v").stripSuffix(".psv").toInt }
+      .foldLeft(0)(math.max)
+  }
+
+  /** Manifest lines of the current version, as (k, file, rows). Empty
+    * if the table was never committed. */
+  private[sources] def manifest(path: String): Seq[(Long, String, Long)] = {
+    val v = currentVersion(path)
+    if (v == 0) Seq.empty
+    else {
+      val f = fs(path)
+      val in = f.open(new Path(path, s"manifest.v$v.psv"))
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      body.linesIterator.filter(_.nonEmpty).map { line =>
+        val c = line.split('|')
+        (c(0).toLong, c(1), c(2).toLong)
+      }.toSeq
+    }
+  }
+
+  /** Publish `entries` as the NEXT manifest version: write a uniquely-
+    * named temp, rename to `manifest.v<n+1>.psv` (atomic on HDFS/local;
+    * rename-refuses-existing resolves concurrent publishers), keep the
+    * two prior versions for in-flight readers, GC the rest.
+    */
+  private[sources] def writeManifest(path: String,
+      entries: Seq[(Long, String, Long)]): Unit = {
+    val f = fs(path)
+    val root = new Path(path)
+    f.mkdirs(root)
+    val next = currentVersion(path) + 1
+    val body = entries.sortBy(e => (e._1, e._2))
+      .map { case (k, fl, n) => s"$k|$fl|$n" }.mkString("\n") + "\n"
+    val tmp = new Path(root, s"_tmp_manifest_${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    if (!f.rename(tmp, new Path(root, s"manifest.v$next.psv"))) {
+      f.delete(tmp, true)
+      throw new IllegalStateException(
+        s"lost a manifest publish race at version $next under $path")
+    }
+    f.listStatus(root).map(_.getPath).foreach { p =>
+      val n = p.getName
+      if (n.startsWith("manifest.v") && n.endsWith(".psv") &&
+          n.stripPrefix("manifest.v").stripSuffix(".psv").toInt < next - 2)
+        try f.delete(p, false) catch { case _: Exception => }
+    }
+  }
+}
+
+/** Minimal [[TableCatalog]] over a root directory — what gives the
+  * sink tables IDENTIFIER addressability, which is what SQL DML
+  * (`DELETE FROM graft_sink.t ...`) resolves through; the path-based
+  * reader/writer above needs no catalog. Tables are subdirectories of
+  * `root`; only load/exists are real, the DDL surface is out of scope.
+  */
+class SinkCatalog extends CatalogPlugin with TableCatalog {
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = options.get("root")
+  }
+  override def name(): String = catalogName
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
+    val f = SinkSource.fs(root)
+    val d = new Path(root)
+    if (!f.exists(d)) Array.empty
+    else f.listStatus(d).filter(_.isDirectory)
+      .map(st => Identifier.of(Array.empty, st.getPath.getName))
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new SinkTable(new Path(root, ident.name).toString)
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    ident.namespace.isEmpty &&
+      SinkSource.fs(root).exists(new Path(root, ident.name))
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException("create via the write path")
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("alter not supported")
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException("drop not supported")
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("rename not supported")
+}
+
+class SinkTable(path: String) extends Table
+    with SupportsRead with SupportsWrite with SupportsDelete {
+  import org.apache.spark.sql.sources._
+
+  override def name(): String = s"graft_sink($path)"
+  override def schema(): StructType = SinkSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder { override def build(): Scan = new SinkScan(path) }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new SinkWriteBuilder(path, info.queryId())
+
+  // ---- metadata delete ------------------------------------------------
+  private def keyAligned(f: Filter): Boolean = f match {
+    case EqualTo("k", _) | GreaterThan("k", _) | GreaterThanOrEqual("k", _)
+       | LessThan("k", _) | LessThanOrEqual("k", _) | In("k", _) => true
+    case And(l, r) => keyAligned(l) && keyAligned(r)
+    case Or(l, r) => keyAligned(l) && keyAligned(r)
+    case Not(c) => keyAligned(c)
+    case _ => false
+  }
+
+  private def matches(k: Long, f: Filter): Boolean = f match {
+    case EqualTo("k", v)            => k == v.asInstanceOf[Number].longValue
+    case GreaterThan("k", v)        => k > v.asInstanceOf[Number].longValue
+    case GreaterThanOrEqual("k", v) => k >= v.asInstanceOf[Number].longValue
+    case LessThan("k", v)           => k < v.asInstanceOf[Number].longValue
+    case LessThanOrEqual("k", v)    => k <= v.asInstanceOf[Number].longValue
+    case In("k", vs) => vs.exists(_.asInstanceOf[Number].longValue == k)
+    case And(l, r) => matches(k, l) && matches(k, r)
+    case Or(l, r) => matches(k, l) || matches(k, r)
+    case Not(c) => !matches(k, c)
+    case _ => throw new IllegalStateException(s"unaligned filter got through: $f")
+  }
+
+  /** A delete is accepted only when it is EXACT at manifest
+    * granularity — every predicate is on the layout key, so each entry
+    * is wholly in or wholly out. Anything finer must be rejected here
+    * (Spark then fails the DELETE) rather than approximated.
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(keyAligned)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val entries = SinkSource.manifest(path)
+    val (doomed, kept) =
+      entries.partition { case (k, _, _) => filters.forall(matches(k, _)) }
+    SinkSource.writeManifest(path, kept)
+    // data files are dropped AFTER the manifest stops citing them; a
+    // crash in between leaks a file (GC'd by the next truncating
+    // commit), never a row
+    val f = SinkSource.fs(path)
+    doomed.foreach { case (_, fl, _) =>
+      try f.delete(new Path(path, s"data/$fl"), false)
+      catch { case _: Exception => } }
+  }
+}
+
+// ---- read side --------------------------------------------------------
+
+case class SinkInputPartition(file: String) extends InputPartition
+
+class SinkScan(path: String) extends Scan with Batch {
+  override def readSchema(): StructType = SinkSource.schema
+  override def toBatch: Batch = this
+
+  // the manifest IS the table: files on disk but not listed (staged
+  // attempts, aborted writes, post-delete stragglers) do not exist to
+  // readers
+  private lazy val files: Array[String] =
+    SinkSource.manifest(path).map(_._2).distinct.sorted.toArray
+
+  override def description(): String = s"SinkScan(files=${files.length})"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map(f => SinkInputPartition(
+      new Path(path, s"data/$f").toString): InputPartition)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new SinkReader(p.asInstanceOf[SinkInputPartition].file)
+    }
+}
+
+class SinkReader(file: String) extends PartitionReader[InternalRow] {
+  private val lines = {
+    val in = SinkSource.fs(file).open(new Path(file))
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    body.linesIterator.filter(_.nonEmpty)
+  }
+  private var row: InternalRow = _
+  override def next(): Boolean = {
+    if (!lines.hasNext) return false
+    val c = lines.next().split('|')
+    row = new GenericInternalRow(Array[Any](c(0).toLong, c(1).toLong))
+    true
+  }
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
+}
+
+// ---- write side -------------------------------------------------------
+
+class SinkWriteBuilder(path: String, queryId: String)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new SinkBatchWrite(path, queryId, doTruncate)
+  }
+}
+
+/** One staged file per (task attempt, distinct key). Commit messages
+  * carry the staged names; nothing under `_staging/` is ever readable.
+  */
+case class SinkCommitMessage(entries: Seq[(Long, String, Long)])
+    extends WriterCommitMessage
+
+class SinkBatchWrite(path: String, queryId: String, truncate: Boolean)
+    extends BatchWrite {
+
+  private def stagingDir = new Path(path, s"_staging/$queryId")
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new SinkWriterFactory(path, queryId)
+
+  /** Runs ONCE on the driver, after every task reported success. The
+    * publish order is: move staged files into data/, then publish the
+    * next manifest version — readers either see the old table or the
+    * complete new one, never a prefix.
+    */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val committed = messages.flatMap {
+      case SinkCommitMessage(entries) => entries
+    }.toSeq
+    val f = SinkSource.fs(path)
+    val dataDir = new Path(path, "data")
+    f.mkdirs(dataDir)
+    committed.foreach { case (_, fl, _) =>
+      val dest = new Path(dataDir, fl)
+      if (f.exists(dest)) f.delete(dest, false)
+      if (!f.rename(new Path(stagingDir, fl), dest))
+        throw new IllegalStateException(s"staged file publish failed: $fl")
+    }
+    val prior = if (truncate) Seq.empty else SinkSource.manifest(path)
+    SinkSource.writeManifest(path, prior ++ committed)
+    if (truncate) {
+      // old files are unreachable once the manifest swapped; GC them
+      val live = committed.map(_._2).toSet
+      if (f.exists(dataDir)) f.listStatus(dataDir).map(_.getPath)
+        .filter(p => !live.contains(p.getName))
+        .foreach(p => try f.delete(p, false) catch { case _: Exception => })
+    }
+    f.delete(stagingDir, true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    SinkSource.fs(path).delete(stagingDir, true)
+}
+
+class SinkWriterFactory(path: String, queryId: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new SinkWriter(path, queryId, partitionId, taskId)
+}
+
+class SinkWriter(path: String, queryId: String, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val buffers =
+    scala.collection.mutable.Map.empty[Long, StringBuilder]
+  private val counts = scala.collection.mutable.Map.empty[Long, Long]
+
+  override def write(record: InternalRow): Unit = {
+    val k = record.getLong(0)
+    buffers.getOrElseUpdate(k, new StringBuilder)
+      .append(k).append('|').append(record.getLong(1)).append('\n')
+    counts(k) = counts.getOrElse(k, 0L) + 1
+  }
+
+  /** Task commit: flush each key's buffer to a staged file named by
+    * (partition, TASK id, key) — retried attempts get distinct taskIds,
+    * so a zombie attempt can never clobber the winner's staged file;
+    * only files named in THIS attempt's message are ever published.
+    */
+  override def commit(): WriterCommitMessage = {
+    val f = SinkSource.fs(path)
+    val dir = new Path(path, s"_staging/$queryId")
+    f.mkdirs(dir)
+    val entries = buffers.toSeq.map { case (k, sb) =>
+      val name = s"p${partitionId}_t${taskId}_k$k.psv"
+      val out = f.create(new Path(dir, name), true)
+      try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
+      (k, name, counts(k))
+    }
+    SinkCommitMessage(entries)
+  }
+
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
+}
