@@ -1498,7 +1498,74 @@ object StreamingQueries {
   /** Stream-equals-batch: q222's oracle verbatim. */
   val q225Oracle: String = graft.operators.TextAnalysis.q222Oracle
 
+  // --------------------------------------------------------------------
+  // q262 — MULTIPLE-WATERMARK union: two feeds with DIFFERENT lateness
+  // SLAs (a 10-minute clickstream, a 30-minute billing feed) unioned
+  // into one windowed aggregate. Every earlier watermarked query
+  // carries exactly one event-time column; here each branch declares
+  // its OWN watermark and the engine must combine them — the default
+  // `multipleWatermarkPolicy = min` advances the GLOBAL watermark only
+  // as fast as the laggiest feed, which is the only safe choice for an
+  // append-mode aggregate over the union (a `max` policy would close
+  // windows the slow feed can still legally write into, silently
+  // dropping its stragglers — UnionWatermarkSpec pins exactly that
+  // divergence, plus the two EventTimeWatermark plan nodes and the
+  // min-combined watermark value in the query progress). In append
+  // mode the emitted set IS the watermark decision: only windows whose
+  // end the combined watermark passed are in the output, so the oracle
+  // replays the policy arithmetic (least of the two per-feed
+  // max-event-times minus their delays, ms-truncated) — a hash match
+  // gates the policy itself, not just the aggregate.
+  // Scale notes (100 TB/day): multi-source union is the production
+  // shape (every pipeline fans in feeds with different SLAs); the min
+  // policy means one stalled feed holds back ALL window emission —
+  // the monitoring story q183 pins — and per-feed delays belong on
+  // the branches, not a global worst-case watermark over the fastest
+  // feed.
+  def q262StreamUnionWatermarks(spark: SparkSession, dir: String): DataFrame = {
+    val ss = EventsStreaming.streamSession(spark)
+    def feed(parity: Int, delay: String, name: String): DataFrame =
+      EventsStreaming.readEventsStream(ss, dir)
+        .filter(col("event_id") % 2 === parity)
+        .withWatermark("ts", delay)
+        .select(col("ts"), lit(name).as("feed"),
+          col("value").cast(DecimalType(24, 6)).as("dvalue"))
+    val u = feed(1, "10 minutes", "click")
+      .unionByName(feed(0, "30 minutes", "billing"))
+    val agg = u
+      .groupBy(window(col("ts"), "1 hour"), col("feed"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("dvalue")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("feed"),
+        col("n_events"), col("sum_value"))
+    EventsStreaming.runToMemory(agg, "q262_mem", OutputMode.Append)
+      .orderBy(col("window_start"), col("feed"))
+  }
+
+  /** The min-policy arithmetic replayed in SQL: global watermark =
+    * least over feeds of (ms-truncated max event time - feed delay);
+    * append mode emits exactly the windows whose END it passed.
+    */
+  val q262Oracle: String =
+    """WITH wm AS (
+      |  SELECT LEAST(
+      |    (SELECT date_trunc('milliseconds', MAX(CAST(ts AS TIMESTAMP)))
+      |       - INTERVAL 10 MINUTE FROM events WHERE event_id % 2 = 1),
+      |    (SELECT date_trunc('milliseconds', MAX(CAST(ts AS TIMESTAMP)))
+      |       - INTERVAL 30 MINUTE FROM events WHERE event_id % 2 = 0)) AS w),
+      |agg AS (
+      |  SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))
+      |      AS window_start,
+      |    CASE WHEN event_id % 2 = 1 THEN 'click' ELSE 'billing' END AS feed,
+      |    COUNT(*) AS n_events,
+      |    CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS sum_value
+      |  FROM events GROUP BY 1, 2)
+      |SELECT window_start, feed, n_events, sum_value FROM agg
+      |WHERE window_start + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+      |ORDER BY window_start, feed""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q262_stream_union_watermarks" -> q262StreamUnionWatermarks,
     "q225_stream_rag_chunks" -> q225StreamRagChunks,
     "q153_stream_curation_pipeline" -> q153StreamCurationPipeline,
     "q163_stream_index_update" -> q163StreamIndexUpdate,
@@ -1526,6 +1593,7 @@ object StreamingQueries {
     "q103_stream_dedup_static" -> q103StreamDedupStatic)
 
   def oracleSql: Map[String, String] = Map(
+    "q262_stream_union_watermarks" -> q262Oracle,
     "q225_stream_rag_chunks" -> q225Oracle,
     "q153_stream_curation_pipeline" -> q153Oracle,
     "q163_stream_index_update" -> q163Oracle,
