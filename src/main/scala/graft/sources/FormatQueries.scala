@@ -692,7 +692,67 @@ object FormatQueries {
       |WHERE NOT (event_id % 101 >= 64 OR event_id % 101 = 3)
       |GROUP BY 1 ORDER BY k""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q263 — TIME TRAVEL (`VERSION AS OF`): the read-side dividend of
+  // q260's versioned-manifest publish — every commit is an immutable,
+  // addressable snapshot, and the catalog's versioned loadTable
+  // returns a table whose scan plans from THAT manifest, concurrent
+  // appends notwithstanding. The query builds a two-version history
+  // (v1 = the base load, v2 = base + the late-arriving delta), then
+  // joins the CURRENT per-key inventory against the v1 SNAPSHOT's —
+  // the report a reproducibility audit runs ("what did training job X
+  // actually read?"). The oracle derives both snapshots from the
+  // source's own arithmetic (the delta is event_id % 3 = 0), so the
+  // hash gate proves the pinned read returns exactly the v1 rows and
+  // none of v2's. TimeTravelSpec additionally pins snapshot STABILITY
+  // — the v1 relation answers identically before and after the append
+  // — and that a GC'd/never-written version fails loudly rather than
+  // reading empty.
+  // Scale notes (100 TB): snapshot-pinned reads are how training runs
+  // stay reproducible against a continuously-ingesting corpus — the
+  // alternative (copying the corpus per run) is a petabyte copy. The
+  // manifest IS the snapshot; no data movement, retention is the only
+  // cost.
+  def q263TimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(s.conf.set(k, v)) }
+    val root = ShardPaths.resolve(s, "q263", dir)
+    // deterministic two-version history per invocation
+    SinkSource.fs(root).delete(new org.apache.hadoop.fs.Path(root), true)
+    def keyed(pred: org.apache.spark.sql.Column) =
+      Tables.events(s, dir).filter(pred)
+        .select((col("event_id") % 101).as("k"), col("event_id").as("v"))
+        .repartition(8, col("k"))
+    SinkSource.write(keyed(col("event_id") % 3 =!= 0), s"$root/t",
+      overwrite = true)                                     // manifest v1
+    SinkSource.write(keyed(col("event_id") % 3 === 0), s"$root/t",
+      overwrite = false)                                    // manifest v2
+    s.conf.set("spark.sql.catalog.graft_sink", classOf[SinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_sink.root", root)
+    s.sql(
+      """SELECT cur.k, snap.n_v1, cur.n_cur FROM
+        |  (SELECT k, COUNT(*) AS n_cur FROM graft_sink.t GROUP BY k) cur
+        |  LEFT JOIN
+        |  (SELECT k, COUNT(*) AS n_v1 FROM graft_sink.t VERSION AS OF 1
+        |   GROUP BY k) snap
+        |  ON cur.k = snap.k
+        |ORDER BY cur.k""".stripMargin)
+  }
+
+  val q263Oracle: String =
+    """WITH cur AS (
+      |  SELECT event_id % 101 AS k, COUNT(*) AS n_cur
+      |  FROM events GROUP BY 1),
+      |snap AS (
+      |  SELECT event_id % 101 AS k, COUNT(*) AS n_v1
+      |  FROM events WHERE event_id % 3 <> 0 GROUP BY 1)
+      |SELECT cur.k, snap.n_v1, cur.n_cur
+      |FROM cur LEFT JOIN snap ON cur.k = snap.k
+      |ORDER BY cur.k""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q263_time_travel" -> q263TimeTravel,
     "q260_v2_commit_write" -> q260V2CommitWrite,
     "q261_v2_metadata_delete" -> q261V2MetadataDelete,
     "q258_file_provenance" -> q258FileProvenance,
@@ -711,6 +771,7 @@ object FormatQueries {
     "q64_schema_evolution" -> q64SchemaEvolution)
 
   def oracleSql: Map[String, String] = Map(
+    "q263_time_travel" -> q263Oracle,
     "q260_v2_commit_write" -> q260Oracle,
     "q261_v2_metadata_delete" -> q261Oracle,
     "q258_file_provenance" -> q258Oracle,

@@ -70,12 +70,12 @@ object SinkSource {
     df.write.format("graft.sources.SinkSource").option("path", path)
       .mode(if (overwrite) "overwrite" else "append").save()
 
-  private[sources] def fs(path: String): FileSystem =
+  private[graft] def fs(path: String): FileSystem =
     new Path(path).getFileSystem(new Configuration())
 
   /** Highest published manifest version under `path`, or 0 if never
     * committed. */
-  private[sources] def currentVersion(path: String): Int = {
+  private[graft] def currentVersion(path: String): Int = {
     val f = fs(path)
     val root = new Path(path)
     if (!f.exists(root)) 0
@@ -85,14 +85,21 @@ object SinkSource {
       .foldLeft(0)(math.max)
   }
 
-  /** Manifest lines of the current version, as (k, file, rows). Empty
-    * if the table was never committed. */
-  private[sources] def manifest(path: String): Seq[(Long, String, Long)] = {
-    val v = currentVersion(path)
-    if (v == 0) Seq.empty
+  /** Manifest lines of the requested version (default: current), as
+    * (k, file, rows). Empty if the table was never committed; a pinned
+    * version that was GC'd or never existed is an error, not an empty
+    * table. */
+  private[sources] def manifest(path: String,
+      version: Option[Int] = None): Seq[(Long, String, Long)] = {
+    val v = version.getOrElse(currentVersion(path))
+    if (v == 0 && version.isEmpty) Seq.empty
     else {
       val f = fs(path)
-      val in = f.open(new Path(path, s"manifest.v$v.psv"))
+      val mf = new Path(path, s"manifest.v$v.psv")
+      if (!f.exists(mf))
+        throw new java.util.NoSuchElementException(
+          s"no manifest at version $v under $path (GC'd or never written)")
+      val in = f.open(mf)
       val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
       body.linesIterator.filter(_.nonEmpty).map { line =>
@@ -162,6 +169,20 @@ class SinkCatalog extends CatalogPlugin with TableCatalog {
     new SinkTable(new Path(root, ident.name).toString)
   }
 
+  /** TIME TRAVEL (`VERSION AS OF n`): the versioned-manifest publish
+    * already keeps every committed snapshot addressable — loading a
+    * pinned version returns a table whose scan plans from THAT
+    * manifest, so a reader holds a consistent snapshot regardless of
+    * later appends (reproducible training reads). Snapshots stay
+    * readable while their files live: append-only history forever,
+    * truncate/delete reclaim eagerly (retention 0 for overwritten
+    * data) — the production knob this elides is a retention window.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new SinkTable(new Path(root, ident.name).toString, Some(version.toInt))
+  }
+
   override def tableExists(ident: Identifier): Boolean =
     ident.namespace.isEmpty &&
       SinkSource.fs(root).exists(new Path(root, ident.name))
@@ -177,18 +198,22 @@ class SinkCatalog extends CatalogPlugin with TableCatalog {
     throw new UnsupportedOperationException("rename not supported")
 }
 
-class SinkTable(path: String) extends Table
+class SinkTable(path: String, pinnedVersion: Option[Int] = None)
+    extends Table
     with SupportsRead with SupportsWrite with SupportsDelete {
   import org.apache.spark.sql.sources._
 
-  override def name(): String = s"graft_sink($path)"
+  override def name(): String =
+    s"graft_sink($path${pinnedVersion.fold("")(v => s"@v$v")})"
   override def schema(): StructType = SinkSource.schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder { override def build(): Scan = new SinkScan(path) }
+    new ScanBuilder {
+      override def build(): Scan = new SinkScan(path, pinnedVersion)
+    }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new SinkWriteBuilder(path, info.queryId())
@@ -243,17 +268,20 @@ class SinkTable(path: String) extends Table
 
 case class SinkInputPartition(file: String) extends InputPartition
 
-class SinkScan(path: String) extends Scan with Batch {
+class SinkScan(path: String, pinnedVersion: Option[Int] = None)
+    extends Scan with Batch {
   override def readSchema(): StructType = SinkSource.schema
   override def toBatch: Batch = this
 
   // the manifest IS the table: files on disk but not listed (staged
   // attempts, aborted writes, post-delete stragglers) do not exist to
-  // readers
+  // readers; a pinned version plans from that snapshot's manifest
   private lazy val files: Array[String] =
-    SinkSource.manifest(path).map(_._2).distinct.sorted.toArray
+    SinkSource.manifest(path, pinnedVersion).map(_._2).distinct.sorted.toArray
 
-  override def description(): String = s"SinkScan(files=${files.length})"
+  override def description(): String =
+    s"SinkScan(files=${files.length}" +
+      s"${pinnedVersion.fold("")(v => s", version=$v")})"
 
   override def planInputPartitions(): Array[InputPartition] =
     files.map(f => SinkInputPartition(
@@ -293,6 +321,8 @@ class SinkWriteBuilder(path: String, queryId: String)
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new SinkBatchWrite(path, queryId, doTruncate)
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new SinkStreamingWrite(path, queryId)
   }
 }
 
@@ -350,7 +380,62 @@ class SinkWriterFactory(path: String, queryId: String)
     new SinkWriter(path, queryId, partitionId, taskId)
 }
 
-class SinkWriter(path: String, queryId: String, partitionId: Int, taskId: Long)
+/** Streaming form of the commit protocol: one commit PER EPOCH, and —
+  * because a recovered query re-runs its last uncommitted batch and
+  * re-offers an epoch the sink may have already published — commit is
+  * IDEMPOTENT on epochId: a durable `epoch.<id>.done` marker (written
+  * atomically after the manifest publish) turns a replayed commit into
+  * a no-op that only discards the replay's staged files. That marker
+  * handshake is exactly how a V2 sink upgrades Structured Streaming's
+  * at-least-once batch replay to exactly-once publication.
+  */
+class SinkStreamingWrite(path: String, queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  private def epochDone(epochId: Long) =
+    new Path(path, s"epoch.$queryId.$epochId.done")
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new SinkStreamingWriterFactory(path, queryId)
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val f = SinkSource.fs(path)
+    val staging = new Path(path, s"_staging/$queryId/$epochId")
+    if (f.exists(epochDone(epochId))) {
+      // replayed epoch after recovery: already published — discard the
+      // replay's staged files, publish nothing twice
+      f.delete(staging, true)
+      return
+    }
+    new SinkBatchWrite(path, s"$queryId/$epochId", truncate = false)
+      .commit(messages)
+    val out = f.create(epochDone(epochId), true)
+    try out.write(Array.emptyByteArray) finally out.close()
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    SinkSource.fs(path).delete(
+      new Path(path, s"_staging/$queryId/$epochId"), true)
+}
+
+class SinkStreamingWriterFactory(path: String, queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    // epoch tag in the FILE name: task ids restart at 0 in a
+    // recovered run, so without it a new run's staged file could
+    // collide with (and clobber) a published file an old manifest
+    // still cites
+    new SinkWriter(path, s"$queryId/$epochId", partitionId, taskId,
+      nameTag = s"e${epochId}_")
+}
+
+class SinkWriter(path: String, queryId: String, partitionId: Int,
+    taskId: Long, nameTag: String = "")
     extends DataWriter[InternalRow] {
 
   private val buffers =
@@ -374,7 +459,7 @@ class SinkWriter(path: String, queryId: String, partitionId: Int, taskId: Long)
     val dir = new Path(path, s"_staging/$queryId")
     f.mkdirs(dir)
     val entries = buffers.toSeq.map { case (k, sb) =>
-      val name = s"p${partitionId}_t${taskId}_k$k.psv"
+      val name = s"${nameTag}p${partitionId}_t${taskId}_k$k.psv"
       val out = f.create(new Path(dir, name), true)
       try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
       (k, name, counts(k))

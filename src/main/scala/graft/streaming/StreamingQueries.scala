@@ -1564,7 +1564,57 @@ object StreamingQueries {
       |WHERE window_start + INTERVAL 1 HOUR <= (SELECT w FROM wm)
       |ORDER BY window_start, feed""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q264 — STREAMING write through the V2 sink contract: the epoch
+  // form of q260's commit protocol. q80/q256 publish from
+  // foreachBatch (the application owns idempotence); here the SINK
+  // owns it — each micro-batch's tasks stage attempt files, the
+  // driver commits ONCE per epoch, and a durable epoch marker makes a
+  // replayed commit (a recovered query re-offers its last epoch) a
+  // no-op, which is how a V2 sink upgrades Structured Streaming's
+  // at-least-once batch replay to exactly-once publication
+  // (StreamingSinkSpec pins the replay no-op, a checkpointed restart
+  // appending nothing, and epoch-tagged file names that cannot
+  // collide across runs). The query streams the events table into the
+  // sink keyed by event_id % 53 and aggregates the read-back; the
+  // oracle aggregates the source.
+  // Scale notes (100 TB/day): exactly-once at the sink is THE
+  // streaming-ingest contract — dedup-by-marker at epoch granularity
+  // costs one tiny FS check per batch, vs reprocessing or row-level
+  // dedup of a replayed epoch's full payload.
+  def q264StreamV2Sink(spark: SparkSession, dir: String): DataFrame = {
+    val ss = EventsStreaming.streamSession(spark)
+    val root = graft.sources.ShardPaths.resolve(ss, "q264", dir)
+    val ckpt = graft.sources.ShardPaths.resolveCheckpoint(ss, "q264", dir)
+    // table and checkpoint are one unit: a fresh table with a stale
+    // checkpoint would replay nothing and read back empty
+    graft.sources.SinkSource.fs(root)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    graft.sources.SinkSource.fs(ckpt)
+      .delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    val keyed = EventsStreaming.readEventsStream(ss, dir)
+      .select((col("event_id") % 53).as("k"), col("event_id").as("v"))
+    val q = keyed.writeStream
+      .format("graft.sources.SinkSource")
+      .option("path", s"$root/t")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    graft.sources.SinkSource.load(ss, s"$root/t")
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
+      .orderBy(col("k"))
+  }
+
+  val q264Oracle: String =
+    """SELECT event_id % 53 AS k, COUNT(*) AS n_rows,
+      |  CAST(SUM(event_id) AS BIGINT) AS sum_v
+      |FROM events GROUP BY 1 ORDER BY k""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q264_stream_v2_sink" -> q264StreamV2Sink,
     "q262_stream_union_watermarks" -> q262StreamUnionWatermarks,
     "q225_stream_rag_chunks" -> q225StreamRagChunks,
     "q153_stream_curation_pipeline" -> q153StreamCurationPipeline,
@@ -1593,6 +1643,7 @@ object StreamingQueries {
     "q103_stream_dedup_static" -> q103StreamDedupStatic)
 
   def oracleSql: Map[String, String] = Map(
+    "q264_stream_v2_sink" -> q264Oracle,
     "q262_stream_union_watermarks" -> q262Oracle,
     "q225_stream_rag_chunks" -> q225Oracle,
     "q153_stream_curation_pipeline" -> q153Oracle,
