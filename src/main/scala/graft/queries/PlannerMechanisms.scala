@@ -528,7 +528,52 @@ object PlannerMechanisms {
       |  COUNT(*) AS n_docs
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q266 — V2 RUNTIME filtering: dynamic partition pruning with the
+  // pruning decision INSIDE the connector. q145 pins Spark's V1 DPP
+  // (the engine prunes its own parquet layout); for V2 tables the
+  // engine cannot see the layout, so the contract inverts — the scan
+  // advertises its prunable attribute (`filterAttributes`), and after
+  // the join's build side materializes, Spark hands it the feasible
+  // key set (`Scan.filter`) and the connector drops whole partitions
+  // before planning splits (SpjSource.SpjScan). The query joins the
+  // key-grouped per-nation customer inventory against one region's
+  // nation dim; only that region's `k=` directories become input
+  // splits (V2RuntimeFilterSpec pins the dynamicpruning expression on
+  // the scan and that the scan's output-row metric shrinks to the
+  // matching partitions, vs all partitions with DPP disabled).
+  // Scale notes (100 TB): a fact-dim join where the dim filter
+  // selects 5 of 10 000 partitions must not list — let alone read —
+  // the other 9 995; at V2 that is only possible if the CONNECTOR
+  // receives the runtime key set, which is exactly this contract.
+  def q266V2RuntimeFilter(spark: SparkSession, dir: String): DataFrame = {
+    val root = spjStage(spark, dir)
+    runtimeFilteredJoin(spark, dir, root)
+  }
+
+  /** The DPP-prunable join on the caller's session. Exposed for
+    * V2RuntimeFilterSpec's metric comparison. */
+  private[graft] def runtimeFilteredJoin(s: SparkSession, dir: String,
+      root: String): DataFrame = {
+    val nations = Tables.nation(s, dir)
+      .filter(col("n_regionkey") === 2)
+      .select(col("n_nationkey").cast("long").as("k"), col("n_name"))
+    graft.sources.SpjSource.load(s, s"$root/cust")
+      .join(nations, Seq("k"))
+      .select(col("k").as("nationkey"), col("n_name").as("nation"),
+        col("v").as("n_cust"))
+      .orderBy(col("nationkey"))
+  }
+
+  val q266Oracle: String =
+    """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+      |  n_name AS nation, COUNT(*) AS n_cust
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |WHERE n_regionkey = 2
+      |GROUP BY 1, 2 ORDER BY nationkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q266_v2_runtime_filter" -> q266V2RuntimeFilter,
     "q259_v2_function_catalog" -> q259V2FunctionCatalog,
     "q257_aqe_join_demotion" -> q257AqeJoinDemotion,
     "q245_null_aware_anti_join" -> q245NullAwareAntiJoin,
@@ -541,6 +586,7 @@ object PlannerMechanisms {
     "q255_manifest_pruning" -> q255ManifestPruning)
 
   def oracleSql: Map[String, String] = Map(
+    "q266_v2_runtime_filter" -> q266Oracle,
     "q259_v2_function_catalog" -> q259Oracle,
     "q257_aqe_join_demotion" -> q257Oracle,
     "q245_null_aware_anti_join" -> q245Oracle,

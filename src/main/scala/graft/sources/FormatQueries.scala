@@ -751,7 +751,43 @@ object FormatQueries {
       |FROM cur LEFT JOIN snap ON cur.k = snap.k
       |ORDER BY cur.k""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q265 — MANIFEST-stats aggregate pushdown: the V2 complement of
+  // q252 (there the parquet FOOTERS answer min/max/count; here the
+  // TABLE'S OWN commit metadata does). The sink's manifest carries
+  // exact per-(key, file) row counts from the write path's commit
+  // stats, so `COUNT(*) GROUP BY k` is answered by manifest arithmetic
+  // with ZERO data files opened — `supportCompletePushDown` means
+  // Spark plans no aggregate node at all, the scan IS the answer
+  // (ManifestAggSpec proves it by answering correctly with the data
+  // directory physically removed, and pins the fallback: any
+  // aggregate beyond COUNT(*)-on-the-key-grain refuses the push and
+  // row-scans). The query counts the staged events inventory per key;
+  // the oracle counts the source.
+  // Scale notes (100 TB): "how many rows/documents per partition" is
+  // the most-run query against any corpus table — answering it from
+  // manifests is the difference between a metadata read and a
+  // petabyte scan, and it only works because the commit protocol
+  // (q260) makes the stats exact, not estimates.
+  def q265ManifestAgg(spark: SparkSession, dir: String): DataFrame = {
+    val root = ShardPaths.resolve(spark, "q265", dir)
+    val keyed = Tables.events(spark, dir)
+      .select((col("event_id") % 29).as("k"), col("event_id").as("v"))
+      .repartition(8, col("k"))
+    SinkSource.write(keyed, s"$root/t", overwrite = true)
+    SinkSource.load(spark, s"$root/t")
+      .createOrReplaceTempView("graft_q265_t")
+    spark.sql(
+      """SELECT k, COUNT(*) AS n_rows FROM graft_q265_t
+        |GROUP BY k ORDER BY k""".stripMargin)
+  }
+
+  val q265Oracle: String =
+    """SELECT event_id % 29 AS k, COUNT(*) AS n_rows
+      |FROM events GROUP BY 1 ORDER BY k""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q265_manifest_agg" -> q265ManifestAgg,
     "q263_time_travel" -> q263TimeTravel,
     "q260_v2_commit_write" -> q260V2CommitWrite,
     "q261_v2_metadata_delete" -> q261V2MetadataDelete,
@@ -771,6 +807,7 @@ object FormatQueries {
     "q64_schema_evolution" -> q64SchemaEvolution)
 
   def oracleSql: Map[String, String] = Map(
+    "q265_manifest_agg" -> q265Oracle,
     "q263_time_travel" -> q263Oracle,
     "q260_v2_commit_write" -> q260Oracle,
     "q261_v2_metadata_delete" -> q261Oracle,

@@ -211,9 +211,7 @@ class SinkTable(path: String, pinnedVersion: Option[Int] = None)
       TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new SinkScan(path, pinnedVersion)
-    }
+    new SinkScanBuilder(path, pinnedVersion)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new SinkWriteBuilder(path, info.queryId())
@@ -265,6 +263,101 @@ class SinkTable(path: String, pinnedVersion: Option[Int] = None)
 }
 
 // ---- read side --------------------------------------------------------
+
+/** COUNT pushdown answered from the MANIFEST: the manifest already
+  * carries exact per-(key, file) row counts — the write path's commit
+  * stats — so `COUNT(*)`, grouped by the layout key or global, needs
+  * ZERO data files opened (the Iceberg/Delta "answer counts from
+  * manifests" move, and the V2 complement of q252's parquet-footer
+  * pushdown: there the FORMAT serves the stats, here the TABLE's own
+  * commit metadata does). `supportCompletePushDown` returns true, so
+  * Spark plans no final aggregate at all — the scan IS the answer.
+  * Anything beyond COUNT(*) on the key grain is refused and falls
+  * back to the row scan; ManifestAggSpec's kill-shot proves
+  * metadata-only by answering correctly with the data directory
+  * physically removed.
+  */
+class SinkScanBuilder(path: String, pinnedVersion: Option[Int])
+    extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+
+  private var pushedGroupByK = false
+  private var pushedAgg = false
+
+  private def canPush(agg: Aggregation): Boolean = {
+    val aggs = agg.aggregateExpressions()
+    val groups = agg.groupByExpressions()
+    val aggsOk = aggs.nonEmpty && aggs.forall(_.isInstanceOf[CountStar])
+    val groupOk = groups.isEmpty ||
+      (groups.length == 1 && groups(0).describe == "k")
+    aggsOk && groupOk
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    canPush(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    if (!canPush(agg)) false
+    else {
+      pushedAgg = true
+      pushedGroupByK = agg.groupByExpressions.nonEmpty
+      true
+    }
+
+  override def build(): Scan =
+    if (pushedAgg) new SinkManifestAggScan(path, pinnedVersion, pushedGroupByK)
+    else new SinkScan(path, pinnedVersion)
+}
+
+/** The pushed-aggregate scan: rows come straight from manifest
+  * arithmetic on the driver; the single input partition carries the
+  * finished answer. */
+class SinkManifestAggScan(path: String, pinnedVersion: Option[Int],
+    groupByK: Boolean) extends Scan with Batch {
+
+  override def readSchema(): StructType =
+    if (groupByK) StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("count(*)", LongType, nullable = false)))
+    else StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+
+  override def toBatch: Batch = this
+
+  private lazy val answer: Seq[Array[Long]] = {
+    val m = SinkSource.manifest(path, pinnedVersion)
+    if (groupByK)
+      m.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (k, es) => Array(k, es.map(_._3).sum) }
+    else Seq(Array(m.map(_._3).sum))
+  }
+
+  override def description(): String =
+    s"SinkManifestAggScan(entries=${answer.size}, filesOpened=0)"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SinkAggPartition(answer))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val rows = p.asInstanceOf[SinkAggPartition].rows.iterator
+        new PartitionReader[InternalRow] {
+          private var row: InternalRow = _
+          override def next(): Boolean = {
+            if (!rows.hasNext) return false
+            row = new GenericInternalRow(
+              rows.next().map(_.asInstanceOf[Any]))
+            true
+          }
+          override def get(): InternalRow = row
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
+
+case class SinkAggPartition(rows: Seq[Array[Long]]) extends InputPartition
 
 case class SinkInputPartition(file: String) extends InputPartition
 

@@ -122,14 +122,32 @@ case class SpjInputPartition(key: Long, file: String)
     new GenericInternalRow(Array[Any](key))
 }
 
+/** RUNTIME filtering (the V2 form of dynamic partition pruning): after
+  * the join's build side materializes, Spark hands the scan the set of
+  * join-key values that can possibly match ([[filter]]), and the scan
+  * drops whole `k=` partitions before planning splits — the connector
+  * analogue of q145's V1 DPP, with the pruning decision inside the
+  * source where V2 tables keep it. Like the planning-time pruning
+  * above, it is purely an I/O reduction: the join itself still
+  * verifies every row, so a filtering bug cannot corrupt results.
+  */
 class SpjScan(path: String,
     pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
-    extends Scan with Batch with SupportsReportPartitioning {
+    extends Scan with Batch with SupportsReportPartitioning
+    with SupportsRuntimeFiltering {
   import org.apache.spark.sql.sources._
+  import org.apache.spark.sql.connector.expressions.NamedReference
+
   override def readSchema(): StructType = SpjSource.schema
   override def toBatch: Batch = this
 
-  private def keep(k: Long): Boolean = pushed.forall {
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("k"))
+
+  @volatile private var runtime: Array[Filter] = Array.empty
+  override def filter(filters: Array[Filter]): Unit = { runtime = filters }
+
+  private def keep(k: Long): Boolean = (pushed ++ runtime).forall {
     case EqualTo("k", v)            => k == v.asInstanceOf[Number].longValue
     case GreaterThan("k", v)        => k > v.asInstanceOf[Number].longValue
     case GreaterThanOrEqual("k", v) => k >= v.asInstanceOf[Number].longValue
@@ -148,7 +166,10 @@ class SpjScan(path: String,
       .map(_.stripPrefix("k=").toLong).sorted
   }
 
-  private lazy val parts: Array[SpjInputPartition] =
+  // def, not lazy val: the runtime filter may arrive after planning
+  // first touched the partition list, and the post-filter plan must
+  // see the pruned set
+  private def parts: Array[SpjInputPartition] =
     allKeys.filter(keep).map { k =>
       SpjInputPartition(k,
         java.nio.file.Paths.get(path, s"k=$k", "data.psv").toString)
