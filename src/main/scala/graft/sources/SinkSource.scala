@@ -111,8 +111,14 @@ object SinkSource {
 
   /** Publish `entries` as the NEXT manifest version: write a uniquely-
     * named temp, rename to `manifest.v<n+1>.psv` (atomic on HDFS/local;
-    * rename-refuses-existing resolves concurrent publishers), keep the
-    * two prior versions for in-flight readers, GC the rest.
+    * rename-refuses-existing resolves concurrent publishers). Every
+    * version is KEPT — the manifests are the table's snapshot history,
+    * which is what time travel (q263) and the changelog stream reader
+    * (q267) address; they are metadata-sized, so retention is a
+    * production knob this layout defers, not a disk concern here.
+    * (DATA files, by contrast, are reclaimed eagerly by truncate and
+    * delete — an old snapshot stays readable only while its files
+    * live, i.e. across append-only history.)
     */
   private[sources] def writeManifest(path: String,
       entries: Seq[(Long, String, Long)]): Unit = {
@@ -129,12 +135,6 @@ object SinkSource {
       f.delete(tmp, true)
       throw new IllegalStateException(
         s"lost a manifest publish race at version $next under $path")
-    }
-    f.listStatus(root).map(_.getPath).foreach { p =>
-      val n = p.getName
-      if (n.startsWith("manifest.v") && n.endsWith(".psv") &&
-          n.stripPrefix("manifest.v").stripSuffix(".psv").toInt < next - 2)
-        try f.delete(p, false) catch { case _: Exception => }
     }
   }
 }
@@ -207,8 +207,9 @@ class SinkTable(path: String, pinnedVersion: Option[Int] = None)
     s"graft_sink($path${pinnedVersion.fold("")(v => s"@v$v")})"
   override def schema(): StructType = SinkSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SinkScanBuilder(path, pinnedVersion)
@@ -365,6 +366,9 @@ class SinkScan(path: String, pinnedVersion: Option[Int] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = SinkSource.schema
   override def toBatch: Batch = this
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SinkMicroBatchStream(path)
 
   // the manifest IS the table: files on disk but not listed (staged
   // attempts, aborted writes, post-delete stragglers) do not exist to
@@ -381,10 +385,60 @@ class SinkScan(path: String, pinnedVersion: Option[Int] = None)
       new Path(path, s"data/$f").toString): InputPartition)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PartitionReaderFactory {
-      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-        new SinkReader(p.asInstanceOf[SinkInputPartition].file)
-    }
+    new SinkReaderFactory
+}
+
+class SinkReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new SinkReader(p.asInstanceOf[SinkInputPartition].file)
+}
+
+/** CHANGELOG streaming reads over the sink: every committed manifest
+  * version is an OFFSET, and a micro-batch reads exactly the data
+  * files version `end` lists beyond version `start` — so any table
+  * written through the commit protocol is incrementally consumable
+  * with no extra change log (Delta-CDF's shape: the table IS the
+  * queue). Offsets are checkpointed by the engine and survive
+  * restarts; an append-only history replays exactly (a truncate
+  * rewrites file identity, which is precisely when a changelog
+  * consumer must resync anyway).
+  */
+class SinkMicroBatchStream(path: String)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def offset(v: Int): Offset = new Offset {
+    override def json(): String = v.toString
+    override def toString: String = s"SinkOffset($v)"
+  }
+  private def versionOf(o: Offset): Int = o.json().trim.toInt
+
+  override def initialOffset(): Offset = offset(0)
+  override def latestOffset(): Offset =
+    offset(SinkSource.currentVersion(path))
+  override def deserializeOffset(json: String): Offset =
+    offset(json.trim.toInt)
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val (s, e) = (versionOf(start), versionOf(end))
+    val before =
+      if (s == 0) Set.empty[String]
+      else SinkSource.manifest(path, Some(s)).map(_._2).toSet
+    val after =
+      if (e == 0) Seq.empty
+      else SinkSource.manifest(path, Some(e)).map(_._2).distinct
+    after.filterNot(before).sorted
+      .map(f => SinkInputPartition(
+        new Path(path, s"data/$f").toString): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SinkReaderFactory
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 class SinkReader(file: String) extends PartitionReader[InternalRow] {

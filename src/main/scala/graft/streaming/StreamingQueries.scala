@@ -1613,7 +1613,61 @@ object StreamingQueries {
       |  CAST(SUM(event_id) AS BIGINT) AS sum_v
       |FROM events GROUP BY 1 ORDER BY k""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q267 — STREAMING source over the V2 sink (the changelog read):
+  // every committed manifest version is an OFFSET, and a micro-batch
+  // reads exactly the files the end version lists beyond the start
+  // version — so any table written through q260's commit protocol is
+  // incrementally consumable with no separate queue or change log
+  // (Delta-CDF's shape: the table IS the feed). This is the
+  // registry's first custom MicroBatchStream — every other stream
+  // reads files through the engine's file source; here the CONNECTOR
+  // owns offsets, batch planning, and replay (SinkCdcSpec pins
+  // version-delta batches — the second batch's input-row count is
+  // exactly the appended delta — and checkpointed offset recovery
+  // re-reading nothing). The query builds a two-commit history (base,
+  // then a late delta), streams the table from version 0, and
+  // aggregates in Complete mode; the oracle aggregates the source.
+  // Scale notes (100 TB/day): downstream consumers (index builders,
+  // feature pipelines) tail the corpus table this way — per-batch
+  // work is proportional to the DELTA's files, never the table, and
+  // a consumer restart resumes from its checkpointed version instead
+  // of rescanning history.
+  def q267StreamSinkCdc(spark: SparkSession, dir: String): DataFrame = {
+    val ss = EventsStreaming.streamSession(spark)
+    val root = graft.sources.ShardPaths.resolve(ss, "q267", dir)
+    val ckpt = graft.sources.ShardPaths.resolveCheckpoint(ss, "q267", dir)
+    graft.sources.SinkSource.fs(root)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    graft.sources.SinkSource.fs(ckpt)
+      .delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    def keyed(pred: org.apache.spark.sql.Column) =
+      graft.sources.Tables.events(ss, dir).filter(pred)
+        .select((col("event_id") % 41).as("k"), col("event_id").as("v"))
+        .repartition(8, col("k"))
+    graft.sources.SinkSource.write(keyed(col("event_id") % 4 =!= 0),
+      s"$root/t", overwrite = true)                          // version 1
+    graft.sources.SinkSource.write(keyed(col("event_id") % 4 === 0),
+      s"$root/t", overwrite = false)                         // version 2
+    val stream = ss.readStream.format("graft.sources.SinkSource")
+      .option("path", s"$root/t").load()
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
+    val q = stream.writeStream.outputMode(OutputMode.Complete)
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("q267_mem").start()
+    q.processAllAvailable()
+    q.stop()
+    ss.table("q267_mem").orderBy(col("k"))
+  }
+
+  val q267Oracle: String =
+    """SELECT event_id % 41 AS k, COUNT(*) AS n_rows,
+      |  CAST(SUM(event_id) AS BIGINT) AS sum_v
+      |FROM events GROUP BY 1 ORDER BY k""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q267_stream_sink_cdc" -> q267StreamSinkCdc,
     "q264_stream_v2_sink" -> q264StreamV2Sink,
     "q262_stream_union_watermarks" -> q262StreamUnionWatermarks,
     "q225_stream_rag_chunks" -> q225StreamRagChunks,
@@ -1643,6 +1697,7 @@ object StreamingQueries {
     "q103_stream_dedup_static" -> q103StreamDedupStatic)
 
   def oracleSql: Map[String, String] = Map(
+    "q267_stream_sink_cdc" -> q267Oracle,
     "q264_stream_v2_sink" -> q264Oracle,
     "q262_stream_union_watermarks" -> q262Oracle,
     "q225_stream_rag_chunks" -> q225Oracle,
