@@ -572,7 +572,41 @@ object PlannerMechanisms {
       |WHERE n_regionkey = 2
       |GROUP BY 1, 2 ORDER BY nationkey""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q268 — V2 COLUMNAR reads: the connector hands Spark whole
+  // ColumnarBatches (on-heap vectors, bounded 4096-row batches)
+  // instead of row iterators, and the engine consumes them through a
+  // ColumnarToRow boundary whose generated code reads column
+  // accessors directly — the vectorized-ingest contract parquet/ORC
+  // and Arrow-native connectors run on, exercised here end-to-end
+  // through a custom source (SpjSource `columnar=true`; the row
+  // reader stays the default so every existing SPJ plan is
+  // unchanged). V2ColumnarSpec pins the ColumnarToRow boundary in
+  // the plan, multi-batch partitions (a >4096-row partition must
+  // span batches), and columnar ≡ row results.
+  // Scale notes (100 TB): row-at-a-time source iterators put an
+  // InternalRow allocation + virtual call on every ingested row;
+  // batch handoff amortizes that to once per 4 k rows and keeps the
+  // consuming operators' codegen loop tight — this is why every
+  // serious columnar format's reader speaks ColumnarBatch.
+  def q268V2ColumnarScan(spark: SparkSession, dir: String): DataFrame = {
+    val root = spjStage(spark, dir)
+    graft.sources.SpjSource.load(spark, s"$root/cust", columnar = true)
+      .groupBy((col("k") % 5).as("k_bucket"))
+      .agg(count(lit(1)).as("n_nations"), sum(col("v")).as("n_cust"))
+      .orderBy(col("k_bucket"))
+  }
+
+  val q268Oracle: String =
+    """WITH per_nation AS (
+      |  SELECT CAST(c_nationkey AS BIGINT) AS k, COUNT(*) AS v
+      |  FROM customer GROUP BY 1)
+      |SELECT k % 5 AS k_bucket, COUNT(*) AS n_nations,
+      |  CAST(SUM(v) AS BIGINT) AS n_cust
+      |FROM per_nation GROUP BY 1 ORDER BY k_bucket""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q268_v2_columnar_scan" -> q268V2ColumnarScan,
     "q266_v2_runtime_filter" -> q266V2RuntimeFilter,
     "q259_v2_function_catalog" -> q259V2FunctionCatalog,
     "q257_aqe_join_demotion" -> q257AqeJoinDemotion,
@@ -586,6 +620,7 @@ object PlannerMechanisms {
     "q255_manifest_pruning" -> q255ManifestPruning)
 
   def oracleSql: Map[String, String] = Map(
+    "q268_v2_columnar_scan" -> q268Oracle,
     "q266_v2_runtime_filter" -> q266Oracle,
     "q259_v2_function_catalog" -> q259Oracle,
     "q257_aqe_join_demotion" -> q257Oracle,

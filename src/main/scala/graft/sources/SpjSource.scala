@@ -39,7 +39,8 @@ class SpjSource extends TableProvider {
     SpjSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new SpjTable(properties.get("path"))
+    new SpjTable(properties.get("path"),
+      "true".equalsIgnoreCase(properties.get("columnar")))
 }
 
 object SpjSource {
@@ -47,8 +48,10 @@ object SpjSource {
     StructField("k", LongType, nullable = false),
     StructField("v", LongType, nullable = false)))
 
-  def load(spark: SparkSession, path: String): DataFrame =
-    spark.read.format("graft.sources.SpjSource").option("path", path).load()
+  def load(spark: SparkSession, path: String,
+      columnar: Boolean = false): DataFrame =
+    spark.read.format("graft.sources.SpjSource").option("path", path)
+      .option("columnar", columnar.toString).load()
 
   /** Stage a bounded (key, value) frame into the key-grouped layout:
     * one `k=<key>` directory per key. Bounded-by-construction callers
@@ -72,7 +75,8 @@ object SpjSource {
   }
 }
 
-class SpjTable(path: String) extends Table with SupportsRead {
+class SpjTable(path: String, columnar: Boolean = false)
+    extends Table with SupportsRead {
   override def name(): String = s"spj($path)"
   override def schema(): StructType = SpjSource.schema
   override def capabilities(): util.Set[TableCapability] =
@@ -80,7 +84,7 @@ class SpjTable(path: String) extends Table with SupportsRead {
   override def partitioning(): Array[Transform] =
     Array(Expressions.identity("k"))
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SpjScanBuilder(path)
+    new SpjScanBuilder(path, columnar)
 }
 
 /** Filter pushdown as MANIFEST PRUNING: key-column predicates are
@@ -94,7 +98,7 @@ class SpjTable(path: String) extends Table with SupportsRead {
   * pruning is purely an I/O reduction, exactly the production
   * contract.
   */
-class SpjScanBuilder(path: String)
+class SpjScanBuilder(path: String, columnar: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters {
   import org.apache.spark.sql.sources._
   private var pushed: Array[Filter] = Array.empty
@@ -110,7 +114,7 @@ class SpjScanBuilder(path: String)
     filters // all residual: pruning reduces I/O, rows are still verified
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new SpjScan(path, pushed)
+  override def build(): Scan = new SpjScan(path, pushed, columnar)
 }
 
 /** One input partition per key directory; [[partitionKey]] is what lets
@@ -132,7 +136,8 @@ case class SpjInputPartition(key: Long, file: String)
   * verifies every row, so a filtering bug cannot corrupt results.
   */
 class SpjScan(path: String,
-    pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+    columnar: Boolean = false)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsRuntimeFiltering {
   import org.apache.spark.sql.sources._
@@ -189,10 +194,61 @@ class SpjScan(path: String,
     new KeyGroupedPartitioning(Array(Expressions.identity("k")), parts.length)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PartitionReaderFactory {
+    if (columnar) new SpjColumnarReaderFactory
+    else new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] =
         new SpjReader(p.asInstanceOf[SpjInputPartition].file)
     }
+}
+
+/** VECTORIZED connector reads (`columnar=true`): the factory declares
+  * [[PartitionReaderFactory.supportColumnarReads]] and hands Spark
+  * [[org.apache.spark.sql.vectorized.ColumnarBatch]]es built on
+  * on-heap column vectors — the engine consumes them through a
+  * ColumnarToRow boundary that whole-stage codegen reads with direct
+  * column accessors (no per-row InternalRow materialization in the
+  * source). This is the V2 contract parquet/ORC readers and Arrow-
+  * native connectors run on; the row [[SpjReader]] remains the
+  * default so every existing SPJ plan is unchanged. Batches are
+  * bounded (BatchRows rows), never one file = one batch — at scale a
+  * partition does not fit a single vector allocation.
+  */
+class SpjColumnarReaderFactory extends PartitionReaderFactory {
+  override def supportColumnarReads(p: InputPartition): Boolean = true
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    throw new UnsupportedOperationException("columnar-only factory")
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new SpjColumnarReader(p.asInstanceOf[SpjInputPartition].file)
+}
+
+class SpjColumnarReader(file: String)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.ColumnarBatch
+
+  private val BatchRows = 4096
+  private val lines = java.nio.file.Files
+    .readAllLines(java.nio.file.Paths.get(file)).iterator()
+  private var batch: ColumnarBatch = _
+
+  override def next(): Boolean = {
+    if (!lines.hasNext) return false
+    if (batch != null) batch.close()
+    val ks = new OnHeapColumnVector(BatchRows, LongType)
+    val vs = new OnHeapColumnVector(BatchRows, LongType)
+    var n = 0
+    while (n < BatchRows && lines.hasNext) {
+      val cols = lines.next().split('|')
+      ks.putLong(n, cols(0).toLong)
+      vs.putLong(n, cols(1).toLong)
+      n += 1
+    }
+    batch = new ColumnarBatch(Array(ks, vs), n)
+    true
+  }
+  override def get(): ColumnarBatch = batch
+  override def close(): Unit = if (batch != null) batch.close()
 }
 
 class SpjReader(file: String) extends PartitionReader[InternalRow] {
