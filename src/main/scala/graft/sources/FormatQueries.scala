@@ -786,7 +786,55 @@ object FormatQueries {
     """SELECT event_id % 29 AS k, COUNT(*) AS n_rows
       |FROM events GROUP BY 1 ORDER BY k""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q269 — sink-DEMANDED clustering and ordering
+  // ([[RequiresDistributionAndOrdering]]): the write declares
+  // `clustered by k, sorted by (k, v)` and the ENGINE inserts the
+  // exchange + sort in front of the writer — the caller does NOT
+  // repartition. Every earlier keyed write in the registry
+  // (q260/q261/q263/q265) pre-shuffles at the call site; here the
+  // layout contract moves into the connector, which is how production
+  // table formats (Iceberg write.distribution-mode, Delta optimized
+  // writes) keep file counts bounded without trusting every writer.
+  // The contract is IN the hash-gated result: `n_files` per key comes
+  // from the manifest and the oracle asserts it is exactly 1 — if
+  // Spark ignored the required distribution, a key would span tasks
+  // and n_files would exceed 1. SinkClusterSpec additionally pins the
+  // within-file (k, v) sort order and the >1-file contrast without
+  // the clustered option.
+  // Scale notes (100 TB): the small-files problem is a
+  // write-distribution problem — files per partition must be bounded
+  // by the partition grain, not partitions × writing tasks (10 000
+  // tasks × 10 000 keys is 100 M files). Declaring the layout on the
+  // sink makes that bound hold for every writer, and the
+  // within-partition sort is what makes downstream range/merge scans
+  // and run-length encodings effective.
+  def q269ClusteredWrite(spark: SparkSession, dir: String): DataFrame = {
+    val root = ShardPaths.resolve(spark, "q269", dir)
+    val keyed = Tables.events(spark, dir)
+      .select((col("event_id") % 101).as("k"), col("event_id").as("v"))
+    // no caller-side repartition: the sink's required distribution
+    // inserts the cluster-by-k exchange and the (k, v) sort
+    SinkSource.write(keyed, s"$root/t", overwrite = true, clustered = true)
+    val files = SinkSource.manifest(s"$root/t")
+      .groupBy(_._1).toSeq
+      .map { case (k, es) => (k, es.map(_._2).distinct.size.toLong) }
+    val filesDf = spark.createDataFrame(files).toDF("k", "n_files")
+    SinkSource.load(spark, s"$root/t")
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
+      .join(broadcast(filesDf), Seq("k"))
+      .select(col("k"), col("n_files"), col("n_rows"), col("sum_v"))
+      .orderBy(col("k"))
+  }
+
+  val q269Oracle: String =
+    """SELECT event_id % 101 AS k, CAST(1 AS BIGINT) AS n_files,
+      |  COUNT(*) AS n_rows, CAST(SUM(event_id) AS BIGINT) AS sum_v
+      |FROM events GROUP BY 1 ORDER BY k""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q269_clustered_write" -> q269ClusteredWrite,
     "q265_manifest_agg" -> q265ManifestAgg,
     "q263_time_travel" -> q263TimeTravel,
     "q260_v2_commit_write" -> q260V2CommitWrite,
@@ -807,6 +855,7 @@ object FormatQueries {
     "q64_schema_evolution" -> q64SchemaEvolution)
 
   def oracleSql: Map[String, String] = Map(
+    "q269_clustered_write" -> q269Oracle,
     "q265_manifest_agg" -> q265Oracle,
     "q263_time_travel" -> q263Oracle,
     "q260_v2_commit_write" -> q260Oracle,

@@ -55,7 +55,8 @@ class SinkSource extends TableProvider {
     SinkSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new SinkTable(properties.get("path"))
+    new SinkTable(properties.get("path"),
+      clustered = "true".equalsIgnoreCase(properties.get("clustered")))
 }
 
 object SinkSource {
@@ -66,8 +67,10 @@ object SinkSource {
   def load(spark: SparkSession, path: String): DataFrame =
     spark.read.format("graft.sources.SinkSource").option("path", path).load()
 
-  def write(df: DataFrame, path: String, overwrite: Boolean): Unit =
+  def write(df: DataFrame, path: String, overwrite: Boolean,
+      clustered: Boolean = false): Unit =
     df.write.format("graft.sources.SinkSource").option("path", path)
+      .option("clustered", clustered.toString)
       .mode(if (overwrite) "overwrite" else "append").save()
 
   private[graft] def fs(path: String): FileSystem =
@@ -198,7 +201,8 @@ class SinkCatalog extends CatalogPlugin with TableCatalog {
     throw new UnsupportedOperationException("rename not supported")
 }
 
-class SinkTable(path: String, pinnedVersion: Option[Int] = None)
+class SinkTable(path: String, pinnedVersion: Option[Int] = None,
+    clustered: Boolean = false)
     extends Table
     with SupportsRead with SupportsWrite with SupportsDelete {
   import org.apache.spark.sql.sources._
@@ -215,7 +219,7 @@ class SinkTable(path: String, pinnedVersion: Option[Int] = None)
     new SinkScanBuilder(path, pinnedVersion)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new SinkWriteBuilder(path, info.queryId())
+    new SinkWriteBuilder(path, info.queryId(), clustered)
 
   // ---- metadata delete ------------------------------------------------
   private def keyAligned(f: Filter): Boolean = f match {
@@ -461,16 +465,51 @@ class SinkReader(file: String) extends PartitionReader[InternalRow] {
 
 // ---- write side -------------------------------------------------------
 
-class SinkWriteBuilder(path: String, queryId: String)
+class SinkWriteBuilder(path: String, queryId: String,
+    clustered: Boolean = false)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite =
-      new SinkBatchWrite(path, queryId, doTruncate)
-    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-      new SinkStreamingWrite(path, queryId)
-  }
+  override def build(): Write =
+    if (clustered) new SinkClusteredWrite(path, queryId, doTruncate)
+    else new Write {
+      override def toBatch: BatchWrite =
+        new SinkBatchWrite(path, queryId, doTruncate)
+      override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+        new SinkStreamingWrite(path, queryId)
+    }
+}
+
+/** The SINK demands its layout (`clustered=true`):
+  * [[RequiresDistributionAndOrdering]] makes the ENGINE insert the
+  * shuffle (cluster by `k`) and the within-partition sort (`k`, `v`)
+  * in front of the writer — the connector declares WHAT layout a
+  * committed file set must have and Spark plans HOW. The observable
+  * contract: a key never spans tasks, so the manifest lists exactly
+  * ONE file per distinct key per write (vs. up to one per task
+  * without), and each file's rows arrive v-ascending. This is how
+  * production table formats get write-time clustering (Iceberg's
+  * write.distribution-mode=hash + sort order) without trusting every
+  * writer to `repartition` correctly.
+  * Scale notes (100 TB): writer-side clustering is what keeps a
+  * petabyte table's file count bounded by its partition grain rather
+  * than partitions × tasks — the small-files problem is a write-
+  * distribution problem, and it belongs to the SINK's contract, not
+  * to every caller's discipline.
+  */
+class SinkClusteredWrite(path: String, queryId: String, truncate: Boolean)
+    extends Write with RequiresDistributionAndOrdering {
+  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+  import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+
+  override def requiredDistribution(): Distribution =
+    Distributions.clustered(Array(Expressions.column("k")))
+  override def requiredOrdering(): Array[SortOrder] = Array(
+    Expressions.sort(Expressions.column("k"), SortDirection.ASCENDING),
+    Expressions.sort(Expressions.column("v"), SortDirection.ASCENDING))
+
+  override def toBatch: BatchWrite =
+    new SinkBatchWrite(path, queryId, truncate)
 }
 
 /** One staged file per (task attempt, distinct key). Commit messages
