@@ -833,7 +833,43 @@ object FormatQueries {
       |  COUNT(*) AS n_rows, CAST(SUM(event_id) AS BIGINT) AS sum_v
       |FROM events GROUP BY 1 ORDER BY k""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q270 — TOP-N / LIMIT pushdown into the connector
+  // ([[org.apache.spark.sql.connector.read.SupportsPushDownTopN]] /
+  // `SupportsPushDownLimit`): `ORDER BY v DESC LIMIT 10` reaches the
+  // scan, and each partition reader answers it with a bounded 10-row
+  // HEAP over its file instead of draining the partition — the
+  // engine's TakeOrderedAndProject merges the per-partition
+  // candidates (partial pushdown: the connector guarantees its
+  // candidates contain the partition's true top-n; the global cut
+  // stays with Spark). An expression sort key refuses the push and
+  // falls back to the full scan + engine sort — pushdown may reduce
+  // I/O, never change semantics. SinkTopNSpec drives the reader
+  // directly (100-row file → exactly 5 candidate rows out), pins the
+  // pushedTopN/pushedLimit plan markers, the plain-LIMIT early-stop,
+  // and the expression-sort fallback.
+  // Scale notes (100 TB): "show me the newest/largest n" is a
+  // constant of corpus triage; without pushdown it drains the table
+  // through a sort. With it, I/O is n rows per partition and the
+  // network carries n × partitions candidates. The plain-LIMIT path
+  // matters for `LIMIT 100` peeks: readers stop mid-file.
+  def q270TopNPushdown(spark: SparkSession, dir: String): DataFrame = {
+    val root = ShardPaths.resolve(spark, "q270", dir)
+    val keyed = Tables.events(spark, dir)
+      .select((col("event_id") % 101).as("k"), col("event_id").as("v"))
+      .repartition(8, col("k"))
+    SinkSource.write(keyed, s"$root/t", overwrite = true)
+    SinkSource.load(spark, s"$root/t")
+      .orderBy(col("v").desc)
+      .limit(10)
+  }
+
+  val q270Oracle: String =
+    """SELECT event_id % 101 AS k, CAST(event_id AS BIGINT) AS v
+      |FROM events ORDER BY v DESC LIMIT 10""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q270_topn_pushdown" -> q270TopNPushdown,
     "q269_clustered_write" -> q269ClusteredWrite,
     "q265_manifest_agg" -> q265ManifestAgg,
     "q263_time_travel" -> q263TimeTravel,
@@ -855,6 +891,7 @@ object FormatQueries {
     "q64_schema_evolution" -> q64SchemaEvolution)
 
   def oracleSql: Map[String, String] = Map(
+    "q270_topn_pushdown" -> q270Oracle,
     "q269_clustered_write" -> q269Oracle,
     "q265_manifest_agg" -> q265Oracle,
     "q263_time_travel" -> q263Oracle,

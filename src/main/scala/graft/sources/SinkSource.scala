@@ -284,11 +284,47 @@ class SinkTable(path: String, pinnedVersion: Option[Int] = None,
   */
 class SinkScanBuilder(path: String, pinnedVersion: Option[Int])
     extends ScanBuilder
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
   import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+  import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder => V2SortOrder}
 
   private var pushedGroupByK = false
   private var pushedAgg = false
+  private var topN: Option[(Seq[(Int, Boolean)], Int)] = None
+  private var plainLimit: Option[Int] = None
+
+  /** TOP-N pushdown (`ORDER BY ... LIMIT n`): each partition reader
+    * keeps a bounded n-row heap instead of emitting its whole file —
+    * the engine's TakeOrderedAndProject merges the per-partition
+    * candidates (isPartiallyPushed, so the final global sort+limit
+    * stays with Spark; the connector only guarantees its n rows
+    * CONTAIN the partition's true top-n). Only bare-column sort keys
+    * are accepted — an expression sort refuses the push and falls
+    * back to the full scan + engine sort.
+    */
+  override def pushTopN(orders: Array[V2SortOrder], limit: Int): Boolean = {
+    val cols = orders.toSeq.map(o => o.expression() match {
+      case nr: NamedReference if nr.fieldNames().length == 1 =>
+        SinkSource.schema.fieldNames.indexOf(nr.fieldNames()(0)) match {
+          case -1 => None
+          case i => Some((i, o.direction() == SortDirection.ASCENDING))
+        }
+      case _ => None
+    })
+    if (cols.isEmpty || cols.exists(_.isEmpty)) false
+    else { topN = Some((cols.flatten, limit)); true }
+  }
+
+  /** Plain LIMIT pushdown: the reader stops after n rows — at scale
+    * this is the difference between opening one file and draining the
+    * table for a `LIMIT 100` peek. Partial: Spark keeps the global
+    * limit across partitions. */
+  override def pushLimit(limit: Int): Boolean = {
+    plainLimit = Some(limit); true
+  }
+  override def isPartiallyPushed(): Boolean = true
 
   private def canPush(agg: Aggregation): Boolean = {
     val aggs = agg.aggregateExpressions()
@@ -312,7 +348,7 @@ class SinkScanBuilder(path: String, pinnedVersion: Option[Int])
 
   override def build(): Scan =
     if (pushedAgg) new SinkManifestAggScan(path, pinnedVersion, pushedGroupByK)
-    else new SinkScan(path, pinnedVersion)
+    else new SinkScan(path, pinnedVersion, topN, plainLimit)
 }
 
 /** The pushed-aggregate scan: rows come straight from manifest
@@ -366,7 +402,9 @@ case class SinkAggPartition(rows: Seq[Array[Long]]) extends InputPartition
 
 case class SinkInputPartition(file: String) extends InputPartition
 
-class SinkScan(path: String, pinnedVersion: Option[Int] = None)
+class SinkScan(path: String, pinnedVersion: Option[Int] = None,
+    topN: Option[(Seq[(Int, Boolean)], Int)] = None,
+    plainLimit: Option[Int] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = SinkSource.schema
   override def toBatch: Batch = this
@@ -382,19 +420,80 @@ class SinkScan(path: String, pinnedVersion: Option[Int] = None)
 
   override def description(): String =
     s"SinkScan(files=${files.length}" +
-      s"${pinnedVersion.fold("")(v => s", version=$v")})"
+      s"${pinnedVersion.fold("")(v => s", version=$v")}" +
+      topN.fold("") { case (cols, n) =>
+        val spec = cols.map { case (i, asc) =>
+          s"${SinkSource.schema.fieldNames(i)} ${if (asc) "ASC" else "DESC"}"
+        }.mkString(",")
+        s", pushedTopN=[$spec] LIMIT $n (partial)" } +
+      plainLimit.filter(_ => topN.isEmpty)
+        .fold("")(n => s", pushedLimit=$n (partial)") + ")"
 
   override def planInputPartitions(): Array[InputPartition] =
     files.map(f => SinkInputPartition(
       new Path(path, s"data/$f").toString): InputPartition)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SinkReaderFactory
+    new SinkReaderFactory(topN, plainLimit)
 }
 
-class SinkReaderFactory extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new SinkReader(p.asInstanceOf[SinkInputPartition].file)
+class SinkReaderFactory(topN: Option[(Seq[(Int, Boolean)], Int)] = None,
+    plainLimit: Option[Int] = None) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val file = p.asInstanceOf[SinkInputPartition].file
+    topN match {
+      case Some((cols, n)) => new SinkTopNReader(file, cols, n)
+      case None => new SinkReader(file, plainLimit)
+    }
+  }
+}
+
+/** Per-partition bounded top-N: a size-capped heap over the file's
+  * rows, so a pushed `ORDER BY ... LIMIT n` emits n candidate rows
+  * per partition no matter how large the file — the engine's final
+  * TakeOrderedAndProject merges candidates across partitions.
+  * Emission order is irrelevant (the engine re-sorts); what matters
+  * is the candidates CONTAIN the partition's true top-n.
+  */
+class SinkTopNReader(file: String, cols: Seq[(Int, Boolean)], n: Int)
+    extends PartitionReader[InternalRow] {
+
+  private val rowOrd: Ordering[Array[Long]] = (a, b) => {
+    var i = 0
+    var c = 0
+    while (c == 0 && i < cols.length) {
+      val (idx, asc) = cols(i)
+      c = java.lang.Long.compare(a(idx), b(idx))
+      if (!asc) c = -c
+      i += 1
+    }
+    c
+  }
+
+  private val top: Iterator[Array[Long]] = {
+    // max-heap on the sort order: the root is the WORST candidate,
+    // evicted whenever a better row arrives and the heap is full
+    val heap = scala.collection.mutable.PriorityQueue.empty[Array[Long]](rowOrd)
+    val in = SinkSource.fs(file).open(new Path(file))
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    body.linesIterator.filter(_.nonEmpty).foreach { line =>
+      val c = line.split('|')
+      val row = Array(c(0).toLong, c(1).toLong)
+      if (heap.size < n) heap.enqueue(row)
+      else if (rowOrd.lt(row, heap.head)) { heap.dequeue(); heap.enqueue(row) }
+    }
+    heap.iterator
+  }
+  private var row: InternalRow = _
+  override def next(): Boolean = {
+    if (!top.hasNext) return false
+    val r = top.next()
+    row = new GenericInternalRow(Array[Any](r(0), r(1)))
+    true
+  }
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
 }
 
 /** CHANGELOG streaming reads over the sink: every committed manifest
@@ -445,15 +544,21 @@ class SinkMicroBatchStream(path: String)
   override def stop(): Unit = ()
 }
 
-class SinkReader(file: String) extends PartitionReader[InternalRow] {
+class SinkReader(file: String, plainLimit: Option[Int] = None)
+    extends PartitionReader[InternalRow] {
   private val lines = {
     val in = SinkSource.fs(file).open(new Path(file))
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
     body.linesIterator.filter(_.nonEmpty)
   }
+  private var emitted = 0
   private var row: InternalRow = _
   override def next(): Boolean = {
+    // a pushed LIMIT stops the drain early — per-partition; the
+    // engine's global limit does the cross-partition cut
+    if (plainLimit.exists(emitted >= _)) return false
+    emitted += 1
     if (!lines.hasNext) return false
     val c = lines.next().split('|')
     row = new GenericInternalRow(Array[Any](c(0).toLong, c(1).toLong))
