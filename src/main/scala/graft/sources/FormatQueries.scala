@@ -868,7 +868,51 @@ object FormatQueries {
     """SELECT event_id % 101 AS k, CAST(event_id AS BIGINT) AS v
       |FROM events ORDER BY v DESC LIMIT 10""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q271 — CONNECTOR-reported statistics ([[SupportsReportStatistics]],
+  // SinkSource `stats=true`): the commit protocol's manifest already
+  // carries exact row counts, so the scan reports the table's true
+  // size to the optimizer and the dim-side of the join goes BROADCAST
+  // with no ANALYZE pass and no hint — stats-blind V2 reads cost the
+  // unknowable default size and plan a sort-merge join (the contrast
+  // SinkStatsSpec pins on the INITIAL plans, before AQE can rescue
+  // either). The query builds a per-key dim through the sink, joins
+  // the events feed against it, and aggregates; the oracle derives
+  // the dim from the source.
+  // Scale notes (100 TB): a fact-dim join where the engine cannot see
+  // the dim's size shuffles the FACT — the 100 TB side — on a
+  // guess. AQE can demote to broadcast only AFTER the fact's map
+  // stage ran; connector stats make the right plan the FIRST plan,
+  // which is the entire point of keeping exact counts in commit
+  // metadata.
+  def q271ReportedStats(spark: SparkSession, dir: String): DataFrame = {
+    val root = ShardPaths.resolve(spark, "q271", dir)
+    val ev = Tables.events(spark, dir)
+      .select((col("event_id") % 101).as("k"), col("event_id").as("v"))
+    SinkSource.write(
+      ev.groupBy(col("k")).agg(count(lit(1)).as("v")).repartition(4, col("k")),
+      s"$root/dim", overwrite = true)
+    val dim = SinkSource.load(spark, s"$root/dim", stats = true)
+      .withColumnRenamed("v", "dim_n")
+    ev.join(dim, Seq("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_rows"), max(col("dim_n")).as("dim_n"),
+        sum(col("v")).as("sum_v"))
+      .orderBy(col("k"))
+  }
+
+  val q271Oracle: String =
+    """WITH dim AS (
+      |  SELECT event_id % 101 AS k, COUNT(*) AS dim_n
+      |  FROM events GROUP BY 1)
+      |SELECT e.k, COUNT(*) AS n_rows, MAX(dim.dim_n) AS dim_n,
+      |  CAST(SUM(e.v) AS BIGINT) AS sum_v
+      |FROM (SELECT event_id % 101 AS k, event_id AS v FROM events) e
+      |JOIN dim ON e.k = dim.k
+      |GROUP BY e.k ORDER BY e.k""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q271_reported_stats" -> q271ReportedStats,
     "q270_topn_pushdown" -> q270TopNPushdown,
     "q269_clustered_write" -> q269ClusteredWrite,
     "q265_manifest_agg" -> q265ManifestAgg,
@@ -891,6 +935,7 @@ object FormatQueries {
     "q64_schema_evolution" -> q64SchemaEvolution)
 
   def oracleSql: Map[String, String] = Map(
+    "q271_reported_stats" -> q271Oracle,
     "q270_topn_pushdown" -> q270Oracle,
     "q269_clustered_write" -> q269Oracle,
     "q265_manifest_agg" -> q265Oracle,

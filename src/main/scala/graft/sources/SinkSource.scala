@@ -56,7 +56,8 @@ class SinkSource extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new SinkTable(properties.get("path"),
-      clustered = "true".equalsIgnoreCase(properties.get("clustered")))
+      clustered = "true".equalsIgnoreCase(properties.get("clustered")),
+      stats = "true".equalsIgnoreCase(properties.get("stats")))
 }
 
 object SinkSource {
@@ -64,8 +65,10 @@ object SinkSource {
     StructField("k", LongType, nullable = false),
     StructField("v", LongType, nullable = false)))
 
-  def load(spark: SparkSession, path: String): DataFrame =
-    spark.read.format("graft.sources.SinkSource").option("path", path).load()
+  def load(spark: SparkSession, path: String,
+      stats: Boolean = false): DataFrame =
+    spark.read.format("graft.sources.SinkSource").option("path", path)
+      .option("stats", stats.toString).load()
 
   def write(df: DataFrame, path: String, overwrite: Boolean,
       clustered: Boolean = false): Unit =
@@ -202,7 +205,7 @@ class SinkCatalog extends CatalogPlugin with TableCatalog {
 }
 
 class SinkTable(path: String, pinnedVersion: Option[Int] = None,
-    clustered: Boolean = false)
+    clustered: Boolean = false, stats: Boolean = false)
     extends Table
     with SupportsRead with SupportsWrite with SupportsDelete {
   import org.apache.spark.sql.sources._
@@ -216,7 +219,7 @@ class SinkTable(path: String, pinnedVersion: Option[Int] = None,
       TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SinkScanBuilder(path, pinnedVersion)
+    new SinkScanBuilder(path, pinnedVersion, stats)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new SinkWriteBuilder(path, info.queryId(), clustered)
@@ -282,7 +285,8 @@ class SinkTable(path: String, pinnedVersion: Option[Int] = None,
   * metadata-only by answering correctly with the data directory
   * physically removed.
   */
-class SinkScanBuilder(path: String, pinnedVersion: Option[Int])
+class SinkScanBuilder(path: String, pinnedVersion: Option[Int],
+    stats: Boolean = false)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
     with org.apache.spark.sql.connector.read.SupportsPushDownTopN
@@ -348,7 +352,38 @@ class SinkScanBuilder(path: String, pinnedVersion: Option[Int])
 
   override def build(): Scan =
     if (pushedAgg) new SinkManifestAggScan(path, pinnedVersion, pushedGroupByK)
+    else if (stats) new SinkStatsScan(path, pinnedVersion, topN, plainLimit)
     else new SinkScan(path, pinnedVersion, topN, plainLimit)
+}
+
+/** CONNECTOR-reported statistics (`stats=true`): the commit protocol
+  * already recorded exact per-file row counts in the manifest, so the
+  * scan can answer [[SupportsReportStatistics.estimateStatistics]]
+  * from metadata alone — no ANALYZE pass, no engine-side sampling —
+  * and the optimizer's join-strategy choice (broadcast vs
+  * sort-merge) sees the table's TRUE size instead of the unknowable
+  * default. This is how Iceberg/Delta dimension tables get broadcast
+  * without anyone running ANALYZE TABLE. Opt-in so the stats-blind
+  * planning contrast stays testable on the same table.
+  */
+class SinkStatsScan(path: String, pinnedVersion: Option[Int],
+    topN: Option[(Seq[(Int, Boolean)], Int)], plainLimit: Option[Int])
+    extends SinkScan(path, pinnedVersion, topN, plainLimit)
+    with SupportsReportStatistics {
+
+  override def estimateStatistics(): Statistics = {
+    val rows = SinkSource.manifest(path, pinnedVersion).map(_._3).sum
+    new Statistics {
+      // 2 non-null longs per row; what matters to planning is the
+      // ORDER of magnitude, and that it is exact-rows-based
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows * 16L)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
+  override def description(): String =
+    super.description().stripSuffix(")") + ", reportedStats=manifest)"
 }
 
 /** The pushed-aggregate scan: rows come straight from manifest
