@@ -57,7 +57,9 @@ class SinkSource extends TableProvider {
       properties: util.Map[String, String]): Table =
     new SinkTable(properties.get("path"),
       clustered = "true".equalsIgnoreCase(properties.get("clustered")),
-      stats = "true".equalsIgnoreCase(properties.get("stats")))
+      stats = "true".equalsIgnoreCase(properties.get("stats")),
+      maxVersionsPerTrigger =
+        Option(properties.get("maxVersionsPerTrigger")).map(_.trim.toInt))
 }
 
 object SinkSource {
@@ -205,7 +207,8 @@ class SinkCatalog extends CatalogPlugin with TableCatalog {
 }
 
 class SinkTable(path: String, pinnedVersion: Option[Int] = None,
-    clustered: Boolean = false, stats: Boolean = false)
+    clustered: Boolean = false, stats: Boolean = false,
+    maxVersionsPerTrigger: Option[Int] = None)
     extends Table
     with SupportsRead with SupportsWrite with SupportsDelete {
   import org.apache.spark.sql.sources._
@@ -219,7 +222,7 @@ class SinkTable(path: String, pinnedVersion: Option[Int] = None,
       TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SinkScanBuilder(path, pinnedVersion, stats)
+    new SinkScanBuilder(path, pinnedVersion, stats, maxVersionsPerTrigger)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new SinkWriteBuilder(path, info.queryId(), clustered)
@@ -286,7 +289,7 @@ class SinkTable(path: String, pinnedVersion: Option[Int] = None,
   * physically removed.
   */
 class SinkScanBuilder(path: String, pinnedVersion: Option[Int],
-    stats: Boolean = false)
+    stats: Boolean = false, maxVersionsPerTrigger: Option[Int] = None)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
     with org.apache.spark.sql.connector.read.SupportsPushDownTopN
@@ -353,7 +356,8 @@ class SinkScanBuilder(path: String, pinnedVersion: Option[Int],
   override def build(): Scan =
     if (pushedAgg) new SinkManifestAggScan(path, pinnedVersion, pushedGroupByK)
     else if (stats) new SinkStatsScan(path, pinnedVersion, topN, plainLimit)
-    else new SinkScan(path, pinnedVersion, topN, plainLimit)
+    else new SinkScan(path, pinnedVersion, topN, plainLimit,
+      maxVersionsPerTrigger)
 }
 
 /** CONNECTOR-reported statistics (`stats=true`): the commit protocol
@@ -439,13 +443,14 @@ case class SinkInputPartition(file: String) extends InputPartition
 
 class SinkScan(path: String, pinnedVersion: Option[Int] = None,
     topN: Option[(Seq[(Int, Boolean)], Int)] = None,
-    plainLimit: Option[Int] = None)
+    plainLimit: Option[Int] = None,
+    maxVersionsPerTrigger: Option[Int] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = SinkSource.schema
   override def toBatch: Batch = this
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new SinkMicroBatchStream(path)
+    new SinkMicroBatchStream(path, maxVersionsPerTrigger)
 
   // the manifest IS the table: files on disk but not listed (staged
   // attempts, aborted writes, post-delete stragglers) do not exist to
@@ -541,9 +546,21 @@ class SinkTopNReader(file: String, cols: Seq[(Int, Boolean)], n: Int)
   * rewrites file identity, which is precisely when a changelog
   * consumer must resync anyway).
   */
-class SinkMicroBatchStream(path: String)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+/** The connector's unit of admission: at most `n` manifest VERSIONS
+  * per micro-batch — the changelog analogue of Kafka's
+  * maxOffsetsPerTrigger / the file source's maxFilesPerTrigger.
+  * Versions are the right grain because a version is one commit's
+  * files: bounding versions bounds batch work by ingest commits, not
+  * by however much history accumulated while the consumer was down.
+  */
+case class SinkMaxVersions(n: Int)
+    extends org.apache.spark.sql.connector.read.streaming.ReadLimit
+
+class SinkMicroBatchStream(path: String,
+    maxVersionsPerTrigger: Option[Int] = None)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   private def offset(v: Int): Offset = new Offset {
     override def json(): String = v.toString
@@ -556,6 +573,30 @@ class SinkMicroBatchStream(path: String)
     offset(SinkSource.currentVersion(path))
   override def deserializeOffset(json: String): Offset =
     offset(json.trim.toInt)
+
+  // ---- admission control (rate limiting) -------------------------------
+  /** With `maxVersionsPerTrigger=n`, a trigger admits at most n
+    * versions beyond the start offset; the engine keeps triggering
+    * until the backlog drains, so a consumer that fell behind catches
+    * up in BOUNDED batches instead of one unbounded one. Without the
+    * option the default is all-available (q267's behavior, unchanged).
+    */
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger.map(n => SinkMaxVersions(n): ReadLimit)
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val cur = SinkSource.currentVersion(path)
+    limit match {
+      case SinkMaxVersions(n) => offset(math.min(cur, versionOf(start) + n))
+      case _ => offset(cur)
+    }
+  }
+
+  /** The TRUE head, regardless of admission — what progress reporting
+    * uses to show consumer lag. */
+  override def reportLatestOffset(): Offset =
+    offset(SinkSource.currentVersion(path))
 
   override def planInputPartitions(start: Offset,
       end: Offset): Array[InputPartition] = {

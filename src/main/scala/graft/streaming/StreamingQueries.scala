@@ -1666,7 +1666,63 @@ object StreamingQueries {
       |  CAST(SUM(event_id) AS BIGINT) AS sum_v
       |FROM events GROUP BY 1 ORDER BY k""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q272 — ADMISSION CONTROL on the changelog source
+  // ([[org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl]],
+  // `maxVersionsPerTrigger`): the engine asks the connector for the
+  // next batch's END offset given the start and a READ LIMIT, so a
+  // consumer that fell behind a 4-commit backlog drains it in 4
+  // BOUNDED one-version batches instead of one unbounded catch-up
+  // batch — the connector-side contract under Kafka's
+  // maxOffsetsPerTrigger and the file source's maxFilesPerTrigger.
+  // reportLatestOffset still reports the TRUE head, so progress
+  // telemetry shows lag while admission paces work. SinkRateLimitSpec
+  // pins one-version batches (4 non-empty batches, each exactly one
+  // commit's rows), the unlimited contrast (1 batch), and that the
+  // limit composes with checkpointed restart. The query builds a
+  // four-commit history, streams it rate-limited in Complete mode;
+  // the oracle aggregates the source.
+  // Scale notes (100 TB/day): an index builder restarting after a
+  // weekend faces thousands of commits; unbounded catch-up is an OOM
+  // or a cluster-sized spike. Bounding by VERSIONS bounds batch work
+  // by ingest commits — the unit the table's own history is measured
+  // in — and keeps state-store updates and sink commits amortized.
+  def q272StreamRateLimit(spark: SparkSession, dir: String): DataFrame = {
+    val ss = EventsStreaming.streamSession(spark)
+    val root = graft.sources.ShardPaths.resolve(ss, "q272", dir)
+    val ckpt = graft.sources.ShardPaths.resolveCheckpoint(ss, "q272", dir)
+    graft.sources.SinkSource.fs(root)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    graft.sources.SinkSource.fs(ckpt)
+      .delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    def keyed(i: Int) =
+      graft.sources.Tables.events(ss, dir)
+        .filter(col("event_id") % 4 === i)
+        .select((col("event_id") % 37).as("k"), col("event_id").as("v"))
+        .repartition(8, col("k"))
+    graft.sources.SinkSource.write(keyed(0), s"$root/t", overwrite = true)
+    (1 to 3).foreach(i =>
+      graft.sources.SinkSource.write(keyed(i), s"$root/t", overwrite = false))
+    val stream = ss.readStream.format("graft.sources.SinkSource")
+      .option("path", s"$root/t")
+      .option("maxVersionsPerTrigger", "1").load()
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
+    val q = stream.writeStream.outputMode(OutputMode.Complete)
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("q272_mem").start()
+    q.processAllAvailable()
+    q.stop()
+    ss.table("q272_mem").orderBy(col("k"))
+  }
+
+  val q272Oracle: String =
+    """SELECT event_id % 37 AS k, COUNT(*) AS n_rows,
+      |  CAST(SUM(event_id) AS BIGINT) AS sum_v
+      |FROM events GROUP BY 1 ORDER BY k""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q272_stream_rate_limit" -> q272StreamRateLimit,
     "q267_stream_sink_cdc" -> q267StreamSinkCdc,
     "q264_stream_v2_sink" -> q264StreamV2Sink,
     "q262_stream_union_watermarks" -> q262StreamUnionWatermarks,
@@ -1697,6 +1753,7 @@ object StreamingQueries {
     "q103_stream_dedup_static" -> q103StreamDedupStatic)
 
   def oracleSql: Map[String, String] = Map(
+    "q272_stream_rate_limit" -> q272Oracle,
     "q267_stream_sink_cdc" -> q267Oracle,
     "q264_stream_v2_sink" -> q264Oracle,
     "q262_stream_union_watermarks" -> q262Oracle,
