@@ -605,7 +605,53 @@ object PlannerMechanisms {
       |  CAST(SUM(v) AS BIGINT) AS n_cust
       |FROM per_nation GROUP BY 1 ORDER BY k_bucket""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q273 — connector-reported ORDERING ([[SupportsReportOrdering]],
+  // SpjSource `ordered=true`): each key-grouped split is one `k=`
+  // directory, so rows are trivially k-sorted within a partition —
+  // reporting that lets the planner drop BOTH Sort nodes under the
+  // storage-partitioned sort-merge join. q251 pinned the
+  // zero-EXCHANGE half of the contract; this is the zero-SORT half:
+  // the join becomes a pure streaming merge of pre-laid-out splits
+  // (SpjOrderedSpec pins no `Sort [` node, no Exchange, and
+  // result-identity against the sorted plan). The query joins the
+  // per-nation aggregates through two ordered scans and derives the
+  // customer-supplier gap; the oracle recomputes from the sources.
+  // Scale notes (100 TB): the write side already paid for the layout
+  // (q269's sink-demanded clustering+ordering is the producer half);
+  // re-sorting petabytes at read time because the scan didn't REPORT
+  // the layout is the single largest avoidable cost in a fact-fact
+  // join — ordering metadata is what makes write-time sorting
+  // actually purchasable.
+  def q273ReportedOrdering(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(s.conf.set(k, v)) }
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val root = spjStage(s, dir)
+    graft.sources.SpjSource.load(s, s"$root/cust", ordered = true)
+      .withColumnRenamed("v", "n_cust")
+      .join(graft.sources.SpjSource.load(s, s"$root/supp", ordered = true)
+        .withColumnRenamed("v", "n_supp"), Seq("k"))
+      .select(col("k").as("nationkey"),
+        (col("n_cust") - col("n_supp")).as("cust_supp_gap"))
+      .orderBy(col("nationkey"))
+  }
+
+  val q273Oracle: String =
+    """WITH c AS (
+      |  SELECT c_nationkey AS k, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+      |s AS (
+      |  SELECT s_nationkey AS k, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+      |SELECT CAST(c.k AS BIGINT) AS nationkey,
+      |  c.n_cust - s.n_supp AS cust_supp_gap
+      |FROM c JOIN s ON c.k = s.k
+      |ORDER BY nationkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q273_reported_ordering" -> q273ReportedOrdering,
     "q268_v2_columnar_scan" -> q268V2ColumnarScan,
     "q266_v2_runtime_filter" -> q266V2RuntimeFilter,
     "q259_v2_function_catalog" -> q259V2FunctionCatalog,
@@ -620,6 +666,7 @@ object PlannerMechanisms {
     "q255_manifest_pruning" -> q255ManifestPruning)
 
   def oracleSql: Map[String, String] = Map(
+    "q273_reported_ordering" -> q273Oracle,
     "q268_v2_columnar_scan" -> q268Oracle,
     "q266_v2_runtime_filter" -> q266Oracle,
     "q259_v2_function_catalog" -> q259Oracle,

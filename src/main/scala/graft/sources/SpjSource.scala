@@ -40,7 +40,8 @@ class SpjSource extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new SpjTable(properties.get("path"),
-      "true".equalsIgnoreCase(properties.get("columnar")))
+      "true".equalsIgnoreCase(properties.get("columnar")),
+      "true".equalsIgnoreCase(properties.get("ordered")))
 }
 
 object SpjSource {
@@ -49,9 +50,10 @@ object SpjSource {
     StructField("v", LongType, nullable = false)))
 
   def load(spark: SparkSession, path: String,
-      columnar: Boolean = false): DataFrame =
+      columnar: Boolean = false, ordered: Boolean = false): DataFrame =
     spark.read.format("graft.sources.SpjSource").option("path", path)
-      .option("columnar", columnar.toString).load()
+      .option("columnar", columnar.toString)
+      .option("ordered", ordered.toString).load()
 
   /** Stage a bounded (key, value) frame into the key-grouped layout:
     * one `k=<key>` directory per key. Bounded-by-construction callers
@@ -75,7 +77,8 @@ object SpjSource {
   }
 }
 
-class SpjTable(path: String, columnar: Boolean = false)
+class SpjTable(path: String, columnar: Boolean = false,
+    ordered: Boolean = false)
     extends Table with SupportsRead {
   override def name(): String = s"spj($path)"
   override def schema(): StructType = SpjSource.schema
@@ -84,7 +87,7 @@ class SpjTable(path: String, columnar: Boolean = false)
   override def partitioning(): Array[Transform] =
     Array(Expressions.identity("k"))
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SpjScanBuilder(path, columnar)
+    new SpjScanBuilder(path, columnar, ordered)
 }
 
 /** Filter pushdown as MANIFEST PRUNING: key-column predicates are
@@ -98,7 +101,8 @@ class SpjTable(path: String, columnar: Boolean = false)
   * pruning is purely an I/O reduction, exactly the production
   * contract.
   */
-class SpjScanBuilder(path: String, columnar: Boolean = false)
+class SpjScanBuilder(path: String, columnar: Boolean = false,
+    ordered: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters {
   import org.apache.spark.sql.sources._
   private var pushed: Array[Filter] = Array.empty
@@ -114,7 +118,35 @@ class SpjScanBuilder(path: String, columnar: Boolean = false)
     filters // all residual: pruning reduces I/O, rows are still verified
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new SpjScan(path, pushed, columnar)
+  override def build(): Scan =
+    if (ordered) new SpjOrderedScan(path, pushed, columnar)
+    else new SpjScan(path, pushed, columnar)
+}
+
+/** CONNECTOR-reported ordering (`ordered=true`,
+  * [[SupportsReportOrdering]]): each input partition is a single
+  * `k=<key>` directory, so rows within a partition are trivially
+  * sorted by `k` — reporting that ordering lets the planner drop the
+  * Sort it would otherwise insert under a sort-merge join, turning
+  * the storage-partitioned join into a pure streaming merge: zero
+  * exchanges (SPJ) AND zero sorts (this). Opt-in so every existing
+  * SPJ plan keeps its pinned shape.
+  * Scale notes (100 TB): sort-free SMJ is the end state of a
+  * well-laid-out fact-fact join — the layout already paid for the
+  * sort at write time (q269's sink-demanded ordering is the write
+  * half of this contract); re-sorting petabytes at read time because
+  * the scan didn't REPORT the layout is pure waste.
+  */
+class SpjOrderedScan(path: String,
+    pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+    columnar: Boolean = false)
+    extends SpjScan(path, pushed, columnar) with SupportsReportOrdering {
+  import org.apache.spark.sql.connector.expressions.{SortDirection, SortOrder}
+
+  override def outputOrdering(): Array[SortOrder] = Array(
+    Expressions.sort(Expressions.column("k"), SortDirection.ASCENDING))
+  override def description(): String =
+    super.description().stripSuffix(")") + ", reportedOrdering=[k ASC])"
 }
 
 /** One input partition per key directory; [[partitionKey]] is what lets
