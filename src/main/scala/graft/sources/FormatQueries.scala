@@ -911,7 +911,104 @@ object FormatQueries {
       |JOIN dim ON e.k = dim.k
       |GROUP BY e.k ORDER BY e.k""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q274 — row-level UPDATE (copy-on-write,
+  // [[org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations]]):
+  // `UPDATE graft_sink.t SET ... WHERE k % 10 = 3 AND v % 2 = 0` — a
+  // predicate FINER than the layout key, which q261's metadata arm
+  // rejects by design. The engine rewrites the DML into scan-affected-
+  // groups → recompute every row → replace those groups; the
+  // connector's contract is GROUP identity: its row-level scan
+  // records the file set it finally planned (after the engine's
+  // runtime group filter derived the affected keys and pruned the
+  // rest via a dynamic-pruning subquery), and commit publishes a
+  // manifest where exactly those files are swapped — untouched
+  // groups' entries carried verbatim (SinkRowLevelSpec pins the
+  // blast radius, the fine-delete rewrite, metadata-delete
+  // coexistence, and MERGE below). The oracle recomputes the updated
+  // table from the source.
+  // Scale notes (100 TB): copy-on-write UPDATE cost must be
+  // proportional to the AFFECTED partitions, not the table — the
+  // runtime group filter is what turns "rewrite 10 of 101 keys" from
+  // a full-table rewrite into a 10% one. The swap is atomic at the
+  // manifest publish, so readers never see a half-updated table.
+  def q274RowLevelUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(s.conf.set(k, v)) }
+    val root = ShardPaths.resolve(s, "q274", dir)
+    // UPDATE is not idempotent: rebuild the table every invocation
+    SinkSource.fs(root).delete(new org.apache.hadoop.fs.Path(root), true)
+    val keyed = Tables.events(s, dir)
+      .select((col("event_id") % 101).as("k"), col("event_id").as("v"))
+      .repartition(8, col("k"))
+    SinkSource.write(keyed, s"$root/t", overwrite = true)
+    s.conf.set("spark.sql.catalog.graft_sink", classOf[SinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_sink.root", root)
+    s.sql("UPDATE graft_sink.t SET v = v + 1000000 " +
+      "WHERE k % 10 = 3 AND v % 2 = 0")
+    SinkSource.load(s, s"$root/t")
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
+      .orderBy(col("k"))
+  }
+
+  val q274Oracle: String =
+    """SELECT event_id % 101 AS k, COUNT(*) AS n_rows,
+      |  CAST(SUM(CASE WHEN (event_id % 101) % 10 = 3 AND event_id % 2 = 0
+      |    THEN event_id + 1000000 ELSE event_id END) AS BIGINT) AS sum_v
+      |FROM events GROUP BY 1 ORDER BY k""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q275 — MERGE INTO (upsert) through the same copy-on-write group
+  // rewrite: matched rows update in place, unmatched source rows
+  // insert — the canonical continuous-ingest primitive (dedup-on-load,
+  // dimension upkeep, late-correction backfill). The engine plans the
+  // join of target groups against the source, the connector replaces
+  // exactly the scanned groups and appends the insert rows in the
+  // same atomic manifest publish — one commit, never an
+  // update-then-insert window. The oracle derives the post-merge
+  // state from the source tables alone.
+  // Scale notes (100 TB): MERGE is THE operation continuous corpora
+  // live on; what keeps it affordable is the same group contract as
+  // q274 (touch only groups the ON clause can reach) plus atomic
+  // publish so a failed merge is a no-op, not a half-upsert.
+  def q275MergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(s.conf.set(k, v)) }
+    val root = ShardPaths.resolve(s, "q275", dir)
+    SinkSource.fs(root).delete(new org.apache.hadoop.fs.Path(root), true)
+    def keyed(pred: org.apache.spark.sql.Column) =
+      Tables.events(s, dir).filter(pred)
+        .select((col("event_id") % 61).as("k"), col("event_id").as("v"))
+    SinkSource.write(keyed(col("event_id") % 3 =!= 0).repartition(8, col("k")),
+      s"$root/t", overwrite = true)
+    keyed(col("event_id") % 3 === 0 || col("event_id") % 6 === 1)
+      .createOrReplaceTempView("graft_q275_changes")
+    s.conf.set("spark.sql.catalog.graft_sink", classOf[SinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_sink.root", root)
+    s.sql(
+      """MERGE INTO graft_sink.t
+        |USING graft_q275_changes c ON t.k = c.k AND t.v = c.v
+        |WHEN MATCHED THEN UPDATE SET v = t.v + 1000000000
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (c.k, c.v)
+        |""".stripMargin)
+    SinkSource.load(s, s"$root/t")
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
+      .orderBy(col("k"))
+  }
+
+  val q275Oracle: String =
+    """SELECT event_id % 61 AS k, COUNT(*) AS n_rows,
+      |  CAST(SUM(CASE WHEN event_id % 6 = 1
+      |    THEN event_id + 1000000000 ELSE event_id END) AS BIGINT) AS sum_v
+      |FROM events GROUP BY 1 ORDER BY k""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q275_merge_upsert" -> q275MergeUpsert,
+    "q274_rowlevel_update" -> q274RowLevelUpdate,
     "q271_reported_stats" -> q271ReportedStats,
     "q270_topn_pushdown" -> q270TopNPushdown,
     "q269_clustered_write" -> q269ClusteredWrite,
@@ -935,6 +1032,8 @@ object FormatQueries {
     "q64_schema_evolution" -> q64SchemaEvolution)
 
   def oracleSql: Map[String, String] = Map(
+    "q275_merge_upsert" -> q275Oracle,
+    "q274_rowlevel_update" -> q274Oracle,
     "q271_reported_stats" -> q271Oracle,
     "q270_topn_pushdown" -> q270Oracle,
     "q269_clustered_write" -> q269Oracle,

@@ -210,8 +210,27 @@ class SinkTable(path: String, pinnedVersion: Option[Int] = None,
     clustered: Boolean = false, stats: Boolean = false,
     maxVersionsPerTrigger: Option[Int] = None)
     extends Table
-    with SupportsRead with SupportsWrite with SupportsDelete {
+    with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsRowLevelOperations {
   import org.apache.spark.sql.sources._
+
+  /** ROW-LEVEL operations (UPDATE / MERGE / fine-grained DELETE):
+    * group-based COPY-ON-WRITE. The engine rewrites the DML into
+    * "scan the affected groups, recompute every row, replace those
+    * groups" — the connector's job is the group contract: the
+    * operation's scan records which FILES it planned (after runtime
+    * group filtering pruned unaffected keys), the writer stages the
+    * recomputed rows, and commit publishes a manifest where exactly
+    * the scanned files are swapped for the new ones. Coarse key-
+    * aligned deletes still take [[SupportsDelete]]'s pure-metadata
+    * path (the engine prefers it when `canDeleteWhere` accepts);
+    * this is the complementary arm for predicates FINER than the
+    * layout grain, which q261 rejects rather than approximates.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new SinkRowLevelOperation(path, info.command())
 
   override def name(): String =
     s"graft_sink($path${pinnedVersion.fold("")(v => s"@v$v")})"
@@ -271,6 +290,136 @@ class SinkTable(path: String, pinnedVersion: Option[Int] = None,
       try f.delete(new Path(path, s"data/$fl"), false)
       catch { case _: Exception => } }
   }
+}
+
+// ---- row-level operations (copy-on-write) ------------------------------
+
+/** One DML statement's bridge between its scan and its write: the
+  * SAME operation instance hands out both, so the driver-side scan
+  * can record the group (file) set it finally planned and the write's
+  * commit can replace exactly that set. This is the group-based
+  * copy-on-write shape production formats implement (Iceberg's
+  * copy-on-write operation carries its scanned-file snapshot the same
+  * way).
+  */
+class SinkRowLevelOperation(path: String,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+
+  /** Files the operation's scan planned LAST — runtime group
+    * filtering may re-plan with fewer groups, and only what was
+    * actually fed through the rewrite may be replaced. */
+  private[sources] val scannedFiles =
+    new java.util.concurrent.atomic.AtomicReference[Seq[String]](Seq.empty)
+
+  override def command()
+      : org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+  override def description(): String = s"SinkRowLevel($cmd, copy-on-write)"
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new SinkRowLevelScan(path, SinkRowLevelOperation.this)
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new SinkReplaceDataWrite(path, info.queryId(), SinkRowLevelOperation.this)
+      }
+    }
+}
+
+/** The operation's scan: plans the candidate groups and accepts
+  * RUNTIME group filtering on the layout key — the engine derives the
+  * affected-key set from the DML condition and hands it back, so an
+  * `UPDATE ... WHERE k = 3 AND <row predicate>` rewrites one key's
+  * files, not the table. All rows of every kept group are emitted
+  * (copy-on-write must re-write non-matching rows of touched groups);
+  * a filtering bug here cannot lose rows silently because untouched
+  * groups keep their old manifest entries verbatim.
+  */
+class SinkRowLevelScan(path: String, op: SinkRowLevelOperation)
+    extends Scan with Batch with SupportsRuntimeFiltering {
+  import org.apache.spark.sql.sources._
+  import org.apache.spark.sql.connector.expressions.NamedReference
+
+  override def readSchema(): StructType = SinkSource.schema
+  override def toBatch: Batch = this
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("k"))
+
+  @volatile private var runtime: Array[Filter] = Array.empty
+  override def filter(filters: Array[Filter]): Unit = { runtime = filters }
+
+  private def keep(k: Long): Boolean = runtime.forall {
+    case EqualTo("k", v) => k == v.asInstanceOf[Number].longValue
+    case In("k", vs) => vs.exists(_.asInstanceOf[Number].longValue == k)
+    case _ => true
+  }
+
+  private def entries: Seq[(Long, String, Long)] =
+    SinkSource.manifest(path).filter { case (k, _, _) => keep(k) }
+
+  override def description(): String = {
+    val all = SinkSource.manifest(path).size
+    s"SinkRowLevelScan(groups=${entries.size}/$all)"
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val es = entries
+    op.scannedFiles.set(es.map(_._2).distinct)
+    es.map(_._2).distinct.sorted
+      .map(f => SinkInputPartition(
+        new Path(path, s"data/$f").toString): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SinkReaderFactory
+}
+
+/** The replace-data commit: stage like any write, then publish a
+  * manifest where the operation's scanned files are swapped for the
+  * staged ones — untouched groups' entries are carried over verbatim,
+  * so the rewrite's blast radius is exactly the scanned group set.
+  * Replaced data files are GC'd only after the manifest stops citing
+  * them (crash in between leaks a file, never a row — same discipline
+  * as deleteWhere).
+  */
+class SinkReplaceDataWrite(path: String, queryId: String,
+    op: SinkRowLevelOperation) extends BatchWrite {
+
+  private def stagingDir = new Path(path, s"_staging/$queryId")
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new SinkWriterFactory(path, queryId, trailingFields = true)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val committed = messages.flatMap {
+      case SinkCommitMessage(entries) => entries
+    }.toSeq
+    val replaced = op.scannedFiles.get().toSet
+    val f = SinkSource.fs(path)
+    val dataDir = new Path(path, "data")
+    f.mkdirs(dataDir)
+    committed.foreach { case (_, fl, _) =>
+      val dest = new Path(dataDir, fl)
+      if (f.exists(dest)) f.delete(dest, false)
+      if (!f.rename(new Path(stagingDir, fl), dest))
+        throw new IllegalStateException(s"staged file publish failed: $fl")
+    }
+    val kept = SinkSource.manifest(path)
+      .filterNot { case (_, fl, _) => replaced.contains(fl) }
+    SinkSource.writeManifest(path, kept ++ committed)
+    replaced.foreach { fl =>
+      try f.delete(new Path(dataDir, fl), false)
+      catch { case _: Exception => } }
+    f.delete(stagingDir, true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    SinkSource.fs(path).delete(stagingDir, true)
 }
 
 // ---- read side --------------------------------------------------------
@@ -741,10 +890,12 @@ class SinkBatchWrite(path: String, queryId: String, truncate: Boolean)
     SinkSource.fs(path).delete(stagingDir, true)
 }
 
-class SinkWriterFactory(path: String, queryId: String)
+class SinkWriterFactory(path: String, queryId: String,
+    trailingFields: Boolean = false)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new SinkWriter(path, queryId, partitionId, taskId)
+    new SinkWriter(path, queryId, partitionId, taskId,
+      trailingFields = trailingFields)
 }
 
 /** Streaming form of the commit protocol: one commit PER EPOCH, and —
@@ -802,7 +953,7 @@ class SinkStreamingWriterFactory(path: String, queryId: String)
 }
 
 class SinkWriter(path: String, queryId: String, partitionId: Int,
-    taskId: Long, nameTag: String = "")
+    taskId: Long, nameTag: String = "", trailingFields: Boolean = false)
     extends DataWriter[InternalRow] {
 
   private val buffers =
@@ -810,9 +961,15 @@ class SinkWriter(path: String, queryId: String, partitionId: Int,
   private val counts = scala.collection.mutable.Map.empty[Long, Long]
 
   override def write(record: InternalRow): Unit = {
-    val k = record.getLong(0)
+    // row-level rewrites (ReplaceData) prepend engine bookkeeping
+    // (`__row_operation`) in front of the table columns and hand the
+    // row through unprojected; the table columns arrive in schema
+    // order at the END, so the replace-data factory reads the
+    // trailing two fields. Plain writes stay strict 2-field rows.
+    val off = if (trailingFields) record.numFields - 2 else 0
+    val k = record.getLong(off)
     buffers.getOrElseUpdate(k, new StringBuilder)
-      .append(k).append('|').append(record.getLong(1)).append('\n')
+      .append(k).append('|').append(record.getLong(off + 1)).append('\n')
     counts(k) = counts.getOrElse(k, 0L) + 1
   }
 

@@ -54,16 +54,27 @@ class SinkDeleteSpec extends SparkSpec {
     assert(ks == Set(0L, 2L), s"wrong survivors: $ks")
   }
 
-  test("a sub-key predicate is rejected, never approximated") {
+  test("a sub-key predicate never takes the metadata path") {
+    // before q274 the table REJECTED sub-key deletes (canDeleteWhere
+    // still does — SinkRowLevelSpec pins that the metadata arm stays
+    // key-aligned); with SupportsRowLevelOperations the engine now
+    // routes them through the copy-on-write REWRITE instead, so the
+    // delete succeeds with exact row-level semantics, never a
+    // manifest-grain approximation
     val root = java.nio.file.Files
       .createTempDirectory("graft_sinkdel2").toString
     stage(root)
     val s = catalogSession(root)
-    val n = SinkSource.load(spark, s"$root/t").count()
-    intercept[Exception] {
-      s.sql("DELETE FROM graft_sink.t WHERE v > 10")
-    }
-    assert(SinkSource.load(spark, s"$root/t").count() == n,
-      "a rejected delete still removed rows")
+    assert(!new SinkTable(s"$root/t").canDeleteWhere(
+      Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.GreaterThan("v", 10L))),
+      "the metadata arm must keep rejecting sub-key predicates")
+    val before = SinkSource.load(spark, s"$root/t").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    s.sql("DELETE FROM graft_sink.t WHERE v > 10")
+    val after = SinkSource.load(spark, s"$root/t").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == before.filter(_._2 <= 10L),
+      s"the rewrite arm deleted the wrong rows: $after")
   }
 }
