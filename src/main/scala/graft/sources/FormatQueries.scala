@@ -1006,7 +1006,64 @@ object FormatQueries {
       |    THEN event_id + 1000000000 ELSE event_id END) AS BIGINT) AS sum_v
       |FROM events GROUP BY 1 ORDER BY k""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q276 — catalog PROCEDURE (`CALL graft_sink.compact('t')`,
+  // [[org.apache.spark.sql.connector.catalog.ProcedureCatalog]]): table
+  // maintenance as a catalog verb with typed parameters and a result
+  // set — the surface Iceberg ships rewrite_data_files /
+  // expire_snapshots on. The compact procedure merges every key group
+  // that spans multiple files into one file per key: the rewrite is
+  // DISTRIBUTED (multi-file keys' rows staged through a keyed
+  // repartition write into a scratch table), the swap is a driver-side
+  // manifest publish, and the CALL returns (keys_compacted,
+  // files_before, files_after). The query scatters events across two
+  // appends (4 writing tasks each → up to 8 files per key), compacts,
+  // and proves the result both ways: per-key n_files from the manifest
+  // is IN the hash-gated result (oracle says 1), and the row contents
+  // survived the rewrite byte-for-byte. SinkCompactSpec additionally
+  // pins the summary row, idempotence (second CALL compacts 0 keys),
+  // and read-identity across the swap.
+  // Scale notes (100 TB): frequent commits grow file counts linearly
+  // with commit rate (q264's per-epoch files); scan planning and open()
+  // overheads drown long before data volume matters. Compaction must
+  // be proportional to the multi-file GROUPS, not the table — and the
+  // publish must stay a metadata swap so readers never block.
+  def q276CompactProcedure(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(s.conf.set(k, v)) }
+    val root = ShardPaths.resolve(s, "q276", dir)
+    SinkSource.fs(root).delete(new org.apache.hadoop.fs.Path(root), true)
+    def keyed(pred: org.apache.spark.sql.Column) =
+      Tables.events(s, dir).filter(pred)
+        .select((col("event_id") % 47).as("k"), col("event_id").as("v"))
+        .repartition(4) // round-robin: every task sees every key
+    SinkSource.write(keyed(col("event_id") % 2 === 0), s"$root/t",
+      overwrite = true)
+    SinkSource.write(keyed(col("event_id") % 2 =!= 0), s"$root/t",
+      overwrite = false)
+    s.conf.set("spark.sql.catalog.graft_sink", classOf[SinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_sink.root", root)
+    s.sql("CALL graft_sink.compact('t')").collect()
+    val files = SinkSource.manifest(s"$root/t")
+      .groupBy(_._1).toSeq
+      .map { case (k, es) => (k, es.map(_._2).distinct.size.toLong) }
+    val filesDf = s.createDataFrame(files).toDF("k", "n_files")
+    SinkSource.load(s, s"$root/t")
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
+      .join(broadcast(filesDf), Seq("k"))
+      .select(col("k"), col("n_files"), col("n_rows"), col("sum_v"))
+      .orderBy(col("k"))
+  }
+
+  val q276Oracle: String =
+    """SELECT event_id % 47 AS k, CAST(1 AS BIGINT) AS n_files,
+      |  COUNT(*) AS n_rows, CAST(SUM(event_id) AS BIGINT) AS sum_v
+      |FROM events GROUP BY 1 ORDER BY k""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q276_compact_procedure" -> q276CompactProcedure,
     "q275_merge_upsert" -> q275MergeUpsert,
     "q274_rowlevel_update" -> q274RowLevelUpdate,
     "q271_reported_stats" -> q271ReportedStats,
@@ -1032,6 +1089,7 @@ object FormatQueries {
     "q64_schema_evolution" -> q64SchemaEvolution)
 
   def oracleSql: Map[String, String] = Map(
+    "q276_compact_procedure" -> q276Oracle,
     "q275_merge_upsert" -> q275Oracle,
     "q274_rowlevel_update" -> q274Oracle,
     "q271_reported_stats" -> q271Oracle,

@@ -153,7 +153,8 @@ object SinkSource {
   * reader/writer above needs no catalog. Tables are subdirectories of
   * `root`; only load/exists are real, the DDL surface is out of scope.
   */
-class SinkCatalog extends CatalogPlugin with TableCatalog {
+class SinkCatalog extends CatalogPlugin with TableCatalog
+    with ProcedureCatalog {
   private var catalogName: String = _
   private var root: String = _
 
@@ -162,6 +163,24 @@ class SinkCatalog extends CatalogPlugin with TableCatalog {
     root = options.get("root")
   }
   override def name(): String = catalogName
+
+  // ---- procedures (maintenance entry points) ---------------------------
+  /** `CALL graft_sink.compact('<table>')` — the maintenance-procedure
+    * surface production catalogs expose (Iceberg's
+    * `rewrite_data_files` / `expire_snapshots` family): table upkeep
+    * is a CATALOG verb with arguments and a result set, not an
+    * external script poking at files. */
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] =
+    if (namespace.nonEmpty) Array.empty
+    else Array(Identifier.of(Array.empty, "compact"))
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    if (ident.namespace.nonEmpty || ident.name != "compact")
+      throw new java.util.NoSuchElementException(s"unknown procedure: $ident")
+    new SinkCompactProcedure(root)
+  }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
@@ -290,6 +309,94 @@ class SinkTable(path: String, pinnedVersion: Option[Int] = None,
       try f.delete(new Path(path, s"data/$fl"), false)
       catch { case _: Exception => } }
   }
+}
+
+// ---- procedures ---------------------------------------------------------
+
+/** Small-file COMPACTION as a catalog procedure: merge every key group
+  * that spans multiple files into one file per key, swap the manifest
+  * entries atomically, and return a summary row. The rewrite itself is
+  * DISTRIBUTED — the procedure stages the multi-file keys' rows
+  * through a normal keyed write (`repartition(k)` → one file per key)
+  * into a scratch table, then does driver-side METADATA work only:
+  * move the compacted files in, publish the swapped manifest, GC the
+  * replaced files and the scratch dir. Readers see the old layout or
+  * the new one, never a mix.
+  * Scale notes (100 TB): compaction is the tax of streaming/frequent
+  * commits (q264 writes one file per key per epoch) — without it, file
+  * counts grow with commit frequency and scan planning drowns in
+  * splits. It must be (a) proportional to the multi-file groups, not
+  * the table, and (b) a metadata swap at publish — both held here.
+  */
+class SinkCompactProcedure(root: String)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+
+  override def name(): String = "compact"
+  override def description(): String =
+    "merge multi-file key groups into one file per key"
+
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "compact"
+      override def description(): String = SinkCompactProcedure.this.description()
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType).build())
+      override def isDeterministic: Boolean = false // rewrites files
+
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val path = new Path(root, table).toString
+        val m = SinkSource.manifest(path)
+        val perKey = m.groupBy(_._1).view
+          .mapValues(_.map(_._2).distinct).toMap
+        val multi = perKey.filter(_._2.size > 1).keySet
+        val filesBefore = m.map(_._2).distinct.size.toLong
+        var filesAfter = filesBefore
+        if (multi.nonEmpty) {
+          val spark = org.apache.spark.sql.SparkSession.active
+          import org.apache.spark.sql.functions.col
+          val scratch = new Path(path, s"_compact_${java.util.UUID.randomUUID()}")
+          // distributed rewrite: each multi-file key lands whole in one
+          // task, so the scratch table holds exactly one file per key
+          SinkSource.write(
+            SinkSource.load(spark, path)
+              .filter(col("k").isInCollection(multi))
+              .repartition(col("k")),
+            scratch.toString, overwrite = true)
+          val f = SinkSource.fs(path)
+          val tag = java.util.UUID.randomUUID().toString.take(8)
+          val compacted = SinkSource.manifest(scratch.toString).map {
+            case (k, fl, n) =>
+              val dest = s"c${tag}_$fl" // unique: never clobbers a live file
+              if (!f.rename(new Path(scratch, s"data/$fl"),
+                new Path(path, s"data/$dest")))
+                throw new IllegalStateException(s"compaction move failed: $fl")
+              (k, dest, n)
+          }
+          val kept = m.filterNot { case (k, _, _) => multi.contains(k) }
+          SinkSource.writeManifest(path, kept ++ compacted)
+          // replaced files are unreachable once the manifest swapped
+          m.filter { case (k, _, _) => multi.contains(k) }
+            .foreach { case (_, fl, _) =>
+              try f.delete(new Path(path, s"data/$fl"), false)
+              catch { case _: Exception => } }
+          f.delete(scratch, true)
+          filesAfter = filesBefore -
+            multi.toSeq.map(k => perKey(k).size - 1).sum
+        }
+        val row: InternalRow = new GenericInternalRow(Array[Any](
+          multi.size.toLong, filesBefore, filesAfter))
+        val result: Scan = new LocalScan {
+          override def rows(): Array[InternalRow] = Array(row)
+          override def readSchema(): StructType = StructType(Seq(
+            StructField("keys_compacted", LongType, nullable = false),
+            StructField("files_before", LongType, nullable = false),
+            StructField("files_after", LongType, nullable = false)))
+        }
+        util.Arrays.asList(result).iterator()
+      }
+    }
 }
 
 // ---- row-level operations (copy-on-write) ------------------------------
