@@ -1062,7 +1062,59 @@ object FormatQueries {
       |  COUNT(*) AS n_rows, CAST(SUM(event_id) AS BIGINT) AS sum_v
       |FROM events GROUP BY 1 ORDER BY k""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q277 — MERGE-ON-READ delete with positional DELETION VECTORS
+  // ([[org.apache.spark.sql.connector.write.SupportsDelta]], catalog
+  // option `mor=true`): the dual of q274's copy-on-write arm and the
+  // fundamental table-format trade. The engine's WriteDelta plan hands
+  // each matched row's physical identity — the (_file, _pos) metadata
+  // columns, declared as the operation's rowId — to the delta writer,
+  // which emits one positional deletion vector per data file; commit
+  // publishes the vectors in the version's delete sidecar and carries
+  // data entries VERBATIM (no data file opened for writing —
+  // SinkMorSpec pins byte-identical data files across two deletes,
+  // vector accumulation, sidecar carry-forward on append, per-version
+  // vectors under time travel, and pushdown refusal). Readers merge:
+  // each split opens only ITS file's vectors and skips those
+  // positions. The query stages events, deletes two overlapping
+  // fine-grained slices, and aggregates the survivors; the oracle
+  // applies the same predicates.
+  // Scale notes (100 TB): GDPR erasure and spam takedowns are
+  // frequent, small, and row-level — copy-on-write rewrites whole
+  // groups for a 0.1% tombstone rate, merge-on-read makes the delete
+  // O(matched rows) and defers the rewrite to compaction (q276). The
+  // refused pushdowns are the honest price: manifest counts ignore
+  // tombstones, so MoR reads must go through the merging scan.
+  def q277MorDelete(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(s.conf.set(k, v)) }
+    val root = ShardPaths.resolve(s, "q277", dir)
+    SinkSource.fs(root).delete(new org.apache.hadoop.fs.Path(root), true)
+    val keyed = Tables.events(s, dir)
+      .select((col("event_id") % 73).as("k"), col("event_id").as("v"))
+      .repartition(8, col("k"))
+    SinkSource.write(keyed, s"$root/t", overwrite = true)
+    s.conf.set("spark.sql.catalog.graft_mor", classOf[SinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_mor.root", root)
+    s.conf.set("spark.sql.catalog.graft_mor.mor", "true")
+    s.sql("DELETE FROM graft_mor.t WHERE v % 5 = 2")
+    s.sql("DELETE FROM graft_mor.t WHERE v % 7 = 3 AND k < 40")
+    s.sql(
+      """SELECT k, COUNT(*) AS n_rows, CAST(SUM(v) AS BIGINT) AS sum_v
+        |FROM graft_mor.t GROUP BY k ORDER BY k""".stripMargin)
+  }
+
+  val q277Oracle: String =
+    """SELECT event_id % 73 AS k, COUNT(*) AS n_rows,
+      |  CAST(SUM(event_id) AS BIGINT) AS sum_v
+      |FROM events
+      |WHERE NOT (event_id % 5 = 2)
+      |  AND NOT (event_id % 7 = 3 AND event_id % 73 < 40)
+      |GROUP BY 1 ORDER BY k""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q277_mor_delete" -> q277MorDelete,
     "q276_compact_procedure" -> q276CompactProcedure,
     "q275_merge_upsert" -> q275MergeUpsert,
     "q274_rowlevel_update" -> q274RowLevelUpdate,
@@ -1089,6 +1141,7 @@ object FormatQueries {
     "q64_schema_evolution" -> q64SchemaEvolution)
 
   def oracleSql: Map[String, String] = Map(
+    "q277_mor_delete" -> q277Oracle,
     "q276_compact_procedure" -> q276Oracle,
     "q275_merge_upsert" -> q275Oracle,
     "q274_rowlevel_update" -> q274Oracle,

@@ -129,11 +129,25 @@ object SinkSource {
     * live, i.e. across append-only history.)
     */
   private[sources] def writeManifest(path: String,
-      entries: Seq[(Long, String, Long)]): Unit = {
+      entries: Seq[(Long, String, Long)],
+      deletes: Option[Seq[(String, String)]] = None): Unit = {
     val f = fs(path)
     val root = new Path(path)
     f.mkdirs(root)
     val next = currentVersion(path) + 1
+    // DELETE SIDECAR (merge-on-read tombstones): every version carries
+    // its active deletion-vector list. `deletes = Some(...)` SETS the
+    // new version's list (a DV commit); None carries the previous
+    // version's forward so appends never drop tombstones. Written
+    // BEFORE the manifest rename — the rename is the only commit
+    // point, so an unreferenced sidecar is garbage, never a lie.
+    val dvs = deletes.getOrElse(deleteSidecar(path, Some(next - 1)))
+    if (dvs.nonEmpty) {
+      val body = dvs.sorted.map { case (df, dv) => s"$df|$dv" }
+        .mkString("\n") + "\n"
+      val out = f.create(new Path(root, s"deletes.v$next.psv"), true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    }
     val body = entries.sortBy(e => (e._1, e._2))
       .map { case (k, fl, n) => s"$k|$fl|$n" }.mkString("\n") + "\n"
     val tmp = new Path(root, s"_tmp_manifest_${java.util.UUID.randomUUID()}")
@@ -143,6 +157,25 @@ object SinkSource {
       f.delete(tmp, true)
       throw new IllegalStateException(
         s"lost a manifest publish race at version $next under $path")
+    }
+  }
+
+  /** Active (dataFile, deleteFile) pairs of the requested version's
+    * sidecar; empty if that version has no tombstones. */
+  private[sources] def deleteSidecar(path: String,
+      version: Option[Int] = None): Seq[(String, String)] = {
+    val v = version.getOrElse(currentVersion(path))
+    val f = fs(path)
+    val sc = new Path(path, s"deletes.v$v.psv")
+    if (v == 0 || !f.exists(sc)) Seq.empty
+    else {
+      val in = f.open(sc)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      body.linesIterator.filter(_.nonEmpty).map { line =>
+        val c = line.split('|')
+        (c(0), c(1))
+      }.toSeq
     }
   }
 }
@@ -157,10 +190,12 @@ class SinkCatalog extends CatalogPlugin with TableCatalog
     with ProcedureCatalog {
   private var catalogName: String = _
   private var root: String = _
+  private var mor: Boolean = false
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     root = options.get("root")
+    mor = "true".equalsIgnoreCase(options.get("mor"))
   }
   override def name(): String = catalogName
 
@@ -193,7 +228,7 @@ class SinkCatalog extends CatalogPlugin with TableCatalog
 
   override def loadTable(ident: Identifier): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    new SinkTable(new Path(root, ident.name).toString)
+    new SinkTable(new Path(root, ident.name).toString, mor = mor)
   }
 
   /** TIME TRAVEL (`VERSION AS OF n`): the versioned-manifest publish
@@ -227,11 +262,30 @@ class SinkCatalog extends CatalogPlugin with TableCatalog
 
 class SinkTable(path: String, pinnedVersion: Option[Int] = None,
     clustered: Boolean = false, stats: Boolean = false,
-    maxVersionsPerTrigger: Option[Int] = None)
+    maxVersionsPerTrigger: Option[Int] = None, mor: Boolean = false)
     extends Table
     with SupportsRead with SupportsWrite with SupportsDelete
-    with SupportsRowLevelOperations {
+    with SupportsRowLevelOperations with SupportsMetadataColumns {
   import org.apache.spark.sql.sources._
+
+  /** MERGE-ON-READ tables expose the positional row identity
+    * ([[SinkDeltaDeleteOperation.rowId]]) as metadata columns — the
+    * (file, position) pair a deletion vector addresses. Copy-on-write
+    * tables have no stable physical identity to expose (groups are
+    * rewritten), so the array is empty there. */
+  override def metadataColumns(): Array[MetadataColumn] =
+    if (!mor) Array.empty
+    else Array(
+      new MetadataColumn {
+        override def name(): String = "_file"
+        override def dataType(): org.apache.spark.sql.types.DataType = StringType
+        override def isNullable: Boolean = false
+      },
+      new MetadataColumn {
+        override def name(): String = "_pos"
+        override def dataType(): org.apache.spark.sql.types.DataType = LongType
+        override def isNullable: Boolean = false
+      })
 
   /** ROW-LEVEL operations (UPDATE / MERGE / fine-grained DELETE):
     * group-based COPY-ON-WRITE. The engine rewrites the DML into
@@ -248,8 +302,19 @@ class SinkTable(path: String, pinnedVersion: Option[Int] = None,
     */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
-      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    () => new SinkRowLevelOperation(path, info.command())
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+    if (mor) {
+      // DVs address (file, pos); a copy-on-write rewrite would
+      // invalidate every existing vector, so MoR tables allow only
+      // the delta path — DELETE for now
+      if (info.command() != Command.DELETE)
+        throw new UnsupportedOperationException(
+          s"merge-on-read table supports only DELETE, got ${info.command()}")
+      () => new SinkDeltaDeleteOperation(path)
+    } else
+      () => new SinkRowLevelOperation(path, info.command())
+  }
 
   override def name(): String =
     s"graft_sink($path${pinnedVersion.fold("")(v => s"@v$v")})"
@@ -260,7 +325,7 @@ class SinkTable(path: String, pinnedVersion: Option[Int] = None,
       TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SinkScanBuilder(path, pinnedVersion, stats, maxVersionsPerTrigger)
+    new SinkScanBuilder(path, pinnedVersion, stats, maxVersionsPerTrigger, mor)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new SinkWriteBuilder(path, info.queryId(), clustered)
@@ -397,6 +462,258 @@ class SinkCompactProcedure(root: String)
         util.Arrays.asList(result).iterator()
       }
     }
+}
+
+// ---- merge-on-read (deletion vectors) -----------------------------------
+
+case class SinkMorInputPartition(file: String, dvFiles: Seq[String])
+    extends InputPartition
+
+/** MERGE-ON-READ reads: each split carries the deletion-vector files
+  * addressed to ITS data file (the DV writer emits one vector per
+  * data file, so a reader never opens another split's tombstones),
+  * and the reader skips the listed positions while streaming — data
+  * files are immutable, deletes are metadata-plus-vectors. Pushdowns
+  * are refused on MoR tables because manifest counts and raw file
+  * reads ignore tombstones.
+  */
+class SinkMorScan(path: String, pinnedVersion: Option[Int])
+    extends Scan with Batch {
+  override def readSchema(): StructType = SinkSource.schema
+  override def toBatch: Batch = this
+
+  private lazy val files: Seq[String] =
+    SinkSource.manifest(path, pinnedVersion).map(_._2).distinct.sorted
+  private lazy val dvs: Map[String, Seq[String]] = {
+    val v = pinnedVersion.getOrElse(SinkSource.currentVersion(path))
+    SinkSource.deleteSidecar(path, Some(v))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+  }
+
+  override def description(): String =
+    s"SinkMorScan(files=${files.size}, " +
+      s"deleteVectors=${dvs.valuesIterator.map(_.size).sum})"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map { f =>
+      SinkMorInputPartition(new Path(path, s"data/$f").toString,
+        dvs.getOrElse(f, Seq.empty)
+          .map(dv => new Path(path, s"deletes/$dv").toString))
+        : InputPartition
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val mp = p.asInstanceOf[SinkMorInputPartition]
+        new SinkMorReader(mp.file, mp.dvFiles)
+      }
+    }
+}
+
+/** Streams a data file, skipping tombstoned positions. `emitPosition`
+  * is the delta scan's hook: the row-level DELETE needs each row's
+  * physical (file, pos) identity so new tombstones address the right
+  * slots. Positions are PHYSICAL line indexes — stable because MoR
+  * never rewrites a data file. */
+class SinkMorReader(file: String, dvFiles: Seq[String],
+    emitPosition: Boolean = false)
+    extends PartitionReader[InternalRow] {
+
+  private val deleted: java.util.HashSet[Long] = {
+    val s = new java.util.HashSet[Long]()
+    dvFiles.foreach { dv =>
+      val in = SinkSource.fs(dv).open(new Path(dv))
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      body.linesIterator.filter(_.nonEmpty).foreach(l => s.add(l.toLong))
+    }
+    s
+  }
+  private val fileName = new Path(file).getName
+  private val lines = {
+    val in = SinkSource.fs(file).open(new Path(file))
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    body.linesIterator.filter(_.nonEmpty)
+  }
+  private var pos = -1L
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    while (lines.hasNext) {
+      val line = lines.next()
+      pos += 1
+      if (!deleted.contains(pos)) {
+        val c = line.split('|')
+        row =
+          if (emitPosition) new GenericInternalRow(Array[Any](
+            c(0).toLong, c(1).toLong,
+            org.apache.spark.unsafe.types.UTF8String.fromString(fileName),
+            pos))
+          else new GenericInternalRow(Array[Any](c(0).toLong, c(1).toLong))
+        return true
+      }
+    }
+    false
+  }
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
+}
+
+/** Delta-based (merge-on-read) DELETE: [[SupportsDelta]] with
+  * `rowId = (_file, _pos)` — the engine's WriteDelta plan hands each
+  * matched row's physical identity to [[SinkDvWriter.delete]], which
+  * buffers POSITIONAL DELETION VECTORS (one per data file). Commit
+  * publishes them in the version's delete sidecar; no data file is
+  * opened for writing. This is the Iceberg-v2/Delta-DV shape: deletes
+  * cost O(matched rows) metadata, reads pay the merge.
+  * Scale notes (100 TB): copy-on-write deletes rewrite whole groups
+  * for a 0.1% tombstone rate; merge-on-read defers that cost to
+  * compaction and makes frequent small deletes (GDPR erasure, spam
+  * takedowns) affordable. The dual with q274's CoW arm is the
+  * fundamental table-format design trade, and both now exist here.
+  */
+class SinkDeltaDeleteOperation(path: String)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation
+    with org.apache.spark.sql.connector.write.SupportsDelta {
+  import org.apache.spark.sql.connector.write.{DeltaWrite, DeltaWriteBuilder, DeltaBatchWrite, RowLevelOperation}
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+
+  override def command(): RowLevelOperation.Command =
+    RowLevelOperation.Command.DELETE
+  override def description(): String = "SinkRowLevel(DELETE, merge-on-read)"
+
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column("_file"), Expressions.column("_pos"))
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column("_file"), Expressions.column("_pos"))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new SinkDeltaScan(path)
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new DeltaWrite {
+        override def toBatch: DeltaBatchWrite =
+          new SinkDvBatchWrite(path, info.queryId())
+      }
+    }
+}
+
+/** The delta scan: table columns plus the (_file, _pos) identity,
+  * with EXISTING deletion vectors applied — already-deleted rows must
+  * not match again. */
+class SinkDeltaScan(path: String) extends Scan with Batch {
+  override def readSchema(): StructType = StructType(
+    SinkSource.schema.fields ++ Seq(
+      StructField("_file", StringType, nullable = false),
+      StructField("_pos", LongType, nullable = false)))
+  override def toBatch: Batch = this
+
+  private lazy val files: Seq[String] =
+    SinkSource.manifest(path).map(_._2).distinct.sorted
+  private lazy val dvs: Map[String, Seq[String]] =
+    SinkSource.deleteSidecar(path)
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+
+  override def description(): String = s"SinkDeltaScan(files=${files.size})"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map { f =>
+      SinkMorInputPartition(new Path(path, s"data/$f").toString,
+        dvs.getOrElse(f, Seq.empty)
+          .map(dv => new Path(path, s"deletes/$dv").toString))
+        : InputPartition
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val mp = p.asInstanceOf[SinkMorInputPartition]
+        new SinkMorReader(mp.file, mp.dvFiles, emitPosition = true)
+      }
+    }
+}
+
+case class SinkDvCommitMessage(entries: Seq[(String, String)])
+    extends WriterCommitMessage
+
+class SinkDvBatchWrite(path: String, queryId: String)
+    extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
+  import org.apache.spark.sql.connector.write.DeltaWriterFactory
+
+  private def stagingDir = new Path(path, s"_staging/$queryId")
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
+    new SinkDvWriterFactory(path, queryId)
+
+  /** Publish: move staged vectors into deletes/, then write the next
+    * version with sidecar = previous active vectors + the new ones.
+    * Data entries are carried verbatim — a MoR delete never touches a
+    * data file. */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val committed = messages.flatMap {
+      case SinkDvCommitMessage(entries) => entries
+    }.toSeq
+    val f = SinkSource.fs(path)
+    val dvDir = new Path(path, "deletes")
+    f.mkdirs(dvDir)
+    committed.foreach { case (_, dv) =>
+      if (!f.rename(new Path(stagingDir, dv), new Path(dvDir, dv)))
+        throw new IllegalStateException(s"staged vector publish failed: $dv")
+    }
+    val active = SinkSource.deleteSidecar(path) ++ committed
+    SinkSource.writeManifest(path, SinkSource.manifest(path), Some(active))
+    f.delete(stagingDir, true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    SinkSource.fs(path).delete(stagingDir, true)
+}
+
+class SinkDvWriterFactory(path: String, queryId: String)
+    extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+    new SinkDvWriter(path, queryId, partitionId, taskId)
+}
+
+class SinkDvWriter(path: String, queryId: String, partitionId: Int,
+    taskId: Long)
+    extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+
+  private val vectors =
+    scala.collection.mutable.Map.empty[String, StringBuilder]
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit = {
+    // rowId projection order: (_file, _pos)
+    val file = id.getUTF8String(0).toString
+    vectors.getOrElseUpdate(file, new StringBuilder)
+      .append(id.getLong(1)).append('\n')
+  }
+  override def insert(row: InternalRow): Unit =
+    throw new UnsupportedOperationException("DELETE-only delta writer")
+  override def update(meta: InternalRow, id: InternalRow,
+      row: InternalRow): Unit =
+    throw new UnsupportedOperationException("DELETE-only delta writer")
+
+  override def commit(): WriterCommitMessage = {
+    val f = SinkSource.fs(path)
+    val dir = new Path(path, s"_staging/$queryId")
+    f.mkdirs(dir)
+    val entries = vectors.toSeq.map { case (dataFile, sb) =>
+      val name = s"dv_p${partitionId}_t${taskId}_$dataFile"
+      val out = f.create(new Path(dir, name), true)
+      try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
+      (dataFile, name)
+    }
+    SinkDvCommitMessage(entries)
+  }
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
 }
 
 // ---- row-level operations (copy-on-write) ------------------------------
@@ -545,7 +862,8 @@ class SinkReplaceDataWrite(path: String, queryId: String,
   * physically removed.
   */
 class SinkScanBuilder(path: String, pinnedVersion: Option[Int],
-    stats: Boolean = false, maxVersionsPerTrigger: Option[Int] = None)
+    stats: Boolean = false, maxVersionsPerTrigger: Option[Int] = None,
+    mor: Boolean = false)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
     with org.apache.spark.sql.connector.read.SupportsPushDownTopN
@@ -568,6 +886,10 @@ class SinkScanBuilder(path: String, pinnedVersion: Option[Int],
     * back to the full scan + engine sort.
     */
   override def pushTopN(orders: Array[V2SortOrder], limit: Int): Boolean = {
+    // merge-on-read: manifest counts and raw file reads ignore
+    // tombstones, so every pushdown is refused — the row scan applies
+    // the deletion vectors and the engine does the rest
+    if (mor) return false
     val cols = orders.toSeq.map(o => o.expression() match {
       case nr: NamedReference if nr.fieldNames().length == 1 =>
         SinkSource.schema.fieldNames.indexOf(nr.fieldNames()(0)) match {
@@ -585,6 +907,7 @@ class SinkScanBuilder(path: String, pinnedVersion: Option[Int],
     * table for a `LIMIT 100` peek. Partial: Spark keeps the global
     * limit across partitions. */
   override def pushLimit(limit: Int): Boolean = {
+    if (mor) return false
     plainLimit = Some(limit); true
   }
   override def isPartiallyPushed(): Boolean = true
@@ -599,10 +922,10 @@ class SinkScanBuilder(path: String, pinnedVersion: Option[Int],
   }
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    canPush(agg)
+    !mor && canPush(agg)
 
   override def pushAggregation(agg: Aggregation): Boolean =
-    if (!canPush(agg)) false
+    if (mor || !canPush(agg)) false
     else {
       pushedAgg = true
       pushedGroupByK = agg.groupByExpressions.nonEmpty
@@ -611,6 +934,7 @@ class SinkScanBuilder(path: String, pinnedVersion: Option[Int],
 
   override def build(): Scan =
     if (pushedAgg) new SinkManifestAggScan(path, pinnedVersion, pushedGroupByK)
+    else if (mor) new SinkMorScan(path, pinnedVersion)
     else if (stats) new SinkStatsScan(path, pinnedVersion, topN, plainLimit)
     else new SinkScan(path, pinnedVersion, topN, plainLimit,
       maxVersionsPerTrigger)

@@ -1,0 +1,93 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** q277 — merge-on-read DELETE with positional deletion vectors. The
+  * oracle proves the post-delete table; this spec locks the MoR
+  * contract: a DELETE writes vectors and touches NO data file (names,
+  * sizes, contents identical), vectors accumulate across deletes,
+  * appends carry the sidecar forward, time travel reads each
+  * version's own vectors, and pushdowns are refused on MoR reads
+  * (manifest counts would ignore tombstones).
+  */
+class SinkMorSpec extends SparkSpec {
+
+  private def morSession(root: String) = {
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(s.conf.set(k, v)) }
+    s.conf.set("spark.sql.catalog.graft_mor", classOf[SinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_mor.root", root)
+    s.conf.set("spark.sql.catalog.graft_mor.mor", "true")
+    s
+  }
+
+  private def dataFiles(root: String): Map[String, Long] = {
+    val f = SinkSource.fs(root)
+    f.listStatus(new Path(s"$root/t/data"))
+      .filterNot(_.getPath.getName.startsWith("."))
+      .map(st => st.getPath.getName -> st.getLen).toMap
+  }
+
+  private def rows(s: org.apache.spark.sql.SparkSession, root: String) =
+    s.sql("SELECT k, v FROM graft_mor.t").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+
+  test("DELETE writes vectors; data files are untouched") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_mor").toString
+    import spark.implicits._
+    SinkSource.write((0L until 60L).map(i => (i % 3, i)).toDF("k", "v")
+      .repartition(3, col("k")), s"$root/t", overwrite = true)
+    val s = morSession(root)
+    val before = dataFiles(root)
+
+    s.sql("DELETE FROM graft_mor.t WHERE v % 4 = 1")
+    assert(dataFiles(root) == before,
+      "a merge-on-read delete must not touch data files")
+    val expect1 = (0L until 60L).filter(_ % 4 != 1).map(i => (i % 3, i)).sorted
+    assert(rows(s, root) == expect1, "first delete wrong")
+
+    // vectors accumulate across a second delete
+    s.sql("DELETE FROM graft_mor.t WHERE v >= 50")
+    assert(dataFiles(root) == before,
+      "the second delete must not touch data files either")
+    val expect2 = expect1.filter(_._2 < 50L)
+    assert(rows(s, root) == expect2, "second delete wrong")
+
+    // an append carries the sidecar forward
+    SinkSource.write(Seq((9L, 900L)).toDF("k", "v").coalesce(1),
+      s"$root/t", overwrite = false)
+    assert(rows(s, root) == (expect2 :+ (9L, 900L)).sorted,
+      "append dropped the deletion vectors")
+
+    // time travel: version 1 (pre-delete) has no tombstones
+    val v1 = s.sql("SELECT COUNT(*) FROM graft_mor.t VERSION AS OF 1")
+      .collect()(0).getLong(0)
+    assert(v1 == 60L, s"the v1 snapshot must pre-date the vectors: $v1")
+
+    // pushdown refusal: COUNT(*) must not come from manifest arithmetic
+    val plan = s.sql("SELECT COUNT(*) FROM graft_mor.t")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinkManifestAggScan"),
+      s"manifest counts ignore tombstones and must not serve MoR:\n$plan")
+    assert(plan.contains("SinkMorScan"),
+      s"MoR reads must go through the vector-merging scan:\n$plan")
+  }
+
+  test("UPDATE and MERGE are refused on MoR tables") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_mor2").toString
+    import spark.implicits._
+    SinkSource.write(Seq((1L, 10L)).toDF("k", "v").coalesce(1),
+      s"$root/t", overwrite = true)
+    val s = morSession(root)
+    val e = intercept[Exception] {
+      s.sql("UPDATE graft_mor.t SET v = 0 WHERE k = 1")
+    }
+    assert(e.getMessage != null)
+  }
+}
