@@ -1721,7 +1721,60 @@ object StreamingQueries {
       |  CAST(SUM(event_id) AS BIGINT) AS sum_v
       |FROM events GROUP BY 1 ORDER BY k""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q278 — STATE STORE introspection (the `statestore` /
+  // `state-metadata` batch readers): a checkpointed streaming
+  // aggregation's state is itself a queryable TABLE — the reader loads
+  // the checkpoint's key/value rows (key = grouping columns, value =
+  // the aggregation buffer) as a batch DataFrame, and the query's
+  // final answer comes FROM THE STATE, not from the stream's sink.
+  // The oracle aggregates the source directly, so the hash gate
+  // proves state rows ≡ the aggregation they buffer — the ops
+  // contract behind state debugging, state migration audits, and
+  // "what does this stuck query actually hold" forensics.
+  // StateReaderSpec pins the state-metadata row (operator identity,
+  // partition count, batch range) and state-vs-sink equality.
+  // Scale notes (100 TB): a long-running pipeline's state is often
+  // the only record of what it has seen; reading it offline — at scan
+  // parallelism, without stopping anything or replaying the stream —
+  // is how state bloat, skewed keys, and corrupt buffers get
+  // diagnosed. The reader shards by the store's own partitioning, so
+  // introspection scales with state partitions like any other scan.
+  def q278StreamStateReader(spark: SparkSession, dir: String): DataFrame = {
+    val ss = EventsStreaming.streamSession(spark)
+    val root = graft.sources.ShardPaths.resolve(ss, "q278", dir)
+    val ckpt = graft.sources.ShardPaths.resolveCheckpoint(ss, "q278", dir)
+    graft.sources.SinkSource.fs(root)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    graft.sources.SinkSource.fs(ckpt)
+      .delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    val keyed = graft.sources.Tables.events(ss, dir)
+      .select((col("event_id") % 43).as("k"), col("event_id").as("v"))
+      .repartition(8, col("k"))
+    graft.sources.SinkSource.write(keyed, s"$root/t", overwrite = true)
+    val q = ss.readStream.format("graft.sources.SinkSource")
+      .option("path", s"$root/t").load()
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
+      .writeStream.outputMode(OutputMode.Complete)
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("q278_mem").start()
+    q.processAllAvailable()
+    q.stop()
+    // the answer comes from the CHECKPOINT'S STATE, not the sink
+    ss.read.format("statestore").load(ckpt)
+      .select(col("key.k").as("k"), col("value.count").as("n_rows"),
+        col("value.sum").as("sum_v"))
+      .orderBy(col("k"))
+  }
+
+  val q278Oracle: String =
+    """SELECT event_id % 43 AS k, COUNT(*) AS n_rows,
+      |  CAST(SUM(event_id) AS BIGINT) AS sum_v
+      |FROM events GROUP BY 1 ORDER BY k""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q278_stream_state_reader" -> q278StreamStateReader,
     "q272_stream_rate_limit" -> q272StreamRateLimit,
     "q267_stream_sink_cdc" -> q267StreamSinkCdc,
     "q264_stream_v2_sink" -> q264StreamV2Sink,
@@ -1753,6 +1806,7 @@ object StreamingQueries {
     "q103_stream_dedup_static" -> q103StreamDedupStatic)
 
   def oracleSql: Map[String, String] = Map(
+    "q278_stream_state_reader" -> q278Oracle,
     "q272_stream_rate_limit" -> q272Oracle,
     "q267_stream_sink_cdc" -> q267Oracle,
     "q264_stream_v2_sink" -> q264Oracle,
