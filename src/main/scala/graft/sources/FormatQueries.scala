@@ -1113,7 +1113,120 @@ object FormatQueries {
       |  AND NOT (event_id % 7 = 3 AND event_id % 73 < 40)
       |GROUP BY 1 ORDER BY k""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q279 — MERGE-ON-READ update (vector + append in one commit): the
+  // delta writer's UPDATE arm ([[SinkDvWriter.update]]) tombstones the
+  // matched row's (_file, _pos) AND stages the new row like any keyed
+  // write; commit publishes the deletion vectors in the sidecar and
+  // the appended files in the manifest atomically — one version,
+  // never a delete-then-insert window, and no existing data file is
+  // opened (SinkMorSpec pins untouched originals + new appended
+  // files, and that a later DELETE addresses appended positions too).
+  // Unlike q277's pure-metadata delete, UPDATE exercises the engine's
+  // WriteDelta row dispatch: matched rows arrive through
+  // update(meta, id, newRow) with the row projected to the table
+  // schema — the projection machinery ReplaceData (q274) lacks. The
+  // query updates a fine-grained slice twice (the second update hits
+  // rows the first APPENDED, proving appended positions are
+  // first-class row identities); the oracle replays both updates.
+  // Scale notes (100 TB): label fixes and quality-score refreshes are
+  // UPDATE-shaped and frequent; merge-on-read makes each one
+  // O(matched rows) instead of O(touched groups), at the price of
+  // read-side merge — the same trade as q277, now for the write path
+  // production pipelines use most.
+  def q279MorUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(s.conf.set(k, v)) }
+    val root = ShardPaths.resolve(s, "q279", dir)
+    SinkSource.fs(root).delete(new org.apache.hadoop.fs.Path(root), true)
+    val keyed = Tables.events(s, dir)
+      .select((col("event_id") % 67).as("k"), col("event_id").as("v"))
+      .repartition(8, col("k"))
+    SinkSource.write(keyed, s"$root/t", overwrite = true)
+    s.conf.set("spark.sql.catalog.graft_mor", classOf[SinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_mor.root", root)
+    s.conf.set("spark.sql.catalog.graft_mor.mor", "true")
+    s.sql("UPDATE graft_mor.t SET v = v + 10000000 WHERE v % 11 = 6")
+    // second pass hits some rows the first APPENDED (their new v
+    // keeps v % 11 = 6 + 10000000 ≡ ...), plus fresh originals
+    s.sql("UPDATE graft_mor.t SET v = v + 100000000 WHERE v % 13 = 2")
+    s.sql(
+      """SELECT k, COUNT(*) AS n_rows, CAST(SUM(v) AS BIGINT) AS sum_v
+        |FROM graft_mor.t GROUP BY k ORDER BY k""".stripMargin)
+  }
+
+  val q279Oracle: String =
+    """WITH pass1 AS (
+      |  SELECT event_id % 67 AS k,
+      |    CASE WHEN event_id % 11 = 6 THEN event_id + 10000000
+      |         ELSE event_id END AS v
+      |  FROM events)
+      |SELECT k, COUNT(*) AS n_rows,
+      |  CAST(SUM(CASE WHEN v % 13 = 2 THEN v + 100000000 ELSE v END)
+      |    AS BIGINT) AS sum_v
+      |FROM pass1 GROUP BY 1 ORDER BY k""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q280 — VACUUM: deletion-vector purge via the compaction procedure
+  // on a merge-on-read table. q277/q279 defer their rewrite cost to
+  // maintenance; this is the bill coming due: `CALL
+  // graft_mor.compact('t')` targets every key whose files are split
+  // OR carry vectors, rewrites those keys through a VECTOR-MERGING
+  // read (tombstoned rows fall out of the rewrite — they are
+  // materialized, not copied), swaps the manifest, and retires the
+  // now-fully-applied vectors from the sidecar. After the call the
+  // table is pure data again: one file per key, empty sidecar,
+  // pushdown-eligible once more. The hash-gated result carries
+  // per-key n_files (oracle: 1) over the post-delete/update state;
+  // SinkVacuumSpec pins the sidecar emptying, vector-file GC, and
+  // read-identity across the purge.
+  // Scale notes (100 TB): MoR's read-side merge cost and DV metadata
+  // grow with every delete — vacuum is what keeps the trade honest.
+  // The rewrite is proportional to VECTORED groups (clean keys'
+  // files are untouched), distributed like any scan, and atomic at
+  // the manifest swap, so readers never see a half-vacuumed table.
+  def q280MorVacuum(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(s.conf.set(k, v)) }
+    val root = ShardPaths.resolve(s, "q280", dir)
+    SinkSource.fs(root).delete(new org.apache.hadoop.fs.Path(root), true)
+    val keyed = Tables.events(s, dir)
+      .select((col("event_id") % 59).as("k"), col("event_id").as("v"))
+      .repartition(8, col("k"))
+    SinkSource.write(keyed, s"$root/t", overwrite = true)
+    s.conf.set("spark.sql.catalog.graft_mor", classOf[SinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_mor.root", root)
+    s.conf.set("spark.sql.catalog.graft_mor.mor", "true")
+    s.sql("DELETE FROM graft_mor.t WHERE v % 6 = 5")
+    s.sql("UPDATE graft_mor.t SET v = v + 20000000 WHERE v % 17 = 4")
+    s.sql("CALL graft_mor.compact('t')").collect()
+    val files = SinkSource.manifest(s"$root/t")
+      .groupBy(_._1).toSeq
+      .map { case (k, es) => (k, es.map(_._2).distinct.size.toLong) }
+    val filesDf = s.createDataFrame(files).toDF("k", "n_files")
+    SinkSource.load(s, s"$root/t", mor = true)
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
+      .join(broadcast(filesDf), Seq("k"))
+      .select(col("k"), col("n_files"), col("n_rows"), col("sum_v"))
+      .orderBy(col("k"))
+  }
+
+  val q280Oracle: String =
+    """WITH alive AS (
+      |  SELECT event_id % 59 AS k,
+      |    CASE WHEN event_id % 17 = 4 THEN event_id + 20000000
+      |         ELSE event_id END AS v
+      |  FROM events WHERE event_id % 6 <> 5)
+      |SELECT k, CAST(1 AS BIGINT) AS n_files, COUNT(*) AS n_rows,
+      |  CAST(SUM(v) AS BIGINT) AS sum_v
+      |FROM alive GROUP BY 1 ORDER BY k""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q280_mor_vacuum" -> q280MorVacuum,
+    "q279_mor_update" -> q279MorUpdate,
     "q277_mor_delete" -> q277MorDelete,
     "q276_compact_procedure" -> q276CompactProcedure,
     "q275_merge_upsert" -> q275MergeUpsert,
@@ -1141,6 +1254,8 @@ object FormatQueries {
     "q64_schema_evolution" -> q64SchemaEvolution)
 
   def oracleSql: Map[String, String] = Map(
+    "q280_mor_vacuum" -> q280Oracle,
+    "q279_mor_update" -> q279Oracle,
     "q277_mor_delete" -> q277Oracle,
     "q276_compact_procedure" -> q276Oracle,
     "q275_merge_upsert" -> q275Oracle,

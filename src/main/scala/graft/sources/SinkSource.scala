@@ -59,7 +59,8 @@ class SinkSource extends TableProvider {
       clustered = "true".equalsIgnoreCase(properties.get("clustered")),
       stats = "true".equalsIgnoreCase(properties.get("stats")),
       maxVersionsPerTrigger =
-        Option(properties.get("maxVersionsPerTrigger")).map(_.trim.toInt))
+        Option(properties.get("maxVersionsPerTrigger")).map(_.trim.toInt),
+      mor = "true".equalsIgnoreCase(properties.get("mor")))
 }
 
 object SinkSource {
@@ -68,9 +69,9 @@ object SinkSource {
     StructField("v", LongType, nullable = false)))
 
   def load(spark: SparkSession, path: String,
-      stats: Boolean = false): DataFrame =
+      stats: Boolean = false, mor: Boolean = false): DataFrame =
     spark.read.format("graft.sources.SinkSource").option("path", path)
-      .option("stats", stats.toString).load()
+      .option("stats", stats.toString).option("mor", mor.toString).load()
 
   def write(df: DataFrame, path: String, overwrite: Boolean,
       clustered: Boolean = false): Unit =
@@ -214,7 +215,7 @@ class SinkCatalog extends CatalogPlugin with TableCatalog
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
     if (ident.namespace.nonEmpty || ident.name != "compact")
       throw new java.util.NoSuchElementException(s"unknown procedure: $ident")
-    new SinkCompactProcedure(root)
+    new SinkCompactProcedure(root, mor)
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
@@ -269,7 +270,7 @@ class SinkTable(path: String, pinnedVersion: Option[Int] = None,
   import org.apache.spark.sql.sources._
 
   /** MERGE-ON-READ tables expose the positional row identity
-    * ([[SinkDeltaDeleteOperation.rowId]]) as metadata columns — the
+    * ([[SinkDeltaOperation.rowId]]) as metadata columns — the
     * (file, position) pair a deletion vector addresses. Copy-on-write
     * tables have no stable physical identity to expose (groups are
     * rewritten), so the array is empty there. */
@@ -307,11 +308,11 @@ class SinkTable(path: String, pinnedVersion: Option[Int] = None,
     if (mor) {
       // DVs address (file, pos); a copy-on-write rewrite would
       // invalidate every existing vector, so MoR tables allow only
-      // the delta path — DELETE for now
-      if (info.command() != Command.DELETE)
+      // the delta path — DELETE (vectors) and UPDATE (vector + append)
+      if (info.command() == Command.MERGE)
         throw new UnsupportedOperationException(
-          s"merge-on-read table supports only DELETE, got ${info.command()}")
-      () => new SinkDeltaDeleteOperation(path)
+          "merge-on-read table supports DELETE and UPDATE, not MERGE")
+      () => new SinkDeltaOperation(path, info.command())
     } else
       () => new SinkRowLevelOperation(path, info.command())
   }
@@ -393,13 +394,14 @@ class SinkTable(path: String, pinnedVersion: Option[Int] = None,
   * splits. It must be (a) proportional to the multi-file groups, not
   * the table, and (b) a metadata swap at publish — both held here.
   */
-class SinkCompactProcedure(root: String)
+class SinkCompactProcedure(root: String, mor: Boolean = false)
     extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure {
   import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
 
   override def name(): String = "compact"
   override def description(): String =
-    "merge multi-file key groups into one file per key"
+    "merge multi-file key groups into one file per key" +
+      (if (mor) " and purge deletion vectors" else "")
 
   override def bind(inputType: StructType): BoundProcedure =
     new BoundProcedure {
@@ -415,18 +417,27 @@ class SinkCompactProcedure(root: String)
         val m = SinkSource.manifest(path)
         val perKey = m.groupBy(_._1).view
           .mapValues(_.map(_._2).distinct).toMap
-        val multi = perKey.filter(_._2.size > 1).keySet
+        val dvd = SinkSource.deleteSidecar(path)
+        val dvdFiles = dvd.map(_._1).toSet
+        // targets: keys split across files, plus (MoR) keys whose
+        // files carry deletion vectors — compacting those MATERIALIZES
+        // the tombstones and retires the vectors
+        val targets = perKey.filter { case (k, fls) =>
+          fls.size > 1 || fls.exists(dvdFiles)
+        }.keySet
         val filesBefore = m.map(_._2).distinct.size.toLong
         var filesAfter = filesBefore
-        if (multi.nonEmpty) {
+        if (targets.nonEmpty) {
           val spark = org.apache.spark.sql.SparkSession.active
           import org.apache.spark.sql.functions.col
           val scratch = new Path(path, s"_compact_${java.util.UUID.randomUUID()}")
-          // distributed rewrite: each multi-file key lands whole in one
-          // task, so the scratch table holds exactly one file per key
+          // distributed rewrite: each target key lands whole in one
+          // task, so the scratch table holds exactly one file per key;
+          // on MoR tables the read MERGES the vectors, so tombstoned
+          // rows fall out of the rewrite
           SinkSource.write(
-            SinkSource.load(spark, path)
-              .filter(col("k").isInCollection(multi))
+            SinkSource.load(spark, path, mor = mor)
+              .filter(col("k").isInCollection(targets))
               .repartition(col("k")),
             scratch.toString, overwrite = true)
           val f = SinkSource.fs(path)
@@ -439,19 +450,25 @@ class SinkCompactProcedure(root: String)
                 throw new IllegalStateException(s"compaction move failed: $fl")
               (k, dest, n)
           }
-          val kept = m.filterNot { case (k, _, _) => multi.contains(k) }
-          SinkSource.writeManifest(path, kept ++ compacted)
-          // replaced files are unreachable once the manifest swapped
-          m.filter { case (k, _, _) => multi.contains(k) }
-            .foreach { case (_, fl, _) =>
-              try f.delete(new Path(path, s"data/$fl"), false)
+          val kept = m.filterNot { case (k, _, _) => targets.contains(k) }
+          val replaced = m.filter { case (k, _, _) => targets.contains(k) }
+            .map(_._2).toSet
+          // vectors addressing replaced files are fully materialized in
+          // the rewrite; the new sidecar keeps only survivors
+          SinkSource.writeManifest(path, kept ++ compacted,
+            Some(dvd.filterNot { case (df, _) => replaced.contains(df) }))
+          replaced.foreach { fl =>
+            try f.delete(new Path(path, s"data/$fl"), false)
+            catch { case _: Exception => } }
+          dvd.filter { case (df, _) => replaced.contains(df) }
+            .foreach { case (_, dv) =>
+              try f.delete(new Path(path, s"deletes/$dv"), false)
               catch { case _: Exception => } }
           f.delete(scratch, true)
-          filesAfter = filesBefore -
-            multi.toSeq.map(k => perKey(k).size - 1).sum
+          filesAfter = filesBefore - replaced.size + compacted.size
         }
         val row: InternalRow = new GenericInternalRow(Array[Any](
-          multi.size.toLong, filesBefore, filesAfter))
+          targets.size.toLong, filesBefore, filesAfter))
         val result: Scan = new LocalScan {
           override def rows(): Array[InternalRow] = Array(row)
           override def readSchema(): StructType = StructType(Seq(
@@ -561,28 +578,31 @@ class SinkMorReader(file: String, dvFiles: Seq[String],
   override def close(): Unit = ()
 }
 
-/** Delta-based (merge-on-read) DELETE: [[SupportsDelta]] with
-  * `rowId = (_file, _pos)` — the engine's WriteDelta plan hands each
-  * matched row's physical identity to [[SinkDvWriter.delete]], which
-  * buffers POSITIONAL DELETION VECTORS (one per data file). Commit
-  * publishes them in the version's delete sidecar; no data file is
-  * opened for writing. This is the Iceberg-v2/Delta-DV shape: deletes
-  * cost O(matched rows) metadata, reads pay the merge.
-  * Scale notes (100 TB): copy-on-write deletes rewrite whole groups
-  * for a 0.1% tombstone rate; merge-on-read defers that cost to
-  * compaction and makes frequent small deletes (GDPR erasure, spam
-  * takedowns) affordable. The dual with q274's CoW arm is the
-  * fundamental table-format design trade, and both now exist here.
+/** Delta-based (merge-on-read) row-level operations: [[SupportsDelta]]
+  * with `rowId = (_file, _pos)` — the engine's WriteDelta plan hands
+  * each matched row's physical identity to the delta writer. DELETE
+  * buffers POSITIONAL DELETION VECTORS (one per data file); UPDATE is
+  * vector + APPEND in the same commit ([[SinkDvWriter.update]]
+  * tombstones the old position and stages the new row like any
+  * write). Commit publishes vectors in the version's delete sidecar
+  * and new data entries in the manifest atomically; no existing data
+  * file is opened for writing. This is the Iceberg-v2/Delta-DV
+  * shape: changes cost O(matched rows), reads pay the merge.
+  * Scale notes (100 TB): copy-on-write rewrites whole groups for a
+  * 0.1% change rate; merge-on-read defers that cost to compaction
+  * and makes frequent small deletes/updates (GDPR erasure, spam
+  * takedowns, label fixes) affordable. The dual with q274's CoW arm
+  * is the fundamental table-format design trade; both exist here.
   */
-class SinkDeltaDeleteOperation(path: String)
+class SinkDeltaOperation(path: String,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
     extends org.apache.spark.sql.connector.write.RowLevelOperation
     with org.apache.spark.sql.connector.write.SupportsDelta {
   import org.apache.spark.sql.connector.write.{DeltaWrite, DeltaWriteBuilder, DeltaBatchWrite, RowLevelOperation}
   import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 
-  override def command(): RowLevelOperation.Command =
-    RowLevelOperation.Command.DELETE
-  override def description(): String = "SinkRowLevel(DELETE, merge-on-read)"
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"SinkRowLevel($cmd, merge-on-read)"
 
   override def rowId(): Array[NamedReference] =
     Array(Expressions.column("_file"), Expressions.column("_pos"))
@@ -638,7 +658,8 @@ class SinkDeltaScan(path: String) extends Scan with Batch {
     }
 }
 
-case class SinkDvCommitMessage(entries: Seq[(String, String)])
+case class SinkDvCommitMessage(entries: Seq[(String, String)],
+    dataEntries: Seq[(Long, String, Long)] = Seq.empty)
     extends WriterCommitMessage
 
 class SinkDvBatchWrite(path: String, queryId: String)
@@ -650,23 +671,34 @@ class SinkDvBatchWrite(path: String, queryId: String)
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
     new SinkDvWriterFactory(path, queryId)
 
-  /** Publish: move staged vectors into deletes/, then write the next
-    * version with sidecar = previous active vectors + the new ones.
-    * Data entries are carried verbatim — a MoR delete never touches a
-    * data file. */
+  /** Publish: move staged vectors into deletes/ and staged data files
+    * (UPDATE's new rows) into data/, then write the next version with
+    * sidecar = previous active vectors + the new ones and manifest =
+    * previous entries + the appended ones, atomically. EXISTING data
+    * files are never touched. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val committed = messages.flatMap {
-      case SinkDvCommitMessage(entries) => entries
+    val dvs = messages.flatMap {
+      case SinkDvCommitMessage(entries, _) => entries
+    }.toSeq
+    val appended = messages.flatMap {
+      case SinkDvCommitMessage(_, data) => data
     }.toSeq
     val f = SinkSource.fs(path)
     val dvDir = new Path(path, "deletes")
     f.mkdirs(dvDir)
-    committed.foreach { case (_, dv) =>
+    dvs.foreach { case (_, dv) =>
       if (!f.rename(new Path(stagingDir, dv), new Path(dvDir, dv)))
         throw new IllegalStateException(s"staged vector publish failed: $dv")
     }
-    val active = SinkSource.deleteSidecar(path) ++ committed
-    SinkSource.writeManifest(path, SinkSource.manifest(path), Some(active))
+    val dataDir = new Path(path, "data")
+    f.mkdirs(dataDir)
+    appended.foreach { case (_, fl, _) =>
+      if (!f.rename(new Path(stagingDir, fl), new Path(dataDir, fl)))
+        throw new IllegalStateException(s"staged data publish failed: $fl")
+    }
+    val active = SinkSource.deleteSidecar(path) ++ dvs
+    SinkSource.writeManifest(path, SinkSource.manifest(path) ++ appended,
+      Some(active))
     f.delete(stagingDir, true)
   }
 
@@ -687,6 +719,10 @@ class SinkDvWriter(path: String, queryId: String, partitionId: Int,
 
   private val vectors =
     scala.collection.mutable.Map.empty[String, StringBuilder]
+  // UPDATE's new rows stage through the ordinary keyed writer —
+  // appended files are indistinguishable from any other write's
+  private val inserts = new SinkWriter(path, queryId, partitionId, taskId,
+    nameTag = "u_")
 
   override def delete(meta: InternalRow, id: InternalRow): Unit = {
     // rowId projection order: (_file, _pos)
@@ -694,11 +730,14 @@ class SinkDvWriter(path: String, queryId: String, partitionId: Int,
     vectors.getOrElseUpdate(file, new StringBuilder)
       .append(id.getLong(1)).append('\n')
   }
-  override def insert(row: InternalRow): Unit =
-    throw new UnsupportedOperationException("DELETE-only delta writer")
+  override def insert(row: InternalRow): Unit = inserts.write(row)
+  override def reinsert(meta: InternalRow, row: InternalRow): Unit =
+    inserts.write(row)
   override def update(meta: InternalRow, id: InternalRow,
-      row: InternalRow): Unit =
-    throw new UnsupportedOperationException("DELETE-only delta writer")
+      row: InternalRow): Unit = {
+    delete(meta, id)
+    inserts.write(row)
+  }
 
   override def commit(): WriterCommitMessage = {
     val f = SinkSource.fs(path)
@@ -710,10 +749,13 @@ class SinkDvWriter(path: String, queryId: String, partitionId: Int,
       try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
       (dataFile, name)
     }
-    SinkDvCommitMessage(entries)
+    val dataEntries = inserts.commit() match {
+      case SinkCommitMessage(es) => es
+    }
+    SinkDvCommitMessage(entries, dataEntries)
   }
-  override def abort(): Unit = ()
-  override def close(): Unit = ()
+  override def abort(): Unit = inserts.abort()
+  override def close(): Unit = inserts.close()
 }
 
 // ---- row-level operations (copy-on-write) ------------------------------

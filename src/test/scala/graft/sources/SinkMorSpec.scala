@@ -78,15 +78,38 @@ class SinkMorSpec extends SparkSpec {
       s"MoR reads must go through the vector-merging scan:\n$plan")
   }
 
-  test("UPDATE and MERGE are refused on MoR tables") {
+  test("UPDATE is vector + append; existing data files untouched") {
     val root = java.nio.file.Files
       .createTempDirectory("graft_mor2").toString
     import spark.implicits._
-    SinkSource.write(Seq((1L, 10L)).toDF("k", "v").coalesce(1),
-      s"$root/t", overwrite = true)
+    SinkSource.write((0L until 40L).map(i => (i % 2, i)).toDF("k", "v")
+      .repartition(2, col("k")), s"$root/t", overwrite = true)
     val s = morSession(root)
+    val before = dataFiles(root)
+
+    s.sql("UPDATE graft_mor.t SET v = v + 1000 WHERE v % 10 = 3")
+    val after = dataFiles(root)
+    assert(before.forall { case (n, len) => after.get(n).contains(len) },
+      s"an MoR update must not touch existing data files:\n$before\nvs\n$after")
+    assert(after.size > before.size,
+      "the updated rows must land in NEW appended files")
+    val expect = (0L until 40L).map(i => (i % 2, i)).map {
+      case (k, v) if v % 10 == 3 => (k, v + 1000)
+      case kv => kv
+    }.sorted
+    assert(rows(s, root) == expect, "UPDATE produced the wrong table")
+
+    // a later delete addresses both original and appended positions
+    s.sql("DELETE FROM graft_mor.t WHERE v >= 1000")
+    assert(rows(s, root) == expect.filter(_._2 < 1000L),
+      "post-update delete must hit appended rows too")
+
+    // MERGE stays refused: appended rows are fine, but the general
+    // merge needs insert-cardinality machinery the CoW arm provides
     val e = intercept[Exception] {
-      s.sql("UPDATE graft_mor.t SET v = 0 WHERE k = 1")
+      s.sql(
+        """MERGE INTO graft_mor.t USING (SELECT 1 AS k, 2 AS v) c
+          |ON t.k = c.k WHEN MATCHED THEN DELETE""".stripMargin)
     }
     assert(e.getMessage != null)
   }
