@@ -30,7 +30,7 @@ object Bench {
     40,65,54,109,109,117,102,56,29,42,47,64,38,88,65,71,31,61,51,34,45,60,79,
     73,58,220,72,80,86,115,41,64,36,46,174,59,82,283,197,106,82,50,210,24,28,
     67,15,21,111,43,31,298,21,20,233,45,60,35,85,95,190,160,280,65,50,
-    300,45,90,70,75,320,40,180,200,190,170,200,230,280)
+    300,45,90,70,75,320,40,180,200,190,170,200,230,280,260)
 
   def costOf(name: String): Int = {
     val n = name.takeWhile(_ != '_').drop(1).toInt

@@ -167,6 +167,72 @@ object EventsStreaming {
     s
   }
 
+  /** A timed row for the timer processor: `ts` is the watermark column
+    * (event time), `sec` its integer second for exact arithmetic. */
+  case class TimedRow(k: Long, sec: Long, ts: java.sql.Timestamp)
+  case class SessionClose(k: Long, n_events: Long, last_sec: Long)
+
+  /** EVENT-TIME TIMERS on the transformWithState API: the processor
+    * never emits from [[handleInputRows]] — it folds rows into state
+    * and (re)arms ONE timer at `last event time + gap`; only when the
+    * WATERMARK passes that horizon does the engine invoke
+    * [[handleExpiredTimer]], which emits the closed session and clears
+    * state. This is the push-based half of arbitrary state the
+    * ValueState processors (q122) never exercise: the ENGINE calls
+    * back on time progress, not on data arrival — inactivity
+    * timeouts, SLA alarms, and session closes are all this shape.
+    * Re-arming deletes the previous timer first (listTimers +
+    * deleteTimer): a key must hold exactly one live horizon or stale
+    * timers fire early.
+    */
+  class InactivityCloseProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, TimedRow, SessionClose] {
+    @transient private var count: ValueState[Long] = _
+    @transient private var lastSec: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      count = getHandle.getValueState[Long]("count",
+        Encoders.scalaLong, TTLConfig.NONE)
+      lastSec = getHandle.getValueState[Long]("lastSec",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[TimedRow],
+        timerValues: TimerValues): Iterator[SessionClose] = {
+      var n = if (count.exists()) count.get() else 0L
+      var last = if (lastSec.exists()) lastSec.get() else Long.MinValue
+      rows.foreach { r => n += 1; if (r.sec > last) last = r.sec }
+      count.update(n)
+      lastSec.update(last)
+      getHandle.listTimers().foreach(t =>
+        getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(last * 1000L + gapMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[SessionClose] = {
+      val out = SessionClose(key, count.get(), lastSec.get())
+      count.clear()
+      lastSec.clear()
+      Iterator.single(out)
+    }
+  }
+
+  /** Inactivity-timeout session closes via event-time timers (see
+    * [[InactivityCloseProcessor]]). The input must carry a
+    * watermarked `ts` column — TimeMode.EventTime drives the timers
+    * from that watermark. */
+  def inactivityCloses(spark: SparkSession, timed: DataFrame,
+      gapMs: Long): Dataset[SessionClose] = {
+    import spark.implicits._
+    timed.as[TimedRow]
+      .groupByKey(_.k)
+      .transformWithState(new InactivityCloseProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Stateful streaming partitioning follows shuffle partitions AT
     * QUERY START and every partition owns state-store instances (a
     * stream-stream join keeps four per partition per side), so the

@@ -1773,7 +1773,72 @@ object StreamingQueries {
       |  CAST(SUM(event_id) AS BIGINT) AS sum_v
       |FROM events GROUP BY 1 ORDER BY k""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q281 — EVENT-TIME TIMERS on transformWithState
+  // ([[EventsStreaming.InactivityCloseProcessor]]): the processor
+  // emits NOTHING on data arrival — it folds rows into ValueState and
+  // re-arms one timer at `last event time + gap`; the ENGINE invokes
+  // handleExpiredTimer when the WATERMARK passes that horizon, and
+  // only that callback emits (the push-based half of arbitrary state
+  // that q122's ValueState processor never exercises: time progress,
+  // not data arrival, drives output). Batch boundaries are made
+  // DETERMINISTIC by pacing the changelog source one version per
+  // trigger (q272's admission control): version 1 delivers every
+  // user's events and arms their timers; version 2 is a single
+  // far-future flush row whose watermark advance fires them all —
+  // the emitted inactivity closes ARE the per-user event counts and
+  // last-seen times, which the oracle recomputes from the source.
+  // TimerSpec pins the no-emit-before-expiry contract, the re-arm
+  // (stale timers deleted), and state cleanup after close.
+  // Scale notes (100 TB/day): inactivity timeouts, SLA alarms, and
+  // session closes need the engine to call YOU on time progress —
+  // polling state with sentinel rows per key does not scale past a
+  // few thousand keys, timers shard with the state store.
+  def q281StreamTimers(spark: SparkSession, dir: String): DataFrame = {
+    val ss = EventsStreaming.stateV2Session(spark)
+    val root = graft.sources.ShardPaths.resolve(ss, "q281", dir)
+    val ckpt = graft.sources.ShardPaths.resolveCheckpoint(ss, "q281", dir)
+    graft.sources.SinkSource.fs(root)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    graft.sources.SinkSource.fs(ckpt)
+      .delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    val keyed = graft.sources.Tables.events(ss, dir)
+      .select((col("event_id") % 31).as("k"), col("event_id").as("v"))
+      .repartition(8, col("k"))
+    graft.sources.SinkSource.write(keyed, s"$root/t", overwrite = true)
+    import ss.implicits._
+    graft.sources.SinkSource.write(
+      Seq((-1L, 9000000000L)).toDF("k", "v").coalesce(1),
+      s"$root/t", overwrite = false) // the flush version
+    val timed = ss.readStream.format("graft.sources.SinkSource")
+      .option("path", s"$root/t")
+      .option("maxVersionsPerTrigger", "1").load()
+      // +1000s shift: the initial watermark is epoch 0 and a row AT
+      // the watermark counts as late — v=0 (a real event id) must not
+      // sit on that boundary. The shift is uniform, so gaps, timer
+      // order, and the flush all translate with it.
+      .select(col("k"), col("v").as("sec"),
+        timestamp_seconds(col("v") + 1000).as("ts"))
+      .withWatermark("ts", "10 seconds")
+    val q = EventsStreaming.inactivityCloses(ss, timed, gapMs = 60000L)
+      .toDF()
+      .writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("q281_mem").start()
+    q.processAllAvailable()
+    q.stop()
+    ss.table("q281_mem").filter(col("k") >= 0)
+      .select(col("k"), col("n_events"), col("last_sec"))
+      .orderBy(col("k"))
+  }
+
+  val q281Oracle: String =
+    """SELECT event_id % 31 AS k, COUNT(*) AS n_events,
+      |  CAST(MAX(event_id) AS BIGINT) AS last_sec
+      |FROM events GROUP BY 1 ORDER BY k""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q281_stream_timers" -> q281StreamTimers,
     "q278_stream_state_reader" -> q278StreamStateReader,
     "q272_stream_rate_limit" -> q272StreamRateLimit,
     "q267_stream_sink_cdc" -> q267StreamSinkCdc,
@@ -1806,6 +1871,7 @@ object StreamingQueries {
     "q103_stream_dedup_static" -> q103StreamDedupStatic)
 
   def oracleSql: Map[String, String] = Map(
+    "q281_stream_timers" -> q281Oracle,
     "q278_stream_state_reader" -> q278Oracle,
     "q272_stream_rate_limit" -> q272Oracle,
     "q267_stream_sink_cdc" -> q267Oracle,
