@@ -18,19 +18,19 @@ object Bench {
     * is loud, not silent.
     */
   val priorCostCs: Array[Int] = Array(
-    101,16,21,99,33,32,47,28,16,16,23,11,26,18,70,15,42,90,29,51,28,54,26,66,
-    70,253,50,53,42,58,54,35,40,37,42,24,16,18,152,47,173,223,106,36,108,150,
-    99,111,67,21,102,47,47,78,62,71,44,32,63,69,18,64,87,80,40,78,46,86,50,46,
-    35,131,317,39,42,15,94,79,86,98,86,75,138,155,57,88,51,70,158,36,191,41,
-    28,76,109,199,31,40,37,246,60,32,109,72,47,35,128,75,65,72,65,43,153,34,
-    107,45,47,82,46,159,140,125,75,48,39,43,51,82,105,46,43,50,17,19,19,18,
-    195,62,71,49,58,57,94,103,86,348,242,57,60,53,137,58,251,145,154,20,111,
-    119,87,66,40,41,242,104,61,53,379,41,70,29,76,88,41,41,95,27,66,133,90,63,
-    60,199,129,290,164,43,84,79,204,89,48,248,253,180,339,74,42,96,20,173,131,
-    40,65,54,109,109,117,102,56,29,42,47,64,38,88,65,71,31,61,51,34,45,60,79,
-    73,58,220,72,80,86,115,41,64,36,46,174,59,82,283,197,106,82,50,210,24,28,
-    67,15,21,111,43,31,298,21,20,233,45,60,35,85,95,190,160,280,65,50,
-    300,45,90,70,75,320,40,180,200,190,170,200,230,280,260)
+    105,18,21,133,31,26,38,23,13,10,21,14,31,16,58,11,34,104,41,42,35,57,32,
+    61,67,184,43,52,40,54,47,34,37,33,39,23,15,19,127,44,171,207,115,27,334,
+    115,96,100,62,22,120,38,38,94,73,63,33,28,51,93,15,54,68,60,35,90,56,89,
+    47,39,24,145,342,36,46,13,52,67,98,103,101,67,123,156,80,96,47,101,164,33,
+    148,49,31,76,112,201,47,37,36,208,48,39,113,94,39,31,167,66,93,62,73,37,
+    148,31,145,60,52,82,32,139,127,116,70,37,41,28,49,93,125,43,44,34,14,19,
+    22,20,207,59,64,47,61,59,80,108,100,320,189,56,51,54,146,47,238,146,147,
+    24,112,129,76,57,38,34,208,121,70,33,376,48,69,25,76,119,56,64,95,32,85,
+    108,86,95,64,155,147,301,209,33,71,76,188,113,59,269,222,160,357,73,46,88,
+    21,166,81,37,75,68,110,125,125,114,64,39,32,44,92,36,72,59,52,30,60,38,29,
+    52,64,73,55,52,134,64,83,76,129,39,59,33,33,175,60,63,222,201,206,82,41,
+    199,22,39,78,13,15,113,38,28,302,23,22,248,44,34,19,64,84,158,85,133,30,
+    26,154,36,133,71,80,329,47,154,284,252,151,153,228,254,233)
 
   def costOf(name: String): Int = {
     val n = name.takeWhile(_ != '_').drop(1).toInt
