@@ -30,7 +30,7 @@ object Bench {
     21,166,81,37,75,68,110,125,125,114,64,39,32,44,92,36,72,59,52,30,60,38,29,
     52,64,73,55,52,134,64,83,76,129,39,59,33,33,175,60,63,222,201,206,82,41,
     199,22,39,78,13,15,113,38,28,302,23,22,248,44,34,19,64,84,158,85,133,30,
-    26,154,36,133,71,80,329,47,154,284,252,151,153,228,254,233)
+    26,154,36,133,71,80,329,47,154,284,252,151,153,228,254,233,160,150)
 
   def costOf(name: String): Int = {
     val n = name.takeWhile(_ != '_').drop(1).toInt

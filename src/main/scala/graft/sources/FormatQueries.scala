@@ -1224,7 +1224,61 @@ object FormatQueries {
       |  CAST(SUM(v) AS BIGINT) AS sum_v
       |FROM alive GROUP BY 1 ORDER BY k""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q283 — WRITE-AUDIT-PUBLISH via snapshot TAGS (`CALL
+  // graft_sink.tag('t', v, 'published')` + `VERSION AS OF
+  // 'published'`): appends create CANDIDATE versions, an audit reads
+  // the candidate by NUMBER, and only moving the named tag makes it
+  // visible to consumers subscribed by NAME — promotion is a
+  // metadata pointer swap, independent of table size, and an
+  // unaudited later append (v3 here) stays invisible until someone
+  // moves the tag. The query stages v1 (tag it), appends an audited
+  // v2 (audit passes → move the tag), appends an UNAUDITED v3, and
+  // answers from `VERSION AS OF 'published'` — the oracle reproduces
+  // exactly v2's cumulative state, so a hash match proves the tag
+  // gates v3 out. TagSpec pins tag moves, unknown-tag loud failure,
+  // and out-of-history rejection.
+  // Scale notes (100 TB): corpus releases are WAP — ingest runs
+  // continuously, consumers gate on 'published', QA promotes with a
+  // pointer. The audit step reading BY NUMBER is what makes the gate
+  // real: the candidate is immutable while under review.
+  def q283WriteAuditPublish(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(s.conf.set(k, v)) }
+    val root = ShardPaths.resolve(s, "q283", dir)
+    SinkSource.fs(root).delete(new org.apache.hadoop.fs.Path(root), true)
+    def keyed(i: Int) =
+      Tables.events(s, dir).filter(col("event_id") % 3 === i)
+        .select((col("event_id") % 19).as("k"), col("event_id").as("v"))
+        .repartition(8, col("k"))
+    SinkSource.write(keyed(0), s"$root/t", overwrite = true)  // v1
+    s.conf.set("spark.sql.catalog.graft_sink", classOf[SinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_sink.root", root)
+    s.sql("CALL graft_sink.tag('t', 1, 'published')").collect()
+    SinkSource.write(keyed(1), s"$root/t", overwrite = false) // v2 candidate
+    // the audit reads the CANDIDATE by number; here it checks row
+    // sanity (no negative keys) before promoting
+    val bad = s.sql(
+      "SELECT COUNT(*) FROM graft_sink.t VERSION AS OF 2 WHERE k < 0")
+      .collect()(0).getLong(0)
+    if (bad == 0)
+      s.sql("CALL graft_sink.tag('t', 2, 'published')").collect()
+    SinkSource.write(keyed(2), s"$root/t", overwrite = false) // v3 UNAUDITED
+    s.sql(
+      """SELECT k, COUNT(*) AS n_rows, CAST(SUM(v) AS BIGINT) AS sum_v
+        |FROM graft_sink.t VERSION AS OF 'published'
+        |GROUP BY k ORDER BY k""".stripMargin)
+  }
+
+  val q283Oracle: String =
+    """SELECT event_id % 19 AS k, COUNT(*) AS n_rows,
+      |  CAST(SUM(event_id) AS BIGINT) AS sum_v
+      |FROM events WHERE event_id % 3 <> 2
+      |GROUP BY 1 ORDER BY k""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q283_write_audit_publish" -> q283WriteAuditPublish,
     "q280_mor_vacuum" -> q280MorVacuum,
     "q279_mor_update" -> q279MorUpdate,
     "q277_mor_delete" -> q277MorDelete,
@@ -1254,6 +1308,7 @@ object FormatQueries {
     "q64_schema_evolution" -> q64SchemaEvolution)
 
   def oracleSql: Map[String, String] = Map(
+    "q283_write_audit_publish" -> q283Oracle,
     "q280_mor_vacuum" -> q280Oracle,
     "q279_mor_update" -> q279Oracle,
     "q277_mor_delete" -> q277Oracle,

@@ -60,7 +60,9 @@ class SinkSource extends TableProvider {
       stats = "true".equalsIgnoreCase(properties.get("stats")),
       maxVersionsPerTrigger =
         Option(properties.get("maxVersionsPerTrigger")).map(_.trim.toInt),
-      mor = "true".equalsIgnoreCase(properties.get("mor")))
+      mor = "true".equalsIgnoreCase(properties.get("mor")),
+      startingVersion =
+        Option(properties.get("startingVersion")).map(_.trim.toInt))
 }
 
 object SinkSource {
@@ -161,6 +163,39 @@ object SinkSource {
     }
   }
 
+  /** Named snapshot tags (`name -> version`); empty if never tagged. */
+  private[sources] def tags(path: String): Map[String, Int] = {
+    val f = fs(path)
+    val tf = new Path(path, "tags.psv")
+    if (!f.exists(tf)) Map.empty
+    else {
+      val in = f.open(tf)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      body.linesIterator.filter(_.nonEmpty).map { line =>
+        val c = line.split('|')
+        c(0) -> c(1).toInt
+      }.toMap
+    }
+  }
+
+  /** Set/move a tag: rewrite the tags file via tmp + swap. Tags are
+    * tiny metadata; the swap window is the same
+    * delete-then-rename discipline deleteWhere documents. */
+  private[sources] def writeTag(path: String, name: String, v: Int): Unit = {
+    val f = fs(path)
+    val all = tags(path) + (name -> v)
+    val body = all.toSeq.sorted.map { case (n, ver) => s"$n|$ver" }
+      .mkString("\n") + "\n"
+    val tmp = new Path(path, s"_tmp_tags_${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    val dest = new Path(path, "tags.psv")
+    if (f.exists(dest)) f.delete(dest, false)
+    if (!f.rename(tmp, dest))
+      throw new IllegalStateException(s"tag publish failed under $path")
+  }
+
   /** Active (dataFile, deleteFile) pairs of the requested version's
     * sidecar; empty if that version has no tombstones. */
   private[sources] def deleteSidecar(path: String,
@@ -209,13 +244,17 @@ class SinkCatalog extends CatalogPlugin with TableCatalog
   override def listProcedures(namespace: Array[String])
       : Array[Identifier] =
     if (namespace.nonEmpty) Array.empty
-    else Array(Identifier.of(Array.empty, "compact"))
+    else Array(Identifier.of(Array.empty, "compact"),
+      Identifier.of(Array.empty, "tag"))
 
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
-    if (ident.namespace.nonEmpty || ident.name != "compact")
+    if (ident.namespace.isEmpty && ident.name == "compact")
+      new SinkCompactProcedure(root, mor)
+    else if (ident.namespace.isEmpty && ident.name == "tag")
+      new SinkTagProcedure(root)
+    else
       throw new java.util.NoSuchElementException(s"unknown procedure: $ident")
-    new SinkCompactProcedure(root, mor)
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
@@ -241,9 +280,20 @@ class SinkCatalog extends CatalogPlugin with TableCatalog
     * truncate/delete reclaim eagerly (retention 0 for overwritten
     * data) — the production knob this elides is a retention window.
     */
+  /** Numeric versions pin a snapshot directly; anything else resolves
+    * through the table's TAGS (`CALL tag(...)` below) — named,
+    * repointable snapshot references, which is what lets consumers
+    * subscribe to "the audited state" instead of a number
+    * (`VERSION AS OF 'published'`). */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    new SinkTable(new Path(root, ident.name).toString, Some(version.toInt))
+    val path = new Path(root, ident.name).toString
+    val v = version.toIntOption.getOrElse {
+      SinkSource.tags(path).getOrElse(version,
+        throw new java.util.NoSuchElementException(
+          s"no tag '$version' on $path"))
+    }
+    new SinkTable(path, Some(v), mor = mor)
   }
 
   override def tableExists(ident: Identifier): Boolean =
@@ -263,7 +313,8 @@ class SinkCatalog extends CatalogPlugin with TableCatalog
 
 class SinkTable(path: String, pinnedVersion: Option[Int] = None,
     clustered: Boolean = false, stats: Boolean = false,
-    maxVersionsPerTrigger: Option[Int] = None, mor: Boolean = false)
+    maxVersionsPerTrigger: Option[Int] = None, mor: Boolean = false,
+    startingVersion: Option[Int] = None)
     extends Table
     with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsRowLevelOperations with SupportsMetadataColumns {
@@ -326,7 +377,8 @@ class SinkTable(path: String, pinnedVersion: Option[Int] = None,
       TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SinkScanBuilder(path, pinnedVersion, stats, maxVersionsPerTrigger, mor)
+    new SinkScanBuilder(path, pinnedVersion, stats, maxVersionsPerTrigger, mor,
+      startingVersion)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new SinkWriteBuilder(path, info.queryId(), clustered)
@@ -475,6 +527,59 @@ class SinkCompactProcedure(root: String, mor: Boolean = false)
             StructField("keys_compacted", LongType, nullable = false),
             StructField("files_before", LongType, nullable = false),
             StructField("files_after", LongType, nullable = false)))
+        }
+        util.Arrays.asList(result).iterator()
+      }
+    }
+}
+
+/** `CALL <cat>.tag('<table>', <version>, '<name>')` — set or MOVE a
+  * named snapshot reference. With q263's versioned snapshots this is
+  * the write-audit-publish primitive: appends create candidate
+  * versions, an audit reads the candidate BY NUMBER, and only the tag
+  * move makes it visible to consumers subscribed by NAME — publishing
+  * is a metadata pointer swap, unpublishing is moving it back.
+  * Scale notes (100 TB): WAP is how corpus releases ship — ingest
+  * continuously, gate consumers on 'published', and promotion costs
+  * one tiny file swap regardless of table size. Tagging a version 0
+  * or a GC'd snapshot fails loudly at READ time (q263's pinned-read
+  * contract), never silently serves the wrong data.
+  */
+class SinkTagProcedure(root: String)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+
+  override def name(): String = "tag"
+  override def description(): String = "set or move a named snapshot tag"
+
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "tag"
+      override def description(): String = SinkTagProcedure.this.description()
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("version", LongType).build(),
+        ProcedureParameter.in("tag_name", StringType).build())
+      override def isDeterministic: Boolean = false
+
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val v = input.getLong(1).toInt
+        val tagName = input.getUTF8String(2).toString
+        val path = new Path(root, table).toString
+        val cur = SinkSource.currentVersion(path)
+        if (v < 1 || v > cur)
+          throw new IllegalArgumentException(
+            s"cannot tag version $v of $path (history is 1..$cur)")
+        SinkSource.writeTag(path, tagName, v)
+        val row: InternalRow = new GenericInternalRow(Array[Any](
+          org.apache.spark.unsafe.types.UTF8String.fromString(tagName),
+          v.toLong))
+        val result: Scan = new LocalScan {
+          override def rows(): Array[InternalRow] = Array(row)
+          override def readSchema(): StructType = StructType(Seq(
+            StructField("tag_name", StringType, nullable = false),
+            StructField("version", LongType, nullable = false)))
         }
         util.Arrays.asList(result).iterator()
       }
@@ -905,7 +1010,7 @@ class SinkReplaceDataWrite(path: String, queryId: String,
   */
 class SinkScanBuilder(path: String, pinnedVersion: Option[Int],
     stats: Boolean = false, maxVersionsPerTrigger: Option[Int] = None,
-    mor: Boolean = false)
+    mor: Boolean = false, startingVersion: Option[Int] = None)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
     with org.apache.spark.sql.connector.read.SupportsPushDownTopN
@@ -979,7 +1084,7 @@ class SinkScanBuilder(path: String, pinnedVersion: Option[Int],
     else if (mor) new SinkMorScan(path, pinnedVersion)
     else if (stats) new SinkStatsScan(path, pinnedVersion, topN, plainLimit)
     else new SinkScan(path, pinnedVersion, topN, plainLimit,
-      maxVersionsPerTrigger)
+      maxVersionsPerTrigger, startingVersion)
 }
 
 /** CONNECTOR-reported statistics (`stats=true`): the commit protocol
@@ -1066,13 +1171,14 @@ case class SinkInputPartition(file: String) extends InputPartition
 class SinkScan(path: String, pinnedVersion: Option[Int] = None,
     topN: Option[(Seq[(Int, Boolean)], Int)] = None,
     plainLimit: Option[Int] = None,
-    maxVersionsPerTrigger: Option[Int] = None)
+    maxVersionsPerTrigger: Option[Int] = None,
+    startingVersion: Option[Int] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = SinkSource.schema
   override def toBatch: Batch = this
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new SinkMicroBatchStream(path, maxVersionsPerTrigger)
+    new SinkMicroBatchStream(path, maxVersionsPerTrigger, startingVersion)
 
   // the manifest IS the table: files on disk but not listed (staged
   // attempts, aborted writes, post-delete stragglers) do not exist to
@@ -1179,7 +1285,8 @@ case class SinkMaxVersions(n: Int)
     extends org.apache.spark.sql.connector.read.streaming.ReadLimit
 
 class SinkMicroBatchStream(path: String,
-    maxVersionsPerTrigger: Option[Int] = None)
+    maxVersionsPerTrigger: Option[Int] = None,
+    startingVersion: Option[Int] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
@@ -1190,7 +1297,14 @@ class SinkMicroBatchStream(path: String,
   }
   private def versionOf(o: Offset): Int = o.json().trim.toInt
 
-  override def initialOffset(): Offset = offset(0)
+  /** `startingVersion = n` begins the changelog AT version n (delivers
+    * n and later): history before n is someone else's problem — the
+    * bootstrapping contract Delta's startingVersion / Kafka's
+    * startingOffsets give a NEW consumer that should not replay a
+    * table's whole past. Only consulted when no checkpoint exists; a
+    * restart resumes from the checkpointed offset as always. */
+  override def initialOffset(): Offset =
+    offset(startingVersion.fold(0)(v => math.max(0, v - 1)))
   override def latestOffset(): Offset =
     offset(SinkSource.currentVersion(path))
   override def deserializeOffset(json: String): Offset =

@@ -1837,7 +1837,58 @@ object StreamingQueries {
       |  CAST(MAX(event_id) AS BIGINT) AS last_sec
       |FROM events GROUP BY 1 ORDER BY k""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q282 — changelog BOOTSTRAP (`startingVersion`): a NEW consumer of
+  // a long-lived table must not replay its whole past — the option
+  // starts the changelog AT a chosen version (Delta's startingVersion
+  // / Kafka's startingOffsets contract), and the checkpoint still owns
+  // resumption afterwards (the option is consulted only when no
+  // checkpoint exists — StartingVersionSpec pins that a restart
+  // ignores it, plus the boundary semantics: version n is INCLUDED,
+  // history before it never read). The query builds a three-commit
+  // history, subscribes from version 2, and aggregates; the oracle
+  // reproduces versions 2–3's slices.
+  // Scale notes (100 TB): a year-old corpus table has thousands of
+  // commits; an index builder deployed today cares about the table
+  // FROM NOW (or from the last compaction) — bootstrap-at-version
+  // turns onboarding from a full-history replay into a pointer.
+  def q282StreamStartingVersion(spark: SparkSession, dir: String): DataFrame = {
+    val ss = EventsStreaming.streamSession(spark)
+    val root = graft.sources.ShardPaths.resolve(ss, "q282", dir)
+    val ckpt = graft.sources.ShardPaths.resolveCheckpoint(ss, "q282", dir)
+    graft.sources.SinkSource.fs(root)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    graft.sources.SinkSource.fs(ckpt)
+      .delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    def keyed(i: Int) =
+      graft.sources.Tables.events(ss, dir)
+        .filter(col("event_id") % 3 === i)
+        .select((col("event_id") % 23).as("k"), col("event_id").as("v"))
+        .repartition(8, col("k"))
+    graft.sources.SinkSource.write(keyed(0), s"$root/t", overwrite = true)
+    graft.sources.SinkSource.write(keyed(1), s"$root/t", overwrite = false)
+    graft.sources.SinkSource.write(keyed(2), s"$root/t", overwrite = false)
+    val q = ss.readStream.format("graft.sources.SinkSource")
+      .option("path", s"$root/t")
+      .option("startingVersion", "2").load()
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
+      .writeStream.outputMode(OutputMode.Complete)
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("q282_mem").start()
+    q.processAllAvailable()
+    q.stop()
+    ss.table("q282_mem").orderBy(col("k"))
+  }
+
+  val q282Oracle: String =
+    """SELECT event_id % 23 AS k, COUNT(*) AS n_rows,
+      |  CAST(SUM(event_id) AS BIGINT) AS sum_v
+      |FROM events WHERE event_id % 3 <> 0
+      |GROUP BY 1 ORDER BY k""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q282_stream_starting_version" -> q282StreamStartingVersion,
     "q281_stream_timers" -> q281StreamTimers,
     "q278_stream_state_reader" -> q278StreamStateReader,
     "q272_stream_rate_limit" -> q272StreamRateLimit,
@@ -1871,6 +1922,7 @@ object StreamingQueries {
     "q103_stream_dedup_static" -> q103StreamDedupStatic)
 
   def oracleSql: Map[String, String] = Map(
+    "q282_stream_starting_version" -> q282Oracle,
     "q281_stream_timers" -> q281Oracle,
     "q278_stream_state_reader" -> q278Oracle,
     "q272_stream_rate_limit" -> q272Oracle,
