@@ -42,7 +42,13 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q232_tokenizer_apply", "q233_cross_rerank",
     // round 13 (cont.): bitmap-state cube build + OR-merge rollup
     // (q234 — partial bitmap merges across partitions must commute)
-    "q234_bitmap_cube")
+    "q234_bitmap_cube",
+    // round 14: queries whose hash-gated result encodes FILE LAYOUT
+    // (n_files per key) — the one-file-per-key bound must hold at any
+    // writing parallelism: sink-demanded clustering (q269), the
+    // compaction procedure (q276), and the vector-purging vacuum
+    // (q280)
+    "q269_clustered_write", "q276_compact_procedure", "q280_mor_vacuum")
 
   test("results are bit-identical across shuffle-partition settings") {
     def run(parts: Int): Map[String, Seq[String]] = {
