@@ -18,19 +18,19 @@ object Bench {
     * is loud, not silent.
     */
   val priorCostCs: Array[Int] = Array(
-    105,18,21,133,31,26,38,23,13,10,21,14,31,16,58,11,34,104,41,42,35,57,32,
-    61,67,184,43,52,40,54,47,34,37,33,39,23,15,19,127,44,171,207,115,27,334,
-    115,96,100,62,22,120,38,38,94,73,63,33,28,51,93,15,54,68,60,35,90,56,89,
-    47,39,24,145,342,36,46,13,52,67,98,103,101,67,123,156,80,96,47,101,164,33,
-    148,49,31,76,112,201,47,37,36,208,48,39,113,94,39,31,167,66,93,62,73,37,
-    148,31,145,60,52,82,32,139,127,116,70,37,41,28,49,93,125,43,44,34,14,19,
-    22,20,207,59,64,47,61,59,80,108,100,320,189,56,51,54,146,47,238,146,147,
-    24,112,129,76,57,38,34,208,121,70,33,376,48,69,25,76,119,56,64,95,32,85,
-    108,86,95,64,155,147,301,209,33,71,76,188,113,59,269,222,160,357,73,46,88,
-    21,166,81,37,75,68,110,125,125,114,64,39,32,44,92,36,72,59,52,30,60,38,29,
-    52,64,73,55,52,134,64,83,76,129,39,59,33,33,175,60,63,222,201,206,82,41,
-    199,22,39,78,13,15,113,38,28,302,23,22,248,44,34,19,64,84,158,85,133,30,
-    26,154,36,133,71,80,329,47,154,284,252,151,153,228,254,233,160,150)
+    95,14,20,143,34,22,55,37,16,12,11,10,22,20,61,16,39,92,66,52,25,65,26,60,
+    104,169,41,49,41,56,60,37,35,31,43,23,14,24,152,52,161,254,96,48,115,116,
+    72,86,72,21,102,34,39,84,64,64,48,43,81,70,15,92,80,64,35,60,57,73,49,41,
+    25,131,316,37,50,18,109,87,93,102,65,76,88,157,79,83,67,74,174,41,144,58,
+    30,89,110,201,46,48,39,220,55,30,91,67,44,39,123,63,82,58,78,39,146,32,
+    102,39,53,87,35,165,129,114,73,44,52,33,57,85,105,42,51,41,21,19,14,17,
+    206,45,73,55,69,58,84,99,73,306,189,53,56,90,135,51,258,120,146,22,122,
+    117,59,83,44,54,253,105,74,46,354,47,83,28,69,101,50,50,81,34,60,93,70,67,
+    73,162,130,258,164,28,73,77,199,119,53,245,204,174,325,80,53,87,17,172,
+    115,44,73,66,97,111,123,105,58,35,25,78,55,39,76,50,53,21,67,42,26,46,56,
+    85,61,62,157,65,85,75,85,45,63,40,49,132,64,180,218,174,82,90,57,234,19,
+    30,65,23,20,103,35,36,311,25,22,267,47,36,34,63,88,184,101,109,32,30,138,
+    29,129,60,83,331,66,150,273,290,152,160,212,300,223,194,121)
 
   def costOf(name: String): Int = {
     val n = name.takeWhile(_ != '_').drop(1).toInt
