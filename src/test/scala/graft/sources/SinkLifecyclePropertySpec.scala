@@ -1,0 +1,79 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Model-based randomized test of the merge-on-read DML lifecycle:
+  * a seeded random interleaving of APPEND / DELETE / UPDATE / VACUUM
+  * against an in-memory multiset model — after every operation the
+  * table's read-back must equal the model exactly. This is the
+  * property the per-mechanism specs can't give: the OPERATIONS
+  * COMPOSE (vectors over appended files, updates of updated rows,
+  * vacuum mid-history) in orders nobody hand-picked.
+  */
+class SinkLifecyclePropertySpec extends SparkSpec {
+
+  private def readBack(s: org.apache.spark.sql.SparkSession): Map[(Long, Long), Int] =
+    s.sql("SELECT k, v FROM graft_mor.t").collect()
+      .groupBy(r => (r.getLong(0), r.getLong(1)))
+      .view.mapValues(_.length).toMap
+
+  test("random DML interleavings match the multiset model") {
+    for (seed <- Seq(14, 271, 828)) {
+      val rnd = new scala.util.Random(seed)
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_life_$seed").toString
+      val s = spark.newSession()
+      spark.conf.getAll.foreach { case (k, v) =>
+        scala.util.Try(s.conf.set(k, v)) }
+      import s.implicits._
+      s.conf.set("spark.sql.catalog.graft_mor", classOf[SinkCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_mor.root", root)
+      s.conf.set("spark.sql.catalog.graft_mor.mor", "true")
+
+      // model: multiset of (k, v)
+      var model = Map.empty[(Long, Long), Int]
+      var nextV = 0L
+      def append(n: Int, overwrite: Boolean = false): Unit = {
+        val rows = (0 until n).map { _ =>
+          val r = (rnd.nextInt(4).toLong, nextV); nextV += 1; r
+        }
+        SinkSource.write(rows.toDF("k", "v").repartition(2, col("k")),
+          s"$root/t", overwrite = overwrite)
+        if (overwrite) model = Map.empty
+        rows.foreach(r => model = model.updated(r, model.getOrElse(r, 0) + 1))
+      }
+
+      append(30, overwrite = true)
+      val ops = 7
+      for (step <- 1 to ops) {
+        rnd.nextInt(4) match {
+          case 0 => append(5 + rnd.nextInt(10))
+          case 1 => // fine-grained delete
+            val (m, r) = (2 + rnd.nextInt(4), rnd.nextInt(2))
+            s.sql(s"DELETE FROM graft_mor.t WHERE v % $m = $r")
+            model = model.filter { case ((_, v), _) => v % m != r }
+          case 2 => // update: shift a slice into fresh value space
+            val (m, r) = (2 + rnd.nextInt(4), rnd.nextInt(2))
+            val delta = 1000000L * step
+            s.sql(s"UPDATE graft_mor.t SET v = v + $delta WHERE v % $m = $r")
+            model = model.toSeq.map {
+              case ((k, v), c) if v % m == r => ((k, v + delta), c)
+              case e => e
+            }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+          case 3 =>
+            s.sql("CALL graft_mor.compact('t')").collect()
+        }
+        val got = readBack(s)
+        assert(got == model,
+          s"seed=$seed step=$step diverged: " +
+            s"extra=${(got.toSet -- model.toSet).take(5)} " +
+            s"missing=${(model.toSet -- got.toSet).take(5)}")
+      }
+      // end state: vacuum everything and re-check once more
+      s.sql("CALL graft_mor.compact('t')").collect()
+      assert(readBack(s) == model, s"seed=$seed diverged after final vacuum")
+    }
+  }
+}
