@@ -30,7 +30,7 @@ object Bench {
     115,44,73,66,97,111,123,105,58,35,25,78,55,39,76,50,53,21,67,42,26,46,56,
     85,61,62,157,65,85,75,85,45,63,40,49,132,64,180,218,174,82,90,57,234,19,
     30,65,23,20,103,35,36,311,25,22,267,47,36,34,63,88,184,101,109,32,30,138,
-    29,129,60,83,331,66,150,273,290,152,160,212,300,223,194,121)
+    29,129,60,83,331,66,150,273,290,152,160,212,300,223,194,121,120)
 
   def costOf(name: String): Int = {
     val n = name.takeWhile(_ != '_').drop(1).toInt

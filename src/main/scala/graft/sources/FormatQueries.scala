@@ -1277,7 +1277,57 @@ object FormatQueries {
       |FROM events WHERE event_id % 3 <> 2
       |GROUP BY 1 ORDER BY k""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q284 — row-level LINEAGE through connector metadata columns: MoR
+  // tables expose each row's physical identity — the same (_file,
+  // _pos) pair the deletion vectors address — as queryable columns
+  // through the NORMAL read path, which requires the scan to honor
+  // the engine's projection (SupportsPushDownRequiredColumns on the
+  // MoR scan builder; a plain `SELECT k` now prunes to one column
+  // too). This is the V2-table complement of q258's parquet
+  // `_metadata`: there the FORMAT serves file provenance, here the
+  // TABLE's own row identity does — and because the table was
+  // written CLUSTERED (q269), the lineage is deterministic: one file
+  // per key, positions 0..n-1, and the file NAME encodes the key,
+  // which the query cross-checks row-by-row (name_matches = n_rows
+  // is in the hash-gated result). MorLineageSpec pins the pruned
+  // ReadSchema marker and identity-vs-vector agreement (the _pos a
+  // lineage query reports is the _pos a DELETE tombstones).
+  // Scale notes (100 TB): quarantine-and-recompact workflows need
+  // "which physical slot did this bad row come from" WITHOUT baking
+  // provenance into petabytes of data — row identity is computed at
+  // scan time from the split, prunes like any column, and is exactly
+  // what a targeted deletion vector then addresses.
+  def q284MorLineage(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(s.conf.set(k, v)) }
+    val root = ShardPaths.resolve(s, "q284", dir)
+    SinkSource.fs(root).delete(new org.apache.hadoop.fs.Path(root), true)
+    val keyed = Tables.events(s, dir)
+      .select((col("event_id") % 53).as("k"), col("event_id").as("v"))
+    SinkSource.write(keyed, s"$root/t", overwrite = true, clustered = true)
+    s.conf.set("spark.sql.catalog.graft_mor", classOf[SinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_mor.root", root)
+    s.conf.set("spark.sql.catalog.graft_mor.mor", "true")
+    s.sql(
+      """SELECT k,
+        |  COUNT(DISTINCT _file) AS n_files,
+        |  COUNT(*) AS n_rows,
+        |  CAST(MAX(_pos) AS BIGINT) AS max_pos,
+        |  SUM(CASE WHEN CAST(regexp_extract(_file, '_k(\\d+)\\.psv$', 1)
+        |             AS BIGINT) = k THEN 1 ELSE 0 END) AS name_matches
+        |FROM graft_mor.t GROUP BY k ORDER BY k""".stripMargin)
+  }
+
+  val q284Oracle: String =
+    """SELECT event_id % 53 AS k, CAST(1 AS BIGINT) AS n_files,
+      |  COUNT(*) AS n_rows, COUNT(*) - 1 AS max_pos,
+      |  COUNT(*) AS name_matches
+      |FROM events GROUP BY 1 ORDER BY k""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q284_mor_lineage" -> q284MorLineage,
     "q283_write_audit_publish" -> q283WriteAuditPublish,
     "q280_mor_vacuum" -> q280MorVacuum,
     "q279_mor_update" -> q279MorUpdate,
@@ -1308,6 +1358,7 @@ object FormatQueries {
     "q64_schema_evolution" -> q64SchemaEvolution)
 
   def oracleSql: Map[String, String] = Map(
+    "q284_mor_lineage" -> q284Oracle,
     "q283_write_audit_publish" -> q283Oracle,
     "q280_mor_vacuum" -> q280Oracle,
     "q279_mor_update" -> q279Oracle,

@@ -599,9 +599,10 @@ case class SinkMorInputPartition(file: String, dvFiles: Seq[String])
   * are refused on MoR tables because manifest counts and raw file
   * reads ignore tombstones.
   */
-class SinkMorScan(path: String, pinnedVersion: Option[Int])
+class SinkMorScan(path: String, pinnedVersion: Option[Int],
+    projected: StructType = SinkSource.schema)
     extends Scan with Batch {
-  override def readSchema(): StructType = SinkSource.schema
+  override def readSchema(): StructType = projected
   override def toBatch: Batch = this
 
   private lazy val files: Seq[String] =
@@ -614,7 +615,8 @@ class SinkMorScan(path: String, pinnedVersion: Option[Int])
 
   override def description(): String =
     s"SinkMorScan(files=${files.size}, " +
-      s"deleteVectors=${dvs.valuesIterator.map(_.size).sum})"
+      s"deleteVectors=${dvs.valuesIterator.map(_.size).sum}, " +
+      s"readSchema=[${projected.fieldNames.mkString(",")}])"
 
   override def planInputPartitions(): Array[InputPartition] =
     files.map { f =>
@@ -624,22 +626,25 @@ class SinkMorScan(path: String, pinnedVersion: Option[Int])
         : InputPartition
     }.toArray
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val proj = projected.fieldNames.toSeq
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
         val mp = p.asInstanceOf[SinkMorInputPartition]
-        new SinkMorReader(mp.file, mp.dvFiles)
+        new SinkMorReader(mp.file, mp.dvFiles, proj)
       }
     }
+  }
 }
 
-/** Streams a data file, skipping tombstoned positions. `emitPosition`
-  * is the delta scan's hook: the row-level DELETE needs each row's
-  * physical (file, pos) identity so new tombstones address the right
-  * slots. Positions are PHYSICAL line indexes — stable because MoR
-  * never rewrites a data file. */
+/** Streams a data file, skipping tombstoned positions, emitting the
+  * requested PROJECTION over the logical fields (k, v, _file, _pos) —
+  * the metadata pair is each row's physical identity (positions are
+  * PHYSICAL line indexes, stable because MoR never rewrites a data
+  * file): the delta scan reads all four to address tombstones, and a
+  * lineage query can select them like any column. */
 class SinkMorReader(file: String, dvFiles: Seq[String],
-    emitPosition: Boolean = false)
+    projection: Seq[String] = Seq("k", "v"))
     extends PartitionReader[InternalRow] {
 
   private val deleted: java.util.HashSet[Long] = {
@@ -652,7 +657,8 @@ class SinkMorReader(file: String, dvFiles: Seq[String],
     }
     s
   }
-  private val fileName = new Path(file).getName
+  private val fileName =
+    org.apache.spark.unsafe.types.UTF8String.fromString(new Path(file).getName)
   private val lines = {
     val in = SinkSource.fs(file).open(new Path(file))
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -668,12 +674,12 @@ class SinkMorReader(file: String, dvFiles: Seq[String],
       pos += 1
       if (!deleted.contains(pos)) {
         val c = line.split('|')
-        row =
-          if (emitPosition) new GenericInternalRow(Array[Any](
-            c(0).toLong, c(1).toLong,
-            org.apache.spark.unsafe.types.UTF8String.fromString(fileName),
-            pos))
-          else new GenericInternalRow(Array[Any](c(0).toLong, c(1).toLong))
+        row = new GenericInternalRow(projection.map {
+          case "k" => c(0).toLong: Any
+          case "v" => c(1).toLong: Any
+          case "_file" => fileName: Any
+          case "_pos" => pos: Any
+        }.toArray)
         return true
       }
     }
@@ -758,7 +764,8 @@ class SinkDeltaScan(path: String) extends Scan with Batch {
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
         val mp = p.asInstanceOf[SinkMorInputPartition]
-        new SinkMorReader(mp.file, mp.dvFiles, emitPosition = true)
+        new SinkMorReader(mp.file, mp.dvFiles,
+          Seq("k", "v", "_file", "_pos"))
       }
     }
 }
@@ -1014,7 +1021,8 @@ class SinkScanBuilder(path: String, pinnedVersion: Option[Int],
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
     with org.apache.spark.sql.connector.read.SupportsPushDownTopN
-    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
   import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
   import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder => V2SortOrder}
 
@@ -1059,6 +1067,18 @@ class SinkScanBuilder(path: String, pinnedVersion: Option[Int],
   }
   override def isPartiallyPushed(): Boolean = true
 
+  // ---- column pruning (MoR only) ---------------------------------------
+  /** MoR tables expose (_file, _pos) metadata columns through the
+    * NORMAL read path, which requires the scan to honor the engine's
+    * requested projection ([[SupportsPushDownRequiredColumns]]): when
+    * a query references a metadata column Spark appends it to the
+    * required schema, and a plain `SELECT k` prunes to one column the
+    * same way. Non-MoR tables keep the fixed 2-column contract and
+    * skip pruning entirely. */
+  private var requiredSchema: Option[StructType] = None
+  override def pruneColumns(required: StructType): Unit =
+    if (mor) requiredSchema = Some(required)
+
   private def canPush(agg: Aggregation): Boolean = {
     val aggs = agg.aggregateExpressions()
     val groups = agg.groupByExpressions()
@@ -1081,7 +1101,8 @@ class SinkScanBuilder(path: String, pinnedVersion: Option[Int],
 
   override def build(): Scan =
     if (pushedAgg) new SinkManifestAggScan(path, pinnedVersion, pushedGroupByK)
-    else if (mor) new SinkMorScan(path, pinnedVersion)
+    else if (mor) new SinkMorScan(path, pinnedVersion,
+      requiredSchema.getOrElse(SinkSource.schema))
     else if (stats) new SinkStatsScan(path, pinnedVersion, topN, plainLimit)
     else new SinkScan(path, pinnedVersion, topN, plainLimit,
       maxVersionsPerTrigger, startingVersion)
