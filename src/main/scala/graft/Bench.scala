@@ -18,19 +18,19 @@ object Bench {
     * is loud, not silent.
     */
   val priorCostCs: Array[Int] = Array(
-    95,14,20,143,34,22,55,37,16,12,11,10,22,20,61,16,39,92,66,52,25,65,26,60,
-    104,169,41,49,41,56,60,37,35,31,43,23,14,24,152,52,161,254,96,48,115,116,
-    72,86,72,21,102,34,39,84,64,64,48,43,81,70,15,92,80,64,35,60,57,73,49,41,
-    25,131,316,37,50,18,109,87,93,102,65,76,88,157,79,83,67,74,174,41,144,58,
-    30,89,110,201,46,48,39,220,55,30,91,67,44,39,123,63,82,58,78,39,146,32,
-    102,39,53,87,35,165,129,114,73,44,52,33,57,85,105,42,51,41,21,19,14,17,
-    206,45,73,55,69,58,84,99,73,306,189,53,56,90,135,51,258,120,146,22,122,
-    117,59,83,44,54,253,105,74,46,354,47,83,28,69,101,50,50,81,34,60,93,70,67,
-    73,162,130,258,164,28,73,77,199,119,53,245,204,174,325,80,53,87,17,172,
-    115,44,73,66,97,111,123,105,58,35,25,78,55,39,76,50,53,21,67,42,26,46,56,
-    85,61,62,157,65,85,75,85,45,63,40,49,132,64,180,218,174,82,90,57,234,19,
-    30,65,23,20,103,35,36,311,25,22,267,47,36,34,63,88,184,101,109,32,30,138,
-    29,129,60,83,331,66,150,273,290,152,160,212,300,223,194,121,120)
+    95,14,16,101,32,22,48,34,13,11,13,14,23,22,70,10,32,109,34,42,22,60,26,71,
+    95,149,38,49,40,36,47,30,33,28,37,30,16,17,149,45,147,253,105,55,113,118,
+    81,104,67,22,95,39,37,113,54,59,48,28,62,65,26,48,70,56,30,59,42,81,44,42,
+    21,112,335,29,42,18,59,65,84,104,81,69,126,145,53,85,50,80,137,40,151,44,
+    24,50,104,201,39,57,35,212,52,27,111,72,40,35,138,79,78,60,63,40,129,29,
+    88,52,32,77,31,145,99,105,77,30,36,32,50,88,103,33,44,35,16,26,14,14,184,
+    53,60,43,51,41,90,93,81,301,181,46,45,48,109,40,264,113,144,20,108,110,59,
+    69,32,34,207,98,71,33,376,37,68,23,54,85,50,61,73,23,72,101,70,63,63,141,
+    127,268,154,30,78,85,167,110,49,248,191,185,277,67,27,85,21,152,79,30,72,
+    74,97,109,106,102,51,27,37,78,53,35,57,64,40,30,58,49,30,38,48,69,47,44,
+    136,57,81,58,92,49,67,42,34,110,59,78,228,160,91,89,45,224,18,29,90,14,14,
+    117,36,33,346,20,29,272,47,34,19,54,81,168,84,107,28,32,145,28,131,44,89,
+    362,43,127,294,263,147,130,228,240,211,172,119,116)
 
   def costOf(name: String): Int = {
     val n = name.takeWhile(_ != '_').drop(1).toInt
