@@ -1326,7 +1326,81 @@ object FormatQueries {
       |  COUNT(*) AS name_matches
       |FROM events GROUP BY 1 ORDER BY k""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q285 — SNAPSHOT EXPIRY (`CALL graft_sink.expire('t', keep_last)`):
+  // the lifecycle verb that closes the versioned-manifest design. The
+  // publish path keeps every snapshot (q263's time travel, q267's
+  // changelog), so at production commit rates history — and any data
+  // files pinned ONLY by old snapshots — grows without bound; expiry
+  // prunes to the newest keep_last versions, always keeps TAG-PINNED
+  // versions (a tag is a promise to name-subscribed readers), and GCs
+  // exactly the files referenced only by expired snapshots (files any
+  // survivor cites are untouched; unreferenced crash orphans are out
+  // of scope — Iceberg's expire_snapshots / remove_orphan_files
+  // split). The query builds a 4-commit history, tags v2 'release',
+  // expires to keep_last=2 (v1 goes; v2 survives BY TAG past the
+  // horizon), and answers from the current and tag-pinned reads plus
+  // the procedure's summary and an in-query proof that the expired v1
+  // pin now fails loudly — all hash-gated. SinkExpireSpec pins
+  // survivor read-identity, shared-file GC safety, exclusive-file GC,
+  // and idempotence.
+  // Scale notes (100 TB): snapshot expiry is driver-side metadata
+  // work plus deletes proportional to what EXPIRED — never a data
+  // scan. It is the knob that turns keep-everything reproducibility
+  // into a bounded retention window with named releases kept forever.
+  def q285ExpireSnapshots(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(s.conf.set(k, v)) }
+    val root = ShardPaths.resolve(s, "q285", dir)
+    SinkSource.fs(root).delete(new org.apache.hadoop.fs.Path(root), true)
+    def keyed(i: Int) =
+      Tables.events(s, dir).filter(col("event_id") % 4 === i)
+        .select((col("event_id") % 23).as("k"), col("event_id").as("v"))
+        .repartition(4, col("k"))
+    SinkSource.write(keyed(0), s"$root/t", overwrite = true)  // v1
+    SinkSource.write(keyed(1), s"$root/t", overwrite = false) // v2
+    SinkSource.write(keyed(2), s"$root/t", overwrite = false) // v3
+    SinkSource.write(keyed(3), s"$root/t", overwrite = false) // v4
+    s.conf.set("spark.sql.catalog.graft_sink", classOf[SinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_sink.root", root)
+    s.sql("CALL graft_sink.tag('t', 2, 'release')").collect()
+    val sum = s.sql("CALL graft_sink.expire('t', 2)").collect()(0)
+    // the expired v1 pin must now fail loudly, never serve stale data
+    val expiredPinFails =
+      try { s.sql("SELECT * FROM graft_sink.t VERSION AS OF 1").collect(); 0L }
+      catch { case _: Exception => 1L }
+    val reads = s.sql(
+      """SELECT 'current' AS src, COUNT(*) AS n_rows,
+        |  CAST(SUM(v) AS BIGINT) AS sum_v
+        |FROM graft_sink.t
+        |UNION ALL
+        |SELECT 'release' AS src, COUNT(*) AS n_rows,
+        |  CAST(SUM(v) AS BIGINT) AS sum_v
+        |FROM graft_sink.t VERSION AS OF 'release'""".stripMargin)
+    reads
+      .withColumn("versions_expired", lit(sum.getLong(0)))
+      .withColumn("versions_kept", lit(sum.getLong(1)))
+      .withColumn("expired_pin_fails", lit(expiredPinFails))
+      .orderBy(col("src"))
+  }
+
+  val q285Oracle: String =
+    """SELECT 'current' AS src, COUNT(*) AS n_rows,
+      |  CAST(SUM(event_id) AS BIGINT) AS sum_v,
+      |  CAST(1 AS BIGINT) AS versions_expired,
+      |  CAST(3 AS BIGINT) AS versions_kept,
+      |  CAST(1 AS BIGINT) AS expired_pin_fails
+      |FROM events
+      |UNION ALL
+      |SELECT 'release' AS src, COUNT(*) AS n_rows,
+      |  CAST(SUM(event_id) AS BIGINT) AS sum_v,
+      |  CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(1 AS BIGINT)
+      |FROM events WHERE event_id % 4 <= 1
+      |ORDER BY src""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q285_expire_snapshots" -> q285ExpireSnapshots,
     "q284_mor_lineage" -> q284MorLineage,
     "q283_write_audit_publish" -> q283WriteAuditPublish,
     "q280_mor_vacuum" -> q280MorVacuum,
@@ -1358,6 +1432,7 @@ object FormatQueries {
     "q64_schema_evolution" -> q64SchemaEvolution)
 
   def oracleSql: Map[String, String] = Map(
+    "q285_expire_snapshots" -> q285Oracle,
     "q284_mor_lineage" -> q284Oracle,
     "q283_write_audit_publish" -> q283Oracle,
     "q280_mor_vacuum" -> q280Oracle,

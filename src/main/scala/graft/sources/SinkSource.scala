@@ -96,6 +96,20 @@ object SinkSource {
       .foldLeft(0)(math.max)
   }
 
+  /** Raw manifest lines of the requested version — entries plus any
+    * `#`-prefixed header lines (the txn ledger). */
+  private def manifestLines(path: String, v: Int): Seq[String] = {
+    val f = fs(path)
+    val mf = new Path(path, s"manifest.v$v.psv")
+    if (!f.exists(mf))
+      throw new java.util.NoSuchElementException(
+        s"no manifest at version $v under $path (GC'd or never written)")
+    val in = f.open(mf)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    body.linesIterator.filter(_.nonEmpty).toSeq
+  }
+
   /** Manifest lines of the requested version (default: current), as
     * (k, file, rows). Empty if the table was never committed; a pinned
     * version that was GC'd or never existed is an error, not an empty
@@ -104,36 +118,46 @@ object SinkSource {
       version: Option[Int] = None): Seq[(Long, String, Long)] = {
     val v = version.getOrElse(currentVersion(path))
     if (v == 0 && version.isEmpty) Seq.empty
-    else {
-      val f = fs(path)
-      val mf = new Path(path, s"manifest.v$v.psv")
-      if (!f.exists(mf))
-        throw new java.util.NoSuchElementException(
-          s"no manifest at version $v under $path (GC'd or never written)")
-      val in = f.open(mf)
-      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-      body.linesIterator.filter(_.nonEmpty).map { line =>
-        val c = line.split('|')
-        (c(0).toLong, c(1), c(2).toLong)
-      }.toSeq
+    else manifestLines(path, v).filterNot(_.startsWith("#")).map { line =>
+      val c = line.split('|')
+      (c(0).toLong, c(1), c(2).toLong)
     }
+  }
+
+  /** The version's TRANSACTION LEDGER: highest epoch each streaming
+    * query has published INTO this version's history, carried forward
+    * by every commit as `#txn|queryId|epochId` manifest header lines
+    * (Delta's txn-action shape). Because the ledger lives inside the
+    * manifest, the manifest RENAME is the single atomic point that
+    * both publishes an epoch's files and records the epoch as done —
+    * there is no marker-file window where a crash could replay a
+    * published epoch. */
+  private[graft] def txns(path: String,
+      version: Option[Int] = None): Map[String, Long] = {
+    val v = version.getOrElse(currentVersion(path))
+    if (v == 0) Map.empty
+    else manifestLines(path, v).filter(_.startsWith("#txn|")).map { line =>
+      val c = line.split('|')
+      c(1) -> c(2).toLong
+    }.toMap
   }
 
   /** Publish `entries` as the NEXT manifest version: write a uniquely-
     * named temp, rename to `manifest.v<n+1>.psv` (atomic on HDFS/local;
     * rename-refuses-existing resolves concurrent publishers). Every
-    * version is KEPT — the manifests are the table's snapshot history,
-    * which is what time travel (q263) and the changelog stream reader
-    * (q267) address; they are metadata-sized, so retention is a
-    * production knob this layout defers, not a disk concern here.
-    * (DATA files, by contrast, are reclaimed eagerly by truncate and
-    * delete — an old snapshot stays readable only while its files
-    * live, i.e. across append-only history.)
+    * version is KEPT at publish time — the manifests are the table's
+    * snapshot history, which is what time travel (q263) and the
+    * changelog stream reader (q267) address; bounding that history is
+    * the [[SinkExpireProcedure]] lifecycle verb (`CALL expire`), which
+    * prunes to a keep_last horizon and GCs files only expired
+    * snapshots reference. (DATA files are also reclaimed eagerly by
+    * truncate and delete — an old snapshot stays readable only while
+    * its files live, i.e. across append-only history.)
     */
   private[sources] def writeManifest(path: String,
       entries: Seq[(Long, String, Long)],
-      deletes: Option[Seq[(String, String)]] = None): Unit = {
+      deletes: Option[Seq[(String, String)]] = None,
+      txn: Option[(String, Long)] = None): Unit = {
     val f = fs(path)
     val root = new Path(path)
     f.mkdirs(root)
@@ -141,17 +165,30 @@ object SinkSource {
     // DELETE SIDECAR (merge-on-read tombstones): every version carries
     // its active deletion-vector list. `deletes = Some(...)` SETS the
     // new version's list (a DV commit); None carries the previous
-    // version's forward so appends never drop tombstones. Written
-    // BEFORE the manifest rename — the rename is the only commit
-    // point, so an unreferenced sidecar is garbage, never a lie.
+    // version's forward so appends never drop tombstones. Either way
+    // the published sidecar keeps only vectors whose DATA FILE the new
+    // manifest still cites — a vector for a dropped file (metadata
+    // delete, truncate, replaced CoW group) is dead weight that would
+    // otherwise ride every later version forever. Written BEFORE the
+    // manifest rename — the rename is the only commit point, so an
+    // unreferenced sidecar is garbage, never a lie.
+    val live = entries.map(_._2).toSet
     val dvs = deletes.getOrElse(deleteSidecar(path, Some(next - 1)))
+      .filter { case (df, _) => live.contains(df) }
     if (dvs.nonEmpty) {
       val body = dvs.sorted.map { case (df, dv) => s"$df|$dv" }
         .mkString("\n") + "\n"
       val out = f.create(new Path(root, s"deletes.v$next.psv"), true)
       try out.write(body.getBytes("UTF-8")) finally out.close()
     }
-    val body = entries.sortBy(e => (e._1, e._2))
+    // txn ledger: previous version's (queryId -> epoch) highwater map,
+    // advanced by this commit's txn if present — header lines, so the
+    // rename that publishes the files also records the epoch
+    val ledger = txn.fold(txns(path, Some(next - 1))) { case (q, e) =>
+      txns(path, Some(next - 1)) + (q -> e) }
+    val header = ledger.toSeq.sorted
+      .map { case (q, e) => s"#txn|$q|$e\n" }.mkString
+    val body = header + entries.sortBy(e => (e._1, e._2))
       .map { case (k, fl, n) => s"$k|$fl|$n" }.mkString("\n") + "\n"
     val tmp = new Path(root, s"_tmp_manifest_${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, true)
@@ -194,6 +231,29 @@ object SinkSource {
     if (f.exists(dest)) f.delete(dest, false)
     if (!f.rename(tmp, dest))
       throw new IllegalStateException(s"tag publish failed under $path")
+  }
+
+  /** Buffered LINE STREAM over a data file — the readers iterate it
+    * instead of slurping the file into one String, so a task's heap
+    * cost is a buffer, not the file size (the scale-correct idiom; at
+    * 100 TB a data file is hundreds of MB and a slurp per task is a
+    * per-task heap spike). Caller closes via [[LineStream.close]]. */
+  private[sources] final class LineStream(file: String) {
+    private val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(fs(file).open(new Path(file)), "UTF-8"))
+    private var nextLine: String = advance()
+    private def advance(): String = {
+      var l = reader.readLine()
+      while (l != null && l.isEmpty) l = reader.readLine()
+      l
+    }
+    def hasNext: Boolean = nextLine != null
+    def next(): String = {
+      val l = nextLine
+      nextLine = advance()
+      l
+    }
+    def close(): Unit = reader.close()
   }
 
   /** Active (dataFile, deleteFile) pairs of the requested version's
@@ -245,7 +305,8 @@ class SinkCatalog extends CatalogPlugin with TableCatalog
       : Array[Identifier] =
     if (namespace.nonEmpty) Array.empty
     else Array(Identifier.of(Array.empty, "compact"),
-      Identifier.of(Array.empty, "tag"))
+      Identifier.of(Array.empty, "tag"),
+      Identifier.of(Array.empty, "expire"))
 
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
@@ -253,6 +314,8 @@ class SinkCatalog extends CatalogPlugin with TableCatalog
       new SinkCompactProcedure(root, mor)
     else if (ident.namespace.isEmpty && ident.name == "tag")
       new SinkTagProcedure(root)
+    else if (ident.namespace.isEmpty && ident.name == "expire")
+      new SinkExpireProcedure(root)
     else
       throw new java.util.NoSuchElementException(s"unknown procedure: $ident")
   }
@@ -586,6 +649,103 @@ class SinkTagProcedure(root: String)
     }
 }
 
+/** `CALL <cat>.expire('<table>', <keep_last>)` — SNAPSHOT EXPIRY, the
+  * lifecycle verb that closes the versioned-manifest design: the
+  * publish path keeps every manifest version forever (that is what
+  * time travel and the changelog stream address), so at a production
+  * commit rate both the metadata AND any data files pinned only by
+  * old snapshots grow without bound. Expiry prunes history to the
+  * newest `keep_last` versions — TAG-PINNED versions are always kept,
+  * whatever their age (a tag is a promise to readers subscribed by
+  * name) — then garbage-collects exactly the files referenced ONLY by
+  * expired snapshots: a data or vector file cited by any surviving
+  * manifest/sidecar is untouched. Files referenced by NO manifest at
+  * all (crash orphans) are out of scope, the Iceberg split between
+  * expire_snapshots and remove_orphan_files — expiry must be safe to
+  * run beside live writers, and an unreferenced file might be a
+  * concurrent commit's just-renamed publish.
+  * A later `VERSION AS OF` on an expired version fails LOUDLY at plan
+  * time ([[SinkSource.manifest]]'s missing-manifest error — q263's
+  * pinned-read contract), never silently serves the wrong snapshot.
+  * Scale notes (100 TB): expiry is driver-side METADATA work plus
+  * per-file deletes proportional to what expired — never a data scan;
+  * it is the knob that turns "keep everything for reproducibility"
+  * into a bounded retention window with named releases (tags) kept
+  * forever.
+  */
+class SinkExpireProcedure(root: String)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+
+  override def name(): String = "expire"
+  override def description(): String =
+    "expire old snapshots to a keep_last horizon; tag-pinned versions survive"
+
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "expire"
+      override def description(): String = SinkExpireProcedure.this.description()
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("keep_last", LongType).build())
+      override def isDeterministic: Boolean = false // removes files
+
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val keepLast = input.getLong(1).toInt
+        if (keepLast < 1)
+          throw new IllegalArgumentException(
+            s"keep_last must be >= 1, got $keepLast")
+        val path = new Path(root, table).toString
+        val f = SinkSource.fs(path)
+        val cur = SinkSource.currentVersion(path)
+        // versions actually present (earlier expiries leave gaps)
+        val present = f.listStatus(new Path(path)).map(_.getPath.getName)
+          .collect { case n if n.startsWith("manifest.v") && n.endsWith(".psv") =>
+            n.stripPrefix("manifest.v").stripSuffix(".psv").toInt }.toSet
+        val horizon = cur - keepLast + 1
+        val pinned = SinkSource.tags(path).values.toSet
+        val kept = present.filter(v => v >= horizon || pinned.contains(v))
+        val expired = (present -- kept).toSeq.sorted
+        // survivors' citations: anything a kept snapshot can reach stays
+        val liveData = kept.flatMap(v =>
+          SinkSource.manifest(path, Some(v)).map(_._2))
+        val liveVecs = kept.flatMap(v =>
+          SinkSource.deleteSidecar(path, Some(v)).map(_._2))
+        // doomed citations: reachable from expired snapshots ONLY
+        val doomedData = expired.flatMap(v =>
+          SinkSource.manifest(path, Some(v)).map(_._2)).toSet -- liveData
+        val doomedVecs = expired.flatMap(v =>
+          SinkSource.deleteSidecar(path, Some(v)).map(_._2)).toSet -- liveVecs
+        // manifests go FIRST: a concurrent reader of an expired pin
+        // fails loudly at planning instead of mid-scan on vanished data
+        expired.foreach { v =>
+          f.delete(new Path(path, s"manifest.v$v.psv"), false)
+          try f.delete(new Path(path, s"deletes.v$v.psv"), false)
+          catch { case _: Exception => }
+        }
+        doomedData.foreach { fl =>
+          try f.delete(new Path(path, s"data/$fl"), false)
+          catch { case _: Exception => } }
+        doomedVecs.foreach { dv =>
+          try f.delete(new Path(path, s"deletes/$dv"), false)
+          catch { case _: Exception => } }
+        val row: InternalRow = new GenericInternalRow(Array[Any](
+          expired.size.toLong, kept.size.toLong,
+          doomedData.size.toLong, doomedVecs.size.toLong))
+        val result: Scan = new LocalScan {
+          override def rows(): Array[InternalRow] = Array(row)
+          override def readSchema(): StructType = StructType(Seq(
+            StructField("versions_expired", LongType, nullable = false),
+            StructField("versions_kept", LongType, nullable = false),
+            StructField("data_files_removed", LongType, nullable = false),
+            StructField("vector_files_removed", LongType, nullable = false)))
+        }
+        util.Arrays.asList(result).iterator()
+      }
+    }
+}
+
 // ---- merge-on-read (deletion vectors) -----------------------------------
 
 case class SinkMorInputPartition(file: String, dvFiles: Seq[String])
@@ -650,21 +810,15 @@ class SinkMorReader(file: String, dvFiles: Seq[String],
   private val deleted: java.util.HashSet[Long] = {
     val s = new java.util.HashSet[Long]()
     dvFiles.foreach { dv =>
-      val in = SinkSource.fs(dv).open(new Path(dv))
-      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-      body.linesIterator.filter(_.nonEmpty).foreach(l => s.add(l.toLong))
+      val ls = new SinkSource.LineStream(dv)
+      try while (ls.hasNext) s.add(ls.next().toLong)
+      finally ls.close()
     }
     s
   }
   private val fileName =
     org.apache.spark.unsafe.types.UTF8String.fromString(new Path(file).getName)
-  private val lines = {
-    val in = SinkSource.fs(file).open(new Path(file))
-    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
-    body.linesIterator.filter(_.nonEmpty)
-  }
+  private val lines = new SinkSource.LineStream(file)
   private var pos = -1L
   private var row: InternalRow = _
 
@@ -686,7 +840,7 @@ class SinkMorReader(file: String, dvFiles: Seq[String],
     false
   }
   override def get(): InternalRow = row
-  override def close(): Unit = ()
+  override def close(): Unit = lines.close()
 }
 
 /** Delta-based (merge-on-read) row-level operations: [[SupportsDelta]]
@@ -832,9 +986,10 @@ class SinkDvWriter(path: String, queryId: String, partitionId: Int,
   private val vectors =
     scala.collection.mutable.Map.empty[String, StringBuilder]
   // UPDATE's new rows stage through the ordinary keyed writer —
-  // appended files are indistinguishable from any other write's
+  // appended files are indistinguishable from any other write's; the
+  // statement's commit tag keeps the names unique across applications
   private val inserts = new SinkWriter(path, queryId, partitionId, taskId,
-    nameTag = "u_")
+    nameTag = "u" + SinkWriter.commitTag(queryId))
 
   override def delete(meta: InternalRow, id: InternalRow): Unit = {
     // rowId projection order: (_file, _pos)
@@ -856,7 +1011,11 @@ class SinkDvWriter(path: String, queryId: String, partitionId: Int,
     val dir = new Path(path, s"_staging/$queryId")
     f.mkdirs(dir)
     val entries = vectors.toSeq.map { case (dataFile, sb) =>
-      val name = s"dv_p${partitionId}_t${taskId}_$dataFile"
+      // the commit tag keeps vector names unique across applications
+      // (partition/task ids reset per app; the publish rename fails on
+      // an existing destination rather than replacing it)
+      val name =
+        s"dv_${SinkWriter.commitTag(queryId)}p${partitionId}_t${taskId}_$dataFile"
       val out = f.create(new Path(dir, name), true)
       try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
       (dataFile, name)
@@ -971,7 +1130,8 @@ class SinkReplaceDataWrite(path: String, queryId: String,
   private def stagingDir = new Path(path, s"_staging/$queryId")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new SinkWriterFactory(path, queryId, trailingFields = true)
+    new SinkWriterFactory(path, queryId, trailingFields = true,
+      nameTag = SinkWriter.commitTag(queryId))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val committed = messages.flatMap {
@@ -983,7 +1143,12 @@ class SinkReplaceDataWrite(path: String, queryId: String,
     f.mkdirs(dataDir)
     committed.foreach { case (_, fl, _) =>
       val dest = new Path(dataDir, fl)
-      if (f.exists(dest)) f.delete(dest, false)
+      // names carry the statement's commit tag, so an existing dest is
+      // a live file of some snapshot — replacing it would corrupt
+      // history; refuse instead (same discipline as SinkBatchWrite)
+      if (f.exists(dest))
+        throw new IllegalStateException(
+          s"refusing to publish over existing data file: $dest")
       if (!f.rename(new Path(stagingDir, fl), dest))
         throw new IllegalStateException(s"staged file publish failed: $fl")
     }
@@ -1261,17 +1426,16 @@ class SinkTopNReader(file: String, cols: Seq[(Int, Boolean)], n: Int)
 
   private val top: Iterator[Array[Long]] = {
     // max-heap on the sort order: the root is the WORST candidate,
-    // evicted whenever a better row arrives and the heap is full
+    // evicted whenever a better row arrives and the heap is full;
+    // the file is STREAMED — the heap (n rows) is the only state
     val heap = scala.collection.mutable.PriorityQueue.empty[Array[Long]](rowOrd)
-    val in = SinkSource.fs(file).open(new Path(file))
-    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
-    body.linesIterator.filter(_.nonEmpty).foreach { line =>
-      val c = line.split('|')
+    val ls = new SinkSource.LineStream(file)
+    try while (ls.hasNext) {
+      val c = ls.next().split('|')
       val row = Array(c(0).toLong, c(1).toLong)
       if (heap.size < n) heap.enqueue(row)
       else if (rowOrd.lt(row, heap.head)) { heap.dequeue(); heap.enqueue(row) }
-    }
+    } finally ls.close()
     heap.iterator
   }
   private var row: InternalRow = _
@@ -1379,12 +1543,7 @@ class SinkMicroBatchStream(path: String,
 
 class SinkReader(file: String, plainLimit: Option[Int] = None)
     extends PartitionReader[InternalRow] {
-  private val lines = {
-    val in = SinkSource.fs(file).open(new Path(file))
-    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
-    body.linesIterator.filter(_.nonEmpty)
-  }
+  private val lines = new SinkSource.LineStream(file)
   private var emitted = 0
   private var row: InternalRow = _
   override def next(): Boolean = {
@@ -1398,7 +1557,7 @@ class SinkReader(file: String, plainLimit: Option[Int] = None)
     true
   }
   override def get(): InternalRow = row
-  override def close(): Unit = ()
+  override def close(): Unit = lines.close()
 }
 
 // ---- write side -------------------------------------------------------
@@ -1456,18 +1615,24 @@ class SinkClusteredWrite(path: String, queryId: String, truncate: Boolean)
 case class SinkCommitMessage(entries: Seq[(Long, String, Long)])
     extends WriterCommitMessage
 
-class SinkBatchWrite(path: String, queryId: String, truncate: Boolean)
+class SinkBatchWrite(path: String, queryId: String, truncate: Boolean,
+    txn: Option[(String, Long)] = None)
     extends BatchWrite {
 
   private def stagingDir = new Path(path, s"_staging/$queryId")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new SinkWriterFactory(path, queryId)
+    new SinkWriterFactory(path, queryId,
+      nameTag = SinkWriter.commitTag(queryId))
 
   /** Runs ONCE on the driver, after every task reported success. The
     * publish order is: move staged files into data/, then publish the
     * next manifest version — readers either see the old table or the
-    * complete new one, never a prefix.
+    * complete new one, never a prefix. Publishing REFUSES to land on
+    * an existing destination: staged names carry a commit-unique tag,
+    * so a collision means two applications raced the same name — and
+    * silently replacing a file the current (or a historical) manifest
+    * cites would lose rows for readers of those snapshots.
     */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val committed = messages.flatMap {
@@ -1478,12 +1643,14 @@ class SinkBatchWrite(path: String, queryId: String, truncate: Boolean)
     f.mkdirs(dataDir)
     committed.foreach { case (_, fl, _) =>
       val dest = new Path(dataDir, fl)
-      if (f.exists(dest)) f.delete(dest, false)
+      if (f.exists(dest))
+        throw new IllegalStateException(
+          s"refusing to publish over existing data file: $dest")
       if (!f.rename(new Path(stagingDir, fl), dest))
         throw new IllegalStateException(s"staged file publish failed: $fl")
     }
     val prior = if (truncate) Seq.empty else SinkSource.manifest(path)
-    SinkSource.writeManifest(path, prior ++ committed)
+    SinkSource.writeManifest(path, prior ++ committed, txn = txn)
     if (truncate) {
       // old files are unreachable once the manifest swapped; GC them
       val live = committed.map(_._2).toSet
@@ -1499,47 +1666,58 @@ class SinkBatchWrite(path: String, queryId: String, truncate: Boolean)
 }
 
 class SinkWriterFactory(path: String, queryId: String,
-    trailingFields: Boolean = false)
+    trailingFields: Boolean = false, nameTag: String = "")
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new SinkWriter(path, queryId, partitionId, taskId,
-      trailingFields = trailingFields)
+      nameTag = nameTag, trailingFields = trailingFields)
 }
 
 /** Streaming form of the commit protocol: one commit PER EPOCH, and —
   * because a recovered query re-runs its last uncommitted batch and
   * re-offers an epoch the sink may have already published — commit is
-  * IDEMPOTENT on epochId: a durable `epoch.<id>.done` marker (written
-  * atomically after the manifest publish) turns a replayed commit into
-  * a no-op that only discards the replay's staged files. That marker
-  * handshake is exactly how a V2 sink upgrades Structured Streaming's
-  * at-least-once batch replay to exactly-once publication.
+  * IDEMPOTENT on epochId: every published manifest version carries a
+  * per-query epoch highwater in its TXN LEDGER (`#txn|queryId|epoch`
+  * header lines, [[SinkSource.txns]]), so the manifest rename that
+  * publishes an epoch's files is the SAME atomic action that records
+  * the epoch as done — a crash can never land between "files visible"
+  * and "epoch marked", and a replayed commit sees its epoch at or
+  * below the ledger highwater and turns into a no-op that only
+  * discards the replay's staged files. This ledger-in-the-snapshot
+  * handshake (Delta's txn action) is how a V2 sink upgrades Structured
+  * Streaming's at-least-once batch replay to exactly-once publication.
   */
 class SinkStreamingWrite(path: String, queryId: String)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
-  private def epochDone(epochId: Long) =
-    new Path(path, s"epoch.$queryId.$epochId.done")
+  /** Run-unique component of every staged name: a recovered run may
+    * re-execute an epoch whose previous attempt CRASHED MID-PUBLISH
+    * (some data files renamed, manifest never published — so the txn
+    * ledger has no record). The retry must not collide with the
+    * crashed attempt's orphans, so each run salts its file names; the
+    * orphans are invisible (the manifest is the table) and GC'd by the
+    * next truncating commit. */
+  private val runTag: String =
+    "r" + java.util.UUID.randomUUID().toString.replaceAll("-", "")
+      .takeRight(8) + "_"
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new SinkStreamingWriterFactory(path, queryId)
+    new SinkStreamingWriterFactory(path, queryId, runTag)
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
     val f = SinkSource.fs(path)
     val staging = new Path(path, s"_staging/$queryId/$epochId")
-    if (f.exists(epochDone(epochId))) {
+    if (SinkSource.txns(path).get(queryId).exists(_ >= epochId)) {
       // replayed epoch after recovery: already published — discard the
       // replay's staged files, publish nothing twice
       f.delete(staging, true)
       return
     }
-    new SinkBatchWrite(path, s"$queryId/$epochId", truncate = false)
-      .commit(messages)
-    val out = f.create(epochDone(epochId), true)
-    try out.write(Array.emptyByteArray) finally out.close()
+    new SinkBatchWrite(path, s"$queryId/$epochId", truncate = false,
+      txn = Some((queryId, epochId))).commit(messages)
   }
 
   override def abort(epochId: Long,
@@ -1548,16 +1726,31 @@ class SinkStreamingWrite(path: String, queryId: String)
       new Path(path, s"_staging/$queryId/$epochId"), true)
 }
 
-class SinkStreamingWriterFactory(path: String, queryId: String)
+class SinkStreamingWriterFactory(path: String, queryId: String,
+    runTag: String)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    // epoch tag in the FILE name: task ids restart at 0 in a
-    // recovered run, so without it a new run's staged file could
-    // collide with (and clobber) a published file an old manifest
-    // still cites
+    // epoch + RUN tag in the FILE name: task ids restart at 0 in a
+    // recovered run (and epoch ids repeat across a mid-publish crash's
+    // retry), so without both a new run's file could collide with a
+    // published file an old manifest still cites — publish refuses to
+    // replace, so uniqueness must be carried by the name
     new SinkWriter(path, s"$queryId/$epochId", partitionId, taskId,
-      nameTag = s"e${epochId}_")
+      nameTag = s"e${epochId}_$runTag")
+}
+
+object SinkWriter {
+  /** Commit-unique data-file name component, derived from the write's
+    * queryId (a fresh UUID per batch write / DML statement). Partition
+    * and task ids RESET per application, so without this a restarted
+    * application's append could stage the same final name as a live
+    * file cited by the current (and every historical) manifest —
+    * publishing over it would silently lose rows. With it, final names
+    * are unique per commit attempt and publish never needs to replace
+    * anything (the Iceberg per-attempt-UUID naming discipline). */
+  private[sources] def commitTag(queryId: String): String =
+    "q" + queryId.replaceAll("[^a-zA-Z0-9]", "").takeRight(8) + "_"
 }
 
 class SinkWriter(path: String, queryId: String, partitionId: Int,

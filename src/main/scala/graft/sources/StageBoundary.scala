@@ -85,17 +85,35 @@ object StageBoundary {
   }
 
   /** Grace window before a `__tmp_` dir is presumed crashed. A live
-    * builder touches its tmp continuously while Spark writes part
-    * files, so an mtime this stale means no writer survives; 1 h is
-    * far beyond any boundary build here (seconds) while still
-    * reclaiming crashed attempts within the session's lifetime.
+    * builder keeps writing part files SOMEWHERE under its tmp (in
+    * `_temporary/` subdirs — see [[maxMtime]]), so a recursive max
+    * mtime this stale means no writer survives; 1 h is far beyond any
+    * boundary build here (seconds) while still reclaiming crashed
+    * attempts within the session's lifetime.
     */
   private val tmpGraceMs: Long = 60L * 60 * 1000
 
+  /** Newest modification time anywhere under `p` (the path itself or
+    * any descendant). Spark stages part files under
+    * `_temporary/<attempt>/...` SUBDIRECTORIES, so the top-level tmp
+    * dir's own mtime stops moving once those exist — liveness must be
+    * judged from the deepest recent write, or a slow build older than
+    * the grace window would be swept mid-write by a concurrent
+    * session. */
+  private def maxMtime(fs: org.apache.hadoop.fs.FileSystem, p: Path): Long = {
+    val st = fs.getFileStatus(p)
+    if (!st.isDirectory) st.getModificationTime
+    else fs.listStatus(p).foldLeft(st.getModificationTime) { (m, c) =>
+      math.max(m, maxMtime(fs, c.getPath))
+    }
+  }
+
   /** Post-publish sweep: delete superseded published fingerprints
     * unconditionally, and any `__tmp_` attempt dir (any fingerprint,
-    * including `keep`'s own crashed attempts) whose mtime is older
-    * than [[tmpGraceMs]]. Exposed for StageBoundarySpec.
+    * including `keep`'s own crashed attempts) whose RECURSIVE max
+    * mtime is older than [[tmpGraceMs]] — a live builder's in-flight
+    * part files keep refreshing some descendant's mtime even when the
+    * top-level dir's is stale. Exposed for StageBoundarySpec.
     */
   private[sources] def cleanup(fs: org.apache.hadoop.fs.FileSystem,
                                root: Path, keep: String): Unit =
@@ -105,7 +123,9 @@ object StageBoundary {
         val n = st.getPath.getName
         val isTmp = n.contains("__tmp_")
         val doomed =
-          if (isTmp) now - st.getModificationTime > tmpGraceMs
+          if (isTmp)
+            (try now - maxMtime(fs, st.getPath) > tmpGraceMs
+             catch { case _: java.io.FileNotFoundException => false })
           else n.startsWith("fp_") && n != keep
         if (doomed)
           try fs.delete(st.getPath, true) catch { case _: Exception => }

@@ -1569,19 +1569,23 @@ object StreamingQueries {
   // form of q260's commit protocol. q80/q256 publish from
   // foreachBatch (the application owns idempotence); here the SINK
   // owns it — each micro-batch's tasks stage attempt files, the
-  // driver commits ONCE per epoch, and a durable epoch marker makes a
-  // replayed commit (a recovered query re-offers its last epoch) a
-  // no-op, which is how a V2 sink upgrades Structured Streaming's
-  // at-least-once batch replay to exactly-once publication
-  // (StreamingSinkSpec pins the replay no-op, a checkpointed restart
-  // appending nothing, and epoch-tagged file names that cannot
-  // collide across runs). The query streams the events table into the
-  // sink keyed by event_id % 53 and aggregates the read-back; the
-  // oracle aggregates the source.
+  // driver commits ONCE per epoch, and the manifest's TXN LEDGER (a
+  // per-query epoch highwater written by the same atomic rename that
+  // publishes the files — Delta's txn action) makes a replayed commit
+  // (a recovered query re-offers its last epoch) a no-op, which is
+  // how a V2 sink upgrades Structured Streaming's at-least-once
+  // batch replay to exactly-once publication (StreamingSinkSpec pins
+  // the replay no-op, a checkpointed restart appending nothing, and
+  // epoch+run-tagged file names that cannot collide across runs).
+  // The query streams the events table into the sink keyed by
+  // event_id % 53 and aggregates the read-back; the oracle
+  // aggregates the source.
   // Scale notes (100 TB/day): exactly-once at the sink is THE
-  // streaming-ingest contract — dedup-by-marker at epoch granularity
-  // costs one tiny FS check per batch, vs reprocessing or row-level
-  // dedup of a replayed epoch's full payload.
+  // streaming-ingest contract — the ledger check at epoch granularity
+  // costs one manifest header read per batch, vs reprocessing or
+  // row-level dedup of a replayed epoch's full payload; ledger-in-
+  // the-snapshot (not a marker file beside it) closes the crash
+  // window between publishing files and recording the epoch.
   def q264StreamV2Sink(spark: SparkSession, dir: String): DataFrame = {
     val ss = EventsStreaming.streamSession(spark)
     val root = graft.sources.ShardPaths.resolve(ss, "q264", dir)

@@ -1,0 +1,87 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** q285 — snapshot expiry (`CALL graft_sink.expire('t', keep_last)`).
+  * The oracle proves the surviving reads; this spec locks the
+  * LIFECYCLE contract: kept versions read byte-identically across the
+  * expiry, tag-pinned versions survive past the horizon (and their
+  * data files with them), an expired `VERSION AS OF` pin fails loudly
+  * at plan time, files shared with surviving snapshots are never
+  * GC'd, and the procedure is idempotent.
+  */
+class SinkExpireSpec extends SparkSpec {
+
+  test("expire prunes history, protects tags, and fails expired pins loudly") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_expire").toString
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(s.conf.set(k, v)) }
+    import s.implicits._
+    def batch(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i % 3, i)).toDF("k", "v")
+        .repartition(2, col("k"))
+    SinkSource.write(batch(0, 10), s"$root/t", overwrite = true)   // v1
+    SinkSource.write(batch(10, 20), s"$root/t", overwrite = false) // v2
+    SinkSource.write(batch(20, 30), s"$root/t", overwrite = false) // v3
+    SinkSource.write(batch(30, 40), s"$root/t", overwrite = false) // v4
+    s.conf.set("spark.sql.catalog.graft_exp", classOf[SinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_exp.root", root)
+    // pin v2 by tag: it must survive a horizon that would expire it
+    s.sql("CALL graft_exp.tag('t', 2, 'release')").collect()
+
+    def rows(q: String) = s.sql(q).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val curBefore = rows("SELECT k, v FROM graft_exp.t")
+    val tagBefore = rows("SELECT k, v FROM graft_exp.t VERSION AS OF 'release'")
+
+    val sum = s.sql("CALL graft_exp.expire('t', 2)").collect()(0)
+    // horizon keeps v3, v4; the tag keeps v2; v1 expires
+    assert(sum.getLong(0) == 1L && sum.getLong(1) == 3L,
+      s"expected 1 expired / 3 kept: $sum")
+    // v1's files are ALSO v2/v3/v4's (append-only history shares
+    // files), so nothing may be GC'd here
+    assert(sum.getLong(2) == 0L,
+      s"expire GC'd a file a surviving snapshot cites: $sum")
+
+    // survivors read identically
+    assert(rows("SELECT k, v FROM graft_exp.t") == curBefore,
+      "current read changed across expiry")
+    assert(rows("SELECT k, v FROM graft_exp.t VERSION AS OF 'release'")
+      == tagBefore, "tag-pinned read changed across expiry")
+    assert(rows("SELECT k, v FROM graft_exp.t VERSION AS OF 3").nonEmpty)
+
+    // an expired pin fails loudly at plan time
+    val ex = intercept[Exception] {
+      s.sql("SELECT k, v FROM graft_exp.t VERSION AS OF 1").collect()
+    }
+    assert(ex.getMessage != null, "expired pin must fail, not serve data")
+
+    // idempotent: nothing left to expire at the same horizon
+    val again = s.sql("CALL graft_exp.expire('t', 2)").collect()(0)
+    assert(again.getLong(0) == 0L && again.getLong(2) == 0L,
+      s"expire must be idempotent: $again")
+
+    // now make files EXCLUSIVE to old snapshots: truncate (v5 lists
+    // only new files) then expire keep_last=1 with the tag REMOVED
+    // from protection by moving it forward — old data files must go
+    SinkSource.write(batch(0, 5), s"$root/t", overwrite = true)    // v5
+    s.sql("CALL graft_exp.tag('t', 5, 'release')").collect()
+    val f = SinkSource.fs(s"$root/t")
+    val dataBefore = f.listStatus(new Path(s"$root/t/data")).length
+    val sum2 = s.sql("CALL graft_exp.expire('t', 1)").collect()(0)
+    assert(sum2.getLong(0) == 3L, s"v2..v4 should expire: $sum2")
+    assert(sum2.getLong(2) > 0L, "files cited only by expired snapshots must be GC'd")
+    val live = SinkSource.manifest(s"$root/t").map(_._2).toSet
+    val onDisk = f.listStatus(new Path(s"$root/t/data"))
+      .map(_.getPath.getName).toSet
+    assert(onDisk == live,
+      s"post-expiry data dir must hold exactly the live files: " +
+        s"disk=$onDisk live=$live (before: $dataBefore)")
+    assert(rows("SELECT k, v FROM graft_exp.t").size == 5)
+  }
+}

@@ -100,4 +100,32 @@ class StageBoundarySpec extends SparkSpec {
     assert(names.sameElements(Array(fpDir)),
       s"expected only the live boundary after the stale sweep, got ${names.toSeq}")
   }
+
+  test("tmp liveness is the RECURSIVE max mtime, not the top-level dir's") {
+    val dir = freshInput(Seq(7L))
+    spark.conf.set("graft.shards.dir",
+      Files.createTempDirectory("graft_sb_out").toString)
+    val root = new org.apache.hadoop.fs.Path(
+      ShardPaths.resolve(spark, "sbspec4", dir))
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(root)
+    // Spark writes part files under __tmp_/_temporary/<attempt>/, so a
+    // long-running build's TOP-LEVEL tmp mtime goes stale while nested
+    // writes keep happening — model exactly that: stale dir, fresh file
+    val slow = new org.apache.hadoop.fs.Path(root, "fp_cafe__tmp_slow")
+    val nested = new org.apache.hadoop.fs.Path(slow, "_temporary/0")
+    fs.mkdirs(nested)
+    val part = new org.apache.hadoop.fs.Path(nested, "part-00000")
+    val out = fs.create(part, true); out.write(1); out.close()
+    fs.setTimes(slow, 1000L, 1000L) // top-level looks crashed
+    fs.setTimes(new org.apache.hadoop.fs.Path(slow, "_temporary"), 1000L, 1000L)
+    StageBoundary.cleanup(fs, root, keep = "fp_other")
+    assert(fs.exists(part),
+      "a build with fresh nested writes was swept on its stale dir mtime")
+    // once every descendant is stale too, it IS a crashed attempt
+    fs.setTimes(nested, 1000L, 1000L)
+    fs.setTimes(part, 1000L, 1000L)
+    StageBoundary.cleanup(fs, root, keep = "fp_other")
+    assert(!fs.exists(slow), "a fully-stale tmp attempt must be reclaimed")
+  }
 }

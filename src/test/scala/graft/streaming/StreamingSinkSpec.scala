@@ -8,11 +8,12 @@ import graft.SparkSpec
 import graft.sources.{SinkCommitMessage, SinkSource, SinkStreamingWrite}
 
 /** q264 — the V2 streaming sink's epoch protocol. The oracle proves
-  * the round-tripped totals; this spec locks the PROTOCOL: one commit
-  * and one durable marker per epoch, a replayed epoch commit is a
-  * publish no-op, a checkpointed restart appends nothing for already-
-  * processed input, and new input after the restart lands exactly
-  * once.
+  * the round-tripped totals; this spec locks the PROTOCOL: each epoch
+  * advances the manifest's txn ledger (the (queryId, epoch) highwater
+  * recorded ATOMICALLY by the same manifest rename that publishes the
+  * files), a replayed epoch commit is a publish no-op, a checkpointed
+  * restart appends nothing for already-processed input, and new input
+  * after the restart lands exactly once.
   */
 class StreamingSinkSpec extends SparkSpec {
 
@@ -32,7 +33,7 @@ class StreamingSinkSpec extends SparkSpec {
     q.stop()
   }
 
-  test("epoch markers, replay no-op, and restart exactly-once") {
+  test("epoch txn ledger, replay no-op, and restart exactly-once") {
     val ss = EventsStreaming.streamSession(spark)
     val base = java.nio.file.Files
       .createTempDirectory("graft_q264_spec").toString
@@ -44,21 +45,29 @@ class StreamingSinkSpec extends SparkSpec {
     b.coalesce(1).write.parquet(s"$stage/f2.parquet")
     run(stage, ckpt, table)
 
-    // two files + maxFilesPerTrigger=1 → two epochs, each with its own
-    // durable marker and its own manifest version
+    // two files + maxFilesPerTrigger=1 → two epochs, each its own
+    // manifest version, and the current manifest's txn ledger carries
+    // the query's epoch highwater (= 1, epochs 0 and 1 published)
+    val txns = SinkSource.txns(table)
+    assert(txns.size == 1 && txns.head._2 == 1L,
+      s"expected one txn at epoch highwater 1: $txns")
+    // the ledger is IN the manifest: no separate marker file exists,
+    // so publish-files and record-epoch are one atomic rename
     val f = SinkSource.fs(table)
     val markers = f.listStatus(new Path(table)).map(_.getPath.getName)
       .filter(n => n.startsWith("epoch.") && n.endsWith(".done"))
-    assert(markers.length == 2, s"expected 2 epoch markers: ${markers.toSeq}")
+    assert(markers.isEmpty, s"unexpected marker files: ${markers.toSeq}")
     val n1 = SinkSource.load(spark, table).count()
     assert(n1 == a.count() + b.count(), s"sink lost rows: $n1")
 
-    // a REPLAYED epoch commit (recovery re-offering epoch 0) must not
-    // publish a new manifest version
+    // a REPLAYED epoch commit (recovery re-offering epoch 0, or the
+    // highwater epoch 1 itself) must not publish a new manifest version
     val vBefore = SinkSource.currentVersion(table)
-    val queryId = markers(0).stripPrefix("epoch.").split('.')(0)
+    val queryId = txns.head._1
     new SinkStreamingWrite(table, queryId)
       .commit(0L, Array(SinkCommitMessage(Seq.empty)))
+    new SinkStreamingWrite(table, queryId)
+      .commit(1L, Array(SinkCommitMessage(Seq.empty)))
     assert(SinkSource.currentVersion(table) == vBefore,
       "a replayed epoch advanced the manifest")
 
