@@ -1399,7 +1399,78 @@ object FormatQueries {
       |FROM events WHERE event_id % 4 <= 1
       |ORDER BY src""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q286 — queryable METADATA TABLES (`SELECT ... FROM
+  // graft_sink.t.history / t.files`): the table's own snapshot and
+  // file inventory exposed as V2 relations — Iceberg's metadata-table
+  // surface, Delta's DESCRIBE HISTORY — resolved through a multipart
+  // identifier one level below the table and served by a LocalScan
+  // (the rows ARE manifest/sidecar/tag arithmetic; zero data files
+  // opened, zero tasks — a NEW plan shape: first V2 TABLE whose scan
+  // is driver-local metadata, the table-read dual of the procedures'
+  // LocalScan result sets). The query builds a 3-commit clustered
+  // history with key-disjoint slices (commit i writes keys ≡ i mod 3,
+  // 7 keys each → exactly 7 new files per commit), tags v2, and
+  // answers from the history table — version, cumulative file and row
+  // counts, the tag — cross-checked against a files-table aggregate
+  // (21 one-per-key files, total rows = events), all hash-gated
+  // against an oracle that derives every number from the source.
+  // SinkMetaSpec pins the files table's per-entry rows, vector
+  // accounting after a MoR delete, and expiry showing up in history.
+  // Scale notes (100 TB): operators triage table health (file-count
+  // skew, snapshot growth, tombstone debt) from these relations —
+  // which must cost METADATA, not a scan; t.files is thousands of
+  // rows where the data is billions.
+  def q286MetadataTables(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(s.conf.set(k, v)) }
+    val root = ShardPaths.resolve(s, "q286", dir)
+    SinkSource.fs(root).delete(new org.apache.hadoop.fs.Path(root), true)
+    def keyed(i: Int) =
+      Tables.events(s, dir).filter(col("event_id") % 3 === i)
+        .select(((col("event_id") % 7) * 3 + i).as("k"),
+          col("event_id").as("v"))
+    // clustered: one file per key per commit; key spaces are disjoint
+    // across commits, so history's n_files is exactly 7 * version
+    SinkSource.write(keyed(0), s"$root/t", overwrite = true,
+      clustered = true)                                          // v1
+    SinkSource.write(keyed(1), s"$root/t", overwrite = false,
+      clustered = true)                                          // v2
+    SinkSource.write(keyed(2), s"$root/t", overwrite = false,
+      clustered = true)                                          // v3
+    s.conf.set("spark.sql.catalog.graft_sink", classOf[SinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_sink.root", root)
+    s.sql("CALL graft_sink.tag('t', 2, 'audited')").collect()
+    // files-table cross-check: bounded 1-row metadata aggregate
+    val fa = s.sql(
+      """SELECT COUNT(*) AS c, CAST(SUM(n_rows) AS BIGINT) AS s
+        |FROM graft_sink.t.files""".stripMargin).collect()(0)
+    s.sql(
+      """SELECT version, n_files, n_rows, tags
+        |FROM graft_sink.t.history ORDER BY version""".stripMargin)
+      .withColumn("files_rows", lit(fa.getLong(0)))
+      .withColumn("files_total", lit(fa.getLong(1)))
+  }
+
+  val q286Oracle: String =
+    """SELECT CAST(1 AS BIGINT) AS version, CAST(7 AS BIGINT) AS n_files,
+      |  COUNT(*) FILTER (WHERE event_id % 3 = 0) AS n_rows, '' AS tags,
+      |  CAST(21 AS BIGINT) AS files_rows, COUNT(*) AS files_total
+      |FROM events
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), CAST(14 AS BIGINT),
+      |  COUNT(*) FILTER (WHERE event_id % 3 <= 1), 'audited',
+      |  CAST(21 AS BIGINT), COUNT(*)
+      |FROM events
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), CAST(21 AS BIGINT), COUNT(*), '',
+      |  CAST(21 AS BIGINT), COUNT(*)
+      |FROM events
+      |ORDER BY version""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q286_metadata_tables" -> q286MetadataTables,
     "q285_expire_snapshots" -> q285ExpireSnapshots,
     "q284_mor_lineage" -> q284MorLineage,
     "q283_write_audit_publish" -> q283WriteAuditPublish,
@@ -1432,6 +1503,7 @@ object FormatQueries {
     "q64_schema_evolution" -> q64SchemaEvolution)
 
   def oracleSql: Map[String, String] = Map(
+    "q286_metadata_tables" -> q286Oracle,
     "q285_expire_snapshots" -> q285Oracle,
     "q284_mor_lineage" -> q284Oracle,
     "q283_write_audit_publish" -> q283Oracle,

@@ -329,7 +329,20 @@ class SinkCatalog extends CatalogPlugin with TableCatalog
       .map(st => Identifier.of(Array.empty, st.getPath.getName))
   }
 
+  /** METADATA TABLES (`SELECT * FROM <cat>.<table>.history|files`):
+    * a table's own metadata exposed as queryable V2 relations — the
+    * introspection surface production formats ship (Iceberg's
+    * `t.history` / `t.files`, Delta's DESCRIBE HISTORY). A multipart
+    * identifier one level below a real table resolves to a
+    * [[SinkMetaTable]] whose scan serves manifest/sidecar/tag
+    * arithmetic as rows — driver-side metadata, zero data files
+    * opened. */
   override def loadTable(ident: Identifier): Table = {
+    if (ident.namespace.length == 1 &&
+        SinkMetaTable.kinds.contains(ident.name) &&
+        tableExists(Identifier.of(Array.empty, ident.namespace.head)))
+      return new SinkMetaTable(
+        new Path(root, ident.namespace.head).toString, ident.name)
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     new SinkTable(new Path(root, ident.name).toString, mor = mor)
   }
@@ -645,6 +658,92 @@ class SinkTagProcedure(root: String)
             StructField("version", LongType, nullable = false)))
         }
         util.Arrays.asList(result).iterator()
+      }
+    }
+}
+
+/** Queryable METADATA TABLES over a sink table: `t.history` (one row
+  * per live snapshot: file/row/vector counts and the tags pointing at
+  * it) and `t.files` (one row per current manifest entry with its
+  * vector count). Both are served by a [[LocalScan]] — the rows ARE
+  * manifest/sidecar/tag arithmetic, metadata-sized by construction
+  * (snapshots × entries, never data), so the driver-side scan is the
+  * correct physical shape: zero data files opened, zero tasks
+  * launched. This is the introspection dual of the maintenance
+  * procedures: compact/expire/tag DECIDE from exactly these numbers,
+  * and exposing them as relations lets operators run that triage in
+  * SQL (find multi-file keys, audit retention, see what a tag pins)
+  * instead of poking at storage.
+  * Scale notes (100 TB): table-health queries (file-count skew,
+  * snapshot growth, tombstone debt) must cost metadata, not a scan —
+  * on a petabyte table `t.files` is thousands of rows while the data
+  * is billions; serving it from the manifest is the only shape that
+  * survives.
+  */
+object SinkMetaTable {
+  val kinds: Set[String] = Set("history", "files")
+}
+
+class SinkMetaTable(path: String, kind: String)
+    extends Table with SupportsRead {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def name(): String = s"graft_sink($path).$kind"
+
+  override def schema(): StructType = kind match {
+    case "history" => StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("n_files", LongType, nullable = false),
+      StructField("n_rows", LongType, nullable = false),
+      StructField("n_vectors", LongType, nullable = false),
+      StructField("tags", StringType, nullable = false)))
+    case "files" => StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("file", StringType, nullable = false),
+      StructField("n_rows", LongType, nullable = false),
+      StructField("n_vectors", LongType, nullable = false)))
+  }
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LocalScan {
+        override def readSchema(): StructType = schema()
+        override def rows(): Array[InternalRow] = kind match {
+          case "history" =>
+            val f = SinkSource.fs(path)
+            val tagsByV = SinkSource.tags(path).toSeq
+              .groupBy(_._2).view.mapValues(_.map(_._1).sorted.mkString(","))
+            val present =
+              if (!f.exists(new Path(path))) Seq.empty[Int]
+              else f.listStatus(new Path(path)).map(_.getPath.getName)
+                .collect { case n
+                    if n.startsWith("manifest.v") && n.endsWith(".psv") =>
+                  n.stripPrefix("manifest.v").stripSuffix(".psv").toInt }
+                .toSeq.sorted
+            present.map { v =>
+              val m = SinkSource.manifest(path, Some(v))
+              new GenericInternalRow(Array[Any](
+                v.toLong,
+                m.map(_._2).distinct.size.toLong,
+                m.map(_._3).sum,
+                SinkSource.deleteSidecar(path, Some(v)).size.toLong,
+                UTF8String.fromString(tagsByV.getOrElse(v, ""))))
+                : InternalRow
+            }.toArray
+          case "files" =>
+            val vecs = SinkSource.deleteSidecar(path)
+              .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+            SinkSource.manifest(path).map { case (k, fl, n) =>
+              new GenericInternalRow(Array[Any](
+                k, UTF8String.fromString(fl), n,
+                vecs.getOrElse(fl, 0L))): InternalRow
+            }.toArray
+        }
+        override def description(): String =
+          s"SinkMetaScan($kind, filesOpened=0)"
       }
     }
 }
