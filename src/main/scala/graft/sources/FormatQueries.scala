@@ -1469,7 +1469,73 @@ object FormatQueries {
       |FROM events
       |ORDER BY version""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q287 — WRITE-SIDE PARTITION TRANSFORM (`bucket(8, k)` demanded by
+  // the sink): the table reports transform partitioning
+  // (Table.partitioning) and its write requires
+  // `clustered(bucket(8, k))` — a FUNCTION of the key, resolved and
+  // bound through the table's own V2 FunctionCatalog (SinkCatalog
+  // serves `bucket`; the Iceberg mechanism), so the engine's exchange
+  // hashes rows by the transform's RESULT. This is the write dual of
+  // q251's read-side storage-partitioned join and a distribution
+  // shape no other query plans: q269 clusters by the raw COLUMN
+  // (co-bucketed keys scatter across tasks); here a BUCKET never
+  // spans writer tasks — at most 8 writing tasks per commit however
+  // many keys — which the query proves in the hash-gated result
+  // (n_writer_tasks per bucket = 1, from the manifest's task-id file
+  // names). Read-back aggregates per bucket against the source
+  // oracle. Also the registry's first V2 CREATE surface
+  // (writeTo(...).create() through TableCatalog.createTable).
+  // SinkBucketWriteSpec pins the reported partitioning, bucket-whole
+  // task placement, and foreign-schema rejection.
+  // Scale notes (100 TB): declared write transforms pin the layout
+  // invariant AT THE TABLE — ingest, compaction, and backfill all
+  // inherit the same bucketing instead of each job re-implementing
+  // repartition discipline; bounded file counts (buckets, not
+  // keys × tasks) and trustworthy read-side SPJ follow.
+  def q287BucketTransformWrite(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(s.conf.set(k, v)) }
+    val root = ShardPaths.resolve(s, "q287", dir)
+    SinkSource.fs(root)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    s.conf.set("spark.sql.catalog.graft_bt", classOf[SinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_bt.root", root)
+    s.conf.set("spark.sql.catalog.graft_bt.bucketWrite", "true")
+    Tables.events(s, dir)
+      .select((col("event_id") % 40).as("k"), col("event_id").as("v"))
+      .writeTo("graft_bt.t").create()
+    // bucket-wholeness from the commit metadata: distinct writer task
+    // ids per bucket (file names carry p<pid>_) — the transform
+    // contract says exactly one
+    val pid = "p(\\d+)_".r
+    val tasks = SinkSource.manifest(s"$root/t")
+      .groupBy { case (k, _, _) => ((k % 8) + 8) % 8 }
+      .toSeq.map { case (b, es) =>
+        (b, es.map(e => pid.findFirstMatchIn(e._2).get.group(1))
+          .distinct.size.toLong) }
+    val tasksDf = s.createDataFrame(tasks).toDF("bucket", "n_writer_tasks")
+    s.table("graft_bt.t")
+      .groupBy((col("k") % 8).as("bucket"))
+      .agg(countDistinct(col("k")).as("n_keys"),
+        count(lit(1)).as("n_rows"),
+        sum(col("v")).as("sum_v"))
+      .join(broadcast(tasksDf), Seq("bucket"))
+      .select(col("bucket"), col("n_keys"), col("n_rows"), col("sum_v"),
+        col("n_writer_tasks"))
+      .orderBy(col("bucket"))
+  }
+
+  val q287Oracle: String =
+    """SELECT (event_id % 40) % 8 AS bucket,
+      |  COUNT(DISTINCT event_id % 40) AS n_keys, COUNT(*) AS n_rows,
+      |  CAST(SUM(event_id) AS BIGINT) AS sum_v,
+      |  CAST(1 AS BIGINT) AS n_writer_tasks
+      |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q287_bucket_transform_write" -> q287BucketTransformWrite,
     "q286_metadata_tables" -> q286MetadataTables,
     "q285_expire_snapshots" -> q285ExpireSnapshots,
     "q284_mor_lineage" -> q284MorLineage,
@@ -1503,6 +1569,7 @@ object FormatQueries {
     "q64_schema_evolution" -> q64SchemaEvolution)
 
   def oracleSql: Map[String, String] = Map(
+    "q287_bucket_transform_write" -> q287Oracle,
     "q286_metadata_tables" -> q286Oracle,
     "q285_expire_snapshots" -> q285Oracle,
     "q284_mor_lineage" -> q284Oracle,

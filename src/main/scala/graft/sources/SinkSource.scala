@@ -283,17 +283,36 @@ object SinkSource {
   * `root`; only load/exists are real, the DDL surface is out of scope.
   */
 class SinkCatalog extends CatalogPlugin with TableCatalog
-    with ProcedureCatalog {
+    with ProcedureCatalog with FunctionCatalog {
   private var catalogName: String = _
   private var root: String = _
   private var mor: Boolean = false
+  private var bucketWrite: Boolean = false
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     root = options.get("root")
     mor = "true".equalsIgnoreCase(options.get("mor"))
+    bucketWrite = "true".equalsIgnoreCase(options.get("bucketWrite"))
   }
   override def name(): String = catalogName
+
+  // ---- functions (partition transforms) --------------------------------
+  /** The catalog ships the `bucket` TRANSFORM function the engine needs
+    * to evaluate a transform-clustered write's shuffle keys — exactly
+    * how Iceberg's catalog serves bucket/truncate/days to Spark. The
+    * write side declares `clustered(bucket(8, k))`
+    * ([[SinkBucketClusteredWrite]]); resolving that distribution makes
+    * the engine look the function up HERE, bind it against (int,
+    * bigint), and hash rows by its result in the exchange. */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    else Array.empty
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace.isEmpty && ident.name == "bucket") SinkBucketUnbound
+    else throw new NoSuchElementException(s"function not found: $ident")
 
   // ---- procedures (maintenance entry points) ---------------------------
   /** `CALL graft_sink.compact('<table>')` — the maintenance-procedure
@@ -344,7 +363,8 @@ class SinkCatalog extends CatalogPlugin with TableCatalog
       return new SinkMetaTable(
         new Path(root, ident.namespace.head).toString, ident.name)
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    new SinkTable(new Path(root, ident.name).toString, mor = mor)
+    new SinkTable(new Path(root, ident.name).toString, mor = mor,
+      bucketWrite = bucketWrite)
   }
 
   /** TIME TRAVEL (`VERSION AS OF n`): the versioned-manifest publish
@@ -376,9 +396,22 @@ class SinkCatalog extends CatalogPlugin with TableCatalog
     ident.namespace.isEmpty &&
       SinkSource.fs(root).exists(new Path(root, ident.name))
 
+  /** Minimal CREATE surface (CTAS / `writeTo(...).create()`): the
+    * layout is fixed, so creating a table is making its directory —
+    * schema must be the sink's (k, v) contract and any declared
+    * partitioning must be the bucket transform this catalog serves. */
   override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException("create via the write path")
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    if (schema.fieldNames.toSeq != SinkSource.schema.fieldNames.toSeq)
+      throw new UnsupportedOperationException(
+        s"sink tables have the fixed schema (k, v); got ${schema.simpleString}")
+    if (!partitions.forall(_.name == "bucket"))
+      throw new UnsupportedOperationException(
+        s"only bucket partitioning is supported: ${partitions.toSeq}")
+    SinkSource.fs(root).mkdirs(new Path(root, ident.name))
+    new SinkTable(new Path(root, ident.name).toString, mor = mor,
+      bucketWrite = bucketWrite)
+  }
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException("alter not supported")
   override def dropTable(ident: Identifier): Boolean =
@@ -390,11 +423,26 @@ class SinkCatalog extends CatalogPlugin with TableCatalog
 class SinkTable(path: String, pinnedVersion: Option[Int] = None,
     clustered: Boolean = false, stats: Boolean = false,
     maxVersionsPerTrigger: Option[Int] = None, mor: Boolean = false,
-    startingVersion: Option[Int] = None)
+    startingVersion: Option[Int] = None, bucketWrite: Boolean = false)
     extends Table
     with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsRowLevelOperations with SupportsMetadataColumns {
   import org.apache.spark.sql.sources._
+
+  /** WRITE-SIDE PARTITION TRANSFORM (`bucketWrite=true` catalogs): the
+    * table REPORTS its layout as `bucket(8, k)` and its writes demand
+    * distribution by that transform — the write dual of SpjSource's
+    * read-side KeyGroupedPartitioning. The engine resolves `bucket`
+    * through the table's own [[FunctionCatalog]] (the Iceberg
+    * mechanism), evaluates it as the exchange's hash key, and every
+    * bucket's rows land WHOLE in one writer task — the contract that
+    * keeps file counts bounded by the declared layout grain, not by
+    * keys × tasks. */
+  override def partitioning(): Array[Transform] =
+    if (bucketWrite)
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .bucket(8, "k"))
+    else Array.empty
 
   /** MERGE-ON-READ tables expose the positional row identity
     * ([[SinkDeltaOperation.rowId]]) as metadata columns — the
@@ -457,7 +505,14 @@ class SinkTable(path: String, pinnedVersion: Option[Int] = None,
       startingVersion)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new SinkWriteBuilder(path, info.queryId(), clustered)
+    if (bucketWrite)
+      new WriteBuilder with SupportsTruncate {
+        private var doTruncate = false
+        override def truncate(): WriteBuilder = { doTruncate = true; this }
+        override def build(): Write =
+          new SinkBucketClusteredWrite(path, info.queryId(), doTruncate)
+      }
+    else new SinkWriteBuilder(path, info.queryId(), clustered)
 
   // ---- metadata delete ------------------------------------------------
   private def keyAligned(f: Filter): Boolean = f match {
@@ -1706,6 +1761,74 @@ class SinkClusteredWrite(path: String, queryId: String, truncate: Boolean)
 
   override def toBatch: BatchWrite =
     new SinkBatchWrite(path, queryId, truncate)
+}
+
+/** The TRANSFORM-clustered write: requiredDistribution is
+  * `clustered(bucket(8, k))` — a FUNCTION of the key, not the key —
+  * so the engine's exchange hashes rows by the transform's RESULT,
+  * resolved and bound through the table's own catalog
+  * ([[SinkCatalog.loadFunction]]). Contract: a BUCKET never spans
+  * writer tasks (8 buckets → at most 8 writing tasks per commit,
+  * however many keys), the observable difference from
+  * [[SinkClusteredWrite]]'s per-key clustering where co-bucketed keys
+  * scatter across tasks.
+  * Scale notes (100 TB): declared write-side transforms are how a
+  * table format pins its layout INVARIANT at the table, not at every
+  * writer's discipline — ingest jobs, compaction, and backfills all
+  * inherit the same bucketing, which is what makes the read side's
+  * storage-partitioned joins (q251) trustworthy.
+  */
+class SinkBucketClusteredWrite(path: String, queryId: String,
+    truncate: Boolean)
+    extends Write with RequiresDistributionAndOrdering {
+  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+  import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+
+  override def requiredDistribution(): Distribution =
+    Distributions.clustered(Array(Expressions.bucket(8, "k")))
+  override def requiredOrdering(): Array[SortOrder] = Array(
+    Expressions.sort(Expressions.column("k"), SortDirection.ASCENDING),
+    Expressions.sort(Expressions.column("v"), SortDirection.ASCENDING))
+
+  override def toBatch: BatchWrite =
+    new SinkBatchWrite(path, queryId, truncate)
+}
+
+/** The `bucket` transform function the catalog serves: deterministic
+  * non-negative modulus of the key. Semantics are the CONNECTOR's to
+  * define (Spark only evaluates what the catalog binds); the simple
+  * modulus keeps the bucket-of-key arithmetic reproducible in an
+  * external oracle. */
+object SinkBucketUnbound
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, k) -> ((k % n) + n) % n"
+  override def bind(inputType: StructType)
+      : org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+    val ok = inputType.fields.length == 2 &&
+      inputType.fields(0).dataType == IntegerType &&
+      inputType.fields(1).dataType == LongType
+    if (!ok) throw new UnsupportedOperationException(
+      s"bucket expects (int, bigint), got ${inputType.simpleString}")
+    new SinkBucketBound
+  }
+}
+
+class SinkBucketBound
+    extends org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer] {
+  override def name(): String = "bucket"
+  override def canonicalName(): String = "graft.sink.bucket"
+  override def inputTypes(): Array[DataType] = Array(IntegerType, LongType)
+  override def resultType(): DataType = IntegerType
+  override def isResultNullable: Boolean = false
+  override def isDeterministic: Boolean = true
+
+  /** MAGIC method — codegen'd Invoke path, no row allocation. */
+  def invoke(n: Int, k: Long): Int = (((k % n) + n) % n).toInt
+
+  override def produceResult(input: InternalRow): Integer =
+    invoke(input.getInt(0), input.getLong(1))
 }
 
 /** One staged file per (task attempt, distinct key). Commit messages

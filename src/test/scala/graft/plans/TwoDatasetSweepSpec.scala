@@ -122,13 +122,25 @@ class TwoDatasetSweepSpec extends SparkSpec {
     // metastore representatives (1b) and the IvfAnn helper family (1a)
     toRun ++= Seq(242, 129, 49)
 
-    // ---- 2. A-then-B-then-A on a fresh shards root, one JVM
-    spark.conf.set("graft.shards.dir",
+    // ---- 2. A-then-B-then-A on a fresh shards root, one JVM.
+    // A DEDICATED session (never the shared suite session): the sweep
+    // redirects graft.shards.dir, and suites run in parallel — leaking
+    // that into the shared conf would rebuild other specs' boundaries
+    // under them mid-test.
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(s.conf.set(k, v)) }
+    s.conf.set("graft.shards.dir",
       Files.createTempDirectory("graft_aba").toString)
     def canon(key: String, dir: String): String = {
-      val df = SparkEntry.queries(key)(spark, dir)
-      df.columns.sorted.mkString(",") + "#" +
+      val df = SparkEntry.queries(key)(s, dir)
+      val h = df.columns.sorted.mkString(",") + "#" +
         df.collect().map(_.toString).sorted.mkString("\n").hashCode
+      // the registry's caller contract (Verify/Bench/Probe do the
+      // same): queries may cache intermediates; clear after consuming
+      // so a later suite's plan checks see a clean cache
+      s.catalog.clearCache()
+      h
     }
     val keys = toRun.toSeq.sorted.map(keyOf)
     assert(keys.size >= 15, s"sweep set suspiciously small: $keys")
