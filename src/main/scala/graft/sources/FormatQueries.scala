@@ -1534,7 +1534,131 @@ object FormatQueries {
       |  CAST(1 AS BIGINT) AS n_writer_tasks
       |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q288 — MERGE-ON-READ MERGE (WriteDelta + MergeRows): the upsert
+  // dual of q275's copy-on-write MERGE and the third arm of the MoR
+  // delta family (q277 DELETE, q279 UPDATE). The engine's
+  // RewriteMergeIntoTable plans MergeRows over the delta scan (table
+  // columns + (_file,_pos) identity, existing vectors applied) and a
+  // WriteDelta whose writer receives each output row WITH its
+  // operation: matched UPDATEs tombstone the old position and stage
+  // the new row, not-matched INSERTs stage like any append — ONE
+  // commit publishes vectors + appended files atomically, and no
+  // existing data file is opened for writing. A plan shape no other
+  // query exercises: q275's MERGE is ReplaceData (group rewrite),
+  // q277/q279 are single-command deltas; this is the delta MERGE.
+  // The query upserts a source that UPDATES every 5th event (shifts
+  // its key space by 31) and INSERTS a disjoint tail (k=77), then
+  // aggregates the post-merge table; the oracle recomputes the final
+  // state arithmetically from the source. SinkMorMergeSpec pins
+  // byte-identical base data files across the MERGE, the one-commit
+  // vector+append publish, and tombstone accounting.
+  // Scale notes (100 TB): continuous upsert feeds (dedup'd ingest,
+  // label fixes, CDC apply) cannot afford q275's group rewrites at
+  // high frequency — MoR MERGE costs O(changed rows) per batch and
+  // defers rewriting to compaction, exactly Iceberg-v2/Delta-DV
+  // upsert economics.
+  def q288MorMerge(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(s.conf.set(k, v)) }
+    val root = ShardPaths.resolve(s, "q288", dir)
+    SinkSource.fs(root).delete(new org.apache.hadoop.fs.Path(root), true)
+    val base = Tables.events(s, dir)
+      .select((col("event_id") % 31).as("k"), col("event_id").as("v"))
+    SinkSource.write(base, s"$root/t", overwrite = true, clustered = true)
+    s.conf.set("spark.sql.catalog.graft_mor", classOf[SinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_mor.root", root)
+    s.conf.set("spark.sql.catalog.graft_mor.mor", "true")
+    val updates = Tables.events(s, dir)
+      .filter(col("event_id") % 5 === 0)
+      .select((col("event_id") % 31).as("k"), col("event_id").as("v"))
+    val inserts = Tables.events(s, dir)
+      .filter(col("event_id") % 7 === 0)
+      .select(lit(77L).as("k"),
+        (col("event_id") + lit(1000000000L)).as("v"))
+    updates.unionByName(inserts).createOrReplaceTempView("q288_src")
+    s.sql(
+      """MERGE INTO graft_mor.t t USING q288_src s ON t.v = s.v
+        |WHEN MATCHED THEN UPDATE SET k = s.k + 31, v = t.v
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+        |""".stripMargin)
+    s.sql(
+      """SELECT k, COUNT(*) AS n_rows, CAST(SUM(v) AS BIGINT) AS sum_v
+        |FROM graft_mor.t GROUP BY k ORDER BY k""".stripMargin)
+  }
+
+  val q288Oracle: String =
+    """SELECT k, COUNT(*) AS n_rows, CAST(SUM(v) AS BIGINT) AS sum_v
+      |FROM (
+      |  SELECT CASE WHEN event_id % 5 = 0 THEN event_id % 31 + 31
+      |              ELSE event_id % 31 END AS k,
+      |         event_id AS v
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 77 AS k, event_id + 1000000000 AS v
+      |  FROM events WHERE event_id % 7 = 0
+      |) GROUP BY k ORDER BY k""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q289 — OVERWRITE BY FILTER (SupportsOverwrite →
+  // OverwriteByExpression): `writeTo(t).overwrite(k IN (3,4))` hands
+  // the condition to the CONNECTOR, which executes it at commit as one
+  // atomic version — matched keys' manifest entries swap for the
+  // staged files, every other entry carries verbatim, replaced files
+  // GC only after the manifest stops citing them. A write-plan shape
+  // no other query exercises: q260 appends, q263's truncate replaces
+  // everything, q164's dynamic overwrite is engine-managed parquet and
+  // discovers partitions from the DATA — here the overwrite scope is
+  // DECLARED, checked against the layout (a non-key-aligned condition
+  // fails the statement loudly rather than approximating — the
+  // deleteWhere exactness bar on the write side), and costs metadata
+  // plus the new rows, never a read of kept groups. The query
+  // backfills two keys with corrected values over a 13-key table; the
+  // oracle recomputes the final state from the source.
+  // SinkOverwriteSpec pins single-version publish, verbatim kept
+  // entries, replaced-file GC, and the unaligned-condition rejection.
+  // Scale notes (100 TB): partition backfills (a bad day's re-ingest,
+  // a corrected region) are THE bulk-correction primitive; declared-
+  // scope overwrite is how they stay metadata swaps instead of table
+  // rewrites, and how a typo'd condition fails instead of silently
+  // truncating more than intended.
+  def q289OverwriteByFilter(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(s.conf.set(k, v)) }
+    val root = ShardPaths.resolve(s, "q289", dir)
+    SinkSource.fs(root).delete(new org.apache.hadoop.fs.Path(root), true)
+    val base = Tables.events(s, dir)
+      .select((col("event_id") % 13).as("k"), col("event_id").as("v"))
+    SinkSource.write(base, s"$root/t", overwrite = true)          // v1
+    s.conf.set("spark.sql.catalog.graft_sink", classOf[SinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_sink.root", root)
+    // the backfill: corrected rows for keys 3 and 4 only, scope DECLARED
+    Tables.events(s, dir)
+      .filter((col("event_id") % 13).isin(3L, 4L))
+      .select((col("event_id") % 13).as("k"),
+        (col("event_id") + lit(1000000000L)).as("v"))
+      .writeTo("graft_sink.t")
+      .overwrite(col("k") === 3L || col("k") === 4L)              // v2
+    val nVersions = SinkSource.currentVersion(s"$root/t").toLong
+    s.table("graft_sink.t")
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
+      .withColumn("n_versions", lit(nVersions))
+      .orderBy(col("k"))
+  }
+
+  val q289Oracle: String =
+    """SELECT event_id % 13 AS k, COUNT(*) AS n_rows,
+      |  CAST(SUM(CASE WHEN event_id % 13 IN (3, 4)
+      |    THEN event_id + 1000000000 ELSE event_id END) AS BIGINT) AS sum_v,
+      |  CAST(2 AS BIGINT) AS n_versions
+      |FROM events GROUP BY 1 ORDER BY k""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q289_overwrite_by_filter" -> q289OverwriteByFilter,
+    "q288_mor_merge" -> q288MorMerge,
     "q287_bucket_transform_write" -> q287BucketTransformWrite,
     "q286_metadata_tables" -> q286MetadataTables,
     "q285_expire_snapshots" -> q285ExpireSnapshots,
@@ -1569,6 +1693,8 @@ object FormatQueries {
     "q64_schema_evolution" -> q64SchemaEvolution)
 
   def oracleSql: Map[String, String] = Map(
+    "q289_overwrite_by_filter" -> q289Oracle,
+    "q288_mor_merge" -> q288Oracle,
     "q287_bucket_transform_write" -> q287Oracle,
     "q286_metadata_tables" -> q286Oracle,
     "q285_expire_snapshots" -> q285Oracle,

@@ -479,16 +479,15 @@ class SinkTable(path: String, pinnedVersion: Option[Int] = None,
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
-    import org.apache.spark.sql.connector.write.RowLevelOperation.Command
-    if (mor) {
+    if (mor)
       // DVs address (file, pos); a copy-on-write rewrite would
-      // invalidate every existing vector, so MoR tables allow only
-      // the delta path — DELETE (vectors) and UPDATE (vector + append)
-      if (info.command() == Command.MERGE)
-        throw new UnsupportedOperationException(
-          "merge-on-read table supports DELETE and UPDATE, not MERGE")
+      // invalidate every existing vector, so MoR tables take the delta
+      // path for ALL row-level commands — DELETE (vectors), UPDATE
+      // (vector + append), and MERGE (the engine's WriteDelta plan
+      // routes matched updates/deletes through the vector arm and
+      // not-matched inserts through the append arm, one commit)
       () => new SinkDeltaOperation(path, info.command())
-    } else
+    else
       () => new SinkRowLevelOperation(path, info.command())
   }
 
@@ -498,7 +497,7 @@ class SinkTable(path: String, pinnedVersion: Option[Int] = None,
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SinkScanBuilder(path, pinnedVersion, stats, maxVersionsPerTrigger, mor,
@@ -515,27 +514,9 @@ class SinkTable(path: String, pinnedVersion: Option[Int] = None,
     else new SinkWriteBuilder(path, info.queryId(), clustered)
 
   // ---- metadata delete ------------------------------------------------
-  private def keyAligned(f: Filter): Boolean = f match {
-    case EqualTo("k", _) | GreaterThan("k", _) | GreaterThanOrEqual("k", _)
-       | LessThan("k", _) | LessThanOrEqual("k", _) | In("k", _) => true
-    case And(l, r) => keyAligned(l) && keyAligned(r)
-    case Or(l, r) => keyAligned(l) && keyAligned(r)
-    case Not(c) => keyAligned(c)
-    case _ => false
-  }
-
-  private def matches(k: Long, f: Filter): Boolean = f match {
-    case EqualTo("k", v)            => k == v.asInstanceOf[Number].longValue
-    case GreaterThan("k", v)        => k > v.asInstanceOf[Number].longValue
-    case GreaterThanOrEqual("k", v) => k >= v.asInstanceOf[Number].longValue
-    case LessThan("k", v)           => k < v.asInstanceOf[Number].longValue
-    case LessThanOrEqual("k", v)    => k <= v.asInstanceOf[Number].longValue
-    case In("k", vs) => vs.exists(_.asInstanceOf[Number].longValue == k)
-    case And(l, r) => matches(k, l) && matches(k, r)
-    case Or(l, r) => matches(k, l) || matches(k, r)
-    case Not(c) => !matches(k, c)
-    case _ => throw new IllegalStateException(s"unaligned filter got through: $f")
-  }
+  private def keyAligned(f: Filter): Boolean = SinkKeyFilters.aligned(f)
+  private def matches(k: Long, f: Filter): Boolean =
+    SinkKeyFilters.matches(k, f)
 
   /** A delete is accepted only when it is EXACT at manifest
     * granularity — every predicate is on the layout key, so each entry
@@ -557,6 +538,38 @@ class SinkTable(path: String, pinnedVersion: Option[Int] = None,
     doomed.foreach { case (_, fl, _) =>
       try f.delete(new Path(path, s"data/$fl"), false)
       catch { case _: Exception => } }
+  }
+}
+
+/** Key-aligned predicate arithmetic shared by the metadata-exact
+  * surfaces (SupportsDelete's deleteWhere, SupportsOverwrite's
+  * overwrite-by-filter): a predicate is accepted only when every leaf
+  * is on the layout key, so each manifest entry is wholly in or wholly
+  * out — anything finer must be REJECTED by the caller rather than
+  * approximated. */
+private[sources] object SinkKeyFilters {
+  import org.apache.spark.sql.sources._
+
+  def aligned(f: Filter): Boolean = f match {
+    case EqualTo("k", _) | GreaterThan("k", _) | GreaterThanOrEqual("k", _)
+       | LessThan("k", _) | LessThanOrEqual("k", _) | In("k", _) => true
+    case And(l, r) => aligned(l) && aligned(r)
+    case Or(l, r) => aligned(l) && aligned(r)
+    case Not(c) => aligned(c)
+    case _ => false
+  }
+
+  def matches(k: Long, f: Filter): Boolean = f match {
+    case EqualTo("k", v)            => k == v.asInstanceOf[Number].longValue
+    case GreaterThan("k", v)        => k > v.asInstanceOf[Number].longValue
+    case GreaterThanOrEqual("k", v) => k >= v.asInstanceOf[Number].longValue
+    case LessThan("k", v)           => k < v.asInstanceOf[Number].longValue
+    case LessThanOrEqual("k", v)    => k <= v.asInstanceOf[Number].longValue
+    case In("k", vs) => vs.exists(_.asInstanceOf[Number].longValue == k)
+    case And(l, r) => matches(k, l) && matches(k, r)
+    case Or(l, r) => matches(k, l) || matches(k, r)
+    case Not(c) => !matches(k, c)
+    case _ => throw new IllegalStateException(s"unaligned filter got through: $f")
   }
 }
 
@@ -1716,16 +1729,40 @@ class SinkReader(file: String, plainLimit: Option[Int] = None)
 
 // ---- write side -------------------------------------------------------
 
+/** OVERWRITE-BY-FILTER ([[SupportsOverwrite]]): `writeTo(t)
+  * .overwrite(cond)` plans an OverwriteByExpression whose condition
+  * lands here as V1 filters — accepted only KEY-ALIGNED (the same
+  * exactness bar as deleteWhere; a `v` condition fails the statement
+  * loudly at plan time), and executed at COMMIT as one atomic version:
+  * the manifest swaps matched keys' entries for the staged files and
+  * carries everything else verbatim — a partial truncate that costs
+  * metadata plus the new data, never a read of the kept groups. The
+  * Iceberg static-overwrite shape, and the declarative dual of q164's
+  * engine-managed dynamic partition overwrite.
+  */
 class SinkWriteBuilder(path: String, queryId: String,
     clustered: Boolean = false)
-    extends WriteBuilder with SupportsTruncate {
+    extends WriteBuilder with SupportsOverwrite {
+  import org.apache.spark.sql.sources.{AlwaysTrue, Filter}
+
   private var doTruncate = false
+  private var replace: Option[Array[Filter]] = None
   override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    if (filters.forall(_ == AlwaysTrue)) doTruncate = true
+    else if (filters.forall(SinkKeyFilters.aligned)) replace = Some(filters)
+    else throw new UnsupportedOperationException(
+      s"overwrite condition must be aligned to the layout key k; " +
+        s"got ${filters.mkString(", ")}")
+    this
+  }
+
   override def build(): Write =
-    if (clustered) new SinkClusteredWrite(path, queryId, doTruncate)
+    if (clustered) new SinkClusteredWrite(path, queryId, doTruncate, replace)
     else new Write {
       override def toBatch: BatchWrite =
-        new SinkBatchWrite(path, queryId, doTruncate)
+        new SinkBatchWrite(path, queryId, doTruncate, replace = replace)
       override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
         new SinkStreamingWrite(path, queryId)
     }
@@ -1748,7 +1785,8 @@ class SinkWriteBuilder(path: String, queryId: String,
   * distribution problem, and it belongs to the SINK's contract, not
   * to every caller's discipline.
   */
-class SinkClusteredWrite(path: String, queryId: String, truncate: Boolean)
+class SinkClusteredWrite(path: String, queryId: String, truncate: Boolean,
+    replace: Option[Array[org.apache.spark.sql.sources.Filter]] = None)
     extends Write with RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
   import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
@@ -1760,7 +1798,7 @@ class SinkClusteredWrite(path: String, queryId: String, truncate: Boolean)
     Expressions.sort(Expressions.column("v"), SortDirection.ASCENDING))
 
   override def toBatch: BatchWrite =
-    new SinkBatchWrite(path, queryId, truncate)
+    new SinkBatchWrite(path, queryId, truncate, replace = replace)
 }
 
 /** The TRANSFORM-clustered write: requiredDistribution is
@@ -1838,7 +1876,8 @@ case class SinkCommitMessage(entries: Seq[(Long, String, Long)])
     extends WriterCommitMessage
 
 class SinkBatchWrite(path: String, queryId: String, truncate: Boolean,
-    txn: Option[(String, Long)] = None)
+    txn: Option[(String, Long)] = None,
+    replace: Option[Array[org.apache.spark.sql.sources.Filter]] = None)
     extends BatchWrite {
 
   private def stagingDir = new Path(path, s"_staging/$queryId")
@@ -1871,7 +1910,16 @@ class SinkBatchWrite(path: String, queryId: String, truncate: Boolean,
       if (!f.rename(new Path(stagingDir, fl), dest))
         throw new IllegalStateException(s"staged file publish failed: $fl")
     }
-    val prior = if (truncate) Seq.empty else SinkSource.manifest(path)
+    // overwrite-by-filter: matched keys' entries are swapped for the
+    // staged files IN THIS version, everything else carried verbatim —
+    // a partial truncate that never reads the kept groups
+    val (dropped, prior) =
+      if (truncate) (SinkSource.manifest(path), Seq.empty)
+      else replace match {
+        case Some(fs) => SinkSource.manifest(path)
+          .partition { case (k, _, _) => fs.forall(SinkKeyFilters.matches(k, _)) }
+        case None => (Seq.empty, SinkSource.manifest(path))
+      }
     SinkSource.writeManifest(path, prior ++ committed, txn = txn)
     if (truncate) {
       // old files are unreachable once the manifest swapped; GC them
@@ -1879,6 +1927,14 @@ class SinkBatchWrite(path: String, queryId: String, truncate: Boolean,
       if (f.exists(dataDir)) f.listStatus(dataDir).map(_.getPath)
         .filter(p => !live.contains(p.getName))
         .foreach(p => try f.delete(p, false) catch { case _: Exception => })
+    } else {
+      // replaced files are dropped AFTER the manifest stops citing
+      // them (crash in between leaks a file, never a row) — the
+      // deleteWhere discipline; keys kept in other entries stay
+      val keptFiles = (prior ++ committed).map(_._2).toSet
+      dropped.map(_._2).distinct.filterNot(keptFiles).foreach { fl =>
+        try f.delete(new Path(dataDir, fl), false)
+        catch { case _: Exception => } }
     }
     f.delete(stagingDir, true)
   }
