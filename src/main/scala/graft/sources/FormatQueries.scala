@@ -1656,7 +1656,58 @@ object FormatQueries {
       |  CAST(2 AS BIGINT) AS n_versions
       |FROM events GROUP BY 1 ORDER BY k""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q290 — partition management DDL (SupportsPartitionManagement,
+  // catalog option `partman=true`): the sink's one-group-per-key
+  // layout surfaced as identity partitioning to the SQL partition
+  // verbs — SHOW PARTITIONS lists the manifest's distinct keys
+  // (metadata-only; SinkPartitionMgmtSpec's kill-shot answers it with
+  // the data directory removed), ALTER TABLE DROP PARTITION is the
+  // metadata delete wearing its DDL name, ADD PARTITION is refused
+  // (partitions exist by containing data). New PLAN shapes: the
+  // ShowPartitionsExec and AlterTableDropPartitionExec V2 command
+  // paths, which no other query exercises. The query drops one of 11
+  // key partitions, then answers from SHOW PARTITIONS joined to the
+  // read-back per-key aggregate; the oracle recomputes both from the
+  // source.
+  // Scale notes (100 TB): retention tooling speaks DDL — "drop the
+  // expired day" must be a manifest swap plus file unlinks,
+  // O(metadata), and listing a petabyte table's partitions must never
+  // open a data file.
+  def q290PartitionDdl(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(s.conf.set(k, v)) }
+    val root = ShardPaths.resolve(s, "q290", dir)
+    SinkSource.fs(root).delete(new org.apache.hadoop.fs.Path(root), true)
+    SinkSource.write(
+      Tables.events(s, dir)
+        .select((col("event_id") % 11).as("k"), col("event_id").as("v")),
+      s"$root/t", overwrite = true)
+    s.conf.set("spark.sql.catalog.graft_pm", classOf[SinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_pm.root", root)
+    s.conf.set("spark.sql.catalog.graft_pm.partman", "true")
+    s.sql("ALTER TABLE graft_pm.t DROP PARTITION (k = 7)")
+    val parts = s.sql("SHOW PARTITIONS graft_pm.t")
+      .select(col("partition").as("part"),
+        regexp_extract(col("partition"), "k=(\\d+)", 1)
+          .cast("long").as("k"))
+    s.table("graft_pm.t")
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
+      .join(broadcast(parts), Seq("k"))
+      .select(col("part"), col("n_rows"), col("sum_v"))
+      .orderBy(col("part"))
+  }
+
+  val q290Oracle: String =
+    """SELECT CONCAT('k=', CAST(event_id % 11 AS VARCHAR)) AS part,
+      |  COUNT(*) AS n_rows, CAST(SUM(event_id) AS BIGINT) AS sum_v
+      |FROM events WHERE event_id % 11 <> 7
+      |GROUP BY 1 ORDER BY part""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q290_partition_ddl" -> q290PartitionDdl,
     "q289_overwrite_by_filter" -> q289OverwriteByFilter,
     "q288_mor_merge" -> q288MorMerge,
     "q287_bucket_transform_write" -> q287BucketTransformWrite,
@@ -1693,6 +1744,7 @@ object FormatQueries {
     "q64_schema_evolution" -> q64SchemaEvolution)
 
   def oracleSql: Map[String, String] = Map(
+    "q290_partition_ddl" -> q290Oracle,
     "q289_overwrite_by_filter" -> q289Oracle,
     "q288_mor_merge" -> q288Oracle,
     "q287_bucket_transform_write" -> q287Oracle,

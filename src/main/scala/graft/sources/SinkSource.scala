@@ -288,12 +288,14 @@ class SinkCatalog extends CatalogPlugin with TableCatalog
   private var root: String = _
   private var mor: Boolean = false
   private var bucketWrite: Boolean = false
+  private var partman: Boolean = false
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     root = options.get("root")
     mor = "true".equalsIgnoreCase(options.get("mor"))
     bucketWrite = "true".equalsIgnoreCase(options.get("bucketWrite"))
+    partman = "true".equalsIgnoreCase(options.get("partman"))
   }
   override def name(): String = catalogName
 
@@ -363,7 +365,8 @@ class SinkCatalog extends CatalogPlugin with TableCatalog
       return new SinkMetaTable(
         new Path(root, ident.namespace.head).toString, ident.name)
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    new SinkTable(new Path(root, ident.name).toString, mor = mor,
+    if (partman) new SinkPartitionedTable(new Path(root, ident.name).toString)
+    else new SinkTable(new Path(root, ident.name).toString, mor = mor,
       bucketWrite = bucketWrite)
   }
 
@@ -538,6 +541,77 @@ class SinkTable(path: String, pinnedVersion: Option[Int] = None,
     doomed.foreach { case (_, fl, _) =>
       try f.delete(new Path(path, s"data/$fl"), false)
       catch { case _: Exception => } }
+  }
+}
+
+/** PARTITION MANAGEMENT over the key layout
+  * ([[SupportsPartitionManagement]], catalog option `partman=true`):
+  * the sink's one-group-per-key layout IS an identity partitioning,
+  * and this table surfaces it to the SQL partition verbs — `SHOW
+  * PARTITIONS` lists the manifest's distinct keys (metadata-only,
+  * zero files opened), `ALTER TABLE .. DROP PARTITION (k=..)` is the
+  * deleteWhere metadata drop wearing its DDL name, and `ADD
+  * PARTITION` is refused (partitions here EXIST by containing data;
+  * writes create them). This is the catalog-DDL dual of the
+  * filter-based surfaces: same manifest arithmetic, addressed by
+  * partition spec instead of predicate.
+  * Scale notes (100 TB): operational tooling speaks DDL — retention
+  * jobs drop day partitions, ingest monitors list them; serving both
+  * from the manifest keeps the verbs O(metadata) however large the
+  * table.
+  */
+class SinkPartitionedTable(path: String)
+    extends SinkTable(path)
+    with SupportsPartitionManagement {
+
+  override def partitioning(): Array[Transform] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .identity("k"))
+
+  override def partitionSchema(): StructType =
+    StructType(Seq(StructField("k", LongType, nullable = false)))
+
+  override def createPartition(ident: InternalRow,
+      properties: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "partitions exist by containing data; writes create them")
+
+  override def dropPartition(ident: InternalRow): Boolean = {
+    val k = ident.getLong(0)
+    val entries = SinkSource.manifest(path)
+    val (doomed, kept) = entries.partition(_._1 == k)
+    if (doomed.isEmpty) false
+    else {
+      // same discipline as deleteWhere: publish first, GC second — a
+      // crash in between leaks a file, never a row
+      SinkSource.writeManifest(path, kept)
+      val f = SinkSource.fs(path)
+      val keptFiles = kept.map(_._2).toSet
+      doomed.map(_._2).distinct.filterNot(keptFiles).foreach { fl =>
+        try f.delete(new Path(path, s"data/$fl"), false)
+        catch { case _: Exception => } }
+      true
+    }
+  }
+
+  override def replacePartitionMetadata(ident: InternalRow,
+      properties: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException("no partition metadata here")
+
+  override def loadPartitionMetadata(ident: InternalRow)
+      : util.Map[String, String] = util.Collections.emptyMap()
+
+  override def listPartitionIdentifiers(names: Array[String],
+      ident: InternalRow): Array[InternalRow] = {
+    val keys = SinkSource.manifest(path).map(_._1).distinct.sorted
+    val matching =
+      if (names.isEmpty) keys
+      else {
+        require(names.sameElements(Array("k")), names.toSeq.toString)
+        keys.filter(_ == ident.getLong(0))
+      }
+    matching.map(k =>
+      new GenericInternalRow(Array[Any](k)): InternalRow).toArray
   }
 }
 

@@ -104,13 +104,16 @@ class SinkMorSpec extends SparkSpec {
     assert(rows(s, root) == expect.filter(_._2 < 1000L),
       "post-update delete must hit appended rows too")
 
-    // MERGE stays refused: appended rows are fine, but the general
-    // merge needs insert-cardinality machinery the CoW arm provides
-    val e = intercept[Exception] {
-      s.sql(
-        """MERGE INTO graft_mor.t USING (SELECT 1 AS k, 2 AS v) c
-          |ON t.k = c.k WHEN MATCHED THEN DELETE""".stripMargin)
-    }
-    assert(e.getMessage != null)
+    // MERGE rides the same delta path (round 15; SinkMorMergeSpec
+    // pins the full contract) — a matched-delete MERGE tombstones
+    // without touching data files, like any other delta command
+    val filesBefore2 = dataFiles(root)
+    s.sql(
+      """MERGE INTO graft_mor.t USING (SELECT 1 AS k, 2 AS v) c
+        |ON t.k = c.k WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(dataFiles(root) == filesBefore2,
+      "a matched-delete MERGE must not touch data files")
+    assert(rows(s, root) == expect.filter(r => r._2 < 1000L && r._1 != 1L),
+      "MERGE matched-delete produced the wrong table")
   }
 }
