@@ -1706,7 +1706,69 @@ object FormatQueries {
       |FROM events WHERE event_id % 11 <> 7
       |GROUP BY 1 ORDER BY part""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q291 — table CHECK CONSTRAINTS
+  // (TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT, Spark 4.1's
+  // constraints surface): `ALTER TABLE .. ADD CONSTRAINT c CHECK (..)`
+  // first VALIDATES existing rows engine-side (AddCheckConstraintExec
+  // scans for violations and refuses a dirty history), then persists
+  // the constraint as catalog metadata; from then on the engine
+  // compiles every enforced CHECK into the WRITE PLAN
+  // (ResolveTableConstraints), so a violating row fails the statement
+  // before a single file stages — quality gates at the TABLE, not in
+  // every producer job. New plan shapes: the constraint-validation
+  // scan and the enforcement projection inside V2 writes, neither
+  // planned by any other query. The query adds a v >= 0 constraint to
+  // a clean table, proves a poison INSERT fails atomically (manifest
+  // un-advanced, hash-gated violation flag), lands a valid append,
+  // and aggregates the guarded table; the oracle recomputes from the
+  // source. SinkConstraintSpec pins dirty-history refusal,
+  // atomic-failure, cross-session persistence, and DROP lifting
+  // enforcement.
+  // Scale notes (100 TB): at corpus scale, bad rows come from
+  // SOMEWHERE among hundreds of producers — a declared, engine-
+  // enforced constraint is the only gate that doesn't depend on every
+  // writer's discipline, and it costs one predicate per written row.
+  def q291CheckConstraint(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(s.conf.set(k, v)) }
+    val root = ShardPaths.resolve(s, "q291", dir)
+    SinkSource.fs(root).delete(new org.apache.hadoop.fs.Path(root), true)
+    SinkSource.write(
+      Tables.events(s, dir)
+        .select((col("event_id") % 29).as("k"), col("event_id").as("v")),
+      s"$root/t", overwrite = true)
+    s.conf.set("spark.sql.catalog.graft_ck", classOf[SinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_ck.root", root)
+    s.sql("ALTER TABLE graft_ck.t ADD CONSTRAINT v_nonneg CHECK (v >= 0)")
+    // the poison write must fail BEFORE publishing anything
+    val vBefore = SinkSource.currentVersion(s"$root/t")
+    val rejected =
+      try { s.sql("INSERT INTO graft_ck.t VALUES (0, -1)"); 0L }
+      catch { case _: Exception => 1L }
+    val atomic =
+      if (SinkSource.currentVersion(s"$root/t") == vBefore) 1L else 0L
+    // a valid append passes the same gate
+    s.sql("INSERT INTO graft_ck.t VALUES (28, 4000000000)")
+    s.table("graft_ck.t")
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
+      .withColumn("rejected", lit(rejected))
+      .withColumn("atomic", lit(atomic))
+      .orderBy(col("k"))
+  }
+
+  val q291Oracle: String =
+    """SELECT k, COUNT(*) AS n_rows, CAST(SUM(v) AS BIGINT) AS sum_v,
+      |  CAST(1 AS BIGINT) AS rejected, CAST(1 AS BIGINT) AS atomic
+      |FROM (
+      |  SELECT event_id % 29 AS k, event_id AS v FROM events
+      |  UNION ALL SELECT 28, 4000000000
+      |) GROUP BY k ORDER BY k""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q291_check_constraint" -> q291CheckConstraint,
     "q290_partition_ddl" -> q290PartitionDdl,
     "q289_overwrite_by_filter" -> q289OverwriteByFilter,
     "q288_mor_merge" -> q288MorMerge,
@@ -1744,6 +1806,7 @@ object FormatQueries {
     "q64_schema_evolution" -> q64SchemaEvolution)
 
   def oracleSql: Map[String, String] = Map(
+    "q291_check_constraint" -> q291Oracle,
     "q290_partition_ddl" -> q290Oracle,
     "q289_overwrite_by_filter" -> q289Oracle,
     "q288_mor_merge" -> q288Oracle,

@@ -403,6 +403,48 @@ class SinkCatalog extends CatalogPlugin with TableCatalog
     * layout is fixed, so creating a table is making its directory —
     * schema must be the sink's (k, v) contract and any declared
     * partitioning must be the bucket transform this catalog serves. */
+  /** TABLE CONSTRAINTS (TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT):
+    * `ALTER TABLE .. ADD CONSTRAINT c CHECK (..)` validates the
+    * EXISTING rows engine-side (AddCheckConstraintExec scans for
+    * violations before the catalog ever sees the change), then lands
+    * here as a TableChange; the catalog persists the constraint beside
+    * the table and every later [[SinkTable.constraints]] read hands it
+    * back — at which point the engine ENFORCES it on writes
+    * (ResolveTableConstraints compiles enforced CHECKs into the write
+    * plan, failing violating rows before a single file stages).
+    * Constraints are metadata: a name + predicate SQL line per entry.
+    */
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    Set(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT).asJava
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val path = new Path(root, ident.name).toString
+    changes.foreach {
+      case add: TableChange.AddConstraint =>
+        add.constraint() match {
+          case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            val cur = SinkConstraints.load(path)
+            if (cur.exists(_._1 == c.name))
+              throw new IllegalArgumentException(
+                s"constraint ${c.name} already exists on $path")
+            SinkConstraints.store(path,
+              cur :+ ((c.name, c.enforced(), c.predicateSql())))
+          case other => throw new UnsupportedOperationException(
+            s"only CHECK constraints are supported: $other")
+        }
+      case drop: TableChange.DropConstraint =>
+        val cur = SinkConstraints.load(path)
+        if (!cur.exists(_._1 == drop.name) && !drop.ifExists)
+          throw new IllegalArgumentException(
+            s"no constraint ${drop.name} on $path")
+        SinkConstraints.store(path, cur.filterNot(_._1 == drop.name))
+      case other => throw new UnsupportedOperationException(
+        s"alter not supported: $other")
+    }
+    loadTable(ident)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     if (schema.fieldNames.toSeq != SinkSource.schema.fieldNames.toSeq)
@@ -415,8 +457,6 @@ class SinkCatalog extends CatalogPlugin with TableCatalog
     new SinkTable(new Path(root, ident.name).toString, mor = mor,
       bucketWrite = bucketWrite)
   }
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("alter not supported")
   override def dropTable(ident: Identifier): Boolean =
     throw new UnsupportedOperationException("drop not supported")
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
@@ -497,6 +537,21 @@ class SinkTable(path: String, pinnedVersion: Option[Int] = None,
   override def name(): String =
     s"graft_sink($path${pinnedVersion.fold("")(v => s"@v$v")})"
   override def schema(): StructType = SinkSource.schema
+
+  /** Stored CHECK constraints, handed back to the engine so
+    * ResolveTableConstraints enforces them inside every write plan —
+    * a violating row fails the statement before a single file stages.
+    * validationStatus VALID because ADD CONSTRAINT validated existing
+    * rows engine-side before the catalog persisted it. */
+  override def constraints(): Array[
+      org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    SinkConstraints.load(path).map { case (n, enforced, sql) =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint
+        .check(n).predicateSql(sql).enforced(enforced)
+        .validationStatus(org.apache.spark.sql.connector.catalog
+          .constraints.Constraint.ValidationStatus.VALID)
+        .build(): org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
@@ -612,6 +667,40 @@ class SinkPartitionedTable(path: String)
       }
     matching.map(k =>
       new GenericInternalRow(Array[Any](k)): InternalRow).toArray
+  }
+}
+
+/** Constraint persistence: one `name<TAB>enforced<TAB>predicateSql`
+  * line per constraint in the table's `_constraints.psv` — metadata
+  * beside the manifests, read back by [[SinkTable.constraints]]. */
+private[sources] object SinkConstraints {
+  private def file(path: String) = new Path(path, "_constraints.psv")
+
+  def load(path: String): Seq[(String, Boolean, String)] = {
+    val f = SinkSource.fs(path)
+    if (!f.exists(file(path))) Seq.empty
+    else {
+      val in = f.open(file(path))
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      body.linesIterator.filter(_.nonEmpty).map { line =>
+        val c = line.split('\t')
+        (c(0), c(1).toBoolean, c(2))
+      }.toSeq
+    }
+  }
+
+  def store(path: String, cs: Seq[(String, Boolean, String)]): Unit = {
+    val f = SinkSource.fs(path)
+    if (cs.isEmpty) { f.delete(file(path), false); return }
+    val body = cs.map { case (n, e, sql) => s"$n\t$e\t$sql" }
+      .mkString("\n") + "\n"
+    val tmp = new Path(path, s"_tmp_constraints_${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    if (f.exists(file(path))) f.delete(file(path), false)
+    if (!f.rename(tmp, file(path)))
+      throw new IllegalStateException(s"constraint publish failed under $path")
   }
 }
 
