@@ -18,19 +18,20 @@ object Bench {
     * is loud, not silent.
     */
   val priorCostCs: Array[Int] = Array(
-    95,14,16,101,32,22,48,34,13,11,13,14,23,22,70,10,32,109,34,42,22,60,26,71,
-    95,149,38,49,40,36,47,30,33,28,37,30,16,17,149,45,147,253,105,55,113,118,
-    81,104,67,22,95,39,37,113,54,59,48,28,62,65,26,48,70,56,30,59,42,81,44,42,
-    21,112,335,29,42,18,59,65,84,104,81,69,126,145,53,85,50,80,137,40,151,44,
-    24,50,104,201,39,57,35,212,52,27,111,72,40,35,138,79,78,60,63,40,129,29,
-    88,52,32,77,31,145,99,105,77,30,36,32,50,88,103,33,44,35,16,26,14,14,184,
-    53,60,43,51,41,90,93,81,301,181,46,45,48,109,40,264,113,144,20,108,110,59,
-    69,32,34,207,98,71,33,376,37,68,23,54,85,50,61,73,23,72,101,70,63,63,141,
-    127,268,154,30,78,85,167,110,49,248,191,185,277,67,27,85,21,152,79,30,72,
-    74,97,109,106,102,51,27,37,78,53,35,57,64,40,30,58,49,30,38,48,69,47,44,
-    136,57,81,58,92,49,67,42,34,110,59,78,228,160,91,89,45,224,18,29,90,14,14,
-    117,36,33,346,20,29,272,47,34,19,54,81,168,84,107,28,32,145,28,131,44,89,
-    362,43,127,294,263,147,130,228,240,211,172,119,116)
+    125,14,26,109,62,32,46,34,16,15,12,10,21,19,73,10,36,155,43,89,25,56,29,
+    73,81,215,55,56,48,53,58,35,47,46,54,83,14,20,162,53,226,240,117,35,149,
+    149,89,108,66,23,115,47,45,100,66,67,40,37,55,68,16,79,66,67,56,78,50,86,
+    57,47,25,148,327,53,51,15,57,72,88,129,87,90,170,165,74,96,62,76,169,36,
+    196,45,38,95,117,219,46,43,38,249,51,32,97,97,50,51,125,73,96,62,63,33,
+    142,38,105,62,37,103,56,178,146,126,89,37,65,46,65,94,137,61,48,52,22,18,
+    16,14,216,57,65,55,63,47,78,129,120,327,175,54,59,74,135,53,275,110,146,
+    25,125,139,70,86,43,50,238,110,70,52,341,43,78,29,72,123,67,53,97,34,61,
+    131,86,105,64,181,154,303,191,40,80,82,222,87,62,309,264,157,361,71,48,
+    118,19,201,100,51,71,74,125,138,144,116,62,43,43,75,67,44,97,66,53,33,66,
+    47,31,45,64,80,58,55,176,60,96,86,130,48,57,44,43,151,66,71,234,250,190,
+    84,51,253,27,33,61,16,15,108,49,27,285,24,75,283,64,35,31,78,100,180,141,
+    144,49,30,168,37,159,68,84,331,68,178,294,280,181,154,214,269,269,176,151,
+    137,169,122,131,270,111,93,123)
 
   def costOf(name: String): Int = {
     val n = name.takeWhile(_ != '_').drop(1).toInt
