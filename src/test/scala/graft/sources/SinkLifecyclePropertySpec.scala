@@ -5,12 +5,14 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
 /** Model-based randomized test of the merge-on-read DML lifecycle:
-  * a seeded random interleaving of APPEND / DELETE / UPDATE / VACUUM
-  * against an in-memory multiset model — after every operation the
-  * table's read-back must equal the model exactly. This is the
-  * property the per-mechanism specs can't give: the OPERATIONS
-  * COMPOSE (vectors over appended files, updates of updated rows,
-  * vacuum mid-history) in orders nobody hand-picked.
+  * a seeded random interleaving of APPEND / DELETE / UPDATE / VACUUM /
+  * MERGE / OVERWRITE-BY-FILTER / EXPIRE against an in-memory multiset
+  * model — after every operation the table's read-back must equal the
+  * model exactly. This is the property the per-mechanism specs can't
+  * give: the OPERATIONS COMPOSE (vectors over appended files, updates
+  * of updated rows, a merge over vectored history, a key backfill
+  * under live tombstones, snapshot expiry mid-stream — which must
+  * NEVER change current reads) in orders nobody hand-picked.
   */
 class SinkLifecyclePropertySpec extends SparkSpec {
 
@@ -46,9 +48,9 @@ class SinkLifecyclePropertySpec extends SparkSpec {
       }
 
       append(30, overwrite = true)
-      val ops = 7
+      val ops = 9
       for (step <- 1 to ops) {
-        rnd.nextInt(4) match {
+        rnd.nextInt(7) match {
           case 0 => append(5 + rnd.nextInt(10))
           case 1 => // fine-grained delete
             val (m, r) = (2 + rnd.nextInt(4), rnd.nextInt(2))
@@ -64,6 +66,42 @@ class SinkLifecyclePropertySpec extends SparkSpec {
             }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
           case 3 =>
             s.sql("CALL graft_mor.compact('t')").collect()
+          case 4 => // MoR MERGE: matched slice re-keys, plus inserts
+            // (v is unique table-wide by construction, so ON v is
+            // well-defined)
+            val (m, r) = (2 + rnd.nextInt(4), rnd.nextInt(2))
+            val shift = 100L * step
+            val matched = model.keys.filter(_._2 % m == r)
+              .map { case (k, v) => (k + shift, v) }.toSeq
+            val inserts = (0 until 3).map { _ =>
+              val row = (rnd.nextInt(4).toLong, nextV); nextV += 1; row
+            }
+            (matched ++ inserts).toDF("k", "v")
+              .createOrReplaceTempView("life_src")
+            s.sql(
+              """MERGE INTO graft_mor.t t USING life_src s ON t.v = s.v
+                |WHEN MATCHED THEN UPDATE SET k = s.k, v = t.v
+                |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+                |""".stripMargin)
+            model = model.toSeq.map {
+              case ((k, v), c) if v % m == r => ((k + shift, v), c)
+              case e => e
+            }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+            inserts.foreach(row =>
+              model = model.updated(row, model.getOrElse(row, 0) + 1))
+          case 5 => // overwrite-by-filter: backfill one key wholesale
+            val kk = rnd.nextInt(4).toLong
+            val rows = (0 until 3).map { _ =>
+              val row = (kk, nextV); nextV += 1; row
+            }
+            rows.toDF("k", "v").writeTo("graft_mor.t")
+              .overwrite(col("k") === kk)
+            model = model.filter { case ((k, _), _) => k != kk }
+            rows.foreach(row =>
+              model = model.updated(row, model.getOrElse(row, 0) + 1))
+          case 6 => // snapshot expiry must NEVER change current reads
+            s.sql(s"CALL graft_mor.expire('t', ${1 + rnd.nextInt(3)})")
+              .collect()
         }
         val got = readBack(s)
         assert(got == model,
