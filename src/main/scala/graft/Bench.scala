@@ -93,8 +93,9 @@ object Bench {
     // Janino + JIT cost (the 0.3–2 s fixed tier — round-8's driver run
     // exhausted the budget mid-alphabet and every later query's timed
     // number silently absorbed it) at a bounded per-query price.
-    // 1500 s covers the whole 185-query registry's warm passes at
-    // sf0.1 with margin: round 9's 600 s exhausted right before the
+    // 1500 s covers the full registry's warm passes (291 queries as
+    // of round 15, ~0.9 s/query timed ≈ 5× margin) at
+    // sf0.1: round 9's 600 s exhausted right before the
     // q8x block (the ~100 q1xx names sort FIRST and absorb the
     // budget), so q82's timed pass paid its sf0.1 .cache() fill — the
     // 7 s driver line vs the 1.5–3.4 s steady band. The budget's only
