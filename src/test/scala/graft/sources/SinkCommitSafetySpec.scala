@@ -102,4 +102,50 @@ class SinkCommitSafetySpec extends SparkSpec {
     assert(SinkSource.deleteSidecar(s"$root/t").isEmpty,
       "truncate must retire every vector")
   }
+
+  test("the manifest binds its own commit-unique sidecar file") {
+    // Round-16 hardening: the sidecar is written under a SALTED name
+    // recorded in the manifest's `#dv|<file>` header — the manifest
+    // rename (the single commit point) atomically pairs a version with
+    // ITS vector list. Under the old fixed `deletes.v<n>.psv` name, a
+    // commit that lost the version race could overwrite the winner's
+    // sidecar AFTER the winner published, silently deleting the wrong
+    // rows. Modeled here by planting a fixed-name sidecar with bogus
+    // content next to a published version: reads must keep serving the
+    // BOUND list.
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sidecar_bind").toString
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(s.conf.set(k, v)) }
+    import s.implicits._
+    SinkSource.write((0L until 20L).map(i => (i % 2, i)).toDF("k", "v")
+      .repartition(2, col("k")), s"$root/t", overwrite = true)
+    s.conf.set("spark.sql.catalog.graft_dvb", classOf[SinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_dvb.root", root)
+    s.conf.set("spark.sql.catalog.graft_dvb.mor", "true")
+    s.sql("DELETE FROM graft_dvb.t WHERE v < 4")
+    val v = SinkSource.currentVersion(s"$root/t")
+    val f = SinkSource.fs(s"$root/t")
+    val mf = f.open(new Path(s"$root/t/manifest.v$v.psv"))
+    val lines = try scala.io.Source.fromInputStream(mf, "UTF-8")
+      .getLines().toList finally mf.close()
+    val bound = lines.find(_.startsWith("#dv|")).map(_.split('|')(1))
+    assert(bound.exists(_.startsWith(s"deletes.v$v.")),
+      s"manifest must name its commit-unique sidecar: $lines")
+    assert(bound.exists(_ != s"deletes.v$v.psv"),
+      s"sidecar name must be salted, not the raceable fixed name: $bound")
+    val goodPairs = SinkSource.deleteSidecar(s"$root/t")
+    assert(goodPairs.nonEmpty)
+    // the racing loser's overwrite under the OLD scheme: a fixed-name
+    // sidecar with a list that would resurrect the deleted rows
+    val bogus = f.create(new Path(s"$root/t/deletes.v$v.psv"), true)
+    try bogus.write("".getBytes("UTF-8")) finally bogus.close()
+    assert(SinkSource.deleteSidecar(s"$root/t") == goodPairs,
+      "reads must resolve the sidecar through the manifest header, " +
+        "never the raceable fixed name")
+    assert(s.sql("SELECT count(*) c FROM graft_dvb.t WHERE v < 4")
+      .collect()(0).getLong(0) == 0L,
+      "tombstoned rows resurrected through a planted sidecar")
+  }
 }

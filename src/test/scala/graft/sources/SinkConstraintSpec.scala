@@ -68,4 +68,42 @@ class SinkConstraintSpec extends SparkSpec {
     assert(s2.sql("SELECT COUNT(*) FROM graft_ck.t").collect()(0).getLong(0)
       == 22L)
   }
+
+  test("constraint publishes are versioned — no zero-constraint window") {
+    // Round-16 hardening: store() publishes `_constraints.v<N>.psv`
+    // with a refuse-existing rename (the manifest's own discipline)
+    // and load() reads the highest version. The old delete-then-rename
+    // swap had a window in which a concurrent write planned with ZERO
+    // constraints (an enforced CHECK silently not compiled in) and a
+    // crash point that lost every constraint.
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ckv").toString
+    val path = s"$root/t"
+    val f = SinkSource.fs(path)
+    f.mkdirs(new org.apache.hadoop.fs.Path(path))
+    SinkConstraints.store(path, Seq(("c1", true, "v >= 0")))
+    assert(f.exists(new org.apache.hadoop.fs.Path(path,
+      "_constraints.v1.psv")))
+    SinkConstraints.store(path,
+      Seq(("c1", true, "v >= 0"), ("c2", true, "k >= 0")))
+    // every published version stays on disk until the NEXT version is
+    // fully live — a reader at any instant resolves a complete file
+    assert(f.exists(new org.apache.hadoop.fs.Path(path,
+      "_constraints.v1.psv")),
+      "the previous constraint version must survive the publish (no " +
+        "delete-then-rename window)")
+    assert(SinkConstraints.load(path).map(_._1) == Seq("c1", "c2"))
+    // dropping the LAST constraint is also an atomic versioned publish
+    SinkConstraints.store(path, Seq.empty)
+    assert(SinkConstraints.load(path).isEmpty)
+    assert(f.exists(new org.apache.hadoop.fs.Path(path,
+      "_constraints.v3.psv")), "drop-all must publish, not delete")
+    // legacy unversioned files still read (version-0 compatibility)
+    val legacyDir = s"$root/legacy"
+    f.mkdirs(new org.apache.hadoop.fs.Path(legacyDir))
+    val out = f.create(new org.apache.hadoop.fs.Path(legacyDir,
+      "_constraints.psv"), true)
+    try out.write("c0\ttrue\tv > 1\n".getBytes("UTF-8")) finally out.close()
+    assert(SinkConstraints.load(legacyDir) == Seq(("c0", true, "v > 1")))
+  }
 }

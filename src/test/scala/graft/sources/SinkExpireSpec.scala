@@ -68,14 +68,26 @@ class SinkExpireSpec extends SparkSpec {
 
     // now make files EXCLUSIVE to old snapshots: truncate (v5 lists
     // only new files) then expire keep_last=1 with the tag REMOVED
-    // from protection by moving it forward — old data files must go
+    // from protection by moving it forward. Truncate RECLAIMS the old
+    // files eagerly, so simulate the crash window the eager-GC
+    // discipline documents (publish succeeded, GC lost) by re-creating
+    // one doomed citation — expire must reclaim exactly that one, and
+    // its honest count (round 16: only deletes the filesystem actually
+    // performed) must say 1, not the size of the doomed citation set.
+    val doomedCitations = SinkSource.manifest(s"$root/t").map(_._2).toSet
     SinkSource.write(batch(0, 5), s"$root/t", overwrite = true)    // v5
     s.sql("CALL graft_exp.tag('t', 5, 'release')").collect()
     val f = SinkSource.fs(s"$root/t")
+    val liveNow = SinkSource.manifest(s"$root/t").map(_._2).toSet
+    val leaked = (doomedCitations -- liveNow).head
+    val leakOut = f.create(new Path(s"$root/t/data/$leaked"), true)
+    try leakOut.write("0|0\n".getBytes("UTF-8")) finally leakOut.close()
     val dataBefore = f.listStatus(new Path(s"$root/t/data")).length
     val sum2 = s.sql("CALL graft_exp.expire('t', 1)").collect()(0)
     assert(sum2.getLong(0) == 3L, s"v2..v4 should expire: $sum2")
-    assert(sum2.getLong(2) > 0L, "files cited only by expired snapshots must be GC'd")
+    assert(sum2.getLong(2) == 1L,
+      s"honest GC count: exactly the leaked file was on disk to remove " +
+        s"(eager truncate GC already took the rest): $sum2")
     val live = SinkSource.manifest(s"$root/t").map(_._2).toSet
     val onDisk = f.listStatus(new Path(s"$root/t/data"))
       .map(_.getPath.getName).toSet
@@ -83,5 +95,53 @@ class SinkExpireSpec extends SparkSpec {
       s"post-expiry data dir must hold exactly the live files: " +
         s"disk=$onDisk live=$live (before: $dataBefore)")
     assert(rows("SELECT k, v FROM graft_exp.t").size == 5)
+  }
+
+  test("concurrent expiry is idempotent — racing calls skip, never abort") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_expire_conc").toString
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(s.conf.set(k, v)) }
+    import s.implicits._
+    (1 to 12).foreach { i =>
+      SinkSource.write(Seq((i.toLong % 3, i.toLong)).toDF("k", "v"),
+        s"$root/t", overwrite = false)
+    }
+    s.conf.set("spark.sql.catalog.graft_expc", classOf[SinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_expc.root", root)
+    // the round-15 shape THREW here: a manifest listed by `present`
+    // but deleted by a racing expire before the expired-read loop
+    // aborted the whole call mid-GC. Round 16 skips vanished
+    // manifests (the other call owns their GC), so two simultaneous
+    // expires — and a pre-vanished manifest injected deterministically
+    // below — both complete.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val calls = (1 to 2).map { _ =>
+      Future(s.sql("CALL graft_expc.expire('t', 2)").collect()(0))
+    }
+    val sums = calls.map(Await.result(_, 60.seconds))
+    // between them exactly the 10 old versions were removed, however
+    // the race split them
+    assert(sums.map(_.getLong(0)).sum == 10L,
+      s"10 versions expired across racing calls: $sums")
+    assert(SinkSource.currentVersion(s"$root/t") == 12)
+    assert(s.sql("SELECT k, v FROM graft_expc.t").count() == 12L)
+    // deterministic arm of the same tolerance: re-grow history, then
+    // run expire AFTER a "concurrent" deletion already removed an
+    // expired manifest out from under the horizon — must skip, not
+    // throw, and still report only its own successful removals
+    (13 to 16).foreach { i =>
+      SinkSource.write(Seq((i.toLong % 3, i.toLong)).toDF("k", "v"),
+        s"$root/t", overwrite = false)
+    }
+    val f = SinkSource.fs(s"$root/t")
+    f.delete(new Path(s"$root/t/manifest.v12.psv"), false)
+    val sum = s.sql("CALL graft_expc.expire('t', 2)").collect()(0)
+    assert(sum.getLong(0) == 3L,
+      s"v11, v13, v14 removed by this call; v12 was already gone: $sum")
+    assert(s.sql("SELECT k, v FROM graft_expc.t").count() == 16L)
   }
 }
