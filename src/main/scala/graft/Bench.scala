@@ -31,7 +31,7 @@ object Bench {
     47,31,45,64,80,58,55,176,60,96,86,130,48,57,44,43,151,66,71,234,250,190,
     84,51,253,27,33,61,16,15,108,49,27,285,24,75,283,64,35,31,78,100,180,141,
     144,49,30,168,37,159,68,84,331,68,178,294,280,181,154,214,269,269,176,151,
-    137,169,122,131,270,111,93,123)
+    137,169,122,131,270,111,93,123,355,225)
 
   def costOf(name: String): Int = {
     val n = name.takeWhile(_ != '_').drop(1).toInt
