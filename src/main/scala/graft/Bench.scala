@@ -18,20 +18,20 @@ object Bench {
     * is loud, not silent.
     */
   val priorCostCs: Array[Int] = Array(
-    125,14,26,109,62,32,46,34,16,15,12,10,21,19,73,10,36,155,43,89,25,56,29,
-    73,81,215,55,56,48,53,58,35,47,46,54,83,14,20,162,53,226,240,117,35,149,
-    149,89,108,66,23,115,47,45,100,66,67,40,37,55,68,16,79,66,67,56,78,50,86,
-    57,47,25,148,327,53,51,15,57,72,88,129,87,90,170,165,74,96,62,76,169,36,
-    196,45,38,95,117,219,46,43,38,249,51,32,97,97,50,51,125,73,96,62,63,33,
-    142,38,105,62,37,103,56,178,146,126,89,37,65,46,65,94,137,61,48,52,22,18,
-    16,14,216,57,65,55,63,47,78,129,120,327,175,54,59,74,135,53,275,110,146,
-    25,125,139,70,86,43,50,238,110,70,52,341,43,78,29,72,123,67,53,97,34,61,
-    131,86,105,64,181,154,303,191,40,80,82,222,87,62,309,264,157,361,71,48,
-    118,19,201,100,51,71,74,125,138,144,116,62,43,43,75,67,44,97,66,53,33,66,
-    47,31,45,64,80,58,55,176,60,96,86,130,48,57,44,43,151,66,71,234,250,190,
-    84,51,253,27,33,61,16,15,108,49,27,285,24,75,283,64,35,31,78,100,180,141,
-    144,49,30,168,37,159,68,84,331,68,178,294,280,181,154,214,269,269,176,151,
-    137,169,122,131,270,111,93,123,355,225)
+    98,14,22,107,46,23,47,26,15,16,12,10,27,18,70,14,39,104,33,62,29,51,32,69,
+    83,213,51,47,54,47,58,32,44,39,40,27,13,24,151,47,169,237,98,42,105,125,
+    101,102,68,25,111,42,41,85,48,64,47,33,67,80,23,52,63,57,39,79,50,112,41,
+    48,26,117,364,32,47,12,52,79,89,109,98,87,98,151,66,88,62,96,146,43,147,
+    44,38,82,114,184,43,42,36,260,36,36,111,94,44,33,175,69,72,57,71,51,121,
+    46,101,55,40,78,38,164,119,117,85,32,39,44,81,65,98,40,68,32,20,20,16,21,
+    204,61,69,47,64,86,84,106,94,303,187,55,60,63,114,45,212,138,137,19,98,
+    117,69,75,44,50,258,100,103,40,368,44,65,28,77,120,56,49,92,26,60,100,82,
+    100,68,119,122,237,165,29,71,96,172,111,61,274,238,183,256,82,52,98,24,
+    161,93,36,77,79,96,105,104,107,62,42,43,92,58,35,78,70,48,38,63,55,36,47,
+    56,81,57,56,159,69,89,75,113,45,56,38,37,138,75,91,221,208,88,96,39,215,
+    29,32,91,15,13,129,60,35,265,24,24,248,47,43,22,78,122,160,102,118,63,39,
+    175,42,152,78,101,375,36,169,271,311,180,151,230,288,251,198,143,142,194,
+    141,115,277,89,80,156,290,180)
 
   def costOf(name: String): Int = {
     val n = name.takeWhile(_ != '_').drop(1).toInt
@@ -93,8 +93,8 @@ object Bench {
     // Janino + JIT cost (the 0.3–2 s fixed tier — round-8's driver run
     // exhausted the budget mid-alphabet and every later query's timed
     // number silently absorbed it) at a bounded per-query price.
-    // 1500 s covers the full registry's warm passes (291 queries as
-    // of round 15, ~0.9 s/query timed ≈ 5× margin) at
+    // 1500 s covers the full registry's warm passes (293 queries as
+    // of round 16, ~0.9 s/query timed ≈ 5× margin) at
     // sf0.1: round 9's 600 s exhausted right before the
     // q8x block (the ~100 q1xx names sort FIRST and absorb the
     // budget), so q82's timed pass paid its sf0.1 .cache() fill — the

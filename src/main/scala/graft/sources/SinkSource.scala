@@ -853,7 +853,8 @@ class SinkTable(path: String, pinnedVersion: Option[Int] = None,
         private var doTruncate = false
         override def truncate(): WriteBuilder = { doTruncate = true; this }
         override def build(): Write =
-          new SinkBucketClusteredWrite(path, info.queryId(), doTruncate)
+          new SinkBucketClusteredWrite(path, info.queryId(), doTruncate,
+            resolvedFields, resolvedSid)
       }
     else new SinkWriteBuilder(path, info.queryId(), clustered,
       resolvedFields, resolvedSid)
@@ -2451,7 +2452,8 @@ class SinkClusteredWrite(path: String, queryId: String, truncate: Boolean,
   * storage-partitioned joins (q251) trustworthy.
   */
 class SinkBucketClusteredWrite(path: String, queryId: String,
-    truncate: Boolean)
+    truncate: Boolean,
+    fields: Seq[SinkSchemas.SinkField] = SinkSchemas.base, sid: Int = 0)
     extends Write with RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
   import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
@@ -2463,7 +2465,7 @@ class SinkBucketClusteredWrite(path: String, queryId: String,
     Expressions.sort(Expressions.column("v"), SortDirection.ASCENDING))
 
   override def toBatch: BatchWrite =
-    new SinkBatchWrite(path, queryId, truncate)
+    new SinkBatchWrite(path, queryId, truncate, fields = fields, sid = sid)
 }
 
 /** The `bucket` transform function the catalog serves: deterministic

@@ -167,6 +167,33 @@ class SinkSchemaEvolutionSpec extends SparkSpec {
     assert(after == before, "compaction changed the table's content")
   }
 
+  test("the changelog stream reconciles files written after an ALTER") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_evo_cdc").toString
+    val (table, ckpt) = (s"$base/t", s"$base/ckpt")
+    val s = session(base, "ev6")
+    import s.implicits._
+    SinkSource.write(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"),
+      table, overwrite = true)                                      // v1
+    // the stream plans with the CURRENT schema (k, v); files landed
+    // after a later ALTER carry wider layouts and must reconcile DOWN
+    val q = s.readStream.format("graft.sources.SinkSource")
+      .option("path", table).load()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("evo_cdc").start()
+    q.processAllAvailable()
+    s.sql("ALTER TABLE ev6.t ADD COLUMN w BIGINT")                  // v2
+    s.sql("INSERT INTO ev6.t VALUES (3, 30, 300)")                  // v3
+    q.processAllAvailable()
+    q.stop()
+    val got = s.table("evo_cdc").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (2L, 20L), (3L, 30L)),
+      s"the post-ALTER batch must reconcile to the stream's plan-time " +
+        s"schema: $got")
+  }
+
   test("merge-on-read DML applies over an evolved table") {
     val root = java.nio.file.Files
       .createTempDirectory("graft_evo_mor").toString
