@@ -1934,7 +1934,264 @@ object FormatQueries {
       |  CAST(1 AS BIGINT) AS early_fails
       |FROM arms GROUP BY arm, k ORDER BY arm, k""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q294 — ZONE-MAP FILE SKIPPING (data skipping over the sink
+  // format): the write path records each data file's per-BIGINT-column
+  // (min, max) as `#stat` manifest headers — free, the rows stream
+  // through the writer anyway — and the scan accepts pushed predicates
+  // ([[org.apache.spark.sql.connector.read.SupportsPushDownFilters]])
+  // to prune WHOLE FILES whose zone map proves no row can match,
+  // while returning every filter as residual so the engine still
+  // keeps surviving rows honest. The layout key's zone map is the
+  // manifest entry itself (one key per file), so key predicates prune
+  // exactly; value predicates prune as tightly as the write was
+  // clustered — here a range-partitioned write gives each file a
+  // tight v-window (Delta data skipping / Iceberg lower-upper bound
+  // pruning, re-expressed over the psv manifest). New plan shape: no
+  // other scan prunes splits from pushed predicates.
+  // The skip is PROVEN inside the hashed result: before the filtered
+  // read runs, every data file whose zone map rules it out of
+  // `v < 1000` is PHYSICALLY DELETED — the query can only answer if
+  // those files are never planned (a broken skipper throws on the
+  // missing file; a too-eager skipper loses rows and fails the hash).
+  // Scale notes (100 TB): selective scans are the default read shape
+  // of a petabyte table; file skipping turns them from "open
+  // everything, filter everything" into "open the few files whose
+  // ranges can answer" — metadata-proportional planning, data-
+  // proportional only in the surviving files. Stats ride the manifest
+  // the reader already parses: zero extra round trips.
+  def q294ZoneMapSkipping(spark: SparkSession, dir: String): DataFrame = {
+    val root = ShardPaths.resolve(spark, "q294", dir)
+    SinkSource.fs(root).delete(new org.apache.hadoop.fs.Path(root), true)
+    // range-cluster on v so each file carries a tight v-window — the
+    // write-side discipline that makes value zone maps selective
+    SinkSource.write(
+      Tables.events(spark, dir)
+        .select((col("event_id") % 8).as("k"), col("event_id").as("v"))
+        .repartitionByRange(16, col("v")),
+      s"$root/t", overwrite = true)
+    // kill-shot inside the query: drop every file the v-zone-map
+    // rules out of [*, 1000) — the filtered read below must never
+    // plan them (and the hash still checks the surviving rows)
+    val f = SinkSource.fs(root)
+    val statsByFile = SinkSource.manifestStats(s"$root/t")
+    val ruledOut = SinkSource.manifest(s"$root/t").map(_._2).distinct
+      .filter(fl => statsByFile.get(fl)
+        .exists(_.exists { case (id, mn, _) => id == 2 && mn >= 1000L }))
+    ruledOut.foreach(fl =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$root/t/data/$fl"), false))
+    val skippedProof = if (ruledOut.nonEmpty) 1L else 0L
+    SinkSource.load(spark, s"$root/t")
+      .filter(col("v") < 1000 && col("k") >= 2)
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
+      .withColumn("skipped_proof", lit(skippedProof))
+      .orderBy(col("k"))
+  }
+
+  val q294Oracle: String =
+    """SELECT event_id % 8 AS k, COUNT(*) AS n_rows,
+      |  CAST(SUM(event_id) AS BIGINT) AS sum_v,
+      |  CAST(1 AS BIGINT) AS skipped_proof
+      |FROM events
+      |WHERE event_id < 1000 AND event_id % 8 >= 2
+      |GROUP BY 1 ORDER BY k""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q295 — METADATA-ONLY MIN/MAX (zone-map aggregate pushdown): the
+  // same `#stat` headers that drive q294's file skipping also make
+  // MIN/MAX of a BIGINT column a MANIFEST answer — the group's min of
+  // file minima / max of file maxima — so `SELECT k, COUNT(*),
+  // MIN(v), MAX(v) GROUP BY k` plans a [[SinkManifestAggScan]] with
+  // complete pushdown: no aggregate node, no tasks over data, ZERO
+  // files opened (the V2 dual of q252's parquet-footer MIN/MAX, and
+  // the extension of q265's count-only arithmetic to extremes). The
+  // push is refused — engine row-scans instead — whenever metadata
+  // can't PROVE the answer: a cited file without a stat for the field
+  // (pre-stats history or an all-NULL column, indistinguishable), a
+  // deletion-vector sidecar on the snapshot, an empty table, or a
+  // non-BIGINT column (SinkZoneMapSpec pins each refusal).
+  // The metadata-only claim is proven inside the hashed result: the
+  // data directory is PHYSICALLY REMOVED before the aggregate reads
+  // run — a row scan cannot have answered.
+  // Scale notes (100 TB): "what's the id high-water / date range per
+  // partition" is retention-and-ingest triage run constantly against
+  // corpus tables; serving extremes from commit metadata makes it an
+  // O(manifest) driver read instead of a petabyte scan.
+  def q295StatsMinmax(spark: SparkSession, dir: String): DataFrame = {
+    val root = ShardPaths.resolve(spark, "q295", dir)
+    SinkSource.fs(root).delete(new org.apache.hadoop.fs.Path(root), true)
+    SinkSource.write(
+      Tables.events(spark, dir)
+        .select((col("event_id") % 23).as("k"), col("event_id").as("v"))
+        .repartition(8, col("k")),
+      s"$root/t", overwrite = true)
+    // the kill-shot rides the query: metadata must answer alone
+    SinkSource.fs(root)
+      .delete(new org.apache.hadoop.fs.Path(s"$root/t/data"), true)
+    val t = SinkSource.load(spark, s"$root/t")
+    val grouped = t.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+    val global = t
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+      .withColumn("k", lit(-1L))
+      .select(col("k"), col("n_rows"), col("min_v"), col("max_v"))
+    grouped.unionByName(global).orderBy(col("k"))
+  }
+
+  val q295Oracle: String =
+    """WITH t AS (SELECT event_id % 23 AS k, event_id AS v FROM events)
+      |SELECT k, COUNT(*) AS n_rows, MIN(v) AS min_v, MAX(v) AS max_v
+      |FROM t GROUP BY k
+      |UNION ALL
+      |SELECT -1, COUNT(*), MIN(v), MAX(v) FROM t
+      |ORDER BY k""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q296 — BATCH CHANGE DATA FEED (`table_changes` between two
+  // versions): every committed version already IS a changelog entry —
+  // added data files are that version's inserts, and deletion-vector
+  // positions new in that version are its deletes, read back OUT of
+  // the still-live data file so the feed carries the retracted VALUES
+  // (what a downstream aggregate needs), each row tagged
+  // `_change_type` / `_commit_version`. Derived from metadata the
+  // format already keeps — no extra change log (Delta-CDF's shape);
+  // a MoR UPDATE shows as delete + insert in one version; an ALTER is
+  // zero change rows; a REWRITE (truncate / CoW / compaction /
+  // metadata delete) breaks append-plus-tombstone history and the
+  // feed REFUSES loudly — the refusal is part of the hashed result
+  // (`rewrite_refused`). New plan shape: no other scan plans splits
+  // from a manifest DIFF with per-split vector-diff semantics (q267's
+  // changelog stream is append-only file news; this is the batch dual
+  // WITH row-level retractions).
+  // Scale notes (100 TB): an incremental consumer pays for its delta
+  // — the files that changed and the vector diffs — never the table;
+  // planning is manifest arithmetic, driver-side, zero data opened.
+  def q296ChangeDataFeed(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(s.conf.set(k, v)) }
+    val root = ShardPaths.resolve(s, "q296", dir)
+    SinkSource.fs(root).delete(new org.apache.hadoop.fs.Path(root), true)
+    def batch(m: Long) = Tables.events(s, dir)
+      .select((col("event_id") % 19).as("k"), (col("event_id") + m).as("v"))
+    SinkSource.write(batch(0), s"$root/t", overwrite = true)          // v1
+    SinkSource.write(batch(1000000).filter(col("v") % 3 === 1),
+      s"$root/t", overwrite = false)                                  // v2
+    s.conf.set("spark.sql.catalog.graft_cdf", classOf[SinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_cdf.root", root)
+    s.conf.set("spark.sql.catalog.graft_cdf.mor", "true")
+    s.sql("DELETE FROM graft_cdf.t WHERE v % 7 = 3")                  // v3
+    // a rewritten history must refuse, loudly, at plan time — the
+    // flag rides the hash
+    SinkSource.write(batch(0).limit(10), s"$root/t2", overwrite = true)
+    SinkSource.write(batch(1).limit(10), s"$root/t2", overwrite = true)
+    val rewriteRefused =
+      try { SinkChanges.load(s, s"$root/t2", 0, 2).count(); 0L }
+      catch { case _: UnsupportedOperationException => 1L }
+    def arm(name: String, from: Int): DataFrame =
+      SinkChanges.load(s, s"$root/t", from, 3)
+        .groupBy(col("_change_type").as("change_type"),
+          col("_commit_version").as("version"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
+        .withColumn("arm", lit(name))
+    arm("full", 0).unionByName(arm("incr", 1))
+      .withColumn("rewrite_refused", lit(rewriteRefused))
+      .select(col("arm"), col("change_type"), col("version"),
+        col("n_rows"), col("sum_v"), col("rewrite_refused"))
+      .orderBy(col("arm"), col("change_type"), col("version"))
+  }
+
+  val q296Oracle: String =
+    """WITH b1 AS (SELECT event_id % 19 AS k, event_id AS v FROM events),
+      |b2 AS (SELECT event_id % 19 AS k, event_id + 1000000 AS v
+      |       FROM events WHERE (event_id + 1000000) % 3 = 1),
+      |del AS (SELECT k, v FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+      |        WHERE v % 7 = 3),
+      |changed AS (
+      |  SELECT 'full' AS arm, 'insert' AS change_type, 1 AS version, v FROM b1
+      |  UNION ALL SELECT 'full', 'insert', 2, v FROM b2
+      |  UNION ALL SELECT 'full', 'delete', 3, v FROM del
+      |  UNION ALL SELECT 'incr', 'insert', 2, v FROM b2
+      |  UNION ALL SELECT 'incr', 'delete', 3, v FROM del)
+      |SELECT arm, change_type, CAST(version AS BIGINT) AS version,
+      |  COUNT(*) AS n_rows, CAST(SUM(v) AS BIGINT) AS sum_v,
+      |  CAST(1 AS BIGINT) AS rewrite_refused
+      |FROM changed GROUP BY 1, 2, 3 ORDER BY arm, change_type, version""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q297 — INCREMENTALLY-MAINTAINED MATERIALIZED VIEW: a grouped
+  // aggregate stored as its own sink table and refreshed from q296's
+  // change feed by SIGNED DELTA AGGREGATION (insert +1/+v, delete
+  // −1/−v — textbook incremental view maintenance), with the refresh
+  // WATERMARK riding the MV's own txn ledger: the manifest rename
+  // that publishes the refreshed rows atomically records how far they
+  // reach, so a crashed or replayed refresh can never double-apply a
+  // delta (the batch dual of the streaming sink's exactly-once epoch
+  // ledger — same mechanism, `#txn|mv|<srcVersion>`). A refresh at
+  // the source head publishes NOTHING (`noop_stable` rides the hash);
+  // deletes RETRACT through the feed's carried values. New protocol
+  // shape: no other query maintains derived state across commits with
+  // a ledger-carried watermark.
+  // Scale notes (100 TB): a full MV recompute costs the table; this
+  // refresh costs new-data-since-watermark + the groups-sized MV —
+  // the asymmetry that makes maintained aggregates affordable at
+  // corpus scale, with idempotence FROM THE FORMAT, not an external
+  // bookkeeping store.
+  def q297IncrementalMv(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(s.conf.set(k, v)) }
+    val root = ShardPaths.resolve(s, "q297", dir)
+    SinkSource.fs(root).delete(new org.apache.hadoop.fs.Path(root), true)
+    def batch(m: Long) = Tables.events(s, dir)
+      .select((col("event_id") % 11).as("k"), (col("event_id") + m).as("v"))
+    SinkSource.write(batch(0), s"$root/src", overwrite = true)        // v1
+    val w1 = SinkMv.create(s, s"$root/mv", s"$root/src").toLong
+    SinkSource.write(batch(1000000).filter(col("v") % 4 === 1),
+      s"$root/src", overwrite = false)                                // v2
+    SinkSource.write(batch(2000000).filter(col("v") % 5 === 2),
+      s"$root/src", overwrite = false)                                // v3
+    val w2 = SinkMv.refresh(s, s"$root/mv").toLong
+    s.conf.set("spark.sql.catalog.graft_mvq", classOf[SinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_mvq.root", root)
+    s.conf.set("spark.sql.catalog.graft_mvq.mor", "true")
+    s.sql("DELETE FROM graft_mvq.src WHERE v % 9 = 4")                // v4
+    val w3 = SinkMv.refresh(s, s"$root/mv").toLong
+    // refresh at head: watermark unchanged, NOTHING published
+    val mvVersions = SinkSource.currentVersion(s"$root/mv")
+    val w4 = SinkMv.refresh(s, s"$root/mv").toLong
+    val noopStable =
+      if (w4 == w3 && SinkSource.currentVersion(s"$root/mv") == mvVersions) 1L
+      else 0L
+    SinkSource.load(s, s"$root/mv")
+      .withColumn("created_at", lit(w1))
+      .withColumn("refreshed_to", lit(w2 * 10 + w3))
+      .withColumn("noop_stable", lit(noopStable))
+      .orderBy(col("k"))
+  }
+
+  val q297Oracle: String =
+    """WITH live AS (
+      |  SELECT * FROM (
+      |    SELECT event_id % 11 AS k, event_id AS v FROM events
+      |    UNION ALL SELECT event_id % 11, event_id + 1000000 FROM events
+      |    WHERE (event_id + 1000000) % 4 = 1
+      |    UNION ALL SELECT event_id % 11, event_id + 2000000 FROM events
+      |    WHERE (event_id + 2000000) % 5 = 2)
+      |  WHERE v % 9 <> 4)
+      |SELECT k, COUNT(*) AS n_rows, CAST(SUM(v) AS BIGINT) AS sum_v,
+      |  CAST(1 AS BIGINT) AS created_at, CAST(34 AS BIGINT) AS refreshed_to,
+      |  CAST(1 AS BIGINT) AS noop_stable
+      |FROM live GROUP BY k ORDER BY k""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q297_incremental_mv" -> q297IncrementalMv,
+    "q296_change_data_feed" -> q296ChangeDataFeed,
+    "q295_stats_minmax" -> q295StatsMinmax,
+    "q294_zonemap_skipping" -> q294ZoneMapSkipping,
     "q293_timestamp_travel" -> q293TimestampTravel,
     "q292_sink_schema_evolution" -> q292SinkSchemaEvolution,
     "q291_check_constraint" -> q291CheckConstraint,
@@ -1975,6 +2232,10 @@ object FormatQueries {
     "q64_schema_evolution" -> q64SchemaEvolution)
 
   def oracleSql: Map[String, String] = Map(
+    "q297_incremental_mv" -> q297Oracle,
+    "q296_change_data_feed" -> q296Oracle,
+    "q295_stats_minmax" -> q295Oracle,
+    "q294_zonemap_skipping" -> q294Oracle,
     "q293_timestamp_travel" -> q293Oracle,
     "q292_sink_schema_evolution" -> q292Oracle,
     "q291_check_constraint" -> q291Oracle,

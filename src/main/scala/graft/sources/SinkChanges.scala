@@ -1,0 +1,240 @@
+package graft.sources
+
+import java.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import scala.jdk.CollectionConverters._
+
+/** BATCH CHANGE DATA FEED over the sink format: the rows that changed
+  * between two committed versions, each tagged `_change_type`
+  * ('insert' | 'delete') and `_commit_version` — Delta's
+  * `table_changes` shape, derived entirely from metadata the format
+  * already keeps (NO extra change log):
+  *
+  *   - a data file present in version v but not v-1 is v's INSERT set
+  *     (the manifest is the table, so file identity IS row identity
+  *     for appends);
+  *   - deletion-vector positions present at v but not v-1 are v's
+  *     DELETE set — the tombstoned rows are read back out of the
+  *     still-live data file, so the feed carries the deleted VALUES,
+  *     not just positions (what a downstream aggregate/MV needs to
+  *     retract);
+  *   - a MoR UPDATE is delete + insert in one version (no preimage
+  *     pairing — the standard CDF contract without update grouping);
+  *   - an ALTER COLUMN is a metadata-only snapshot: zero change rows.
+  *
+  * A file REMOVED between the versions (truncate, metadata delete,
+  * CoW rewrite, compaction) breaks append-plus-tombstone history —
+  * the feed REFUSES loudly (`resync from a full snapshot`), exactly
+  * the contract Delta documents when a non-CDF-able rewrite lands.
+  * Rows are served with the schema AS OF `toVersion`, older files
+  * reconciling by permanent field id like any sink read.
+  *
+  * Scale notes (100 TB): planning is manifest arithmetic (versions ×
+  * entries, driver-side, zero data opened); the read costs ONLY the
+  * files that changed — an incremental consumer of a petabyte table
+  * pays for its delta, never the table. Vector diffs are computed
+  * executor-side from the per-file vector lists the sidecar already
+  * binds, so the driver never loads a position set.
+  */
+object SinkChanges {
+  val changeType: StructField =
+    StructField("_change_type", StringType, nullable = false)
+  val commitVersion: StructField =
+    StructField("_commit_version", LongType, nullable = false)
+
+  /** The change rows of `(fromVersion, toVersion]` as a DataFrame. */
+  def load(spark: SparkSession, path: String,
+      fromVersion: Int, toVersion: Int): DataFrame =
+    spark.read.format("graft.sources.SinkSource")
+      .option("path", path)
+      .option("changesFrom", fromVersion.toString)
+      .option("changesTo", toVersion.toString)
+      .load()
+
+  private[sources] def schemaOf(path: String, toVersion: Int): StructType = {
+    val fields = SinkSchemas.currentFields(path, Some(toVersion))
+    StructType(SinkSchemas.structType(fields).fields.toSeq :+
+      changeType :+ commitVersion)
+  }
+}
+
+/** The CDF relation: read-only, pinned to its (from, to] window. */
+class SinkChangesTable(path: String, fromVersion: Int, toVersion: Int)
+    extends Table with SupportsRead {
+
+  {
+    val cur = SinkSource.currentVersion(path)
+    if (fromVersion < 0 || toVersion < fromVersion || toVersion > cur)
+      throw new IllegalArgumentException(
+        s"invalid change window ($fromVersion, $toVersion] on $path " +
+          s"(history is 1..$cur)")
+  }
+
+  override def name(): String =
+    s"graft_sink_changes($path@($fromVersion,$toVersion])"
+  override def schema(): StructType = SinkChanges.schemaOf(path, toVersion)
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan =
+        new SinkChangesScan(path, fromVersion, toVersion)
+    }
+}
+
+/** One split per (changed file, version, change kind): inserts stream
+  * the added file (minus any tombstones born with it), deletes stream
+  * exactly the positions the version's vector diff added. */
+case class SinkChangesInputPartition(file: String,
+    fileFields: Seq[SinkSchemas.SinkField],
+    kind: String, version: Int,
+    curDvFiles: Seq[String], prevDvFiles: Seq[String])
+    extends InputPartition
+
+class SinkChangesScan(path: String, fromVersion: Int, toVersion: Int)
+    extends Scan with Batch {
+
+  private lazy val readFields: Seq[SinkSchemas.SinkField] =
+    SinkSchemas.currentFields(path, Some(toVersion))
+
+  override def readSchema(): StructType =
+    SinkChanges.schemaOf(path, toVersion)
+  override def toBatch: Batch = this
+
+  private lazy val parts: Array[InputPartition] = {
+    val out = Seq.newBuilder[InputPartition]
+    val fieldDefs = scala.collection.mutable.Map
+      .empty[Int, Seq[SinkSchemas.SinkField]]
+    for (v <- (fromVersion + 1) to toVersion) {
+      val prev = if (v == 1) Seq.empty
+        else SinkSource.manifest(path, Some(v - 1))
+      val cur = SinkSource.manifest(path, Some(v))
+      val prevSet = prev.map(_._2).toSet
+      val curSet = cur.map(_._2).toSet
+      val removed = (prevSet -- curSet).toSeq.sorted
+      if (removed.nonEmpty)
+        throw new UnsupportedOperationException(
+          s"change feed broken at version $v of $path: data files were " +
+            s"REMOVED (${removed.take(3).mkString(", ")}${
+              if (removed.size > 3) ", ..." else ""}) — a truncate, " +
+            "metadata delete, copy-on-write rewrite or compaction " +
+            "rewrote history; consumers must resync from a full snapshot")
+      val sids = SinkSource.manifestSids(path, Some(v))
+      def fieldsOf(f: String): Seq[SinkSchemas.SinkField] = {
+        val sid = sids.getOrElse(f, 0)
+        fieldDefs.getOrElseUpdate(sid, SinkSchemas.fields(path, sid))
+      }
+      val dvPrev = (if (v == 1) Seq.empty
+        else SinkSource.deleteSidecar(path, Some(v - 1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val dvCur = SinkSource.deleteSidecar(path, Some(v))
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      def abs(dv: String): String =
+        new Path(path, s"deletes/$dv").toString
+      // inserts: files the version added (minus tombstones born with
+      // them — a same-commit MERGE can in principle do both)
+      (curSet -- prevSet).toSeq.sorted.foreach { f =>
+        out += SinkChangesInputPartition(
+          new Path(path, s"data/$f").toString, fieldsOf(f),
+          "insert", v, dvCur.getOrElse(f, Seq.empty).map(abs), Seq.empty)
+      }
+      // deletes: surviving files whose vector list grew this version
+      (curSet intersect prevSet).toSeq.sorted.foreach { f =>
+        val curVs = dvCur.getOrElse(f, Seq.empty)
+        val prevVs = dvPrev.getOrElse(f, Seq.empty)
+        if (curVs.toSet != prevVs.toSet)
+          out += SinkChangesInputPartition(
+            new Path(path, s"data/$f").toString, fieldsOf(f),
+            "delete", v, curVs.map(abs), prevVs.map(abs))
+      }
+    }
+    out.result().toArray
+  }
+
+  override def description(): String =
+    s"SinkChangesScan($path, from=$fromVersion, to=$toVersion, " +
+      s"changedSplits=${parts.length})"
+
+  override def planInputPartitions(): Array[InputPartition] = parts
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val rf = readFields
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val cp = p.asInstanceOf[SinkChangesInputPartition]
+        new SinkChangesReader(cp, rf)
+      }
+    }
+  }
+}
+
+/** Streams the partition's data file, emitting rows per its change
+  * kind: inserts skip the birth tombstones, deletes emit ONLY the
+  * positions in (current vectors − previous vectors). Position
+  * arithmetic matches [[SinkMorReader]]'s: 0-based line index. */
+class SinkChangesReader(part: SinkChangesInputPartition,
+    readFields: Seq[SinkSchemas.SinkField])
+    extends PartitionReader[InternalRow] {
+
+  private def positions(dvFiles: Seq[String]): java.util.HashSet[Long] = {
+    val s = new java.util.HashSet[Long]()
+    dvFiles.foreach { dv =>
+      val ls = new SinkSource.LineStream(dv)
+      try while (ls.hasNext) s.add(ls.next().toLong)
+      finally ls.close()
+    }
+    s
+  }
+
+  // insert: emit unless tombstoned at birth; delete: emit iff newly
+  // tombstoned this version
+  private val cur = positions(part.curDvFiles)
+  private val prev = positions(part.prevDvFiles)
+  private def emits(pos: Long): Boolean = part.kind match {
+    case "insert" => !cur.contains(pos)
+    case _ => cur.contains(pos) && !prev.contains(pos)
+  }
+
+  private val typeTag = org.apache.spark.unsafe.types.UTF8String
+    .fromString(part.kind)
+  private val lines = new SinkSource.LineStream(part.file)
+  private val plan = SinkSchemas.readPlan(part.fileFields, readFields)
+  private var pos = -1L
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    while (lines.hasNext) {
+      val line = lines.next()
+      pos += 1
+      if (emits(pos)) {
+        val c = line.split('|')
+        val out = new Array[Any](plan.length + 2)
+        var i = 0
+        while (i < plan.length) {
+          val (p, dt) = plan(i)
+          out(i) =
+            if (p < 0 || p >= c.length) null
+            else SinkSchemas.parse(c(p), dt)
+          i += 1
+        }
+        out(plan.length) = typeTag
+        out(plan.length + 1) = part.version.toLong
+        row = new GenericInternalRow(out)
+        return true
+      }
+    }
+    false
+  }
+  override def get(): InternalRow = row
+  override def close(): Unit = lines.close()
+}

@@ -148,6 +148,27 @@ object SinkSchemas {
     next
   }
 
+  /** Find-or-store: the schema id under `path` whose field list is
+    * EXACTLY `newFields`, publishing a new version only when none
+    * matches — what an explicit-fields WRITE uses to declare its
+    * schema durably (a table born from `option("fields", ...)`, like
+    * a materialized view, must read back with the schema it was
+    * written with, not the base contract). Idempotent: repeated
+    * writes with the same fields resolve to the same id. */
+  def ensure(path: String, newFields: Seq[SinkField]): Int = {
+    if (newFields == base) return 0
+    val f = SinkSource.fs(path)
+    val root = new Path(path)
+    val existing =
+      if (!f.exists(root)) Seq.empty[Int]
+      else f.listStatus(root).map(_.getPath.getName)
+        .collect { case n if n.startsWith("_schema.v") && n.endsWith(".psv") =>
+          n.stripPrefix("_schema.v").stripSuffix(".psv").toInt }
+        .toSeq.sorted
+    existing.find(sid => fields(path, sid) == newFields)
+      .getOrElse(store(path, newFields))
+  }
+
   /** The table's CURRENT fields as of a manifest version (default:
     * latest) — resolves the version's `#schema|S` header. */
   def currentFields(path: String, version: Option[Int] = None): Seq[SinkField] =

@@ -51,7 +51,10 @@ import scala.jdk.CollectionConverters._
   * protocol, not a storage format.
   */
 class SinkSource extends TableProvider {
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    if (options.get("changesFrom") != null)
+      return SinkChanges.schemaOf(options.get("path"),
+        options.get("changesTo").trim.toInt)
     Option(options.get("fields"))
       .map(s => SinkSchemas.structType(SinkSchemas.decode(s)))
       .getOrElse {
@@ -59,8 +62,13 @@ class SinkSource extends TableProvider {
         if (p == null) SinkSource.schema
         else SinkSchemas.structType(SinkSchemas.currentFields(p))
       }
+  }
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
+      properties: util.Map[String, String]): Table = {
+    if (properties.get("changesFrom") != null)
+      return new SinkChangesTable(properties.get("path"),
+        properties.get("changesFrom").trim.toInt,
+        properties.get("changesTo").trim.toInt)
     new SinkTable(properties.get("path"),
       clustered = "true".equalsIgnoreCase(properties.get("clustered")),
       stats = "true".equalsIgnoreCase(properties.get("stats")),
@@ -70,7 +78,16 @@ class SinkSource extends TableProvider {
       startingVersion =
         Option(properties.get("startingVersion")).map(_.trim.toInt),
       explicitFields = Option(properties.get("fields"))
-        .map(SinkSchemas.decode))
+        .map(SinkSchemas.decode),
+      // a BATCH write may carry a txn-ledger entry (`txnId`/`txnEpoch`
+      // options): the commit that publishes its rows atomically
+      // records the watermark — the batch dual of the streaming
+      // sink's exactly-once epoch ledger (SinkMv rides this)
+      txn = Option(properties.get("txnId")).map(id =>
+        (id, Option(properties.get("txnEpoch"))
+          .map(_.trim.toLong).getOrElse(throw new IllegalArgumentException(
+            "txnId requires txnEpoch")))))
+  }
 }
 
 object SinkSource {
@@ -149,6 +166,25 @@ object SinkSource {
     else manifestLines(path, v).filterNot(_.startsWith("#")).map { line =>
       val c = line.split('|')
       c(1) -> (if (c.length > 3) c(3).toInt else 0)
+    }.toMap
+  }
+
+  /** Per-file ZONE MAPS of a version's entries (file → per-field-id
+    * (min, max) of the file's non-null BIGINT values), from the
+    * `#stat|<file>|<id>:<min>:<max>[;...]` manifest headers. A file
+    * with no header (pre-stats history, or a column that was all-NULL
+    * in it) simply has no map — readers must treat absence as
+    * "cannot skip", never as "empty". */
+  private[sources] def manifestStats(path: String,
+      version: Option[Int] = None): Map[String, Seq[(Int, Long, Long)]] = {
+    val v = version.getOrElse(currentVersion(path))
+    if (v == 0) Map.empty
+    else manifestLines(path, v).filter(_.startsWith("#stat|")).map { line =>
+      val c = line.split('|')
+      c(1) -> c(2).split(';').toSeq.map { part =>
+        val p = part.split(':')
+        (p(0).toInt, p(1).toLong, p(2).toLong)
+      }
     }.toMap
   }
 
@@ -231,7 +267,8 @@ object SinkSource {
       deletes: Option[Seq[(String, String)]] = None,
       txn: Option[(String, Long)] = None,
       schemaId: Option[Int] = None,
-      newFileSchemaId: Option[Int] = None): Unit = {
+      newFileSchemaId: Option[Int] = None,
+      newStats: Map[String, Seq[(Int, Long, Long)]] = Map.empty): Unit = {
     val f = fs(path)
     val root = new Path(path)
     f.mkdirs(root)
@@ -296,7 +333,24 @@ object SinkSource {
     // point itself, so the rename that publishes the snapshot is the
     // same action that timestamps it
     val tsHeader = s"#ts|${System.currentTimeMillis()}\n"
-    val header = tsHeader + schemaHeader + dvHeader + ledger.toSeq.sorted
+    // ZONE MAPS: a file's stats are immutable metadata of its bytes —
+    // carried forward verbatim for files the new version still cites
+    // (MoR tombstones only REMOVE rows, so the carried range stays a
+    // sound over-approximation), taken from `newStats` for files this
+    // commit publishes, and dropped with the files that left. A file
+    // with neither (pre-stats history) stays headerless — readers
+    // must not skip it.
+    val prevStats = if (next == 1) Map.empty[String, Seq[(Int, Long, Long)]]
+      else manifestStats(path, Some(next - 1))
+    val statHeader = entries.map(_._2).distinct.sorted.flatMap { file =>
+      prevStats.get(file).orElse(newStats.get(file)).map { ss =>
+        val body = ss.sortBy(_._1)
+          .map { case (id, mn, mx) => s"$id:$mn:$mx" }.mkString(";")
+        s"#stat|$file|$body\n"
+      }
+    }.mkString
+    val header = tsHeader + schemaHeader + dvHeader + statHeader +
+      ledger.toSeq.sorted
       .map { case (q, e) => s"#txn|$q|$e\n" }.mkString
     val body = header + entries.sortBy(e => (e._1, e._2))
       .map { case (k, fl, n) =>
@@ -733,7 +787,8 @@ class SinkTable(path: String, pinnedVersion: Option[Int] = None,
     clustered: Boolean = false, stats: Boolean = false,
     maxVersionsPerTrigger: Option[Int] = None, mor: Boolean = false,
     startingVersion: Option[Int] = None, bucketWrite: Boolean = false,
-    explicitFields: Option[Seq[SinkSchemas.SinkField]] = None)
+    explicitFields: Option[Seq[SinkSchemas.SinkField]] = None,
+    txn: Option[(String, Long)] = None)
     extends Table
     with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsRowLevelOperations with SupportsMetadataColumns {
@@ -847,17 +902,28 @@ class SinkTable(path: String, pinnedVersion: Option[Int] = None,
     new SinkScanBuilder(path, pinnedVersion, stats, maxVersionsPerTrigger, mor,
       startingVersion, resolvedFields, resolvedSid)
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // an EXPLICIT write schema beyond the base contract is persisted
+    // as a schema version of the DESTINATION (find-or-store, so
+    // repeated writes reuse one id) and DECLARED by the commit's
+    // manifest header — without this, a table born from
+    // `option("fields", ...)` (a materialized view) would read back
+    // as (k, v). A write that aborts after planning can leave the
+    // schema file behind: metadata-sized, id-stable, never a lie.
+    val declaredSid = explicitFields.filter(_ != SinkSchemas.base)
+      .map(fs => SinkSchemas.ensure(path, fs))
+    val writeSid = declaredSid.getOrElse(resolvedSid)
     if (bucketWrite)
       new WriteBuilder with SupportsTruncate {
         private var doTruncate = false
         override def truncate(): WriteBuilder = { doTruncate = true; this }
         override def build(): Write =
           new SinkBucketClusteredWrite(path, info.queryId(), doTruncate,
-            resolvedFields, resolvedSid)
+            resolvedFields, writeSid)
       }
     else new SinkWriteBuilder(path, info.queryId(), clustered,
-      resolvedFields, resolvedSid)
+      resolvedFields, writeSid, txn, declareSchema = declaredSid.isDefined)
+  }
 
   // ---- metadata delete ------------------------------------------------
   private def keyAligned(f: Filter): Boolean = SinkKeyFilters.aligned(f)
@@ -1055,6 +1121,92 @@ private[sources] object SinkKeyFilters {
   }
 }
 
+/** ZONE-MAP file skipping: decide, per data file, whether a pushed
+  * predicate COULD match any of its rows, from metadata alone — the
+  * manifest entry's key (the key's exact zone map: one key per file
+  * by layout) and the `#stat` headers' per-field (min, max). The
+  * contract is one-sided: `false` PROVES no row matches (safe to skip
+  * the file); `true` only means "cannot prove", and the engine's
+  * residual Filter re-evaluates every surviving row — so absence of
+  * stats, unsupported predicate shapes, and non-BIGINT fields all
+  * degrade to "read it", never to a wrong answer. NULL semantics make
+  * non-null min/max sound here: every supported leaf (=, <, <=, >,
+  * >=, IN) is null-rejecting, so rows the stats don't cover can't
+  * match it anyway.
+  */
+private[sources] object SinkZoneMaps {
+  import org.apache.spark.sql.sources._
+
+  /** Leaves this skipper understands: single-column comparisons with
+    * a literal, on a BIGINT column of the CURRENT schema. Everything
+    * else is left to the residual filter. */
+  def supported(f: Filter,
+      fields: Seq[SinkSchemas.SinkField]): Boolean = {
+    def longField(name: String): Boolean =
+      fields.exists(x => x.name == name && x.dt == LongType)
+    def isLong(v: Any): Boolean = v.isInstanceOf[Number]
+    f match {
+      case EqualTo(a, v) => longField(a) && isLong(v)
+      case GreaterThan(a, v) => longField(a) && isLong(v)
+      case GreaterThanOrEqual(a, v) => longField(a) && isLong(v)
+      case LessThan(a, v) => longField(a) && isLong(v)
+      case LessThanOrEqual(a, v) => longField(a) && isLong(v)
+      case In(a, vs) => longField(a) && vs.nonEmpty && vs.forall(isLong)
+      case _ => false
+    }
+  }
+
+  /** Could a row with `name` in [min, max] satisfy the leaf? */
+  private def overlaps(min: Long, max: Long, f: Filter): Boolean = f match {
+    case EqualTo(_, v) =>
+      val x = v.asInstanceOf[Number].longValue; min <= x && x <= max
+    case GreaterThan(_, v) => max > v.asInstanceOf[Number].longValue
+    case GreaterThanOrEqual(_, v) => max >= v.asInstanceOf[Number].longValue
+    case LessThan(_, v) => min < v.asInstanceOf[Number].longValue
+    case LessThanOrEqual(_, v) => min <= v.asInstanceOf[Number].longValue
+    case In(_, vs) => vs.exists { v =>
+      val x = v.asInstanceOf[Number].longValue; min <= x && x <= max }
+    case _ => true
+  }
+
+  /** The leaf's column name. */
+  def attrOf(f: Filter): String = f match {
+    case EqualTo(a, _) => a
+    case GreaterThan(a, _) => a
+    case GreaterThanOrEqual(a, _) => a
+    case LessThan(a, _) => a
+    case LessThanOrEqual(a, _) => a
+    case In(a, _) => a
+    case _ => ""
+  }
+
+  /** Pre-resolve accepted leaves to PERMANENT field ids (names can be
+    * pruned out of the read schema or renamed later; ids cannot) —
+    * done once at plan time, so per-file checks are id lookups. */
+  def resolve(conjuncts: Seq[Filter],
+      fields: Seq[SinkSchemas.SinkField]): Seq[(Int, Filter)] =
+    conjuncts.flatMap(c =>
+      fields.find(_.name == attrOf(c)).map(fld => (fld.id, c)))
+
+  /** True iff every pushed conjunct could match the file: the key's
+    * zone map is the manifest entry itself (one key per file by
+    * layout), everything else reads the `#stat` header; a missing
+    * stat means "cannot skip". */
+  def mightMatch(keys: Seq[Long],
+      stats: Option[Seq[(Int, Long, Long)]],
+      conjuncts: Seq[(Int, Filter)]): Boolean =
+    conjuncts.forall { case (id, c) =>
+      val range =
+        if (id == 1) Some((keys.min, keys.max))
+        else stats.flatMap(_.find(_._1 == id)
+          .map { case (_, mn, mx) => (mn, mx) })
+      range match {
+        case Some((mn, mx)) => overlaps(mn, mx, c)
+        case None => true
+      }
+    }
+}
+
 // ---- procedures ---------------------------------------------------------
 
 /** Small-file COMPACTION as a catalog procedure: merge every key group
@@ -1128,6 +1280,11 @@ class SinkCompactProcedure(root: String, mor: Boolean = false)
             fields = if (curSid == 0) None else Some(curFields))
           val f = SinkSource.fs(path)
           val tag = java.util.UUID.randomUUID().toString.take(8)
+          // the scratch table went through the normal write path, so
+          // its manifest carries fresh zone maps — remapped to the
+          // compacted names they publish under (stale carried stats
+          // are impossible: the rewritten files are NEW names)
+          val scratchStats = SinkSource.manifestStats(scratch.toString)
           val compacted = SinkSource.manifest(scratch.toString).map {
             case (k, fl, n) =>
               val dest = s"c${tag}_$fl" // unique: never clobbers a live file
@@ -1136,6 +1293,8 @@ class SinkCompactProcedure(root: String, mor: Boolean = false)
                 throw new IllegalStateException(s"compaction move failed: $fl")
               (k, dest, n)
           }
+          val compactedStats = scratchStats.map { case (fl, ss) =>
+            s"c${tag}_$fl" -> ss }
           val kept = m.filterNot { case (k, _, _) => targets.contains(k) }
           val replaced = m.filter { case (k, _, _) => targets.contains(k) }
             .map(_._2).toSet
@@ -1143,7 +1302,7 @@ class SinkCompactProcedure(root: String, mor: Boolean = false)
           // the rewrite; the new sidecar keeps only survivors
           SinkSource.writeManifest(path, kept ++ compacted,
             Some(dvd.filterNot { case (df, _) => replaced.contains(df) }),
-            newFileSchemaId = Some(curSid))
+            newFileSchemaId = Some(curSid), newStats = compactedStats)
           replaced.foreach { fl =>
             try f.delete(new Path(path, s"data/$fl"), false)
             catch { case _: Exception => } }
@@ -1449,13 +1608,27 @@ case class SinkMorInputPartition(file: String, dvFiles: Seq[String],
   */
 class SinkMorScan(path: String, pinnedVersion: Option[Int],
     projected: StructType = SinkSource.schema,
-    fields: Seq[SinkSchemas.SinkField] = SinkSchemas.base)
+    fields: Seq[SinkSchemas.SinkField] = SinkSchemas.base,
+    skipFilters: Seq[(Int, org.apache.spark.sql.sources.Filter)] = Seq.empty)
     extends Scan with Batch {
   override def readSchema(): StructType = projected
   override def toBatch: Batch = this
 
-  private lazy val files: Seq[String] =
+  // zone-map skipping composes with MoR: tombstones only REMOVE rows,
+  // so a file whose stats prove "no row matches" proves it a fortiori
+  // for the tombstone-filtered view; survivors still merge their
+  // vectors row-by-row as always
+  private lazy val allFiles: Seq[String] =
     SinkSource.manifest(path, pinnedVersion).map(_._2).distinct.sorted
+  private lazy val files: Seq[String] =
+    if (skipFilters.isEmpty) allFiles
+    else {
+      val entries = SinkSource.manifest(path, pinnedVersion)
+      val keysByFile = entries.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+      val stats = SinkSource.manifestStats(path, pinnedVersion)
+      allFiles.filter(f => SinkZoneMaps.mightMatch(
+        keysByFile(f), stats.get(f), skipFilters))
+    }
   private lazy val dvs: Map[String, Seq[String]] = {
     val v = pinnedVersion.getOrElse(SinkSource.currentVersion(path))
     SinkSource.deleteSidecar(path, Some(v))
@@ -1465,6 +1638,8 @@ class SinkMorScan(path: String, pinnedVersion: Option[Int],
   override def description(): String =
     s"SinkMorScan(files=${files.size}, " +
       s"deleteVectors=${dvs.valuesIterator.map(_.size).sum}, " +
+      (if (skipFilters.isEmpty) ""
+       else s"skippedFiles=${allFiles.size - files.size}/${allFiles.size}, ") +
       s"readSchema=[${projected.fieldNames.mkString(",")}])"
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -1650,7 +1825,8 @@ class SinkDeltaScan(path: String,
 }
 
 case class SinkDvCommitMessage(entries: Seq[(String, String)],
-    dataEntries: Seq[(Long, String, Long)] = Seq.empty)
+    dataEntries: Seq[(Long, String, Long)] = Seq.empty,
+    dataStats: Map[String, Seq[(Int, Long, Long)]] = Map.empty)
     extends WriterCommitMessage
 
 class SinkDvBatchWrite(path: String, queryId: String,
@@ -1670,11 +1846,14 @@ class SinkDvBatchWrite(path: String, queryId: String,
     * files are never touched. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dvs = messages.flatMap {
-      case SinkDvCommitMessage(entries, _) => entries
+      case m: SinkDvCommitMessage => m.entries
     }.toSeq
     val appended = messages.flatMap {
-      case SinkDvCommitMessage(_, data) => data
+      case m: SinkDvCommitMessage => m.dataEntries
     }.toSeq
+    val appendedStats = messages.flatMap {
+      case m: SinkDvCommitMessage => m.dataStats
+    }.toMap
     val f = SinkSource.fs(path)
     val dvDir = new Path(path, "deletes")
     f.mkdirs(dvDir)
@@ -1690,7 +1869,7 @@ class SinkDvBatchWrite(path: String, queryId: String,
     }
     val active = SinkSource.deleteSidecar(path) ++ dvs
     SinkSource.writeManifest(path, SinkSource.manifest(path) ++ appended,
-      Some(active), newFileSchemaId = Some(sid))
+      Some(active), newFileSchemaId = Some(sid), newStats = appendedStats)
     f.delete(stagingDir, true)
   }
 
@@ -1747,10 +1926,10 @@ class SinkDvWriter(path: String, queryId: String, partitionId: Int,
       try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
       (dataFile, name)
     }
-    val dataEntries = inserts.commit() match {
-      case SinkCommitMessage(es) => es
+    val insertMsg = inserts.commit() match {
+      case m: SinkCommitMessage => m
     }
-    SinkDvCommitMessage(entries, dataEntries)
+    SinkDvCommitMessage(entries, insertMsg.entries, insertMsg.stats)
   }
   override def abort(): Unit = inserts.abort()
   override def close(): Unit = inserts.close()
@@ -1871,8 +2050,11 @@ class SinkReplaceDataWrite(path: String, queryId: String,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val committed = messages.flatMap {
-      case SinkCommitMessage(entries) => entries
+      case m: SinkCommitMessage => m.entries
     }.toSeq
+    val stats = messages.flatMap {
+      case m: SinkCommitMessage => m.stats
+    }.toMap
     val replaced = op.scannedFiles.get().toSet
     val f = SinkSource.fs(path)
     val dataDir = new Path(path, "data")
@@ -1891,7 +2073,7 @@ class SinkReplaceDataWrite(path: String, queryId: String,
     val kept = SinkSource.manifest(path)
       .filterNot { case (_, fl, _) => replaced.contains(fl) }
     SinkSource.writeManifest(path, kept ++ committed,
-      newFileSchemaId = Some(sid))
+      newFileSchemaId = Some(sid), newStats = stats)
     replaced.foreach { fl =>
       try f.delete(new Path(dataDir, fl), false)
       catch { case _: Exception => } }
@@ -1925,14 +2107,44 @@ class SinkScanBuilder(path: String, pinnedVersion: Option[Int],
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
     with org.apache.spark.sql.connector.read.SupportsPushDownTopN
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
-  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, AggregateFunc, CountStar, Min, Max}
   import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder => V2SortOrder}
+  import org.apache.spark.sql.sources.Filter
 
   private var pushedGroupByK = false
   private var pushedAgg = false
+  private var pushedSpecs: Seq[SinkAggSpec] = Seq.empty
   private var topN: Option[(Seq[(Int, Boolean)], Int)] = None
   private var plainLimit: Option[Int] = None
+  private var skipFilters: Seq[Filter] = Seq.empty
+
+  // ---- zone-map file skipping (SupportsPushDownFilters) ----------------
+  /** FILE SKIPPING, not row filtering: supported conjuncts are kept
+    * for planInputPartitions to prune whole files whose zone map
+    * (manifest key / `#stat` min-max) proves no row can match — and
+    * EVERY filter is returned as residual, so the engine still
+    * evaluates the predicate on surviving rows. That split is what
+    * makes the pushdown unconditionally sound: the connector's only
+    * power is to open fewer files, never to change row semantics —
+    * which is also why it composes with MoR (tombstones only remove
+    * rows; a skipped file skips its tombstoned rows too) and with
+    * evolved schemas (stats are keyed by permanent field id). */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    skipFilters = filters.toSeq.filter(SinkZoneMaps.supported(_, fields))
+    filters // all residual: skipping prunes files, the engine keeps rows honest
+  }
+  override def pushedFilters(): Array[Filter] = skipFilters.toArray
+
+  // ---- metadata reads backing MIN/MAX pushdown (lazy: count-only
+  // pushes and plain scans never pay them) ------------------------------
+  private lazy val aggEntries = SinkSource.manifest(path, pinnedVersion)
+  private lazy val aggStats = SinkSource.manifestStats(path, pinnedVersion)
+  private lazy val aggTombstoned = {
+    val v = pinnedVersion.getOrElse(SinkSource.currentVersion(path))
+    SinkSource.deleteSidecar(path, Some(v)).nonEmpty
+  }
 
   /** TOP-N pushdown (`ORDER BY ... LIMIT n`): each partition reader
     * keeps a bounded n-row heap instead of emitting its whole file —
@@ -1989,24 +2201,73 @@ class SinkScanBuilder(path: String, pinnedVersion: Option[Int],
     // tables keep the historical fixed 2-column contract
     if (mor || sid != 0) requiredSchema = Some(required)
 
-  private def canPush(agg: Aggregation): Boolean = {
-    val aggs = agg.aggregateExpressions()
+  /** One pushed aggregate, or None when it cannot be served from
+    * metadata. COUNT(*) reads manifest row counts (exact — the write
+    * path's commit stats). MIN/MAX over a BIGINT column reads the
+    * zone maps: sound because non-mor reads never drop rows from a
+    * live file, so a file's recorded (min, max) are values PRESENT in
+    * it — the group's min of mins / max of maxes is the true extreme.
+    * Refused whenever proof fails: a non-BIGINT or unknown column, a
+    * cited file without a stat for the field (pre-stats history or
+    * all-NULL — indistinguishable from metadata), a deletion-vector
+    * sidecar on the snapshot (tombstones make stats over-approximate;
+    * non-mor reads ignore them today, but the push must not bake that
+    * in), or an empty table (no extreme to serve). */
+  private def toSpec(e: AggregateFunc): Option[SinkAggSpec] = {
+    def fieldOf(children: Array[org.apache.spark.sql.connector.expressions.Expression])
+        : Option[SinkSchemas.SinkField] = children match {
+      case Array(nr: NamedReference) if nr.fieldNames().length == 1 =>
+        fields.find(f => f.name == nr.fieldNames()(0) && f.dt == LongType)
+      case _ => None
+    }
+    e match {
+      case _: CountStar => Some(SinkCountStarSpec)
+      case m: Min => fieldOf(m.children())
+        .map(f => SinkMinSpec(f.id, f.name))
+      case m: Max => fieldOf(m.children())
+        .map(f => SinkMaxSpec(f.id, f.name))
+      case _ => None
+    }
+  }
+
+  private def specsOf(agg: Aggregation): Option[Seq[SinkAggSpec]] = {
     val groups = agg.groupByExpressions()
-    val aggsOk = aggs.nonEmpty && aggs.forall(_.isInstanceOf[CountStar])
     val groupOk = groups.isEmpty ||
       (groups.length == 1 && groups(0).describe == "k")
-    aggsOk && groupOk
+    if (!groupOk || agg.aggregateExpressions().isEmpty) return None
+    val specs = agg.aggregateExpressions().toSeq.map(toSpec)
+    if (specs.exists(_.isEmpty)) return None
+    val flat = specs.flatten
+    val minMaxIds = flat.collect {
+      case SinkMinSpec(id, _) => id
+      case SinkMaxSpec(id, _) => id
+    }.toSet
+    if (minMaxIds.nonEmpty) {
+      // MIN/MAX needs PROOF from metadata: rows exist, no tombstones,
+      // and every cited file carries a stat for every asked field
+      // (the key's stat IS the manifest entry)
+      val ok = aggEntries.nonEmpty && !aggTombstoned &&
+        aggEntries.map(_._2).distinct.forall { file =>
+          (minMaxIds - 1).forall(id =>
+            aggStats.get(file).exists(_.exists(_._1 == id)))
+        }
+      if (!ok) return None
+    }
+    Some(flat)
   }
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    !mor && canPush(agg)
+    !mor && specsOf(agg).isDefined
 
   override def pushAggregation(agg: Aggregation): Boolean =
-    if (mor || !canPush(agg)) false
-    else {
-      pushedAgg = true
-      pushedGroupByK = agg.groupByExpressions.nonEmpty
-      true
+    if (mor) false
+    else specsOf(agg) match {
+      case None => false
+      case Some(specs) =>
+        pushedAgg = true
+        pushedSpecs = specs
+        pushedGroupByK = agg.groupByExpressions.nonEmpty
+        true
     }
 
   override def build(): Scan = {
@@ -2017,12 +2278,15 @@ class SinkScanBuilder(path: String, pinnedVersion: Option[Int],
       case Some(req) => req.fieldNames.toSeq.flatMap(n =>
         fields.find(_.name == n))
     }
-    if (pushedAgg) new SinkManifestAggScan(path, pinnedVersion, pushedGroupByK)
+    val resolvedSkips = SinkZoneMaps.resolve(skipFilters, fields)
+    if (pushedAgg) new SinkManifestAggScan(path, pinnedVersion,
+      pushedGroupByK, pushedSpecs)
     else if (mor) new SinkMorScan(path, pinnedVersion,
-      requiredSchema.getOrElse(SinkSchemas.structType(fields)), fields)
+      requiredSchema.getOrElse(SinkSchemas.structType(fields)), fields,
+      resolvedSkips)
     else if (stats) new SinkStatsScan(path, pinnedVersion, topN, plainLimit)
     else new SinkScan(path, pinnedVersion, topN, plainLimit,
-      maxVersionsPerTrigger, startingVersion, readFields)
+      maxVersionsPerTrigger, startingVersion, readFields, resolvedSkips)
   }
 }
 
@@ -2056,30 +2320,67 @@ class SinkStatsScan(path: String, pinnedVersion: Option[Int],
     super.description().stripSuffix(")") + ", reportedStats=manifest)"
 }
 
+/** The aggregates the manifest can serve without opening a file:
+  * COUNT(*) from commit row counts, MIN/MAX of a BIGINT field from
+  * the `#stat` zone maps (field id 1 — the key — from the entries
+  * themselves). The builder only constructs specs it PROVED servable
+  * (stat coverage, no tombstones, non-empty groups). */
+private[sources] sealed trait SinkAggSpec
+private[sources] case object SinkCountStarSpec extends SinkAggSpec
+private[sources] case class SinkMinSpec(fieldId: Int, name: String)
+    extends SinkAggSpec
+private[sources] case class SinkMaxSpec(fieldId: Int, name: String)
+    extends SinkAggSpec
+
 /** The pushed-aggregate scan: rows come straight from manifest
   * arithmetic on the driver; the single input partition carries the
   * finished answer. */
 class SinkManifestAggScan(path: String, pinnedVersion: Option[Int],
-    groupByK: Boolean) extends Scan with Batch {
+    groupByK: Boolean,
+    specs: Seq[SinkAggSpec] = Seq(SinkCountStarSpec))
+    extends Scan with Batch {
 
-  override def readSchema(): StructType =
-    if (groupByK) StructType(Seq(
-      StructField("k", LongType, nullable = false),
-      StructField("count(*)", LongType, nullable = false)))
-    else StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+  private def colOf(s: SinkAggSpec): StructField = s match {
+    case SinkCountStarSpec =>
+      StructField("count(*)", LongType, nullable = false)
+    case SinkMinSpec(_, n) =>
+      StructField(s"min($n)", LongType, nullable = false)
+    case SinkMaxSpec(_, n) =>
+      StructField(s"max($n)", LongType, nullable = false)
+  }
+
+  override def readSchema(): StructType = StructType(
+    (if (groupByK) Seq(StructField("k", LongType, nullable = false))
+     else Seq.empty) ++ specs.map(colOf))
 
   override def toBatch: Batch = this
 
   private lazy val answer: Seq[Array[Long]] = {
     val m = SinkSource.manifest(path, pinnedVersion)
+    lazy val stats = SinkSource.manifestStats(path, pinnedVersion)
+    // the builder proved coverage; a gap here is a protocol bug, and
+    // a loud failure beats a silently wrong extreme
+    def statOf(file: String, id: Int): (Long, Long) =
+      stats.get(file).flatMap(_.find(_._1 == id))
+        .map { case (_, mn, mx) => (mn, mx) }
+        .getOrElse(throw new IllegalStateException(
+          s"pushed MIN/MAX lost its stat for field $id of $file under $path"))
+    def eval(es: Seq[(Long, String, Long)], s: SinkAggSpec): Long = s match {
+      case SinkCountStarSpec => es.map(_._3).sum
+      case SinkMinSpec(1, _) => es.map(_._1).min
+      case SinkMaxSpec(1, _) => es.map(_._1).max
+      case SinkMinSpec(id, _) => es.map(_._2).distinct.map(statOf(_, id)._1).min
+      case SinkMaxSpec(id, _) => es.map(_._2).distinct.map(statOf(_, id)._2).max
+    }
     if (groupByK)
       m.groupBy(_._1).toSeq.sortBy(_._1)
-        .map { case (k, es) => Array(k, es.map(_._3).sum) }
-    else Seq(Array(m.map(_._3).sum))
+        .map { case (k, es) => (k +: specs.map(eval(es, _))).toArray }
+    else Seq(specs.map(eval(m, _)).toArray)
   }
 
   override def description(): String =
-    s"SinkManifestAggScan(entries=${answer.size}, filesOpened=0)"
+    s"SinkManifestAggScan(entries=${answer.size}, " +
+      s"aggs=[${readSchema().fieldNames.mkString(",")}], filesOpened=0)"
 
   override def planInputPartitions(): Array[InputPartition] =
     Array(SinkAggPartition(answer))
@@ -2114,7 +2415,8 @@ class SinkScan(path: String, pinnedVersion: Option[Int] = None,
     plainLimit: Option[Int] = None,
     maxVersionsPerTrigger: Option[Int] = None,
     startingVersion: Option[Int] = None,
-    readFields: Seq[SinkSchemas.SinkField] = SinkSchemas.base)
+    readFields: Seq[SinkSchemas.SinkField] = SinkSchemas.base,
+    skipFilters: Seq[(Int, org.apache.spark.sql.sources.Filter)] = Seq.empty)
     extends Scan with Batch {
   override def readSchema(): StructType = SinkSchemas.structType(readFields)
   override def toBatch: Batch = this
@@ -2125,13 +2427,33 @@ class SinkScan(path: String, pinnedVersion: Option[Int] = None,
 
   // the manifest IS the table: files on disk but not listed (staged
   // attempts, aborted writes, post-delete stragglers) do not exist to
-  // readers; a pinned version plans from that snapshot's manifest
-  private lazy val files: Array[String] =
+  // readers; a pinned version plans from that snapshot's manifest.
+  // ZONE-MAP SKIPPING happens here, at plan time on the driver: a
+  // file whose manifest key / #stat ranges PROVE the pushed conjuncts
+  // can't match is never planned as a split — the 100 TB shape, where
+  // a selective predicate reads the few files that can answer it and
+  // the rest of the table costs nothing (Delta data skipping /
+  // Iceberg lower-upper bound pruning re-expressed over the psv
+  // manifest). Unprovable files are read and the engine's residual
+  // Filter keeps rows honest.
+  private lazy val allFiles: Array[String] =
     SinkSource.manifest(path, pinnedVersion).map(_._2).distinct.sorted.toArray
+  private lazy val files: Array[String] =
+    if (skipFilters.isEmpty) allFiles
+    else {
+      val entries = SinkSource.manifest(path, pinnedVersion)
+      val keysByFile = entries.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+      val stats = SinkSource.manifestStats(path, pinnedVersion)
+      allFiles.filter(f => SinkZoneMaps.mightMatch(
+        keysByFile(f), stats.get(f), skipFilters))
+    }
 
   override def description(): String =
     s"SinkScan(files=${files.length}" +
       s"${pinnedVersion.fold("")(v => s", version=$v")}" +
+      (if (skipFilters.isEmpty) ""
+       else s", skippedFiles=${allFiles.length - files.length}/${allFiles.length}" +
+         s", pushedFilters=[${skipFilters.map(_._2).mkString(", ")}]") +
       topN.fold("") { case (cols, n) =>
         val spec = cols.map { case (i, asc) =>
           s"${SinkSource.schema.fieldNames(i)} ${if (asc) "ASC" else "DESC"}"
@@ -2372,7 +2694,8 @@ class SinkReader(file: String, plainLimit: Option[Int] = None,
   */
 class SinkWriteBuilder(path: String, queryId: String,
     clustered: Boolean = false,
-    fields: Seq[SinkSchemas.SinkField] = SinkSchemas.base, sid: Int = 0)
+    fields: Seq[SinkSchemas.SinkField] = SinkSchemas.base, sid: Int = 0,
+    txn: Option[(String, Long)] = None, declareSchema: Boolean = false)
     extends WriteBuilder with SupportsOverwrite {
   import org.apache.spark.sql.sources.{AlwaysTrue, Filter}
 
@@ -2394,8 +2717,9 @@ class SinkWriteBuilder(path: String, queryId: String,
       fields, sid)
     else new Write {
       override def toBatch: BatchWrite =
-        new SinkBatchWrite(path, queryId, doTruncate, replace = replace,
-          fields = fields, sid = sid)
+        new SinkBatchWrite(path, queryId, doTruncate, txn = txn,
+          replace = replace, fields = fields, sid = sid,
+          declareSchema = declareSchema)
       override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
         new SinkStreamingWrite(path, queryId, fields, sid)
     }
@@ -2507,14 +2831,21 @@ class SinkBucketBound
 
 /** One staged file per (task attempt, distinct key). Commit messages
   * carry the staged names; nothing under `_staging/` is ever readable.
+  * `stats` are the per-file ZONE MAPS — min/max of every BIGINT
+  * column's non-null values, keyed by staged name then field id —
+  * computed inline by the writer (the rows stream through it anyway,
+  * so the stats are free) and published as `#stat` manifest headers
+  * for scan-time file skipping and metadata-only MIN/MAX.
   */
-case class SinkCommitMessage(entries: Seq[(Long, String, Long)])
+case class SinkCommitMessage(entries: Seq[(Long, String, Long)],
+    stats: Map[String, Seq[(Int, Long, Long)]] = Map.empty)
     extends WriterCommitMessage
 
 class SinkBatchWrite(path: String, queryId: String, truncate: Boolean,
     txn: Option[(String, Long)] = None,
     replace: Option[Array[org.apache.spark.sql.sources.Filter]] = None,
-    fields: Seq[SinkSchemas.SinkField] = SinkSchemas.base, sid: Int = 0)
+    fields: Seq[SinkSchemas.SinkField] = SinkSchemas.base, sid: Int = 0,
+    declareSchema: Boolean = false)
     extends BatchWrite {
 
   private def stagingDir = new Path(path, s"_staging/$queryId")
@@ -2534,8 +2865,11 @@ class SinkBatchWrite(path: String, queryId: String, truncate: Boolean,
     */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val committed = messages.flatMap {
-      case SinkCommitMessage(entries) => entries
+      case m: SinkCommitMessage => m.entries
     }.toSeq
+    val stats = messages.flatMap {
+      case m: SinkCommitMessage => m.stats
+    }.toMap
     val f = SinkSource.fs(path)
     val dataDir = new Path(path, "data")
     f.mkdirs(dataDir)
@@ -2558,7 +2892,8 @@ class SinkBatchWrite(path: String, queryId: String, truncate: Boolean,
         case None => (Seq.empty, SinkSource.manifest(path))
       }
     SinkSource.writeManifest(path, prior ++ committed, txn = txn,
-      newFileSchemaId = Some(sid))
+      schemaId = if (declareSchema) Some(sid) else None,
+      newFileSchemaId = Some(sid), newStats = stats)
     if (truncate) {
       // old files are unreachable once the manifest swapped; GC them
       val live = committed.map(_._2).toSet
@@ -2687,6 +3022,19 @@ class SinkWriter(path: String, queryId: String, partitionId: Int,
   private val keyIdx = fields.indexWhere(_.id == 1)
   require(keyIdx >= 0, s"write schema lost the layout key: $fields")
 
+  // ZONE MAPS, computed inline: (schema position, field id) of every
+  // BIGINT column except the key (the key is constant per file — the
+  // manifest entry already IS its zone map). Min/max cover NON-NULL
+  // values only, which keeps range skipping sound: every supported
+  // skip predicate (=, <, <=, >, >=, IN) rejects NULL anyway.
+  private val statFields: Array[(Int, Int)] = fields.zipWithIndex
+    .collect { case (f, i) if f.dt == LongType && f.id != 1 => (i, f.id) }
+    .toArray
+  // per key: parallel min/max/seen arrays, one slot per stat field
+  private val mins = scala.collection.mutable.Map.empty[Long, Array[Long]]
+  private val maxs = scala.collection.mutable.Map.empty[Long, Array[Long]]
+  private val seen = scala.collection.mutable.Map.empty[Long, Array[Boolean]]
+
   override def write(record: InternalRow): Unit = {
     // row-level rewrites (ReplaceData) prepend engine bookkeeping
     // (`__row_operation`) in front of the table columns and hand the
@@ -2707,6 +3055,22 @@ class SinkWriter(path: String, queryId: String, partitionId: Int,
     }
     sb.append('\n')
     counts(k) = counts.getOrElse(k, 0L) + 1
+    if (statFields.nonEmpty) {
+      val mn = mins.getOrElseUpdate(k, Array.fill(statFields.length)(Long.MaxValue))
+      val mx = maxs.getOrElseUpdate(k, Array.fill(statFields.length)(Long.MinValue))
+      val sn = seen.getOrElseUpdate(k, Array.fill(statFields.length)(false))
+      var j = 0
+      while (j < statFields.length) {
+        val (pos, _) = statFields(j)
+        if (!record.isNullAt(off + pos)) {
+          val value = record.getLong(off + pos)
+          if (value < mn(j)) mn(j) = value
+          if (value > mx(j)) mx(j) = value
+          sn(j) = true
+        }
+        j += 1
+      }
+    }
   }
 
   /** Task commit: flush each key's buffer to a staged file named by
@@ -2724,7 +3088,14 @@ class SinkWriter(path: String, queryId: String, partitionId: Int,
       try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
       (k, name, counts(k))
     }
-    SinkCommitMessage(entries)
+    val stats = entries.flatMap { case (k, name, _) =>
+      val perField = statFields.indices.collect {
+        case j if seen.get(k).exists(_(j)) =>
+          (statFields(j)._2, mins(k)(j), maxs(k)(j))
+      }
+      if (perField.isEmpty) None else Some(name -> perField.toSeq)
+    }.toMap
+    SinkCommitMessage(entries, stats)
   }
 
   override def abort(): Unit = ()

@@ -40,7 +40,8 @@ class SinkCommitSafetySpec extends SparkSpec {
       nameTag = SinkWriter.commitTag("app2-q")).createWriter(0, 0L)
     w1.write(org.apache.spark.sql.catalyst.InternalRow(5L, 50L))
     w2.write(org.apache.spark.sql.catalyst.InternalRow(5L, 51L))
-    val (SinkCommitMessage(e1), SinkCommitMessage(e2)) = (w1.commit(), w2.commit())
+    val (m1: SinkCommitMessage, m2: SinkCommitMessage) = (w1.commit(), w2.commit())
+    val (e1, e2) = (m1.entries, m2.entries)
     assert(e1.map(_._2).intersect(e2.map(_._2)).isEmpty,
       s"two applications staged colliding names: $e1 vs $e2")
   }
