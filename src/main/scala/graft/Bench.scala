@@ -31,7 +31,7 @@ object Bench {
     56,81,57,56,159,69,89,75,113,45,56,38,37,138,75,91,221,208,88,96,39,215,
     29,32,91,15,13,129,60,35,265,24,24,248,47,43,22,78,122,160,102,118,63,39,
     175,42,152,78,101,375,36,169,271,311,180,151,230,288,251,198,143,142,194,
-    141,115,277,89,80,156,290,180,150,120,220,260)
+    141,115,277,89,80,156,290,180,150,120,220,260,200,180,300)
 
   def costOf(name: String): Int = {
     val n = name.takeWhile(_ != '_').drop(1).toInt

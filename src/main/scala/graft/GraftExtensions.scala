@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier(name), new ExpressionInfo(getClass.getName, name), b))
     }
     e.injectOptimizerRule(_ => graft.plans.RewriteDotProduct)
+    e.injectOptimizerRule(s => new graft.plans.RewriteToMv(s))
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
@@ -55,5 +56,12 @@ object GraftExtensions {
     }
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
       spark.experimental.extraStrategies ++= Seq(graft.plans.AsOfJoinStrategy)
+    // MV substitution (q298): as an extra optimization it runs AFTER
+    // scan pushdown, which is why RewriteToMv also matches the
+    // post-pushdown DataSourceV2ScanRelation shape
+    if (!spark.experimental.extraOptimizations
+        .exists(_.isInstanceOf[graft.plans.RewriteToMv]))
+      spark.experimental.extraOptimizations ++=
+        Seq(new graft.plans.RewriteToMv(spark))
   }
 }

@@ -2187,7 +2187,159 @@ object FormatQueries {
       |  CAST(1 AS BIGINT) AS noop_stable
       |FROM live GROUP BY k ORDER BY k""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q298 — MATERIALIZED-VIEW QUERY REWRITING: an optimizer rule
+  // ([[graft.plans.RewriteToMv]], installed via GraftExtensions)
+  // substitutes the exact aggregate q297's MV maintains — whole-table
+  // `k, COUNT(*), SUM(v)` — with a read of the MV's stored rows,
+  // ONLY when provably answer-preserving: the MV's ledger watermark
+  // equals the source head, the scan is the current table with no
+  // predicate above it, row semantics agree (a tombstoned source
+  // rewrites only for MoR reads), and every output column maps onto
+  // a maintained one. Output attribute ids are preserved, so parents
+  // never notice. New plan shape: the only logical-plan SUBSTITUTION
+  // in the registry (RewriteDotProduct canonicalizes expressions;
+  // this replaces a whole Aggregate subtree with a different
+  // relation).
+  // Proof rides the hash twice: the "stale" arm aggregates AFTER an
+  // un-refreshed append (a rewrite would answer stale numbers and
+  // fail the hash), then the "fresh" arm runs with the SOURCE's data
+  // directory PHYSICALLY REMOVED — only the MV can answer it.
+  // Scale notes (100 TB): the rewritten plan reads the groups-sized
+  // MV — no corpus scan, no shuffle, no aggregate node at all; the
+  // freshness probe costs two manifest reads. Maintained aggregates
+  // only pay off if reads actually land on them — this rule is the
+  // read-side half of incremental view maintenance.
+  def q298MvRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(s.conf.set(k, v)) }
+    graft.GraftExtensions.register(s)
+    val root = ShardPaths.resolve(s, "q298", dir)
+    SinkSource.fs(root).delete(new org.apache.hadoop.fs.Path(root), true)
+    def batch(m: Long) = Tables.events(s, dir)
+      .select((col("event_id") % 7).as("k"), (col("event_id") + m).as("v"))
+    SinkSource.write(batch(0), s"$root/src", overwrite = true)        // v1
+    SinkMv.create(s, s"$root/mv", s"$root/src")
+    s.conf.set("graft.mv.registry", s"$root/mv")
+    def agg(name: String) = SinkSource.load(s, s"$root/src")
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
+      .withColumn("arm", lit(name))
+    // STALE arm: the source advanced past the watermark — the rule
+    // must fall back to the real scan (rewriting would hash-fail)
+    SinkSource.write(batch(1000000).filter(col("v") % 3 === 2),
+      s"$root/src", overwrite = false)                                // v2
+    val stale = agg("stale").collect().toSeq
+    // FRESH arm: refresh, then remove the source's data directory —
+    // only the MV can answer now
+    SinkMv.refresh(s, s"$root/mv")
+    SinkSource.fs(root)
+      .delete(new org.apache.hadoop.fs.Path(s"$root/src/data"), true)
+    val fresh = agg("fresh")
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(stale.asJava, fresh.schema).unionByName(fresh)
+      .select(col("arm"), col("k"), col("n_rows"), col("sum_v"))
+      .orderBy(col("arm"), col("k"))
+  }
+
+  val q298Oracle: String =
+    """WITH src AS (
+      |  SELECT event_id % 7 AS k, event_id AS v FROM events
+      |  UNION ALL SELECT event_id % 7, event_id + 1000000 FROM events
+      |  WHERE (event_id + 1000000) % 3 = 2),
+      |arms AS (
+      |  SELECT 'stale' AS arm, k, v FROM src
+      |  UNION ALL SELECT 'fresh', k, v FROM src)
+      |SELECT arm, k, COUNT(*) AS n_rows, CAST(SUM(v) AS BIGINT) AS sum_v
+      |FROM arms GROUP BY arm, k ORDER BY arm, k""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q299 — ORPHAN-FILE CLEANUP (`CALL remove_orphans(table,
+  // grace_ms)`): the other half of the lifecycle split q285's expire
+  // deliberately leaves out — files REFERENCED BY NO manifest at all
+  // (a crashed commit's renamed data files whose manifest never
+  // landed, lost-race vector sidecar leftovers, abandoned staging
+  // attempts). Expire cannot touch them because an unreferenced file
+  // might be a concurrent commit's just-published rename; this verb
+  // closes that gap with Iceberg's `older_than` contract — only
+  // files whose mtime predates the GRACE WINDOW are eligible, so
+  // anything plausibly commit-in-flight survives. The citation set
+  // spans every present manifest and its bound sidecar, so history
+  // (time travel) keeps working. New protocol shape: the only verb
+  // that reasons from directory listings DIFFED against citations
+  // (expire walks citations of doomed snapshots; this walks the
+  // uncited remainder).
+  // Both contracts ride the hash: a generous grace REFUSES the young
+  // orphans (grace_protects), a zero grace reclaims exactly the
+  // planted ones (counts), and the table's aggregate is unchanged.
+  // Scale notes (100 TB): crash debris grows with commit rate, not
+  // data size; reclaiming it is a listing diffed against metadata —
+  // no data file is ever opened, safe beside live writers by grace,
+  // not locks.
+  def q299RemoveOrphans(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(s.conf.set(k, v)) }
+    val root = ShardPaths.resolve(s, "q299", dir)
+    SinkSource.fs(root).delete(new org.apache.hadoop.fs.Path(root), true)
+    def batch(m: Long) = Tables.events(s, dir)
+      .select((col("event_id") % 9).as("k"), (col("event_id") + m).as("v"))
+    SinkSource.write(batch(0), s"$root/t", overwrite = true)          // v1
+    SinkSource.write(batch(1000000).filter(col("v") % 4 === 3),
+      s"$root/t", overwrite = false)                                  // v2
+    s.conf.set("spark.sql.catalog.graft_orph", classOf[SinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_orph.root", root)
+    s.conf.set("spark.sql.catalog.graft_orph.mor", "true")
+    s.sql("DELETE FROM graft_orph.t WHERE v % 11 = 5")                // v3: vectors
+    // plant crash debris: an uncited data file (renamed, manifest
+    // never landed), an uncited vector file, an abandoned staging dir
+    val f = SinkSource.fs(root)
+    def plant(p: String, body: String): Unit = {
+      val out = f.create(new org.apache.hadoop.fs.Path(p), true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    }
+    plant(s"$root/t/data/qdeadbeef_p9_t9_k0.psv", "0|42\n")
+    plant(s"$root/t/deletes/dv_qdeadbeef_p9_t9_lost.psv", "0\n")
+    plant(s"$root/t/_staging/crashed-query/p0_t0_k0.psv", "0|43\n")
+    // a generous grace must refuse the young debris...
+    val kept = s.sql("CALL graft_orph.remove_orphans('t', 3600000)")
+      .collect()(0)
+    val graceProtects =
+      if (kept.getLong(0) == 0 && kept.getLong(1) == 0 &&
+        kept.getLong(2) == 0 &&
+        f.exists(new org.apache.hadoop.fs.Path(
+          s"$root/t/data/qdeadbeef_p9_t9_k0.psv"))) 1L else 0L
+    // ...a zero grace reclaims exactly it
+    val gone = s.sql("CALL graft_orph.remove_orphans('t', 0)").collect()(0)
+    val reclaimed =
+      if (gone.getLong(0) == 1 && gone.getLong(1) == 1 &&
+        gone.getLong(2) == 1 &&
+        !f.exists(new org.apache.hadoop.fs.Path(
+          s"$root/t/data/qdeadbeef_p9_t9_k0.psv"))) 1L else 0L
+    // the table (MoR view, vectors intact) is untouched
+    SinkSource.load(s, s"$root/t", mor = true)
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
+      .withColumn("grace_protects", lit(graceProtects))
+      .withColumn("reclaimed", lit(reclaimed))
+      .orderBy(col("k"))
+  }
+
+  val q299Oracle: String =
+    """WITH live AS (
+      |  SELECT * FROM (
+      |    SELECT event_id % 9 AS k, event_id AS v FROM events
+      |    UNION ALL SELECT event_id % 9, event_id + 1000000 FROM events
+      |    WHERE (event_id + 1000000) % 4 = 3)
+      |  WHERE v % 11 <> 5)
+      |SELECT k, COUNT(*) AS n_rows, CAST(SUM(v) AS BIGINT) AS sum_v,
+      |  CAST(1 AS BIGINT) AS grace_protects, CAST(1 AS BIGINT) AS reclaimed
+      |FROM live GROUP BY k ORDER BY k""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q299_remove_orphans" -> q299RemoveOrphans,
+    "q298_mv_rewrite" -> q298MvRewrite,
     "q297_incremental_mv" -> q297IncrementalMv,
     "q296_change_data_feed" -> q296ChangeDataFeed,
     "q295_stats_minmax" -> q295StatsMinmax,
@@ -2232,6 +2384,8 @@ object FormatQueries {
     "q64_schema_evolution" -> q64SchemaEvolution)
 
   def oracleSql: Map[String, String] = Map(
+    "q299_remove_orphans" -> q299Oracle,
+    "q298_mv_rewrite" -> q298Oracle,
     "q297_incremental_mv" -> q297Oracle,
     "q296_change_data_feed" -> q296Oracle,
     "q295_stats_minmax" -> q295Oracle,

@@ -65,53 +65,31 @@ object SinkChanges {
     StructType(SinkSchemas.structType(fields).fields.toSeq :+
       changeType :+ commitVersion)
   }
-}
 
-/** The CDF relation: read-only, pinned to its (from, to] window. */
-class SinkChangesTable(path: String, fromVersion: Int, toVersion: Int)
-    extends Table with SupportsRead {
-
-  {
-    val cur = SinkSource.currentVersion(path)
-    if (fromVersion < 0 || toVersion < fromVersion || toVersion > cur)
-      throw new IllegalArgumentException(
-        s"invalid change window ($fromVersion, $toVersion] on $path " +
-          s"(history is 1..$cur)")
+  /** STREAMING form: every later commit arrives as a micro-batch of
+    * change rows — the delete-aware dual of the append-only changelog
+    * stream (q267). `fromVersion` bootstraps a new consumer;
+    * `maxVersionsPerTrigger` bounds catch-up batches by commits. */
+  def readStream(spark: SparkSession, path: String, fromVersion: Int = 0,
+      maxVersionsPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.format("graft.sources.SinkSource")
+      .option("path", path)
+      .option("changesFrom", fromVersion.toString)
+      .option("changesStream", "true")
+    maxVersionsPerTrigger.foreach(n =>
+      r.option("maxVersionsPerTrigger", n.toString))
+    r.load()
   }
 
-  override def name(): String =
-    s"graft_sink_changes($path@($fromVersion,$toVersion])"
-  override def schema(): StructType = SinkChanges.schemaOf(path, toVersion)
-  override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
-
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan =
-        new SinkChangesScan(path, fromVersion, toVersion)
-    }
-}
-
-/** One split per (changed file, version, change kind): inserts stream
-  * the added file (minus any tombstones born with it), deletes stream
-  * exactly the positions the version's vector diff added. */
-case class SinkChangesInputPartition(file: String,
-    fileFields: Seq[SinkSchemas.SinkField],
-    kind: String, version: Int,
-    curDvFiles: Seq[String], prevDvFiles: Seq[String])
-    extends InputPartition
-
-class SinkChangesScan(path: String, fromVersion: Int, toVersion: Int)
-    extends Scan with Batch {
-
-  private lazy val readFields: Seq[SinkSchemas.SinkField] =
-    SinkSchemas.currentFields(path, Some(toVersion))
-
-  override def readSchema(): StructType =
-    SinkChanges.schemaOf(path, toVersion)
-  override def toBatch: Batch = this
-
-  private lazy val parts: Array[InputPartition] = {
+  /** One split per (changed file, version, change kind) across
+    * `(fromVersion, toVersion]` — shared by the batch scan and the
+    * micro-batch stream (a stream batch IS a version window). Refuses
+    * loudly when a version REMOVED files (truncate / metadata delete /
+    * CoW rewrite / compaction): append-plus-tombstone history is the
+    * contract a changelog consumer holds.
+    */
+  private[sources] def partitionsFor(path: String, fromVersion: Int,
+      toVersion: Int): Array[InputPartition] = {
     val out = Seq.newBuilder[InputPartition]
     val fieldDefs = scala.collection.mutable.Map
       .empty[Int, Seq[SinkSchemas.SinkField]]
@@ -160,6 +138,59 @@ class SinkChangesScan(path: String, fromVersion: Int, toVersion: Int)
     }
     out.result().toArray
   }
+}
+
+/** The CDF relation: read-only, pinned to its (from, to] window for
+  * batch reads; a STREAM treats `to` as its schema snapshot and keeps
+  * consuming later versions as they commit. */
+class SinkChangesTable(path: String, fromVersion: Int, toVersion: Int,
+    maxVersionsPerTrigger: Option[Int] = None)
+    extends Table with SupportsRead {
+
+  {
+    val cur = SinkSource.currentVersion(path)
+    if (fromVersion < 0 || toVersion < fromVersion || toVersion > cur)
+      throw new IllegalArgumentException(
+        s"invalid change window ($fromVersion, $toVersion] on $path " +
+          s"(history is 1..$cur)")
+  }
+
+  override def name(): String =
+    s"graft_sink_changes($path@($fromVersion,$toVersion])"
+  override def schema(): StructType = SinkChanges.schemaOf(path, toVersion)
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan =
+        new SinkChangesScan(path, fromVersion, toVersion,
+          maxVersionsPerTrigger)
+    }
+}
+
+/** One split per (changed file, version, change kind): inserts stream
+  * the added file (minus any tombstones born with it), deletes stream
+  * exactly the positions the version's vector diff added. */
+case class SinkChangesInputPartition(file: String,
+    fileFields: Seq[SinkSchemas.SinkField],
+    kind: String, version: Int,
+    curDvFiles: Seq[String], prevDvFiles: Seq[String])
+    extends InputPartition
+
+class SinkChangesScan(path: String, fromVersion: Int, toVersion: Int,
+    maxVersionsPerTrigger: Option[Int] = None)
+    extends Scan with Batch {
+
+  private lazy val readFields: Seq[SinkSchemas.SinkField] =
+    SinkSchemas.currentFields(path, Some(toVersion))
+
+  override def readSchema(): StructType =
+    SinkChanges.schemaOf(path, toVersion)
+  override def toBatch: Batch = this
+
+  private lazy val parts: Array[InputPartition] =
+    SinkChanges.partitionsFor(path, fromVersion, toVersion)
 
   override def description(): String =
     s"SinkChangesScan($path, from=$fromVersion, to=$toVersion, " +
@@ -167,15 +198,76 @@ class SinkChangesScan(path: String, fromVersion: Int, toVersion: Int)
 
   override def planInputPartitions(): Array[InputPartition] = parts
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val rf = readFields
-    new PartitionReaderFactory {
-      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-        val cp = p.asInstanceOf[SinkChangesInputPartition]
-        new SinkChangesReader(cp, rf)
-      }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SinkChangesReaderFactory(readFields)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SinkChangesMicroBatchStream(path, fromVersion,
+      maxVersionsPerTrigger, readFields)
+}
+
+class SinkChangesReaderFactory(readFields: Seq[SinkSchemas.SinkField])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val cp = p.asInstanceOf[SinkChangesInputPartition]
+    new SinkChangesReader(cp, readFields)
+  }
+}
+
+/** The STREAMING change feed: offsets are manifest versions (the
+  * shape [[SinkMicroBatchStream]] established), but a micro-batch
+  * carries the version window's CHANGE ROWS — inserts AND
+  * value-carrying deletes — so a stateful consumer can maintain
+  * retractable state (a live MV) instead of only appending. Admission
+  * control bounds catch-up batches by VERSIONS (commits), the grain
+  * that bounds work by ingest activity. A history rewrite mid-stream
+  * fails the batch loudly — the consumer must resync, exactly the
+  * batch feed's contract.
+  */
+class SinkChangesMicroBatchStream(path: String, startingVersion: Int,
+    maxVersionsPerTrigger: Option[Int],
+    readFields: Seq[SinkSchemas.SinkField])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  private def offset(v: Int): Offset = new Offset {
+    override def json(): String = v.toString
+    override def toString: String = s"SinkChangesOffset($v)"
+  }
+  private def versionOf(o: Offset): Int = o.json().trim.toInt
+
+  override def initialOffset(): Offset = offset(math.max(0, startingVersion))
+  override def latestOffset(): Offset =
+    offset(SinkSource.currentVersion(path))
+  override def deserializeOffset(json: String): Offset =
+    offset(json.trim.toInt)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger.map(n => SinkMaxVersions(n): ReadLimit)
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val cur = SinkSource.currentVersion(path)
+    limit match {
+      case SinkMaxVersions(n) => offset(math.min(cur, versionOf(start) + n))
+      case _ => offset(cur)
     }
   }
+
+  override def reportLatestOffset(): Offset =
+    offset(SinkSource.currentVersion(path))
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] =
+    SinkChanges.partitionsFor(path, versionOf(start), versionOf(end))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SinkChangesReaderFactory(readFields)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 /** Streams the partition's data file, emitting rows per its change

@@ -46,7 +46,7 @@ object SinkMv {
   private def fs(path: String) = SinkSource.fs(path)
 
   /** The source path recorded at create time (immutable metadata). */
-  private[sources] def sourceOf(mvPath: String): String = {
+  private[graft] def sourceOf(mvPath: String): String = {
     val f = fs(mvPath)
     val mf = new Path(mvPath, "_mv.psv")
     if (!f.exists(mf))

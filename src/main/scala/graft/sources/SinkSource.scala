@@ -52,9 +52,12 @@ import scala.jdk.CollectionConverters._
   */
 class SinkSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    if (options.get("changesFrom") != null)
-      return SinkChanges.schemaOf(options.get("path"),
-        options.get("changesTo").trim.toInt)
+    if (options.get("changesFrom") != null) {
+      val p = options.get("path")
+      val to = Option(options.get("changesTo")).map(_.trim.toInt)
+        .getOrElse(SinkSource.currentVersion(p)) // stream: schema as of now
+      return SinkChanges.schemaOf(p, to)
+    }
     Option(options.get("fields"))
       .map(s => SinkSchemas.structType(SinkSchemas.decode(s)))
       .getOrElse {
@@ -65,10 +68,14 @@ class SinkSource extends TableProvider {
   }
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    if (properties.get("changesFrom") != null)
-      return new SinkChangesTable(properties.get("path"),
-        properties.get("changesFrom").trim.toInt,
-        properties.get("changesTo").trim.toInt)
+    if (properties.get("changesFrom") != null) {
+      val p = properties.get("path")
+      val from = properties.get("changesFrom").trim.toInt
+      val to = Option(properties.get("changesTo")).map(_.trim.toInt)
+        .getOrElse(SinkSource.currentVersion(p)) // stream: open-ended
+      return new SinkChangesTable(p, from, to,
+        Option(properties.get("maxVersionsPerTrigger")).map(_.trim.toInt))
+    }
     new SinkTable(properties.get("path"),
       clustered = "true".equalsIgnoreCase(properties.get("clustered")),
       stats = "true".equalsIgnoreCase(properties.get("stats")),
@@ -443,7 +450,7 @@ object SinkSource {
 
   /** Active (dataFile, deleteFile) pairs of the requested version's
     * sidecar; empty if that version has no tombstones. */
-  private[sources] def deleteSidecar(path: String,
+  private[graft] def deleteSidecar(path: String,
       version: Option[Int] = None): Seq[(String, String)] = {
     val v = version.getOrElse(currentVersion(path))
     sidecarFile(path, v) match {
@@ -524,7 +531,8 @@ class SinkCatalog extends CatalogPlugin with TableCatalog
     if (namespace.nonEmpty) Array.empty
     else Array(Identifier.of(Array.empty, "compact"),
       Identifier.of(Array.empty, "tag"),
-      Identifier.of(Array.empty, "expire"))
+      Identifier.of(Array.empty, "expire"),
+      Identifier.of(Array.empty, "remove_orphans"))
 
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
@@ -534,6 +542,8 @@ class SinkCatalog extends CatalogPlugin with TableCatalog
       new SinkTagProcedure(root)
     else if (ident.namespace.isEmpty && ident.name == "expire")
       new SinkExpireProcedure(root)
+    else if (ident.namespace.isEmpty && ident.name == "remove_orphans")
+      new SinkOrphanProcedure(root)
     else
       throw new java.util.NoSuchElementException(s"unknown procedure: $ident")
   }
@@ -860,6 +870,16 @@ class SinkTable(path: String, pinnedVersion: Option[Int] = None,
 
   override def name(): String =
     s"graft_sink($path${pinnedVersion.fold("")(v => s"@v$v")})"
+
+  /** What the MV query-rewrite rule ([[graft.plans.RewriteToMv]])
+    * needs to know about a matched scan: the table's path, and
+    * whether this read's row semantics can equal a maintained MV's —
+    * only a CURRENT (un-pinned) read qualifies; `mor` decides whether
+    * tombstones are applied (the MV always retracts deletes, so a
+    * tombstoned source additionally requires the mor read path). */
+  private[graft] def mvRewriteInfo: Option[(String, Boolean)] =
+    if (pinnedVersion.isEmpty && explicitFields.isEmpty) Some((path, mor))
+    else None
 
   /** The table's CURRENT fields: an explicit write schema when one
     * was shipped through options, otherwise resolved from the pinned
@@ -1586,6 +1606,107 @@ class SinkExpireProcedure(root: String)
             StructField("versions_kept", LongType, nullable = false),
             StructField("data_files_removed", LongType, nullable = false),
             StructField("vector_files_removed", LongType, nullable = false)))
+        }
+        util.Arrays.asList(result).iterator()
+      }
+    }
+}
+
+/** `CALL <cat>.remove_orphans('<table>', <grace_ms>)` — ORPHAN-FILE
+  * cleanup, the other half of the Iceberg lifecycle split `expire`
+  * deliberately leaves out: files REFERENCED BY NO manifest at all
+  * (a crashed commit's just-renamed data files whose manifest never
+  * landed, lost-race deletion-vector sidecars' vectors, abandoned
+  * staging attempts). Expiry must not touch them because an
+  * unreferenced file might be a CONCURRENT commit's just-published
+  * rename — which is exactly what the GRACE WINDOW is for: only
+  * files whose modification time is at least `grace_ms` old are
+  * eligible, so anything younger than the longest plausible
+  * commit-in-flight survives (Iceberg's `older_than` contract).
+  * Citation set = every file reachable from ANY present manifest or
+  * its bound sidecar — history included, so time travel keeps
+  * working. Counts report only deletes the filesystem performed.
+  * Scale notes (100 TB): the verb is metadata + listing proportional
+  * — a directory listing diffed against manifest citations; it never
+  * opens a data file, and it is safe beside live writers by the
+  * grace contract rather than by locking.
+  */
+class SinkOrphanProcedure(root: String)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+
+  override def name(): String = "remove_orphans"
+  override def description(): String =
+    "delete files no manifest references, older than a grace window"
+
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "remove_orphans"
+      override def description(): String =
+        SinkOrphanProcedure.this.description()
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("grace_ms", LongType).build())
+      override def isDeterministic: Boolean = false // removes files
+
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val grace = input.getLong(1)
+        if (grace < 0)
+          throw new IllegalArgumentException(s"grace_ms must be >= 0: $grace")
+        val path = new Path(root, table).toString
+        val f = SinkSource.fs(path)
+        val cutoff = System.currentTimeMillis() - grace
+        val versions = f.listStatus(new Path(path)).map(_.getPath.getName)
+          .collect { case n if n.startsWith("manifest.v") && n.endsWith(".psv") =>
+            n.stripPrefix("manifest.v").stripSuffix(".psv").toInt }.toSeq.sorted
+        // a vanished manifest mid-listing is a concurrent expire's work
+        def tryManifest(v: Int): Seq[(Long, String, Long)] =
+          try SinkSource.manifest(path, Some(v))
+          catch { case _: java.util.NoSuchElementException => Seq.empty }
+        val citedData = versions.flatMap(v => tryManifest(v).map(_._2)).toSet
+        val citedVecs = versions.flatMap(v =>
+          SinkSource.deleteSidecar(path, Some(v)).map(_._2)).toSet
+        def sweep(dir: String, cited: Set[String]): Long = {
+          val d = new Path(path, dir)
+          if (!f.exists(d)) return 0L
+          f.listStatus(d)
+            .filter(st => !cited.contains(st.getPath.getName) &&
+              st.getModificationTime <= cutoff)
+            .count { st =>
+              try f.delete(st.getPath, false)
+              catch { case _: Exception => false }
+            }.toLong
+        }
+        val dataRemoved = sweep("data", citedData)
+        val vecsRemoved = sweep("deletes", citedVecs)
+        // abandoned staging ATTEMPTS (crashed queries): whole attempt
+        // dirs whose newest content predates the grace cutoff —
+        // nothing under _staging is ever readable, so age is the only
+        // question
+        val staging = new Path(path, "_staging")
+        val stagingRemoved: Long =
+          if (!f.exists(staging)) 0L
+          else f.listStatus(staging).filter { st =>
+            def newest(p: Path): Long = {
+              val s = f.getFileStatus(p)
+              if (!s.isDirectory) s.getModificationTime
+              else (s.getModificationTime +:
+                f.listStatus(p).map(x => newest(x.getPath)).toSeq).max
+            }
+            newest(st.getPath) <= cutoff
+          }.count { st =>
+            try f.delete(st.getPath, true)
+            catch { case _: Exception => false }
+          }.toLong
+        val row: InternalRow = new GenericInternalRow(Array[Any](
+          dataRemoved, vecsRemoved, stagingRemoved))
+        val result: Scan = new LocalScan {
+          override def rows(): Array[InternalRow] = Array(row)
+          override def readSchema(): StructType = StructType(Seq(
+            StructField("data_orphans_removed", LongType, nullable = false),
+            StructField("vector_orphans_removed", LongType, nullable = false),
+            StructField("staging_attempts_removed", LongType, nullable = false)))
         }
         util.Arrays.asList(result).iterator()
       }

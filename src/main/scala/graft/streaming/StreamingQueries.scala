@@ -1891,7 +1891,83 @@ object StreamingQueries {
       |FROM events WHERE event_id % 3 <> 0
       |GROUP BY 1 ORDER BY k""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q300 — STREAMING CHANGE FEED with RETRACTIONS: q267 streams the
+  // sink's changelog but can only APPEND (new files per version);
+  // this source streams q296's CHANGE ROWS — inserts AND
+  // value-carrying deletes tagged `_change_type` — so a stateful
+  // consumer can maintain RETRACTABLE state: the query keeps a live
+  // per-key (COUNT, SUM) by signed aggregation (+1/-1), i.e. a
+  // STREAMING materialized view that stays correct through MoR
+  // DELETEs and UPDATEs (delete + insert in one commit), not just
+  // appends. Offsets are manifest versions (checkpointed, resumable);
+  // admission bounds catch-up batches by commits
+  // (`maxVersionsPerTrigger=1` here: every commit is its own batch,
+  // so the retraction provably crosses batch boundaries). A history
+  // rewrite mid-stream fails the batch loudly — resync, the feed's
+  // contract. New plan shape: the registry's only streaming source
+  // whose batches carry signed change rows.
+  // Scale notes (100 TB): a downstream consumer (feature store,
+  // index, serving cache) that must TRACK a mutable corpus cannot
+  // re-read it per sync; commit-grain change batches with carried
+  // delete values are the only shape that keeps consumer cost
+  // proportional to churn.
+  def q300StreamChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+    val ss = EventsStreaming.streamSession(spark)
+    val root = graft.sources.ShardPaths.resolve(ss, "q300", dir)
+    val ckpt = graft.sources.ShardPaths.resolveCheckpoint(ss, "q300", dir)
+    graft.sources.SinkSource.fs(root)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    graft.sources.SinkSource.fs(ckpt)
+      .delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    def keyed(m: Long, pred: org.apache.spark.sql.Column) =
+      graft.sources.Tables.events(ss, dir)
+        .select((col("event_id") % 31).as("k"),
+          (col("event_id") + m).as("v"))
+        .filter(pred)
+        .repartition(8, col("k"))
+    graft.sources.SinkSource.write(keyed(0, lit(true)),
+      s"$root/t", overwrite = true)                            // v1
+    graft.sources.SinkSource.write(
+      keyed(1000000, col("v") % 3 === 1),
+      s"$root/t", overwrite = false)                           // v2
+    ss.conf.set("spark.sql.catalog.graft_cdc3",
+      classOf[graft.sources.SinkCatalog].getName)
+    ss.conf.set("spark.sql.catalog.graft_cdc3.root", root)
+    ss.conf.set("spark.sql.catalog.graft_cdc3.mor", "true")
+    ss.sql("DELETE FROM graft_cdc3.t WHERE v % 7 = 2")         // v3
+    ss.sql("UPDATE graft_cdc3.t SET v = v + 5000000 WHERE v % 13 = 1") // v4
+    val sign = when(col("_change_type") === "insert", lit(1L))
+      .otherwise(lit(-1L))
+    val live = graft.sources.SinkChanges
+      .readStream(ss, s"$root/t", 0, Some(1))
+      .select(col("k"), sign.as("s"), col("v"))
+      .groupBy(col("k"))
+      .agg(sum(col("s")).as("n_rows"),
+        sum(col("s") * col("v")).as("sum_v"))
+    val q = live.writeStream.outputMode(OutputMode.Complete)
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("q300_mem").start()
+    q.processAllAvailable()
+    q.stop()
+    ss.table("q300_mem").filter(col("n_rows") > 0).orderBy(col("k"))
+  }
+
+  val q300Oracle: String =
+    """WITH ingested AS (
+      |  SELECT event_id % 31 AS k, event_id AS v FROM events
+      |  UNION ALL
+      |  SELECT event_id % 31, event_id + 1000000 FROM events
+      |  WHERE (event_id + 1000000) % 3 = 1),
+      |after_delete AS (SELECT * FROM ingested WHERE v % 7 <> 2),
+      |live AS (
+      |  SELECT k, CASE WHEN v % 13 = 1 THEN v + 5000000 ELSE v END AS v
+      |  FROM after_delete)
+      |SELECT k, COUNT(*) AS n_rows, CAST(SUM(v) AS BIGINT) AS sum_v
+      |FROM live GROUP BY k ORDER BY k""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q300_stream_change_feed" -> q300StreamChangeFeed,
     "q282_stream_starting_version" -> q282StreamStartingVersion,
     "q281_stream_timers" -> q281StreamTimers,
     "q278_stream_state_reader" -> q278StreamStateReader,
@@ -1926,6 +2002,7 @@ object StreamingQueries {
     "q103_stream_dedup_static" -> q103StreamDedupStatic)
 
   def oracleSql: Map[String, String] = Map(
+    "q300_stream_change_feed" -> q300Oracle,
     "q282_stream_starting_version" -> q282Oracle,
     "q281_stream_timers" -> q281Oracle,
     "q278_stream_state_reader" -> q278Oracle,
