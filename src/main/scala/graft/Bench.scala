@@ -18,20 +18,20 @@ object Bench {
     * is loud, not silent.
     */
   val priorCostCs: Array[Int] = Array(
-    98,14,22,107,46,23,47,26,15,16,12,10,27,18,70,14,39,104,33,62,29,51,32,69,
-    83,213,51,47,54,47,58,32,44,39,40,27,13,24,151,47,169,237,98,42,105,125,
-    101,102,68,25,111,42,41,85,48,64,47,33,67,80,23,52,63,57,39,79,50,112,41,
-    48,26,117,364,32,47,12,52,79,89,109,98,87,98,151,66,88,62,96,146,43,147,
-    44,38,82,114,184,43,42,36,260,36,36,111,94,44,33,175,69,72,57,71,51,121,
-    46,101,55,40,78,38,164,119,117,85,32,39,44,81,65,98,40,68,32,20,20,16,21,
-    204,61,69,47,64,86,84,106,94,303,187,55,60,63,114,45,212,138,137,19,98,
-    117,69,75,44,50,258,100,103,40,368,44,65,28,77,120,56,49,92,26,60,100,82,
-    100,68,119,122,237,165,29,71,96,172,111,61,274,238,183,256,82,52,98,24,
-    161,93,36,77,79,96,105,104,107,62,42,43,92,58,35,78,70,48,38,63,55,36,47,
-    56,81,57,56,159,69,89,75,113,45,56,38,37,138,75,91,221,208,88,96,39,215,
-    29,32,91,15,13,129,60,35,265,24,24,248,47,43,22,78,122,160,102,118,63,39,
-    175,42,152,78,101,375,36,169,271,311,180,151,230,288,251,198,143,142,194,
-    141,115,277,89,80,156,290,180,150,120,220,260,200,180,300)
+    131,19,23,119,36,27,64,30,14,13,11,13,25,23,61,9,39,96,38,52,30,51,26,56,
+    94,150,39,48,33,51,47,30,43,33,38,32,14,26,196,49,125,223,101,50,116,107,
+    93,121,65,24,125,42,45,97,54,52,33,35,59,61,18,42,64,53,32,72,52,101,48,
+    47,34,140,279,30,39,13,53,62,81,97,83,97,110,169,49,94,65,73,147,46,179,
+    50,24,70,126,158,44,58,56,187,42,31,97,79,45,38,106,53,69,68,54,44,138,34,
+    86,36,50,92,30,141,124,112,70,34,36,38,41,64,112,35,32,44,16,17,17,17,180,
+    58,57,53,57,45,76,95,86,278,169,41,64,42,137,45,215,107,155,15,107,148,55,
+    63,48,46,167,105,67,37,304,46,55,29,63,185,39,50,96,24,54,96,69,63,49,172,
+    123,222,146,38,84,81,201,142,67,228,163,151,346,63,41,84,15,151,106,54,63,
+    53,85,108,118,102,55,36,43,63,64,39,88,54,48,36,61,36,32,44,52,66,61,50,
+    176,61,75,54,114,37,47,27,34,120,54,68,220,160,86,80,41,190,17,37,63,19,
+    11,101,39,27,264,21,22,242,67,37,22,80,102,139,99,128,50,26,162,27,160,64,
+    104,323,38,138,246,306,174,152,220,285,218,169,153,142,175,121,135,243,70,
+    69,140,249,154,71,73,232,327,201,140,452)
 
   def costOf(name: String): Int = {
     val n = name.takeWhile(_ != '_').drop(1).toInt
@@ -93,8 +93,8 @@ object Bench {
     // Janino + JIT cost (the 0.3–2 s fixed tier — round-8's driver run
     // exhausted the budget mid-alphabet and every later query's timed
     // number silently absorbed it) at a bounded per-query price.
-    // 1500 s covers the full registry's warm passes (293 queries as
-    // of round 16, ~0.9 s/query timed ≈ 5× margin) at
+    // 1500 s covers the full registry's warm passes (300 queries as
+    // of the round-16 continuation, ~0.9 s/query timed ≈ 5× margin) at
     // sf0.1: round 9's 600 s exhausted right before the
     // q8x block (the ~100 q1xx names sort FIRST and absorb the
     // budget), so q82's timed pass paid its sf0.1 .cache() fill — the
