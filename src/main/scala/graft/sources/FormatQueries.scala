@@ -2337,7 +2337,76 @@ object FormatQueries {
       |  CAST(1 AS BIGINT) AS grace_protects, CAST(1 AS BIGINT) AS reclaimed
       |FROM live GROUP BY k ORDER BY k""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q301 — SCAN SPLIT PLANNING (`splitBytes=n`): the sink's task
+  // grain decouples from its FILE grain in both directions — a data
+  // file larger than n fans out into BYTE-RANGE splits (text-split
+  // convention: a range owns lines that BEGIN inside it, seeks to
+  // start-1 and discards through the first newline, reads through its
+  // end to finish its last line — sound because serialized lines are
+  // pure ASCII), and small splits FIRST-FIT-PACK into ~n-byte bins
+  // read back-to-back by one task. Without this, one huge file
+  // serializes a scan and a commit-per-epoch history costs one task
+  // per tiny file — the two failure modes of file-grain planning.
+  // New plan shape: the only scan whose partition count is a
+  // function of BYTES, not file identity (SinkSplitSpec sweeps
+  // boundary placements down to 1-byte ranges). Both directions are
+  // flagged into the hashed result: `fan_out` (1 file → >1 task) and
+  // `packed` (6 files → 1 task), and the split read's aggregate must
+  // hash-match the oracle — a torn or doubled boundary line cannot
+  // hide.
+  // Scale notes (100 TB): split planning is what makes file size an
+  // OPERATIONAL choice instead of a parallelism ceiling — the
+  // parquet/Iceberg scan property (maxPartitionBytes / target-split
+  // size) re-expressed over the psv manifest; planning cost is one
+  // directory listing, metadata-proportional.
+  def q301SplitPlanning(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(s.conf.set(k, v)) }
+    val root = ShardPaths.resolve(s, "q301", dir)
+    SinkSource.fs(root).delete(new org.apache.hadoop.fs.Path(root), true)
+    // one BIG single-key file (repartition(1): one task, one key)...
+    SinkSource.write(
+      Tables.events(s, dir)
+        .select(lit(0L).as("k"), col("event_id").as("v"))
+        .repartition(1),
+      s"$root/big", overwrite = true)
+    // ...and six tiny single-row commits
+    import s.implicits._
+    (0 until 6).foreach(b =>
+      SinkSource.write(Seq((b.toLong, b.toLong)).toDF("k", "v").coalesce(1),
+        s"$root/small", overwrite = b == 0))
+    val fanOut =
+      if (SinkSource.load(s, s"$root/big").rdd.getNumPartitions == 1 &&
+        SinkSource.load(s, s"$root/big", splitBytes = Some(2048L))
+          .rdd.getNumPartitions > 1) 1L else 0L
+    val packed =
+      if (SinkSource.manifest(s"$root/small").map(_._2).distinct.size == 6 &&
+        SinkSource.load(s, s"$root/small", splitBytes = Some(1L << 20))
+          .rdd.getNumPartitions == 1) 1L else 0L
+    val big = SinkSource.load(s, s"$root/big", splitBytes = Some(2048L))
+      .groupBy((col("v") % 13).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
+    val small = SinkSource.load(s, s"$root/small", splitBytes = Some(1L << 20))
+      .groupBy(lit(-1L).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
+    big.unionByName(small)
+      .withColumn("fan_out", lit(fanOut))
+      .withColumn("packed", lit(packed))
+      .orderBy(col("bucket"))
+  }
+
+  val q301Oracle: String =
+    """SELECT event_id % 13 AS bucket, COUNT(*) AS n_rows,
+      |  CAST(SUM(event_id) AS BIGINT) AS sum_v,
+      |  CAST(1 AS BIGINT) AS fan_out, CAST(1 AS BIGINT) AS packed
+      |FROM events GROUP BY 1
+      |UNION ALL SELECT -1, 6, 15, 1, 1
+      |ORDER BY bucket""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q301_split_planning" -> q301SplitPlanning,
     "q299_remove_orphans" -> q299RemoveOrphans,
     "q298_mv_rewrite" -> q298MvRewrite,
     "q297_incremental_mv" -> q297IncrementalMv,
@@ -2384,6 +2453,7 @@ object FormatQueries {
     "q64_schema_evolution" -> q64SchemaEvolution)
 
   def oracleSql: Map[String, String] = Map(
+    "q301_split_planning" -> q301Oracle,
     "q299_remove_orphans" -> q299Oracle,
     "q298_mv_rewrite" -> q298Oracle,
     "q297_incremental_mv" -> q297Oracle,

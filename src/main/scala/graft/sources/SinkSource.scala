@@ -93,7 +93,8 @@ class SinkSource extends TableProvider {
       txn = Option(properties.get("txnId")).map(id =>
         (id, Option(properties.get("txnEpoch"))
           .map(_.trim.toLong).getOrElse(throw new IllegalArgumentException(
-            "txnId requires txnEpoch")))))
+            "txnId requires txnEpoch")))),
+      splitBytes = Option(properties.get("splitBytes")).map(_.trim.toLong))
   }
 }
 
@@ -103,9 +104,13 @@ object SinkSource {
     StructField("v", LongType, nullable = false)))
 
   def load(spark: SparkSession, path: String,
-      stats: Boolean = false, mor: Boolean = false): DataFrame =
-    spark.read.format("graft.sources.SinkSource").option("path", path)
-      .option("stats", stats.toString).option("mor", mor.toString).load()
+      stats: Boolean = false, mor: Boolean = false,
+      splitBytes: Option[Long] = None): DataFrame = {
+    val r = spark.read.format("graft.sources.SinkSource").option("path", path)
+      .option("stats", stats.toString).option("mor", mor.toString)
+    splitBytes.foreach(n => r.option("splitBytes", n.toString))
+    r.load()
+  }
 
   def write(df: DataFrame, path: String, overwrite: Boolean,
       clustered: Boolean = false,
@@ -428,6 +433,62 @@ object SinkSource {
       l
     }
     def close(): Unit = reader.close()
+  }
+
+  /** Byte-range line stream over a data file — the split-planning
+    * reader. Ownership follows the Hadoop text-split convention: a
+    * range owns every line that BEGINS inside [start, start+length)
+    * and reads THROUGH its end to finish its last line; a non-zero
+    * start seeks to `start - 1` and discards through the first
+    * newline, so a line beginning exactly AT the boundary is read by
+    * exactly one range. Sound here because serialized lines are pure
+    * ASCII (strings URL-encode: bytes == characters, '\n' never
+    * appears inside a value). `length = -1` streams the whole file —
+    * byte-identical to [[LineStream]]. */
+  private[sources] final class SplitLineStream(file: String, start: Long,
+      lengthIn: Long) {
+    private val in = fs(file).open(new Path(file))
+    private val end: Long =
+      if (lengthIn < 0) Long.MaxValue else start + lengthIn
+    private val buf = new Array[Byte](64 * 1024)
+    private var bufLen = 0
+    private var bufPos = 0
+    private var filePos: Long = math.max(0L, start - 1)
+    private var eof = false
+    if (start > 0) { in.seek(start - 1); discardThroughNewline() }
+
+    private def fill(): Boolean = {
+      if (eof) return false
+      bufLen = in.read(buf)
+      bufPos = 0
+      if (bufLen <= 0) { eof = true; false } else true
+    }
+    private def readByte(): Int = {
+      if (bufPos >= bufLen && !fill()) return -1
+      val b = buf(bufPos) & 0xff
+      bufPos += 1
+      filePos += 1
+      b
+    }
+    private def discardThroughNewline(): Unit = {
+      var b = readByte()
+      while (b != -1 && b != '\n') b = readByte()
+    }
+    private var nextLine: String = advance()
+    private def advance(): String = {
+      while (filePos < end) { // the next line must BEGIN inside the range
+        val sb = new java.lang.StringBuilder(64)
+        var b = readByte()
+        if (b == -1) return null
+        while (b != -1 && b != '\n') { sb.append(b.toChar); b = readByte() }
+        if (sb.length() > 0) return sb.toString
+        // blank line: not a row; keep scanning
+      }
+      null
+    }
+    def hasNext: Boolean = nextLine != null
+    def next(): String = { val l = nextLine; nextLine = advance(); l }
+    def close(): Unit = in.close()
   }
 
   /** The sidecar FILE a version's manifest is bound to, if any: the
@@ -798,7 +859,8 @@ class SinkTable(path: String, pinnedVersion: Option[Int] = None,
     maxVersionsPerTrigger: Option[Int] = None, mor: Boolean = false,
     startingVersion: Option[Int] = None, bucketWrite: Boolean = false,
     explicitFields: Option[Seq[SinkSchemas.SinkField]] = None,
-    txn: Option[(String, Long)] = None)
+    txn: Option[(String, Long)] = None,
+    splitBytes: Option[Long] = None)
     extends Table
     with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsRowLevelOperations with SupportsMetadataColumns {
@@ -920,7 +982,7 @@ class SinkTable(path: String, pinnedVersion: Option[Int] = None,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SinkScanBuilder(path, pinnedVersion, stats, maxVersionsPerTrigger, mor,
-      startingVersion, resolvedFields, resolvedSid)
+      startingVersion, resolvedFields, resolvedSid, splitBytes)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     // an EXPLICIT write schema beyond the base contract is persisted
@@ -2223,7 +2285,8 @@ class SinkReplaceDataWrite(path: String, queryId: String,
 class SinkScanBuilder(path: String, pinnedVersion: Option[Int],
     stats: Boolean = false, maxVersionsPerTrigger: Option[Int] = None,
     mor: Boolean = false, startingVersion: Option[Int] = None,
-    fields: Seq[SinkSchemas.SinkField] = SinkSchemas.base, sid: Int = 0)
+    fields: Seq[SinkSchemas.SinkField] = SinkSchemas.base, sid: Int = 0,
+    splitBytes: Option[Long] = None)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
     with org.apache.spark.sql.connector.read.SupportsPushDownTopN
@@ -2407,7 +2470,12 @@ class SinkScanBuilder(path: String, pinnedVersion: Option[Int],
       resolvedSkips)
     else if (stats) new SinkStatsScan(path, pinnedVersion, topN, plainLimit)
     else new SinkScan(path, pinnedVersion, topN, plainLimit,
-      maxVersionsPerTrigger, startingVersion, readFields, resolvedSkips)
+      maxVersionsPerTrigger, startingVersion, readFields, resolvedSkips,
+      // split planning composes with skipping but not with the pushed
+      // per-partition topN/limit readers (a whole-file heap over a
+      // byte range would re-read the file per split) — those pushes
+      // already bound work, so splitting stands down
+      splitBytes.filter(_ => topN.isEmpty && plainLimit.isEmpty))
   }
 }
 
@@ -2527,8 +2595,26 @@ class SinkManifestAggScan(path: String, pinnedVersion: Option[Int],
 
 case class SinkAggPartition(rows: Seq[Array[Long]]) extends InputPartition
 
+/** One scan split: a BYTE RANGE of one data file (`start`, `length`;
+  * length -1 = the whole file — the historical shape, byte-identical
+  * behavior). Range semantics are the text-split convention: a split
+  * owns every line that BEGINS inside its range (split 0 owns the
+  * first line unconditionally), and reads THROUGH its end boundary to
+  * finish its last line — no row is lost or read twice whatever the
+  * boundaries. Sound for this format because serialized lines are
+  * pure ASCII (strings URL-encode, so bytes == characters and '\n'
+  * never appears inside a value). */
 case class SinkInputPartition(file: String,
-    fileFields: Seq[SinkSchemas.SinkField] = SinkSchemas.base)
+    fileFields: Seq[SinkSchemas.SinkField] = SinkSchemas.base,
+    start: Long = 0L, length: Long = -1L)
+    extends InputPartition
+
+/** A BIN of splits read back-to-back by one task — the small-file
+  * packing arm of split planning (Spark's FilePartition shape): a
+  * commit-per-epoch table accumulates many small files, and without
+  * packing its task count grows with commit history instead of data
+  * size. */
+case class SinkPackedInputPartition(splits: Seq[SinkInputPartition])
     extends InputPartition
 
 class SinkScan(path: String, pinnedVersion: Option[Int] = None,
@@ -2537,7 +2623,8 @@ class SinkScan(path: String, pinnedVersion: Option[Int] = None,
     maxVersionsPerTrigger: Option[Int] = None,
     startingVersion: Option[Int] = None,
     readFields: Seq[SinkSchemas.SinkField] = SinkSchemas.base,
-    skipFilters: Seq[(Int, org.apache.spark.sql.sources.Filter)] = Seq.empty)
+    skipFilters: Seq[(Int, org.apache.spark.sql.sources.Filter)] = Seq.empty,
+    splitBytes: Option[Long] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = SinkSchemas.structType(readFields)
   override def toBatch: Batch = this
@@ -2572,6 +2659,8 @@ class SinkScan(path: String, pinnedVersion: Option[Int] = None,
   override def description(): String =
     s"SinkScan(files=${files.length}" +
       s"${pinnedVersion.fold("")(v => s", version=$v")}" +
+      splitBytes.fold("")(n =>
+        s", splitPlanning=${planInputPartitions().length} tasks @ $n B") +
       (if (skipFilters.isEmpty) ""
        else s", skippedFiles=${allFiles.length - files.length}/${allFiles.length}" +
          s", pushedFilters=[${skipFilters.map(_._2).mkString(", ")}]") +
@@ -2590,11 +2679,56 @@ class SinkScan(path: String, pinnedVersion: Option[Int] = None,
     val sids = SinkSource.manifestSids(path, pinnedVersion)
     val defs = scala.collection.mutable.Map.empty[Int,
       Seq[SinkSchemas.SinkField]]
-    files.map { f =>
+    val whole = files.map { f =>
       val sid = sids.getOrElse(f, 0)
       val ff = defs.getOrElseUpdate(sid, SinkSchemas.fields(path, sid))
-      SinkInputPartition(
-        new Path(path, s"data/$f").toString, ff): InputPartition
+      SinkInputPartition(new Path(path, s"data/$f").toString, ff)
+    }
+    splitBytes match {
+      case None => whole.map(p => p: InputPartition)
+      // SPLIT PLANNING (`splitBytes=n`): decouple task grain from
+      // FILE grain in both directions — a file larger than n becomes
+      // several byte-range splits (one huge file no longer serializes
+      // a scan), and small splits FIRST-FIT-PACK into bins of ~n
+      // bytes (a commit-per-epoch history no longer costs one task
+      // per tiny file). File sizes come from ONE directory listing —
+      // metadata-proportional planning. Zone-map skipping composed
+      // upstream: pruned files are never listed into ranges.
+      case Some(sz) =>
+        val dataDir = new Path(path, "data")
+        val f = SinkSource.fs(path)
+        val sizes: Map[String, Long] =
+          if (!f.exists(dataDir)) Map.empty
+          else f.listStatus(dataDir)
+            .map(st => st.getPath.getName -> st.getLen).toMap
+        val ranges = whole.flatMap { p =>
+          // keyed by NAME (listing paths come back scheme-qualified);
+          // a file the listing missed streams whole — never a lie
+          sizes.get(new Path(p.file).getName) match {
+            case None => Seq(p)
+            case Some(len) if len <= sz => Seq(p.copy(start = 0L, length = len))
+            case Some(len) => (0L until len by sz).map(off =>
+              p.copy(start = off, length = math.min(sz, len - off)))
+          }
+        }
+        val bins = Seq.newBuilder[InputPartition]
+        var bin = List.empty[SinkInputPartition]
+        var binBytes = 0L
+        def flush(): Unit = if (bin.nonEmpty) {
+          bins += (bin match {
+            case one :: Nil => one
+            case several => SinkPackedInputPartition(several.reverse)
+          })
+          bin = Nil
+          binBytes = 0L
+        }
+        ranges.foreach { r =>
+          if (bin.nonEmpty && binBytes + r.length > sz) flush()
+          bin = r :: bin
+          binBytes += r.length
+        }
+        flush()
+        bins.result().toArray
     }
   }
 
@@ -2606,14 +2740,38 @@ class SinkReaderFactory(topN: Option[(Seq[(Int, Boolean)], Int)] = None,
     plainLimit: Option[Int] = None,
     readFields: Seq[SinkSchemas.SinkField] = SinkSchemas.base)
     extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val part = p.asInstanceOf[SinkInputPartition]
-    topN match {
-      case Some((cols, n)) => new SinkTopNReader(part.file, cols, n)
-      case None => new SinkReader(part.file, plainLimit,
-        part.fileFields, readFields)
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case SinkPackedInputPartition(splits) =>
+        // the packed bin: its splits drain back-to-back in one task
+        // (split planning guarantees no pushed topN/limit here)
+        new PartitionReader[InternalRow] {
+          private val remaining = splits.iterator
+          private var cur: PartitionReader[InternalRow] = _
+          override def next(): Boolean = {
+            while (true) {
+              if (cur == null) {
+                if (!remaining.hasNext) return false
+                val s = remaining.next()
+                cur = new SinkReader(s.file, None, s.fileFields, readFields,
+                  s.start, s.length)
+              }
+              if (cur.next()) return true
+              cur.close()
+              cur = null
+            }
+            false
+          }
+          override def get(): InternalRow = cur.get()
+          override def close(): Unit = if (cur != null) cur.close()
+        }
+      case part: SinkInputPartition =>
+        topN match {
+          case Some((cols, n)) => new SinkTopNReader(part.file, cols, n)
+          case None => new SinkReader(part.file, plainLimit,
+            part.fileFields, readFields, part.start, part.length)
+        }
     }
-  }
 }
 
 /** Per-partition bounded top-N: a size-capped heap over the file's
@@ -2768,9 +2926,10 @@ class SinkMicroBatchStream(path: String,
 
 class SinkReader(file: String, plainLimit: Option[Int] = None,
     fileFields: Seq[SinkSchemas.SinkField] = SinkSchemas.base,
-    readFields: Seq[SinkSchemas.SinkField] = SinkSchemas.base)
+    readFields: Seq[SinkSchemas.SinkField] = SinkSchemas.base,
+    start: Long = 0L, length: Long = -1L)
     extends PartitionReader[InternalRow] {
-  private val lines = new SinkSource.LineStream(file)
+  private val lines = new SinkSource.SplitLineStream(file, start, length)
   // reconciliation plan, once per reader: read-field → position in
   // THIS file's layout (by field id; -1 reads NULL — the file predates
   // the column)
