@@ -31,7 +31,10 @@ object Bench {
     176,61,75,54,114,37,47,27,34,120,54,68,220,160,86,80,41,190,17,37,63,19,
     11,101,39,27,264,21,22,242,67,37,22,80,102,139,99,128,50,26,162,27,160,64,
     104,323,38,138,246,306,174,152,220,285,218,169,153,142,175,121,135,243,70,
-    69,140,249,154,71,73,232,327,201,140,452,150)
+    69,140,249,154,71,73,232,327,201,140,452,150,
+    // provisional entries for this session's additions (q302+) —
+    // replaced wholesale by the closing gen_cost_table.py --apply run
+    250,250,250)
 
   def costOf(name: String): Int = {
     val n = name.takeWhile(_ != '_').drop(1).toInt

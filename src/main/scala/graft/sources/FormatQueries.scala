@@ -2405,7 +2405,302 @@ object FormatQueries {
       |UNION ALL SELECT -1, 6, 15, 1, 1
       |ORDER BY bucket""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q302 — ROLLBACK (`CALL rollback('t', v)`): history-preserving
+  // restore. A bad commit lands (junk append, v3); the rollback
+  // publishes v2's snapshot state as a NEW version v4 — pure manifest
+  // arithmetic, zero data movement — so the current read equals v2
+  // while `VERSION AS OF 3` still serves the incident state for the
+  // post-mortem. The protocol consequences ride the hash: a
+  // change-data-feed window crossing the rollback REFUSES (the
+  // rollback un-cites v3's files — rewritten history, the feed's
+  // documented resync case); a rollback to a snapshot whose files
+  // were eagerly reclaimed (truncate GC) REFUSES up front; a rollback
+  // to a version outside history REFUSES. New protocol shape: no
+  // other commit re-cites files the current head dropped (writeManifest
+  // carries their immutable sids/stats from the restored version).
+  // Scale notes (100 TB): undoing a terabyte-scale bad commit must
+  // cost metadata, not a rewrite — rollback is O(entries) manifest
+  // work however large the table, and the bad snapshots stay
+  // addressable until `expire` retires them.
+  def q302Rollback(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(s.conf.set(k, v)) }
+    val root = ShardPaths.resolve(s, "q302", dir)
+    SinkSource.fs(root).delete(new org.apache.hadoop.fs.Path(root), true)
+    val ev = Tables.events(s, dir)
+    SinkSource.write(ev
+      .select((col("event_id") % 11).as("k"), col("event_id").as("v")),
+      s"$root/t", overwrite = true)                                  // v1
+    SinkSource.write(ev.filter(col("event_id") % 3 === 0)
+      .select((col("event_id") % 11).as("k"),
+        (col("event_id") + 1000000).as("v")),
+      s"$root/t", overwrite = false)                                 // v2
+    // the BAD commit: junk rows that must disappear from the head
+    SinkSource.write(ev.filter(col("event_id") % 7 === 1)
+      .select((col("event_id") % 11).as("k"),
+        (col("event_id") + 5000000).as("v")),
+      s"$root/t", overwrite = false)                                 // v3
+    s.conf.set("spark.sql.catalog.graft_rb", classOf[SinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_rb.root", root)
+    val res = s.sql("CALL graft_rb.rollback('t', 2)").collect()(0)
+    val restoredOk =
+      if (res.getLong(0) == 2L && res.getLong(1) == 4L) 1L else 0L
+    // rewritten history: a CDF window crossing the rollback refuses
+    val cdfRefuses =
+      try { SinkChanges.load(s, s"$root/t", 2, 4).collect(); 0L }
+      catch { case _: Exception => 1L }
+    // physically impossible restore refuses up front: truncate
+    // reclaimed t2's v1 files eagerly
+    import s.implicits._
+    SinkSource.write(Seq((0L, 1L), (1L, 2L)).toDF("k", "v"),
+      s"$root/t2", overwrite = true)                                 // v1
+    SinkSource.write(Seq((0L, 3L)).toDF("k", "v"),
+      s"$root/t2", overwrite = true)                                 // v2 (truncate)
+    val gcRefuses =
+      try { s.sql("CALL graft_rb.rollback('t2', 1)").collect(); 0L }
+      catch { case _: Exception => 1L }
+    val badVersionRefuses =
+      try { s.sql("CALL graft_rb.rollback('t', 99)").collect(); 0L }
+      catch { case _: Exception => 1L }
+    def arm(name: String, df: DataFrame): DataFrame =
+      df.groupBy(col("k"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
+        .withColumn("arm", lit(name))
+    // current head == v2's state; the incident snapshot stays readable
+    arm("restored", s.table("graft_rb.t").select("k", "v"))
+      .unionByName(arm("incident",
+        s.sql("SELECT k, v FROM graft_rb.t VERSION AS OF 3")))
+      .withColumn("restored_ok", lit(restoredOk))
+      .withColumn("cdf_refuses", lit(cdfRefuses))
+      .withColumn("gc_refuses", lit(gcRefuses))
+      .withColumn("bad_version_refuses", lit(badVersionRefuses))
+      .select(col("arm"), col("k"), col("n_rows"), col("sum_v"),
+        col("restored_ok"), col("cdf_refuses"), col("gc_refuses"),
+        col("bad_version_refuses"))
+      .orderBy(col("arm"), col("k"))
+  }
+
+  val q302Oracle: String =
+    """WITH b1 AS (SELECT event_id % 11 AS k, event_id AS v FROM events),
+      |b2 AS (SELECT event_id % 11 AS k, event_id + 1000000 AS v
+      |       FROM events WHERE event_id % 3 = 0),
+      |b3 AS (SELECT event_id % 11 AS k, event_id + 5000000 AS v
+      |       FROM events WHERE event_id % 7 = 1),
+      |arms AS (
+      |  SELECT 'restored' AS arm, k, v
+      |  FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+      |  UNION ALL SELECT 'incident', k, v
+      |  FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2
+      |        UNION ALL SELECT * FROM b3))
+      |SELECT arm, k, COUNT(*) AS n_rows, CAST(SUM(v) AS BIGINT) AS sum_v,
+      |  CAST(1 AS BIGINT) AS restored_ok, CAST(1 AS BIGINT) AS cdf_refuses,
+      |  CAST(1 AS BIGINT) AS gc_refuses,
+      |  CAST(1 AS BIGINT) AS bad_version_refuses
+      |FROM arms GROUP BY arm, k ORDER BY arm, k""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q303 — TYPE WIDENING (`ALTER TABLE .. ALTER COLUMN .. TYPE ..`):
+  // the fourth schema-evolution verb (q292 shipped add/rename/drop).
+  // A lossless promotion is a METADATA-ONLY publish — the text
+  // serialization parses each raw value AS the read schema's type, so
+  // files written in the int era reconcile by permanent field id with
+  // zero rewrite, and the widened reads mix eras transparently (the
+  // long-era insert lands values above Int.MaxValue in the same
+  // column the int era wrote). Only the provably lossless matrix is
+  // accepted: int→bigint and int→double; bigint→double is REFUSED (a
+  // long above 2^53 silently loses precision — a narrowing in
+  // disguise), as are narrowings and cross-family changes — all three
+  // refusals ride the hash. New protocol shape: no other publish
+  // changes a column's TYPE across immutable files.
+  // Scale notes (100 TB): counters outgrow int on real tables; the
+  // only affordable fix is exactly this — one schema publish, zero
+  // file rewrites, with old files readable forever by field id.
+  def q303TypeWidening(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(s.conf.set(k, v)) }
+    val root = ShardPaths.resolve(s, "q303", dir)
+    SinkSource.fs(root).delete(new org.apache.hadoop.fs.Path(root), true)
+    SinkSource.write(Tables.events(s, dir)
+      .select((col("event_id") % 13).as("k"), col("event_id").as("v")),
+      s"$root/t", overwrite = true)                                  // v1
+    s.conf.set("spark.sql.catalog.graft_tw", classOf[SinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_tw.root", root)
+    Tables.events(s, dir).createOrReplaceTempView("q303_ev")
+    s.sql("ALTER TABLE graft_tw.t ADD COLUMN cnt INT")               // v2
+    s.sql("""INSERT INTO graft_tw.t
+      SELECT event_id % 13, event_id + 1000000,
+             CAST(event_id % 1000 AS INT)
+      FROM q303_ev WHERE event_id % 4 = 0""")                        // v3
+    s.sql("ALTER TABLE graft_tw.t ALTER COLUMN cnt TYPE BIGINT")     // v4
+    s.sql("""INSERT INTO graft_tw.t
+      SELECT event_id % 13, event_id + 2000000, event_id + 3000000000
+      FROM q303_ev WHERE event_id % 4 = 1""")                        // v5
+    s.sql("ALTER TABLE graft_tw.t ADD COLUMN score INT")             // v6
+    s.sql("""INSERT INTO graft_tw.t
+      SELECT event_id % 13, event_id + 3000000, CAST(NULL AS BIGINT),
+             CAST(event_id % 97 AS INT)
+      FROM q303_ev WHERE event_id % 4 = 2""")                        // v7
+    s.sql("ALTER TABLE graft_tw.t ALTER COLUMN score TYPE DOUBLE")   // v8
+    s.sql("""INSERT INTO graft_tw.t
+      SELECT event_id % 13, event_id + 4000000, CAST(NULL AS BIGINT),
+             event_id * 0.25
+      FROM q303_ev WHERE event_id % 4 = 3""")                        // v9
+    def refused(sql: String): Long =
+      try { s.sql(sql); 0L } catch { case _: Exception => 1L }
+    val narrowRefused =
+      refused("ALTER TABLE graft_tw.t ALTER COLUMN cnt TYPE INT")
+    val lossyRefused =
+      refused("ALTER TABLE graft_tw.t ALTER COLUMN v TYPE DOUBLE")
+    val crossRefused =
+      refused("ALTER TABLE graft_tw.t ALTER COLUMN cnt TYPE STRING")
+    s.table("graft_tw.t")
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"),
+        sum(col("cnt")).as("sum_cnt"), count(col("cnt")).as("n_cnt"),
+        moneySum(col("score")).as("sum_score"),
+        count(col("score")).as("n_score"))
+      .withColumn("narrow_refused", lit(narrowRefused))
+      .withColumn("lossy_refused", lit(lossyRefused))
+      .withColumn("cross_refused", lit(crossRefused))
+      .orderBy(col("k"))
+  }
+
+  val q303Oracle: String =
+    """WITH t AS (
+      |  SELECT event_id % 13 AS k, event_id AS v,
+      |         CAST(NULL AS BIGINT) AS cnt, CAST(NULL AS DOUBLE) AS score
+      |  FROM events
+      |  UNION ALL
+      |  SELECT event_id % 13, event_id + 1000000, event_id % 1000, NULL
+      |  FROM events WHERE event_id % 4 = 0
+      |  UNION ALL
+      |  SELECT event_id % 13, event_id + 2000000, event_id + 3000000000, NULL
+      |  FROM events WHERE event_id % 4 = 1
+      |  UNION ALL
+      |  SELECT event_id % 13, event_id + 3000000, NULL, event_id % 97
+      |  FROM events WHERE event_id % 4 = 2
+      |  UNION ALL
+      |  SELECT event_id % 13, event_id + 4000000, NULL, event_id * 0.25
+      |  FROM events WHERE event_id % 4 = 3)
+      |SELECT k, COUNT(*) AS n_rows, CAST(SUM(v) AS BIGINT) AS sum_v,
+      |  CAST(SUM(cnt) AS BIGINT) AS sum_cnt, COUNT(cnt) AS n_cnt,
+      |  CAST(SUM(CAST(score AS DECIMAL(18,2))) AS DOUBLE) AS sum_score,
+      |  COUNT(score) AS n_score,
+      |  CAST(1 AS BIGINT) AS narrow_refused,
+      |  CAST(1 AS BIGINT) AS lossy_refused,
+      |  CAST(1 AS BIGINT) AS cross_refused
+      |FROM t GROUP BY k ORDER BY k""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q304 — OPTIMISTIC CONCURRENCY (`SinkSource.transact` + the commit
+  // CAS): multi-writer tables are the production default — ingest,
+  // compaction and retention race daily — and the format now resolves
+  // contention at the manifest instead of by locking writers out.
+  // Every publish is a CAS (land at exactly snapshot+1 or lose the
+  // rename race); a transaction that loses RE-PLANS against the new
+  // head and revalidates serializably: files it consumes must still
+  // be cited, else a concurrent commit destroyed its premise and it
+  // aborts loudly (the Delta commit loop / Iceberg snapshot-retry
+  // shape). Three arms ride the hash: (1) append-vs-append — the
+  // interleaved engine write steals the version, the transaction
+  // retries once and BOTH land; (2) retention-vs-append — the
+  // transaction drops a key's citations while racing an append, the
+  // rebase keeps the append's files; (3) retention-vs-delete — a
+  // concurrent metadata DELETE already removed the pinned files, the
+  // transaction aborts with the conflict exception instead of
+  // resurrecting or double-dropping. The interleaves are REAL commits
+  // landed between a transaction's snapshot read and its publish
+  // (fired inside the first body attempt — deterministic, no sleeps).
+  // New protocol shape: no other query exercises the CAS-retry path
+  // or the serializable validation.
+  // Scale notes (100 TB): validate-and-retry costs O(entries)
+  // metadata per attempt and zero data movement; removal is citation
+  // arithmetic (orphans swept by remove_orphans), so a conflicting
+  // loser aborts without having destroyed anything.
+  def q304OccTransact(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(s.conf.set(k, v)) }
+    val root = ShardPaths.resolve(s, "q304", dir)
+    SinkSource.fs(root).delete(new org.apache.hadoop.fs.Path(root), true)
+    val t = s"$root/t"
+    val ev = Tables.events(s, dir)
+    SinkSource.write(ev
+      .select((col("event_id") % 9).as("k"), col("event_id").as("v")),
+      t, overwrite = true)                                           // v1
+    val f = SinkSource.fs(t)
+    // arm 1: append-vs-append. The transaction's own file is staged
+    // up front (uncited = invisible); the racing engine append lands
+    // INSIDE the first body attempt, stealing the version the
+    // transaction read.
+    val synName = "occ_a1.psv"
+    val out = f.create(
+      new org.apache.hadoop.fs.Path(t, s"data/$synName"), true)
+    out.write("100|1\n100|2\n100|3\n".getBytes("UTF-8")); out.close()
+    var fired1 = false
+    val (_, attempts1) = SinkSource.transact(t) { _ =>
+      if (!fired1) {
+        fired1 = true
+        SinkSource.write(ev.filter(col("event_id") % 5 === 0)
+          .select((col("event_id") % 4 + 20).as("k"),
+            (col("event_id") + 1000000).as("v")),
+          t, overwrite = false)
+      }
+      (Seq((100L, synName, 3L)), Set.empty[String])
+    }
+    // arm 2: retention (drop k=3's citations) vs a racing append —
+    // the re-planned body sees the append's files and the rebase
+    // keeps them
+    var fired2 = false
+    val (_, attempts2) = SinkSource.transact(t) { snap =>
+      if (!fired2) {
+        fired2 = true
+        SinkSource.write(ev.filter(col("event_id") % 7 === 2)
+          .select((col("event_id") % 3 + 50).as("k"),
+            (col("event_id") + 2000000).as("v")),
+          t, overwrite = false)
+      }
+      (Seq.empty, snap.filter(_._1 == 3L).map(_._2).toSet)
+    }
+    // arm 3: the premise is destroyed BEFORE the transaction commits —
+    // a metadata DELETE drops (and eagerly GCs) the pinned files
+    val pinned = SinkSource.manifest(t).filter(_._1 == 2L).map(_._2).toSet
+    s.conf.set("spark.sql.catalog.graft_occ", classOf[SinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_occ.root", root)
+    s.sql("DELETE FROM graft_occ.t WHERE k = 2")
+    val conflict =
+      try { SinkSource.transact(t)(_ => (Seq.empty, pinned)); 0L }
+      catch { case _: SinkConflictException => 1L }
+    SinkSource.load(s, t)
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
+      .withColumn("a1_retried", lit(if (attempts1 == 2) 1L else 0L))
+      .withColumn("a2_retried", lit(if (attempts2 == 2) 1L else 0L))
+      .withColumn("conflict_aborts", lit(conflict))
+      .orderBy(col("k"))
+  }
+
+  val q304Oracle: String =
+    """WITH t AS (
+      |  SELECT event_id % 9 AS k, event_id AS v FROM events
+      |  WHERE event_id % 9 NOT IN (2, 3)
+      |  UNION ALL SELECT 100, c FROM (VALUES (1), (2), (3)) AS s(c)
+      |  UNION ALL SELECT 20 + event_id % 4, event_id + 1000000
+      |  FROM events WHERE event_id % 5 = 0
+      |  UNION ALL SELECT 50 + event_id % 3, event_id + 2000000
+      |  FROM events WHERE event_id % 7 = 2)
+      |SELECT k, COUNT(*) AS n_rows, CAST(SUM(v) AS BIGINT) AS sum_v,
+      |  CAST(1 AS BIGINT) AS a1_retried, CAST(1 AS BIGINT) AS a2_retried,
+      |  CAST(1 AS BIGINT) AS conflict_aborts
+      |FROM t GROUP BY k ORDER BY k""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q304_occ_transact" -> q304OccTransact,
+    "q303_type_widening" -> q303TypeWidening,
+    "q302_rollback" -> q302Rollback,
     "q301_split_planning" -> q301SplitPlanning,
     "q299_remove_orphans" -> q299RemoveOrphans,
     "q298_mv_rewrite" -> q298MvRewrite,
@@ -2453,6 +2748,9 @@ object FormatQueries {
     "q64_schema_evolution" -> q64SchemaEvolution)
 
   def oracleSql: Map[String, String] = Map(
+    "q304_occ_transact" -> q304Oracle,
+    "q303_type_widening" -> q303Oracle,
+    "q302_rollback" -> q302Oracle,
     "q301_split_planning" -> q301Oracle,
     "q299_remove_orphans" -> q299Oracle,
     "q298_mv_rewrite" -> q298Oracle,

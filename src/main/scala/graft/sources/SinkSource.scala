@@ -98,6 +98,21 @@ class SinkSource extends TableProvider {
   }
 }
 
+/** A manifest publish lost its version's rename race — the CAS
+  * failure of the commit protocol. RETRYABLE by re-reading the new
+  * head, revalidating, and republishing (what [[SinkSource.transact]]
+  * and the DML commit paths do); never indicates corrupted state (the
+  * loser's temp file is cleaned up, nothing was published). */
+class SinkCommitRaceException(msg: String) extends IllegalStateException(msg)
+
+/** Serializable-isolation validation failed: a concurrent commit
+  * removed, rewrote, or re-tombstoned state this transaction read and
+  * depends on. NOT retryable by republishing — the transaction's
+  * premise is gone; the caller must re-plan from the new snapshot (or
+  * surface the abort, the Delta/Iceberg ConcurrentModification
+  * contract). */
+class SinkConflictException(msg: String) extends IllegalStateException(msg)
+
 object SinkSource {
   val schema: StructType = StructType(Seq(
     StructField("k", LongType, nullable = false),
@@ -280,11 +295,17 @@ object SinkSource {
       txn: Option[(String, Long)] = None,
       schemaId: Option[Int] = None,
       newFileSchemaId: Option[Int] = None,
-      newStats: Map[String, Seq[(Int, Long, Long)]] = Map.empty): Unit = {
+      newStats: Map[String, Seq[(Int, Long, Long)]] = Map.empty,
+      carrySids: Map[String, Int] = Map.empty,
+      atVersion: Option[Int] = None): Int = {
     val f = fs(path)
     val root = new Path(path)
     f.mkdirs(root)
-    val next = currentVersion(path) + 1
+    // `atVersion` is the optimistic-concurrency CAS: the caller read
+    // its snapshot at atVersion-1 and this publish must land EXACTLY
+    // there or fail with the retryable race exception — never silently
+    // rebase onto a head the caller hasn't validated against
+    val next = atVersion.getOrElse(currentVersion(path) + 1)
     // DELETE SIDECAR (merge-on-read tombstones): every version carries
     // its active deletion-vector list. `deletes = Some(...)` SETS the
     // new version's list (a DV commit); None carries the previous
@@ -338,8 +359,14 @@ object SinkSource {
     val tableSid = schemaId.getOrElse(schemaIdOf(path, Some(next - 1)))
     val prevSids = if (next == 1) Map.empty[String, Int]
       else manifestSids(path, Some(next - 1))
+    // `carrySids`: the caller knows the files' TRUE serialization sids
+    // from a version the previous head no longer cites (rollback
+    // re-introduces files the "bad" commits dropped) — a sid is
+    // immutable metadata of a file's bytes, so any source that once
+    // recorded it is authoritative
     def entrySid(file: String): Int =
-      prevSids.getOrElse(file, newFileSchemaId.getOrElse(tableSid))
+      prevSids.getOrElse(file, carrySids.getOrElse(file,
+        newFileSchemaId.getOrElse(tableSid)))
     val schemaHeader = if (tableSid == 0) "" else s"#schema|$tableSid\n"
     // commit wall-clock for TIMESTAMP AS OF — recorded at the commit
     // point itself, so the rename that publishes the snapshot is the
@@ -374,9 +401,61 @@ object SinkSource {
     try out.write(body.getBytes("UTF-8")) finally out.close()
     if (!f.rename(tmp, new Path(root, s"manifest.v$next.psv"))) {
       f.delete(tmp, true)
-      throw new IllegalStateException(
+      throw new SinkCommitRaceException(
         s"lost a manifest publish race at version $next under $path")
     }
+    next
+  }
+
+  /** OPTIMISTIC CONCURRENCY over the manifest CAS — the engine's
+    * transaction shape (Delta's commit loop / Iceberg's snapshot
+    * retry): `body` plans a delta (entries to ADD — files already
+    * physically present under data/ — and file names to REMOVE from
+    * citation) against the CURRENT snapshot; the publish then lands
+    * at exactly snapshot-version + 1 or loses the rename race, in
+    * which case body RE-RUNS against the new head — so concurrent
+    * APPENDS commute (each retry re-plans over the other's files) and
+    * a transaction whose premise was destroyed fails the serializable
+    * validation loudly: any file it still wants to remove that the
+    * new head no longer cites was removed/rewritten by a concurrent
+    * commit, and republishing would resurrect or double-apply rows
+    * ([[SinkConflictException]], the ConcurrentModification
+    * contract). Removal here is CITATION arithmetic — un-cited files
+    * become orphans for `CALL remove_orphans`, never eager deletes, so
+    * a conflicting loser can abort without having destroyed anything.
+    * Scale notes (100 TB): multi-writer tables are the production
+    * default (ingest + compaction + retention race daily); the
+    * validate-and-retry loop costs O(entries) metadata per attempt and
+    * zero data movement — contention is resolved at the manifest, not
+    * by locking out writers.
+    */
+  def transact(path: String, maxAttempts: Int = 10)(
+      body: Seq[(Long, String, Long)] =>
+        (Seq[(Long, String, Long)], Set[String])): (Int, Int) = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      if (attempt > maxAttempts)
+        throw new SinkConflictException(
+          s"transaction on $path gave up after $maxAttempts attempts " +
+            "under contention")
+      val base = currentVersion(path)
+      val snap = if (base == 0) Seq.empty[(Long, String, Long)]
+        else manifest(path, Some(base))
+      val (add, remove) = body(snap)
+      val cited = snap.map(_._2).toSet
+      val gone = remove.filterNot(cited)
+      if (gone.nonEmpty)
+        throw new SinkConflictException(
+          s"serializable conflict on $path: files this transaction " +
+            s"consumes were removed or rewritten by a concurrent commit " +
+            s"(${gone.take(5).mkString(", ")})")
+      try return (writeManifest(path,
+        snap.filterNot(e => remove(e._2)) ++ add,
+        atVersion = Some(base + 1)), attempt)
+      catch { case _: SinkCommitRaceException => /* re-plan on the new head */ }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Named snapshot tags (`name -> version`); empty if never tagged. */
@@ -593,7 +672,8 @@ class SinkCatalog extends CatalogPlugin with TableCatalog
     else Array(Identifier.of(Array.empty, "compact"),
       Identifier.of(Array.empty, "tag"),
       Identifier.of(Array.empty, "expire"),
-      Identifier.of(Array.empty, "remove_orphans"))
+      Identifier.of(Array.empty, "remove_orphans"),
+      Identifier.of(Array.empty, "rollback"))
 
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
@@ -605,6 +685,8 @@ class SinkCatalog extends CatalogPlugin with TableCatalog
       new SinkExpireProcedure(root)
     else if (ident.namespace.isEmpty && ident.name == "remove_orphans")
       new SinkOrphanProcedure(root)
+    else if (ident.namespace.isEmpty && ident.name == "rollback")
+      new SinkRollbackProcedure(root)
     else
       throw new java.util.NoSuchElementException(s"unknown procedure: $ident")
   }
@@ -705,7 +787,7 @@ class SinkCatalog extends CatalogPlugin with TableCatalog
     val path = new Path(root, ident.name).toString
     val (colChanges, rest) = changes.partition {
       case _: TableChange.AddColumn | _: TableChange.RenameColumn
-         | _: TableChange.DeleteColumn => true
+         | _: TableChange.DeleteColumn | _: TableChange.UpdateColumnType => true
       case _ => false
     }
     rest.foreach {
@@ -801,6 +883,36 @@ class SinkCatalog extends CatalogPlugin with TableCatalog
                 s"${refs.mkString(", ")} — drop them first")
             fields = fields.filterNot(_.id == f.id)
         }
+      case up: TableChange.UpdateColumnType =>
+        // TYPE WIDENING (the fourth evolution verb): a LOSSLESS
+        // promotion is a metadata-only publish like add/rename/drop —
+        // the text serialization parses each raw value AS the read
+        // schema's type, so pre-widening files reconcile by field id
+        // with zero rewrite ("42" parses as int, bigint, or double
+        // alike). Only provably lossless promotions are accepted
+        // (Delta/Iceberg's widening matrix for this lexicon):
+        // int→bigint and int→double. bigint→double is REFUSED — a
+        // long above 2^53 silently loses precision, a narrowing in
+        // disguise — as is every actual narrowing and any
+        // cross-family change.
+        val name = single(up.fieldNames(), "ALTER COLUMN TYPE")
+        val f = fields.find(_.name == name).getOrElse(
+          throw new IllegalArgumentException(s"no column $name on $path"))
+        if (f.id == 1) throw new UnsupportedOperationException(
+          s"the layout key '$name' is structural and cannot change type")
+        SinkSchemas.typeName(up.newDataType()) // validates the lexicon
+        val ok = (f.dt, up.newDataType()) match {
+          case (IntegerType, LongType) => true
+          case (IntegerType, DoubleType) => true
+          case (a, b) if a == b => true // idempotent no-op
+          case _ => false
+        }
+        if (!ok) throw new UnsupportedOperationException(
+          s"cannot change column $name from ${SinkSchemas.typeName(f.dt)} " +
+            s"to ${SinkSchemas.typeName(up.newDataType())}: only lossless " +
+            "widening (int->bigint, int->double) is supported")
+        fields = fields.map(x =>
+          if (x.id == f.id) x.copy(dt = up.newDataType()) else x)
       case other => throw new UnsupportedOperationException(
         s"alter not supported: $other")
     }
@@ -1775,6 +1887,97 @@ class SinkOrphanProcedure(root: String)
     }
 }
 
+/** `CALL <cat>.rollback('<table>', <version>)` — HISTORY-PRESERVING
+  * restore (Iceberg's `rollback_to_snapshot`, Delta's RESTORE): the
+  * table's state returns to version v by publishing a NEW version
+  * whose entries, delete sidecar, schema id and zone maps are v's —
+  * the "bad" versions in between stay addressable by `VERSION AS OF`
+  * / `TIMESTAMP AS OF` (an incident post-mortem reads them; `expire`
+  * retires them), and every consumer contract is ordinary: the
+  * rollback is a commit like any other, not a rewind of the log.
+  * Consequences the spec pins: a change-data-feed window crossing
+  * the rollback REFUSES loudly (the rollback un-cites the bad
+  * commits' files — exactly the rewritten-history case the feed
+  * documents), and a rollback to a version whose files were eagerly
+  * reclaimed (truncate/metadata-delete GC) REFUSES up front rather
+  * than publishing a manifest that cites missing bytes.
+  * Scale notes (100 TB): rollback is pure manifest arithmetic —
+  * O(entries of v) metadata and zero data movement, which is the
+  * only undo shape that works when the bad commit touched terabytes;
+  * the restore costs the same whether it undoes one row or one
+  * billion.
+  */
+class SinkRollbackProcedure(root: String)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+
+  override def name(): String = "rollback"
+  override def description(): String =
+    "restore the table to a prior version by publishing it as a new commit"
+
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "rollback"
+      override def description(): String =
+        SinkRollbackProcedure.this.description()
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("version", LongType).build())
+      override def isDeterministic: Boolean = false // publishes a commit
+
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val v = input.getLong(1).toInt
+        val path = new Path(root, table).toString
+        val cur = SinkSource.currentVersion(path)
+        if (v < 1 || v > cur)
+          throw new IllegalArgumentException(
+            s"cannot roll back to version $v of $path (history is 1..$cur)")
+        // the target's full snapshot state; an expired manifest fails
+        // loudly here (q263's pinned-read contract)
+        val entries = SinkSource.manifest(path, Some(v))
+        val dvs = SinkSource.deleteSidecar(path, Some(v))
+        // REFUSE when restore is physically impossible: truncate /
+        // metadata-delete / CoW / compaction reclaim data files
+        // eagerly, so a snapshot can be metadata-complete yet
+        // byte-incomplete — publishing it anyway would manufacture a
+        // manifest that cites missing files and every later read
+        // would fail mid-scan instead of here
+        val f = SinkSource.fs(path)
+        val missingData = entries.map(_._2).distinct.sorted
+          .filterNot(fl => f.exists(new Path(path, s"data/$fl")))
+        val missingVecs = dvs.map(_._2).distinct.sorted
+          .filterNot(dv => f.exists(new Path(path, s"deletes/$dv")))
+        if (missingData.nonEmpty || missingVecs.nonEmpty)
+          throw new IllegalStateException(
+            s"cannot roll back $path to version $v: files it cites were " +
+              s"reclaimed (data: ${missingData.take(5).mkString(",")}; " +
+              s"vectors: ${missingVecs.take(5).mkString(",")})")
+        val newVersion =
+          if (v == cur) cur // restoring the head is a no-op, not a commit
+          else {
+            SinkSource.writeManifest(path, entries, Some(dvs),
+              schemaId = Some(SinkSource.schemaIdOf(path, Some(v))),
+              newStats = SinkSource.manifestStats(path, Some(v)),
+              carrySids = SinkSource.manifestSids(path, Some(v)))
+            cur + 1
+          }
+        val row: InternalRow = new GenericInternalRow(Array[Any](
+          v.toLong, newVersion.toLong,
+          entries.map(_._2).distinct.size.toLong, entries.map(_._3).sum))
+        val result: Scan = new LocalScan {
+          override def rows(): Array[InternalRow] = Array(row)
+          override def readSchema(): StructType = StructType(Seq(
+            StructField("restored_version", LongType, nullable = false),
+            StructField("new_version", LongType, nullable = false),
+            StructField("n_files", LongType, nullable = false),
+            StructField("n_rows", LongType, nullable = false)))
+        }
+        util.Arrays.asList(result).iterator()
+      }
+    }
+}
+
 // ---- merge-on-read (deletion vectors) -----------------------------------
 
 case class SinkMorInputPartition(file: String, dvFiles: Seq[String],
@@ -1940,6 +2143,13 @@ class SinkDeltaOperation(path: String,
   import org.apache.spark.sql.connector.write.{DeltaWrite, DeltaWriteBuilder, DeltaBatchWrite, RowLevelOperation}
   import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 
+  /** The snapshot version the operation's scan PLANNED from — what
+    * commit-time serializable validation compares tombstone state
+    * against (a concurrent row-level commit that tombstoned rows this
+    * operation also read must abort it, not silently compose). */
+  private[sources] val scannedVersion =
+    new java.util.concurrent.atomic.AtomicInteger(-1)
+
   override def command(): RowLevelOperation.Command = cmd
   override def description(): String = s"SinkRowLevel($cmd, merge-on-read)"
 
@@ -1950,14 +2160,16 @@ class SinkDeltaOperation(path: String,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new SinkDeltaScan(path, fields)
+      override def build(): Scan =
+        new SinkDeltaScan(path, SinkDeltaOperation.this, fields)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
       override def build(): DeltaWrite = new DeltaWrite {
         override def toBatch: DeltaBatchWrite =
-          new SinkDvBatchWrite(path, info.queryId(), fields, sid)
+          new SinkDvBatchWrite(path, info.queryId(),
+            SinkDeltaOperation.this, fields, sid)
       }
     }
 }
@@ -1965,7 +2177,7 @@ class SinkDeltaOperation(path: String,
 /** The delta scan: table columns plus the (_file, _pos) identity,
   * with EXISTING deletion vectors applied — already-deleted rows must
   * not match again. */
-class SinkDeltaScan(path: String,
+class SinkDeltaScan(path: String, op: SinkDeltaOperation,
     fields: Seq[SinkSchemas.SinkField] = SinkSchemas.base)
     extends Scan with Batch {
   override def readSchema(): StructType = StructType(
@@ -1974,10 +2186,19 @@ class SinkDeltaScan(path: String,
       StructField("_pos", LongType, nullable = false)))
   override def toBatch: Batch = this
 
+  // the snapshot the whole scan plans from — recorded on the
+  // operation so commit-time validation can diff tombstone state
+  // against exactly what this scan read
+  private lazy val scanVersion: Int = {
+    val v = SinkSource.currentVersion(path)
+    op.scannedVersion.set(v)
+    v
+  }
   private lazy val files: Seq[String] =
-    SinkSource.manifest(path).map(_._2).distinct.sorted
+    SinkSource.manifest(path, Some(scanVersion).filter(_ > 0))
+      .map(_._2).distinct.sorted
   private lazy val dvs: Map[String, Seq[String]] =
-    SinkSource.deleteSidecar(path)
+    SinkSource.deleteSidecar(path, Some(scanVersion))
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
 
   override def description(): String = s"SinkDeltaScan(files=${files.size})"
@@ -2013,6 +2234,7 @@ case class SinkDvCommitMessage(entries: Seq[(String, String)],
     extends WriterCommitMessage
 
 class SinkDvBatchWrite(path: String, queryId: String,
+    op: SinkDeltaOperation,
     fields: Seq[SinkSchemas.SinkField] = SinkSchemas.base, sid: Int = 0)
     extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
   import org.apache.spark.sql.connector.write.DeltaWriterFactory
@@ -2038,6 +2260,39 @@ class SinkDvBatchWrite(path: String, queryId: String,
       case m: SinkDvCommitMessage => m.dataStats
     }.toMap
     val f = SinkSource.fs(path)
+    val ourFiles = dvs.map(_._1).distinct.toSet
+    def conflictCheck(base: Int, head: Seq[(Long, String, Long)]): Unit = {
+      // SERIALIZABLE VALIDATION: the new vectors address (file, pos)
+      // pairs READ at the scan's snapshot. (a) a vector for a file the
+      // head no longer cites means a concurrent rewrite (compaction,
+      // CoW) re-homed those rows — the positions are meaningless now;
+      // (b) NEW tombstones on our files since the scan mean a
+      // concurrent row-level commit deleted/updated rows this
+      // operation also read — composing would double-apply (an UPDATE
+      // over a concurrently-updated row inserts twice). Both abort
+      // loudly; the statement re-runs against the new snapshot.
+      val cited = head.map(_._2).toSet
+      val gone = ourFiles.filterNot(cited)
+      if (gone.nonEmpty)
+        throw new SinkConflictException(
+          s"serializable validation failed for $path: a concurrent " +
+            s"commit rewrote files this operation tombstones " +
+            s"(${gone.take(5).mkString(", ")})")
+      val scanV = op.scannedVersion.get()
+      if (scanV >= 0 && ourFiles.nonEmpty) {
+        def vecsOn(v: Int): Set[(String, String)] =
+          if (v == 0) Set.empty
+          else SinkSource.deleteSidecar(path, Some(v))
+            .filter(p => ourFiles.contains(p._1)).toSet
+        if (vecsOn(base) != vecsOn(scanV))
+          throw new SinkConflictException(
+            s"serializable validation failed for $path: a concurrent " +
+              "row-level commit tombstoned rows this operation read " +
+              s"(scanned at v$scanV, head is v$base)")
+      }
+    }
+    conflictCheck(SinkSource.currentVersion(path),
+      SinkSource.manifest(path)) // before any file moves
     val dvDir = new Path(path, "deletes")
     f.mkdirs(dvDir)
     dvs.foreach { case (_, dv) =>
@@ -2050,9 +2305,26 @@ class SinkDvBatchWrite(path: String, queryId: String,
       if (!f.rename(new Path(stagingDir, fl), new Path(dataDir, fl)))
         throw new IllegalStateException(s"staged data publish failed: $fl")
     }
-    val active = SinkSource.deleteSidecar(path) ++ dvs
-    SinkSource.writeManifest(path, SinkSource.manifest(path) ++ appended,
-      Some(active), newFileSchemaId = Some(sid), newStats = appendedStats)
+    // CAS publish with revalidation (concurrent APPENDS commute with a
+    // delta commit; anything touching our files/rows aborted above)
+    var attempt = 0
+    var done = false
+    while (!done) {
+      attempt += 1
+      if (attempt > 10)
+        throw new SinkConflictException(
+          s"delta publish on $path gave up after 10 attempts")
+      val base = SinkSource.currentVersion(path)
+      val head = SinkSource.manifest(path, Some(base).filter(_ > 0))
+      conflictCheck(base, head)
+      val active = SinkSource.deleteSidecar(path, Some(base)) ++ dvs
+      try {
+        SinkSource.writeManifest(path, head ++ appended,
+          Some(active), newFileSchemaId = Some(sid),
+          newStats = appendedStats, atVersion = Some(base + 1))
+        done = true
+      } catch { case _: SinkCommitRaceException => /* revalidate + retry */ }
+    }
     f.delete(stagingDir, true)
   }
 
@@ -2240,6 +2512,23 @@ class SinkReplaceDataWrite(path: String, queryId: String,
     }.toMap
     val replaced = op.scannedFiles.get().toSet
     val f = SinkSource.fs(path)
+    def conflictCheck(head: Seq[(Long, String, Long)]): Unit = {
+      // SERIALIZABLE VALIDATION (the Iceberg/Delta conflict contract):
+      // this rewrite recomputed rows FROM the scanned files — if a
+      // concurrent commit replaced or removed any of them, publishing
+      // would duplicate its rows (the racer's replacement stays cited
+      // AND our recomputation of the same rows lands) or resurrect
+      // deleted ones; abort loudly instead, the statement re-runs
+      // against the new snapshot
+      val cited = head.map(_._2).toSet
+      val gone = replaced.filterNot(cited)
+      if (gone.nonEmpty)
+        throw new SinkConflictException(
+          s"serializable validation failed for $path: a concurrent " +
+            s"commit rewrote files this operation scanned " +
+            s"(${gone.take(5).mkString(", ")})")
+    }
+    conflictCheck(SinkSource.manifest(path)) // before any file moves
     val dataDir = new Path(path, "data")
     f.mkdirs(dataDir)
     committed.foreach { case (_, fl, _) =>
@@ -2253,10 +2542,30 @@ class SinkReplaceDataWrite(path: String, queryId: String,
       if (!f.rename(new Path(stagingDir, fl), dest))
         throw new IllegalStateException(s"staged file publish failed: $fl")
     }
-    val kept = SinkSource.manifest(path)
-      .filterNot { case (_, fl, _) => replaced.contains(fl) }
-    SinkSource.writeManifest(path, kept ++ committed,
-      newFileSchemaId = Some(sid), newStats = stats)
+    // CAS publish with revalidation: a lost rename race re-reads the
+    // head, re-runs the conflict check there, and republishes —
+    // concurrent APPENDS commute with a group rewrite; anything that
+    // touched the scanned groups aborts above. A conflict after the
+    // moves leaves the moved files orphaned (metadata-sized garbage
+    // for remove_orphans), never cited.
+    var attempt = 0
+    var done = false
+    while (!done) {
+      attempt += 1
+      if (attempt > 10)
+        throw new SinkConflictException(
+          s"row-level publish on $path gave up after 10 attempts")
+      val base = SinkSource.currentVersion(path)
+      val head = SinkSource.manifest(path, Some(base))
+      conflictCheck(head)
+      val kept = head.filterNot { case (_, fl, _) => replaced.contains(fl) }
+      try {
+        SinkSource.writeManifest(path, kept ++ committed,
+          newFileSchemaId = Some(sid), newStats = stats,
+          atVersion = Some(base + 1))
+        done = true
+      } catch { case _: SinkCommitRaceException => /* revalidate + retry */ }
+    }
     replaced.foreach { fl =>
       try f.delete(new Path(dataDir, fl), false)
       catch { case _: Exception => } }
@@ -3163,17 +3472,39 @@ class SinkBatchWrite(path: String, queryId: String, truncate: Boolean,
     }
     // overwrite-by-filter: matched keys' entries are swapped for the
     // staged files IN THIS version, everything else carried verbatim —
-    // a partial truncate that never reads the kept groups
-    val (dropped, prior) =
-      if (truncate) (SinkSource.manifest(path), Seq.empty)
-      else replace match {
-        case Some(fs) => SinkSource.manifest(path)
-          .partition { case (k, _, _) => fs.forall(SinkKeyFilters.matches(k, _)) }
-        case None => (Seq.empty, SinkSource.manifest(path))
-      }
-    SinkSource.writeManifest(path, prior ++ committed, txn = txn,
-      schemaId = if (declareSchema) Some(sid) else None,
-      newFileSchemaId = Some(sid), newStats = stats)
+    // a partial truncate that never reads the kept groups.
+    // CAS publish: a lost rename race re-reads the head and re-plans
+    // the swap there — appends and key-disjoint overwrites from
+    // concurrent writers commute; same-key overwrites keep
+    // last-writer-wins (each version is internally consistent).
+    var dropped: Seq[(Long, String, Long)] = Seq.empty
+    var publishedFiles = Set.empty[String]
+    var attempt = 0
+    var published = false
+    while (!published) {
+      attempt += 1
+      if (attempt > 10)
+        throw new SinkConflictException(
+          s"write publish on $path gave up after 10 attempts")
+      val base = SinkSource.currentVersion(path)
+      val head = SinkSource.manifest(path, Some(base).filter(_ > 0))
+      val (d, prior) =
+        if (truncate) (head, Seq.empty)
+        else replace match {
+          case Some(fs) => head.partition { case (k, _, _) =>
+            fs.forall(SinkKeyFilters.matches(k, _)) }
+          case None => (Seq.empty, head)
+        }
+      dropped = d
+      try {
+        SinkSource.writeManifest(path, prior ++ committed, txn = txn,
+          schemaId = if (declareSchema) Some(sid) else None,
+          newFileSchemaId = Some(sid), newStats = stats,
+          atVersion = Some(base + 1))
+        publishedFiles = (prior ++ committed).map(_._2).toSet
+        published = true
+      } catch { case _: SinkCommitRaceException => /* re-plan + retry */ }
+    }
     if (truncate) {
       // old files are unreachable once the manifest swapped; GC them
       val live = committed.map(_._2).toSet
@@ -3184,8 +3515,7 @@ class SinkBatchWrite(path: String, queryId: String, truncate: Boolean,
       // replaced files are dropped AFTER the manifest stops citing
       // them (crash in between leaks a file, never a row) — the
       // deleteWhere discipline; keys kept in other entries stay
-      val keptFiles = (prior ++ committed).map(_._2).toSet
-      dropped.map(_._2).distinct.filterNot(keptFiles).foreach { fl =>
+      dropped.map(_._2).distinct.filterNot(publishedFiles).foreach { fl =>
         try f.delete(new Path(dataDir, fl), false)
         catch { case _: Exception => } }
     }
