@@ -2697,7 +2697,96 @@ object FormatQueries {
       |  CAST(1 AS BIGINT) AS conflict_aborts
       |FROM t GROUP BY k ORDER BY k""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q305 — EQUALITY DELETES (`SinkSource.equalityDelete`): value-keyed
+  // tombstones, the Iceberg-v2 delete shape complementary to
+  // positional vectors — a takedown job holds VALUES (spam doc ids,
+  // revoked users), not (file, position) pairs, and must not pay a
+  // scan to find them. The delete is one metadata commit recording a
+  // tiny value file with a SEQUENCE NUMBER; it applies to a data file
+  // iff the file is OLDER — so the re-insert arm survives the delete
+  // (the semantic that distinguishes sequence-aware deletes from a
+  // mere value filter), and it composes with a positional row-level
+  // DELETE on the same table. The lifecycle rides the hash: a CDF
+  // window crossing the eq commit REFUSES (value tombstones have no
+  // metadata-derivable change rows), a raw (non-MoR) compact REFUSES
+  // (it would resurrect rows), and a MoR compact MATERIALIZES the
+  // deletes — after it the header is self-pruned and the re-read
+  // matches the pre-compact answer exactly.
+  // Scale notes (100 TB): the delete costs O(values) metadata and
+  // zero scans; reads pay a hash-set probe per row only on files
+  // older than the delete, and compaction retires even that.
+  def q305EqualityDeletes(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(s.conf.set(k, v)) }
+    val root = ShardPaths.resolve(s, "q305", dir)
+    SinkSource.fs(root).delete(new org.apache.hadoop.fs.Path(root), true)
+    val t = s"$root/t"
+    val ev = Tables.events(s, dir)
+    SinkSource.write(ev
+      .select((col("event_id") % 7).as("k"), col("event_id").as("v")),
+      t, overwrite = true)                                           // v1
+    // the takedown list: driver-held values (takedown lists are
+    // driver-sized by nature; ~1% of events here)
+    val spam = ev.filter(col("event_id") % 101 === 0)
+      .select(col("event_id")).collect().map(_.getLong(0)).toSeq
+    SinkSource.equalityDelete(t, "v", spam)                          // v2
+    // re-insert HALF the deleted values: newer sequence → they survive
+    SinkSource.write(ev
+      .filter(col("event_id") % 101 === 0 && col("event_id") % 2 === 0)
+      .select((col("event_id") % 7).as("k"), col("event_id").as("v")),
+      t, overwrite = false)                                          // v3
+    // a positional row-level DELETE composes on the same table
+    s.conf.set("spark.sql.catalog.graft_eq", classOf[SinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_eq.root", root)
+    s.conf.set("spark.sql.catalog.graft_eq.mor", "true")
+    s.sql("DELETE FROM graft_eq.t WHERE k = 3 AND v % 5 = 1")        // v4
+    val cdfRefuses =
+      try { SinkChanges.load(s, t, 1, 2).collect(); 0L }
+      catch { case _: Exception => 1L }
+    // raw compaction would resurrect rows — refused; MoR compaction
+    // materializes the deletes and self-prunes the header
+    s.conf.set("spark.sql.catalog.graft_eqr", classOf[SinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_eqr.root", root)
+    val rawCompactRefuses =
+      try { s.sql("CALL graft_eqr.compact('t')").collect(); 0L }
+      catch { case _: Exception => 1L }
+    def arm(name: String): DataFrame =
+      SinkSource.load(s, t, mor = true)
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
+        .withColumn("arm", lit(name))
+    val before = arm("merged")
+    s.sql("CALL graft_eq.compact('t')").collect()
+    val eqPruned = if (SinkSource.eqDeletes(t).isEmpty) 1L else 0L
+    before.unionByName(arm("compacted"))
+      .withColumn("cdf_refuses", lit(cdfRefuses))
+      .withColumn("raw_compact_refuses", lit(rawCompactRefuses))
+      .withColumn("eq_pruned", lit(eqPruned))
+      .select(col("arm"), col("k"), col("n_rows"), col("sum_v"),
+        col("cdf_refuses"), col("raw_compact_refuses"), col("eq_pruned"))
+      .orderBy(col("arm"), col("k"))
+  }
+
+  val q305Oracle: String =
+    """WITH base AS (SELECT event_id % 7 AS k, event_id AS v FROM events),
+      |kept AS (SELECT * FROM base WHERE v % 101 <> 0),
+      |rein AS (SELECT event_id % 7 AS k, event_id AS v FROM events
+      |         WHERE event_id % 101 = 0 AND event_id % 2 = 0),
+      |vis AS (SELECT * FROM kept UNION ALL SELECT * FROM rein),
+      |fin AS (SELECT * FROM vis WHERE NOT (k = 3 AND v % 5 = 1)),
+      |g AS (SELECT k, COUNT(*) AS n_rows, CAST(SUM(v) AS BIGINT) AS sum_v
+      |      FROM fin GROUP BY k)
+      |SELECT arm, k, n_rows, sum_v, CAST(1 AS BIGINT) AS cdf_refuses,
+      |  CAST(1 AS BIGINT) AS raw_compact_refuses,
+      |  CAST(1 AS BIGINT) AS eq_pruned
+      |FROM (SELECT 'merged' AS arm, * FROM g
+      |      UNION ALL SELECT 'compacted', * FROM g)
+      |ORDER BY arm, k""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q305_equality_deletes" -> q305EqualityDeletes,
     "q304_occ_transact" -> q304OccTransact,
     "q303_type_widening" -> q303TypeWidening,
     "q302_rollback" -> q302Rollback,
@@ -2748,6 +2837,7 @@ object FormatQueries {
     "q64_schema_evolution" -> q64SchemaEvolution)
 
   def oracleSql: Map[String, String] = Map(
+    "q305_equality_deletes" -> q305Oracle,
     "q304_occ_transact" -> q304Oracle,
     "q303_type_widening" -> q303Oracle,
     "q302_rollback" -> q302Oracle,

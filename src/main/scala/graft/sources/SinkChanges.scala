@@ -107,6 +107,19 @@ object SinkChanges {
               if (removed.size > 3) ", ..." else ""}) — a truncate, " +
             "metadata delete, copy-on-write rewrite or compaction " +
             "rewrote history; consumers must resync from a full snapshot")
+      // equality deletes are VALUE-keyed: deriving their change rows
+      // would mean scanning every older file for matches — not a
+      // metadata diff. Refuse the window loudly (the Iceberg-CDC
+      // posture for eq deletes), same resync contract as removals.
+      val eqPrev = if (v == 1) Seq.empty
+        else SinkSource.eqDeletes(path, Some(v - 1))
+      val eqCur = SinkSource.eqDeletes(path, Some(v))
+      if (eqCur.toSet != eqPrev.toSet)
+        throw new UnsupportedOperationException(
+          s"change feed broken at version $v of $path: an EQUALITY " +
+            "DELETE landed (value-keyed tombstones have no metadata-" +
+            "derivable change rows); consumers must resync from a " +
+            "full snapshot")
       val sids = SinkSource.manifestSids(path, Some(v))
       def fieldsOf(f: String): Seq[SinkSchemas.SinkField] = {
         val sid = sids.getOrElse(f, 0)

@@ -259,6 +259,42 @@ object SinkSource {
     eligible.max
   }
 
+  /** EQUALITY DELETES of a version (`#eq|<file>|<fieldId>|<seq>`
+    * headers): value-keyed tombstones — "drop every row whose FIELD
+    * equals one of these values" — the Iceberg-v2 equality-delete
+    * shape, complementary to the positional vectors: a takedown job
+    * knows the VALUES (spam doc ids, revoked user ids), not the
+    * (file, position) pairs, and must not pay a scan to find them.
+    * `seq` is the version the delete committed at; it applies to a
+    * data file iff the FILE's sequence number is lower — so a row
+    * re-inserted after the delete survives it (the semantic that
+    * distinguishes sequence-aware deletes from a mere value filter).
+    * Returns (eqFile, fieldId, seq) triples. */
+  private[graft] def eqDeletes(path: String,
+      version: Option[Int] = None): Seq[(String, Int, Int)] = {
+    val v = version.getOrElse(currentVersion(path))
+    if (v == 0) Seq.empty
+    else manifestLines(path, v).filter(_.startsWith("#eq|")).map { line =>
+      val c = line.split('|')
+      (c(1), c(2).toInt, c(3).toInt)
+    }
+  }
+
+  /** Per-file SEQUENCE NUMBERS of a version (`#seq|<file>|<v>`
+    * headers): the version a data file was committed at, recorded —
+    * from the first equality delete onward — so later reads can
+    * order files against value-keyed tombstones. A file with no
+    * header predates every equality delete (implicit sequence 0). */
+  private[graft] def fileSeqs(path: String,
+      version: Option[Int] = None): Map[String, Int] = {
+    val v = version.getOrElse(currentVersion(path))
+    if (v == 0) Map.empty
+    else manifestLines(path, v).filter(_.startsWith("#seq|")).map { line =>
+      val c = line.split('|')
+      c(1) -> c(2).toInt
+    }.toMap
+  }
+
   /** The version's TRANSACTION LEDGER: highest epoch each streaming
     * query has published INTO this version's history, carried forward
     * by every commit as `#txn|queryId|epochId` manifest header lines
@@ -297,7 +333,10 @@ object SinkSource {
       newFileSchemaId: Option[Int] = None,
       newStats: Map[String, Seq[(Int, Long, Long)]] = Map.empty,
       carrySids: Map[String, Int] = Map.empty,
-      atVersion: Option[Int] = None): Int = {
+      atVersion: Option[Int] = None,
+      addEq: Option[(String, Int)] = None,
+      eqOverride: Option[Seq[(String, Int, Int)]] = None,
+      carrySeqs: Map[String, Int] = Map.empty): Int = {
     val f = fs(path)
     val root = new Path(path)
     f.mkdirs(root)
@@ -388,7 +427,43 @@ object SinkSource {
         s"#stat|$file|$body\n"
       }
     }.mkString
+    // EQUALITY DELETES: carried forward (or overridden by rollback,
+    // which restores a snapshot's exact tombstone state), extended by
+    // this commit's `addEq`, and PRUNED when dead — an eq delete whose
+    // seq no cited file is older than can never drop a row again
+    // (rewrites/compaction bump file seqs past it, so the table
+    // self-heals out of the value-filter tax). File SEQUENCE NUMBERS
+    // are recorded for newly-cited files from the first eq delete
+    // onward (absent = implicit 0 = predates every eq delete, which
+    // is exactly right for pre-feature history).
+    val prevEq = eqOverride.getOrElse(
+      if (next == 1) Seq.empty else eqDeletes(path, Some(next - 1)))
+    val prevSeqs = if (next == 1) Map.empty[String, Int]
+      else fileSeqs(path, Some(next - 1))
+    val eqAll = prevEq ++ addEq.map { case (fl, fid) => (fl, fid, next) }
+    val citedFiles = entries.map(_._2).distinct
+    // a file CARRIED from the previous version without a recorded seq
+    // predates the eq regime — implicit 0, so deletes apply to it; a
+    // file NEWLY cited by this commit is born at `next`, strictly
+    // younger than any delete already recorded
+    val prevCited: Set[String] = if (next == 1) Set.empty
+      else manifest(path, Some(next - 1)).map(_._2).toSet
+    def seqOf(file: String): Int =
+      prevSeqs.getOrElse(file, carrySeqs.getOrElse(file,
+        if (prevCited.contains(file)) 0
+        else if (eqAll.nonEmpty) next else 0))
+    val eqLive = eqAll.filter { case (_, _, s) =>
+      citedFiles.exists(f => seqOf(f) < s) }
+    val eqHeader = eqLive.sorted
+      .map { case (fl, fid, s) => s"#eq|$fl|$fid|$s\n" }.mkString
+    val seqHeader =
+      if (eqAll.isEmpty) ""
+      else citedFiles.sorted.flatMap { f =>
+        val s = seqOf(f)
+        if (s == 0) None else Some(s"#seq|$f|$s\n")
+      }.mkString
     val header = tsHeader + schemaHeader + dvHeader + statHeader +
+      eqHeader + seqHeader +
       ledger.toSeq.sorted
       .map { case (q, e) => s"#txn|$q|$e\n" }.mkString
     val body = header + entries.sortBy(e => (e._1, e._2))
@@ -454,6 +529,61 @@ object SinkSource {
         snap.filterNot(e => remove(e._2)) ++ add,
         atVersion = Some(base + 1)), attempt)
       catch { case _: SinkCommitRaceException => /* re-plan on the new head */ }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Publish an EQUALITY DELETE: drop every row (across all files
+    * committed so far) whose `field` equals one of `values` — without
+    * reading a single data file. The values land in a tiny delete
+    * file under deletes/; the commit records it with the NEXT version
+    * as its sequence number, so it applies exactly to files older
+    * than itself: rows re-inserted later survive (the takedown was
+    * about the rows that existed, not the values forever). Refused on
+    * the layout key (use `DELETE WHERE` — that is already an exact
+    * metadata operation there) and on non-BIGINT fields.
+    * Scale notes (100 TB): a GDPR/takedown job holds a value list,
+    * not positions; this verb costs O(values) metadata and zero scans
+    * — the read side pays a hash-set probe per row until compaction
+    * materializes the deletes and the header self-prunes.
+    */
+  def equalityDelete(path: String, field: String,
+      values: Seq[Long]): Int = {
+    require(values.nonEmpty, "equality delete needs at least one value")
+    val fields = SinkSchemas.currentFields(path)
+    val fld = fields.find(_.name == field).getOrElse(
+      throw new IllegalArgumentException(s"no column $field on $path"))
+    if (fld.id == 1)
+      throw new UnsupportedOperationException(
+        s"equality deletes on the layout key are DELETE WHERE's job " +
+          "(already exact metadata there)")
+    if (fld.dt != LongType)
+      throw new UnsupportedOperationException(
+        s"equality deletes support BIGINT fields; $field is " +
+          SinkSchemas.typeName(fld.dt))
+    val f = fs(path)
+    val name = s"eq_${java.util.UUID.randomUUID().toString.take(8)}.psv"
+    f.mkdirs(new Path(path, "deletes"))
+    val out = f.create(new Path(path, s"deletes/$name"), true)
+    try out.write((values.distinct.sorted.mkString("\n") + "\n")
+      .getBytes("UTF-8"))
+    finally out.close()
+    // CAS publish: an equality delete carries the head's entries
+    // verbatim and commutes with concurrent appends (their files get
+    // seq > ours, correctly not subject)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      if (attempt > 10)
+        throw new SinkConflictException(
+          s"equality-delete publish on $path gave up after 10 attempts")
+      val base = currentVersion(path)
+      if (base == 0)
+        throw new IllegalStateException(
+          s"cannot equality-delete from never-committed table $path")
+      try return writeManifest(path, manifest(path, Some(base)),
+        atVersion = Some(base + 1), addEq = Some((name, fld.id)))
+      catch { case _: SinkCommitRaceException => /* retry on new head */ }
     }
     throw new IllegalStateException("unreachable")
   }
@@ -1443,11 +1573,27 @@ class SinkCompactProcedure(root: String, mor: Boolean = false)
           .mapValues(_.map(_._2).distinct).toMap
         val dvd = SinkSource.deleteSidecar(path)
         val dvdFiles = dvd.map(_._1).toSet
+        // equality deletes: a non-MoR compaction reads files RAW, so
+        // rewriting an eq-subject file would resurrect its deleted
+        // rows under a fresh sequence number — refuse loudly (eq
+        // deletes ride the MoR read path by design); a MoR compaction
+        // MATERIALIZES them instead, and the rewritten files' new
+        // sequence numbers self-prune the headers
+        val eqs = SinkSource.eqDeletes(path)
+        if (eqs.nonEmpty && !mor)
+          throw new UnsupportedOperationException(
+            s"table $path carries equality deletes; compact it through " +
+              "a mor=true catalog (a raw rewrite would resurrect rows)")
+        val seqs = SinkSource.fileSeqs(path)
+        val eqSubject: String => Boolean = fl =>
+          eqs.exists { case (_, _, s) => seqs.getOrElse(fl, 0) < s }
         // targets: keys split across files, plus (MoR) keys whose
-        // files carry deletion vectors — compacting those MATERIALIZES
-        // the tombstones and retires the vectors
+        // files carry deletion vectors or are subject to an equality
+        // delete — compacting those MATERIALIZES the tombstones and
+        // retires the vectors/headers
         val targets = perKey.filter { case (k, fls) =>
-          fls.size > 1 || fls.exists(dvdFiles)
+          fls.size > 1 || fls.exists(dvdFiles) ||
+            (mor && fls.exists(eqSubject))
         }.keySet
         val filesBefore = m.map(_._2).distinct.size.toLong
         var filesAfter = filesBefore
@@ -1730,15 +1876,23 @@ class SinkExpireProcedure(root: String)
         def tryManifest(v: Int): Seq[(Long, String, Long)] =
           try SinkSource.manifest(path, Some(v))
           catch { case _: java.util.NoSuchElementException => Seq.empty }
-        // survivors' citations: anything a kept snapshot can reach stays
+        // survivors' citations: anything a kept snapshot can reach
+        // stays — data entries, sidecar vectors, AND equality-delete
+        // value files (cited by `#eq` headers, living under deletes/)
+        def tryEq(v: Int): Seq[String] =
+          try SinkSource.eqDeletes(path, Some(v)).map(_._1)
+          catch { case _: java.util.NoSuchElementException => Seq.empty }
         val liveData = kept.flatMap(v => tryManifest(v).map(_._2))
         val liveVecs = kept.flatMap(v =>
-          SinkSource.deleteSidecar(path, Some(v)).map(_._2))
+          SinkSource.deleteSidecar(path, Some(v)).map(_._2)) ++
+          kept.flatMap(tryEq)
         // doomed citations: reachable from expired snapshots ONLY
         // (sidecar resolution rides the manifest read, so it must
         // happen BEFORE the manifest deletions below)
         val expiredRead = expired.map(v =>
-          (v, tryManifest(v), SinkSource.deleteSidecar(path, Some(v))))
+          (v, tryManifest(v),
+            SinkSource.deleteSidecar(path, Some(v)) ++
+              tryEq(v).map(("", _))))
         val doomedData =
           expiredRead.flatMap(_._2.map(_._2)).toSet -- liveData
         val doomedVecs =
@@ -1840,7 +1994,12 @@ class SinkOrphanProcedure(root: String)
           catch { case _: java.util.NoSuchElementException => Seq.empty }
         val citedData = versions.flatMap(v => tryManifest(v).map(_._2)).toSet
         val citedVecs = versions.flatMap(v =>
-          SinkSource.deleteSidecar(path, Some(v)).map(_._2)).toSet
+          SinkSource.deleteSidecar(path, Some(v)).map(_._2)).toSet ++
+          versions.flatMap { v =>
+            // equality-delete value files are deletes/-dir citations too
+            try SinkSource.eqDeletes(path, Some(v)).map(_._1)
+            catch { case _: java.util.NoSuchElementException => Seq.empty }
+          }
         def sweep(dir: String, cited: Set[String]): Long = {
           val d = new Path(path, dir)
           if (!f.exists(d)) return 0L
@@ -1946,7 +2105,8 @@ class SinkRollbackProcedure(root: String)
         val f = SinkSource.fs(path)
         val missingData = entries.map(_._2).distinct.sorted
           .filterNot(fl => f.exists(new Path(path, s"data/$fl")))
-        val missingVecs = dvs.map(_._2).distinct.sorted
+        val missingVecs = (dvs.map(_._2) ++
+          SinkSource.eqDeletes(path, Some(v)).map(_._1)).distinct.sorted
           .filterNot(dv => f.exists(new Path(path, s"deletes/$dv")))
         if (missingData.nonEmpty || missingVecs.nonEmpty)
           throw new IllegalStateException(
@@ -1959,7 +2119,9 @@ class SinkRollbackProcedure(root: String)
             SinkSource.writeManifest(path, entries, Some(dvs),
               schemaId = Some(SinkSource.schemaIdOf(path, Some(v))),
               newStats = SinkSource.manifestStats(path, Some(v)),
-              carrySids = SinkSource.manifestSids(path, Some(v)))
+              carrySids = SinkSource.manifestSids(path, Some(v)),
+              eqOverride = Some(SinkSource.eqDeletes(path, Some(v))),
+              carrySeqs = SinkSource.fileSeqs(path, Some(v)))
             cur + 1
           }
         val row: InternalRow = new GenericInternalRow(Array[Any](
@@ -1981,7 +2143,8 @@ class SinkRollbackProcedure(root: String)
 // ---- merge-on-read (deletion vectors) -----------------------------------
 
 case class SinkMorInputPartition(file: String, dvFiles: Seq[String],
-    fileFields: Seq[SinkSchemas.SinkField] = SinkSchemas.base)
+    fileFields: Seq[SinkSchemas.SinkField] = SinkSchemas.base,
+    eqFiles: Seq[(String, Int)] = Seq.empty)
     extends InputPartition
 
 /** MERGE-ON-READ reads: each split carries the deletion-vector files
@@ -2030,6 +2193,11 @@ class SinkMorScan(path: String, pinnedVersion: Option[Int],
 
   override def planInputPartitions(): Array[InputPartition] = {
     val sids = SinkSource.manifestSids(path, pinnedVersion)
+    // equality deletes apply to a file iff its sequence number is
+    // OLDER than the delete's — the pairing is computed here, once,
+    // from headers (O(files × eq deletes) metadata, no data opened)
+    val eqs = SinkSource.eqDeletes(path, pinnedVersion)
+    val seqs = SinkSource.fileSeqs(path, pinnedVersion)
     val defs = scala.collection.mutable.Map.empty[Int,
       Seq[SinkSchemas.SinkField]]
     files.map { f =>
@@ -2037,7 +2205,9 @@ class SinkMorScan(path: String, pinnedVersion: Option[Int],
         dvs.getOrElse(f, Seq.empty)
           .map(dv => new Path(path, s"deletes/$dv").toString),
         defs.getOrElseUpdate(sids.getOrElse(f, 0),
-          SinkSchemas.fields(path, sids.getOrElse(f, 0))))
+          SinkSchemas.fields(path, sids.getOrElse(f, 0))),
+        eqs.collect { case (eqf, fid, s) if seqs.getOrElse(f, 0) < s =>
+          (new Path(path, s"deletes/$eqf").toString, fid) })
         : InputPartition
     }.toArray
   }
@@ -2055,7 +2225,8 @@ class SinkMorScan(path: String, pinnedVersion: Option[Int],
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
         val mp = p.asInstanceOf[SinkMorInputPartition]
-        new SinkMorReader(mp.file, mp.dvFiles, proj, mp.fileFields)
+        new SinkMorReader(mp.file, mp.dvFiles, proj, mp.fileFields,
+          mp.eqFiles)
       }
     }
   }
@@ -2066,10 +2237,14 @@ class SinkMorScan(path: String, pinnedVersion: Option[Int],
   * the metadata pair is each row's physical identity (positions are
   * PHYSICAL line indexes, stable because MoR never rewrites a data
   * file): the delta scan reads all four to address tombstones, and a
-  * lineage query can select them like any column. */
+  * lineage query can select them like any column. Equality deletes
+  * applicable to THIS file (older sequence than the delete) drop rows
+  * by value — a hash-set probe per row against the loaded value sets.
+  */
 class SinkMorReader(file: String, dvFiles: Seq[String],
     projection: Seq[SinkSchemas.SinkField],
-    fileFields: Seq[SinkSchemas.SinkField] = SinkSchemas.base)
+    fileFields: Seq[SinkSchemas.SinkField] = SinkSchemas.base,
+    eqFiles: Seq[(String, Int)] = Seq.empty)
     extends PartitionReader[InternalRow] {
 
   private val deleted: java.util.HashSet[Long] = {
@@ -2080,6 +2255,39 @@ class SinkMorReader(file: String, dvFiles: Seq[String],
       finally ls.close()
     }
     s
+  }
+  // (position in the FILE's schema, deleted-value set) per eq-deleted
+  // field — resolved by permanent field id; a file that predates the
+  // field has no position and can't match (its rows predate every
+  // value the delete names for a column they never had)
+  private val eqSets: Array[(Int, java.util.HashSet[Long])] =
+    eqFiles.groupBy(_._2).toSeq.flatMap { case (fid, fs) =>
+      val p = fileFields.indexWhere(_.id == fid)
+      if (p < 0) None
+      else {
+        val set = new java.util.HashSet[Long]()
+        fs.foreach { case (eqPath, _) =>
+          val ls = new SinkSource.LineStream(eqPath)
+          try while (ls.hasNext) set.add(ls.next().toLong)
+          finally ls.close()
+        }
+        Some((p, set))
+      }
+    }.toArray
+
+  private def eqDeleted(c: Array[String]): Boolean = {
+    var i = 0
+    while (i < eqSets.length) {
+      val (p, set) = eqSets(i)
+      if (p < c.length) {
+        val raw = c(p)
+        // NULL never equals a deleted value (SQL equality semantics)
+        if (raw != "\\N" && raw.nonEmpty && set.contains(raw.toLong))
+          return true
+      }
+      i += 1
+    }
+    false
   }
   private val fileName =
     org.apache.spark.unsafe.types.UTF8String.fromString(new Path(file).getName)
@@ -2096,21 +2304,23 @@ class SinkMorReader(file: String, dvFiles: Seq[String],
       pos += 1
       if (!deleted.contains(pos)) {
         val c = line.split('|')
-        val out = new Array[Any](projection.length)
-        var i = 0
-        while (i < projection.length) {
-          out(i) = projection(i).id match {
-            case -1 => fileName
-            case -2 => pos
-            case _ =>
-              val (p, dt) = plan(i)
-              if (p < 0 || p >= c.length) null
-              else SinkSchemas.parse(c(p), dt)
+        if (!eqDeleted(c)) {
+          val out = new Array[Any](projection.length)
+          var i = 0
+          while (i < projection.length) {
+            out(i) = projection(i).id match {
+              case -1 => fileName
+              case -2 => pos
+              case _ =>
+                val (p, dt) = plan(i)
+                if (p < 0 || p >= c.length) null
+                else SinkSchemas.parse(c(p), dt)
+            }
+            i += 1
           }
-          i += 1
+          row = new GenericInternalRow(out)
+          return true
         }
-        row = new GenericInternalRow(out)
-        return true
       }
     }
     false
@@ -2205,6 +2415,10 @@ class SinkDeltaScan(path: String, op: SinkDeltaOperation,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val sids = SinkSource.manifestSids(path)
+    // rows an equality delete already dropped must not match the DML
+    // again — the delta scan applies them like any MoR read
+    val eqs = SinkSource.eqDeletes(path, Some(scanVersion).filter(_ > 0))
+    val seqs = SinkSource.fileSeqs(path, Some(scanVersion).filter(_ > 0))
     val defs = scala.collection.mutable.Map.empty[Int,
       Seq[SinkSchemas.SinkField]]
     files.map { f =>
@@ -2212,7 +2426,9 @@ class SinkDeltaScan(path: String, op: SinkDeltaOperation,
         dvs.getOrElse(f, Seq.empty)
           .map(dv => new Path(path, s"deletes/$dv").toString),
         defs.getOrElseUpdate(sids.getOrElse(f, 0),
-          SinkSchemas.fields(path, sids.getOrElse(f, 0))))
+          SinkSchemas.fields(path, sids.getOrElse(f, 0))),
+        eqs.collect { case (eqf, fid, s) if seqs.getOrElse(f, 0) < s =>
+          (new Path(path, s"deletes/$eqf").toString, fid) })
         : InputPartition
     }.toArray
   }
@@ -2222,7 +2438,8 @@ class SinkDeltaScan(path: String, op: SinkDeltaOperation,
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
         val mp = p.asInstanceOf[SinkMorInputPartition]
-        new SinkMorReader(mp.file, mp.dvFiles, proj, mp.fileFields)
+        new SinkMorReader(mp.file, mp.dvFiles, proj, mp.fileFields,
+          mp.eqFiles)
       }
     }
   }
