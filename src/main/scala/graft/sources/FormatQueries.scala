@@ -2785,7 +2785,80 @@ object FormatQueries {
       |      UNION ALL SELECT 'compacted', * FROM g)
       |ORDER BY arm, k""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q306 — CLUSTERED REWRITE (`CALL rewrite_clustered('t', 'v')`):
+  // the data-layout half of q294's skipping story. A table grown by
+  // four interleaved appends has every file spanning the full value
+  // range — zone maps present but USELESS (the query proves it: zero
+  // files are skippable for the selective predicate before the
+  // rewrite). The verb rewrites the table range-clustered by
+  // (key, v) — a one-off distributed sort through the engine's
+  // repartitionByRange, atomic manifest swap, fresh tight stats — and
+  // the SAME predicate now rules out files wholesale. The kill-shot
+  // from q294 pins it inside the hash: every ruled-out file is
+  // physically deleted before the filtered read runs, so the answer
+  // can only be right if the scan never plans them.
+  // New protocol shape: the only verb that changes the PHYSICAL
+  // layout to change later plans (compact changes file counts, not
+  // value clustering).
+  // Scale notes (100 TB): clustering is the difference between
+  // "selective scan reads the table" and "selective scan reads its
+  // answer" — one rewrite buys metadata-pruned scans for every later
+  // query; the alternative (no layout verb) leaves zone maps
+  // permanently useless on append-grown tables.
+  def q306ClusteredRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(s.conf.set(k, v)) }
+    val root = ShardPaths.resolve(s, "q306", dir)
+    SinkSource.fs(root).delete(new org.apache.hadoop.fs.Path(root), true)
+    val t = s"$root/t"
+    val ev = Tables.events(s, dir)
+    // four interleaved appends: each slice covers the FULL v range,
+    // so every file's zone map spans everything — unskippable layout
+    (0 until 4).foreach(i =>
+      SinkSource.write(ev.filter(col("event_id") % 4 === i)
+        .select((col("event_id") % 5).as("k"), col("event_id").as("v"))
+        .repartition(4, col("k")),
+        t, overwrite = i == 0))
+    val cut = ev.agg(max(col("event_id"))).head.getLong(0) / 2
+    def ruledOut(): Seq[String] = {
+      val stats = SinkSource.manifestStats(t)
+      SinkSource.manifest(t).map(_._2).distinct.filter(fl =>
+        stats.get(fl).exists(_.exists { case (id, mn, _) =>
+          id == 2 && mn >= cut }))
+    }
+    val beforeUnskippable = if (ruledOut().isEmpty) 1L else 0L
+    s.conf.set("spark.sql.catalog.graft_zr", classOf[SinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_zr.root", root)
+    s.sql("CALL graft_zr.rewrite_clustered('t', 'v', 32)").collect()
+    // kill-shot: the rewrite made files skippable — drop them from
+    // disk; the filtered read below must never plan them
+    val ruled = ruledOut()
+    val afterSkippable = if (ruled.nonEmpty) 1L else 0L
+    val f = SinkSource.fs(root)
+    ruled.foreach(fl =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$t/data/$fl"), false))
+    SinkSource.load(s, t)
+      .filter(col("v") < cut)
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
+      .withColumn("before_unskippable", lit(beforeUnskippable))
+      .withColumn("after_skippable", lit(afterSkippable))
+      .orderBy(col("k"))
+  }
+
+  val q306Oracle: String =
+    """SELECT event_id % 5 AS k, COUNT(*) AS n_rows,
+      |  CAST(SUM(event_id) AS BIGINT) AS sum_v,
+      |  CAST(1 AS BIGINT) AS before_unskippable,
+      |  CAST(1 AS BIGINT) AS after_skippable
+      |FROM events
+      |WHERE event_id < CAST((SELECT MAX(event_id) FROM events) // 2 AS BIGINT)
+      |GROUP BY 1 ORDER BY k""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q306_clustered_rewrite" -> q306ClusteredRewrite,
     "q305_equality_deletes" -> q305EqualityDeletes,
     "q304_occ_transact" -> q304OccTransact,
     "q303_type_widening" -> q303TypeWidening,
@@ -2837,6 +2910,7 @@ object FormatQueries {
     "q64_schema_evolution" -> q64SchemaEvolution)
 
   def oracleSql: Map[String, String] = Map(
+    "q306_clustered_rewrite" -> q306Oracle,
     "q305_equality_deletes" -> q305Oracle,
     "q304_occ_transact" -> q304Oracle,
     "q303_type_widening" -> q303Oracle,

@@ -803,7 +803,8 @@ class SinkCatalog extends CatalogPlugin with TableCatalog
       Identifier.of(Array.empty, "tag"),
       Identifier.of(Array.empty, "expire"),
       Identifier.of(Array.empty, "remove_orphans"),
-      Identifier.of(Array.empty, "rollback"))
+      Identifier.of(Array.empty, "rollback"),
+      Identifier.of(Array.empty, "rewrite_clustered"))
 
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
@@ -817,6 +818,8 @@ class SinkCatalog extends CatalogPlugin with TableCatalog
       new SinkOrphanProcedure(root)
     else if (ident.namespace.isEmpty && ident.name == "rollback")
       new SinkRollbackProcedure(root)
+    else if (ident.namespace.isEmpty && ident.name == "rewrite_clustered")
+      new SinkRewriteProcedure(root, mor)
     else
       throw new java.util.NoSuchElementException(s"unknown procedure: $ident")
   }
@@ -2133,6 +2136,128 @@ class SinkRollbackProcedure(root: String)
             StructField("restored_version", LongType, nullable = false),
             StructField("new_version", LongType, nullable = false),
             StructField("n_files", LongType, nullable = false),
+            StructField("n_rows", LongType, nullable = false)))
+        }
+        util.Arrays.asList(result).iterator()
+      }
+    }
+}
+
+/** `CALL <cat>.rewrite_clustered('<table>', '<column>')` — CLUSTERED
+  * REWRITE, the data-layout half of the skipping story: q294's zone
+  * maps can only prune what the WRITE layout made prunable, and a
+  * table grown by many appends has every file spanning the full value
+  * range — `#stat` headers present but useless. This verb rewrites
+  * the table range-clustered by (key, column): the engine's
+  * repartitionByRange puts each (key, value-range) slice whole into
+  * one task, the keyed writer emits one file per key per task, so
+  * each file carries a TIGHT window of `column` — and the same
+  * selective predicate that opened everything before now opens a few
+  * files (Iceberg's rewrite_data_files with sort order / Delta
+  * OPTIMIZE ZORDER, over one dimension). The swap is atomic (scratch
+  * write → move → one manifest publish with fresh stats); MoR
+  * tombstones and equality deletes are MATERIALIZED by the rewrite —
+  * the same read path and guards as compaction.
+  * Scale notes (100 TB): clustering is THE difference between
+  * "selective scan reads the table" and "selective scan reads its
+  * answer" — the rewrite is a one-off distributed sort paid to make
+  * every later scan metadata-prunable; it never touches the driver
+  * with data and publishes O(entries) metadata.
+  */
+class SinkRewriteProcedure(root: String, mor: Boolean = false)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+
+  override def name(): String = "rewrite_clustered"
+  override def description(): String =
+    "rewrite the table range-clustered by (key, column) for zone-map skipping"
+
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "rewrite_clustered"
+      override def description(): String =
+        SinkRewriteProcedure.this.description()
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("column", StringType).build(),
+        // the target range-partition count — the layout knob (files
+        // per key ≈ partitions / keys); explicit because the right
+        // grain is a SIZE decision the caller owns (Iceberg's
+        // rewrite options), not something to guess from session conf
+        ProcedureParameter.in("partitions", LongType).build())
+      override def isDeterministic: Boolean = false // rewrites files
+
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val column = input.getUTF8String(1).toString
+        val parts = input.getLong(2).toInt
+        if (parts < 1)
+          throw new IllegalArgumentException(
+            s"partitions must be >= 1, got $parts")
+        val path = new Path(root, table).toString
+        val curFields = SinkSchemas.currentFields(path)
+        val fld = curFields.find(_.name == column).getOrElse(
+          throw new IllegalArgumentException(s"no column $column on $path"))
+        if (fld.dt != LongType)
+          throw new UnsupportedOperationException(
+            s"rewrite_clustered clusters by a BIGINT column (zone maps " +
+              s"cover BIGINT); $column is ${SinkSchemas.typeName(fld.dt)}")
+        if (SinkSource.eqDeletes(path).nonEmpty && !mor)
+          throw new UnsupportedOperationException(
+            s"table $path carries equality deletes; rewrite through a " +
+              "mor=true catalog (a raw rewrite would resurrect rows)")
+        val m = SinkSource.manifest(path)
+        val filesBefore = m.map(_._2).distinct.size.toLong
+        if (m.isEmpty)
+          throw new IllegalStateException(s"nothing to rewrite under $path")
+        val spark = org.apache.spark.sql.SparkSession.active
+        import org.apache.spark.sql.functions.col
+        val scratch = new Path(path, s"_rewrite_${java.util.UUID.randomUUID()}")
+        val curSid = SinkSource.schemaIdOf(path)
+        // the distributed sort: each (key, value-range) slice lands
+        // whole in one task; the keyed writer keeps the one-key-per-
+        // file layout invariant, so files split WITHIN a key by value
+        // range — the clustering the zone maps need. MoR reads merge
+        // vectors and equality deletes, so the rewrite materializes
+        // both.
+        SinkSource.write(
+          SinkSource.load(spark, path, mor = mor)
+            .repartitionByRange(parts, col("k"), col(column)),
+          scratch.toString, overwrite = true,
+          fields = if (curSid == 0) None else Some(curFields))
+        val f = SinkSource.fs(path)
+        val tag = java.util.UUID.randomUUID().toString.take(8)
+        val scratchStats = SinkSource.manifestStats(scratch.toString)
+        val rewritten = SinkSource.manifest(scratch.toString).map {
+          case (k, fl, n) =>
+            val dest = s"z${tag}_$fl"
+            if (!f.rename(new Path(scratch, s"data/$fl"),
+              new Path(path, s"data/$dest")))
+              throw new IllegalStateException(s"rewrite move failed: $fl")
+            (k, dest, n)
+        }
+        val rewrittenStats = scratchStats.map { case (fl, ss) =>
+          s"z${tag}_$fl" -> ss }
+        val oldFiles = m.map(_._2).distinct
+        val oldVecs = SinkSource.deleteSidecar(path).map(_._2).distinct
+        // full swap: every entry is new, tombstones are materialized
+        SinkSource.writeManifest(path, rewritten, Some(Seq.empty),
+          newFileSchemaId = Some(curSid), newStats = rewrittenStats)
+        oldFiles.foreach { fl =>
+          try f.delete(new Path(path, s"data/$fl"), false)
+          catch { case _: Exception => } }
+        oldVecs.foreach { dv =>
+          try f.delete(new Path(path, s"deletes/$dv"), false)
+          catch { case _: Exception => } }
+        f.delete(scratch, true)
+        val row: InternalRow = new GenericInternalRow(Array[Any](
+          filesBefore, rewritten.map(_._2).distinct.size.toLong,
+          rewritten.map(_._3).sum))
+        val result: Scan = new LocalScan {
+          override def rows(): Array[InternalRow] = Array(row)
+          override def readSchema(): StructType = StructType(Seq(
+            StructField("files_before", LongType, nullable = false),
+            StructField("files_after", LongType, nullable = false),
             StructField("n_rows", LongType, nullable = false)))
         }
         util.Arrays.asList(result).iterator()
