@@ -2857,7 +2857,101 @@ object FormatQueries {
       |WHERE event_id < CAST((SELECT MAX(event_id) FROM events) // 2 AS BIGINT)
       |GROUP BY 1 ORDER BY k""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q307 — SNAPSHOT BRANCHES + FAST-FORWARD (`CALL branch` /
+  // `fast_forward` / `drop_branch`): the write side of WAP, one step
+  // past q283's tags — a tag pins an immutable snapshot, a branch is
+  // a MOVABLE head you can commit to. Creation is O(entries)
+  // metadata: the branch manifest cites the parent's files by
+  // borrowed refs, zero bytes copied; the branch is then a full sink
+  // table (`<cat>.t.branch_dev`) — the candidate batch lands there
+  // through a normal engine INSERT while main's history never moves
+  // (the isolation flag rides the hash). Promotion is Iceberg's
+  // fast-forward contract: allowed only when main has not advanced
+  // since the branch synchronized — the diverged arm REFUSES loudly
+  // (no silent merge) — and publishes by translating refs and moving
+  // branch-local files, one CAS commit. Every arm is pinned by
+  // `VERSION AS OF`, so the hash proves main-before (isolated),
+  // main-after (promoted), and main-current (subsequent append)
+  // simultaneously.
+  // Scale notes (100 TB): staging a candidate corpus for audit must
+  // not copy the corpus; branch + fast-forward is the metadata-only
+  // fork-and-promote that makes write-audit-publish work at petabyte
+  // size, with parent-side GC pinning shared bytes while any branch
+  // lives.
+  def q307Branches(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(s.conf.set(k, v)) }
+    val root = ShardPaths.resolve(s, "q307", dir)
+    SinkSource.fs(root).delete(new org.apache.hadoop.fs.Path(root), true)
+    val t = s"$root/t"
+    val ev = Tables.events(s, dir)
+    SinkSource.write(ev
+      .select((col("event_id") % 6).as("k"), col("event_id").as("v")),
+      t, overwrite = true)                                           // main v1
+    s.conf.set("spark.sql.catalog.graft_br", classOf[SinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_br.root", root)
+    ev.createOrReplaceTempView("q307_ev")
+    s.sql("CALL graft_br.branch('t', 'dev')").collect()
+    s.sql("""INSERT INTO graft_br.t.branch_dev
+      SELECT event_id % 6, event_id + 1000000
+      FROM q307_ev WHERE event_id % 3 = 0""")
+    // isolation: the branch commit did not move main
+    val isolated = if (SinkSource.currentVersion(t) == 1) 1L else 0L
+    s.sql("CALL graft_br.fast_forward('t', 'dev')").collect()        // main v2
+    // divergence: a second branch goes stale when main advances
+    s.sql("CALL graft_br.branch('t', 'dev2')").collect()
+    s.sql("""INSERT INTO graft_br.t.branch_dev2
+      SELECT event_id % 6, event_id + 2000000
+      FROM q307_ev WHERE event_id % 7 = 3""")
+    SinkSource.write(ev.filter(col("event_id") % 11 === 5)
+      .select((col("event_id") % 6).as("k"),
+        (col("event_id") + 3000000).as("v")),
+      t, overwrite = false)                                          // main v3
+    val divergedRefuses =
+      try { s.sql("CALL graft_br.fast_forward('t', 'dev2')").collect(); 0L }
+      catch { case _: Exception => 1L }
+    s.sql("CALL graft_br.drop_branch('t', 'dev2')").collect()
+    def arm(name: String, df: DataFrame): DataFrame =
+      df.groupBy(col("k"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
+        .withColumn("arm", lit(name))
+    arm("main_before", s.sql("SELECT k, v FROM graft_br.t VERSION AS OF 1"))
+      .unionByName(arm("main_after",
+        s.sql("SELECT k, v FROM graft_br.t VERSION AS OF 2")))
+      .unionByName(arm("main_current",
+        s.sql("SELECT k, v FROM graft_br.t VERSION AS OF 3")))
+      .unionByName(arm("branch",
+        s.sql("SELECT k, v FROM graft_br.t.branch_dev")))
+      .withColumn("isolated", lit(isolated))
+      .withColumn("diverged_refuses", lit(divergedRefuses))
+      .select(col("arm"), col("k"), col("n_rows"), col("sum_v"),
+        col("isolated"), col("diverged_refuses"))
+      .orderBy(col("arm"), col("k"))
+  }
+
+  val q307Oracle: String =
+    """WITH base AS (SELECT event_id % 6 AS k, event_id AS v FROM events),
+      |cand AS (SELECT event_id % 6 AS k, event_id + 1000000 AS v
+      |         FROM events WHERE event_id % 3 = 0),
+      |app AS (SELECT event_id % 6 AS k, event_id + 3000000 AS v
+      |        FROM events WHERE event_id % 11 = 5),
+      |arms AS (
+      |  SELECT 'main_before' AS arm, k, v FROM base
+      |  UNION ALL SELECT 'main_after', k, v
+      |  FROM (SELECT * FROM base UNION ALL SELECT * FROM cand)
+      |  UNION ALL SELECT 'main_current', k, v
+      |  FROM (SELECT * FROM base UNION ALL SELECT * FROM cand
+      |        UNION ALL SELECT * FROM app)
+      |  UNION ALL SELECT 'branch', k, v
+      |  FROM (SELECT * FROM base UNION ALL SELECT * FROM cand))
+      |SELECT arm, k, COUNT(*) AS n_rows, CAST(SUM(v) AS BIGINT) AS sum_v,
+      |  CAST(1 AS BIGINT) AS isolated, CAST(1 AS BIGINT) AS diverged_refuses
+      |FROM arms GROUP BY arm, k ORDER BY arm, k""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q307_branches" -> q307Branches,
     "q306_clustered_rewrite" -> q306ClusteredRewrite,
     "q305_equality_deletes" -> q305EqualityDeletes,
     "q304_occ_transact" -> q304OccTransact,
@@ -2910,6 +3004,7 @@ object FormatQueries {
     "q64_schema_evolution" -> q64SchemaEvolution)
 
   def oracleSql: Map[String, String] = Map(
+    "q307_branches" -> q307Oracle,
     "q306_clustered_rewrite" -> q306Oracle,
     "q305_equality_deletes" -> q305Oracle,
     "q304_occ_transact" -> q304Oracle,

@@ -621,6 +621,94 @@ object SinkSource {
       throw new IllegalStateException(s"tag publish failed under $path")
   }
 
+  // ---- branches ---------------------------------------------------------
+
+  /** The borrowed-ref prefix: a BRANCH manifest cites its parent's
+    * data files as `../../data/<name>` — resolved through the branch's
+    * own `data/` dir, the ref lands on the parent's bytes without a
+    * copy (a branch at `t/_branch_x` opens `t/_branch_x/data/../../
+    * data/<name>` = `t/data/<name>`). A borrowed name contains '/',
+    * which no locally-written file ever does — that is the GC guard's
+    * discriminator. */
+  private[sources] val BorrowedPrefix = "../../data/"
+
+  /** Branch refs of a table (`branches.psv`: name → the MAIN version
+    * the branch last synchronized with — creation or fast-forward). */
+  private[graft] def branches(path: String): Map[String, Int] = {
+    val f = fs(path)
+    val bf = new Path(path, "branches.psv")
+    if (!f.exists(bf)) Map.empty
+    else {
+      val in = f.open(bf)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      body.linesIterator.filter(_.nonEmpty).map { line =>
+        val c = line.split('|')
+        c(0) -> c(1).toInt
+      }.toMap
+    }
+  }
+
+  private[sources] def writeBranches(path: String,
+      all: Map[String, Int]): Unit = {
+    val f = fs(path)
+    val dest = new Path(path, "branches.psv")
+    if (all.isEmpty) { f.delete(dest, false); return }
+    val body = all.toSeq.sorted.map { case (n, v) => s"$n|$v" }
+      .mkString("\n") + "\n"
+    val tmp = new Path(path, s"_tmp_branches_${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    if (f.exists(dest)) f.delete(dest, false)
+    if (!f.rename(tmp, dest))
+      throw new IllegalStateException(s"branch-ref publish failed under $path")
+  }
+
+  /** Parent data files any live branch still cites (borrowed refs
+    * translated back to local names), across the branches' FULL
+    * manifest histories. Branches pin shared bytes: every eager-GC
+    * site subtracts this set, so main-side truncate/delete/expire can
+    * never reclaim a file a branch reader can still plan. O(branches ×
+    * their histories) metadata; zero when no branches exist (one
+    * directory listing). */
+  private[graft] def branchCitedData(path: String): Set[String] = {
+    val f = fs(path)
+    val root = new Path(path)
+    if (!f.exists(root)) return Set.empty
+    f.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("_branch_"))
+      .flatMap { st =>
+        val bp = st.getPath.toString
+        f.listStatus(st.getPath).map(_.getPath.getName)
+          .collect { case n if n.startsWith("manifest.v") && n.endsWith(".psv") =>
+            n.stripPrefix("manifest.v").stripSuffix(".psv").toInt }
+          .flatMap { v =>
+            try manifest(bp, Some(v)).map(_._2)
+            catch { case _: java.util.NoSuchElementException => Seq.empty }
+          }
+      }
+      .collect { case n if n.startsWith(BorrowedPrefix) =>
+        n.stripPrefix(BorrowedPrefix) }
+      .toSet
+  }
+
+  /** Eager data-file GC with the two safety guards every site needs:
+    * BORROWED refs are never followed (a '/'-bearing name reaches
+    * another table's bytes), and files a live branch still cites are
+    * pinned (the branch reader must keep planning them). Failures are
+    * swallowed — a leaked file is orphan-sweep food, never a row. */
+  private[sources] def gcData(path: String, files: Iterable[String]): Unit = {
+    val it = files.iterator
+    if (!it.hasNext) return
+    val pinned = branchCitedData(path)
+    val f = fs(path)
+    files.foreach { fl =>
+      if (!fl.contains("/") && !pinned.contains(fl))
+        try f.delete(new Path(path, s"data/$fl"), false)
+        catch { case _: Exception => }
+    }
+  }
+
   /** Buffered LINE STREAM over a data file — the readers iterate it
     * instead of slurping the file into one String, so a task's heap
     * cost is a buffer, not the file size (the scale-correct idiom; at
@@ -804,7 +892,10 @@ class SinkCatalog extends CatalogPlugin with TableCatalog
       Identifier.of(Array.empty, "expire"),
       Identifier.of(Array.empty, "remove_orphans"),
       Identifier.of(Array.empty, "rollback"),
-      Identifier.of(Array.empty, "rewrite_clustered"))
+      Identifier.of(Array.empty, "rewrite_clustered"),
+      Identifier.of(Array.empty, "branch"),
+      Identifier.of(Array.empty, "fast_forward"),
+      Identifier.of(Array.empty, "drop_branch"))
 
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
@@ -820,6 +911,12 @@ class SinkCatalog extends CatalogPlugin with TableCatalog
       new SinkRollbackProcedure(root)
     else if (ident.namespace.isEmpty && ident.name == "rewrite_clustered")
       new SinkRewriteProcedure(root, mor)
+    else if (ident.namespace.isEmpty && ident.name == "branch")
+      new SinkBranchProcedure(root)
+    else if (ident.namespace.isEmpty && ident.name == "fast_forward")
+      new SinkFastForwardProcedure(root)
+    else if (ident.namespace.isEmpty && ident.name == "drop_branch")
+      new SinkDropBranchProcedure(root)
     else
       throw new java.util.NoSuchElementException(s"unknown procedure: $ident")
   }
@@ -847,6 +944,22 @@ class SinkCatalog extends CatalogPlugin with TableCatalog
         tableExists(Identifier.of(Array.empty, ident.namespace.head)))
       return new SinkMetaTable(
         new Path(root, ident.namespace.head).toString, ident.name)
+    // BRANCHES (`<cat>.<table>.branch_<name>`): a branch is a full
+    // sink table living under its parent (`t/_branch_<name>`), whose
+    // first manifest cites the parent's files by borrowed refs —
+    // addressable one level below the parent like the metadata
+    // tables. Always served NON-MoR: a branch's row identity rides
+    // the CoW path (vectors keyed by basename could not address a
+    // borrowed ref), and branching refuses tombstone-carrying parents
+    // up front.
+    if (ident.namespace.length == 1 && ident.name.startsWith("branch_") &&
+        tableExists(Identifier.of(Array.empty, ident.namespace.head))) {
+      val bp = new Path(new Path(root, ident.namespace.head),
+        s"_${ident.name}").toString
+      if (SinkSource.fs(root).exists(new Path(bp)))
+        return new SinkTable(bp)
+      throw new NoSuchTableException(ident)
+    }
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     if (partman) new SinkPartitionedTable(
       new Path(root, ident.name).toString, mor = mor)
@@ -1272,11 +1385,9 @@ class SinkTable(path: String, pinnedVersion: Option[Int] = None,
     SinkSource.writeManifest(path, kept)
     // data files are dropped AFTER the manifest stops citing them; a
     // crash in between leaks a file (GC'd by the next truncating
-    // commit), never a row
-    val f = SinkSource.fs(path)
-    doomed.foreach { case (_, fl, _) =>
-      try f.delete(new Path(path, s"data/$fl"), false)
-      catch { case _: Exception => } }
+    // commit), never a row — and gcData's guards keep borrowed refs
+    // and branch-pinned files alive
+    SinkSource.gcData(path, doomed.map(_._2).distinct)
   }
 }
 
@@ -1321,11 +1432,8 @@ class SinkPartitionedTable(path: String, mor: Boolean = false)
       // same discipline as deleteWhere: publish first, GC second — a
       // crash in between leaks a file, never a row
       SinkSource.writeManifest(path, kept)
-      val f = SinkSource.fs(path)
       val keptFiles = kept.map(_._2).toSet
-      doomed.map(_._2).distinct.filterNot(keptFiles).foreach { fl =>
-        try f.delete(new Path(path, s"data/$fl"), false)
-        catch { case _: Exception => } }
+      SinkSource.gcData(path, doomed.map(_._2).distinct.filterNot(keptFiles))
       true
     }
   }
@@ -1646,9 +1754,7 @@ class SinkCompactProcedure(root: String, mor: Boolean = false)
           SinkSource.writeManifest(path, kept ++ compacted,
             Some(dvd.filterNot { case (df, _) => replaced.contains(df) }),
             newFileSchemaId = Some(curSid), newStats = compactedStats)
-          replaced.foreach { fl =>
-            try f.delete(new Path(path, s"data/$fl"), false)
-            catch { case _: Exception => } }
+          SinkSource.gcData(path, replaced)
           dvd.filter { case (df, _) => replaced.contains(df) }
             .foreach { case (_, dv) =>
               try f.delete(new Path(path, s"deletes/$dv"), false)
@@ -1885,7 +1991,8 @@ class SinkExpireProcedure(root: String)
         def tryEq(v: Int): Seq[String] =
           try SinkSource.eqDeletes(path, Some(v)).map(_._1)
           catch { case _: java.util.NoSuchElementException => Seq.empty }
-        val liveData = kept.flatMap(v => tryManifest(v).map(_._2))
+        val liveData = kept.flatMap(v => tryManifest(v).map(_._2)) ++
+          SinkSource.branchCitedData(path) // branches pin shared bytes
         val liveVecs = kept.flatMap(v =>
           SinkSource.deleteSidecar(path, Some(v)).map(_._2)) ++
           kept.flatMap(tryEq)
@@ -1922,8 +2029,12 @@ class SinkExpireProcedure(root: String)
         // only deletes the filesystem actually performed, not the size
         // of the doomed citation sets
         val removedData = doomedData.count { fl =>
-          try f.delete(new Path(path, s"data/$fl"), false)
-          catch { case _: Exception => false } }
+          // the gcData guards, with expire's honest-count obligation:
+          // borrowed refs are never followed (they are another
+          // table's bytes) and report as not-removed
+          !fl.contains("/") &&
+            (try f.delete(new Path(path, s"data/$fl"), false)
+            catch { case _: Exception => false }) }
         val removedVecs = doomedVecs.count { dv =>
           try f.delete(new Path(path, s"deletes/$dv"), false)
           catch { case _: Exception => false } }
@@ -1995,7 +2106,8 @@ class SinkOrphanProcedure(root: String)
         def tryManifest(v: Int): Seq[(Long, String, Long)] =
           try SinkSource.manifest(path, Some(v))
           catch { case _: java.util.NoSuchElementException => Seq.empty }
-        val citedData = versions.flatMap(v => tryManifest(v).map(_._2)).toSet
+        val citedData = versions.flatMap(v => tryManifest(v).map(_._2)).toSet ++
+          SinkSource.branchCitedData(path) // branches pin shared bytes
         val citedVecs = versions.flatMap(v =>
           SinkSource.deleteSidecar(path, Some(v)).map(_._2)).toSet ++
           versions.flatMap { v =>
@@ -2243,9 +2355,7 @@ class SinkRewriteProcedure(root: String, mor: Boolean = false)
         // full swap: every entry is new, tombstones are materialized
         SinkSource.writeManifest(path, rewritten, Some(Seq.empty),
           newFileSchemaId = Some(curSid), newStats = rewrittenStats)
-        oldFiles.foreach { fl =>
-          try f.delete(new Path(path, s"data/$fl"), false)
-          catch { case _: Exception => } }
+        SinkSource.gcData(path, oldFiles)
         oldVecs.foreach { dv =>
           try f.delete(new Path(path, s"deletes/$dv"), false)
           catch { case _: Exception => } }
@@ -2259,6 +2369,256 @@ class SinkRewriteProcedure(root: String, mor: Boolean = false)
             StructField("files_before", LongType, nullable = false),
             StructField("files_after", LongType, nullable = false),
             StructField("n_rows", LongType, nullable = false)))
+        }
+        util.Arrays.asList(result).iterator()
+      }
+    }
+}
+
+/** `CALL <cat>.branch('<table>', '<name>')` — SNAPSHOT BRANCHES: an
+  * isolated writable line of history over the SAME bytes (Iceberg
+  * branch refs / the write side of WAP, one step past q283's tags:
+  * tags pin immutable snapshots, a branch is a movable head you can
+  * COMMIT to). The branch is a full sink table under
+  * `t/_branch_<name>` whose first manifest cites the parent's data
+  * files by borrowed refs (`../../data/<f>`) — creation costs
+  * O(entries) metadata and zero data movement, and every table verb
+  * (reads, appends, time travel, CoW DML, compaction) works on the
+  * branch unchanged because it IS a table. Isolation is structural:
+  * branch commits publish under the branch dir, the parent's history
+  * never sees them; parent-side GC (truncate, delete, expire,
+  * orphans) treats branch citations as pins, so shared bytes survive
+  * whatever happens on main. Guard rails: branching a parent with an
+  * evolved schema, deletion vectors, or equality deletes is refused
+  * (the borrowed-ref form carries none of those sidecars).
+  * Scale notes (100 TB): staging a candidate corpus for audit must
+  * not copy the corpus — a branch is the metadata-only fork that
+  * makes write-audit-publish work at petabyte size.
+  */
+class SinkBranchProcedure(root: String)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+
+  override def name(): String = "branch"
+  override def description(): String =
+    "fork a writable branch of the table over the same bytes"
+
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "branch"
+      override def description(): String =
+        SinkBranchProcedure.this.description()
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("branch_name", StringType).build())
+      override def isDeterministic: Boolean = false
+
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val name = input.getUTF8String(1).toString
+        if (!name.forall(c => c.isLetterOrDigit || c == '_') || name.isEmpty)
+          throw new IllegalArgumentException(
+            s"branch names are [A-Za-z0-9_]+: '$name'")
+        val path = new Path(root, table).toString
+        val f = SinkSource.fs(path)
+        val branchDir = new Path(path, s"_branch_$name")
+        if (f.exists(branchDir))
+          throw new IllegalArgumentException(
+            s"branch $name already exists on $path")
+        if (SinkSource.schemaIdOf(path) != 0)
+          throw new UnsupportedOperationException(
+            s"cannot branch $path: evolved schemas do not travel through " +
+              "borrowed refs (compact/normalize first)")
+        if (SinkSource.deleteSidecar(path).nonEmpty ||
+            SinkSource.eqDeletes(path).nonEmpty)
+          throw new UnsupportedOperationException(
+            s"cannot branch $path: active tombstones do not travel " +
+              "through borrowed refs (compact to materialize them first)")
+        val base = SinkSource.currentVersion(path)
+        val entries = SinkSource.manifest(path)
+        val borrowed = entries.map { case (k, fl, n) =>
+          (k, s"${SinkSource.BorrowedPrefix}$fl", n) }
+        val stats = SinkSource.manifestStats(path).map { case (fl, ss) =>
+          s"${SinkSource.BorrowedPrefix}$fl" -> ss }
+        f.mkdirs(branchDir)
+        SinkSource.writeManifest(branchDir.toString, borrowed,
+          newStats = stats)
+        SinkSource.writeBranches(path,
+          SinkSource.branches(path) + (name -> base))
+        val row: InternalRow = new GenericInternalRow(Array[Any](
+          org.apache.spark.unsafe.types.UTF8String.fromString(name),
+          base.toLong, entries.map(_._2).distinct.size.toLong))
+        val result: Scan = new LocalScan {
+          override def rows(): Array[InternalRow] = Array(row)
+          override def readSchema(): StructType = StructType(Seq(
+            StructField("branch_name", StringType, nullable = false),
+            StructField("base_version", LongType, nullable = false),
+            StructField("n_files", LongType, nullable = false)))
+        }
+        util.Arrays.asList(result).iterator()
+      }
+    }
+}
+
+/** `CALL <cat>.fast_forward('<table>', '<name>')` — publish a
+  * branch's head onto main, the WAP promotion verb. Allowed ONLY when
+  * main has not moved since the branch last synchronized (the
+  * recorded base version) — there is no merge here, exactly Iceberg's
+  * fast-forward contract; a diverged main refuses loudly and the
+  * caller re-branches or rebases by hand. The publish translates the
+  * branch's entries: borrowed refs point back at main's own files
+  * (name restored), branch-local files MOVE into main's data dir
+  * (refuse-to-clobber), and the manifest lands as one CAS commit.
+  * The branch stays alive, re-based onto the published version — a
+  * caught-up branch fast-forwards as a no-op; `drop_branch` retires
+  * it.
+  * Scale notes (100 TB): promotion costs the moved files' RENAMES
+  * plus one manifest — metadata-proportional, like every lifecycle
+  * verb here; the audited candidate becomes visible to consumers
+  * atomically.
+  */
+class SinkFastForwardProcedure(root: String)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+
+  override def name(): String = "fast_forward"
+  override def description(): String =
+    "publish a branch head onto main (refuses when main diverged)"
+
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "fast_forward"
+      override def description(): String =
+        SinkFastForwardProcedure.this.description()
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("branch_name", StringType).build())
+      override def isDeterministic: Boolean = false
+
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val name = input.getUTF8String(1).toString
+        val path = new Path(root, table).toString
+        val f = SinkSource.fs(path)
+        val branchDir = new Path(path, s"_branch_$name")
+        val base = SinkSource.branches(path).getOrElse(name,
+          throw new java.util.NoSuchElementException(
+            s"no branch $name on $path"))
+        val cur = SinkSource.currentVersion(path)
+        if (cur != base)
+          throw new SinkConflictException(
+            s"cannot fast-forward $name onto $path: main advanced from " +
+              s"v$base to v$cur since the branch synchronized (no merge " +
+              "semantics here — re-branch or rebase)")
+        if (SinkSource.deleteSidecar(branchDir.toString).nonEmpty ||
+            SinkSource.eqDeletes(branchDir.toString).nonEmpty)
+          throw new UnsupportedOperationException(
+            s"branch $name carries tombstones; compact it first")
+        val bEntries = SinkSource.manifest(branchDir.toString)
+        val bStats = SinkSource.manifestStats(branchDir.toString)
+        def local(fl: String): String =
+          if (fl.startsWith(SinkSource.BorrowedPrefix))
+            fl.stripPrefix(SinkSource.BorrowedPrefix)
+          else fl
+        // move branch-local files in first (refuse-to-clobber: names
+        // carry commit tags, a collision is a real conflict); the
+        // manifest CAS below is the only publish point, so moved
+        // files are orphan-sweep food on any later failure, never rows
+        val dataDir = new Path(path, "data")
+        f.mkdirs(dataDir)
+        var moved = 0L
+        bEntries.map(_._2).distinct
+          .filterNot(_.startsWith(SinkSource.BorrowedPrefix))
+          .foreach { fl =>
+            val dest = new Path(dataDir, fl)
+            if (f.exists(dest))
+              throw new IllegalStateException(
+                s"refusing to publish over existing data file: $dest")
+            if (!f.rename(new Path(branchDir, s"data/$fl"), dest))
+              throw new IllegalStateException(
+                s"branch file publish failed: $fl")
+            moved += 1
+          }
+        val entries = bEntries.map { case (k, fl, n) => (k, local(fl), n) }
+        val stats = bStats.map { case (fl, ss) => local(fl) -> ss }
+        val newV =
+          try SinkSource.writeManifest(path, entries, newStats = stats,
+            atVersion = Some(cur + 1))
+          catch {
+            case _: SinkCommitRaceException =>
+              throw new SinkConflictException(
+                s"cannot fast-forward $name onto $path: a commit raced " +
+                  "the promotion (main diverged)")
+          }
+        // the branch is now CAUGHT UP: re-point its base at the
+        // published version, and republish the branch HEAD with its
+        // moved files cited as borrowed refs — the bytes live in
+        // main's data dir now, and without this the branch manifest
+        // would cite files that left its own directory. (Pre-
+        // promotion branch snapshots still cite the old local names —
+        // a time travel into them fails loudly, the usual vanished-
+        // file contract.)
+        SinkSource.writeBranches(path,
+          SinkSource.branches(path) + (name -> newV))
+        SinkSource.writeManifest(branchDir.toString,
+          bEntries.map { case (k, fl, n) =>
+            (k, s"${SinkSource.BorrowedPrefix}${local(fl)}", n) },
+          newStats = bStats.map { case (fl, ss) =>
+            s"${SinkSource.BorrowedPrefix}${local(fl)}" -> ss })
+        val row: InternalRow = new GenericInternalRow(Array[Any](
+          newV.toLong, moved, bEntries.map(_._3).sum))
+        val result: Scan = new LocalScan {
+          override def rows(): Array[InternalRow] = Array(row)
+          override def readSchema(): StructType = StructType(Seq(
+            StructField("new_version", LongType, nullable = false),
+            StructField("files_moved", LongType, nullable = false),
+            StructField("n_rows", LongType, nullable = false)))
+        }
+        util.Arrays.asList(result).iterator()
+      }
+    }
+}
+
+/** `CALL <cat>.drop_branch('<table>', '<name>')` — retire a branch:
+  * remove its ref and its directory. Branch-LOCAL files die with it;
+  * borrowed refs are citations, not bytes, so the parent's data is
+  * untouched — and dropping the branch releases its GC pins (the
+  * next expire/truncate may reclaim what only the branch kept
+  * alive). */
+class SinkDropBranchProcedure(root: String)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+
+  override def name(): String = "drop_branch"
+  override def description(): String =
+    "retire a branch (parent bytes are untouched; GC pins release)"
+
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "drop_branch"
+      override def description(): String =
+        SinkDropBranchProcedure.this.description()
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("branch_name", StringType).build())
+      override def isDeterministic: Boolean = false
+
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val name = input.getUTF8String(1).toString
+        val path = new Path(root, table).toString
+        val f = SinkSource.fs(path)
+        if (!SinkSource.branches(path).contains(name))
+          throw new java.util.NoSuchElementException(
+            s"no branch $name on $path")
+        SinkSource.writeBranches(path, SinkSource.branches(path) - name)
+        f.delete(new Path(path, s"_branch_$name"), true)
+        val row: InternalRow = new GenericInternalRow(Array[Any](
+          org.apache.spark.unsafe.types.UTF8String.fromString(name)))
+        val result: Scan = new LocalScan {
+          override def rows(): Array[InternalRow] = Array(row)
+          override def readSchema(): StructType = StructType(Seq(
+            StructField("dropped", StringType, nullable = false)))
         }
         util.Arrays.asList(result).iterator()
       }
@@ -2908,9 +3268,7 @@ class SinkReplaceDataWrite(path: String, queryId: String,
         done = true
       } catch { case _: SinkCommitRaceException => /* revalidate + retry */ }
     }
-    replaced.foreach { fl =>
-      try f.delete(new Path(dataDir, fl), false)
-      catch { case _: Exception => } }
+    SinkSource.gcData(path, replaced)
     f.delete(stagingDir, true)
   }
 
@@ -3848,18 +4206,19 @@ class SinkBatchWrite(path: String, queryId: String, truncate: Boolean,
       } catch { case _: SinkCommitRaceException => /* re-plan + retry */ }
     }
     if (truncate) {
-      // old files are unreachable once the manifest swapped; GC them
+      // old files are unreachable once the manifest swapped; GC them —
+      // through the guarded path, so files a live BRANCH still cites
+      // survive the truncate (branches pin shared bytes)
       val live = committed.map(_._2).toSet
-      if (f.exists(dataDir)) f.listStatus(dataDir).map(_.getPath)
-        .filter(p => !live.contains(p.getName))
-        .foreach(p => try f.delete(p, false) catch { case _: Exception => })
+      if (f.exists(dataDir))
+        SinkSource.gcData(path, f.listStatus(dataDir)
+          .map(_.getPath.getName).filterNot(live).toSeq)
     } else {
       // replaced files are dropped AFTER the manifest stops citing
       // them (crash in between leaks a file, never a row) — the
       // deleteWhere discipline; keys kept in other entries stay
-      dropped.map(_._2).distinct.filterNot(publishedFiles).foreach { fl =>
-        try f.delete(new Path(dataDir, fl), false)
-        catch { case _: Exception => } }
+      SinkSource.gcData(path,
+        dropped.map(_._2).distinct.filterNot(publishedFiles))
     }
     f.delete(stagingDir, true)
   }
