@@ -34,7 +34,7 @@ object Bench {
     69,140,249,154,71,73,232,327,201,140,452,150,
     // provisional entries for this session's additions (q302+) —
     // replaced wholesale by the closing gen_cost_table.py --apply run
-    250,250,250,250,250,250)
+    250,250,250,250,250,250,250,250)
 
   def costOf(name: String): Int = {
     val n = name.takeWhile(_ != '_').drop(1).toInt

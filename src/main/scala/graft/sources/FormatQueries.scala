@@ -2950,7 +2950,205 @@ object FormatQueries {
       |  CAST(1 AS BIGINT) AS isolated, CAST(1 AS BIGINT) AS diverged_refuses
       |FROM arms GROUP BY arm, k ORDER BY arm, k""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q308 — NULL-COUNT STATISTICS (`#null` manifest headers): the
+  // write path records each file's EXACT per-field null count (free —
+  // the rows stream through the writer anyway), and two new
+  // metadata-only behaviors fall out. (1) `COUNT(col)` pushdown:
+  // rows − nulls, both exact commit metadata, so a grouped
+  // COUNT(*)/COUNT(w) opens ZERO data files — proven the ManifestAgg
+  // way, by physically REMOVING the table's data directory before the
+  // counting read runs. (2) `IS NULL` / `IS NOT NULL` file skipping:
+  // a zero null count PROVES `w IS NULL` can't match (and
+  // nulls == rows proves the complement) — pinned with the q294
+  // kill-shot, ruled-out files deleted before the filtered reads.
+  // Unlike the min/max zone maps (over-approximations), a null count
+  // is a positive claim, which is why the zero entries are emitted
+  // rather than omitted. The refusal discipline carries over:
+  // tombstoned snapshots and files without records refuse the push.
+  // Scale notes (100 TB): completeness audits (COUNT of non-null per
+  // column) are the first query every dataset card runs — serving
+  // them from commit metadata turns a full scan into a manifest read,
+  // and null-skipping prunes the sparse-column access pattern
+  // (`WHERE label IS NOT NULL`) that dominates curation reads.
+  def q308NullStats(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(s.conf.set(k, v)) }
+    val root = ShardPaths.resolve(s, "q308", dir)
+    SinkSource.fs(root).delete(new org.apache.hadoop.fs.Path(root), true)
+    val fields3 = Seq(SinkSchemas.SinkField(1, "k",
+        org.apache.spark.sql.types.LongType),
+      SinkSchemas.SinkField(2, "v", org.apache.spark.sql.types.LongType),
+      SinkSchemas.SinkField(3, "w", org.apache.spark.sql.types.LongType))
+    val ev = Tables.events(s, dir)
+    // t1: the counting table — every file carries null records
+    SinkSource.write(ev.select((col("event_id") % 9).as("k"),
+      col("event_id").as("v"),
+      when(col("event_id") % 3 === 0, lit(null).cast("bigint"))
+        .otherwise(col("event_id") % 1000).as("w")),
+      s"$root/t1", overwrite = true, fields = Some(fields3))
+    // kill-shot 1: counts must come from the manifest alone
+    val f = SinkSource.fs(root)
+    f.delete(new org.apache.hadoop.fs.Path(s"$root/t1/data"), true)
+    val counts = SinkSource.load(s, s"$root/t1")
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_rows"), count(col("w")).as("n_w"))
+      .withColumn("arm", lit("meta_counts"))
+    // t2/t3: the skipping tables — never-null and always-null eras in
+    // separate files
+    def skipTable(t: String): Unit = {
+      SinkSource.write(ev.filter(col("event_id") % 2 === 0)
+        .select((col("event_id") % 9).as("k"), col("event_id").as("v"),
+          col("event_id").as("w")),
+        s"$root/$t", overwrite = true, fields = Some(fields3))
+      SinkSource.write(ev.filter(col("event_id") % 2 === 1)
+        .select((col("event_id") % 9).as("k"), col("event_id").as("v"),
+          lit(null).cast("bigint").as("w")),
+        s"$root/$t", overwrite = false, fields = Some(fields3))
+    }
+    skipTable("t2"); skipTable("t3")
+    def ruled(t: String, forNull: Boolean): Seq[String] = {
+      val nulls = SinkSource.manifestNulls(s"$root/$t")
+      val rows = SinkSource.manifest(s"$root/$t").groupBy(_._2)
+        .view.mapValues(_.map(_._3).sum).toMap
+      rows.keys.toSeq.filter(fl => nulls.get(fl)
+        .exists(_.exists { case (id, n) =>
+          id == 3 && (if (forNull) n == 0 else n == rows(fl)) }))
+    }
+    // kill-shot 2: the ruled-out files are gone; the reads can only
+    // be right if skipping never plans them
+    val ruledNull = ruled("t2", forNull = true)
+    val ruledNotNull = ruled("t3", forNull = false)
+    ruledNull.foreach(fl =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$root/t2/data/$fl"), false))
+    ruledNotNull.foreach(fl =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$root/t3/data/$fl"), false))
+    val isNull = SinkSource.load(s, s"$root/t2")
+      .filter(col("w").isNull)
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_rows"), count(col("w")).as("n_w"))
+      .withColumn("arm", lit("is_null"))
+    val isNotNull = SinkSource.load(s, s"$root/t3")
+      .filter(col("w").isNotNull)
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_rows"), count(col("w")).as("n_w"))
+      .withColumn("arm", lit("is_not_null"))
+    counts.unionByName(isNull).unionByName(isNotNull)
+      .withColumn("null_skip", lit(if (ruledNull.nonEmpty) 1L else 0L))
+      .withColumn("notnull_skip",
+        lit(if (ruledNotNull.nonEmpty) 1L else 0L))
+      .select(col("arm"), col("k"), col("n_rows"), col("n_w"),
+        col("null_skip"), col("notnull_skip"))
+      .orderBy(col("arm"), col("k"))
+  }
+
+  val q308Oracle: String =
+    """WITH t1 AS (
+      |  SELECT event_id % 9 AS k,
+      |    CASE WHEN event_id % 3 = 0 THEN NULL
+      |         ELSE event_id % 1000 END AS w
+      |  FROM events),
+      |t2 AS (SELECT event_id % 9 AS k,
+      |    CASE WHEN event_id % 2 = 0 THEN event_id ELSE NULL END AS w
+      |  FROM events),
+      |arms AS (
+      |  SELECT 'meta_counts' AS arm, k, COUNT(*) AS n_rows,
+      |    COUNT(w) AS n_w FROM t1 GROUP BY k
+      |  UNION ALL SELECT 'is_null', k, COUNT(*), COUNT(w)
+      |  FROM t2 WHERE w IS NULL GROUP BY k
+      |  UNION ALL SELECT 'is_not_null', k, COUNT(*), COUNT(w)
+      |  FROM t2 WHERE w IS NOT NULL GROUP BY k)
+      |SELECT arm, k, n_rows, n_w, CAST(1 AS BIGINT) AS null_skip,
+      |  CAST(1 AS BIGINT) AS notnull_skip
+      |FROM arms ORDER BY arm, k""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q309 — COLUMN DEFAULT VALUES (`ADD COLUMN .. DEFAULT ..`): the
+  // Iceberg initial-default model completing the evolution verb set.
+  // The default is frozen at ADD time with the field: rows in files
+  // that PREDATE the column read the default instead of NULL (the
+  // reader's id-reconciliation serves it — no rewrite), and the
+  // ENGINE fills omitted INSERT columns from the same literal
+  // (CURRENT_DEFAULT metadata on the table schema drives analysis-
+  // time resolution of column-list inserts and the DEFAULT keyword).
+  // Explicit NULLs stay NULL — a default is a fill-in, not a
+  // constraint. `SET DEFAULT` after the fact is refused loudly
+  // (initial defaults are immutable; a mutable current-default would
+  // silently change what pre-ADD rows read). The string default
+  // pins quote handling; the flag rides the hash.
+  // Scale notes (100 TB): backfilling a new column's default over a
+  // petabyte table is exactly the rewrite nobody can afford — the
+  // initial-default read is the only shape where ADD COLUMN DEFAULT
+  // costs one metadata publish and zero data movement.
+  def q309ColumnDefaults(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(s.conf.set(k, v)) }
+    val root = ShardPaths.resolve(s, "q309", dir)
+    SinkSource.fs(root).delete(new org.apache.hadoop.fs.Path(root), true)
+    val ev = Tables.events(s, dir)
+    SinkSource.write(ev
+      .select((col("event_id") % 7).as("k"), col("event_id").as("v")),
+      s"$root/t", overwrite = true)                                  // v1
+    s.conf.set("spark.sql.catalog.graft_dv", classOf[SinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_dv.root", root)
+    ev.createOrReplaceTempView("q309_ev")
+    s.sql("ALTER TABLE graft_dv.t ADD COLUMN status BIGINT DEFAULT 7")
+    s.sql("ALTER TABLE graft_dv.t ADD COLUMN tag STRING DEFAULT 'none'")
+    // full-width insert: explicit values, explicit NULLs stay NULL
+    s.sql("""INSERT INTO graft_dv.t
+      SELECT event_id % 7, event_id + 1000000,
+        CASE WHEN event_id % 8 = 1 THEN NULL ELSE event_id % 100 END,
+        concat('t', event_id % 3)
+      FROM q309_ev WHERE event_id % 4 = 1""")
+    // column-list insert: the engine fills the omitted columns from
+    // the CURRENT_DEFAULT metadata this table declares
+    s.sql("""INSERT INTO graft_dv.t (k, v)
+      SELECT event_id % 7, event_id + 2000000
+      FROM q309_ev WHERE event_id % 4 = 2""")
+    // the DEFAULT keyword resolves the same way
+    s.sql("INSERT INTO graft_dv.t VALUES (0, 999999, DEFAULT, DEFAULT)")
+    val setDefaultRefused =
+      try { s.sql(
+        "ALTER TABLE graft_dv.t ALTER COLUMN status SET DEFAULT 9"); 0L }
+      catch { case _: Exception => 1L }
+    s.table("graft_dv.t")
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"),
+        sum(col("status")).as("sum_status"),
+        count(col("status")).as("n_status"),
+        sum(when(col("tag") === "none", 1L).otherwise(0L)).as("n_none"),
+        max(col("tag")).as("max_tag"))
+      .withColumn("set_default_refused", lit(setDefaultRefused))
+      .orderBy(col("k"))
+  }
+
+  val q309Oracle: String =
+    """WITH t AS (
+      |  SELECT event_id % 7 AS k, event_id AS v, 7 AS status,
+      |         'none' AS tag FROM events
+      |  UNION ALL
+      |  SELECT event_id % 7, event_id + 1000000,
+      |    CASE WHEN event_id % 8 = 1 THEN NULL ELSE event_id % 100 END,
+      |    concat('t', event_id % 3)
+      |  FROM events WHERE event_id % 4 = 1
+      |  UNION ALL
+      |  SELECT event_id % 7, event_id + 2000000, 7, 'none'
+      |  FROM events WHERE event_id % 4 = 2
+      |  UNION ALL SELECT 0, 999999, 7, 'none')
+      |SELECT k, COUNT(*) AS n_rows, CAST(SUM(v) AS BIGINT) AS sum_v,
+      |  CAST(SUM(status) AS BIGINT) AS sum_status,
+      |  COUNT(status) AS n_status,
+      |  CAST(SUM(CASE WHEN tag = 'none' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_none,
+      |  MAX(tag) AS max_tag,
+      |  CAST(1 AS BIGINT) AS set_default_refused
+      |FROM t GROUP BY k ORDER BY k""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q309_column_defaults" -> q309ColumnDefaults,
+    "q308_null_stats" -> q308NullStats,
     "q307_branches" -> q307Branches,
     "q306_clustered_rewrite" -> q306ClusteredRewrite,
     "q305_equality_deletes" -> q305EqualityDeletes,
@@ -3004,6 +3202,8 @@ object FormatQueries {
     "q64_schema_evolution" -> q64SchemaEvolution)
 
   def oracleSql: Map[String, String] = Map(
+    "q309_column_defaults" -> q309Oracle,
+    "q308_null_stats" -> q308Oracle,
     "q307_branches" -> q307Oracle,
     "q306_clustered_rewrite" -> q306Oracle,
     "q305_equality_deletes" -> q305Oracle,

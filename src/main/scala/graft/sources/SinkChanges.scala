@@ -326,9 +326,10 @@ class SinkChangesReader(part: SinkChangesInputPartition,
         val out = new Array[Any](plan.length + 2)
         var i = 0
         while (i < plan.length) {
-          val (p, dt) = plan(i)
+          val (p, dt, dflt) = plan(i)
           out(i) =
-            if (p < 0 || p >= c.length) null
+            if (p < 0) dflt // pre-ADD rows read the initial default
+            else if (p >= c.length) null
             else SinkSchemas.parse(c(p), dt)
           i += 1
         }

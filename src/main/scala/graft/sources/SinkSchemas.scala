@@ -40,8 +40,14 @@ import org.apache.spark.sql.types._
   */
 object SinkSchemas {
 
-  /** One column: permanent id, current name, type. */
-  case class SinkField(id: Int, name: String, dt: DataType)
+  /** One column: permanent id, current name, type, and an optional
+    * INITIAL DEFAULT (the Iceberg initial-default model, frozen at
+    * ADD COLUMN time): rows in files that predate the column read the
+    * default instead of NULL, and the engine fills omitted INSERT
+    * columns from the same literal (CURRENT_DEFAULT metadata). Stored
+    * as the literal's SQL text, parsed by the column's type. */
+  case class SinkField(id: Int, name: String, dt: DataType,
+      default: Option[String] = None)
 
   val base: Seq[SinkField] =
     Seq(SinkField(1, "k", LongType), SinkField(2, "v", LongType))
@@ -75,18 +81,36 @@ object SinkSchemas {
   }
 
   def structType(fields: Seq[SinkField]): StructType =
-    StructType(fields.map(f =>
-      StructField(f.name, f.dt, nullable = f.id != 1)))
+    StructType(fields.map { f =>
+      val base = StructField(f.name, f.dt, nullable = f.id != 1)
+      // the engine's default-column machinery reads these metadata
+      // keys: CURRENT_DEFAULT fills omitted INSERT columns at
+      // analysis; EXISTS_DEFAULT documents what pre-ADD rows read
+      // (applied by OUR readers — V2 scans serve finished rows)
+      f.default.fold(base)(sql => base.copy(metadata =
+        new MetadataBuilder()
+          .putString("CURRENT_DEFAULT", sql)
+          .putString("EXISTS_DEFAULT", sql)
+          .build()))
+    })
 
   /** Compact single-string encoding, for shipping an explicit write
-    * schema through DataFrame options (the compaction scratch write). */
+    * schema through DataFrame options (the compaction scratch write).
+    * Default literals ride URL-encoded so ':'/';' in a string default
+    * cannot tear the encoding. */
   def encode(fields: Seq[SinkField]): String =
-    fields.map(f => s"${f.id}:${f.name}:${typeName(f.dt)}").mkString(";")
+    fields.map { f =>
+      val head = s"${f.id}:${f.name}:${typeName(f.dt)}"
+      f.default.fold(head)(d =>
+        head + ":" + java.net.URLEncoder.encode(d, "UTF-8"))
+    }.mkString(";")
 
   def decode(s: String): Seq[SinkField] =
     s.split(';').toSeq.filter(_.nonEmpty).map { part =>
       val c = part.split(':')
-      SinkField(c(0).toInt, c(1), typeOf(c(2)))
+      SinkField(c(0).toInt, c(1), typeOf(c(2)),
+        if (c.length > 3) Some(java.net.URLDecoder.decode(c(3), "UTF-8"))
+        else None)
     }
 
   /** Field list of schema id `sid` under `path`. Id 0 is the implicit
@@ -103,7 +127,9 @@ object SinkSchemas {
     finally in.close()
     body.linesIterator.filter(_.nonEmpty).map { line =>
       val c = line.split('|')
-      SinkField(c(0).toInt, c(1), typeOf(c(2)))
+      SinkField(c(0).toInt, c(1), typeOf(c(2)),
+        if (c.length > 3) Some(java.net.URLDecoder.decode(c(3), "UTF-8"))
+        else None)
     }.toSeq
   }
 
@@ -135,7 +161,11 @@ object SinkSchemas {
       .foldLeft(0)(math.max)
     val next = cur + 1
     val body = newFields
-      .map(fl => s"${fl.id}|${fl.name}|${typeName(fl.dt)}")
+      .map { fl =>
+        val head = s"${fl.id}|${fl.name}|${typeName(fl.dt)}"
+        fl.default.fold(head)(d =>
+          head + "|" + java.net.URLEncoder.encode(d, "UTF-8"))
+      }
       .mkString("\n") + "\n"
     val tmp = new Path(root, s"_tmp_schema_${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, true)
@@ -203,13 +233,38 @@ object SinkSchemas {
         s"unparseable sink field type: $other")
     }
 
+  /** Parse a column's stored DEFAULT literal (SQL text) to the
+    * column's runtime value. Only simple literals of the lexicon are
+    * accepted — validated once at ALTER time ([[literalValue]] throws
+    * there, so a read never meets an unparseable default). */
+  private[sources] def literalValue(sql: String, dt: DataType): Any = {
+    val t = sql.trim
+    if (t.equalsIgnoreCase("null")) return null
+    dt match {
+      case LongType => t.toLong
+      case IntegerType => t.toInt
+      case DoubleType => t.toDouble
+      case BooleanType => t.toBoolean
+      case StringType =>
+        if (t.length >= 2 && t.head == '\'' && t.last == '\'')
+          org.apache.spark.unsafe.types.UTF8String
+            .fromString(t.substring(1, t.length - 1).replace("''", "'"))
+        else throw new IllegalArgumentException(
+          s"string DEFAULT must be a quoted literal: $sql")
+      case other => throw new UnsupportedOperationException(
+        s"DEFAULT unsupported for type ${other.simpleString}")
+    }
+  }
+
   /** The per-task reconciliation plan: for each requested read field,
-    * the position of the SAME FIELD ID in the file's schema (or -1 →
-    * NULL — the file predates the column or a reinstated id). Computed
-    * once per reader, applied per line. */
+    * the position of the SAME FIELD ID in the file's schema (or -1 —
+    * the file predates the column or a reinstated id, in which case
+    * the row reads the column's INITIAL DEFAULT, null when none).
+    * Computed once per reader, applied per line. */
   private[sources] def readPlan(fileFields: Seq[SinkField],
-      readFields: Seq[SinkField]): Array[(Int, DataType)] = {
+      readFields: Seq[SinkField]): Array[(Int, DataType, Any)] = {
     val pos = fileFields.zipWithIndex.map { case (f, i) => f.id -> i }.toMap
-    readFields.map(rf => (pos.getOrElse(rf.id, -1), rf.dt)).toArray
+    readFields.map(rf => (pos.getOrElse(rf.id, -1), rf.dt,
+      rf.default.map(literalValue(_, rf.dt)).orNull)).toArray
   }
 }

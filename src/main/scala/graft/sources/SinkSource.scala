@@ -259,6 +259,27 @@ object SinkSource {
     eligible.max
   }
 
+  /** Per-file NULL COUNTS of a version (`#null|<file>|<id>:<count>
+    * [;...]` headers): exact null counts per BIGINT field — unlike
+    * the min/max zone maps, a ZERO here is a positive claim ("no row
+    * of this file is NULL in this field"), which is what lets
+    * `COUNT(col)` answer from metadata and `IS NULL` prune whole
+    * files. A file with no record (pre-feature history, or a field
+    * the file predates) proves nothing — readers must treat absence
+    * as "cannot skip / cannot serve". */
+  private[sources] def manifestNulls(path: String,
+      version: Option[Int] = None): Map[String, Seq[(Int, Long)]] = {
+    val v = version.getOrElse(currentVersion(path))
+    if (v == 0) Map.empty
+    else manifestLines(path, v).filter(_.startsWith("#null|")).map { line =>
+      val c = line.split('|')
+      c(1) -> c(2).split(';').toSeq.map { part =>
+        val p = part.split(':')
+        (p(0).toInt, p(1).toLong)
+      }
+    }.toMap
+  }
+
   /** EQUALITY DELETES of a version (`#eq|<file>|<fieldId>|<seq>`
     * headers): value-keyed tombstones — "drop every row whose FIELD
     * equals one of these values" — the Iceberg-v2 equality-delete
@@ -336,7 +357,8 @@ object SinkSource {
       atVersion: Option[Int] = None,
       addEq: Option[(String, Int)] = None,
       eqOverride: Option[Seq[(String, Int, Int)]] = None,
-      carrySeqs: Map[String, Int] = Map.empty): Int = {
+      carrySeqs: Map[String, Int] = Map.empty,
+      newNulls: Map[String, Seq[(Int, Long)]] = Map.empty): Int = {
     val f = fs(path)
     val root = new Path(path)
     f.mkdirs(root)
@@ -427,6 +449,18 @@ object SinkSource {
         s"#stat|$file|$body\n"
       }
     }.mkString
+    // NULL COUNTS carry exactly like the zone maps: immutable
+    // metadata of a file's bytes, carried for cited files, taken
+    // from the writer for new ones, dropped with the files that left
+    val prevNulls = if (next == 1) Map.empty[String, Seq[(Int, Long)]]
+      else manifestNulls(path, Some(next - 1))
+    val nullHeader = entries.map(_._2).distinct.sorted.flatMap { file =>
+      prevNulls.get(file).orElse(newNulls.get(file)).map { ns =>
+        val body = ns.sortBy(_._1)
+          .map { case (id, n) => s"$id:$n" }.mkString(";")
+        s"#null|$file|$body\n"
+      }
+    }.mkString
     // EQUALITY DELETES: carried forward (or overridden by rollback,
     // which restores a snapshot's exact tombstone state), extended by
     // this commit's `addEq`, and PRUNED when dead — an eq delete whose
@@ -463,7 +497,7 @@ object SinkSource {
         if (s == 0) None else Some(s"#seq|$f|$s\n")
       }.mkString
     val header = tsHeader + schemaHeader + dvHeader + statHeader +
-      eqHeader + seqHeader +
+      nullHeader + eqHeader + seqHeader +
       ledger.toSeq.sorted
       .map { case (q, e) => s"#txn|$q|$e\n" }.mkString
     val body = header + entries.sortBy(e => (e._1, e._2))
@@ -1012,7 +1046,8 @@ class SinkCatalog extends CatalogPlugin with TableCatalog
     * Constraints are metadata: a name + predicate SQL line per entry.
     */
   override def capabilities(): util.Set[TableCatalogCapability] =
-    Set(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT).asJava
+    Set(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE).asJava
 
   /** SCHEMA EVOLUTION (round-16 judge ask): `ALTER TABLE ADD/RENAME/
     * DROP COLUMN` is a METADATA-ONLY publish — the new field list is
@@ -1090,12 +1125,20 @@ class SinkCatalog extends CatalogPlugin with TableCatalog
         if (!add.isNullable)
           throw new UnsupportedOperationException(
             "added columns must be nullable: files written before the " +
-              "ALTER read NULL for them")
+              "ALTER read NULL (or the declared DEFAULT) for them")
         if (add.position() != null)
           throw new UnsupportedOperationException(
             "positioned ADD COLUMN is not supported (columns append)")
+        // INITIAL DEFAULT (Iceberg's model, frozen at ADD time): the
+        // literal is validated HERE — a read must never meet an
+        // unparseable default — and stored as SQL text with the field
+        val dflt = Option(add.defaultValue()).map { dv =>
+          val sql = dv.getSql
+          SinkSchemas.literalValue(sql, add.dataType()) // validates
+          sql
+        }
         fields = fields :+ SinkSchemas.SinkField(
-          SinkSchemas.maxFieldId(path) + 1, name, add.dataType())
+          SinkSchemas.maxFieldId(path) + 1, name, add.dataType(), dflt)
       case ren: TableChange.RenameColumn =>
         val name = single(ren.fieldNames(), "RENAME COLUMN")
         val f = fields.find(_.name == name).getOrElse(
@@ -1587,6 +1630,11 @@ private[sources] object SinkZoneMaps {
       case LessThan(a, v) => longField(a) && isLong(v)
       case LessThanOrEqual(a, v) => longField(a) && isLong(v)
       case In(a, vs) => longField(a) && vs.nonEmpty && vs.forall(isLong)
+      // null-keyed leaves prune from the `#null` counts, not min/max:
+      // a ZERO nulls record proves IS NULL can't match; nulls == rows
+      // proves IS NOT NULL can't
+      case IsNull(a) => longField(a)
+      case IsNotNull(a) => longField(a)
       case _ => false
     }
   }
@@ -1612,6 +1660,8 @@ private[sources] object SinkZoneMaps {
     case LessThan(a, _) => a
     case LessThanOrEqual(a, _) => a
     case In(a, _) => a
+    case IsNull(a) => a
+    case IsNotNull(a) => a
     case _ => ""
   }
 
@@ -1625,19 +1675,37 @@ private[sources] object SinkZoneMaps {
 
   /** True iff every pushed conjunct could match the file: the key's
     * zone map is the manifest entry itself (one key per file by
-    * layout), everything else reads the `#stat` header; a missing
-    * stat means "cannot skip". */
+    * layout), range leaves read the `#stat` header, null-keyed leaves
+    * read the `#null` counts against the file's exact row count; a
+    * missing stat/record means "cannot skip". */
   def mightMatch(keys: Seq[Long],
       stats: Option[Seq[(Int, Long, Long)]],
-      conjuncts: Seq[(Int, Filter)]): Boolean =
+      conjuncts: Seq[(Int, Filter)],
+      nulls: Option[Seq[(Int, Long)]] = None,
+      rows: Long = -1L): Boolean =
     conjuncts.forall { case (id, c) =>
-      val range =
-        if (id == 1) Some((keys.min, keys.max))
-        else stats.flatMap(_.find(_._1 == id)
-          .map { case (_, mn, mx) => (mn, mx) })
-      range match {
-        case Some((mn, mx)) => overlaps(mn, mx, c)
-        case None => true
+      c match {
+        case IsNull(_) =>
+          if (id == 1) false // the layout key is non-nullable
+          else nulls.flatMap(_.find(_._1 == id)) match {
+            case Some((_, n)) => n > 0
+            case None => true
+          }
+        case IsNotNull(_) =>
+          if (id == 1) true
+          else nulls.flatMap(_.find(_._1 == id)) match {
+            case Some((_, n)) => rows < 0 || n < rows
+            case None => true
+          }
+        case _ =>
+          val range =
+            if (id == 1) Some((keys.min, keys.max))
+            else stats.flatMap(_.find(_._1 == id)
+              .map { case (_, mn, mx) => (mn, mx) })
+          range match {
+            case Some((mn, mx)) => overlaps(mn, mx, c)
+            case None => true
+          }
       }
     }
 }
@@ -1746,6 +1814,8 @@ class SinkCompactProcedure(root: String, mor: Boolean = false)
           }
           val compactedStats = scratchStats.map { case (fl, ss) =>
             s"c${tag}_$fl" -> ss }
+          val compactedNulls = SinkSource.manifestNulls(scratch.toString)
+            .map { case (fl, ns) => s"c${tag}_$fl" -> ns }
           val kept = m.filterNot { case (k, _, _) => targets.contains(k) }
           val replaced = m.filter { case (k, _, _) => targets.contains(k) }
             .map(_._2).toSet
@@ -1753,7 +1823,8 @@ class SinkCompactProcedure(root: String, mor: Boolean = false)
           // the rewrite; the new sidecar keeps only survivors
           SinkSource.writeManifest(path, kept ++ compacted,
             Some(dvd.filterNot { case (df, _) => replaced.contains(df) }),
-            newFileSchemaId = Some(curSid), newStats = compactedStats)
+            newFileSchemaId = Some(curSid), newStats = compactedStats,
+            newNulls = compactedNulls)
           SinkSource.gcData(path, replaced)
           dvd.filter { case (df, _) => replaced.contains(df) }
             .foreach { case (_, dv) =>
@@ -2236,7 +2307,8 @@ class SinkRollbackProcedure(root: String)
               newStats = SinkSource.manifestStats(path, Some(v)),
               carrySids = SinkSource.manifestSids(path, Some(v)),
               eqOverride = Some(SinkSource.eqDeletes(path, Some(v))),
-              carrySeqs = SinkSource.fileSeqs(path, Some(v)))
+              carrySeqs = SinkSource.fileSeqs(path, Some(v)),
+              newNulls = SinkSource.manifestNulls(path, Some(v)))
             cur + 1
           }
         val row: InternalRow = new GenericInternalRow(Array[Any](
@@ -2350,11 +2422,14 @@ class SinkRewriteProcedure(root: String, mor: Boolean = false)
         }
         val rewrittenStats = scratchStats.map { case (fl, ss) =>
           s"z${tag}_$fl" -> ss }
+        val rewrittenNulls = SinkSource.manifestNulls(scratch.toString)
+          .map { case (fl, ns) => s"z${tag}_$fl" -> ns }
         val oldFiles = m.map(_._2).distinct
         val oldVecs = SinkSource.deleteSidecar(path).map(_._2).distinct
         // full swap: every entry is new, tombstones are materialized
         SinkSource.writeManifest(path, rewritten, Some(Seq.empty),
-          newFileSchemaId = Some(curSid), newStats = rewrittenStats)
+          newFileSchemaId = Some(curSid), newStats = rewrittenStats,
+          newNulls = rewrittenNulls)
         SinkSource.gcData(path, oldFiles)
         oldVecs.foreach { dv =>
           try f.delete(new Path(path, s"deletes/$dv"), false)
@@ -2440,9 +2515,11 @@ class SinkBranchProcedure(root: String)
           (k, s"${SinkSource.BorrowedPrefix}$fl", n) }
         val stats = SinkSource.manifestStats(path).map { case (fl, ss) =>
           s"${SinkSource.BorrowedPrefix}$fl" -> ss }
+        val nulls = SinkSource.manifestNulls(path).map { case (fl, ns) =>
+          s"${SinkSource.BorrowedPrefix}$fl" -> ns }
         f.mkdirs(branchDir)
         SinkSource.writeManifest(branchDir.toString, borrowed,
-          newStats = stats)
+          newStats = stats, newNulls = nulls)
         SinkSource.writeBranches(path,
           SinkSource.branches(path) + (name -> base))
         val row: InternalRow = new GenericInternalRow(Array[Any](
@@ -2541,9 +2618,11 @@ class SinkFastForwardProcedure(root: String)
           }
         val entries = bEntries.map { case (k, fl, n) => (k, local(fl), n) }
         val stats = bStats.map { case (fl, ss) => local(fl) -> ss }
+        val bNulls = SinkSource.manifestNulls(branchDir.toString)
+        val nulls = bNulls.map { case (fl, ns) => local(fl) -> ns }
         val newV =
           try SinkSource.writeManifest(path, entries, newStats = stats,
-            atVersion = Some(cur + 1))
+            newNulls = nulls, atVersion = Some(cur + 1))
           catch {
             case _: SinkCommitRaceException =>
               throw new SinkConflictException(
@@ -2564,7 +2643,9 @@ class SinkFastForwardProcedure(root: String)
           bEntries.map { case (k, fl, n) =>
             (k, s"${SinkSource.BorrowedPrefix}${local(fl)}", n) },
           newStats = bStats.map { case (fl, ss) =>
-            s"${SinkSource.BorrowedPrefix}${local(fl)}" -> ss })
+            s"${SinkSource.BorrowedPrefix}${local(fl)}" -> ss },
+          newNulls = bNulls.map { case (fl, ns) =>
+            s"${SinkSource.BorrowedPrefix}${local(fl)}" -> ns })
         val row: InternalRow = new GenericInternalRow(Array[Any](
           newV.toLong, moved, bEntries.map(_._3).sum))
         val result: Scan = new LocalScan {
@@ -2659,9 +2740,12 @@ class SinkMorScan(path: String, pinnedVersion: Option[Int],
     else {
       val entries = SinkSource.manifest(path, pinnedVersion)
       val keysByFile = entries.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+      val rowsByFile = entries.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
       val stats = SinkSource.manifestStats(path, pinnedVersion)
+      val nulls = SinkSource.manifestNulls(path, pinnedVersion)
       allFiles.filter(f => SinkZoneMaps.mightMatch(
-        keysByFile(f), stats.get(f), skipFilters))
+        keysByFile(f), stats.get(f), skipFilters,
+        nulls.get(f), rowsByFile.getOrElse(f, -1L)))
     }
   private lazy val dvs: Map[String, Seq[String]] = {
     val v = pinnedVersion.getOrElse(SinkSource.currentVersion(path))
@@ -2797,8 +2881,9 @@ class SinkMorReader(file: String, dvFiles: Seq[String],
               case -1 => fileName
               case -2 => pos
               case _ =>
-                val (p, dt) = plan(i)
-                if (p < 0 || p >= c.length) null
+                val (p, dt, dflt) = plan(i)
+                if (p < 0) dflt // pre-ADD rows read the initial default
+                else if (p >= c.length) null
                 else SinkSchemas.parse(c(p), dt)
             }
             i += 1
@@ -2932,7 +3017,8 @@ class SinkDeltaScan(path: String, op: SinkDeltaOperation,
 
 case class SinkDvCommitMessage(entries: Seq[(String, String)],
     dataEntries: Seq[(Long, String, Long)] = Seq.empty,
-    dataStats: Map[String, Seq[(Int, Long, Long)]] = Map.empty)
+    dataStats: Map[String, Seq[(Int, Long, Long)]] = Map.empty,
+    dataNulls: Map[String, Seq[(Int, Long)]] = Map.empty)
     extends WriterCommitMessage
 
 class SinkDvBatchWrite(path: String, queryId: String,
@@ -2960,6 +3046,9 @@ class SinkDvBatchWrite(path: String, queryId: String,
     }.toSeq
     val appendedStats = messages.flatMap {
       case m: SinkDvCommitMessage => m.dataStats
+    }.toMap
+    val appendedNulls = messages.flatMap {
+      case m: SinkDvCommitMessage => m.dataNulls
     }.toMap
     val f = SinkSource.fs(path)
     val ourFiles = dvs.map(_._1).distinct.toSet
@@ -3023,7 +3112,8 @@ class SinkDvBatchWrite(path: String, queryId: String,
       try {
         SinkSource.writeManifest(path, head ++ appended,
           Some(active), newFileSchemaId = Some(sid),
-          newStats = appendedStats, atVersion = Some(base + 1))
+          newStats = appendedStats, newNulls = appendedNulls,
+          atVersion = Some(base + 1))
         done = true
       } catch { case _: SinkCommitRaceException => /* revalidate + retry */ }
     }
@@ -3086,7 +3176,8 @@ class SinkDvWriter(path: String, queryId: String, partitionId: Int,
     val insertMsg = inserts.commit() match {
       case m: SinkCommitMessage => m
     }
-    SinkDvCommitMessage(entries, insertMsg.entries, insertMsg.stats)
+    SinkDvCommitMessage(entries, insertMsg.entries, insertMsg.stats,
+      insertMsg.nulls)
   }
   override def abort(): Unit = inserts.abort()
   override def close(): Unit = inserts.close()
@@ -3212,6 +3303,9 @@ class SinkReplaceDataWrite(path: String, queryId: String,
     val stats = messages.flatMap {
       case m: SinkCommitMessage => m.stats
     }.toMap
+    val nulls = messages.flatMap {
+      case m: SinkCommitMessage => m.nulls
+    }.toMap
     val replaced = op.scannedFiles.get().toSet
     val f = SinkSource.fs(path)
     def conflictCheck(head: Seq[(Long, String, Long)]): Unit = {
@@ -3264,7 +3358,7 @@ class SinkReplaceDataWrite(path: String, queryId: String,
       try {
         SinkSource.writeManifest(path, kept ++ committed,
           newFileSchemaId = Some(sid), newStats = stats,
-          atVersion = Some(base + 1))
+          newNulls = nulls, atVersion = Some(base + 1))
         done = true
       } catch { case _: SinkCommitRaceException => /* revalidate + retry */ }
     }
@@ -3302,7 +3396,7 @@ class SinkScanBuilder(path: String, pinnedVersion: Option[Int],
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
-  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, AggregateFunc, CountStar, Min, Max}
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, AggregateFunc, Count, CountStar, Min, Max}
   import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder => V2SortOrder}
   import org.apache.spark.sql.sources.Filter
 
@@ -3334,9 +3428,11 @@ class SinkScanBuilder(path: String, pinnedVersion: Option[Int],
   // pushes and plain scans never pay them) ------------------------------
   private lazy val aggEntries = SinkSource.manifest(path, pinnedVersion)
   private lazy val aggStats = SinkSource.manifestStats(path, pinnedVersion)
+  private lazy val aggNulls = SinkSource.manifestNulls(path, pinnedVersion)
   private lazy val aggTombstoned = {
     val v = pinnedVersion.getOrElse(SinkSource.currentVersion(path))
-    SinkSource.deleteSidecar(path, Some(v)).nonEmpty
+    SinkSource.deleteSidecar(path, Some(v)).nonEmpty ||
+      SinkSource.eqDeletes(path, Some(v)).nonEmpty
   }
 
   /** TOP-N pushdown (`ORDER BY ... LIMIT n`): each partition reader
@@ -3419,6 +3515,10 @@ class SinkScanBuilder(path: String, pinnedVersion: Option[Int],
         .map(f => SinkMinSpec(f.id, f.name))
       case m: Max => fieldOf(m.children())
         .map(f => SinkMaxSpec(f.id, f.name))
+      // COUNT(col) = rows − nulls, both exact commit metadata; the
+      // DISTINCT form has no metadata answer and falls back
+      case c: Count if !c.isDistinct => fieldOf(c.children())
+        .map(f => SinkCountColSpec(f.id, f.name))
       case _ => None
     }
   }
@@ -3443,6 +3543,27 @@ class SinkScanBuilder(path: String, pinnedVersion: Option[Int],
         aggEntries.map(_._2).distinct.forall { file =>
           (minMaxIds - 1).forall(id =>
             aggStats.get(file).exists(_.exists(_._1 == id)))
+        }
+      if (!ok) return None
+    }
+    // GROUPED min/max/count read PER-FILE metadata per key group —
+    // sound only on the one-key-per-file layout the writer enforces.
+    // Prove it rather than assume it (a hand-crafted or future
+    // multi-key file must fall back to the row scan, not mis-group).
+    val perFileStats = minMaxIds.nonEmpty ||
+      flat.exists(_.isInstanceOf[SinkCountColSpec])
+    if (groups.nonEmpty && perFileStats &&
+        aggEntries.groupBy(_._2).exists(_._2.map(_._1).distinct.size > 1))
+      return None
+    val countIds = flat.collect { case SinkCountColSpec(id, _) => id }.toSet
+    if (countIds.nonEmpty) {
+      // COUNT(col) needs the same proof discipline: no tombstones,
+      // and every cited file carries a NULL record for every asked
+      // field (the key is non-nullable — its count is the row count)
+      val ok = !aggTombstoned &&
+        aggEntries.map(_._2).distinct.forall { file =>
+          (countIds - 1).forall(id =>
+            aggNulls.get(file).exists(_.exists(_._1 == id)))
         }
       if (!ok) return None
     }
@@ -3529,6 +3650,8 @@ private[sources] case class SinkMinSpec(fieldId: Int, name: String)
     extends SinkAggSpec
 private[sources] case class SinkMaxSpec(fieldId: Int, name: String)
     extends SinkAggSpec
+private[sources] case class SinkCountColSpec(fieldId: Int, name: String)
+    extends SinkAggSpec
 
 /** The pushed-aggregate scan: rows come straight from manifest
   * arithmetic on the driver; the single input partition carries the
@@ -3545,6 +3668,8 @@ class SinkManifestAggScan(path: String, pinnedVersion: Option[Int],
       StructField(s"min($n)", LongType, nullable = false)
     case SinkMaxSpec(_, n) =>
       StructField(s"max($n)", LongType, nullable = false)
+    case SinkCountColSpec(_, n) =>
+      StructField(s"count($n)", LongType, nullable = false)
   }
 
   override def readSchema(): StructType = StructType(
@@ -3556,6 +3681,7 @@ class SinkManifestAggScan(path: String, pinnedVersion: Option[Int],
   private lazy val answer: Seq[Array[Long]] = {
     val m = SinkSource.manifest(path, pinnedVersion)
     lazy val stats = SinkSource.manifestStats(path, pinnedVersion)
+    lazy val nulls = SinkSource.manifestNulls(path, pinnedVersion)
     // the builder proved coverage; a gap here is a protocol bug, and
     // a loud failure beats a silently wrong extreme
     def statOf(file: String, id: Int): (Long, Long) =
@@ -3563,12 +3689,24 @@ class SinkManifestAggScan(path: String, pinnedVersion: Option[Int],
         .map { case (_, mn, mx) => (mn, mx) }
         .getOrElse(throw new IllegalStateException(
           s"pushed MIN/MAX lost its stat for field $id of $file under $path"))
+    def nullOf(file: String, id: Int): Long =
+      nulls.get(file).flatMap(_.find(_._1 == id)).map(_._2)
+        .getOrElse(throw new IllegalStateException(
+          s"pushed COUNT lost its null record for field $id of $file " +
+            s"under $path"))
     def eval(es: Seq[(Long, String, Long)], s: SinkAggSpec): Long = s match {
       case SinkCountStarSpec => es.map(_._3).sum
       case SinkMinSpec(1, _) => es.map(_._1).min
       case SinkMaxSpec(1, _) => es.map(_._1).max
       case SinkMinSpec(id, _) => es.map(_._2).distinct.map(statOf(_, id)._1).min
       case SinkMaxSpec(id, _) => es.map(_._2).distinct.map(statOf(_, id)._2).max
+      // COUNT(col) = rows − nulls; the key is non-nullable, so its
+      // count IS the row count. Per-file nulls are whole-file facts —
+      // the builder proved one-key-per-file before pushing a grouped
+      // form, so file facts and group facts coincide.
+      case SinkCountColSpec(1, _) => es.map(_._3).sum
+      case SinkCountColSpec(id, _) =>
+        es.map(_._3).sum - es.map(_._2).distinct.map(nullOf(_, id)).sum
     }
     if (groupByK)
       m.groupBy(_._1).toSeq.sortBy(_._1)
@@ -3660,9 +3798,12 @@ class SinkScan(path: String, pinnedVersion: Option[Int] = None,
     else {
       val entries = SinkSource.manifest(path, pinnedVersion)
       val keysByFile = entries.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+      val rowsByFile = entries.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
       val stats = SinkSource.manifestStats(path, pinnedVersion)
+      val nulls = SinkSource.manifestNulls(path, pinnedVersion)
       allFiles.filter(f => SinkZoneMaps.mightMatch(
-        keysByFile(f), stats.get(f), skipFilters))
+        keysByFile(f), stats.get(f), skipFilters,
+        nulls.get(f), rowsByFile.getOrElse(f, -1L)))
     }
 
   override def description(): String =
@@ -3955,9 +4096,10 @@ class SinkReader(file: String, plainLimit: Option[Int] = None,
     val out = new Array[Any](plan.length)
     var i = 0
     while (i < plan.length) {
-      val (pos, dt) = plan(i)
+      val (pos, dt, dflt) = plan(i)
       out(i) =
-        if (pos < 0 || pos >= c.length) null
+        if (pos < 0) dflt // pre-ADD rows read the initial default
+        else if (pos >= c.length) null
         else SinkSchemas.parse(c(pos), dt)
       i += 1
     }
@@ -4127,7 +4269,8 @@ class SinkBucketBound
   * for scan-time file skipping and metadata-only MIN/MAX.
   */
 case class SinkCommitMessage(entries: Seq[(Long, String, Long)],
-    stats: Map[String, Seq[(Int, Long, Long)]] = Map.empty)
+    stats: Map[String, Seq[(Int, Long, Long)]] = Map.empty,
+    nulls: Map[String, Seq[(Int, Long)]] = Map.empty)
     extends WriterCommitMessage
 
 class SinkBatchWrite(path: String, queryId: String, truncate: Boolean,
@@ -4158,6 +4301,9 @@ class SinkBatchWrite(path: String, queryId: String, truncate: Boolean,
     }.toSeq
     val stats = messages.flatMap {
       case m: SinkCommitMessage => m.stats
+    }.toMap
+    val nulls = messages.flatMap {
+      case m: SinkCommitMessage => m.nulls
     }.toMap
     val f = SinkSource.fs(path)
     val dataDir = new Path(path, "data")
@@ -4200,7 +4346,7 @@ class SinkBatchWrite(path: String, queryId: String, truncate: Boolean,
         SinkSource.writeManifest(path, prior ++ committed, txn = txn,
           schemaId = if (declareSchema) Some(sid) else None,
           newFileSchemaId = Some(sid), newStats = stats,
-          atVersion = Some(base + 1))
+          newNulls = nulls, atVersion = Some(base + 1))
         publishedFiles = (prior ++ committed).map(_._2).toSet
         published = true
       } catch { case _: SinkCommitRaceException => /* re-plan + retry */ }
@@ -4345,6 +4491,10 @@ class SinkWriter(path: String, queryId: String, partitionId: Int,
   private val mins = scala.collection.mutable.Map.empty[Long, Array[Long]]
   private val maxs = scala.collection.mutable.Map.empty[Long, Array[Long]]
   private val seen = scala.collection.mutable.Map.empty[Long, Array[Boolean]]
+  // NULL COUNTS per stat field — exact (unlike min/max, zero is a
+  // claim: "no row of this file is NULL here"), which is what backs
+  // COUNT(col) pushdown and IS NULL / IS NOT NULL file skipping
+  private val nullCnt = scala.collection.mutable.Map.empty[Long, Array[Long]]
 
   override def write(record: InternalRow): Unit = {
     // row-level rewrites (ReplaceData) prepend engine bookkeeping
@@ -4370,6 +4520,7 @@ class SinkWriter(path: String, queryId: String, partitionId: Int,
       val mn = mins.getOrElseUpdate(k, Array.fill(statFields.length)(Long.MaxValue))
       val mx = maxs.getOrElseUpdate(k, Array.fill(statFields.length)(Long.MinValue))
       val sn = seen.getOrElseUpdate(k, Array.fill(statFields.length)(false))
+      val nc = nullCnt.getOrElseUpdate(k, Array.fill(statFields.length)(0L))
       var j = 0
       while (j < statFields.length) {
         val (pos, _) = statFields(j)
@@ -4378,7 +4529,7 @@ class SinkWriter(path: String, queryId: String, partitionId: Int,
           if (value < mn(j)) mn(j) = value
           if (value > mx(j)) mx(j) = value
           sn(j) = true
-        }
+        } else nc(j) += 1
         j += 1
       }
     }
@@ -4406,7 +4557,15 @@ class SinkWriter(path: String, queryId: String, partitionId: Int,
       }
       if (perField.isEmpty) None else Some(name -> perField.toSeq)
     }.toMap
-    SinkCommitMessage(entries, stats)
+    // null counts are emitted for EVERY stat field of every staged
+    // file — the zero entries carry the proof value
+    val nulls = entries.flatMap { case (k, name, _) =>
+      val perField = statFields.indices.map { j =>
+        (statFields(j)._2, nullCnt.get(k).map(_(j)).getOrElse(0L))
+      }
+      if (perField.isEmpty) None else Some(name -> perField)
+    }.toMap
+    SinkCommitMessage(entries, stats, nulls)
   }
 
   override def abort(): Unit = ()
