@@ -18,23 +18,21 @@ object Bench {
     * is loud, not silent.
     */
   val priorCostCs: Array[Int] = Array(
-    131,19,23,119,36,27,64,30,14,13,11,13,25,23,61,9,39,96,38,52,30,51,26,56,
-    94,150,39,48,33,51,47,30,43,33,38,32,14,26,196,49,125,223,101,50,116,107,
-    93,121,65,24,125,42,45,97,54,52,33,35,59,61,18,42,64,53,32,72,52,101,48,
-    47,34,140,279,30,39,13,53,62,81,97,83,97,110,169,49,94,65,73,147,46,179,
-    50,24,70,126,158,44,58,56,187,42,31,97,79,45,38,106,53,69,68,54,44,138,34,
-    86,36,50,92,30,141,124,112,70,34,36,38,41,64,112,35,32,44,16,17,17,17,180,
-    58,57,53,57,45,76,95,86,278,169,41,64,42,137,45,215,107,155,15,107,148,55,
-    63,48,46,167,105,67,37,304,46,55,29,63,185,39,50,96,24,54,96,69,63,49,172,
-    123,222,146,38,84,81,201,142,67,228,163,151,346,63,41,84,15,151,106,54,63,
-    53,85,108,118,102,55,36,43,63,64,39,88,54,48,36,61,36,32,44,52,66,61,50,
-    176,61,75,54,114,37,47,27,34,120,54,68,220,160,86,80,41,190,17,37,63,19,
-    11,101,39,27,264,21,22,242,67,37,22,80,102,139,99,128,50,26,162,27,160,64,
-    104,323,38,138,246,306,174,152,220,285,218,169,153,142,175,121,135,243,70,
-    69,140,249,154,71,73,232,327,201,140,452,150,
-    // provisional entries for this session's additions (q302+) —
-    // replaced wholesale by the closing gen_cost_table.py --apply run
-    250,250,250,250,250,250,250,250)
+    135,13,19,112,51,23,38,31,16,21,21,14,25,18,57,9,30,93,37,44,38,55,29,69,
+    110,165,39,43,45,53,48,30,40,48,43,33,15,19,159,49,170,244,111,35,181,114,
+    81,107,75,28,100,40,36,99,46,63,56,47,62,62,14,69,60,57,42,82,42,92,51,41,
+    33,138,321,37,37,16,43,64,72,105,81,102,169,183,53,82,49,96,137,44,168,42,
+    30,77,96,270,44,34,50,247,54,43,103,75,51,37,128,57,76,63,74,56,141,41,
+    111,57,56,83,47,136,112,122,66,47,55,30,64,64,123,62,64,45,19,14,13,13,
+    212,54,66,48,65,86,71,94,105,332,233,52,41,58,118,38,299,132,169,24,108,
+    123,74,66,33,43,219,103,92,35,374,37,63,40,59,195,42,56,87,34,78,85,70,94,
+    60,155,140,280,155,35,77,57,194,92,57,267,256,128,379,63,45,99,19,147,107,
+    52,65,59,121,94,111,81,63,38,41,64,49,31,78,75,60,32,59,51,38,42,55,76,46,
+    52,174,75,77,62,118,48,71,36,40,114,54,77,270,219,92,73,41,233,16,33,58,
+    13,13,113,34,31,334,19,20,272,65,34,19,83,111,147,127,132,44,31,193,32,
+    187,72,100,395,54,175,350,335,263,134,292,350,232,234,132,122,220,145,114,
+    287,118,89,124,327,186,71,63,346,470,277,197,637,357,212,310,211,344,314,
+    262,233,217)
 
   def costOf(name: String): Int = {
     val n = name.takeWhile(_ != '_').drop(1).toInt
@@ -96,8 +94,8 @@ object Bench {
     // Janino + JIT cost (the 0.3–2 s fixed tier — round-8's driver run
     // exhausted the budget mid-alphabet and every later query's timed
     // number silently absorbed it) at a bounded per-query price.
-    // 1500 s covers the full registry's warm passes (300 queries as
-    // of the round-16 continuation, ~0.9 s/query timed ≈ 5× margin) at
+    // 1500 s covers the full registry's warm passes (309 queries as
+    // of the round-16 continuation, ~1.0 s/query timed ≈ 4× margin) at
     // sf0.1: round 9's 600 s exhausted right before the
     // q8x block (the ~100 q1xx names sort FIRST and absorb the
     // budget), so q82's timed pass paid its sf0.1 .cache() fill — the
