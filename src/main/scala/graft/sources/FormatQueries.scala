@@ -3146,7 +3146,91 @@ object FormatQueries {
       |  CAST(1 AS BIGINT) AS set_default_refused
       |FROM t GROUP BY k ORDER BY k""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q310 — BLOOM FILTER INDEXES (`CALL build_bloom('t', 'v', bits)`):
+  // the skipping mechanism for POINT lookups clustering can't help —
+  // q306's rewrite makes RANGE predicates prunable, but a `v IN (...)`
+  // needle hunt on an append-grown table still opens every file
+  // (each spans the domain, zone maps prove nothing: the flag rides
+  // the hash). The build is one distributed pass — a task per file
+  // hashes the column into a bitset sized from the manifest's exact
+  // row count, written as a sidecar under blooms/ (the Iceberg-puffin
+  // shape) — and the publish is one CAS commit of `#bloom` headers.
+  // The scan then probes candidate files' bitsets at PLAN time: a
+  // bloom can prove absence (no false negatives), so files whose
+  // bitsets reject every asked value are never planned — pinned with
+  // the physical-delete kill-shot. The three needles are chosen by a
+  // deterministic rule the oracle replays (smallest ids ≡ 5 mod 97).
+  // Scale notes (100 TB): needle-in-haystack reads (doc-id lookups,
+  // revocation checks) are the access pattern zone maps structurally
+  // miss on unclustered tables; per-file blooms turn them from
+  // full-table opens into a handful of files at ~10 bits/row of
+  // sidecar metadata, probed with candidate-proportional small reads.
+  def q310BloomIndex(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(s.conf.set(k, v)) }
+    val root = ShardPaths.resolve(s, "q310", dir)
+    SinkSource.fs(root).delete(new org.apache.hadoop.fs.Path(root), true)
+    val t = s"$root/t"
+    val ev = Tables.events(s, dir)
+    // append-grown, unclustered: every file spans the v domain
+    (0 until 4).foreach(i =>
+      SinkSource.write(ev.filter(col("event_id") % 4 === i)
+        .select((col("event_id") % 5).as("k"), col("event_id").as("v"))
+        .repartition(4, col("k")),
+        t, overwrite = i == 0))
+    // the needles: a deterministic, oracle-replayable choice
+    val targets = ev.filter(col("event_id") % 97 === 5)
+      .select(col("event_id")).orderBy(col("event_id"))
+      .limit(3).collect().map(_.getLong(0)).toSeq
+    // zone maps prove nothing for the needles (every file's v-range
+    // covers them)
+    val stats = SinkSource.manifestStats(t)
+    val zoneRuled = SinkSource.manifest(t).map(_._2).distinct.filter(fl =>
+      stats.get(fl).exists(_.exists { case (id, mn, mx) =>
+        id == 2 && targets.forall(x => x < mn || x > mx) }))
+    val zoneUseless = if (zoneRuled.isEmpty) 1L else 0L
+    s.conf.set("spark.sql.catalog.graft_bl", classOf[SinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_bl.root", root)
+    s.sql("CALL graft_bl.build_bloom('t', 'v', 10)").collect()
+    // files whose blooms reject every needle — then the kill-shot
+    val blooms = SinkSource.manifestBlooms(t)
+    val cache = scala.collection.mutable.Map.empty[String, Array[Byte]]
+    val ruled = SinkSource.manifest(t).map(_._2).distinct.filter { fl =>
+      blooms.get(fl).exists(_.exists { case (fid, m, k, bf) =>
+        fid == 2 && targets.forall { x =>
+          val bits = cache.getOrElseUpdate(bf, SinkSource.readBloom(t, bf))
+          !SinkSource.SinkBloom.mightContain(bits, m, k, x)
+        }
+      })
+    }
+    val bloomSkips = if (ruled.nonEmpty) 1L else 0L
+    val f = SinkSource.fs(root)
+    ruled.foreach(fl =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$t/data/$fl"), false))
+    SinkSource.load(s, t)
+      .filter(col("v").isInCollection(targets))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
+      .withColumn("zone_useless", lit(zoneUseless))
+      .withColumn("bloom_skips", lit(bloomSkips))
+      .orderBy(col("k"))
+  }
+
+  val q310Oracle: String =
+    """WITH needles AS (
+      |  SELECT event_id FROM events WHERE event_id % 97 = 5
+      |  ORDER BY event_id LIMIT 3)
+      |SELECT event_id % 5 AS k, COUNT(*) AS n_rows,
+      |  CAST(SUM(event_id) AS BIGINT) AS sum_v,
+      |  CAST(1 AS BIGINT) AS zone_useless,
+      |  CAST(1 AS BIGINT) AS bloom_skips
+      |FROM events WHERE event_id IN (SELECT event_id FROM needles)
+      |GROUP BY 1 ORDER BY k""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q310_bloom_index" -> q310BloomIndex,
     "q309_column_defaults" -> q309ColumnDefaults,
     "q308_null_stats" -> q308NullStats,
     "q307_branches" -> q307Branches,
@@ -3202,6 +3286,7 @@ object FormatQueries {
     "q64_schema_evolution" -> q64SchemaEvolution)
 
   def oracleSql: Map[String, String] = Map(
+    "q310_bloom_index" -> q310Oracle,
     "q309_column_defaults" -> q309Oracle,
     "q308_null_stats" -> q308Oracle,
     "q307_branches" -> q307Oracle,

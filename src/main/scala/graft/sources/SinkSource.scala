@@ -358,7 +358,9 @@ object SinkSource {
       addEq: Option[(String, Int)] = None,
       eqOverride: Option[Seq[(String, Int, Int)]] = None,
       carrySeqs: Map[String, Int] = Map.empty,
-      newNulls: Map[String, Seq[(Int, Long)]] = Map.empty): Int = {
+      newNulls: Map[String, Seq[(Int, Long)]] = Map.empty,
+      newBlooms: Map[String, Seq[(Int, Int, Int, String)]] = Map.empty)
+      : Int = {
     val f = fs(path)
     val root = new Path(path)
     f.mkdirs(root)
@@ -496,8 +498,21 @@ object SinkSource {
         val s = seqOf(f)
         if (s == 0) None else Some(s"#seq|$f|$s\n")
       }.mkString
+    // BLOOM headers: carried like stats (a bloom describes immutable
+    // file bytes), taken from the builder for newly-indexed files,
+    // dropped with the files that left — the bitsets themselves stay
+    // in their sidecars
+    val prevBlooms = if (next == 1)
+      Map.empty[String, Seq[(Int, Int, Int, String)]]
+      else manifestBlooms(path, Some(next - 1))
+    val bloomHeader = entries.map(_._2).distinct.sorted.flatMap { file =>
+      prevBlooms.get(file).orElse(newBlooms.get(file)).map { bs =>
+        bs.sortBy(_._1).map { case (fid, m, k, bf) =>
+          s"#bloom|$file|$fid|$m|$k|$bf\n" }.mkString
+      }
+    }.mkString
     val header = tsHeader + schemaHeader + dvHeader + statHeader +
-      nullHeader + eqHeader + seqHeader +
+      nullHeader + bloomHeader + eqHeader + seqHeader +
       ledger.toSeq.sorted
       .map { case (q, e) => s"#txn|$q|$e\n" }.mkString
     val body = header + entries.sortBy(e => (e._1, e._2))
@@ -653,6 +668,73 @@ object SinkSource {
     if (f.exists(dest)) f.delete(dest, false)
     if (!f.rename(tmp, dest))
       throw new IllegalStateException(s"tag publish failed under $path")
+  }
+
+  // ---- bloom filters ------------------------------------------------------
+
+  /** Per-file BLOOM FILTERS of a version (`#bloom|<file>|<fieldId>|
+    * <m>|<k>|<bloomFile>` headers): the skipping mechanism for POINT
+    * lookups on columns clustering can't help — zone maps prune by
+    * range, useless when every file spans the domain; a bloom answers
+    * "value definitely absent from this file" for = / IN leaves
+    * whatever the layout. The bitsets live in SIDECAR files under
+    * blooms/ (the Iceberg-puffin shape) so manifests stay
+    * metadata-sized; headers carry forward like stats (a bloom
+    * describes immutable file bytes) and drop with their files.
+    * Returns file → (fieldId, mBits, kHashes, bloomFile). */
+  private[graft] def manifestBlooms(path: String,
+      version: Option[Int] = None): Map[String, Seq[(Int, Int, Int, String)]] = {
+    val v = version.getOrElse(currentVersion(path))
+    if (v == 0) Map.empty
+    else manifestLines(path, v).filter(_.startsWith("#bloom|"))
+      .map { line =>
+        val c = line.split('|')
+        (c(1), (c(2).toInt, c(3).toInt, c(4).toInt, c(5)))
+      }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+  }
+
+  /** Double-hashing bloom arithmetic over BIGINT values — shared by
+    * the builder and the plan-time prober. Deterministic (no seeds to
+    * drift between build and probe). */
+  private[sources] object SinkBloom {
+    private def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def add(bits: Array[Byte], m: Int, k: Int, v: Long): Unit = {
+      val h1 = mix(v); val h2 = mix(v ^ 0x5851f42d4c957f2dL) | 1L
+      var i = 0
+      while (i < k) {
+        val bit = java.lang.Long.remainderUnsigned(h1 + i * h2, m).toInt
+        bits(bit >>> 3) = (bits(bit >>> 3) | (1 << (bit & 7))).toByte
+        i += 1
+      }
+    }
+    def mightContain(bits: Array[Byte], m: Int, k: Int, v: Long): Boolean = {
+      val h1 = mix(v); val h2 = mix(v ^ 0x5851f42d4c957f2dL) | 1L
+      var i = 0
+      while (i < k) {
+        val bit = java.lang.Long.remainderUnsigned(h1 + i * h2, m).toInt
+        if ((bits(bit >>> 3) & (1 << (bit & 7))) == 0) return false
+        i += 1
+      }
+      true
+    }
+  }
+
+  /** Read a bloom sidecar's bitset. */
+  private[sources] def readBloom(path: String, name: String): Array[Byte] = {
+    val f = fs(path)
+    val in = f.open(new Path(path, s"blooms/$name"))
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
   }
 
   // ---- branches ---------------------------------------------------------
@@ -929,7 +1011,8 @@ class SinkCatalog extends CatalogPlugin with TableCatalog
       Identifier.of(Array.empty, "rewrite_clustered"),
       Identifier.of(Array.empty, "branch"),
       Identifier.of(Array.empty, "fast_forward"),
-      Identifier.of(Array.empty, "drop_branch"))
+      Identifier.of(Array.empty, "drop_branch"),
+      Identifier.of(Array.empty, "build_bloom"))
 
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
@@ -951,6 +1034,8 @@ class SinkCatalog extends CatalogPlugin with TableCatalog
       new SinkFastForwardProcedure(root)
     else if (ident.namespace.isEmpty && ident.name == "drop_branch")
       new SinkDropBranchProcedure(root)
+    else if (ident.namespace.isEmpty && ident.name == "build_bloom")
+      new SinkBloomProcedure(root)
     else
       throw new java.util.NoSuchElementException(s"unknown procedure: $ident")
   }
@@ -1665,6 +1750,34 @@ private[sources] object SinkZoneMaps {
     case _ => ""
   }
 
+  /** BLOOM probing at plan time: true iff some = / IN conjunct's
+    * bloom PROVES every asked value absent from the file. Bitsets are
+    * read lazily per bloom sidecar and cached for the planning pass
+    * (candidate-files-proportional small reads — the parquet-footer
+    * access shape). Absence of a header, a non-point leaf, or a bloom
+    * hit all mean "cannot skip". */
+  def bloomRejects(path: String, file: String,
+      blooms: Map[String, Seq[(Int, Int, Int, String)]],
+      conjuncts: Seq[(Int, Filter)],
+      cache: scala.collection.mutable.Map[String, Array[Byte]]): Boolean =
+    conjuncts.exists { case (id, c) =>
+      blooms.get(file).flatMap(_.find(_._1 == id)) match {
+        case Some((_, m, k, bf)) =>
+          def absent(v: Any): Boolean = {
+            val bits = cache.getOrElseUpdate(bf,
+              SinkSource.readBloom(path, bf))
+            !SinkSource.SinkBloom.mightContain(bits, m, k,
+              v.asInstanceOf[Number].longValue)
+          }
+          c match {
+            case EqualTo(_, v) => absent(v)
+            case In(_, vs) => vs.nonEmpty && vs.forall(absent)
+            case _ => false
+          }
+        case None => false
+      }
+    }
+
   /** Pre-resolve accepted leaves to PERMANENT field ids (names can be
     * pruned out of the read schema or renamed later; ids cannot) —
     * done once at plan time, so per-file checks are id lookups. */
@@ -2199,6 +2312,15 @@ class SinkOrphanProcedure(root: String)
         }
         val dataRemoved = sweep("data", citedData)
         val vecsRemoved = sweep("deletes", citedVecs)
+        // bloom sidecars: cited by `#bloom` headers; uncited bitsets
+        // (dropped files' blooms, lost build races) are orphans too —
+        // folded into the vector count (both are stats-sidecar debris)
+        val citedBlooms = versions.flatMap { v =>
+          try SinkSource.manifestBlooms(path, Some(v)).values.flatten
+            .map(_._4)
+          catch { case _: java.util.NoSuchElementException => Seq.empty }
+        }.toSet
+        val bloomsRemoved = sweep("blooms", citedBlooms)
         // abandoned staging ATTEMPTS (crashed queries): whole attempt
         // dirs whose newest content predates the grace cutoff —
         // nothing under _staging is ever readable, so age is the only
@@ -2219,7 +2341,7 @@ class SinkOrphanProcedure(root: String)
             catch { case _: Exception => false }
           }.toLong
         val row: InternalRow = new GenericInternalRow(Array[Any](
-          dataRemoved, vecsRemoved, stagingRemoved))
+          dataRemoved, vecsRemoved + bloomsRemoved, stagingRemoved))
         val result: Scan = new LocalScan {
           override def rows(): Array[InternalRow] = Array(row)
           override def readSchema(): StructType = StructType(Seq(
@@ -2308,7 +2430,8 @@ class SinkRollbackProcedure(root: String)
               carrySids = SinkSource.manifestSids(path, Some(v)),
               eqOverride = Some(SinkSource.eqDeletes(path, Some(v))),
               carrySeqs = SinkSource.fileSeqs(path, Some(v)),
-              newNulls = SinkSource.manifestNulls(path, Some(v)))
+              newNulls = SinkSource.manifestNulls(path, Some(v)),
+              newBlooms = SinkSource.manifestBlooms(path, Some(v)))
             cur + 1
           }
         val row: InternalRow = new GenericInternalRow(Array[Any](
@@ -2444,6 +2567,144 @@ class SinkRewriteProcedure(root: String, mor: Boolean = false)
             StructField("files_before", LongType, nullable = false),
             StructField("files_after", LongType, nullable = false),
             StructField("n_rows", LongType, nullable = false)))
+        }
+        util.Arrays.asList(result).iterator()
+      }
+    }
+}
+
+/** `CALL <cat>.build_bloom('<table>', '<column>', <bits_per_row>)` —
+  * per-file BLOOM FILTER indexes, the skipping mechanism for POINT
+  * lookups on columns clustering can't help: zone maps prune by
+  * range, so on an append-grown (or deliberately unclustered) table
+  * every file spans the domain and `v = X` opens everything; a bloom
+  * answers "X is definitely absent from this file" whatever the
+  * layout. The build is DISTRIBUTED — one task per data file hashes
+  * the column's values into a bitset sized from the file's exact row
+  * count (manifest metadata) and writes it as a sidecar under
+  * blooms/ (the Iceberg-puffin shape: stats files beside data files,
+  * referenced by metadata); the publish is one CAS manifest commit
+  * adding `#bloom` headers. Blooms describe immutable file bytes, so
+  * headers carry forward like zone maps and drop with their files —
+  * rewritten files (compact/rewrite) simply lose coverage until the
+  * next build, which is sound (absence = cannot skip). Tombstoned
+  * rows stay IN the bloom: an over-approximation of presence can
+  * only open more files, never lose rows.
+  * Scale notes (100 TB): plan-time probing reads only the CANDIDATE
+  * files' bitsets (small sidecar reads, parallel to how engines read
+  * parquet footers), and a bitset is bits_per_row × rows — ~1.25 KB
+  * per million rows per bit — metadata-proportional, never a data
+  * scan after the one-off build.
+  */
+class SinkBloomProcedure(root: String)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+
+  override def name(): String = "build_bloom"
+  override def description(): String =
+    "build per-file bloom filters over a BIGINT column for point-lookup skipping"
+
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "build_bloom"
+      override def description(): String =
+        SinkBloomProcedure.this.description()
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("column", StringType).build(),
+        ProcedureParameter.in("bits_per_row", LongType).build())
+      override def isDeterministic: Boolean = false // writes sidecars
+
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val column = input.getUTF8String(1).toString
+        val bitsPerRow = input.getLong(2).toInt
+        if (bitsPerRow < 1 || bitsPerRow > 64)
+          throw new IllegalArgumentException(
+            s"bits_per_row must be in [1, 64], got $bitsPerRow")
+        val path = new Path(root, table).toString
+        val fields = SinkSchemas.currentFields(path)
+        val fld = fields.find(_.name == column).getOrElse(
+          throw new IllegalArgumentException(s"no column $column on $path"))
+        if (fld.dt != LongType)
+          throw new UnsupportedOperationException(
+            s"bloom indexes cover BIGINT columns; $column is " +
+              SinkSchemas.typeName(fld.dt))
+        val m = SinkSource.manifest(path)
+        val sids = SinkSource.manifestSids(path)
+        val rowsByFile = m.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+        // (file, absPath, position of the field in the FILE's schema,
+        // mBits, kHashes) per file that HAS the field; files predating
+        // the column are skipped — their rows have no values to index
+        // and absence of a header is the sound "cannot skip"
+        val salt = java.util.UUID.randomUUID().toString.take(8)
+        val bloomsDir = new Path(path, "blooms").toString
+        val work = rowsByFile.toSeq
+          // borrowed branch refs are another table's bytes — skipped;
+          // absence of a header is the sound "cannot skip"
+          .filterNot { case (fl, _) => fl.contains("/") }
+          .flatMap { case (fl, rows) =>
+            val ff = SinkSchemas.fields(path, sids.getOrElse(fl, 0))
+            val pos = ff.indexWhere(_.id == fld.id)
+            if (pos < 0) None
+            else {
+              val mBits = math.max(64L, rows * bitsPerRow)
+                .min(1L << 26).toInt // cap: 8 MB of bits per file
+              val k = math.max(1,
+                math.round(mBits.toDouble / math.max(1L, rows) * 0.693)).toInt
+              Some((fl, new Path(path, s"data/$fl").toString, pos, mBits, k))
+            }
+          }.zipWithIndex
+        val spark = org.apache.spark.sql.SparkSession.active
+        // distributed build: one task per file streams its lines,
+        // hashes the column into the bitset, writes the sidecar
+        val built = spark.sparkContext
+          .parallelize(work, math.max(1, work.size))
+          .map { case ((fl, abs, pos, mBits, k), idx) =>
+            val bits = new Array[Byte]((mBits + 7) / 8)
+            val ls = new SinkSource.LineStream(abs)
+            try while (ls.hasNext) {
+              val c = ls.next().split('|')
+              if (pos < c.length) {
+                val raw = c(pos)
+                if (raw != "\\N" && raw.nonEmpty)
+                  SinkSource.SinkBloom.add(bits, mBits, k, raw.toLong)
+              }
+            } finally ls.close()
+            val name = s"bl_${salt}_$idx.bin"
+            val f = SinkSource.fs(bloomsDir)
+            f.mkdirs(new Path(bloomsDir))
+            val out = f.create(new Path(bloomsDir, name), true)
+            try out.write(bits) finally out.close()
+            (fl, (mBits, k, name))
+          }.collect().toMap // file-count-sized: header metadata only
+        val newBlooms = built.map { case (fl, (mBits, k, name)) =>
+          fl -> Seq((fld.id, mBits, k, name)) }
+        // CAS publish: blooms commute with concurrent appends (their
+        // new files simply lack headers until the next build)
+        var attempt = 0
+        var done = false
+        while (!done) {
+          attempt += 1
+          if (attempt > 10)
+            throw new SinkConflictException(
+              s"bloom publish on $path gave up after 10 attempts")
+          val base = SinkSource.currentVersion(path)
+          try {
+            SinkSource.writeManifest(path,
+              SinkSource.manifest(path, Some(base)),
+              atVersion = Some(base + 1), newBlooms = newBlooms)
+            done = true
+          } catch { case _: SinkCommitRaceException => /* retry */ }
+        }
+        val row: InternalRow = new GenericInternalRow(Array[Any](
+          built.size.toLong,
+          org.apache.spark.unsafe.types.UTF8String.fromString(column)))
+        val result: Scan = new LocalScan {
+          override def rows(): Array[InternalRow] = Array(row)
+          override def readSchema(): StructType = StructType(Seq(
+            StructField("files_indexed", LongType, nullable = false),
+            StructField("column", StringType, nullable = false)))
         }
         util.Arrays.asList(result).iterator()
       }
@@ -2743,9 +3004,12 @@ class SinkMorScan(path: String, pinnedVersion: Option[Int],
       val rowsByFile = entries.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
       val stats = SinkSource.manifestStats(path, pinnedVersion)
       val nulls = SinkSource.manifestNulls(path, pinnedVersion)
+      val blooms = SinkSource.manifestBlooms(path, pinnedVersion)
+      val bloomCache = scala.collection.mutable.Map.empty[String, Array[Byte]]
       allFiles.filter(f => SinkZoneMaps.mightMatch(
         keysByFile(f), stats.get(f), skipFilters,
-        nulls.get(f), rowsByFile.getOrElse(f, -1L)))
+        nulls.get(f), rowsByFile.getOrElse(f, -1L)) &&
+        !SinkZoneMaps.bloomRejects(path, f, blooms, skipFilters, bloomCache))
     }
   private lazy val dvs: Map[String, Seq[String]] = {
     val v = pinnedVersion.getOrElse(SinkSource.currentVersion(path))
@@ -3801,9 +4065,12 @@ class SinkScan(path: String, pinnedVersion: Option[Int] = None,
       val rowsByFile = entries.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
       val stats = SinkSource.manifestStats(path, pinnedVersion)
       val nulls = SinkSource.manifestNulls(path, pinnedVersion)
+      val blooms = SinkSource.manifestBlooms(path, pinnedVersion)
+      val bloomCache = scala.collection.mutable.Map.empty[String, Array[Byte]]
       allFiles.filter(f => SinkZoneMaps.mightMatch(
         keysByFile(f), stats.get(f), skipFilters,
-        nulls.get(f), rowsByFile.getOrElse(f, -1L)))
+        nulls.get(f), rowsByFile.getOrElse(f, -1L)) &&
+        !SinkZoneMaps.bloomRejects(path, f, blooms, skipFilters, bloomCache))
     }
 
   override def description(): String =
