@@ -97,8 +97,8 @@ object Bench {
     // Janino + JIT cost (the 0.3–2 s fixed tier — round-8's driver run
     // exhausted the budget mid-alphabet and every later query's timed
     // number silently absorbed it) at a bounded per-query price.
-    // 1500 s covers the full registry's warm passes (309 queries as
-    // of the round-16 continuation, ~1.0 s/query timed ≈ 4× margin) at
+    // 1500 s covers the full registry's warm passes (310 queries as
+    // of round 17, ~1.0 s/query timed ≈ 4× margin) at
     // sf0.1: round 9's 600 s exhausted right before the
     // q8x block (the ~100 q1xx names sort FIRST and absorb the
     // budget), so q82's timed pass paid its sf0.1 .cache() fill — the

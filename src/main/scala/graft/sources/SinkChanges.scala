@@ -110,16 +110,34 @@ object SinkChanges {
       // equality deletes are VALUE-keyed: deriving their change rows
       // would mean scanning every older file for matches — not a
       // metadata diff. Refuse the window loudly (the Iceberg-CDC
-      // posture for eq deletes), same resync contract as removals.
-      val eqPrev = if (v == 1) Seq.empty
-        else SinkSource.eqDeletes(path, Some(v - 1))
-      val eqCur = SinkSource.eqDeletes(path, Some(v))
-      if (eqCur.toSet != eqPrev.toSet)
+      // posture for eq deletes), same resync contract as removals —
+      // but only when the EFFECTIVE eq state changed: the set of
+      // headers that actually APPLY to some cited file (file seq <
+      // delete seq). A version that self-prunes a DEAD header, or an
+      // eqOverride carry (rollback) re-publishing the same applying
+      // set, changes no rows and must not break the feed; a rollback
+      // that ADDS or REVERTS an applying delete changes rows with no
+      // metadata-derivable change set, so it refuses like a fresh
+      // delete would.
+      def effectiveEq(ver: Int,
+          entries: Seq[(Long, String, Long)]): Set[(String, Int, Int)] =
+        if (ver == 0) Set.empty
+        else {
+          val eqs = SinkSource.eqDeletes(path, Some(ver))
+          if (eqs.isEmpty) Set.empty
+          else {
+            val seqs = SinkSource.fileSeqs(path, Some(ver))
+            val cited = entries.map(_._2).distinct
+            eqs.filter { case (_, _, s) =>
+              cited.exists(f => seqs.getOrElse(f, 0) < s) }.toSet
+          }
+        }
+      if (effectiveEq(v, cur) != effectiveEq(v - 1, prev))
         throw new UnsupportedOperationException(
           s"change feed broken at version $v of $path: an EQUALITY " +
-            "DELETE landed (value-keyed tombstones have no metadata-" +
-            "derivable change rows); consumers must resync from a " +
-            "full snapshot")
+            "DELETE landed or reverted (value-keyed tombstones have " +
+            "no metadata-derivable change rows); consumers must " +
+            "resync from a full snapshot")
       val sids = SinkSource.manifestSids(path, Some(v))
       def fieldsOf(f: String): Seq[SinkSchemas.SinkField] = {
         val sid = sids.getOrElse(f, 0)

@@ -1876,6 +1876,13 @@ class SinkCompactProcedure(root: String, mor: Boolean = false)
           throw new UnsupportedOperationException(
             s"table $path carries equality deletes; compact it through " +
               "a mor=true catalog (a raw rewrite would resurrect rows)")
+        // positional vectors get the same guard: a non-MoR compaction
+        // reads the vectored files unmerged yet drops their vectors
+        // from the new sidecar — tombstoned rows would resurrect
+        if (dvd.nonEmpty && !mor)
+          throw new UnsupportedOperationException(
+            s"table $path carries deletion vectors; compact it through " +
+              "a mor=true catalog (a raw rewrite would resurrect rows)")
         val seqs = SinkSource.fileSeqs(path)
         val eqSubject: String => Boolean = fl =>
           eqs.exists { case (_, _, s) => seqs.getOrElse(fl, 0) < s }
@@ -2513,6 +2520,12 @@ class SinkRewriteProcedure(root: String, mor: Boolean = false)
           throw new UnsupportedOperationException(
             s"table $path carries equality deletes; rewrite through a " +
               "mor=true catalog (a raw rewrite would resurrect rows)")
+        if (SinkSource.deleteSidecar(path).nonEmpty && !mor)
+          throw new UnsupportedOperationException(
+            s"table $path carries deletion vectors; rewrite through a " +
+              "mor=true catalog (a raw rewrite reads files unmerged yet " +
+              "publishes an empty sidecar — tombstoned rows would " +
+              "resurrect)")
         val m = SinkSource.manifest(path)
         val filesBefore = m.map(_._2).distinct.size.toLong
         if (m.isEmpty)
@@ -2858,25 +2871,33 @@ class SinkFastForwardProcedure(root: String)
           if (fl.startsWith(SinkSource.BorrowedPrefix))
             fl.stripPrefix(SinkSource.BorrowedPrefix)
           else fl
-        // move branch-local files in first (refuse-to-clobber: names
-        // carry commit tags, a collision is a real conflict); the
-        // manifest CAS below is the only publish point, so moved
-        // files are orphan-sweep food on any later failure, never rows
+        // COPY branch-local files in first (refuse-to-clobber: names
+        // carry commit tags, a collision is a real conflict). Copy,
+        // not rename: the manifest CAS below can LOSE, and a moved
+        // file would leave the branch manifest citing bytes that left
+        // its directory (branch unreadable) while main never cites
+        // them (orphan sweep could delete them — unrecoverable loss
+        // of branch-only rows on a mere race). With a copy the branch
+        // stays intact until the CAS wins; the branch-side originals
+        // are deleted only AFTER the borrowed-ref republish, so a
+        // crash anywhere leaks bytes, never rows.
         val dataDir = new Path(path, "data")
         f.mkdirs(dataDir)
         var moved = 0L
-        bEntries.map(_._2).distinct
+        val localFiles = bEntries.map(_._2).distinct
           .filterNot(_.startsWith(SinkSource.BorrowedPrefix))
-          .foreach { fl =>
-            val dest = new Path(dataDir, fl)
-            if (f.exists(dest))
-              throw new IllegalStateException(
-                s"refusing to publish over existing data file: $dest")
-            if (!f.rename(new Path(branchDir, s"data/$fl"), dest))
-              throw new IllegalStateException(
-                s"branch file publish failed: $fl")
-            moved += 1
-          }
+        localFiles.foreach { fl =>
+          val dest = new Path(dataDir, fl)
+          if (f.exists(dest))
+            throw new IllegalStateException(
+              s"refusing to publish over existing data file: $dest")
+          if (!org.apache.hadoop.fs.FileUtil.copy(
+              f, new Path(branchDir, s"data/$fl"), f, dest,
+              false, new Configuration()))
+            throw new IllegalStateException(
+              s"branch file publish failed: $fl")
+          moved += 1
+        }
         val entries = bEntries.map { case (k, fl, n) => (k, local(fl), n) }
         val stats = bStats.map { case (fl, ss) => local(fl) -> ss }
         val bNulls = SinkSource.manifestNulls(branchDir.toString)
@@ -2886,18 +2907,22 @@ class SinkFastForwardProcedure(root: String)
             newNulls = nulls, atVersion = Some(cur + 1))
           catch {
             case _: SinkCommitRaceException =>
+              // lost the CAS: withdraw the copies so a retried
+              // promotion doesn't collide with its own strays; the
+              // branch directory was never touched, so the branch
+              // remains fully readable
+              localFiles.foreach { fl =>
+                try f.delete(new Path(dataDir, fl), false)
+                catch { case _: Exception => }
+              }
               throw new SinkConflictException(
                 s"cannot fast-forward $name onto $path: a commit raced " +
                   "the promotion (main diverged)")
           }
         // the branch is now CAUGHT UP: re-point its base at the
         // published version, and republish the branch HEAD with its
-        // moved files cited as borrowed refs — the bytes live in
-        // main's data dir now, and without this the branch manifest
-        // would cite files that left its own directory. (Pre-
-        // promotion branch snapshots still cite the old local names —
-        // a time travel into them fails loudly, the usual vanished-
-        // file contract.)
+        // promoted files cited as borrowed refs — the authoritative
+        // bytes live in main's data dir now.
         SinkSource.writeBranches(path,
           SinkSource.branches(path) + (name -> newV))
         SinkSource.writeManifest(branchDir.toString,
@@ -2907,6 +2932,16 @@ class SinkFastForwardProcedure(root: String)
             s"${SinkSource.BorrowedPrefix}${local(fl)}" -> ss },
           newNulls = bNulls.map { case (fl, ns) =>
             s"${SinkSource.BorrowedPrefix}${local(fl)}" -> ns })
+        // the branch head now cites the bytes in MAIN's data dir via
+        // borrowed refs — the branch-side copies are redundant; drop
+        // them last (a crash before this point leaks the copies, and
+        // pre-promotion branch snapshots citing the old local names
+        // fail loudly on time travel — the usual vanished-file
+        // contract)
+        localFiles.foreach { fl =>
+          try f.delete(new Path(branchDir, s"data/$fl"), false)
+          catch { case _: Exception => }
+        }
         val row: InternalRow = new GenericInternalRow(Array[Any](
           newV.toLong, moved, bEntries.map(_._3).sum))
         val result: Scan = new LocalScan {
@@ -3343,6 +3378,21 @@ class SinkDvBatchWrite(path: String, queryId: String,
           throw new SinkConflictException(
             s"serializable validation failed for $path: a concurrent " +
               "row-level commit tombstoned rows this operation read " +
+              s"(scanned at v$scanV, head is v$base)")
+        // equality deletes tombstone by VALUE, not (file, pos), so the
+        // positional sidecar comparison above cannot see them — yet a
+        // MoR UPDATE racing an equality delete re-inserts the updated
+        // rows with a sequence number ABOVE the delete's, resurrecting
+        // rows the takedown targeted. Any change to the eq-delete set
+        // between scan and head therefore aborts too (same refusal
+        // class as the CDC feed's).
+        def eqsAt(v: Int): Set[(String, Int, Int)] =
+          if (v == 0) Set.empty
+          else SinkSource.eqDeletes(path, Some(v)).toSet
+        if (eqsAt(base) != eqsAt(scanV))
+          throw new SinkConflictException(
+            s"serializable validation failed for $path: a concurrent " +
+              "equality delete landed after this operation's scan " +
               s"(scanned at v$scanV, head is v$base)")
       }
     }
@@ -4618,21 +4668,18 @@ class SinkBatchWrite(path: String, queryId: String, truncate: Boolean,
         published = true
       } catch { case _: SinkCommitRaceException => /* re-plan + retry */ }
     }
-    if (truncate) {
-      // old files are unreachable once the manifest swapped; GC them —
-      // through the guarded path, so files a live BRANCH still cites
-      // survive the truncate (branches pin shared bytes)
-      val live = committed.map(_._2).toSet
-      if (f.exists(dataDir))
-        SinkSource.gcData(path, f.listStatus(dataDir)
-          .map(_.getPath.getName).filterNot(live).toSeq)
-    } else {
-      // replaced files are dropped AFTER the manifest stops citing
-      // them (crash in between leaks a file, never a row) — the
-      // deleteWhere discipline; keys kept in other entries stay
-      SinkSource.gcData(path,
-        dropped.map(_._2).distinct.filterNot(publishedFiles))
-    }
+    // GC only the files the REPLACED HEAD actually cited (both the
+    // truncate and the deleteWhere branch), after the manifest stops
+    // citing them — a crash in between leaks a file, never a row.
+    // Truncate must NOT GC by directory listing: a concurrent append
+    // moves its staged files into data/ BEFORE its CAS loop, so an
+    // uncited file in data/ may be a commit-in-flight, and deleting it
+    // would let the append's retry publish a manifest citing a deleted
+    // file (reported success, FileNotFound on read — silent row loss).
+    // Uncited strays (crashed attempts) are remove_orphans' job, which
+    // applies an age grace for exactly this reason.
+    SinkSource.gcData(path,
+      dropped.map(_._2).distinct.filterNot(publishedFiles))
     f.delete(stagingDir, true)
   }
 

@@ -52,17 +52,21 @@ class SinkBranchSpec extends SparkSpec {
     s.sql("CALL graft_brg.expire('t', 1)").collect()
     assert(s.sql("SELECT k, v FROM graft_brg.t.branch_dev")
       .collect().length == 2, "branch must survive main expiry")
-    // dropping the branch releases the pins: the next truncate
-    // reclaims what only the branch kept alive
+    // dropping the branch releases the pins: remove_orphans reclaims
+    // what only the branch kept alive. (Truncate itself GCs ONLY the
+    // files the replaced head cited — never by directory listing, so
+    // a concurrent append's just-moved, not-yet-committed files are
+    // safe; uncited strays are the orphan sweep's job.)
     s.sql("CALL graft_brg.drop_branch('t', 'dev')").collect()
     assert(!SinkSource.fs(s"$root/t")
       .exists(new Path(s"$root/t/_branch_dev")))
     SinkSource.write(Seq((6L, 60L)).toDF("k", "v"), s"$root/t",
       overwrite = true)                                              // v3
+    s.sql("CALL graft_brg.remove_orphans('t', 0)").collect()
     val names = SinkSource.fs(s"$root/t")
       .listStatus(new Path(s"$root/t/data")).map(_.getPath.getName).toSet
     assert(names == SinkSource.manifest(s"$root/t").map(_._2).toSet,
-      s"released pins must be reclaimed by the truncate: $names")
+      s"released pins must be reclaimed by the orphan sweep: $names")
   }
 
   test("fast-forward promotes atomically; branch reads survive; repeats are no-ops") {
