@@ -3229,7 +3229,139 @@ object FormatQueries {
       |FROM events WHERE event_id IN (SELECT event_id FROM needles)
       |GROUP BY 1 ORDER BY k""".stripMargin
 
+  // q311 — PARTITION SPEC EVOLUTION (`CALL evolve_spec('t',
+  // 'bucket(8)')`): change what layout NEW writes group files under
+  // without rewriting a byte — the verb a growing table hits first at
+  // the 100 TB design point (identity(k) is right until the key
+  // domain explodes; bucket(m) caps the group count at m forever).
+  // The commit is metadata-only (`#curspec` pointer + append-only
+  // `#pspec` definition); each file keeps its own era (`#fspec`), and
+  // PRUNING CONSULTS THE FILE'S OWN ERA: identity-era keys prune a
+  // `k = X` exactly, bucket-era files prune by bucket arithmetic
+  // (key == pmod(X, m)) plus the per-file k-range stats bucket-era
+  // writers record. Pinned with the physical-delete kill-shot: every
+  // file per-era pruning must skip for `k = 12` (identity keys != 12,
+  // bucket ids != pmod(12, 8) = 4) is REMOVED from disk before the
+  // filtered read — a wrong or missing skip throws, a wrong residual
+  // loses rows, so the hash-match proves both sides.
+  // Scale notes (100 TB): spec evolution is why the layout decision
+  // is not forever — the 1 TB-era identity spec stops scaling when
+  // keys×files outgrow manifest planning, and the fix must be a
+  // metadata commit, not a petabyte rewrite. Exactness is preserved
+  // by refusal: key-filtered metadata deletes, partition DDL, and
+  // group-by-key agg pushdown all fall back to row-level paths while
+  // non-identity eras are present (SpecEvolutionSpec pins the
+  // matrix).
+  def q311SpecEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(s.conf.set(k, v)) }
+    val root = ShardPaths.resolve(s, "q311", dir)
+    SinkSource.fs(root).delete(new org.apache.hadoop.fs.Path(root), true)
+    val t = s"$root/t"
+    val ev = Tables.events(s, dir)
+      .select((col("event_id") % 50).as("k"), col("event_id").as("v"))
+    // v1: the identity era — one file group per k
+    SinkSource.write(ev.filter(col("v") % 3 === 0).repartition(8, col("k")),
+      t, overwrite = true)
+    s.conf.set("spark.sql.catalog.graft_pse", classOf[SinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_pse.root", root)
+    // v2: evolve — metadata-only, no file moves
+    s.sql("CALL graft_pse.evolve_spec('t', 'bucket(8)')").collect()
+    // v3: the bucket era — the same appends now land in 8 groups
+    SinkSource.write(ev.filter(col("v") % 3 =!= 0).repartition(4, col("k")),
+      t, overwrite = false)
+    val m = SinkSource.manifest(t)
+    val fsp = SinkSource.fileSpecs(t)
+    val (bucketFiles, identityFiles) = m.map(_._2).distinct
+      .partition(fl => fsp.getOrElse(fl, 0) != 0)
+    val erasMixed =
+      if (identityFiles.nonEmpty && bucketFiles.nonEmpty) 1L else 0L
+    // KILL-SHOT: remove every file per-era pruning must skip for
+    // k = 12 — identity-era groups keyed != 12, bucket-era groups
+    // keyed != pmod(12, 8) = 4
+    val keep = m.filter { case (key, fl, _) =>
+      if (fsp.getOrElse(fl, 0) == 0) key == 12L else key == 4L
+    }.map(_._2).toSet
+    val doomed = m.map(_._2).distinct.filterNot(keep)
+    val f = SinkSource.fs(root)
+    doomed.foreach(fl =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$t/data/$fl"), false))
+    val killShot = if (doomed.nonEmpty) 1L else 0L
+    SinkSource.load(s, t)
+      .filter(col("k") === 12)
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
+      .withColumn("eras_mixed", lit(erasMixed))
+      .withColumn("kill_shot", lit(killShot))
+  }
+
+  val q311Oracle: String =
+    """SELECT event_id % 50 AS k, COUNT(*) AS n_rows,
+      |  CAST(SUM(event_id) AS BIGINT) AS sum_v,
+      |  CAST(1 AS BIGINT) AS eras_mixed,
+      |  CAST(1 AS BIGINT) AS kill_shot
+      |FROM events WHERE event_id % 50 = 12
+      |GROUP BY 1""".stripMargin
+
+  // q312 — SCHEMA EVOLUTION ON WRITE (`mergeSchema`, Delta's option):
+  // an append whose frame carries a column the destination lacks
+  // auto-evolves the table INSIDE the commit's CAS — the q292 ALTER's
+  // field-id machinery issued atomically with the data publish, and
+  // reconciled per attempt against the head the commit actually
+  // replaces: here an ALTER ADD COLUMN (flag) lands between the
+  // table's birth and the evolving append (score), and the published
+  // schema is the UNION (k, v, flag, score) — neither evolution is
+  // lost. Strict by default: without the option a schema-moved
+  // destination refuses (no last-writer-wins on schemas). Old rows
+  // read NULL for both added columns by per-file field-id
+  // reconciliation; the evolving commit's rows read NULL for `flag`
+  // (their files never carried it) — both pinned via COUNT(col).
+  // Scale notes (100 TB): ingestion pipelines grow columns; without
+  // this verb every upstream schema bump is a coordinated ALTER +
+  // redeploy with a refusal window in between. The evolution costs
+  // O(columns) metadata riding the commit's own CAS; concurrent
+  // ALTERs union by permanent field id or abort loudly
+  // (MergeSchemaSpec pins the race matrix).
+  def q312MergeSchemaWrite(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(s.conf.set(k, v)) }
+    val root = ShardPaths.resolve(s, "q312", dir)
+    SinkSource.fs(root).delete(new org.apache.hadoop.fs.Path(root), true)
+    val t = s"$root/t"
+    val ev = Tables.events(s, dir)
+    SinkSource.write(ev.filter(col("event_id") % 3 === 0)
+      .select((col("event_id") % 7).as("k"), col("event_id").as("v")),
+      t, overwrite = true)                                           // v1
+    s.conf.set("spark.sql.catalog.graft_msw", classOf[SinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_msw.root", root)
+    s.sql("ALTER TABLE graft_msw.t ADD COLUMN flag BIGINT")          // v2
+    // the evolving append: carries `score` (new) and not `flag` —
+    // the commit unions both evolutions
+    SinkSource.writeEvolved(ev.filter(col("event_id") % 3 =!= 0)
+      .select((col("event_id") % 7).as("k"), col("event_id").as("v"),
+        (col("event_id") * 2).as("score")), t)                       // v3
+    SinkSource.load(s, t)
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"),
+        count(col("score")).as("n_score"),
+        sum(col("score")).as("sum_score"),
+        count(col("flag")).as("n_flag"))
+  }
+
+  val q312Oracle: String =
+    """SELECT event_id % 7 AS k, COUNT(*) AS n_rows,
+      |  CAST(SUM(event_id) AS BIGINT) AS sum_v,
+      |  COUNT(CASE WHEN event_id % 3 <> 0 THEN 1 END) AS n_score,
+      |  CAST(SUM(CASE WHEN event_id % 3 <> 0 THEN event_id * 2 END)
+      |    AS BIGINT) AS sum_score,
+      |  CAST(0 AS BIGINT) AS n_flag
+      |FROM events GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q312_merge_schema_write" -> q312MergeSchemaWrite,
+    "q311_spec_evolution" -> q311SpecEvolution,
     "q310_bloom_index" -> q310BloomIndex,
     "q309_column_defaults" -> q309ColumnDefaults,
     "q308_null_stats" -> q308NullStats,
@@ -3286,6 +3418,8 @@ object FormatQueries {
     "q64_schema_evolution" -> q64SchemaEvolution)
 
   def oracleSql: Map[String, String] = Map(
+    "q312_merge_schema_write" -> q312Oracle,
+    "q311_spec_evolution" -> q311Oracle,
     "q310_bloom_index" -> q310Oracle,
     "q309_column_defaults" -> q309Oracle,
     "q308_null_stats" -> q308Oracle,

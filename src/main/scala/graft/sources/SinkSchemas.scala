@@ -189,14 +189,30 @@ object SinkSchemas {
     if (newFields == base) return 0
     val f = SinkSource.fs(path)
     val root = new Path(path)
-    val existing =
-      if (!f.exists(root)) Seq.empty[Int]
-      else f.listStatus(root).map(_.getPath.getName)
-        .collect { case n if n.startsWith("_schema.v") && n.endsWith(".psv") =>
-          n.stripPrefix("_schema.v").stripSuffix(".psv").toInt }
-        .toSeq.sorted
-    existing.find(sid => fields(path, sid) == newFields)
-      .getOrElse(store(path, newFields))
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val existing =
+        if (!f.exists(root)) Seq.empty[Int]
+        else f.listStatus(root).map(_.getPath.getName)
+          .collect { case n if n.startsWith("_schema.v") && n.endsWith(".psv") =>
+            n.stripPrefix("_schema.v").stripSuffix(".psv").toInt }
+          .toSeq.sorted
+      existing.find(sid => fields(path, sid) == newFields) match {
+        case Some(sid) => return sid
+        case None =>
+          // a lost store race re-lists (the winner may have published
+          // exactly our fields — find-or-store must converge, not
+          // fail, now that commit-time schema merges call this
+          // concurrently with ALTERs)
+          try return store(path, newFields)
+          catch {
+            case e: IllegalStateException if attempt < 5 &&
+              e.getMessage.contains("schema publish race") => /* retry */
+          }
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** The table's CURRENT fields as of a manifest version (default:

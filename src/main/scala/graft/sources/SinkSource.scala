@@ -94,7 +94,12 @@ class SinkSource extends TableProvider {
         (id, Option(properties.get("txnEpoch"))
           .map(_.trim.toLong).getOrElse(throw new IllegalArgumentException(
             "txnId requires txnEpoch")))),
-      splitBytes = Option(properties.get("splitBytes")).map(_.trim.toLong))
+      splitBytes = Option(properties.get("splitBytes")).map(_.trim.toLong),
+      forceSpec = Option(properties.get("forceSpec")).map { s =>
+        val c = s.split(':')
+        (c(0).toInt, c(1), c(2).toInt)
+      },
+      mergeSchema = "true".equalsIgnoreCase(properties.get("mergeSchema")))
   }
 }
 
@@ -129,13 +134,77 @@ object SinkSource {
 
   def write(df: DataFrame, path: String, overwrite: Boolean,
       clustered: Boolean = false,
-      fields: Option[Seq[SinkSchemas.SinkField]] = None): Unit = {
+      fields: Option[Seq[SinkSchemas.SinkField]] = None,
+      forceSpec: Option[(Int, String, Int)] = None): Unit = {
     val w = df.write.format("graft.sources.SinkSource").option("path", path)
       .option("clustered", clustered.toString)
     // an EXPLICIT write schema (field ids included) for writes whose
     // destination has no schema history of its own — the compaction
     // scratch table inherits the live table's evolved fields this way
     fields.foreach(fs => w.option("fields", SinkSchemas.encode(fs)))
+    // an EXPLICIT partition spec for the same reason: an era-aware
+    // compaction's scratch write groups files under the LIVE table's
+    // current spec (id:kind:param), not the scratch dir's implicit
+    // identity
+    forceSpec.foreach { case (id, kind, p) =>
+      w.option("forceSpec", s"$id:$kind:$p") }
+    w.mode(if (overwrite) "overwrite" else "append").save()
+  }
+
+  /** SCHEMA EVOLUTION ON WRITE (`mergeSchema`, the Delta option): an
+    * append whose frame carries columns the destination lacks
+    * auto-evolves the table inside the commit — the q292 ALTER's
+    * field-id machinery, issued atomically with the data publish.
+    * STRICT BY DEFAULT: without the option a schema-moved destination
+    * refuses (no silent lost-update of a concurrent ALTER, no
+    * accidental evolution from a typo'd column). Derivation is
+    * driver-side: existing columns keep their permanent field ids
+    * (matched BY NAME against the destination's current schema, types
+    * must agree), genuinely new columns get fresh ids past the
+    * table's high-water mark; the frame must carry every current
+    * column — a write that silently dropped one would read back as
+    * all-NULL rows for it.
+    * Scale notes (100 TB): ingestion pipelines grow columns; without
+    * this verb every upstream schema bump is a coordinated ALTER +
+    * redeploy. The evolution is O(columns) metadata riding the
+    * commit's own CAS — concurrent ALTERs reconcile (union by field
+    * id) or refuse loudly, never last-writer-wins. */
+  def writeEvolved(df: DataFrame, path: String,
+      overwrite: Boolean = false): Unit = {
+    val cur =
+      try SinkSchemas.currentFields(path)
+      catch { case _: java.util.NoSuchElementException => SinkSchemas.base }
+    if (!df.schema.fieldNames.contains("k"))
+      throw new IllegalArgumentException(
+        s"mergeSchema write to $path: the frame must carry the layout " +
+          "key k")
+    // the WRITE schema: frame columns, with ids resolved against the
+    // destination's current fields (existing columns keep their
+    // permanent ids — types must agree; new columns get fresh ids).
+    // A current column the frame LACKS is fine: per-file field-id
+    // reconciliation reads NULL for it from this commit's files, the
+    // ordinary evolution semantic — the DECLARED table schema stays
+    // the union, computed by the commit's own CAS-time merge.
+    var nextId = math.max(SinkSchemas.maxFieldId(path),
+      cur.map(_.id).max)
+    val ours = df.schema.fields.toSeq.map { f =>
+      cur.find(_.name == f.name) match {
+        case Some(c) =>
+          if (c.dt != f.dataType) throw new IllegalArgumentException(
+            s"mergeSchema write to $path: column ${f.name} is " +
+              s"${SinkSchemas.typeName(c.dt)} on the table but " +
+              s"${f.dataType.simpleString} in the frame — ALTER the " +
+              "type first (only lossless widening is supported)")
+          c
+        case None =>
+          SinkSchemas.typeName(f.dataType) // lexicon check
+          nextId += 1
+          SinkSchemas.SinkField(nextId, f.name, f.dataType, None)
+      }
+    }
+    val w = df.write.format("graft.sources.SinkSource").option("path", path)
+      .option("fields", SinkSchemas.encode(ours))
+      .option("mergeSchema", "true")
     w.mode(if (overwrite) "overwrite" else "append").save()
   }
 
@@ -316,6 +385,76 @@ object SinkSource {
     }.toMap
   }
 
+  /** PARTITION SPECS of a version (`#pspec|<id>|<kind>[|<param>]`
+    * headers): the table's registered layout specs, APPEND-ONLY and
+    * carried by every commit (Iceberg's spec list). Spec 0 is the
+    * implicit `identity(k)` every table is born with — never written,
+    * always present. Returns id -> (kind, param); kinds are
+    * "identity" (param unused) and "bucket" (param = modulus). */
+  private[graft] def partSpecs(path: String,
+      version: Option[Int] = None): Map[Int, (String, Int)] = {
+    val v = version.getOrElse(currentVersion(path))
+    val declared =
+      if (v == 0) Map.empty[Int, (String, Int)]
+      else manifestLines(path, v).filter(_.startsWith("#pspec|")).map { l =>
+        val c = l.split('|')
+        c(1).toInt -> ((c(2), if (c.length > 3) c(3).toInt else 0))
+      }.toMap
+    declared + (0 -> (("identity", 0)))
+  }
+
+  /** The CURRENT partition spec id as of a version (`#curspec|<id>`
+    * header; absent = 0 = identity(k)) — the spec NEW writes lay
+    * files out under. Evolution changes this pointer; existing files
+    * keep their own era (see [[fileSpecs]]). */
+  private[graft] def currentSpecId(path: String,
+      version: Option[Int] = None): Int = {
+    val v = version.getOrElse(currentVersion(path))
+    if (v == 0) 0
+    else manifestLines(path, v).find(_.startsWith("#curspec|"))
+      .map(_.split('|')(1).toInt).getOrElse(0)
+  }
+
+  /** Per-file PARTITION-SPEC ids (`#fspec|<file>|<id>` headers,
+    * absent = 0): the spec a data file's manifest KEY was computed
+    * under — its layout ERA. Immutable metadata of the file's bytes
+    * (like its schema id), carried forward while the file is cited.
+    * Readers consult a file's OWN era to interpret its key: an
+    * identity-era key IS the rows' k; a bucket-era key is pmod(k, m)
+    * and the file holds many k values. */
+  private[sources] def fileSpecs(path: String,
+      version: Option[Int] = None): Map[String, Int] = {
+    val v = version.getOrElse(currentVersion(path))
+    if (v == 0) Map.empty
+    else manifestLines(path, v).filter(_.startsWith("#fspec|")).map { l =>
+      val c = l.split('|')
+      c(1) -> c(2).toInt
+    }.toMap
+  }
+
+  /** The layout-key function of a spec: identity groups by the row's
+    * k itself; bucket(m) by `((k % m) + m) % m` — [[SinkBucketFn]]'s
+    * exact arithmetic, so engine-side `pmod(k, m)` expressions
+    * reproduce the grouping bit-for-bit. */
+  private[sources] def layoutOf(spec: (String, Int)): Long => Long =
+    spec match {
+      case ("identity", _) => k => k
+      case ("bucket", m) => k => ((k % m) + m) % m
+      case other => throw new IllegalStateException(
+        s"unknown partition spec $other")
+    }
+
+  /** (specId, kind, param) of the spec NEW writes should use — the
+    * write paths resolve this once, driver-side, at writer-factory
+    * creation, so every staged file's grouping and its published
+    * `#fspec` stamp come from the same snapshot. */
+  private[sources] def currentSpecInfo(path: String): (Int, String, Int) = {
+    val id = currentSpecId(path)
+    val (kind, p) = partSpecs(path).getOrElse(id,
+      throw new IllegalStateException(s"undeclared partition spec $id"))
+    (id, kind, p)
+  }
+
   /** The version's TRANSACTION LEDGER: highest epoch each streaming
     * query has published INTO this version's history, carried forward
     * by every commit as `#txn|queryId|epochId` manifest header lines
@@ -359,7 +498,11 @@ object SinkSource {
       eqOverride: Option[Seq[(String, Int, Int)]] = None,
       carrySeqs: Map[String, Int] = Map.empty,
       newNulls: Map[String, Seq[(Int, Long)]] = Map.empty,
-      newBlooms: Map[String, Seq[(Int, Int, Int, String)]] = Map.empty)
+      newBlooms: Map[String, Seq[(Int, Int, Int, String)]] = Map.empty,
+      newFileSpecId: Option[Int] = None,
+      carryFspecs: Map[String, Int] = Map.empty,
+      specChange: Option[(String, Int)] = None,
+      specOverride: Option[Int] = None)
       : Int = {
     val f = fs(path)
     val root = new Path(path)
@@ -498,6 +641,44 @@ object SinkSource {
         val s = seqOf(f)
         if (s == 0) None else Some(s"#seq|$f|$s\n")
       }.mkString
+    // PARTITION SPECS: definitions are append-only and carried by
+    // every commit; `specChange` registers a definition (find-or-add)
+    // and makes it CURRENT; `specOverride` restores a snapshot's
+    // current-spec pointer (rollback). Each cited file records the
+    // spec ERA its manifest key was computed under (`#fspec`, absent
+    // = 0 = identity) — carried like schema ids for cited files,
+    // stamped from `newFileSpecId` for files this commit publishes,
+    // restored from `carryFspecs` for files a rollback re-introduces.
+    val prevSpecDefs: Map[Int, (String, Int)] =
+      if (next == 1) Map(0 -> (("identity", 0)))
+      else partSpecs(path, Some(next - 1))
+    val (allSpecDefs, curSpecId) = specChange match {
+      case None => (prevSpecDefs, specOverride.getOrElse(
+        if (next == 1) 0 else currentSpecId(path, Some(next - 1))))
+      case Some(d) => prevSpecDefs.find(_._2 == d) match {
+        case Some((id, _)) => (prevSpecDefs, id)
+        case None =>
+          val id = prevSpecDefs.keys.max + 1
+          (prevSpecDefs + (id -> d), id)
+      }
+    }
+    val specHeader = allSpecDefs.toSeq.filter(_._1 != 0).sortBy(_._1)
+      .map { case (id, (kind, p)) =>
+        if (p == 0) s"#pspec|$id|$kind\n" else s"#pspec|$id|$kind|$p\n"
+      }.mkString +
+      (if (curSpecId == 0) "" else s"#curspec|$curSpecId\n")
+    val prevFspecs = if (next == 1) Map.empty[String, Int]
+      else fileSpecs(path, Some(next - 1))
+    // carried files with no header are ERA 0 (the header is only
+    // written for nonzero eras) — `newFileSpecId` stamps only files
+    // this commit introduces, never the carried history
+    def entryFspec(file: String): Int =
+      prevFspecs.getOrElse(file, carryFspecs.getOrElse(file,
+        if (prevCited.contains(file)) 0 else newFileSpecId.getOrElse(0)))
+    val fspecHeader = citedFiles.sorted.flatMap { fl =>
+      val s = entryFspec(fl)
+      if (s == 0) None else Some(s"#fspec|$fl|$s\n")
+    }.mkString
     // BLOOM headers: carried like stats (a bloom describes immutable
     // file bytes), taken from the builder for newly-indexed files,
     // dropped with the files that left — the bitsets themselves stay
@@ -505,14 +686,21 @@ object SinkSource {
     val prevBlooms = if (next == 1)
       Map.empty[String, Seq[(Int, Int, Int, String)]]
       else manifestBlooms(path, Some(next - 1))
+    // merge PER FIELD, fresh-wins: a file may carry blooms for several
+    // columns built at different times (an incremental build for a
+    // second column must not drop the first's header, and vice versa)
     val bloomHeader = entries.map(_._2).distinct.sorted.flatMap { file =>
-      prevBlooms.get(file).orElse(newBlooms.get(file)).map { bs =>
-        bs.sortBy(_._1).map { case (fid, m, k, bf) =>
-          s"#bloom|$file|$fid|$m|$k|$bf\n" }.mkString
-      }
+      val fresh = newBlooms.getOrElse(file, Seq.empty)
+      val carried = prevBlooms.getOrElse(file, Seq.empty)
+        .filterNot(b => fresh.exists(_._1 == b._1))
+      val bs = carried ++ fresh
+      if (bs.isEmpty) None
+      else Some(bs.sortBy(_._1).map { case (fid, m, k, bf) =>
+        s"#bloom|$file|$fid|$m|$k|$bf\n" }.mkString)
     }.mkString
     val header = tsHeader + schemaHeader + dvHeader + statHeader +
       nullHeader + bloomHeader + eqHeader + seqHeader +
+      specHeader + fspecHeader +
       ledger.toSeq.sorted
       .map { case (q, e) => s"#txn|$q|$e\n" }.mkString
     val body = header + entries.sortBy(e => (e._1, e._2))
@@ -691,6 +879,32 @@ object SinkSource {
         val c = line.split('|')
         (c(1), (c(2).toInt, c(3).toInt, c(4).toInt, c(5)))
       }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+  }
+
+  /** The table's BLOOM POLICY, inferred from its own head: the
+    * (fieldId, bitsPerRow) pairs that `CALL build_bloom` has indexed.
+    * Write paths resolve this once, driver-side, and every staged
+    * file computes its own bitsets inline — so POINT-LOOKUP skipping
+    * does not silently decay as the table grows (zone maps and null
+    * counts are write-maintained; blooms ride the same mechanism).
+    * No separate property store: the existing headers ARE the policy
+    * declaration, which also means a table with no blooms pays zero
+    * write-side cost. bitsPerRow is recovered from each header's
+    * mBits/rows ratio (the builder's own sizing arithmetic), taking
+    * the max across files so coverage never quietly thins. */
+  private[sources] def bloomPolicy(path: String): Seq[(Int, Int)] = {
+    val blooms = manifestBlooms(path)
+    if (blooms.isEmpty) return Seq.empty
+    val rows = manifest(path).groupBy(_._2).view
+      .mapValues(_.map(_._3).sum).toMap
+    blooms.toSeq.flatMap { case (fl, bs) =>
+      val r = math.max(1L, rows.getOrElse(fl, 1L))
+      bs.map { case (fid, mBits, _, _) =>
+        (fid, math.max(1L, math.min(64L,
+          math.round(mBits.toDouble / r))).toInt)
+      }
+    }.groupBy(_._1).map { case (fid, xs) =>
+      (fid, xs.map(_._2).max) }.toSeq.sorted
   }
 
   /** Double-hashing bloom arithmetic over BIGINT values — shared by
@@ -1012,7 +1226,8 @@ class SinkCatalog extends CatalogPlugin with TableCatalog
       Identifier.of(Array.empty, "branch"),
       Identifier.of(Array.empty, "fast_forward"),
       Identifier.of(Array.empty, "drop_branch"),
-      Identifier.of(Array.empty, "build_bloom"))
+      Identifier.of(Array.empty, "build_bloom"),
+      Identifier.of(Array.empty, "evolve_spec"))
 
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
@@ -1036,6 +1251,8 @@ class SinkCatalog extends CatalogPlugin with TableCatalog
       new SinkDropBranchProcedure(root)
     else if (ident.namespace.isEmpty && ident.name == "build_bloom")
       new SinkBloomProcedure(root)
+    else if (ident.namespace.isEmpty && ident.name == "evolve_spec")
+      new SinkEvolveSpecProcedure(root, bucketWrite)
     else
       throw new java.util.NoSuchElementException(s"unknown procedure: $ident")
   }
@@ -1346,7 +1563,9 @@ class SinkTable(path: String, pinnedVersion: Option[Int] = None,
     startingVersion: Option[Int] = None, bucketWrite: Boolean = false,
     explicitFields: Option[Seq[SinkSchemas.SinkField]] = None,
     txn: Option[(String, Long)] = None,
-    splitBytes: Option[Long] = None)
+    splitBytes: Option[Long] = None,
+    forceSpec: Option[(Int, String, Int)] = None,
+    mergeSchema: Boolean = false)
     extends Table
     with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsRowLevelOperations with SupportsMetadataColumns {
@@ -1490,7 +1709,8 @@ class SinkTable(path: String, pinnedVersion: Option[Int] = None,
             resolvedFields, writeSid)
       }
     else new SinkWriteBuilder(path, info.queryId(), clustered,
-      resolvedFields, writeSid, txn, declareSchema = declaredSid.isDefined)
+      resolvedFields, writeSid, txn, declareSchema = declaredSid.isDefined,
+      forcedSpec = forceSpec, mergeSchema = mergeSchema)
   }
 
   // ---- metadata delete ------------------------------------------------
@@ -1501,10 +1721,15 @@ class SinkTable(path: String, pinnedVersion: Option[Int] = None,
   /** A delete is accepted only when it is EXACT at manifest
     * granularity — every predicate is on the layout key, so each entry
     * is wholly in or wholly out. Anything finer must be rejected here
-    * (Spark then fails the DELETE) rather than approximated.
+    * (Spark then fails the DELETE) rather than approximated — and so
+    * must any table carrying files from an evolved partition spec: a
+    * bucket-era entry's key is pmod(k, m) and the file holds OTHER k
+    * values too, so no k predicate is wholly-in-or-wholly-out there.
+    * Rejecting routes the statement to the row-level path, which is
+    * exact under any era.
     */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    filters.forall(keyAligned)
+    filters.forall(keyAligned) && SinkSource.fileSpecs(path).isEmpty
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val entries = SinkSource.manifest(path)
@@ -1539,12 +1764,33 @@ class SinkPartitionedTable(path: String, mor: Boolean = false)
     extends SinkTable(path, mor = mor)
     with SupportsPartitionManagement {
 
+  /** The CURRENT spec's transform — identity(k) for an un-evolved
+    * table, bucket(m, k) after an evolution — so `DESC` and the DDL
+    * planner see the layout new writes actually use. */
   override def partitioning(): Array[Transform] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions
-      .identity("k"))
+    SinkSource.partSpecs(path)(SinkSource.currentSpecId(path)) match {
+      case ("bucket", m) =>
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .bucket(m, "k"))
+      case _ =>
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .identity("k"))
+    }
 
   override def partitionSchema(): StructType =
     StructType(Seq(StructField("k", LongType, nullable = false)))
+
+  /** Partition idents address the identity layout exactly; any other
+    * era makes them ambiguous (k=5 vs bucket-id 5) — the DDL verbs
+    * refuse rather than guess. */
+  private def refuseIfEvolved(verb: String): Unit =
+    if (SinkSource.currentSpecId(path) != 0 ||
+        SinkSource.fileSpecs(path).nonEmpty)
+      throw new UnsupportedOperationException(
+        s"$verb on $path: the partition spec evolved, so partition " +
+          "identifiers are ambiguous across eras (an identity key and " +
+          "a bucket id share a domain) — use row-level DML / " +
+          "rewrite_clustered, or evolve back to identity and migrate")
 
   override def createPartition(ident: InternalRow,
       properties: util.Map[String, String]): Unit =
@@ -1552,6 +1798,7 @@ class SinkPartitionedTable(path: String, mor: Boolean = false)
       "partitions exist by containing data; writes create them")
 
   override def dropPartition(ident: InternalRow): Boolean = {
+    refuseIfEvolved("DROP PARTITION")
     val k = ident.getLong(0)
     val entries = SinkSource.manifest(path)
     val (doomed, kept) = entries.partition(_._1 == k)
@@ -1575,6 +1822,18 @@ class SinkPartitionedTable(path: String, mor: Boolean = false)
 
   override def listPartitionIdentifiers(names: Array[String],
       ident: InternalRow): Array[InternalRow] = {
+    // single-era tables list their manifest keys — the partition
+    // values of that one spec (identity keys, or bucket ids after a
+    // full migration). A MIXED table's keys span two value domains;
+    // listing them as one column would be a lie, so refuse.
+    val fsp = SinkSource.fileSpecs(path)
+    val eras = (SinkSource.manifest(path).map(e =>
+      fsp.getOrElse(e._2, 0)) :+ SinkSource.currentSpecId(path)).distinct
+    if (eras.size > 1)
+      throw new UnsupportedOperationException(
+        s"SHOW PARTITIONS on $path: files span partition-spec eras " +
+          s"(${eras.sorted.mkString(", ")}) — migrate with " +
+          "rewrite_clustered before listing partitions")
     val keys = SinkSource.manifest(path).map(_._1).distinct.sorted
     val matching =
       if (names.isEmpty) keys
@@ -1795,7 +2054,8 @@ private[sources] object SinkZoneMaps {
       stats: Option[Seq[(Int, Long, Long)]],
       conjuncts: Seq[(Int, Filter)],
       nulls: Option[Seq[(Int, Long)]] = None,
-      rows: Long = -1L): Boolean =
+      rows: Long = -1L,
+      spec: (String, Int) = ("identity", 0)): Boolean =
     conjuncts.forall { case (id, c) =>
       c match {
         case IsNull(_) =>
@@ -1811,14 +2071,35 @@ private[sources] object SinkZoneMaps {
             case None => true
           }
         case _ =>
+          // PER-ERA key pruning (partition spec evolution): an
+          // identity-era file's manifest key IS its rows' k — the
+          // exact zone map. A bucket-era file's manifest key is
+          // pmod(k, m), so k-range pruning falls back to the file's
+          // `#stat` record for field 1 (bucket-era writers emit one),
+          // and k-EQUALITY additionally prunes by bucket arithmetic:
+          // the file can only hold k = X if its bucket id equals
+          // pmod(X, m). Both are one-sided proofs — absence of either
+          // record degrades to "read it", never to a wrong skip.
+          val identityEra = id != 1 || spec._1 == "identity"
           val range =
-            if (id == 1) Some((keys.min, keys.max))
+            if (id == 1 && identityEra) Some((keys.min, keys.max))
             else stats.flatMap(_.find(_._1 == id)
               .map { case (_, mn, mx) => (mn, mx) })
-          range match {
+          val rangeOk = range match {
             case Some((mn, mx)) => overlaps(mn, mx, c)
             case None => true
           }
+          val bucketOk = if (identityEra) true else {
+            val bucket = SinkSource.layoutOf(spec)
+            c match {
+              case EqualTo(_, v) =>
+                keys.contains(bucket(v.asInstanceOf[Number].longValue))
+              case In(_, vs) => vs.exists(v =>
+                keys.contains(bucket(v.asInstanceOf[Number].longValue)))
+              case _ => true
+            }
+          }
+          rangeOk && bucketOk
       }
     }
 }
@@ -1886,6 +2167,23 @@ class SinkCompactProcedure(root: String, mor: Boolean = false)
         val seqs = SinkSource.fileSeqs(path)
         val eqSubject: String => Boolean = fl =>
           eqs.exists { case (_, _, s) => seqs.getOrElse(fl, 0) < s }
+        // PARTITION-SPEC eras: compaction regroups rows BY MANIFEST
+        // KEY, which is only coherent when every cited file and the
+        // current spec agree on what a key means — a mixed table
+        // (identity k=5 next to bucket-id 5) would merge unrelated
+        // groups and, worse, the key-filtered re-read would drop
+        // bucket rows whose true k isn't in the target set. Uniform
+        // bucket-era tables compact fine (per bucket id, the grain
+        // streaming appends actually fragment); mixed tables migrate
+        // through rewrite_clustered first.
+        val fsp = SinkSource.fileSpecs(path)
+        val curSpec = SinkSource.currentSpecInfo(path)
+        val eras = (m.map(e => fsp.getOrElse(e._2, 0)) :+ curSpec._1).distinct
+        if (eras.size > 1)
+          throw new UnsupportedOperationException(
+            s"table $path spans partition-spec eras " +
+              s"(${eras.sorted.mkString(", ")}) — migrate with " +
+              "rewrite_clustered before compacting")
         // targets: keys split across files, plus (MoR) keys whose
         // files carry deletion vectors or are subject to an equality
         // delete — compacting those MATERIALIZES the tombstones and
@@ -1898,7 +2196,7 @@ class SinkCompactProcedure(root: String, mor: Boolean = false)
         var filesAfter = filesBefore
         if (targets.nonEmpty) {
           val spark = org.apache.spark.sql.SparkSession.active
-          import org.apache.spark.sql.functions.col
+          import org.apache.spark.sql.functions.{col, lit, pmod}
           val scratch = new Path(path, s"_compact_${java.util.UUID.randomUUID()}")
           // distributed rewrite: each target key lands whole in one
           // task, so the scratch table holds exactly one file per key;
@@ -1911,12 +2209,23 @@ class SinkCompactProcedure(root: String, mor: Boolean = false)
           // are stamped with the current sid.
           val curFields = SinkSchemas.currentFields(path)
           val curSid = SinkSource.schemaIdOf(path)
+          // group addressing in ROW terms: under the identity spec a
+          // manifest key is the rows' k; under bucket(m) it is
+          // pmod(k, m) — the same arithmetic the writer groups by, so
+          // the filtered re-read selects exactly the target groups'
+          // rows and the scratch write (forced onto the live spec)
+          // regroups them one file per target key
+          val groupCol = curSpec match {
+            case (_, "bucket", mm) => pmod(col("k"), lit(mm.toLong))
+            case _ => col("k")
+          }
           SinkSource.write(
             SinkSource.load(spark, path, mor = mor)
-              .filter(col("k").isInCollection(targets))
-              .repartition(col("k")),
+              .filter(groupCol.isInCollection(targets))
+              .repartition(groupCol),
             scratch.toString, overwrite = true,
-            fields = if (curSid == 0) None else Some(curFields))
+            fields = if (curSid == 0) None else Some(curFields),
+            forceSpec = if (curSpec._1 == 0) None else Some(curSpec))
           val f = SinkSource.fs(path)
           val tag = java.util.UUID.randomUUID().toString.take(8)
           // the scratch table went through the normal write path, so
@@ -1944,7 +2253,7 @@ class SinkCompactProcedure(root: String, mor: Boolean = false)
           SinkSource.writeManifest(path, kept ++ compacted,
             Some(dvd.filterNot { case (df, _) => replaced.contains(df) }),
             newFileSchemaId = Some(curSid), newStats = compactedStats,
-            newNulls = compactedNulls)
+            newNulls = compactedNulls, newFileSpecId = Some(curSpec._1))
           SinkSource.gcData(path, replaced)
           dvd.filter { case (df, _) => replaced.contains(df) }
             .foreach { case (_, dv) =>
@@ -2438,7 +2747,11 @@ class SinkRollbackProcedure(root: String)
               eqOverride = Some(SinkSource.eqDeletes(path, Some(v))),
               carrySeqs = SinkSource.fileSeqs(path, Some(v)),
               newNulls = SinkSource.manifestNulls(path, Some(v)),
-              newBlooms = SinkSource.manifestBlooms(path, Some(v)))
+              newBlooms = SinkSource.manifestBlooms(path, Some(v)),
+              // restore the snapshot's exact layout state: each
+              // re-introduced file's era and the current-spec pointer
+              carryFspecs = SinkSource.fileSpecs(path, Some(v)),
+              specOverride = Some(SinkSource.currentSpecId(path, Some(v))))
             cur + 1
           }
         val row: InternalRow = new GenericInternalRow(Array[Any](
@@ -2526,6 +2839,20 @@ class SinkRewriteProcedure(root: String, mor: Boolean = false)
               "mor=true catalog (a raw rewrite reads files unmerged yet " +
               "publishes an empty sidecar — tombstoned rows would " +
               "resurrect)")
+        // clustered rewrite lays one file per (key, range slice) —
+        // the IDENTITY layout. Under an evolved current spec that
+        // would contradict what new writes produce, so it refuses;
+        // with the current spec back at identity it is the era
+        // MIGRATION verb: the full-table read takes rows from any
+        // era, the rewrite publishes everything as spec-0 files, and
+        // mixed-era refusals (compact, SHOW PARTITIONS, metadata
+        // delete) clear.
+        if (SinkSource.currentSpecId(path) != 0)
+          throw new UnsupportedOperationException(
+            s"rewrite_clustered on $path: the current partition spec " +
+              "is not identity — evolve_spec('" + table + "', " +
+              "'identity') first; the rewrite then migrates every " +
+              "old-era file")
         val m = SinkSource.manifest(path)
         val filesBefore = m.map(_._2).distinct.size.toLong
         if (m.isEmpty)
@@ -2582,6 +2909,125 @@ class SinkRewriteProcedure(root: String, mor: Boolean = false)
             StructField("n_rows", LongType, nullable = false)))
         }
         util.Arrays.asList(result).iterator()
+      }
+    }
+}
+
+/** `CALL <cat>.evolve_spec('<table>', '<transform>')` — PARTITION
+  * SPEC EVOLUTION (Iceberg's `ALTER TABLE .. WRITE ORDERED/PARTITIONED
+  * BY` verb re-expressed over the psv manifest): change what layout
+  * NEW writes group files under — `'identity'` (one file group per k)
+  * or `'bucket(m)'` (one group per pmod(k, m)) — WITHOUT rewriting a
+  * byte. The commit is metadata-only: it re-cites the head's entries
+  * verbatim and publishes a new `#curspec` pointer plus an append-only
+  * `#pspec` definition; every existing file keeps its own era
+  * (`#fspec`), and readers interpret each file's manifest key under
+  * the file's OWN spec — identity keys prune k-filters exactly,
+  * bucket keys prune equality by bucket arithmetic and ranges by the
+  * per-file k stats bucket-era writers record.
+  *
+  * Why this is the layout verb a growing table hits FIRST at the
+  * 100 TB design point: identity(k) is right while the key domain is
+  * small (exact metadata deletes, per-key groups), and wrong once the
+  * domain explodes — millions of keys mean millions of file groups,
+  * planning drowns in entries, and streaming appends fragment every
+  * key. bucket(m) caps the group count at m forever. The cost of the
+  * cap is honesty about what stops being exact: key-filtered
+  * metadata deletes, partition DDL, and group-by-key agg pushdown all
+  * REFUSE (falling back to row-level paths) while any non-identity
+  * era is present — wrong-by-construction operations refuse rather
+  * than approximate, the format's standing posture.
+  *
+  * Refusals: malformed transforms, bucket(m < 2) (a 1-bucket table is
+  * a degenerate single group — almost certainly a typo), re-declaring
+  * the current spec, never-committed tables, tables with live
+  * branches (borrowed refs don't carry eras), and bucketWrite
+  * catalogs (their static bucket(8, k) declaration would conflict).
+  */
+class SinkEvolveSpecProcedure(root: String, bucketWrite: Boolean = false)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+
+  override def name(): String = "evolve_spec"
+  override def description(): String =
+    "change the partition spec for new writes (identity | bucket(m)); " +
+      "existing files keep their era"
+
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "evolve_spec"
+      override def description(): String =
+        SinkEvolveSpecProcedure.this.description()
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("transform", StringType).build())
+      override def isDeterministic: Boolean = false // publishes a commit
+
+      private val BucketRe = """bucket\((\d+)\)""".r
+
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val transform = input.getUTF8String(1).toString.trim
+        if (bucketWrite)
+          throw new UnsupportedOperationException(
+            "evolve_spec through a bucketWrite catalog: the catalog " +
+              "statically declares bucket(8, k) — conflicting layout " +
+              "declarations; use a plain or partman catalog")
+        val d: (String, Int) = transform match {
+          case "identity" => ("identity", 0)
+          case BucketRe(m) =>
+            val mm = m.toInt
+            if (mm < 2) throw new IllegalArgumentException(
+              s"bucket($mm) is a degenerate single group — the modulus " +
+                "must be >= 2")
+            ("bucket", mm)
+          case other => throw new IllegalArgumentException(
+            s"unknown partition transform '$other' — supported: " +
+              "identity, bucket(<m>)")
+        }
+        val path = new Path(root, table).toString
+        if (SinkSource.currentVersion(path) == 0)
+          throw new IllegalStateException(
+            s"cannot evolve the spec of never-committed table $path")
+        if (SinkSource.branches(path).nonEmpty)
+          throw new UnsupportedOperationException(
+            s"cannot evolve the spec of $path: live branches borrow its " +
+              "files without era metadata — drop or promote them first")
+        // CAS publish: carry the head verbatim, swap only the spec
+        // pointer; a lost race re-checks against the new head (the
+        // no-op refusal must hold against what actually published)
+        var attempt = 0
+        while (true) {
+          attempt += 1
+          if (attempt > 10)
+            throw new SinkConflictException(
+              s"evolve_spec on $path gave up after 10 attempts")
+          val base = SinkSource.currentVersion(path)
+          val curId = SinkSource.currentSpecId(path, Some(base))
+          if (SinkSource.partSpecs(path, Some(base))(curId) == d)
+            throw new IllegalArgumentException(
+              s"$transform is already the current spec of $path")
+          try {
+            val newV = SinkSource.writeManifest(path,
+              SinkSource.manifest(path, Some(base)),
+              atVersion = Some(base + 1), specChange = Some(d))
+            val row: InternalRow = new GenericInternalRow(Array[Any](
+              newV.toLong,
+              SinkSource.currentSpecId(path, Some(newV)).toLong,
+              org.apache.spark.unsafe.types.UTF8String.fromString(transform)))
+            val result: Scan = new LocalScan {
+              override def rows(): Array[InternalRow] = Array(row)
+              override def readSchema(): StructType = StructType(Seq(
+                StructField("new_version", LongType, nullable = false),
+                StructField("spec_id", LongType, nullable = false),
+                StructField("transform", StringType, nullable = false)))
+            }
+            return util.Arrays.asList(result).iterator()
+          } catch {
+            case _: SinkCommitRaceException => /* retry on new head */
+          }
+        }
+        throw new IllegalStateException("unreachable")
       }
     }
 }
@@ -2652,10 +3098,21 @@ class SinkBloomProcedure(root: String)
         // and absence of a header is the sound "cannot skip"
         val salt = java.util.UUID.randomUUID().toString.take(8)
         val bloomsDir = new Path(path, "blooms").toString
+        // INCREMENTAL by construction: files already carrying a bloom
+        // for this field keep their header (a bloom describes
+        // immutable file bytes — rebuilding it buys nothing), so a
+        // repeated CALL costs only the uncovered files. With the
+        // write path maintaining blooms on every append (the head's
+        // headers ARE the policy, [[SinkSource.bloomPolicy]]), the
+        // steady state is ZERO uncovered files and the CALL is pure
+        // metadata — the one-off full pass happens exactly once.
+        val covered = SinkSource.manifestBlooms(path)
         val work = rowsByFile.toSeq
           // borrowed branch refs are another table's bytes — skipped;
           // absence of a header is the sound "cannot skip"
           .filterNot { case (fl, _) => fl.contains("/") }
+          .filterNot { case (fl, _) =>
+            covered.get(fl).exists(_.exists(_._1 == fld.id)) }
           .flatMap { case (fl, rows) =>
             val ff = SinkSchemas.fields(path, sids.getOrElse(fl, 0))
             val pos = ff.indexWhere(_.id == fld.id)
@@ -2693,10 +3150,12 @@ class SinkBloomProcedure(root: String)
           }.collect().toMap // file-count-sized: header metadata only
         val newBlooms = built.map { case (fl, (mBits, k, name)) =>
           fl -> Seq((fld.id, mBits, k, name)) }
+        // fully covered already: publish nothing (a no-op CALL must
+        // not burn a version), report zero files indexed
+        var done = built.isEmpty
         // CAS publish: blooms commute with concurrent appends (their
         // new files simply lack headers until the next build)
         var attempt = 0
-        var done = false
         while (!done) {
           attempt += 1
           if (attempt > 10)
@@ -2783,6 +3242,12 @@ class SinkBranchProcedure(root: String)
           throw new UnsupportedOperationException(
             s"cannot branch $path: active tombstones do not travel " +
               "through borrowed refs (compact to materialize them first)")
+        if (SinkSource.currentSpecId(path) != 0 ||
+            SinkSource.fileSpecs(path).nonEmpty)
+          throw new UnsupportedOperationException(
+            s"cannot branch $path: evolved partition specs do not " +
+              "travel through borrowed refs (the branch manifest would " +
+              "lose file eras) — migrate with rewrite_clustered first")
         val base = SinkSource.currentVersion(path)
         val entries = SinkSource.manifest(path)
         val borrowed = entries.map { case (k, fl, n) =>
@@ -3040,10 +3505,13 @@ class SinkMorScan(path: String, pinnedVersion: Option[Int],
       val stats = SinkSource.manifestStats(path, pinnedVersion)
       val nulls = SinkSource.manifestNulls(path, pinnedVersion)
       val blooms = SinkSource.manifestBlooms(path, pinnedVersion)
+      val fsp = SinkSource.fileSpecs(path, pinnedVersion)
+      val specDefs = SinkSource.partSpecs(path, pinnedVersion)
       val bloomCache = scala.collection.mutable.Map.empty[String, Array[Byte]]
       allFiles.filter(f => SinkZoneMaps.mightMatch(
         keysByFile(f), stats.get(f), skipFilters,
-        nulls.get(f), rowsByFile.getOrElse(f, -1L)) &&
+        nulls.get(f), rowsByFile.getOrElse(f, -1L),
+        specDefs(fsp.getOrElse(f, 0))) &&
         !SinkZoneMaps.bloomRejects(path, f, blooms, skipFilters, bloomCache))
     }
   private lazy val dvs: Map[String, Seq[String]] = {
@@ -3317,7 +3785,8 @@ class SinkDeltaScan(path: String, op: SinkDeltaOperation,
 case class SinkDvCommitMessage(entries: Seq[(String, String)],
     dataEntries: Seq[(Long, String, Long)] = Seq.empty,
     dataStats: Map[String, Seq[(Int, Long, Long)]] = Map.empty,
-    dataNulls: Map[String, Seq[(Int, Long)]] = Map.empty)
+    dataNulls: Map[String, Seq[(Int, Long)]] = Map.empty,
+    dataBlooms: Map[String, Seq[(Int, Int, Int, String)]] = Map.empty)
     extends WriterCommitMessage
 
 class SinkDvBatchWrite(path: String, queryId: String,
@@ -3328,8 +3797,16 @@ class SinkDvBatchWrite(path: String, queryId: String,
 
   private def stagingDir = new Path(path, s"_staging/$queryId")
 
+  // a MoR UPDATE's re-inserted rows are ordinary appends: they land
+  // grouped under the CURRENT spec and stamped with its era
+  private lazy val spec: (Int, String, Int) =
+    SinkSource.currentSpecInfo(path)
+  private lazy val bloomPolicy: Seq[(Int, Int)] =
+    SinkSource.bloomPolicy(path)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
-    new SinkDvWriterFactory(path, queryId, fields)
+    new SinkDvWriterFactory(path, queryId, fields, spec._2, spec._3,
+      bloomPolicy)
 
   /** Publish: move staged vectors into deletes/ and staged data files
     * (UPDATE's new rows) into data/, then write the next version with
@@ -3348,6 +3825,9 @@ class SinkDvBatchWrite(path: String, queryId: String,
     }.toMap
     val appendedNulls = messages.flatMap {
       case m: SinkDvCommitMessage => m.dataNulls
+    }.toMap
+    val appendedBlooms = messages.flatMap {
+      case m: SinkDvCommitMessage => m.dataBlooms
     }.toMap
     val f = SinkSource.fs(path)
     val ourFiles = dvs.map(_._1).distinct.toSet
@@ -3427,7 +3907,8 @@ class SinkDvBatchWrite(path: String, queryId: String,
         SinkSource.writeManifest(path, head ++ appended,
           Some(active), newFileSchemaId = Some(sid),
           newStats = appendedStats, newNulls = appendedNulls,
-          atVersion = Some(base + 1))
+          atVersion = Some(base + 1), newFileSpecId = Some(spec._1),
+          newBlooms = appendedBlooms)
         done = true
       } catch { case _: SinkCommitRaceException => /* revalidate + retry */ }
     }
@@ -3439,15 +3920,20 @@ class SinkDvBatchWrite(path: String, queryId: String,
 }
 
 class SinkDvWriterFactory(path: String, queryId: String,
-    fields: Seq[SinkSchemas.SinkField] = SinkSchemas.base)
+    fields: Seq[SinkSchemas.SinkField] = SinkSchemas.base,
+    specKind: String = "identity", specParam: Int = 0,
+    bloomPolicy: Seq[(Int, Int)] = Seq.empty)
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
-    new SinkDvWriter(path, queryId, partitionId, taskId, fields)
+    new SinkDvWriter(path, queryId, partitionId, taskId, fields,
+      specKind, specParam, bloomPolicy)
 }
 
 class SinkDvWriter(path: String, queryId: String, partitionId: Int,
-    taskId: Long, fields: Seq[SinkSchemas.SinkField] = SinkSchemas.base)
+    taskId: Long, fields: Seq[SinkSchemas.SinkField] = SinkSchemas.base,
+    specKind: String = "identity", specParam: Int = 0,
+    bloomPolicy: Seq[(Int, Int)] = Seq.empty)
     extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
 
   private val vectors =
@@ -3456,7 +3942,8 @@ class SinkDvWriter(path: String, queryId: String, partitionId: Int,
   // appended files are indistinguishable from any other write's; the
   // statement's commit tag keeps the names unique across applications
   private val inserts = new SinkWriter(path, queryId, partitionId, taskId,
-    nameTag = "u" + SinkWriter.commitTag(queryId), fields = fields)
+    nameTag = "u" + SinkWriter.commitTag(queryId), fields = fields,
+    specKind = specKind, specParam = specParam, bloomPolicy = bloomPolicy)
 
   override def delete(meta: InternalRow, id: InternalRow): Unit = {
     // rowId projection order: (_file, _pos)
@@ -3491,7 +3978,7 @@ class SinkDvWriter(path: String, queryId: String, partitionId: Int,
       case m: SinkCommitMessage => m
     }
     SinkDvCommitMessage(entries, insertMsg.entries, insertMsg.stats,
-      insertMsg.nulls)
+      insertMsg.nulls, insertMsg.blooms)
   }
   override def abort(): Unit = inserts.abort()
   override def close(): Unit = inserts.close()
@@ -3562,14 +4049,25 @@ class SinkRowLevelScan(path: String, op: SinkRowLevelOperation,
   @volatile private var runtime: Array[Filter] = Array.empty
   override def filter(filters: Array[Filter]): Unit = { runtime = filters }
 
-  private def keep(k: Long): Boolean = runtime.forall {
-    case EqualTo("k", v) => k == v.asInstanceOf[Number].longValue
-    case In("k", vs) => vs.exists(_.asInstanceOf[Number].longValue == k)
-    case _ => true
-  }
+  // runtime group pruning is PER-ERA: an identity-era entry's key is
+  // the rows' k; a bucket-era entry can only hold k = X when its key
+  // equals pmod(X, m) — so the runtime filter still prunes evolved
+  // tables, just through each file's own layout arithmetic
+  private def keep(k: Long, layout: Long => Long): Boolean =
+    runtime.forall {
+      case EqualTo("k", v) =>
+        k == layout(v.asInstanceOf[Number].longValue)
+      case In("k", vs) =>
+        vs.exists(v => layout(v.asInstanceOf[Number].longValue) == k)
+      case _ => true
+    }
 
-  private def entries: Seq[(Long, String, Long)] =
-    SinkSource.manifest(path).filter { case (k, _, _) => keep(k) }
+  private def entries: Seq[(Long, String, Long)] = {
+    val fsp = SinkSource.fileSpecs(path)
+    val specDefs = SinkSource.partSpecs(path)
+    SinkSource.manifest(path).filter { case (k, fl, _) =>
+      keep(k, SinkSource.layoutOf(specDefs(fsp.getOrElse(fl, 0)))) }
+  }
 
   override def description(): String = {
     val all = SinkSource.manifest(path).size
@@ -3606,9 +4104,19 @@ class SinkReplaceDataWrite(path: String, queryId: String,
 
   private def stagingDir = new Path(path, s"_staging/$queryId")
 
+  // the CoW rewrite regroups the recomputed rows under the CURRENT
+  // spec — a row-level DML on an evolved table migrates the touched
+  // groups into the live era as a side effect (the Iceberg behavior:
+  // rewrites always write the current spec)
+  private lazy val spec: (Int, String, Int) =
+    SinkSource.currentSpecInfo(path)
+  private lazy val bloomPolicy: Seq[(Int, Int)] =
+    SinkSource.bloomPolicy(path)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new SinkWriterFactory(path, queryId, trailingFields = true,
-      nameTag = SinkWriter.commitTag(queryId), fields = fields)
+      nameTag = SinkWriter.commitTag(queryId), fields = fields,
+      specKind = spec._2, specParam = spec._3, bloomPolicy = bloomPolicy)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val committed = messages.flatMap {
@@ -3619,6 +4127,9 @@ class SinkReplaceDataWrite(path: String, queryId: String,
     }.toMap
     val nulls = messages.flatMap {
       case m: SinkCommitMessage => m.nulls
+    }.toMap
+    val blooms = messages.flatMap {
+      case m: SinkCommitMessage => m.blooms
     }.toMap
     val replaced = op.scannedFiles.get().toSet
     val f = SinkSource.fs(path)
@@ -3672,7 +4183,8 @@ class SinkReplaceDataWrite(path: String, queryId: String,
       try {
         SinkSource.writeManifest(path, kept ++ committed,
           newFileSchemaId = Some(sid), newStats = stats,
-          newNulls = nulls, atVersion = Some(base + 1))
+          newNulls = nulls, atVersion = Some(base + 1),
+          newFileSpecId = Some(spec._1), newBlooms = blooms)
         done = true
       } catch { case _: SinkCommitRaceException => /* revalidate + retry */ }
     }
@@ -3849,6 +4361,15 @@ class SinkScanBuilder(path: String, pinnedVersion: Option[Int],
       case SinkMinSpec(id, _) => id
       case SinkMaxSpec(id, _) => id
     }.toSet
+    // partition spec evolution: an evolved file's manifest key is
+    // pmod(k, m), not a k value — GROUP BY k served from keys would
+    // group by bucket id, and MIN/MAX(k) served from keys would
+    // answer with bucket extremes. Both fall back to the row scan
+    // when any cited file is non-identity-era; global COUNT stays
+    // metadata (row counts are era-agnostic truth).
+    lazy val evolvedFiles = SinkSource.fileSpecs(path, pinnedVersion)
+    if ((groups.nonEmpty || minMaxIds.contains(1)) && evolvedFiles.nonEmpty)
+      return None
     if (minMaxIds.nonEmpty) {
       // MIN/MAX needs PROOF from metadata: rows exist, no tombstones,
       // and every cited file carries a stat for every asked field
@@ -4116,10 +4637,13 @@ class SinkScan(path: String, pinnedVersion: Option[Int] = None,
       val stats = SinkSource.manifestStats(path, pinnedVersion)
       val nulls = SinkSource.manifestNulls(path, pinnedVersion)
       val blooms = SinkSource.manifestBlooms(path, pinnedVersion)
+      val fsp = SinkSource.fileSpecs(path, pinnedVersion)
+      val specDefs = SinkSource.partSpecs(path, pinnedVersion)
       val bloomCache = scala.collection.mutable.Map.empty[String, Array[Byte]]
       allFiles.filter(f => SinkZoneMaps.mightMatch(
         keysByFile(f), stats.get(f), skipFilters,
-        nulls.get(f), rowsByFile.getOrElse(f, -1L)) &&
+        nulls.get(f), rowsByFile.getOrElse(f, -1L),
+        specDefs(fsp.getOrElse(f, 0))) &&
         !SinkZoneMaps.bloomRejects(path, f, blooms, skipFilters, bloomCache))
     }
 
@@ -4443,7 +4967,9 @@ class SinkReader(file: String, plainLimit: Option[Int] = None,
 class SinkWriteBuilder(path: String, queryId: String,
     clustered: Boolean = false,
     fields: Seq[SinkSchemas.SinkField] = SinkSchemas.base, sid: Int = 0,
-    txn: Option[(String, Long)] = None, declareSchema: Boolean = false)
+    txn: Option[(String, Long)] = None, declareSchema: Boolean = false,
+    forcedSpec: Option[(Int, String, Int)] = None,
+    mergeSchema: Boolean = false)
     extends WriteBuilder with SupportsOverwrite {
   import org.apache.spark.sql.sources.{AlwaysTrue, Filter}
 
@@ -4467,7 +4993,8 @@ class SinkWriteBuilder(path: String, queryId: String,
       override def toBatch: BatchWrite =
         new SinkBatchWrite(path, queryId, doTruncate, txn = txn,
           replace = replace, fields = fields, sid = sid,
-          declareSchema = declareSchema)
+          declareSchema = declareSchema, forcedSpec = forcedSpec,
+          mergeSchema = mergeSchema)
       override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
         new SinkStreamingWrite(path, queryId, fields, sid)
     }
@@ -4587,21 +5114,35 @@ class SinkBucketBound
   */
 case class SinkCommitMessage(entries: Seq[(Long, String, Long)],
     stats: Map[String, Seq[(Int, Long, Long)]] = Map.empty,
-    nulls: Map[String, Seq[(Int, Long)]] = Map.empty)
+    nulls: Map[String, Seq[(Int, Long)]] = Map.empty,
+    blooms: Map[String, Seq[(Int, Int, Int, String)]] = Map.empty)
     extends WriterCommitMessage
 
 class SinkBatchWrite(path: String, queryId: String, truncate: Boolean,
     txn: Option[(String, Long)] = None,
     replace: Option[Array[org.apache.spark.sql.sources.Filter]] = None,
     fields: Seq[SinkSchemas.SinkField] = SinkSchemas.base, sid: Int = 0,
-    declareSchema: Boolean = false)
+    declareSchema: Boolean = false,
+    forcedSpec: Option[(Int, String, Int)] = None,
+    mergeSchema: Boolean = false)
     extends BatchWrite {
 
   private def stagingDir = new Path(path, s"_staging/$queryId")
 
+  // the partition spec this write lays files out under — resolved
+  // ONCE, driver-side (or forced: the streaming sink resolves at
+  // factory creation and threads it here so a spec evolution between
+  // staging and commit can't mis-stamp the era; scratch writes force
+  // a spec their destination table dictates)
+  private lazy val spec: (Int, String, Int) =
+    forcedSpec.getOrElse(SinkSource.currentSpecInfo(path))
+  private lazy val bloomPolicy: Seq[(Int, Int)] =
+    SinkSource.bloomPolicy(path)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new SinkWriterFactory(path, queryId,
-      nameTag = SinkWriter.commitTag(queryId), fields = fields)
+      nameTag = SinkWriter.commitTag(queryId), fields = fields,
+      specKind = spec._2, specParam = spec._3, bloomPolicy = bloomPolicy)
 
   /** Runs ONCE on the driver, after every task reported success. The
     * publish order is: move staged files into data/, then publish the
@@ -4621,6 +5162,9 @@ class SinkBatchWrite(path: String, queryId: String, truncate: Boolean,
     }.toMap
     val nulls = messages.flatMap {
       case m: SinkCommitMessage => m.nulls
+    }.toMap
+    val blooms = messages.flatMap {
+      case m: SinkCommitMessage => m.blooms
     }.toMap
     val f = SinkSource.fs(path)
     val dataDir = new Path(path, "data")
@@ -4651,6 +5195,19 @@ class SinkBatchWrite(path: String, queryId: String, truncate: Boolean,
           s"write publish on $path gave up after 10 attempts")
       val base = SinkSource.currentVersion(path)
       val head = SinkSource.manifest(path, Some(base).filter(_ > 0))
+      // overwrite-by-filter is EXACT at manifest granularity only
+      // when every matched group's key IS the rows' k — an evolved
+      // (bucket-era) file's key is pmod(k, m) and the file holds
+      // other keys too, so a key-filtered swap would silently drop
+      // unmatched rows sharing the bucket. Refuse loudly; row-level
+      // DELETE + append handles the evolved case exactly.
+      if (replace.isDefined &&
+          SinkSource.fileSpecs(path, Some(base).filter(_ > 0)).nonEmpty)
+        throw new UnsupportedOperationException(
+          s"overwrite-by-filter on $path: the table carries files from " +
+            "an evolved partition spec (their manifest keys are bucket " +
+            "ids, not k values) — use row-level DELETE + append, or " +
+            "rewrite_clustered to migrate eras first")
       val (d, prior) =
         if (truncate) (head, Seq.empty)
         else replace match {
@@ -4659,11 +5216,55 @@ class SinkBatchWrite(path: String, queryId: String, truncate: Boolean,
           case None => (Seq.empty, head)
         }
       dropped = d
+      // DECLARED-SCHEMA reconciliation against the head THIS attempt
+      // replaces (schema evolution on write): a truncate or a first
+      // commit declares its fields outright (overwrite semantics);
+      // an append whose declaration matches the head is idempotent;
+      // a MOVED head (concurrent ALTER, stale declaration) refuses
+      // without `mergeSchema` — silently re-declaring would be a
+      // lost-update of the racer's evolution — and with it, the q292
+      // ALTER machinery runs INSIDE this CAS: union by permanent
+      // field id (head authority on common fields, our new columns
+      // appended), published atomically with the data. Clashes with
+      // no safe union (same name, different id or type — both sides
+      // invented a column) abort with the conflict exception; the
+      // statement re-plans against the new snapshot.
+      val declaredSid: Option[Int] =
+        if (!declareSchema) None
+        else if (truncate || base == 0) Some(sid)
+        else {
+          val headFields = SinkSchemas.currentFields(path, Some(base))
+          if (headFields == fields) Some(sid)
+          else if (!mergeSchema)
+            throw new SinkConflictException(
+              s"schema-declaring write to $path: the destination's " +
+                "current schema differs from the declared fields (a " +
+                "concurrent ALTER, or a stale declaration) — pass " +
+                "mergeSchema=true to reconcile, or re-plan")
+          else {
+            fields.foreach { o =>
+              headFields.find(t => t.name == o.name || t.id == o.id)
+                .foreach { t =>
+                  if (t.name != o.name || t.id != o.id || t.dt != o.dt)
+                    throw new SinkConflictException(
+                      s"mergeSchema write to $path: declared column " +
+                        s"${o.name} (id ${o.id}, " +
+                        s"${SinkSchemas.typeName(o.dt)}) conflicts with " +
+                        s"the table's ${t.name} (id ${t.id}, " +
+                        s"${SinkSchemas.typeName(t.dt)})")
+                }
+            }
+            val merged = headFields ++
+              fields.filterNot(o => headFields.exists(_.id == o.id))
+            Some(SinkSchemas.ensure(path, merged))
+          }
+        }
       try {
         SinkSource.writeManifest(path, prior ++ committed, txn = txn,
-          schemaId = if (declareSchema) Some(sid) else None,
+          schemaId = declaredSid,
           newFileSchemaId = Some(sid), newStats = stats,
-          newNulls = nulls, atVersion = Some(base + 1))
+          newNulls = nulls, atVersion = Some(base + 1),
+          newFileSpecId = Some(spec._1), newBlooms = blooms)
         publishedFiles = (prior ++ committed).map(_._2).toSet
         published = true
       } catch { case _: SinkCommitRaceException => /* re-plan + retry */ }
@@ -4689,11 +5290,14 @@ class SinkBatchWrite(path: String, queryId: String, truncate: Boolean,
 
 class SinkWriterFactory(path: String, queryId: String,
     trailingFields: Boolean = false, nameTag: String = "",
-    fields: Seq[SinkSchemas.SinkField] = SinkSchemas.base)
+    fields: Seq[SinkSchemas.SinkField] = SinkSchemas.base,
+    specKind: String = "identity", specParam: Int = 0,
+    bloomPolicy: Seq[(Int, Int)] = Seq.empty)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new SinkWriter(path, queryId, partitionId, taskId,
-      nameTag = nameTag, trailingFields = trailingFields, fields = fields)
+      nameTag = nameTag, trailingFields = trailingFields, fields = fields,
+      specKind = specKind, specParam = specParam, bloomPolicy = bloomPolicy)
 }
 
 /** Streaming form of the commit protocol: one commit PER EPOCH, and —
@@ -4726,9 +5330,18 @@ class SinkStreamingWrite(path: String, queryId: String,
     "r" + java.util.UUID.randomUUID().toString.replaceAll("-", "")
       .takeRight(8) + "_"
 
+  // resolved once per run, driver-side, and threaded into both the
+  // writers (file grouping) and each epoch's commit (#fspec stamp) —
+  // one snapshot decides the era end-to-end
+  private lazy val spec: (Int, String, Int) =
+    SinkSource.currentSpecInfo(path)
+  private lazy val bloomPolicy: Seq[(Int, Int)] =
+    SinkSource.bloomPolicy(path)
+
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new SinkStreamingWriterFactory(path, queryId, runTag, fields)
+    new SinkStreamingWriterFactory(path, queryId, runTag, fields,
+      specKind = spec._2, specParam = spec._3, bloomPolicy = bloomPolicy)
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
@@ -4741,7 +5354,8 @@ class SinkStreamingWrite(path: String, queryId: String,
       return
     }
     new SinkBatchWrite(path, s"$queryId/$epochId", truncate = false,
-      txn = Some((queryId, epochId)), fields = fields, sid = sid)
+      txn = Some((queryId, epochId)), fields = fields, sid = sid,
+      forcedSpec = Some(spec))
       .commit(messages)
   }
 
@@ -4753,7 +5367,9 @@ class SinkStreamingWrite(path: String, queryId: String,
 
 class SinkStreamingWriterFactory(path: String, queryId: String,
     runTag: String,
-    fields: Seq[SinkSchemas.SinkField] = SinkSchemas.base)
+    fields: Seq[SinkSchemas.SinkField] = SinkSchemas.base,
+    specKind: String = "identity", specParam: Int = 0,
+    bloomPolicy: Seq[(Int, Int)] = Seq.empty)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
@@ -4763,7 +5379,9 @@ class SinkStreamingWriterFactory(path: String, queryId: String,
     // published file an old manifest still cites — publish refuses to
     // replace, so uniqueness must be carried by the name
     new SinkWriter(path, s"$queryId/$epochId", partitionId, taskId,
-      nameTag = s"e${epochId}_$runTag", fields = fields)
+      nameTag = s"e${epochId}_$runTag", fields = fields,
+      specKind = specKind, specParam = specParam,
+      bloomPolicy = bloomPolicy)
 }
 
 object SinkWriter {
@@ -4781,7 +5399,9 @@ object SinkWriter {
 
 class SinkWriter(path: String, queryId: String, partitionId: Int,
     taskId: Long, nameTag: String = "", trailingFields: Boolean = false,
-    fields: Seq[SinkSchemas.SinkField] = SinkSchemas.base)
+    fields: Seq[SinkSchemas.SinkField] = SinkSchemas.base,
+    specKind: String = "identity", specParam: Int = 0,
+    bloomPolicy: Seq[(Int, Int)] = Seq.empty)
     extends DataWriter[InternalRow] {
 
   private val buffers =
@@ -4792,14 +5412,25 @@ class SinkWriter(path: String, queryId: String, partitionId: Int,
   // keys correctly (rename/drop of id 1 itself is refused upstream)
   private val keyIdx = fields.indexWhere(_.id == 1)
   require(keyIdx >= 0, s"write schema lost the layout key: $fields")
+  // the file-GROUPING function of the table's current partition spec:
+  // identity groups one file per k; bucket(m) one file per pmod(k, m)
+  // — the spec-evolution write contract (the commit stamps each
+  // staged file's `#fspec` with the same spec the factory resolved)
+  private val layout: Long => Long =
+    SinkSource.layoutOf((specKind, specParam))
 
   // ZONE MAPS, computed inline: (schema position, field id) of every
-  // BIGINT column except the key (the key is constant per file — the
-  // manifest entry already IS its zone map). Min/max cover NON-NULL
-  // values only, which keeps range skipping sound: every supported
-  // skip predicate (=, <, <=, >, >=, IN) rejects NULL anyway.
+  // BIGINT column except the key under the IDENTITY spec (there the
+  // key is constant per file — the manifest entry already IS its zone
+  // map). Under a bucket spec a file spans many k values, so the key
+  // gets a real min/max stat like any other column — which is what
+  // keeps k-range pruning alive across the era change. Min/max cover
+  // NON-NULL values only, which keeps range skipping sound: every
+  // supported skip predicate (=, <, <=, >, >=, IN) rejects NULL
+  // anyway.
   private val statFields: Array[(Int, Int)] = fields.zipWithIndex
-    .collect { case (f, i) if f.dt == LongType && f.id != 1 => (i, f.id) }
+    .collect { case (f, i) if f.dt == LongType &&
+      (f.id != 1 || specKind != "identity") => (i, f.id) }
     .toArray
   // per key: parallel min/max/seen arrays, one slot per stat field
   private val mins = scala.collection.mutable.Map.empty[Long, Array[Long]]
@@ -4809,6 +5440,20 @@ class SinkWriter(path: String, queryId: String, partitionId: Int,
   // claim: "no row of this file is NULL here"), which is what backs
   // COUNT(col) pushdown and IS NULL / IS NOT NULL file skipping
   private val nullCnt = scala.collection.mutable.Map.empty[Long, Array[Long]]
+  // WRITE-MAINTAINED BLOOMS: (schema position, field id, bitsPerRow)
+  // per policy field present in this write's schema. Values buffer
+  // per file group (one Long per non-null row per field — bounded by
+  // the row text the writer already buffers) and hash into a
+  // rows-proportional bitset at commit, the builder's own sizing —
+  // so files born by append probe identically to files the one-off
+  // `CALL build_bloom` covered, and coverage never decays with growth
+  private val bloomSpecs: Array[(Int, Int, Int)] = bloomPolicy
+    .flatMap { case (fid, bpr) =>
+      val pos = fields.indexWhere(f => f.id == fid && f.dt == LongType)
+      if (pos < 0) None else Some((pos, fid, bpr))
+    }.toArray
+  private val bloomVals = scala.collection.mutable.Map
+    .empty[Long, Array[scala.collection.mutable.ArrayBuffer[Long]]]
 
   override def write(record: InternalRow): Unit = {
     // row-level rewrites (ReplaceData) prepend engine bookkeeping
@@ -4817,7 +5462,7 @@ class SinkWriter(path: String, queryId: String, partitionId: Int,
     // order at the END, so the replace-data factory reads the
     // trailing `fields.length` columns. Plain writes are exact-width.
     val off = if (trailingFields) record.numFields - fields.length else 0
-    val k = record.getLong(off + keyIdx)
+    val k = layout(record.getLong(off + keyIdx))
     val sb = buffers.getOrElseUpdate(k, new StringBuilder)
     var i = 0
     while (i < fields.length) {
@@ -4844,6 +5489,17 @@ class SinkWriter(path: String, queryId: String, partitionId: Int,
           if (value > mx(j)) mx(j) = value
           sn(j) = true
         } else nc(j) += 1
+        j += 1
+      }
+    }
+    if (bloomSpecs.nonEmpty) {
+      val bv = bloomVals.getOrElseUpdate(k,
+        Array.fill(bloomSpecs.length)(
+          new scala.collection.mutable.ArrayBuffer[Long]))
+      var j = 0
+      while (j < bloomSpecs.length) {
+        val pos = bloomSpecs(j)._1
+        if (!record.isNullAt(off + pos)) bv(j) += record.getLong(off + pos)
         j += 1
       }
     }
@@ -4879,7 +5535,37 @@ class SinkWriter(path: String, queryId: String, partitionId: Int,
       }
       if (perField.isEmpty) None else Some(name -> perField)
     }.toMap
-    SinkCommitMessage(entries, stats, nulls)
+    // write-maintained bloom sidecars: sized from the file's EXACT
+    // row count with the builder's arithmetic (rows × bitsPerRow,
+    // same 8 MB cap, same k) so probe quality is uniform across
+    // build-covered and append-born files. Sidecars land directly
+    // under blooms/ with commit-unique names — an aborted write's
+    // bitsets are uncited debris for remove_orphans, never a lie.
+    val bloomMsgs = if (bloomSpecs.isEmpty) Map.empty[String,
+      Seq[(Int, Int, Int, String)]]
+    else {
+      val bloomsDir = new Path(path, "blooms")
+      f.mkdirs(bloomsDir)
+      entries.flatMap { case (k, name, rows) =>
+        val bv = bloomVals.get(k)
+        val perField = bloomSpecs.indices.flatMap { j =>
+          val vals = bv.map(_(j)).getOrElse(
+            scala.collection.mutable.ArrayBuffer.empty[Long])
+          val (_, fid, bpr) = bloomSpecs(j)
+          val mBits = math.max(64L, rows * bpr).min(1L << 26).toInt
+          val kh = math.max(1, math.round(
+            mBits.toDouble / math.max(1L, rows) * 0.693)).toInt
+          val bits = new Array[Byte]((mBits + 7) / 8)
+          vals.foreach(v => SinkSource.SinkBloom.add(bits, mBits, kh, v))
+          val bf = s"bl_w${nameTag}p${partitionId}_t${taskId}_k${k}_f$fid.bin"
+          val out = f.create(new Path(bloomsDir, bf), true)
+          try out.write(bits) finally out.close()
+          Some((fid, mBits, kh, bf))
+        }
+        if (perField.isEmpty) None else Some(name -> perField)
+      }.toMap
+    }
+    SinkCommitMessage(entries, stats, nulls, bloomMsgs)
   }
 
   override def abort(): Unit = ()

@@ -117,4 +117,80 @@ class SinkBloomSpec extends SparkSpec {
     intercept[Exception] {
       s.sql(s"CALL graft_blg.build_bloom('$table', 'v', 0)").collect() }
   }
+
+  test("appends maintain bloom coverage; the build is incremental; fields merge") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_bloom_wp").toString
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(s.conf.set(k, v)) }
+    import s.implicits._
+    SinkSource.write((0L until 100L).map(v => (v % 2, v)).toDF("k", "v")
+      .repartition(2, col("k")), root, overwrite = true)             // v1
+    s.conf.set("spark.sql.catalog.graft_blw", classOf[SinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_blw.root",
+      new Path(root).getParent.toString)
+    val table = new Path(root).getName
+    s.sql(s"CALL graft_blw.build_bloom('$table', 'v', 12)").collect() // v2
+    // WRITE-PATH MAINTENANCE: the head's headers ARE the policy — an
+    // append computes its own bitsets inline, so coverage does not
+    // silently decay as the table grows
+    SinkSource.write((100L until 200L).map(v => (v % 2, v)).toDF("k", "v")
+      .repartition(2, col("k")), root, overwrite = false)            // v3
+    val blooms = SinkSource.manifestBlooms(root)
+    val allFiles = SinkSource.manifest(root).map(_._2).distinct
+    assert(allFiles.forall(fl => blooms.get(fl).exists(_.exists(_._1 == 2))),
+      s"appended files must carry write-maintained blooms: " +
+        s"${allFiles.filterNot(fl => blooms.contains(fl))}")
+    // no false negatives across build-covered AND append-born files
+    val cache = scala.collection.mutable.Map.empty[String, Array[Byte]]
+    (0L until 200L).foreach { x =>
+      val hit = allFiles.exists { fl =>
+        blooms(fl).exists { case (fid, m, k, bf) =>
+          fid == 2 && SinkSource.SinkBloom.mightContain(
+            cache.getOrElseUpdate(bf, SinkSource.readBloom(root, bf)),
+            m, k, x)
+        }
+      }
+      assert(hit, s"write-maintained bloom false negative for $x")
+    }
+    // probe quality is uniform: an absent needle is rejected by the
+    // append-born files too (not just the built ones)
+    assert(allFiles.forall { fl =>
+      blooms(fl).exists { case (fid, m, k, bf) =>
+        fid == 2 && !SinkSource.SinkBloom.mightContain(
+          cache.getOrElseUpdate(bf, SinkSource.readBloom(root, bf)),
+          m, k, 987654321L)
+      }
+    }, "append-born bitsets must reject an absent needle")
+    // INCREMENTAL: a repeated build has nothing to do — zero files
+    // indexed, no version burned
+    val vBefore = SinkSource.currentVersion(root)
+    val again = s.sql(
+      s"CALL graft_blw.build_bloom('$table', 'v', 12)").collect()(0)
+    assert(again.getLong(0) == 0L, s"full coverage → nothing to index: $again")
+    assert(SinkSource.currentVersion(root) == vBefore,
+      "a no-op build must not publish a version")
+    // MULTI-FIELD MERGE: building a second column's blooms must not
+    // drop the first's headers (and vice versa)
+    s.sql(s"ALTER TABLE graft_blw.`$table` ADD COLUMN w BIGINT")
+    s.sql(s"INSERT INTO graft_blw.`$table` VALUES (0, 500, 7), (1, 501, 8)")
+    val afterInsert = SinkSource.manifestBlooms(root)
+    val newFiles = SinkSource.manifest(root).map(_._2).distinct
+      .filterNot(allFiles.contains)
+    assert(newFiles.nonEmpty)
+    assert(newFiles.forall(fl =>
+      afterInsert.get(fl).exists(_.exists(_._1 == 2))),
+      "evolved-schema appends still ride the v policy")
+    s.sql(s"CALL graft_blw.build_bloom('$table', 'w', 10)").collect()
+    val merged = SinkSource.manifestBlooms(root)
+    newFiles.foreach { fl =>
+      val fids = merged(fl).map(_._1).toSet
+      assert(fids.contains(2) && fids.size == 2,
+        s"second-column build must merge, not replace: $fl -> $fids")
+    }
+    // pre-evolution files have no w values to index — soundly skipped
+    assert(allFiles.forall(fl => !merged(fl).exists(_._1 == 3) ||
+      merged(fl).exists(_._1 == 2)))
+  }
 }
