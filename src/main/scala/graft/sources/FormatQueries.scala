@@ -3359,7 +3359,77 @@ object FormatQueries {
       |  CAST(0 AS BIGINT) AS n_flag
       |FROM events GROUP BY 1""".stripMargin
 
+  // q313 — STORAGE-PARTITIONED JOIN on bucket-era sink tables: the
+  // read-side payoff of q311's spec evolution. Two tables evolved
+  // onto the same bucket(8) spec report
+  // KeyGroupedPartitioning(bucket(8, k)) (the transform resolved
+  // through the catalog's own FunctionCatalog, the Iceberg
+  // mechanism), so their equi-join on k plans with ZERO shuffle
+  // exchanges — each bucket's splits align pairwise and the join is
+  // per-task. The in-query flag pins the plan shape (shuffle-family
+  // join present, no Exchange anywhere in the join subtree); the
+  // oracle pins the values.
+  // Scale notes (100 TB): the shuffle in a fact-fact join IS the
+  // dominant cost at scale — both sides rewrite over the network
+  // however selective the query. A shared bucket layout makes it
+  // pure waste: evolve both tables once (metadata-only), and every
+  // later join on the key is exchange-free while all the skipping
+  // tiers (zone maps, blooms, bucket arithmetic) still compose
+  // upstream. This is Iceberg/Delta's SPJ story re-expressed over
+  // the psv manifest.
+  def q313BucketSpj(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(s.conf.set(k, v)) }
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val root = ShardPaths.resolve(s, "q313", dir)
+    SinkSource.fs(root).delete(new org.apache.hadoop.fs.Path(root), true)
+    s.conf.set("spark.sql.catalog.graft_spj3", classOf[SinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_spj3.root", root)
+    val ev = Tables.events(s, dir)
+    val facts = ev.select((col("event_id") % 40).as("k"),
+      col("event_id").as("v"))
+    val dims = ev.groupBy((col("event_id") % 40).as("k"))
+      .agg(sum(col("event_id") % 100).as("v"))
+    def stageBucketed(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      // seed → evolve → truncate-overwrite: the overwrite's files all
+      // land in the bucket era, so the table is uniformly bucket(8)
+      SinkSource.write(df.limit(1), s"$root/$name", overwrite = true)
+      s.sql(s"CALL graft_spj3.evolve_spec('$name', 'bucket(8)')").collect()
+      SinkSource.write(df, s"$root/$name", overwrite = true)
+    }
+    stageBucketed("facts", facts)
+    stageBucketed("dims", dims)
+    val joined = s.table("graft_spj3.facts").as("a")
+      .join(s.table("graft_spj3.dims").as("b"), "k")
+    val planStr = joined.queryExecution.executedPlan.toString
+    val spjFree =
+      if (!planStr.contains("Exchange") &&
+        (planStr.contains("SortMergeJoin") ||
+          planStr.contains("ShuffledHashJoin"))) 1L else 0L
+    joined.select(col("k"), col("a.v").as("av"), col("b.v").as("bv"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("av") + col("bv")).as("s"))
+      .withColumn("spj_exchange_free", lit(spjFree))
+  }
+
+  val q313Oracle: String =
+    """WITH dims AS (
+      |  SELECT event_id % 40 AS k,
+      |    CAST(SUM(event_id % 100) AS BIGINT) AS w
+      |  FROM events GROUP BY 1)
+      |SELECT a.k, COUNT(*) AS n_pairs,
+      |  CAST(SUM(a.v + b.w) AS BIGINT) AS s,
+      |  CAST(1 AS BIGINT) AS spj_exchange_free
+      |FROM (SELECT event_id % 40 AS k, event_id AS v FROM events) a
+      |JOIN dims b ON a.k = b.k
+      |GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q313_bucket_spj" -> q313BucketSpj,
     "q312_merge_schema_write" -> q312MergeSchemaWrite,
     "q311_spec_evolution" -> q311SpecEvolution,
     "q310_bloom_index" -> q310BloomIndex,
@@ -3418,6 +3488,7 @@ object FormatQueries {
     "q64_schema_evolution" -> q64SchemaEvolution)
 
   def oracleSql: Map[String, String] = Map(
+    "q313_bucket_spj" -> q313Oracle,
     "q312_merge_schema_write" -> q312Oracle,
     "q311_spec_evolution" -> q311Oracle,
     "q310_bloom_index" -> q310Oracle,

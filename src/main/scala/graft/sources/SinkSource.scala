@@ -4434,14 +4434,122 @@ class SinkScanBuilder(path: String, pinnedVersion: Option[Int],
       requiredSchema.getOrElse(SinkSchemas.structType(fields)), fields,
       resolvedSkips)
     else if (stats) new SinkStatsScan(path, pinnedVersion, topN, plainLimit)
-    else new SinkScan(path, pinnedVersion, topN, plainLimit,
-      maxVersionsPerTrigger, startingVersion, readFields, resolvedSkips,
-      // split planning composes with skipping but not with the pushed
-      // per-partition topN/limit readers (a whole-file heap over a
-      // byte range would re-read the file per split) — those pushes
-      // already bound work, so splitting stands down
-      splitBytes.filter(_ => topN.isEmpty && plainLimit.isEmpty))
+    else {
+      // UNIFORMLY bucket-era tables report their layout as
+      // KeyGroupedPartitioning(bucket(m, k)) — the read-side payoff
+      // of q311's evolution: two tables evolved onto the same spec
+      // join WITHOUT a shuffle exchange (storage-partitioned join),
+      // the same V2 contract SpjSource pins for the identity layout.
+      // Only the plain whole-file batch read qualifies: pushed
+      // topN/limit and byte-range splits change partition identity,
+      // and a mixed-era table has no single truthful transform.
+      val spjBucket: Option[Int] =
+        if (topN.nonEmpty || plainLimit.nonEmpty || splitBytes.nonEmpty ||
+            maxVersionsPerTrigger.nonEmpty || startingVersion.nonEmpty) None
+        else SinkSource.partSpecs(path, pinnedVersion)
+          .get(SinkSource.currentSpecId(path, pinnedVersion)) match {
+          case Some(("bucket", m)) =>
+            val csId = SinkSource.currentSpecId(path, pinnedVersion)
+            val fsp = SinkSource.fileSpecs(path, pinnedVersion)
+            val entries = SinkSource.manifest(path, pinnedVersion)
+            if (entries.nonEmpty &&
+                entries.forall(e => fsp.getOrElse(e._2, 0) == csId))
+              Some(m)
+            else None
+          case _ => None
+        }
+      spjBucket match {
+        case Some(m) => new SinkBucketGroupedScan(path, pinnedVersion,
+          readFields, resolvedSkips, m)
+        case None => new SinkScan(path, pinnedVersion, topN, plainLimit,
+          maxVersionsPerTrigger, startingVersion, readFields, resolvedSkips,
+          // split planning composes with skipping but not with the
+          // pushed per-partition topN/limit readers (a whole-file heap
+          // over a byte range would re-read the file per split) —
+          // those pushes already bound work, so splitting stands down
+          splitBytes.filter(_ => topN.isEmpty && plainLimit.isEmpty))
+      }
+    }
   }
+}
+
+/** A split of a uniformly bucket-era table, keyed by its BUCKET ID —
+  * [[HasPartitionKey]] is what lets the planner group splits by
+  * partition value and align two join sides split-by-split (the
+  * storage-partitioned-join contract; multiple files of one bucket
+  * group into one task). */
+case class SinkKeyedInputPartition(part: SinkInputPartition, key: Long)
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  // INT, not LONG: the partition value's type is the bucket
+  // transform's RESULT type ([[SinkBucketBound.resultType]]) — the
+  // planner reads it as such when aligning the two join sides
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](key.toInt))
+}
+
+/** The SPJ form of the sink scan, served when EVERY cited file sits
+  * in the current bucket(m) era: the scan reports
+  * `KeyGroupedPartitioning(bucket(m, k))` and each split carries its
+  * bucket id, so a join of two tables evolved onto the same spec
+  * plans with ZERO shuffle exchanges — the engine resolves the
+  * `bucket` transform through the table's own catalog
+  * ([[SinkCatalog.loadFunction]], the Iceberg mechanism) and verifies
+  * both sides hash identically. Path-based reads (no catalog) can't
+  * resolve the transform; Spark then simply ignores the report — the
+  * partitioning is an optimization claim, never a correctness
+  * dependency.
+  * Scale notes (100 TB): this is the read-side payoff of q311's spec
+  * evolution — the shuffle in a fact-fact join is the dominant cost
+  * at scale, and a layout both sides already share makes it pure
+  * waste. Evolve both tables to bucket(m), let compaction settle the
+  * eras, and every equi-join on k plans exchange-free; zone-map,
+  * bloom, and bucket-arithmetic skipping all still compose upstream
+  * (pruned files just shrink their bucket's split).
+  */
+class SinkBucketGroupedScan(path: String, pinnedVersion: Option[Int],
+    readFields: Seq[SinkSchemas.SinkField],
+    skips: Seq[(Int, org.apache.spark.sql.sources.Filter)],
+    m: Int)
+    extends SinkScan(path, pinnedVersion, None, None, None, None,
+      readFields, skips, None)
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+  import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+
+  // bucket id per file = the file's manifest key (uniform bucket era
+  // by construction — the builder proved it before choosing this scan)
+  private lazy val keyOf: Map[String, Long] =
+    SinkSource.manifest(path, pinnedVersion)
+      .groupBy(_._2).view.mapValues(_.head._1).toMap
+
+  private lazy val keyed: Array[InputPartition] =
+    super.planInputPartitions().map {
+      case p: SinkInputPartition =>
+        SinkKeyedInputPartition(p,
+          keyOf(new Path(p.file).getName)): InputPartition
+      case other => other // unreachable: splits are disabled here
+    }
+
+  override def planInputPartitions(): Array[InputPartition] = keyed
+
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .bucket(m, "k")),
+      keyed.length)
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val inner = super.createReaderFactory()
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition)
+          : PartitionReader[InternalRow] =
+        inner.createReader(p.asInstanceOf[SinkKeyedInputPartition].part)
+    }
+  }
+
+  override def description(): String =
+    super.description().stripSuffix(")") +
+      s", keyGrouped=bucket($m, k) over ${keyed.length} splits)"
 }
 
 /** CONNECTOR-reported statistics (`stats=true`): the commit protocol
