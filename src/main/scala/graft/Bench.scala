@@ -33,9 +33,9 @@ object Bench {
     187,72,100,395,54,175,350,335,263,134,292,350,232,234,132,122,220,145,114,
     287,118,89,124,327,186,71,63,346,470,277,197,637,357,212,310,211,344,314,
     262,233,217,
-    // provisional entries for the post-close q310–q313 additions —
+    // provisional entries for the post-close q310–q315 additions —
     // replaced wholesale by the next closing gen_cost_table.py --apply
-    250,250,250,250)
+    250,250,250,250,250,250)
 
   def costOf(name: String): Int = {
     val n = name.takeWhile(_ != '_').drop(1).toInt

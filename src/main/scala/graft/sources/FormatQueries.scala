@@ -3428,7 +3428,118 @@ object FormatQueries {
       |JOIN dims b ON a.k = b.k
       |GROUP BY 1""".stripMargin
 
+  // q314 — PARTITIONS METADATA TABLE (`SELECT .. FROM <cat>.<t>
+  // .partitions`, Iceberg's partitions table): one row per layout
+  // group PER ERA — partition value, the spec it was written under,
+  // file and row counts — all manifest arithmetic, zero data files
+  // opened. This is the operational introspection spec evolution
+  // makes necessary: "which eras still need migrating", "how
+  // fragmented is bucket 3", "how big is each group" are the
+  // questions a 100 TB table's maintenance jobs ask before choosing
+  // compact/rewrite targets, and they must cost metadata, not scans.
+  // The fixture spans BOTH eras (identity birth, bucket(4) growth),
+  // so the oracle independently recomputes each era's group counts
+  // from the raw rows.
+  def q314PartitionsMeta(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(s.conf.set(k, v)) }
+    val root = ShardPaths.resolve(s, "q314", dir)
+    SinkSource.fs(root).delete(new org.apache.hadoop.fs.Path(root), true)
+    val t = s"$root/t"
+    val ev = Tables.events(s, dir)
+    SinkSource.write(ev.filter(col("event_id") % 2 === 0)
+      .select((col("event_id") % 10).as("k"), col("event_id").as("v"))
+      .repartition(4, col("k")), t, overwrite = true)                // v1
+    s.conf.set("spark.sql.catalog.graft_pmt", classOf[SinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_pmt.root", root)
+    s.sql("CALL graft_pmt.evolve_spec('t', 'bucket(4)')").collect()  // v2
+    SinkSource.write(ev.filter(col("event_id") % 2 =!= 0)
+      .select((col("event_id") % 10).as("k"), col("event_id").as("v"))
+      .repartition(2, col("k")), t, overwrite = false)               // v3
+    // n_files is layout-noise (task counts); the pinned shape is
+    // (group value, era, transform, exact rows)
+    s.sql("SELECT key, spec_id, transform, n_rows " +
+      "FROM graft_pmt.t.partitions")
+  }
+
+  val q314Oracle: String =
+    """SELECT event_id % 10 AS key, CAST(0 AS BIGINT) AS spec_id,
+      |  'identity' AS transform, COUNT(*) AS n_rows
+      |FROM events WHERE event_id % 2 = 0 GROUP BY 1
+      |UNION ALL
+      |SELECT (event_id % 10) % 4 AS key, CAST(1 AS BIGINT) AS spec_id,
+      |  'bucket(4)' AS transform, COUNT(*) AS n_rows
+      |FROM events WHERE event_id % 2 <> 0 GROUP BY 1""".stripMargin
+
+  // q315 — RUNTIME FILE PRUNING (V2 dynamic partition pruning /
+  // Delta's dynamic file pruning) on the MAIN sink scan: when the
+  // fact side of a join sits under an equi-join on k and the dim side
+  // carries a selective predicate, Spark hands the materialized build
+  // side's key set to the scan AFTER planning, and the same per-era
+  // zone-map machinery that serves pushed literals drops whole layout
+  // groups the join provably can't touch. The kill-shot IS the
+  // correctness gate: every fact file outside the dim's key set is
+  // physically REMOVED from disk before the join runs — the query can
+  // only answer (and hash-match) if the runtime filter actually
+  // pruned those groups from the scan.
+  // Scale notes (100 TB): this is THE fact-table idiom — "join the
+  // petabyte events table to the 3 surviving campaigns" must cost 3
+  // groups' files, and the key set is only knowable at run time
+  // (the dim filter is on v, not k, so no static pushdown can see
+  // it). The dim builds tiny and broadcasts, so the pruning subquery
+  // reuses the broadcast — zero extra passes.
+  def q315RuntimeFilePruning(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(s.conf.set(k, v)) }
+    val root = ShardPaths.resolve(s, "q315", dir)
+    SinkSource.fs(root).delete(new org.apache.hadoop.fs.Path(root), true)
+    s.conf.set("spark.sql.catalog.graft_dfp", classOf[SinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_dfp.root", root)
+    // a seventh of events is plenty of fact volume (7 is coprime
+    // with the key modulus, so every group stays populated) — the
+    // mechanism under test is the runtime prune, not write throughput
+    val ev = Tables.events(s, dir).filter(col("event_id") % 7 === 0)
+    SinkSource.write(ev.select((col("event_id") % 20).as("k"),
+      col("event_id").as("v")).repartition(8, col("k")),
+      s"$root/fact", overwrite = true)
+    // the dim: 20 rows, v = k * 7 — the query filters on v, so the
+    // surviving KEY set {1, 3} is only derivable at run time
+    import s.implicits._
+    SinkSource.write((0L until 20L).map(k => (k, k * 7)).toDF("k", "v"),
+      s"$root/dim", overwrite = true)
+    // KILL-SHOT: remove every fact group the dim filter can't match
+    val fact = s"$root/fact"
+    val doomed = SinkSource.manifest(fact)
+      .filterNot(e => e._1 == 1L || e._1 == 3L).map(_._2).distinct
+    val f = SinkSource.fs(fact)
+    doomed.foreach(fl =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$fact/data/$fl"), false))
+    val pruned = if (doomed.nonEmpty) 1L else 0L
+    // the dim is broadcast-hinted: a stats-blind V2 relation estimates
+    // huge, and DPP's default reuseBroadcastOnly posture only inserts
+    // the pruning subquery when it can ride an existing broadcast —
+    // exactly the production idiom (dim tables broadcast, the fact
+    // scan prunes off the reused build side)
+    s.table("graft_dfp.fact").as("a")
+      .join(broadcast(s.table("graft_dfp.dim").as("b").filter(
+        col("v").isin(7L, 21L))), Seq("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("a.v")).as("sum_v"))
+      .withColumn("dpp_pruned", lit(pruned))
+  }
+
+  val q315Oracle: String =
+    """SELECT event_id % 20 AS k, COUNT(*) AS n_rows,
+      |  CAST(SUM(event_id) AS BIGINT) AS sum_v,
+      |  CAST(1 AS BIGINT) AS dpp_pruned
+      |FROM events WHERE event_id % 20 IN (1, 3) AND event_id % 7 = 0
+      |GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q315_runtime_file_pruning" -> q315RuntimeFilePruning,
+    "q314_partitions_meta" -> q314PartitionsMeta,
     "q313_bucket_spj" -> q313BucketSpj,
     "q312_merge_schema_write" -> q312MergeSchemaWrite,
     "q311_spec_evolution" -> q311SpecEvolution,
@@ -3488,6 +3599,8 @@ object FormatQueries {
     "q64_schema_evolution" -> q64SchemaEvolution)
 
   def oracleSql: Map[String, String] = Map(
+    "q315_runtime_file_pruning" -> q315Oracle,
+    "q314_partitions_meta" -> q314Oracle,
     "q313_bucket_spj" -> q313Oracle,
     "q312_merge_schema_write" -> q312Oracle,
     "q311_spec_evolution" -> q311Oracle,

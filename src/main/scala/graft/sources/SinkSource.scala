@@ -2348,7 +2348,7 @@ class SinkTagProcedure(root: String)
   * survives.
   */
 object SinkMetaTable {
-  val kinds: Set[String] = Set("history", "files")
+  val kinds: Set[String] = Set("history", "files", "partitions")
 }
 
 class SinkMetaTable(path: String, kind: String)
@@ -2369,6 +2369,17 @@ class SinkMetaTable(path: String, kind: String)
       StructField("file", StringType, nullable = false),
       StructField("n_rows", LongType, nullable = false),
       StructField("n_vectors", LongType, nullable = false)))
+    // one row per LAYOUT GROUP per era — Iceberg's `partitions`
+    // metadata table: partition value, the spec it was written under,
+    // and file/row counts, all from manifest arithmetic (operational
+    // questions like "how fragmented is bucket 3" or "which eras
+    // still need migrating" answer without opening a data file)
+    case "partitions" => StructType(Seq(
+      StructField("key", LongType, nullable = false),
+      StructField("spec_id", LongType, nullable = false),
+      StructField("transform", StringType, nullable = false),
+      StructField("n_files", LongType, nullable = false),
+      StructField("n_rows", LongType, nullable = false)))
   }
 
   override def capabilities(): util.Set[TableCapability] =
@@ -2408,6 +2419,22 @@ class SinkMetaTable(path: String, kind: String)
                 k, UTF8String.fromString(fl), n,
                 vecs.getOrElse(fl, 0L))): InternalRow
             }.toArray
+          case "partitions" =>
+            val fsp = SinkSource.fileSpecs(path)
+            val specs = SinkSource.partSpecs(path)
+            SinkSource.manifest(path)
+              .groupBy(e => (e._1, fsp.getOrElse(e._2, 0)))
+              .toSeq.sortBy { case ((k, sid), _) => (sid, k) }
+              .map { case ((k, sid), es) =>
+                val tr = specs(sid) match {
+                  case ("identity", _) => "identity"
+                  case (kind, p) => s"$kind($p)"
+                }
+                new GenericInternalRow(Array[Any](
+                  k, sid.toLong, UTF8String.fromString(tr),
+                  es.map(_._2).distinct.size.toLong,
+                  es.map(_._3).sum)): InternalRow
+              }.toArray
         }
         override def description(): String =
           s"SinkMetaScan($kind, filesOpened=0)"
@@ -4522,7 +4549,9 @@ class SinkBucketGroupedScan(path: String, pinnedVersion: Option[Int],
     SinkSource.manifest(path, pinnedVersion)
       .groupBy(_._2).view.mapValues(_.head._1).toMap
 
-  private lazy val keyed: Array[InputPartition] =
+  // def, not lazy: a runtime filter may shrink the split set after
+  // planning first touched it (inherited SupportsRuntimeFiltering)
+  private def keyed: Array[InputPartition] =
     super.planInputPartitions().map {
       case p: SinkInputPartition =>
         SinkKeyedInputPartition(p,
@@ -4715,12 +4744,37 @@ class SinkScan(path: String, pinnedVersion: Option[Int] = None,
     readFields: Seq[SinkSchemas.SinkField] = SinkSchemas.base,
     skipFilters: Seq[(Int, org.apache.spark.sql.sources.Filter)] = Seq.empty,
     splitBytes: Option[Long] = None)
-    extends Scan with Batch {
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+  import org.apache.spark.sql.connector.expressions.NamedReference
   override def readSchema(): StructType = SinkSchemas.structType(readFields)
   override def toBatch: Batch = this
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new SinkMicroBatchStream(path, maxVersionsPerTrigger, startingVersion,
+      readFields)
+
+  // RUNTIME file pruning (the V2 form of dynamic partition pruning,
+  // Delta's dynamic file pruning): when the scan sits under a join on
+  // k whose other side is selective, Spark hands the materialized
+  // build side's key set here after planning — and the same per-era
+  // zone-map machinery that serves pushed literals prunes whole
+  // layout groups the join provably can't touch. Purely an I/O
+  // reduction: the join still verifies every row, so a pruning bug
+  // can never corrupt a result — and at the 100 TB design point this
+  // is THE fact-table idiom (a dim filter naming 3 of 10⁶ groups must
+  // cost 3 groups' files, not a table scan).
+  override def filterAttributes(): Array[NamedReference] =
+    org.apache.spark.sql.connector.expressions.Expressions.column("k") match {
+      case nr: NamedReference => Array(nr)
+      case _ => Array.empty
+    }
+  @volatile private var runtimeSkips:
+      Seq[(Int, org.apache.spark.sql.sources.Filter)] = Seq.empty
+  override def filter(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Unit =
+    runtimeSkips = SinkZoneMaps.resolve(
+      filters.toSeq.filter(SinkZoneMaps.supported(_, readFields)),
       readFields)
 
   // the manifest IS the table: files on disk but not listed (staged
@@ -4736,8 +4790,12 @@ class SinkScan(path: String, pinnedVersion: Option[Int] = None,
   // Filter keeps rows honest.
   private lazy val allFiles: Array[String] =
     SinkSource.manifest(path, pinnedVersion).map(_._2).distinct.sorted.toArray
-  private lazy val files: Array[String] =
-    if (skipFilters.isEmpty) allFiles
+  // def, not lazy val: the runtime filter may arrive after planning
+  // first touched the file list, and the post-filter plan must see
+  // the pruned set (the SpjScan discipline)
+  private[sources] def files: Array[String] = {
+    val conjuncts = skipFilters ++ runtimeSkips
+    if (conjuncts.isEmpty) allFiles
     else {
       val entries = SinkSource.manifest(path, pinnedVersion)
       val keysByFile = entries.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
@@ -4749,11 +4807,12 @@ class SinkScan(path: String, pinnedVersion: Option[Int] = None,
       val specDefs = SinkSource.partSpecs(path, pinnedVersion)
       val bloomCache = scala.collection.mutable.Map.empty[String, Array[Byte]]
       allFiles.filter(f => SinkZoneMaps.mightMatch(
-        keysByFile(f), stats.get(f), skipFilters,
+        keysByFile(f), stats.get(f), conjuncts,
         nulls.get(f), rowsByFile.getOrElse(f, -1L),
         specDefs(fsp.getOrElse(f, 0))) &&
-        !SinkZoneMaps.bloomRejects(path, f, blooms, skipFilters, bloomCache))
+        !SinkZoneMaps.bloomRejects(path, f, blooms, conjuncts, bloomCache))
     }
+  }
 
   override def description(): String =
     s"SinkScan(files=${files.length}" +

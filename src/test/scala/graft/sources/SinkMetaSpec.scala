@@ -72,4 +72,45 @@ class SinkMetaSpec extends SparkSpec {
     assert(plan.contains("LocalTableScan") || plan.contains("LocalScan"),
       s"metadata table must be a local scan:\n$plan")
   }
+
+  test("the partitions table reports layout groups per era (q314)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_meta_part").toString
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(s.conf.set(k, v)) }
+    import s.implicits._
+    SinkSource.write((0L until 12L).map(i => (i % 6, i)).toDF("k", "v")
+      .repartition(2, col("k")), s"$root/t", overwrite = true)  // v1
+    s.conf.set("spark.sql.catalog.graft_metp", classOf[SinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_metp.root", root)
+    // single-era: six identity groups, 2 rows each
+    val era0 = s.sql("SELECT key, spec_id, transform, n_rows " +
+      "FROM graft_metp.t.partitions ORDER BY key").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(era0.toSeq == (0L until 6L).map(k => (k, 0L, "identity", 2L)),
+      s"identity-era partitions: ${era0.toSeq}")
+    // evolve + append: bucket groups appear as their own era rows;
+    // identity rows stay put (nothing was rewritten)
+    s.sql("CALL graft_metp.evolve_spec('t', 'bucket(3)')").collect()
+    SinkSource.write((12L until 24L).map(i => (i % 6, i)).toDF("k", "v"),
+      s"$root/t", overwrite = false)
+    val mixed = s.sql("SELECT key, spec_id, transform, n_rows " +
+      "FROM graft_metp.t.partitions ORDER BY spec_id, key").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val expectBuckets = (12L until 24L).groupBy(i => (i % 6) % 3)
+      .toSeq.sortBy(_._1).map { case (b, g) =>
+        (b, 1L, "bucket(3)", g.size.toLong) }
+    assert(mixed.toSeq ==
+      (0L until 6L).map(k => (k, 0L, "identity", 2L)) ++ expectBuckets,
+      s"mixed-era partitions: ${mixed.toSeq}")
+    // file counts are >= 1 per group and the scan stays driver-local
+    val nf = s.sql("SELECT n_files FROM graft_metp.t.partitions")
+      .collect().map(_.getLong(0))
+    assert(nf.forall(_ >= 1L))
+    val plan = s.sql("SELECT * FROM graft_metp.t.partitions")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") || plan.contains("LocalScan"),
+      s"partitions table must be a local scan:\n$plan")
+  }
 }
