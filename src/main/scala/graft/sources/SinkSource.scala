@@ -3513,9 +3513,28 @@ class SinkMorScan(path: String, pinnedVersion: Option[Int],
     projected: StructType = SinkSource.schema,
     fields: Seq[SinkSchemas.SinkField] = SinkSchemas.base,
     skipFilters: Seq[(Int, org.apache.spark.sql.sources.Filter)] = Seq.empty)
-    extends Scan with Batch {
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   override def readSchema(): StructType = projected
   override def toBatch: Batch = this
+
+  // RUNTIME file pruning, exactly the SinkScan contract: MoR fact
+  // tables join dims like any other, and tombstones only REMOVE rows,
+  // so a group the runtime key set rules out is ruled out a fortiori
+  // for the tombstone-filtered view
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    org.apache.spark.sql.connector.expressions.Expressions.column("k") match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference =>
+        Array(nr)
+      case _ => Array.empty
+    }
+  @volatile private var runtimeSkips:
+      Seq[(Int, org.apache.spark.sql.sources.Filter)] = Seq.empty
+  override def filter(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Unit =
+    runtimeSkips = SinkZoneMaps.resolve(
+      filters.toSeq.filter(SinkZoneMaps.supported(_, fields)), fields)
 
   // zone-map skipping composes with MoR: tombstones only REMOVE rows,
   // so a file whose stats prove "no row matches" proves it a fortiori
@@ -3523,8 +3542,11 @@ class SinkMorScan(path: String, pinnedVersion: Option[Int],
   // vectors row-by-row as always
   private lazy val allFiles: Seq[String] =
     SinkSource.manifest(path, pinnedVersion).map(_._2).distinct.sorted
-  private lazy val files: Seq[String] =
-    if (skipFilters.isEmpty) allFiles
+  // def, not lazy val: the runtime filter may arrive after planning
+  // first touched the file list
+  private def files: Seq[String] = {
+    val conjuncts = skipFilters ++ runtimeSkips
+    if (conjuncts.isEmpty) allFiles
     else {
       val entries = SinkSource.manifest(path, pinnedVersion)
       val keysByFile = entries.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
@@ -3536,11 +3558,12 @@ class SinkMorScan(path: String, pinnedVersion: Option[Int],
       val specDefs = SinkSource.partSpecs(path, pinnedVersion)
       val bloomCache = scala.collection.mutable.Map.empty[String, Array[Byte]]
       allFiles.filter(f => SinkZoneMaps.mightMatch(
-        keysByFile(f), stats.get(f), skipFilters,
+        keysByFile(f), stats.get(f), conjuncts,
         nulls.get(f), rowsByFile.getOrElse(f, -1L),
         specDefs(fsp.getOrElse(f, 0))) &&
-        !SinkZoneMaps.bloomRejects(path, f, blooms, skipFilters, bloomCache))
+        !SinkZoneMaps.bloomRejects(path, f, blooms, conjuncts, bloomCache))
     }
+  }
   private lazy val dvs: Map[String, Seq[String]] = {
     val v = pinnedVersion.getOrElse(SinkSource.currentVersion(path))
     SinkSource.deleteSidecar(path, Some(v))

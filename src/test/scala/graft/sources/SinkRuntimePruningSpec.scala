@@ -74,6 +74,37 @@ class SinkRuntimePruningSpec extends SparkSpec {
       SinkSource.manifest(s"$root/t").map(_._2).distinct.size)
   }
 
+  test("the MoR scan prunes on runtime keys too, with tombstones intact") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_rtp_mor").toString
+    val s = catalogFor("graft_rtpm", root)
+    s.conf.set("spark.sql.catalog.graft_rtpm.mor", "true")
+    import s.implicits._
+    import org.apache.spark.sql.sources.In
+    SinkSource.write((0L until 30L).map(i => (i % 6, i)).toDF("k", "v")
+      .repartition(3, col("k")), s"$root/t", overwrite = true)
+    s.sql("DELETE FROM graft_rtpm.t WHERE k = 2 AND v = 2") // DV lands
+    assert(SinkSource.deleteSidecar(s"$root/t").nonEmpty)
+    val scan = new SinkMorScan(s"$root/t", None)
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      In("k", Array(2L, 4L))))
+    val kept = scan.planInputPartitions()
+    val keysOf = SinkSource.manifest(s"$root/t")
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(kept.nonEmpty && kept.forall { p =>
+      val name = new Path(
+        p.asInstanceOf[SinkMorInputPartition].file).getName
+      keysOf(name).subsetOf(Set(2L, 4L))
+    }, "runtime-kept MoR splits must all be key 2/4 groups")
+    // the kept group's vectors still apply: the tombstoned row is gone
+    val got = SinkSource.load(s, s"$root/t", mor = true)
+      .filter(col("k").isin(2L, 4L)).select("v")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == (0L until 30L).filter(i => i % 6 == 2 || i % 6 == 4)
+      .filterNot(_ == 2L).toSet,
+      s"tombstones must survive runtime pruning: $got")
+  }
+
   test("pruned and unpruned joins agree (I/O claim, never semantics)") {
     val root = java.nio.file.Files
       .createTempDirectory("graft_rtp_eq").toString
