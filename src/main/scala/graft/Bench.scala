@@ -18,24 +18,21 @@ object Bench {
     * is loud, not silent.
     */
   val priorCostCs: Array[Int] = Array(
-    135,13,19,112,51,23,38,31,16,21,21,14,25,18,57,9,30,93,37,44,38,55,29,69,
-    110,165,39,43,45,53,48,30,40,48,43,33,15,19,159,49,170,244,111,35,181,114,
-    81,107,75,28,100,40,36,99,46,63,56,47,62,62,14,69,60,57,42,82,42,92,51,41,
-    33,138,321,37,37,16,43,64,72,105,81,102,169,183,53,82,49,96,137,44,168,42,
-    30,77,96,270,44,34,50,247,54,43,103,75,51,37,128,57,76,63,74,56,141,41,
-    111,57,56,83,47,136,112,122,66,47,55,30,64,64,123,62,64,45,19,14,13,13,
-    212,54,66,48,65,86,71,94,105,332,233,52,41,58,118,38,299,132,169,24,108,
-    123,74,66,33,43,219,103,92,35,374,37,63,40,59,195,42,56,87,34,78,85,70,94,
-    60,155,140,280,155,35,77,57,194,92,57,267,256,128,379,63,45,99,19,147,107,
-    52,65,59,121,94,111,81,63,38,41,64,49,31,78,75,60,32,59,51,38,42,55,76,46,
-    52,174,75,77,62,118,48,71,36,40,114,54,77,270,219,92,73,41,233,16,33,58,
-    13,13,113,34,31,334,19,20,272,65,34,19,83,111,147,127,132,44,31,193,32,
-    187,72,100,395,54,175,350,335,263,134,292,350,232,234,132,122,220,145,114,
-    287,118,89,124,327,186,71,63,346,470,277,197,637,357,212,310,211,344,314,
-    262,233,217,
-    // provisional entries for the post-close q310–q315 additions —
-    // replaced wholesale by the next closing gen_cost_table.py --apply
-    250,250,250,250,250,250)
+    99,18,37,156,48,29,62,30,16,26,19,12,51,36,76,18,52,130,62,67,30,71,33,66,
+    87,246,49,48,41,72,50,35,51,41,57,99,18,19,178,52,216,536,129,47,138,156,
+    125,153,80,31,162,53,43,128,99,65,38,37,54,70,21,50,74,73,83,88,83,87,55,
+    72,42,155,386,55,68,22,64,98,90,120,101,108,218,195,81,99,67,82,176,46,
+    190,76,34,86,127,310,38,72,56,379,70,39,99,80,73,46,172,93,90,61,63,36,
+    197,47,139,69,48,98,38,171,138,178,75,70,59,38,85,89,157,40,59,63,26,24,
+    23,18,236,80,74,48,65,55,73,118,126,429,280,62,73,61,136,45,548,140,174,
+    22,164,155,71,81,44,61,275,126,85,47,594,49,72,62,76,144,60,53,100,29,73,
+    106,78,82,96,173,156,417,207,36,98,108,251,132,66,688,389,259,436,67,51,
+    124,19,205,127,46,77,63,134,124,160,124,66,41,52,91,79,45,81,77,106,36,67,
+    70,42,99,91,91,68,70,213,87,112,78,143,54,59,46,69,183,104,76,342,205,102,
+    98,53,335,35,41,91,17,18,127,55,33,418,37,27,466,49,60,29,127,174,247,155,
+    189,81,41,254,40,206,104,130,640,81,250,460,539,552,187,646,510,531,391,
+    253,234,349,233,239,410,206,135,255,434,279,74,70,377,599,412,248,1176,
+    619,280,537,243,403,411,635,535,335,600,409,421,692,153,279)
 
   def costOf(name: String): Int = {
     val n = name.takeWhile(_ != '_').drop(1).toInt
@@ -97,8 +94,8 @@ object Bench {
     // Janino + JIT cost (the 0.3–2 s fixed tier — round-8's driver run
     // exhausted the budget mid-alphabet and every later query's timed
     // number silently absorbed it) at a bounded per-query price.
-    // 1500 s covers the full registry's warm passes (310 queries as
-    // of round 17, ~1.0 s/query timed ≈ 4× margin) at
+    // 1500 s covers the full registry's warm passes (315 queries as
+    // of the round-17 close, ~1.0–1.5 s/query timed ≈ 3× margin) at
     // sf0.1: round 9's 600 s exhausted right before the
     // q8x block (the ~100 q1xx names sort FIRST and absorb the
     // budget), so q82's timed pass paid its sf0.1 .cache() fill — the
