@@ -3517,14 +3517,17 @@ object FormatQueries {
     doomed.foreach(fl =>
       f.delete(new org.apache.hadoop.fs.Path(s"$fact/data/$fl"), false))
     val pruned = if (doomed.nonEmpty) 1L else 0L
-    // the dim is broadcast-hinted: a stats-blind V2 relation estimates
-    // huge, and DPP's default reuseBroadcastOnly posture only inserts
-    // the pruning subquery when it can ride an existing broadcast —
-    // exactly the production idiom (dim tables broadcast, the fact
-    // scan prunes off the reused build side)
+    // NO broadcast hint (round 18): the dim's DEFAULT-ON manifest
+    // statistics report its true ~20-row size, the planner broadcasts
+    // it on its own, and DPP's default reuseBroadcastOnly posture
+    // rides that broadcast to insert the pruning subquery — exactly
+    // the production idiom (dim tables broadcast from commit-protocol
+    // stats, the fact scan prunes off the reused build side). The
+    // kill-shot above means this query only answers if that whole
+    // chain fired hint-free.
     s.table("graft_dfp.fact").as("a")
-      .join(broadcast(s.table("graft_dfp.dim").as("b").filter(
-        col("v").isin(7L, 21L))), Seq("k"))
+      .join(s.table("graft_dfp.dim").as("b").filter(
+        col("v").isin(7L, 21L)), Seq("k"))
       .groupBy(col("k"))
       .agg(count(lit(1)).as("n_rows"), sum(col("a.v")).as("sum_v"))
       .withColumn("dpp_pruned", lit(pruned))

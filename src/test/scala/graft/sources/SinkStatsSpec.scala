@@ -4,12 +4,13 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
-/** q271 — connector-reported statistics. The oracle proves the joined
-  * values; this spec locks the MECHANISM: with `stats=true` the scan
-  * reports manifest-exact size/rows and the optimizer's INITIAL plan
-  * broadcasts the dim (no hint, no ANALYZE); stats-blind, the same
-  * join's initial plan is a sort-merge join (AQE may rescue it later —
-  * which is exactly why the assertion is on the initial plan).
+/** q271 — connector-reported statistics, DEFAULT-ON as of round 18.
+  * The oracle proves the joined values; this spec locks the
+  * MECHANISM: by default the scan reports manifest-exact size/rows
+  * and the optimizer's INITIAL plan broadcasts the dim (no hint, no
+  * ANALYZE); with the `stats=false` opt-out, the same join's initial
+  * plan is a sort-merge join (AQE may rescue it later — which is
+  * exactly why the assertion is on the initial plan).
   */
 class SinkStatsSpec extends SparkSpec {
 
@@ -22,7 +23,7 @@ class SinkStatsSpec extends SparkSpec {
     if (i >= 0) s.substring(i) else s
   }
 
-  test("manifest stats flip the initial join plan to broadcast") {
+  test("default-on manifest stats flip the initial join plan to broadcast") {
     val root = java.nio.file.Files
       .createTempDirectory("graft_stats").toString
     import spark.implicits._
@@ -39,15 +40,15 @@ class SinkStatsSpec extends SparkSpec {
       .select((col("id") % 5).as("k"), col("id").as("f"))
 
     val blind = fact.join(
-      SinkSource.load(s, root).withColumnRenamed("v", "d"), Seq("k"))
+      SinkSource.load(s, root, stats = false).withColumnRenamed("v", "d"),
+      Seq("k"))
       .groupBy(col("k")).agg(count(lit(1)).as("n"))
     val blindInit = initialPlan(blind)
     assert(blindInit.contains("SortMergeJoin"),
       s"stats-blind V2 join should start as SMJ:\n$blindInit")
 
     val seen = fact.join(
-      SinkSource.load(s, root, stats = true).withColumnRenamed("v", "d"),
-      Seq("k"))
+      SinkSource.load(s, root).withColumnRenamed("v", "d"), Seq("k"))
       .groupBy(col("k")).agg(count(lit(1)).as("n"))
     val seenInit = initialPlan(seen)
     assert(seenInit.contains("BroadcastHashJoin"),
@@ -68,7 +69,7 @@ class SinkStatsSpec extends SparkSpec {
     import spark.implicits._
     SinkSource.write((0L until 123L).map(i => (i % 3, i)).toDF("k", "v")
       .repartition(2, col("k")), root, overwrite = true)
-    val st = new SinkStatsScan(root, None, None, None).estimateStatistics()
+    val st = new SinkScan(root).estimateStatistics()
     assert(st.numRows().getAsLong == 123L,
       s"numRows should be the manifest sum: ${st.numRows()}")
     assert(st.sizeInBytes().getAsLong == 123L * 16,
