@@ -18,21 +18,21 @@ object Bench {
     * is loud, not silent.
     */
   val priorCostCs: Array[Int] = Array(
-    99,18,37,156,48,29,62,30,16,26,19,12,51,36,76,18,52,130,62,67,30,71,33,66,
-    87,246,49,48,41,72,50,35,51,41,57,99,18,19,178,52,216,536,129,47,138,156,
-    125,153,80,31,162,53,43,128,99,65,38,37,54,70,21,50,74,73,83,88,83,87,55,
-    72,42,155,386,55,68,22,64,98,90,120,101,108,218,195,81,99,67,82,176,46,
-    190,76,34,86,127,310,38,72,56,379,70,39,99,80,73,46,172,93,90,61,63,36,
-    197,47,139,69,48,98,38,171,138,178,75,70,59,38,85,89,157,40,59,63,26,24,
-    23,18,236,80,74,48,65,55,73,118,126,429,280,62,73,61,136,45,548,140,174,
-    22,164,155,71,81,44,61,275,126,85,47,594,49,72,62,76,144,60,53,100,29,73,
-    106,78,82,96,173,156,417,207,36,98,108,251,132,66,688,389,259,436,67,51,
-    124,19,205,127,46,77,63,134,124,160,124,66,41,52,91,79,45,81,77,106,36,67,
-    70,42,99,91,91,68,70,213,87,112,78,143,54,59,46,69,183,104,76,342,205,102,
-    98,53,335,35,41,91,17,18,127,55,33,418,37,27,466,49,60,29,127,174,247,155,
-    189,81,41,254,40,206,104,130,640,81,250,460,539,552,187,646,510,531,391,
-    253,234,349,233,239,410,206,135,255,434,279,74,70,377,599,412,248,1176,
-    619,280,537,243,403,411,635,535,335,600,409,421,692,153,279)
+    127,20,24,109,41,31,40,32,18,12,10,14,41,23,48,15,54,131,36,59,23,48,29,
+    66,76,197,46,44,43,46,48,37,40,35,38,34,16,26,177,40,220,217,150,26,155,
+    118,119,101,86,22,102,51,33,125,74,63,40,41,52,67,15,43,68,53,41,72,47,75,
+    52,37,27,142,356,33,39,30,48,83,98,140,110,113,162,189,272,114,55,90,178,
+    33,170,50,32,83,131,232,104,49,41,202,46,35,119,93,42,43,119,93,73,84,75,
+    41,153,37,83,55,34,92,36,155,160,137,72,48,53,28,61,65,111,39,52,36,13,13,
+    16,14,220,64,68,37,69,62,95,145,115,340,224,55,45,61,170,33,245,114,151,
+    22,129,105,65,65,29,48,288,151,70,37,352,34,97,29,57,170,49,73,112,22,58,
+    185,78,58,72,175,155,262,185,30,125,127,223,141,73,269,217,239,571,69,39,
+    127,17,181,125,34,79,73,140,131,144,130,60,33,35,99,72,37,85,61,87,31,52,
+    44,33,47,72,83,57,38,175,83,133,59,109,65,87,38,39,124,88,83,236,209,124,
+    93,63,254,27,35,78,14,22,150,53,40,357,21,19,319,40,46,20,150,142,232,134,
+    149,73,29,337,40,200,118,116,416,42,352,423,373,229,204,306,462,297,241,
+    297,158,232,172,138,311,129,170,245,422,281,76,74,327,497,333,270,878,408,
+    317,425,270,379,338,343,262,283,273,150,167,384,97,150,380,150)
 
   def costOf(name: String): Int = {
     val n = name.takeWhile(_ != '_').drop(1).toInt

@@ -928,7 +928,7 @@ object OperatorQueries {
        |  (SELECT t FROM tri) AS n_triangles,
        |  (SELECT t FROM tri) * 4096 AS est_triangles,
        |  round(CAST(6 * (SELECT t FROM tri) AS DOUBLE)
-       |        / (SELECT w2 FROM wed), 6) AS clustering""".stripMargin
+       |        / NULLIF((SELECT w2 FROM wed), 0), 6) AS clustering""".stripMargin
 
   def q147Triangles(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._

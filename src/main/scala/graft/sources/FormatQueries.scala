@@ -3540,7 +3540,147 @@ object FormatQueries {
       |FROM events WHERE event_id % 20 IN (1, 3) AND event_id % 7 = 0
       |GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q316 — MoR STORAGE-PARTITIONED JOIN: q313's exchange-free join,
+  // kept through row-level deletes. Both tables are uniformly
+  // bucket(8)-era under a mor=true catalog; the fact side then takes
+  // a positional DELETE finer than the key (deletion vectors land,
+  // data files untouched). Tombstones only REMOVE rows — a file's
+  // bucket identity is unchanged — so the MoR scan still reports
+  // KeyGroupedPartitioning(bucket(8, k)) and the join plans with
+  // ZERO shuffle exchanges while every vector is merged row-by-row.
+  // The in-query flag pins BOTH claims (exchange-free plan AND
+  // tombstones actually present); the oracle recomputes the
+  // post-delete join from the source.
+  // Scale notes (100 TB): MERGE/CDC workloads produce exactly this
+  // table state — bucket-era facts with fresh tombstones. Losing SPJ
+  // on the first delete would re-shuffle 100 TB to re-earn a layout
+  // already on disk; compaction becomes an I/O optimization, not a
+  // prerequisite for sane join plans.
+  def q316MorBucketSpj(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(s.conf.set(k, v)) }
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val root = ShardPaths.resolve(s, "q316", dir)
+    SinkSource.fs(root).delete(new org.apache.hadoop.fs.Path(root), true)
+    s.conf.set("spark.sql.catalog.graft_spjm", classOf[SinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_spjm.root", root)
+    s.conf.set("spark.sql.catalog.graft_spjm.mor", "true")
+    val ev = Tables.events(s, dir)
+    val facts = ev.select((col("event_id") % 40).as("k"),
+      col("event_id").as("v"))
+    val dims = ev.groupBy((col("event_id") % 40).as("k"))
+      .agg(sum(col("event_id") % 100).as("v"))
+    def stageBucketed(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      SinkSource.write(df.limit(1), s"$root/$name", overwrite = true)
+      s.sql(s"CALL graft_spjm.evolve_spec('$name', 'bucket(8)')").collect()
+      SinkSource.write(df, s"$root/$name", overwrite = true)
+    }
+    stageBucketed("facts", facts)
+    stageBucketed("dims", dims)
+    // the row-level delete: finer than the key, so positional
+    // deletion vectors land and data files stay byte-identical
+    s.sql("DELETE FROM graft_spjm.facts WHERE v % 3 = 1")
+    val tombstoned = SinkSource.deleteSidecar(s"$root/facts").nonEmpty
+    val joined = s.table("graft_spjm.facts").as("a")
+      .join(s.table("graft_spjm.dims").as("b"), "k")
+    val planStr = joined.queryExecution.executedPlan.toString
+    val spjFree =
+      if (tombstoned && !planStr.contains("Exchange") &&
+        (planStr.contains("SortMergeJoin") ||
+          planStr.contains("ShuffledHashJoin"))) 1L else 0L
+    joined.select(col("k"), col("a.v").as("av"), col("b.v").as("bv"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("av") + col("bv")).as("s"))
+      .withColumn("mor_spj_exchange_free", lit(spjFree))
+  }
+
+  val q316Oracle: String =
+    """WITH dims AS (
+      |  SELECT event_id % 40 AS k,
+      |    CAST(SUM(event_id % 100) AS BIGINT) AS w
+      |  FROM events GROUP BY 1)
+      |SELECT a.k, COUNT(*) AS n_pairs,
+      |  CAST(SUM(a.v + b.w) AS BIGINT) AS s,
+      |  CAST(1 AS BIGINT) AS mor_spj_exchange_free
+      |FROM (SELECT event_id % 40 AS k, event_id AS v FROM events
+      |      WHERE event_id % 3 <> 1) a
+      |JOIN dims b ON a.k = b.k
+      |GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q317 — RUNTIME FILE PRUNING ON A NON-KEY COLUMN: q315's dynamic
+  // file pruning, keyed on `v` — a column the layout does NOT
+  // organize. The scan reports every BIGINT read column as
+  // runtime-filterable (round 18); the fact is range-laid-out on v at
+  // write time, so each file's `#stat` zone map on field 2 is tight,
+  // and the dim's runtime-derived key set prunes fact files by v
+  // range exactly as a k-set prunes by layout group. The kill-shot IS
+  // the gate: every fact file whose v zone can't hold the surviving
+  // keys is physically deleted before the join — the query only
+  // answers (and hash-matches) if the v-keyed prune fired.
+  // Scale notes (100 TB): real fact tables join on more than their
+  // partition key — order tables join on customer AND date AND item.
+  // Layout organizes ONE of those; write-time range clustering plus
+  // per-column zone maps is what lets the OTHER join keys still skip
+  // I/O, and the runtime-filter surface must expose every covered
+  // column or that clustering is wasted.
+  def q317RuntimePruneNonKey(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(s.conf.set(k, v)) }
+    val root = ShardPaths.resolve(s, "q317", dir)
+    SinkSource.fs(root).delete(new org.apache.hadoop.fs.Path(root), true)
+    s.conf.set("spark.sql.catalog.graft_dfpv", classOf[SinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_dfpv.root", root)
+    val ev = Tables.events(s, dir)
+    // range-partitioned on v at write time → tight per-file v zones
+    SinkSource.write(ev.select((col("event_id") % 10).as("k"),
+      col("event_id").as("v")).repartitionByRange(4, col("v")),
+      s"$root/fact", overwrite = true)
+    import s.implicits._
+    // dim keys are MULTIPLES OF 11 (present at every SF); the filter
+    // is on dim.v, so the surviving key set {33, 99} is only
+    // derivable at run time
+    SinkSource.write((0L until 50L).map(x => (x * 11, x)).toDF("k", "v"),
+      s"$root/dim", overwrite = true)
+    // KILL-SHOT: remove every fact file whose v zone misses {33, 99}
+    val fact = s"$root/fact"
+    val stats = SinkSource.manifestStats(fact)
+    def overlaps(fl: String): Boolean =
+      stats.get(fl).exists(_.exists { case (id, mn, mx) =>
+        id == 2 && mn <= 99L && 33L <= mx })
+    val doomed = SinkSource.manifest(fact).map(_._2).distinct
+      .filterNot(overlaps)
+    val f = SinkSource.fs(fact)
+    doomed.foreach(fl =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$fact/data/$fl"), false))
+    val pruned = if (doomed.nonEmpty) 1L else 0L
+    // threshold between the dim's 800 B and the fact's ≥16 KB
+    // manifest estimates: the dim broadcasts from its DEFAULT-ON
+    // stats, the fact cannot, and DPP rides the dim's broadcast
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "4096")
+    s.table("graft_dfpv.fact").as("a")
+      .join(s.table("graft_dfpv.dim").as("b")
+        .filter(col("v").isin(3L, 9L)),
+        col("a.v") === col("b.k"))
+      .select(col("a.v").as("v"), col("b.v").as("dim_x"))
+      .withColumn("dpp_pruned", lit(pruned))
+  }
+
+  val q317Oracle: String =
+    """SELECT CAST(event_id AS BIGINT) AS v,
+      |  CAST(event_id / 11 AS BIGINT) AS dim_x,
+      |  CAST(1 AS BIGINT) AS dpp_pruned
+      |FROM events WHERE event_id IN (33, 99)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q317_runtime_prune_nonkey" -> q317RuntimePruneNonKey,
+    "q316_mor_bucket_spj" -> q316MorBucketSpj,
     "q315_runtime_file_pruning" -> q315RuntimeFilePruning,
     "q314_partitions_meta" -> q314PartitionsMeta,
     "q313_bucket_spj" -> q313BucketSpj,
@@ -3602,6 +3742,8 @@ object FormatQueries {
     "q64_schema_evolution" -> q64SchemaEvolution)
 
   def oracleSql: Map[String, String] = Map(
+    "q317_runtime_prune_nonkey" -> q317Oracle,
+    "q316_mor_bucket_spj" -> q316Oracle,
     "q315_runtime_file_pruning" -> q315Oracle,
     "q314_partitions_meta" -> q314Oracle,
     "q313_bucket_spj" -> q313Oracle,

