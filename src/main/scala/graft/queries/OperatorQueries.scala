@@ -1071,14 +1071,20 @@ object OperatorQueries {
   // meanB varies per candidate, the margin genuinely RERANKS within a
   // query — a hub with many strong suitors is demoted. Emits the
   // top-margin pair per query.
-  // Determinism: cosines are the probe's rounded-6 doubles; the two
-  // neighbourhood sums accumulate as exact DECIMAL(28,6); the margin
-  // is divisions/subtractions of those (every op IEEE exactly-rounded
-  // — no transcendental), rounded once at emission; ranking ties break
-  // on cand_id. Scale notes (100 TB): everything happens on q201's
-  // scored candidate stream (query_id- and cand_id-keyed bounded
-  // windows + two small aggregates) — no new corpus pass, no new
-  // probe.
+  // Determinism (round-18 rework): cosines are the probe's rounded-6
+  // doubles and the neighbourhood sums are exact DECIMAL(28,6), so
+  // the margin is a RATIONAL with a tiny denominator — computed here
+  // as exact BIGINT micro-units (margin·10⁶ = num/den, HALF_UP), never
+  // as a rounded double. The previous `round(double, 6)` emission hit
+  // a structural .5e-6 boundary at sf0.001 (the (a+b)/8 of 6-decimal
+  // values lands on half-boundaries often, and Spark's shortest-repr
+  // BigDecimal round disagrees with DuckDB's binary-double round
+  // exactly there — the q158 class). Ranking and emission both use
+  // the exact integer; the emitted double is margin_e6/10⁶ (correctly
+  // rounded, bit-identical across engines). Ties break on cand_id.
+  // Scale notes (100 TB): everything happens on q201's scored
+  // candidate stream (query_id- and cand_id-keyed bounded windows +
+  // two small aggregates) — no new corpus pass, no new probe.
   def q206BitextMargin(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
@@ -1097,16 +1103,27 @@ object OperatorQueries {
       .filter(col("brk") <= 4)
       .groupBy(col("cand_id"))
       .agg(sum(cosDec).as("sum_b"), count(lit(1)).as("k_b"))
+    // margin·10⁶ as an exact integer: cos_e6·2·k_f·k_b −
+    // (sum_f_e6·k_b + sum_b_e6·k_f), HALF_UP-divided by 2·k_f·k_b
+    // (the 10⁶ scale cancels). round() repairs the ulp of cos·10⁶
+    // (cos is an exact 6-decimal value by construction).
     val margins = scored
       .join(fwd, Seq("query_id")).join(bwd, Seq("cand_id"))
-      .withColumn("margin", round(col("cos") -
-        (col("sum_f").cast("double") / col("k_f") +
-          col("sum_b").cast("double") / col("k_b")) / lit(2.0), 6))
+      .withColumn("num",
+        round(col("cos") * 1000000).cast("long") *
+          (col("k_f") * col("k_b") * 2) -
+          ((col("sum_f") * 1000000).cast("long") * col("k_b") +
+            (col("sum_b") * 1000000).cast("long") * col("k_f")))
+      .withColumn("den", col("k_f") * col("k_b") * 2)
+      .withColumn("margin_e6", expr(
+        "CASE WHEN num < 0 THEN -((2 * (-num) + den) DIV (2 * den)) " +
+          "ELSE (2 * num + den) DIV (2 * den) END"))
     margins.withColumn("mrk", row_number().over(
         Window.partitionBy(col("query_id"))
-          .orderBy(col("margin").desc, col("cand_id"))))
+          .orderBy(col("margin_e6").desc, col("cand_id"))))
       .filter(col("mrk") === 1)
-      .select(col("query_id"), col("cand_id"), col("cos"), col("margin"))
+      .select(col("query_id"), col("cand_id"), col("cos"),
+        (col("margin_e6").cast("double") / 1000000.0).as("margin"))
       .orderBy(col("query_id"))
   }
 
@@ -1130,12 +1147,23 @@ object OperatorQueries {
        |  WHERE brk <= 4 GROUP BY 1),
        |margins AS (
        |  SELECT s.query_id, s.cand_id, s.cos,
-       |    round(s.cos - (CAST(sum_f AS DOUBLE) / k_f
-       |      + CAST(sum_b AS DOUBLE) / k_b) / 2.0, 6) AS margin
-       |  FROM scored s JOIN fwd USING (query_id) JOIN bwd USING (cand_id))
-       |SELECT query_id, cand_id, cos, margin FROM margins
+       |    CAST(round(s.cos * 1000000) AS BIGINT) * (2 * k_f * k_b)
+       |      - (CAST(sum_f * 1000000 AS BIGINT) * k_b
+       |         + CAST(sum_b * 1000000 AS BIGINT) * k_f) AS num,
+       |    2 * k_f * k_b AS den
+       |  FROM scored s JOIN fwd USING (query_id) JOIN bwd USING (cand_id)),
+       |m2 AS (
+       |  SELECT query_id, cand_id, cos,
+       |    CASE WHEN num < 0
+       |      THEN -CAST((2 * (-num) + den) // (2 * den) AS BIGINT)
+       |      ELSE CAST((2 * num + den) // (2 * den) AS BIGINT)
+       |    END AS margin_e6
+       |  FROM margins)
+       |SELECT query_id, cand_id, cos,
+       |  CAST(margin_e6 AS DOUBLE) / 1000000.0 AS margin
+       |FROM m2
        |QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
-       |  ORDER BY margin DESC, cand_id) = 1
+       |  ORDER BY margin_e6 DESC, cand_id) = 1
        |ORDER BY query_id""".stripMargin
 
   // --------------------------------------------------------------------

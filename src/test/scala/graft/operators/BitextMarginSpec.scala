@@ -42,12 +42,19 @@ class BitextMarginSpec extends SparkSpec {
     }
     scored.groupBy(_._1).map { case (q, g) =>
       val withMargin = g.map { case (_, _, c, cos) =>
+        // the exact integer micro-unit margin q206 computes: margin·10⁶
+        // = num/den, HALF_UP — never a rounded double (round-18 rework)
         val (sf, kf) = fwd(q)
         val (sb, kb) = bwd(c)
-        val m = BigDecimal(cos -
-          (sf.toDouble / kf + sb.toDouble / kb) / 2.0)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-        (c, cos, m)
+        val cosE6 = math.round(cos * 1e6)
+        val sfE6 = (sf * BigDecimal(1000000)).toLongExact
+        val sbE6 = (sb * BigDecimal(1000000)).toLongExact
+        val num = cosE6 * 2 * kf * kb - (sfE6 * kb + sbE6 * kf)
+        val den = 2L * kf * kb
+        val mE6 =
+          if (num < 0) -((2 * -num + den) / (2 * den))
+          else (2 * num + den) / (2 * den)
+        (c, cos, mE6.toDouble / 1e6)
       }
       q -> withMargin.sortBy(t => (-t._3, t._1)).head
     }
