@@ -1971,18 +1971,25 @@ object FormatQueries {
         .repartitionByRange(16, col("v")),
       s"$root/t", overwrite = true)
     // kill-shot inside the query: drop every file the v-zone-map
-    // rules out of [*, 1000) — the filtered read below must never
-    // plan them (and the hash still checks the surviving rows)
+    // rules out of [*, cutoff) — the filtered read below must never
+    // plan them (and the hash still checks the surviving rows). The
+    // cutoff is SF-RELATIVE (a tenth of the id domain, derived from
+    // the manifest's own zone maps — zero extra scans): a literal
+    // 1000 equalled sf0.001's whole domain, ruling out NOTHING there
+    // and pinning skipped_proof at 0 against the oracle's 1.
     val f = SinkSource.fs(root)
     val statsByFile = SinkSource.manifestStats(s"$root/t")
+    val maxV = statsByFile.values.flatten
+      .collect { case (2, _, mx) => mx }.max
+    val cutoff = (maxV + 1L) / 10L
     val ruledOut = SinkSource.manifest(s"$root/t").map(_._2).distinct
       .filter(fl => statsByFile.get(fl)
-        .exists(_.exists { case (id, mn, _) => id == 2 && mn >= 1000L }))
+        .exists(_.exists { case (id, mn, _) => id == 2 && mn >= cutoff }))
     ruledOut.foreach(fl =>
       f.delete(new org.apache.hadoop.fs.Path(s"$root/t/data/$fl"), false))
     val skippedProof = if (ruledOut.nonEmpty) 1L else 0L
     SinkSource.load(spark, s"$root/t")
-      .filter(col("v") < 1000 && col("k") >= 2)
+      .filter(col("v") < cutoff && col("k") >= 2)
       .groupBy(col("k"))
       .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
       .withColumn("skipped_proof", lit(skippedProof))
@@ -1994,7 +2001,9 @@ object FormatQueries {
       |  CAST(SUM(event_id) AS BIGINT) AS sum_v,
       |  CAST(1 AS BIGINT) AS skipped_proof
       |FROM events
-      |WHERE event_id < 1000 AND event_id % 8 >= 2
+      |WHERE event_id < (SELECT CAST((MAX(event_id) + 1) / 10 AS BIGINT)
+      |                  FROM events)
+      |  AND event_id % 8 >= 2
       |GROUP BY 1 ORDER BY k""".stripMargin
 
   // --------------------------------------------------------------------

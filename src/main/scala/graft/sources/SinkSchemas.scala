@@ -117,20 +117,18 @@ object SinkSchemas {
     * base; anything else must exist on disk. */
   def fields(path: String, sid: Int): Seq[SinkField] = {
     if (sid == 0) return base
-    val f = SinkSource.fs(path)
-    val file = new Path(path, s"_schema.v$sid.psv")
-    if (!f.exists(file))
+    // memoized read (schema versions are find-or-store by id, never
+    // rewritten) — split planning resolves per-file sids and must
+    // not pay a file open per distinct sid per plan
+    SinkSource.cachedLines(path, s"_schema.v$sid.psv").getOrElse(
       throw new IllegalStateException(
-        s"missing schema file for schema id $sid under $path")
-    val in = f.open(file)
-    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
-    body.linesIterator.filter(_.nonEmpty).map { line =>
-      val c = line.split('|')
-      SinkField(c(0).toInt, c(1), typeOf(c(2)),
-        if (c.length > 3) Some(java.net.URLDecoder.decode(c(3), "UTF-8"))
-        else None)
-    }.toSeq
+        s"missing schema file for schema id $sid under $path"))
+      .map { line =>
+        val c = line.split('|')
+        SinkField(c(0).toInt, c(1), typeOf(c(2)),
+          if (c.length > 3) Some(java.net.URLDecoder.decode(c(3), "UTF-8"))
+          else None)
+      }
   }
 
   /** Highest field id ever assigned under `path` — across EVERY

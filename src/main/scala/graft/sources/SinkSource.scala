@@ -368,6 +368,46 @@ object SinkSource {
   private def manifestLines(path: String, v: Int): Seq[String] =
     snapshot(path, v).lines
 
+  // Line memo for the protocol's OTHER immutable small files — DV
+  // sidecars (commit-unique salted names) and schema versions
+  // (find-or-store by id, never rewritten) — same discipline as the
+  // manifest snapshot cache: qualified-path key, (mtime, length)
+  // validation on every hit, bounded LRU. A 10⁵-row deletion-vector
+  // sidecar re-read by every MoR scan instance is the same
+  // driver-side planning tax the manifest memo removes.
+  private val lineCache =
+    new java.util.LinkedHashMap[String, (Long, Long, Seq[String])](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Long, Long, Seq[String])])
+          : Boolean = size() > 512
+    }
+
+  /** Cached non-empty lines of `path`/`name`, or None if the file
+    * does not exist (callers decide whether absence is loud). */
+  private[sources] def cachedLines(path: String,
+      name: String): Option[Seq[String]] = {
+    val f = fs(path)
+    val file = new Path(path, name)
+    val st =
+      try f.getFileStatus(file)
+      catch { case _: java.io.FileNotFoundException => return None }
+    val key = f.makeQualified(file).toString
+    lineCache.synchronized {
+      val hit = lineCache.get(key)
+      if (hit != null && hit._1 == st.getModificationTime &&
+          hit._2 == st.getLen) return Some(hit._3)
+    }
+    val in = f.open(file)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val lines = body.linesIterator.filter(_.nonEmpty).toVector
+    lineCache.synchronized {
+      lineCache.put(key, (st.getModificationTime, st.getLen, lines))
+    }
+    Some(lines)
+  }
+
   /** Manifest lines of the requested version (default: current), as
     * (k, file, rows). Empty if the table was never committed; a pinned
     * version that was GC'd or never existed is an error, not an empty
@@ -1235,14 +1275,16 @@ object SinkSource {
     sidecarFile(path, v) match {
       case None => Seq.empty
       case Some(name) =>
-        val f = fs(path)
-        val in = f.open(new Path(path, name))
-        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-        body.linesIterator.filter(_.nonEmpty).map { line =>
-          val c = line.split('|')
-          (c(0), c(1))
-        }.toSeq
+        // memoized read (sidecar names are commit-unique and the
+        // files immutable); a vanished file stays LOUD — silently
+        // returning empty would resurrect deleted rows
+        cachedLines(path, name).getOrElse(
+          throw new java.io.FileNotFoundException(
+            s"sidecar $name vanished under $path (concurrent expire?)"))
+          .map { line =>
+            val c = line.split('|')
+            (c(0), c(1))
+          }
     }
   }
 }
