@@ -217,16 +217,55 @@ object SinkSource {
     new Path(path).getFileSystem(new Configuration())
 
   /** Highest published manifest version under `path`, or 0 if never
-    * committed. */
+    * committed.
+    *
+    * HEAD DISCOVERY is O(1) steady-state via the best-effort `_head`
+    * hint (round 18): a full directory listing is O(versions) — at
+    * 10⁵–10⁶ commits the listing itself becomes the driver-side cost
+    * of every uncached current read AND every commit's CAS loop. The
+    * hint is written AFTER each successful publish and is never
+    * trusted blindly: discovery probes forward from it (versions are
+    * dense — every publish is prev+1 — so the first missing version
+    * bounds the head), and a hint that is stale-below-the-expire-
+    * horizon, torn, or missing falls back to the listing. The hint
+    * can therefore never change WHAT is discovered, only how fast —
+    * the CAS (rename-refuses-existing of manifest.v(n+1)) remains the
+    * single source of commit truth. */
   private[graft] def currentVersion(path: String): Int = {
     val f = fs(path)
     val root = new Path(path)
-    if (!f.exists(root)) 0
-    else f.listStatus(root).map(_.getPath.getName)
-      .collect { case n if n.startsWith("manifest.v") && n.endsWith(".psv") =>
-        n.stripPrefix("manifest.v").stripSuffix(".psv").toInt }
-      .foldLeft(0)(math.max)
+    val hinted =
+      try {
+        val hf = new Path(root, "_head")
+        val in = f.open(hf)
+        val h = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim.toInt
+        finally in.close()
+        if (h > 0 && f.exists(new Path(root, s"manifest.v$h.psv"))) {
+          var v = h
+          while (f.exists(new Path(root, s"manifest.v${v + 1}.psv"))) v += 1
+          Some(v)
+        } else None // expired below the kept window, or bogus — re-list
+      } catch { case _: Exception => None } // absent/torn/unparsable
+    hinted.getOrElse {
+      if (!f.exists(root)) 0
+      else f.listStatus(root).map(_.getPath.getName)
+        .collect { case n if n.startsWith("manifest.v") && n.endsWith(".psv") =>
+          n.stripPrefix("manifest.v").stripSuffix(".psv").toInt }
+        .foldLeft(0)(math.max)
+    }
   }
+
+  /** Best-effort `_head` hint refresh after a publish: racing writers
+    * may interleave (last write wins — any of their values is a valid
+    * hint, discovery probes forward), and any failure is swallowed —
+    * the hint is an accelerator, never a correctness input. */
+  private def writeHeadHint(path: String, v: Int): Unit =
+    try {
+      val f = fs(path)
+      val out = f.create(new Path(path, "_head"), true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    } catch { case _: Exception => () }
 
   /** One PARSED, immutable view of a `manifest.v<v>.psv`: the entry
     * list plus every header family, each parsed AT MOST ONCE (lazy)
@@ -851,6 +890,7 @@ object SinkSource {
       throw new SinkCommitRaceException(
         s"lost a manifest publish race at version $next under $path")
     }
+    writeHeadHint(path, next)
     next
   }
 
@@ -4715,6 +4755,17 @@ class SinkScanBuilder(path: String, pinnedVersion: Option[Int],
         fields.find(_.name == n))
     }
     val resolvedSkips = SinkZoneMaps.resolve(skipFilters, fields)
+    // SNAPSHOT PINNING (round 18): resolve the table version ONCE per
+    // plan. A current-version scan that re-resolves per helper call
+    // pays a directory listing per metadata family AND can tear its
+    // snapshot (files from v5, stats from v6) if a commit lands
+    // mid-planning — the Iceberg "a scan is one snapshot" contract,
+    // applied at the one choke point every batch scan flows through.
+    // v0 (never committed) stays unpinned: there is nothing to tear,
+    // and the empty-table read path expects None.
+    val snapV: Option[Int] =
+      pinnedVersion.orElse(
+        Some(SinkSource.currentVersion(path)).filter(_ > 0))
     // UNIFORMLY bucket-era tables report their layout as
     // KeyGroupedPartitioning(bucket(m, k)) — the read-side payoff
     // of q311's evolution: two tables evolved onto the same spec
@@ -4731,33 +4782,33 @@ class SinkScanBuilder(path: String, pinnedVersion: Option[Int],
     def uniformBucketEra: Option[Int] =
       if (topN.nonEmpty || plainLimit.nonEmpty || splitBytes.nonEmpty ||
           maxVersionsPerTrigger.nonEmpty || startingVersion.nonEmpty) None
-      else SinkSource.partSpecs(path, pinnedVersion)
-        .get(SinkSource.currentSpecId(path, pinnedVersion)) match {
+      else SinkSource.partSpecs(path, snapV)
+        .get(SinkSource.currentSpecId(path, snapV)) match {
         case Some(("bucket", m)) =>
-          val csId = SinkSource.currentSpecId(path, pinnedVersion)
-          val fsp = SinkSource.fileSpecs(path, pinnedVersion)
-          val entries = SinkSource.manifest(path, pinnedVersion)
+          val csId = SinkSource.currentSpecId(path, snapV)
+          val fsp = SinkSource.fileSpecs(path, snapV)
+          val entries = SinkSource.manifest(path, snapV)
           if (entries.nonEmpty &&
               entries.forall(e => fsp.getOrElse(e._2, 0) == csId))
             Some(m)
           else None
         case _ => None
       }
-    if (pushedAgg) new SinkManifestAggScan(path, pinnedVersion,
+    if (pushedAgg) new SinkManifestAggScan(path, snapV,
       pushedGroupByK, pushedSpecs)
     else if (mor) uniformBucketEra match {
-      case Some(m) => new SinkMorBucketGroupedScan(path, pinnedVersion,
+      case Some(m) => new SinkMorBucketGroupedScan(path, snapV,
         requiredSchema.getOrElse(SinkSchemas.structType(fields)), fields,
         resolvedSkips, m, reportStats = stats)
-      case None => new SinkMorScan(path, pinnedVersion,
+      case None => new SinkMorScan(path, snapV,
         requiredSchema.getOrElse(SinkSchemas.structType(fields)), fields,
         resolvedSkips, reportStats = stats)
     }
     else {
       uniformBucketEra match {
-        case Some(m) => new SinkBucketGroupedScan(path, pinnedVersion,
+        case Some(m) => new SinkBucketGroupedScan(path, snapV,
           readFields, resolvedSkips, m, reportStats = stats)
-        case None => new SinkScan(path, pinnedVersion, topN, plainLimit,
+        case None => new SinkScan(path, snapV, topN, plainLimit,
           maxVersionsPerTrigger, startingVersion, readFields, resolvedSkips,
           // split planning composes with skipping but not with the
           // pushed per-partition topN/limit readers (a whole-file heap
