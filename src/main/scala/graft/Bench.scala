@@ -18,21 +18,21 @@ object Bench {
     * is loud, not silent.
     */
   val priorCostCs: Array[Int] = Array(
-    127,20,24,109,41,31,40,32,18,12,10,14,41,23,48,15,54,131,36,59,23,48,29,
-    66,76,197,46,44,43,46,48,37,40,35,38,34,16,26,177,40,220,217,150,26,155,
-    118,119,101,86,22,102,51,33,125,74,63,40,41,52,67,15,43,68,53,41,72,47,75,
-    52,37,27,142,356,33,39,30,48,83,98,140,110,113,162,189,272,114,55,90,178,
-    33,170,50,32,83,131,232,104,49,41,202,46,35,119,93,42,43,119,93,73,84,75,
-    41,153,37,83,55,34,92,36,155,160,137,72,48,53,28,61,65,111,39,52,36,13,13,
-    16,14,220,64,68,37,69,62,95,145,115,340,224,55,45,61,170,33,245,114,151,
-    22,129,105,65,65,29,48,288,151,70,37,352,34,97,29,57,170,49,73,112,22,58,
-    185,78,58,72,175,155,262,185,30,125,127,223,141,73,269,217,239,571,69,39,
-    127,17,181,125,34,79,73,140,131,144,130,60,33,35,99,72,37,85,61,87,31,52,
-    44,33,47,72,83,57,38,175,83,133,59,109,65,87,38,39,124,88,83,236,209,124,
-    93,63,254,27,35,78,14,22,150,53,40,357,21,19,319,40,46,20,150,142,232,134,
-    149,73,29,337,40,200,118,116,416,42,352,423,373,229,204,306,462,297,241,
-    297,158,232,172,138,311,129,170,245,422,281,76,74,327,497,333,270,878,408,
-    317,425,270,379,338,343,262,283,273,150,167,384,97,150,380,150)
+    105,18,27,100,48,20,53,35,17,14,16,9,23,19,49,14,38,111,36,52,26,53,37,82,
+    80,232,47,44,42,41,43,36,36,39,39,27,14,23,139,46,196,251,142,29,357,124,
+    86,96,72,26,117,46,36,85,77,62,33,36,54,86,16,66,76,62,41,79,45,97,45,47,
+    23,142,378,34,38,15,51,74,84,103,80,90,219,174,65,83,53,86,149,36,198,39,
+    32,84,99,275,36,47,35,199,57,31,108,83,49,38,144,75,88,62,80,42,217,30,98,
+    56,34,88,46,204,153,141,85,47,46,35,62,67,108,35,39,39,19,21,15,14,213,61,
+    55,50,59,65,90,120,81,366,218,54,55,72,137,41,238,127,284,18,100,117,76,
+    64,33,36,258,165,77,33,437,54,63,32,65,111,43,52,90,29,59,133,78,86,83,
+    162,241,266,182,35,94,71,201,98,75,275,220,172,387,74,43,94,20,164,81,42,
+    79,68,104,105,131,95,62,36,42,58,63,38,76,67,54,30,58,50,29,38,66,81,49,
+    51,163,71,90,69,109,50,67,32,35,146,71,71,291,175,96,112,41,236,18,32,70,
+    18,14,293,43,25,353,18,20,283,40,37,30,148,183,243,147,182,65,33,223,38,
+    177,92,112,422,36,230,424,433,289,179,358,452,288,251,228,187,293,177,148,
+    326,118,120,173,366,211,96,74,362,514,281,239,732,427,311,476,275,365,339,
+    385,304,298,298,211,174,327,93,170,424,189)
 
   def costOf(name: String): Int = {
     val n = name.takeWhile(_ != '_').drop(1).toInt
