@@ -32,7 +32,7 @@ object Bench {
     18,14,293,43,25,353,18,20,283,40,37,30,148,183,243,147,182,65,33,223,38,
     177,92,112,422,36,230,424,433,289,179,358,452,288,251,228,187,293,177,148,
     326,118,120,173,366,211,96,74,362,514,281,239,732,427,311,476,275,365,339,
-    385,304,298,298,211,174,327,93,170,424,189)
+    385,304,298,298,211,174,327,93,170,424,189,180)
 
   def costOf(name: String): Int = {
     val n = name.takeWhile(_ != '_').drop(1).toInt

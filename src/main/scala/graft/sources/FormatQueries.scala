@@ -3687,7 +3687,74 @@ object FormatQueries {
       |  CAST(1 AS BIGINT) AS dpp_pruned
       |FROM events WHERE event_id IN (33, 99)""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q318 — COLUMN-LEVEL STATISTICS from commit metadata (the V2
+  // `Statistics.columnStats` surface, round 18): the scan reports
+  // exact per-column min/max (zone maps), exact null counts (`#null`
+  // headers), and the key's EXACT distinct count (identity-era
+  // manifest entry keys ARE the key domain) — ANALYZE TABLE-grade
+  // statistics at zero scan cost, lifted into the logical plan's
+  // attributeStats where CBO's selectivity and join-cardinality
+  // estimates read them. The query emits the REPORTED statistics as
+  // rows (plus a flag pinning that they reached the logical plan);
+  // the oracle recomputes every number from the raw source — so a
+  // hash match proves the metadata-derived statistics are EXACTLY the
+  // truth, not an estimate.
+  // Scale notes (100 TB): CBO is only as good as its inputs, and an
+  // ANALYZE pass over a petabyte table is a petabyte scan someone has
+  // to schedule (and re-schedule after every ingest). Commit-time
+  // statistics make the optimizer's inputs a by-product of writing
+  // the data — always fresh, never sampled, free at plan time.
+  def q318ColumnStats(spark: SparkSession, dir: String): DataFrame = {
+    val root = ShardPaths.resolve(spark, "q318", dir)
+    SinkSource.fs(root).delete(new org.apache.hadoop.fs.Path(root), true)
+    val ev = Tables.events(spark, dir)
+    SinkSource.write(ev.select((col("event_id") % 13).as("k"),
+      col("event_id").as("v")).repartition(4, col("k")),
+      s"$root/t", overwrite = true)
+    import scala.jdk.CollectionConverters._
+    val cs = new SinkScan(s"$root/t").estimateStatistics().columnStats()
+      .asScala.map { case (nr, st) => nr.fieldNames()(0) -> st }
+    // the propagation claim, pinned in-result: the V2 relation's
+    // LOGICAL stats must carry the per-attribute statistics
+    val rel = SinkSource.load(spark, s"$root/t").queryExecution
+      .optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+      }.head
+    val planned = if (rel.stats.attributeStats.nonEmpty) 1L else 0L
+    def row(name: String) = {
+      val st = cs(name)
+      def opt(o: java.util.OptionalLong): Option[Long] =
+        if (o.isPresent) Some(o.getAsLong) else None
+      (name,
+        st.min().get().asInstanceOf[Long],
+        st.max().get().asInstanceOf[Long],
+        opt(st.nullCount()),
+        opt(st.distinctCount()),
+        planned)
+    }
+    import spark.implicits._
+    Seq(row("k"), row("v"))
+      .toDF("col", "mn", "mx", "nulls", "ndv", "stats_planned")
+      .orderBy(col("col"))
+  }
+
+  val q318Oracle: String =
+    """SELECT 'k' AS col, CAST(MIN(event_id % 13) AS BIGINT) AS mn,
+      |  CAST(MAX(event_id % 13) AS BIGINT) AS mx,
+      |  CAST(0 AS BIGINT) AS nulls,
+      |  CAST(COUNT(DISTINCT event_id % 13) AS BIGINT) AS ndv,
+      |  CAST(1 AS BIGINT) AS stats_planned
+      |FROM events
+      |UNION ALL
+      |SELECT 'v', CAST(MIN(event_id) AS BIGINT),
+      |  CAST(MAX(event_id) AS BIGINT), CAST(0 AS BIGINT),
+      |  CAST(NULL AS BIGINT), CAST(1 AS BIGINT)
+      |FROM events
+      |ORDER BY col""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q318_column_stats" -> q318ColumnStats,
     "q317_runtime_prune_nonkey" -> q317RuntimePruneNonKey,
     "q316_mor_bucket_spj" -> q316MorBucketSpj,
     "q315_runtime_file_pruning" -> q315RuntimeFilePruning,
@@ -3751,6 +3818,7 @@ object FormatQueries {
     "q64_schema_evolution" -> q64SchemaEvolution)
 
   def oracleSql: Map[String, String] = Map(
+    "q318_column_stats" -> q318Oracle,
     "q317_runtime_prune_nonkey" -> q317Oracle,
     "q316_mor_bucket_spj" -> q316Oracle,
     "q315_runtime_file_pruning" -> q315Oracle,

@@ -5141,17 +5141,102 @@ class SinkScan(path: String, pinnedVersion: Option[Int] = None,
         java.util.OptionalLong.empty()
     }
     val live = files.toSet
-    val rows = SinkSource.manifest(path, pinnedVersion)
-      .filter(e => live.contains(e._2)).map(_._3).sum
+    val entries = SinkSource.manifest(path, pinnedVersion)
+      .filter(e => live.contains(e._2))
+    val rows = entries.map(_._3).sum
     // 8 bytes per projected non-null long; what matters to planning
     // is the ORDER of magnitude, and that it is exact-rows-based
     val width = 8L * math.max(2, readFields.size)
+    val cols = columnStatsOf(entries)
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(rows * width)
       override def numRows(): java.util.OptionalLong =
         java.util.OptionalLong.of(rows)
+      override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = cols
     }
+  }
+
+  /** COLUMN-LEVEL statistics from commit metadata (round 18): exact
+    * min/max from the `#stat` zone maps, exact null counts from the
+    * `#null` headers, and — for identity-era tables — the key's EXACT
+    * distinct count from the manifest entries themselves (one entry
+    * per (k, file); the union of entry keys IS the key domain). This
+    * is what CBO's selectivity and join-cardinality estimates feed on
+    * (`transformV2Stats` lifts them into the logical plan's
+    * attributeStats) — an ANALYZE TABLE-grade statistics surface that
+    * costs zero scans because the commit protocol already wrote every
+    * input. The same proof discipline as the manifest agg pushdown:
+    * a column is reported ONLY when every live file covers it (a file
+    * with no stat record proves nothing — an all-NULL column is
+    * indistinguishable from pre-stats history), and key stats only
+    * when every live file is identity-era (a bucket-era entry key is
+    * pmod(k, m), not k). */
+  private def columnStatsOf(entries: Seq[(Long, String, Long)])
+      : java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+    import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+    val out = new java.util.HashMap[NamedReference, ColumnStatistics]()
+    if (entries.isEmpty) return out
+    val liveFiles = entries.map(_._2).distinct
+    val stats = SinkSource.manifestStats(path, pinnedVersion)
+    val nulls = SinkSource.manifestNulls(path, pinnedVersion)
+    val fsp = SinkSource.fileSpecs(path, pinnedVersion)
+    val allIdentity = liveFiles.forall(f => fsp.getOrElse(f, 0) == 0)
+    def put(name: String, mn: Option[Long], mx: Option[Long],
+        nc: Option[Long], ndv: Option[Long]): Unit = {
+      if (mn.isEmpty && nc.isEmpty && ndv.isEmpty) return
+      Expressions.column(name) match {
+        case nr: NamedReference => out.put(nr, new ColumnStatistics {
+          override def min(): java.util.Optional[Object] =
+            mn.map(v => java.lang.Long.valueOf(v): Object)
+              .fold(java.util.Optional.empty[Object]())(java.util.Optional.of)
+          override def max(): java.util.Optional[Object] =
+            mx.map(v => java.lang.Long.valueOf(v): Object)
+              .fold(java.util.Optional.empty[Object]())(java.util.Optional.of)
+          override def nullCount(): java.util.OptionalLong =
+            nc.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+          override def distinctCount(): java.util.OptionalLong =
+            ndv.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+          override def avgLen(): java.util.OptionalLong =
+            java.util.OptionalLong.of(8L)
+          override def maxLen(): java.util.OptionalLong =
+            java.util.OptionalLong.of(8L)
+        })
+        case _ => ()
+      }
+    }
+    readFields.filter(_.dt == LongType).foreach { fld =>
+      if (fld.id == 1) {
+        if (allIdentity) {
+          val keys = entries.map(_._1)
+          put(fld.name, Some(keys.min), Some(keys.max), Some(0L),
+            Some(keys.distinct.size.toLong))
+        }
+      } else {
+        val covered = liveFiles.forall(f =>
+          stats.get(f).exists(_.exists(_._1 == fld.id)))
+        val ranges =
+          if (!covered) (None, None)
+          else {
+            val rs = liveFiles.flatMap(f =>
+              stats(f).collect { case (id, mn, mx) if id == fld.id => (mn, mx) })
+            (Some(rs.map(_._1).min), Some(rs.map(_._2).max))
+          }
+        val nullCovered = liveFiles.forall(f =>
+          nulls.get(f).exists(_.exists(_._1 == fld.id)))
+        val nullCount =
+          if (!nullCovered) None
+          else Some(liveFiles.flatMap(f =>
+            nulls(f).collect { case (id, n) if id == fld.id => n }).sum)
+        put(fld.name, ranges._1, ranges._2, nullCount, None)
+      }
+    }
+    out
   }
 
   override def description(): String =
