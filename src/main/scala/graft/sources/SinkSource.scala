@@ -367,9 +367,14 @@ object SinkSource {
   /** Physical manifest read+parse counts, per qualified manifest file
     * (test observability: the memo spec pins one parse per
     * (path, version) per JVM; keyed so parallel suites don't race the
-    * assertion). */
+    * assertion). Bounded: a long-lived driver touching millions of
+    * versions must not grow this map forever — when it exceeds the
+    * cap it is cleared wholesale (counts restart at 0, which only
+    * ever makes the memo spec's "at most one parse" assertion
+    * stricter, never looser). */
   private[graft] val manifestParses =
     scala.collection.concurrent.TrieMap.empty[String, Long]
+  private val manifestParsesCap = 65536
 
   private[sources] def snapshot(path: String, v: Int): ManifestSnapshot = {
     val f = fs(path)
@@ -387,6 +392,7 @@ object SinkSource {
       if (hit != null && hit._1 == st.getModificationTime &&
           hit._2 == st.getLen) return hit._3
     }
+    if (manifestParses.size > manifestParsesCap) manifestParses.clear()
     manifestParses.updateWith(key) {
       case Some(n) => Some(n + 1); case None => Some(1L) }
     val in = f.open(mf)
@@ -445,6 +451,83 @@ object SinkSource {
       lineCache.put(key, (st.getModificationTime, st.getLen, lines))
     }
     Some(lines)
+  }
+
+  /** Shared column-statistics builder (see [[SinkScan.estimateStatistics]]
+    * for the full rationale). `exact = false` is the MERGE-ON-READ
+    * posture: tombstones only REMOVE rows, so zone-map min/max remain
+    * SOUND BOUNDS (possibly not tight) and stay reported, while the
+    * exactness-claiming statistics (null counts, the key's NDV, the
+    * key's nullCount) are withheld — a deleted row would make them
+    * overcounts, and CBO must never be fed a number presented as
+    * exact that isn't. */
+  private[sources] def columnStatsOf(path: String,
+      pinnedVersion: Option[Int], flds: Seq[SinkSchemas.SinkField],
+      entries: Seq[(Long, String, Long)], exact: Boolean)
+      : java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+    import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+    val out = new java.util.HashMap[NamedReference, ColumnStatistics]()
+    if (entries.isEmpty) return out
+    val liveFiles = entries.map(_._2).distinct
+    val stats = SinkSource.manifestStats(path, pinnedVersion)
+    val nulls = SinkSource.manifestNulls(path, pinnedVersion)
+    val fsp = SinkSource.fileSpecs(path, pinnedVersion)
+    val allIdentity = liveFiles.forall(f => fsp.getOrElse(f, 0) == 0)
+    def put(name: String, mn: Option[Long], mx: Option[Long],
+        nc: Option[Long], ndv: Option[Long]): Unit = {
+      if (mn.isEmpty && nc.isEmpty && ndv.isEmpty) return
+      Expressions.column(name) match {
+        case nr: NamedReference => out.put(nr, new ColumnStatistics {
+          override def min(): java.util.Optional[Object] =
+            mn.map(v => java.lang.Long.valueOf(v): Object)
+              .fold(java.util.Optional.empty[Object]())(java.util.Optional.of)
+          override def max(): java.util.Optional[Object] =
+            mx.map(v => java.lang.Long.valueOf(v): Object)
+              .fold(java.util.Optional.empty[Object]())(java.util.Optional.of)
+          override def nullCount(): java.util.OptionalLong =
+            nc.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+          override def distinctCount(): java.util.OptionalLong =
+            ndv.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+          override def avgLen(): java.util.OptionalLong =
+            java.util.OptionalLong.of(8L)
+          override def maxLen(): java.util.OptionalLong =
+            java.util.OptionalLong.of(8L)
+        })
+        case _ => ()
+      }
+    }
+    flds.filter(_.dt == LongType).foreach { fld =>
+      if (fld.id == 1) {
+        if (allIdentity) {
+          val keys = entries.map(_._1)
+          if (exact)
+            put(fld.name, Some(keys.min), Some(keys.max), Some(0L),
+              Some(keys.distinct.size.toLong))
+          else put(fld.name, Some(keys.min), Some(keys.max), None, None)
+        }
+      } else {
+        val covered = liveFiles.forall(f =>
+          stats.get(f).exists(_.exists(_._1 == fld.id)))
+        val ranges =
+          if (!covered) (None, None)
+          else {
+            val rs = liveFiles.flatMap(f =>
+              stats(f).collect { case (id, mn, mx) if id == fld.id => (mn, mx) })
+            (Some(rs.map(_._1).min), Some(rs.map(_._2).max))
+          }
+        val nullCovered = exact && liveFiles.forall(f =>
+          nulls.get(f).exists(_.exists(_._1 == fld.id)))
+        val nullCount =
+          if (!nullCovered) None
+          else Some(liveFiles.flatMap(f =>
+            nulls(f).collect { case (id, n) if id == fld.id => n }).sum)
+        put(fld.name, ranges._1, ranges._2, nullCount, None)
+      }
+    }
+    out
   }
 
   /** Manifest lines of the requested version (default: current), as
@@ -3706,14 +3789,22 @@ class SinkMorScan(path: String, pinnedVersion: Option[Int],
         java.util.OptionalLong.empty()
     }
     val live = files.toSet
-    val rows = SinkSource.manifest(path, pinnedVersion)
-      .filter(e => live.contains(e._2)).map(_._3).sum
+    val entries = SinkSource.manifest(path, pinnedVersion)
+      .filter(e => live.contains(e._2))
+    val rows = entries.map(_._3).sum
     val width = 8L * math.max(2, fields.size)
+    // exact = false: tombstones make exactness claims overcounts;
+    // min/max stay (sound bounds — deletes only narrow the truth)
+    val cols = SinkSource.columnStatsOf(path, pinnedVersion, fields,
+      entries, exact = false)
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(rows * width)
       override def numRows(): java.util.OptionalLong =
         java.util.OptionalLong.of(rows)
+      override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = cols
     }
   }
 
@@ -5177,67 +5268,9 @@ class SinkScan(path: String, pinnedVersion: Option[Int] = None,
   private def columnStatsOf(entries: Seq[(Long, String, Long)])
       : java.util.Map[
         org.apache.spark.sql.connector.expressions.NamedReference,
-        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
-    import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
-    import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
-    val out = new java.util.HashMap[NamedReference, ColumnStatistics]()
-    if (entries.isEmpty) return out
-    val liveFiles = entries.map(_._2).distinct
-    val stats = SinkSource.manifestStats(path, pinnedVersion)
-    val nulls = SinkSource.manifestNulls(path, pinnedVersion)
-    val fsp = SinkSource.fileSpecs(path, pinnedVersion)
-    val allIdentity = liveFiles.forall(f => fsp.getOrElse(f, 0) == 0)
-    def put(name: String, mn: Option[Long], mx: Option[Long],
-        nc: Option[Long], ndv: Option[Long]): Unit = {
-      if (mn.isEmpty && nc.isEmpty && ndv.isEmpty) return
-      Expressions.column(name) match {
-        case nr: NamedReference => out.put(nr, new ColumnStatistics {
-          override def min(): java.util.Optional[Object] =
-            mn.map(v => java.lang.Long.valueOf(v): Object)
-              .fold(java.util.Optional.empty[Object]())(java.util.Optional.of)
-          override def max(): java.util.Optional[Object] =
-            mx.map(v => java.lang.Long.valueOf(v): Object)
-              .fold(java.util.Optional.empty[Object]())(java.util.Optional.of)
-          override def nullCount(): java.util.OptionalLong =
-            nc.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
-          override def distinctCount(): java.util.OptionalLong =
-            ndv.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
-          override def avgLen(): java.util.OptionalLong =
-            java.util.OptionalLong.of(8L)
-          override def maxLen(): java.util.OptionalLong =
-            java.util.OptionalLong.of(8L)
-        })
-        case _ => ()
-      }
-    }
-    readFields.filter(_.dt == LongType).foreach { fld =>
-      if (fld.id == 1) {
-        if (allIdentity) {
-          val keys = entries.map(_._1)
-          put(fld.name, Some(keys.min), Some(keys.max), Some(0L),
-            Some(keys.distinct.size.toLong))
-        }
-      } else {
-        val covered = liveFiles.forall(f =>
-          stats.get(f).exists(_.exists(_._1 == fld.id)))
-        val ranges =
-          if (!covered) (None, None)
-          else {
-            val rs = liveFiles.flatMap(f =>
-              stats(f).collect { case (id, mn, mx) if id == fld.id => (mn, mx) })
-            (Some(rs.map(_._1).min), Some(rs.map(_._2).max))
-          }
-        val nullCovered = liveFiles.forall(f =>
-          nulls.get(f).exists(_.exists(_._1 == fld.id)))
-        val nullCount =
-          if (!nullCovered) None
-          else Some(liveFiles.flatMap(f =>
-            nulls(f).collect { case (id, n) if id == fld.id => n }).sum)
-        put(fld.name, ranges._1, ranges._2, nullCount, None)
-      }
-    }
-    out
-  }
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+    SinkSource.columnStatsOf(path, pinnedVersion, readFields, entries,
+      exact = true)
 
   override def description(): String =
     s"SinkScan(files=${files.length}" +

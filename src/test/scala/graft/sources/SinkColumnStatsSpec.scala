@@ -53,6 +53,35 @@ class SinkColumnStatsSpec extends SparkSpec {
       s"k's exact NDV must propagate: $kStat")
   }
 
+  test("MoR posture: min/max stay (sound bounds), exactness claims withheld") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cstats_mor").toString
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(s.conf.set(k, v)) }
+    s.conf.set("spark.sql.catalog.graft_cstm", classOf[SinkCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_cstm.root", root)
+    s.conf.set("spark.sql.catalog.graft_cstm.mor", "true")
+    import s.implicits._
+    SinkSource.write((0L until 50L).map(i => (i % 5, i)).toDF("k", "v"),
+      s"$root/t", overwrite = true)
+    s.sql("DELETE FROM graft_cstm.t WHERE v % 7 = 1") // DVs land
+    assert(SinkSource.deleteSidecar(s"$root/t").nonEmpty)
+    import scala.jdk.CollectionConverters._
+    val cs = new SinkMorScan(s"$root/t", None).estimateStatistics()
+      .columnStats().asScala
+      .map { case (nr, st) => nr.fieldNames()(0) -> st }
+    val k = cs("k")
+    assert(k.min().get() == java.lang.Long.valueOf(0L) &&
+      k.max().get() == java.lang.Long.valueOf(4L),
+      "min/max are sound bounds under tombstones and must stay")
+    assert(!k.distinctCount().isPresent && !k.nullCount().isPresent,
+      "exactness claims must be withheld once rows can be tombstoned")
+    assert(!cs("v").nullCount().isPresent,
+      "null counts ignore tombstones — withheld under MoR")
+    assert(cs("v").min().isPresent, "v zone bounds must stay")
+  }
+
   test("soundness gates: bucket-era keys and uncovered columns withheld") {
     val root = java.nio.file.Files
       .createTempDirectory("graft_cstats2").toString
