@@ -65,6 +65,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // quiet local FS: no chmod fork per create, no .crc twin
+      // (see graft.sources.QuietLocalFs — local-scheme only)
+      .config("spark.hadoop.fs.file.impl",
+        "graft.sources.QuietLocalFileSystem")
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        "graft.sources.QuietLocalAbstractFs")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -114,6 +120,13 @@ object Bench {
     var warmSpentNs = 0L
     var fallbackAnnounced = false
     var retried = 0
+    // SUSPECT lines (round-18 verdict ask #5): when the outlier retry
+    // ALSO exceeds 3x the cost-table entry, the published min is still
+    // ambient-suspect — record the query number so the judge's probe
+    // list is machine-readable instead of a hand ritual. A genuine
+    // regression lands here too (it reproduces on the retry), which is
+    // exactly the set a human should probe.
+    val suspects = scala.collection.mutable.ArrayBuffer.empty[Int]
     // COST-AWARE run order: queries run by DESCENDING prior-round cost
     // (prior full-run centiseconds by query number; name as
     // tiebreak), so if the warm budget ever exhausts, it exhausts on the CHEAP tail —
@@ -171,11 +184,24 @@ object Bench {
           System.err.println(f"[bench] $name ${first}%.2f s > 3x prior " +
             f"${prior / 100.0}%.2f s; retrying once")
           val r0 = System.nanoTime()
-          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name retry failed: ${e.getMessage}")
-          }
-          math.min(first, (System.nanoTime() - r0) / 1e9)
+          // Only a SUCCESSFUL retry may replace the first measurement:
+          // a retry that throws fails fast, and min(first, failureTime)
+          // would let a broken re-run mask a slow-but-correct first
+          // pass (ADVICE round-18).
+          val retryOk =
+            try {
+              fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+              true
+            } catch { case e: Throwable =>
+              System.err.println(s"[bench] $name retry failed: ${e.getMessage}")
+              false
+            }
+          val best =
+            if (retryOk) math.min(first, (System.nanoTime() - r0) / 1e9)
+            else first
+          if (best * 100 > prior * 3L)
+            suspects += name.takeWhile(_ != '_').drop(1).toInt
+          best
         } else first
       name -> elapsed
     }
@@ -187,7 +213,8 @@ object Bench {
     // sbt appends its own ~75-char "[success]" line after us, so the
     // last JSON line must stay well under that budget or its head gets
     // truncated and the driver records parsed:null (rounds 1-3 all did).
-    println(s"""{"metric":"total","value":$total,"unit":"sec","retries":$retried,"queries":$qs,"sf":"$sfDir"}""")
+    val suspectsJson = suspects.sorted.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","retries":$retried,"suspects":$suspectsJson,"queries":$qs,"sf":"$sfDir"}""")
     // Locale.ROOT: a comma-decimal default locale would emit invalid
     // JSON on the one line the driver machine-reads
     def fmt(v: Double, dp: Int): String =
@@ -206,7 +233,7 @@ object Bench {
       val qs = results.map { case (k, v) =>
         "\"" + k.takeWhile(_ != '_').drop(1) + "\":" + math.round(v * 100)
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","retries":$retried,"queries":$qs,"q_unit":"cs","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","retries":$retried,"suspects":$suspectsJson,"queries":$qs,"q_unit":"cs","sf":"$sfDir"}"""
     }
     def secondsLine(dp: Int): String = {
       val qs = results.map { case (k, v) =>
@@ -227,7 +254,7 @@ object Bench {
       val arr = (1 to byNum.keys.maxOption.getOrElse(0))
         .map(n => byNum.getOrElse(n, -1L))
         .mkString("[", ",", "]")
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","retries":$retried,"q_unit":"cs","q_index":"queries_cs[i] is q(i+1)","queries_cs":$arr,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","retries":$retried,"suspects":$suspectsJson,"q_unit":"cs","q_index":"queries_cs[i] is q(i+1)","queries_cs":$arr,"sf":"$sfDir"}"""
     }
     println((LazyList(() => csLine, () => csArrLine)
         ++ Seq(1, 0).map(dp => () => secondsLine(dp)))

@@ -18,6 +18,12 @@ object PlanAudit {
       // AQE stays ON in Verify/Bench; here it would wrap the plan in
       // AdaptiveSparkPlan(isFinalPlan=false) and hide codegen spans
       .config("spark.sql.adaptive.enabled", "false")
+      // quiet local FS: no chmod fork per create, no .crc twin
+      // (see graft.sources.QuietLocalFs — local-scheme only)
+      .config("spark.hadoop.fs.file.impl",
+        "graft.sources.QuietLocalFileSystem")
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        "graft.sources.QuietLocalAbstractFs")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

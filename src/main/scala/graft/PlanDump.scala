@@ -1,17 +1,16 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
 
-/** Dev tool: reproduce the driver Bench's exact per-query pattern for
-  * selected queries — warm at sf0.001, clearCache+gc, timed run at the
-  * target SF — to separate warm-up-transferable overhead from the cost
-  * the driver actually measures.
-  * Usage: tools/run.sh graft.BenchOne q32_minhash_neardup [more...]
+/** Dev tool: print `.explain("formatted")` for selected queries — the
+  * evidence files under plans/<round>/ are generated with this.
+  * Usage: tools/run.sh graft.PlanDump q274_rowlevel_update [more...]
+  * Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS.
   */
-object BenchOne {
+object PlanDump {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -29,17 +28,10 @@ object BenchOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     args.foreach { name =>
-      val fn = SparkEntry.queries(name)
-      val w0 = System.nanoTime()
-      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[warm] $name failed: $e") }
-      val warmSec = (System.nanoTime() - w0) / 1e9
-      spark.catalog.clearCache()
-      System.gc()
-      val t0 = System.nanoTime()
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"$name%-28s warm=$warmSec%.2f timed=$sec%.2f")
+      println(s"===== $name")
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      println(df.queryExecution.explainString(
+        ExplainMode.fromString("formatted")))
     }
     spark.stop()
   }

@@ -20,6 +20,12 @@ object Probe {
       .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.sql.codegen.wholeStage",
         sys.env.getOrElse("SPARK_GRAFT_WSCG", "true"))
+      // quiet local FS: no chmod fork per create, no .crc twin
+      // (see graft.sources.QuietLocalFs — local-scheme only)
+      .config("spark.hadoop.fs.file.impl",
+        "graft.sources.QuietLocalFileSystem")
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        "graft.sources.QuietLocalAbstractFs")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -24,6 +24,12 @@ object Runner {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // quiet local FS: no chmod fork per create, no .crc twin
+      // (see graft.sources.QuietLocalFs — local-scheme only)
+      .config("spark.hadoop.fs.file.impl",
+        "graft.sources.QuietLocalFileSystem")
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        "graft.sources.QuietLocalAbstractFs")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

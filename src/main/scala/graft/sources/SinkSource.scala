@@ -213,8 +213,42 @@ object SinkSource {
     w.mode(if (overwrite) "overwrite" else "append").save()
   }
 
-  private[graft] def fs(path: String): FileSystem =
-    new Path(path).getFileSystem(new Configuration())
+  /** One shared Hadoop Configuration per JVM: `new Configuration()`
+    * PARSES core-default.xml/core-site.xml out of the jar on every
+    * construction (inflate + StAX + string interning — driver stack
+    * samples put it at ~30% of a sink query's driver-side time, round
+    * 19), and [[fs]] is on every metadata path. The instance is never
+    * mutated here; FileSystem.get caches by scheme+authority anyway,
+    * so sharing the conf only removes the per-call parse.
+    */
+  private[graft] lazy val hadoopConf = new Configuration()
+
+  /** The `file:` FileSystem minus two local-only per-file costs
+    * (round-19 stack samples, q274 driver ~40% in these two):
+    * (1) without libhadoop, every create/mkdirs FORKS a `chmod`
+    * subprocess (RawLocalFileSystem.setPermission falls back to
+    * Shell.execCommand) — the override keeps the process-umask
+    * permissions the plain FileOutputStream already applied, exactly
+    * what NativeIO would do without the fork; (2) ChecksumFileSystem
+    * writes/reads a `.crc` twin per file, DOUBLING creates — the sink
+    * format carries its own integrity story (manifest-published names
+    * + row counts; object stores at production scale have no client
+    * .crc twins either). Scheme-gated: HDFS/S3 paths keep their real
+    * FileSystem untouched. Rename/CAS semantics are the raw local
+    * FS's, the same ones the checksum wrapper delegated to before.
+    */
+  private lazy val quietLocalFs: FileSystem = {
+    val lfs = new QuietLocalFileSystem()
+    lfs.initialize(java.net.URI.create("file:///"), hadoopConf)
+    lfs
+  }
+
+  private[graft] def fs(path: String): FileSystem = {
+    val p = new Path(path)
+    val scheme = p.toUri.getScheme
+    if (scheme == null || scheme == "file") quietLocalFs
+    else p.getFileSystem(hadoopConf)
+  }
 
   /** Highest published manifest version under `path`, or 0 if never
     * committed.
@@ -3641,7 +3675,7 @@ class SinkFastForwardProcedure(root: String)
               s"refusing to publish over existing data file: $dest")
           if (!org.apache.hadoop.fs.FileUtil.copy(
               f, new Path(branchDir, s"data/$fl"), f, dest,
-              false, new Configuration()))
+              false, SinkSource.hadoopConf))
             throw new IllegalStateException(
               s"branch file publish failed: $fl")
           moved += 1
@@ -3828,6 +3862,13 @@ class SinkMorScan(path: String, pinnedVersion: Option[Int],
     runtimeSkips = SinkZoneMaps.resolve(
       filters.toSeq.filter(SinkZoneMaps.supported(_, fields)), fields)
 
+  /** The conjunct state subclass caches key on (the filesCache
+    * discipline): a cached artifact derived from the split set is
+    * valid exactly while this value is unchanged. */
+  private[sources] def conjunctState:
+      Seq[(Int, org.apache.spark.sql.sources.Filter)] =
+    skipFilters ++ runtimeSkips
+
   // zone-map skipping composes with MoR: tombstones only REMOVE rows,
   // so a file whose stats prove "no row matches" proves it a fortiori
   // for the tombstone-filtered view; survivors still merge their
@@ -3963,15 +4004,32 @@ class SinkMorBucketGroupedScan(path: String, pinnedVersion: Option[Int],
     SinkSource.manifest(path, pinnedVersion)
       .groupBy(_._2).view.mapValues(_.head._1).toMap
 
-  // def, not lazy: a runtime filter may shrink the split set after
-  // planning first touched it (inherited SupportsRuntimeFiltering)
-  private def keyed: Array[InputPartition] =
-    super.planInputPartitions().map {
-      case p: SinkMorInputPartition =>
-        SinkMorKeyedInputPartition(p,
-          keyOf(new Path(p.file).getName)): InputPartition
-      case other => other // unreachable: MoR plans SinkMorInputPartitions
+  // memoized per conjunct state (the filesCache discipline, round-18
+  // ADVICE): a bare def re-planned the full split set on every
+  // callback — outputPartitioning, planInputPartitions and
+  // description each re-derived the sids/eqs/seqs/DV pairings — and a
+  // runtime filter landing between two calls could make the REPORTED
+  // KeyGroupedPartitioning numPartitions disagree with the PLANNED
+  // split count. One planning pass per conjunct state; a late filter
+  // still re-plans.
+  @volatile private var keyedCache:
+      (Seq[(Int, org.apache.spark.sql.sources.Filter)],
+        Array[InputPartition]) = null
+  private def keyed: Array[InputPartition] = {
+    val state = conjunctState
+    val cached = keyedCache
+    if (cached != null && cached._1 == state) cached._2
+    else {
+      val k: Array[InputPartition] = super.planInputPartitions().map {
+        case p: SinkMorInputPartition =>
+          SinkMorKeyedInputPartition(p,
+            keyOf(new Path(p.file).getName)): InputPartition
+        case other => other // unreachable: MoR plans SinkMorInputPartitions
+      }
+      keyedCache = (state, k)
+      k
     }
+  }
 
   override def planInputPartitions(): Array[InputPartition] = keyed
 
@@ -4961,15 +5019,28 @@ class SinkBucketGroupedScan(path: String, pinnedVersion: Option[Int],
     SinkSource.manifest(path, pinnedVersion)
       .groupBy(_._2).view.mapValues(_.head._1).toMap
 
-  // def, not lazy: a runtime filter may shrink the split set after
-  // planning first touched it (inherited SupportsRuntimeFiltering)
-  private def keyed: Array[InputPartition] =
-    super.planInputPartitions().map {
-      case p: SinkInputPartition =>
-        SinkKeyedInputPartition(p,
-          keyOf(new Path(p.file).getName)): InputPartition
-      case other => other // unreachable: splits are disabled here
+  // memoized per conjunct state (the filesCache discipline, round-18
+  // ADVICE): same rationale as SinkMorBucketGroupedScan — one split
+  // planning pass per conjunct state, and the reported partitioning
+  // can never disagree with the planned splits within one state.
+  @volatile private var keyedCache:
+      (Seq[(Int, org.apache.spark.sql.sources.Filter)],
+        Array[InputPartition]) = null
+  private def keyed: Array[InputPartition] = {
+    val state = conjunctState
+    val cached = keyedCache
+    if (cached != null && cached._1 == state) cached._2
+    else {
+      val k: Array[InputPartition] = super.planInputPartitions().map {
+        case p: SinkInputPartition =>
+          SinkKeyedInputPartition(p,
+            keyOf(new Path(p.file).getName)): InputPartition
+        case other => other // unreachable: splits are disabled here
+      }
+      keyedCache = (state, k)
+      k
     }
+  }
 
   override def planInputPartitions(): Array[InputPartition] = keyed
 
@@ -5164,6 +5235,13 @@ class SinkScan(path: String, pinnedVersion: Option[Int] = None,
     runtimeSkips = SinkZoneMaps.resolve(
       filters.toSeq.filter(SinkZoneMaps.supported(_, readFields)),
       readFields)
+
+  /** The conjunct state subclass caches key on (the filesCache
+    * discipline): a cached artifact derived from the split set is
+    * valid exactly while this value is unchanged. */
+  private[sources] def conjunctState:
+      Seq[(Int, org.apache.spark.sql.sources.Filter)] =
+    skipFilters ++ runtimeSkips
 
   // the manifest IS the table: files on disk but not listed (staged
   // attempts, aborted writes, post-delete stragglers) do not exist to

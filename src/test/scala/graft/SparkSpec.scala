@@ -13,6 +13,10 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
+    .config("spark.hadoop.fs.file.impl",
+      "graft.sources.QuietLocalFileSystem")
+    .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+      "graft.sources.QuietLocalAbstractFs")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }
