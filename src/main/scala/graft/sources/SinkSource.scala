@@ -391,6 +391,15 @@ object SinkSource {
   // GC'd version still errors (the getFileStatus existence probe runs
   // before the cache is consulted). NEVER caches `currentVersion` —
   // head discovery must see every concurrent publish (CAS correctness).
+  // GRANULARITY ASSUMPTION (round-18 ADVICE): the (mtime, length)
+  // fingerprint cannot distinguish a delete-and-rebuild that lands an
+  // EQUAL-LENGTH file within the store's mtime granularity (1 s on
+  // some local/object stores). Safe for the production protocol —
+  // manifest versions are write-once, never rebuilt in place — and
+  // for the rebuild-in-place test-fixture pattern the rebuilt file
+  // would additionally need identical byte length for a stale hit; no
+  // current fixture rebuilds same-length. If one ever does, add a
+  // content checksum to the fingerprint for the rebuild path.
   private val snapshotCache =
     new java.util.LinkedHashMap[String, (Long, Long, ManifestSnapshot)](
       16, 0.75f, true) {
