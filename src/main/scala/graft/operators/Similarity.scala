@@ -1333,21 +1333,33 @@ object Similarity {
   // also bounds the second matvec's products inside int64 at any
   // corpus scale.
   def q227PowerIteration(spark: SparkSession, dir: String): DataFrame = {
-    val cov = q209SubspaceCov(spark, dir)
+    // MATERIALIZE THE INVARIANTS ONCE (q137's settled lesson): the
+    // unrolled iterations reference cov/sym/v1/u2 two-to-eightfold,
+    // and without a cut-point the q209 corpus pass inlines at every
+    // reference — the initial physical plan carried SIXTEEN
+    // embeddings scans (round-19 audit) where the scale note promised
+    // one. Every checkpointed frame is model-width-bounded
+    // (d·(B+1)/2 rows and below), so the lineage cut is free at any
+    // corpus scale; lazy localCheckpoint materializes on the query's
+    // own action.
+    val cov = q209SubspaceCov(spark, dir).localCheckpoint(false)
     val sym = cov.select(col("blk"), col("i"), col("j"), col("s_ij"), col("n"))
       .unionByName(cov.filter(col("i") =!= col("j"))
         .select(col("blk"), col("j").as("i"), col("i").as("j"),
           col("s_ij"), col("n")))
       .withColumn("m", round(col("s_ij").cast("double") / col("n")).cast("bigint"))
+      .localCheckpoint(false)
     val u1 = sym.groupBy(col("blk"), col("i")).agg(sum(col("m")).as("u1"))
     val n1 = u1.groupBy(col("blk"))
       .agg(greatest(max(abs(col("u1"))), lit(1L)).as("mx1"))
     val v1 = u1.join(n1, Seq("blk"))
       .withColumn("v1",
         round(col("u1").cast("double") / col("mx1") * 1000).cast("bigint"))
+      .localCheckpoint(false)
     val u2 = sym
       .join(v1.select(col("blk"), col("i").as("j"), col("v1")), Seq("blk", "j"))
       .groupBy(col("blk"), col("i")).agg(sum(col("m") * col("v1")).as("u2"))
+      .localCheckpoint(false)
     val n2 = u2.groupBy(col("blk"))
       .agg(greatest(max(abs(col("u2"))), lit(1L)).as("mx2"))
     u2.join(n2, Seq("blk"))

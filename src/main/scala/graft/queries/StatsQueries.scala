@@ -265,46 +265,75 @@ object StatsQueries {
     * two-level plan emitting (n_total, v). num/den = 1/2 is the
     * median; 99/100 the p99. Shared by q116 and q155.
     */
-  private[graft] def selectRankPlan(data: DataFrame, num: Int, den: Int): DataFrame = {
-    require(num > 0 && num <= den, s"rank fraction $num/$den outside (0, 1]")
+  private[graft] def selectRankPlan(data: DataFrame, num: Int, den: Int): DataFrame =
+    selectRanksPlan(data, Seq(("r", num, den)))
+      .select(col("n_total"), col("v"))
+
+  /** ALL requested ranks in one shared plan (round 19): the per-rank
+    * form re-derived the level-2 walk and the final ranking per rank
+    * and inlined the corpus scan at every `binned` reference —
+    * q155's three ranks planned TWELVE corpus scans. Here every
+    * rank's level-1 walk reads the SAME histogram subtree (identical
+    * exchange subtrees — exchange reuse/AQE stage dedup executes the
+    * aggregation once; no checkpoint, so construction stays
+    * action-free, the q116 spec contract), and the level-2 re-bin
+    * and final ranking carry the rank tag in their keys, so all
+    * ranks share one `binned` pass each. Executed corpus passes:
+    * 6+ → 3 (histogram, level-2 walk, final ranking) regardless of
+    * rank count.
+    */
+  private[graft] def selectRanksPlan(data: DataFrame,
+      ranks: Seq[(String, Int, Int)]): DataFrame = {
+    ranks.foreach { case (tag, num, den) =>
+      require(num > 0 && num <= den,
+        s"rank fraction $num/$den ($tag) outside (0, 1]") }
     val binned = data.withColumn("bin",
       floor(col("v") / MedianBinWidth).cast("bigint"))
-    // level-1 walk: cumulate the bounded histogram, pick the target bin
+    // the bounded level-1 histogram; every rank derives its target
+    // from this one subtree (deduped at execution by exchange reuse)
+    val hist = binned.groupBy(col("bin")).agg(count(lit(1)).as("c"))
     val wBins = Window.orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val target1 = binned.groupBy(col("bin")).agg(count(lit(1)).as("c"))
+    val cum = hist
       .withColumn("cumc", sum(col("c")).over(wBins))
       .withColumn("n", sum(col("c")).over(wAll))
-      // nearest-rank: k = ceil(num·n/den), all-integer
-      .withColumn("k", expr(s"CAST(($num * n + ${den - 1}) DIV $den AS BIGINT)"))
-      .filter(col("cumc") >= col("k"))
-      .orderBy(col("bin")).limit(1)
-      .select(col("bin"), (col("cumc") - col("c")).as("prior1"),
-        col("k"), col("n"))
-    // level-2: re-bin ONLY the target bin's rows, walk again
+    // level-1 walk per rank: pick the bin holding rank ceil(num·n/den)
+    val targets1 = ranks.map { case (tag, num, den) =>
+      cum
+        // nearest-rank: k = ceil(num·n/den), all-integer
+        .withColumn("k", expr(s"CAST(($num * n + ${den - 1}) DIV $den AS BIGINT)"))
+        .filter(col("cumc") >= col("k"))
+        .orderBy(col("bin")).limit(1)
+        .select(lit(tag).as("pct"), col("bin"),
+          (col("cumc") - col("c")).as("prior1"), col("k"), col("n"))
+    }.reduce(_.unionByName(_))
+    // level-2: re-bin ONLY the target bins' rows (tagged per rank —
+    // a row serves every rank whose target bin it falls in), walk again
     val subW = MedianBinWidth / MedianSubBins
-    val inBin = binned.join(broadcast(target1), Seq("bin"))
+    val inBin = binned.join(broadcast(targets1), Seq("bin"))
       .withColumn("sbin", floor(col("v") / subW).cast("bigint"))
-    val wSub = Window.orderBy(col("sbin"))
+    val wSub = Window.partitionBy(col("pct")).orderBy(col("sbin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val target2 = inBin.groupBy(col("sbin"))
+    val wPick = Window.partitionBy(col("pct")).orderBy(col("sbin"))
+    val target2 = inBin.groupBy(col("pct"), col("sbin"))
       .agg(count(lit(1)).as("c2"), max(col("prior1")).as("prior1"),
         max(col("k")).as("k"), max(col("n")).as("n"))
       .withColumn("cum2", col("prior1") + sum(col("c2")).over(wSub))
       .filter(col("cum2") >= col("k"))
-      .orderBy(col("sbin")).limit(1)
-      .select(col("sbin"), (col("cum2") - col("c2")).as("prior"),
+      .withColumn("pick", row_number().over(wPick))
+      .filter(col("pick") === 1)
+      .select(col("pct"), col("sbin"), (col("cum2") - col("c2")).as("prior"),
         col("k"), col("n"))
-    // final ranking: only the target sub-bin's rows, partitioned window
-    val wFinal = Window.partitionBy(col("sbin"))
+    // final ranking: only the target sub-bins' rows, partitioned window
+    val wFinal = Window.partitionBy(col("pct"), col("sbin"))
       .orderBy(col("v"), col("tie"))
-    inBin.select(col("v"), col("tie"), col("sbin"))
-      .join(broadcast(target2), Seq("sbin"))
+    inBin.select(col("pct"), col("v"), col("tie"), col("sbin"))
+      .join(broadcast(target2), Seq("pct", "sbin"))
       .withColumn("rn", row_number().over(wFinal).cast("bigint"))
       .filter(col("rn") === col("k") - col("prior"))
-      .select(col("n").as("n_total"), col("v"))
+      .select(col("pct"), col("n").as("n_total"), col("v"))
   }
 
   /** Median as the 1/2 nearest-rank selection (kept as its own entry
@@ -331,24 +360,24 @@ object StatsQueries {
 
   // --------------------------------------------------------------------
   // q155 — generalized exact percentiles (p50/p90/p99) through the
-  // same lazy two-level selection as q116: three nearest-rank
-  // selections over one shared base, unioned into a tagged result.
-  // This is the production tail-latency statistic; approx_percentile's
-  // sketch merges are implementation-defined per engine, so the
-  // oracle-comparable form is the exact selection (the approx variant
-  // lives in Profiling next to the NDV sketch).
-  // Scale notes (100 TB): identical to q116 — each rank's final window
-  // touches ~n/(bins·1024) rows; three ranks are three bounded walks
-  // sharing one histogram subtree shape, never three global sorts.
+  // same lazy two-level selection as q116: all three nearest-rank
+  // selections ride ONE shared plan (selectRanksPlan) — one
+  // materialized histogram, one tagged level-2 walk, one tagged final
+  // ranking. This is the production tail-latency statistic;
+  // approx_percentile's sketch merges are implementation-defined per
+  // engine, so the oracle-comparable form is the exact selection (the
+  // approx variant lives in Profiling next to the NDV sketch).
+  // Scale notes (100 TB): each rank's final window touches
+  // ~n/(bins·1024) rows; three ranks cost THREE corpus scans total
+  // (histogram, level-2 walk, final ranking — rank count doesn't add
+  // passes), never three global sorts. The round-19 audit found the
+  // previous per-rank composition planning 12 corpus scans.
   def q155GlobalPercentiles(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.Tables
     val base = Tables.orders(spark, dir)
       .select(col("o_totalprice").as("v"), col("o_orderkey").as("tie"))
-    Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
-      .map { case (tag, num, den) =>
-        selectRankPlan(base, num, den)
-          .select(lit(tag).as("pct"), col("n_total"), col("v").as("value"))
-      }.reduce(_.unionByName(_))
+    selectRanksPlan(base, Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)))
+      .select(col("pct"), col("n_total"), col("v").as("value"))
       .orderBy(col("pct"))
   }
 
