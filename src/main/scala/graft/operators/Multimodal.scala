@@ -190,9 +190,18 @@ object Multimodal {
   /** Per-media (doc_id, ahash) through the mapPartitions decode stage —
     * shared by q97's bucket dedup and q154's cross-modal composition.
     */
-  private[operators] def phashed(spark: SparkSession, dir: String): DataFrame = {
+  /** `where` is applied BEFORE the opaque decode boundary: a filter
+    * placed after `mapPartitions` cannot be pushed past it (Catalyst
+    * treats the lambda as a black box), so a sampled consumer would
+    * decode the whole corpus and discard the off-sample rows after
+    * paying the per-row hash — q184's %3 sample decoded 3x the rows
+    * it kept until round 19 moved the predicate here.
+    */
+  private[operators] def phashed(spark: SparkSession, dir: String,
+      where: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import spark.implicits._
-    graft.sources.Tables.documentsSharded(spark, dir)
+    val docs = graft.sources.Tables.documentsSharded(spark, dir)
+    where.fold(docs)(docs.filter(_))
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
@@ -387,8 +396,17 @@ object Multimodal {
   // bucket-quadratic; at 64-bit production phash the probe count is 64
   // and the same shape holds.
   def q184MediaClusters(spark: SparkSession, dir: String): DataFrame = {
-    val h = phashed(spark, dir).filter(col("doc_id") % 3 === 0)
+    // sample BEFORE the decode boundary (see phashed), and materialize
+    // the decoded hashes + bucket keepers once (lazy localCheckpoint):
+    // h/keepers are referenced by docEdges, both bucket-probe sides,
+    // and the CC vertex set — without the cut the per-row decode
+    // pipeline inlined at every reference (the q137/q227 class). Both
+    // frames are vertex-sized — the same storage class the CC label
+    // rounds already checkpoint.
+    val h = phashed(spark, dir, Some(col("doc_id") % 3 === 0))
+      .localCheckpoint(false)
     val keepers = h.groupBy(col("ahash")).agg(min(col("doc_id")).as("k_id"))
+      .localCheckpoint(false)
     val docEdges = h.join(keepers, Seq("ahash"))
       .filter(col("doc_id") =!= col("k_id"))
       .select(col("doc_id").as("doc_a"), col("k_id").as("doc_b"))
