@@ -18,21 +18,21 @@ object Bench {
     * is loud, not silent.
     */
   val priorCostCs: Array[Int] = Array(
-    105,18,27,100,48,20,53,35,17,14,16,9,23,19,49,14,38,111,36,52,26,53,37,82,
-    80,232,47,44,42,41,43,36,36,39,39,27,14,23,139,46,196,251,142,29,357,124,
-    86,96,72,26,117,46,36,85,77,62,33,36,54,86,16,66,76,62,41,79,45,97,45,47,
-    23,142,378,34,38,15,51,74,84,103,80,90,219,174,65,83,53,86,149,36,198,39,
-    32,84,99,275,36,47,35,199,57,31,108,83,49,38,144,75,88,62,80,42,217,30,98,
-    56,34,88,46,204,153,141,85,47,46,35,62,67,108,35,39,39,19,21,15,14,213,61,
-    55,50,59,65,90,120,81,366,218,54,55,72,137,41,238,127,284,18,100,117,76,
-    64,33,36,258,165,77,33,437,54,63,32,65,111,43,52,90,29,59,133,78,86,83,
-    162,241,266,182,35,94,71,201,98,75,275,220,172,387,74,43,94,20,164,81,42,
-    79,68,104,105,131,95,62,36,42,58,63,38,76,67,54,30,58,50,29,38,66,81,49,
-    51,163,71,90,69,109,50,67,32,35,146,71,71,291,175,96,112,41,236,18,32,70,
-    18,14,293,43,25,353,18,20,283,40,37,30,148,183,243,147,182,65,33,223,38,
-    177,92,112,422,36,230,424,433,289,179,358,452,288,251,228,187,293,177,148,
-    326,118,120,173,366,211,96,74,362,514,281,239,732,427,311,476,275,365,339,
-    385,304,298,298,211,174,327,93,170,424,189,180)
+    106,17,25,108,32,24,36,27,15,12,14,10,32,21,46,15,30,117,30,39,23,49,26,
+    56,66,159,37,39,37,37,44,35,39,37,35,36,12,15,148,43,161,209,117,29,98,
+    110,85,112,65,28,115,40,38,90,48,66,40,33,44,66,18,41,56,62,37,65,44,84,
+    45,38,27,115,243,40,46,14,63,62,87,73,80,73,142,125,55,85,45,65,145,37,
+    145,39,26,79,102,189,39,46,36,198,37,40,85,79,41,32,124,78,87,77,65,29,
+    147,28,102,43,33,77,31,175,118,81,64,28,51,28,51,76,95,49,36,37,23,21,17,
+    12,194,57,67,50,67,56,83,90,81,301,207,48,53,51,93,41,171,126,108,17,102,
+    107,65,60,39,46,160,71,59,41,283,44,63,22,70,170,41,39,89,25,57,93,74,66,
+    53,133,95,207,130,26,78,79,176,85,51,240,212,156,283,69,37,98,17,137,103,
+    37,56,58,99,118,110,90,59,27,33,57,61,34,71,59,54,26,61,44,40,36,52,80,37,
+    40,100,62,73,62,119,47,60,39,39,124,58,85,222,195,92,79,38,156,23,31,66,
+    14,14,93,35,31,213,24,26,191,41,38,19,39,50,121,46,66,16,25,89,23,62,35,
+    29,166,35,81,159,126,78,87,100,102,119,91,70,63,75,66,64,126,37,31,43,81,
+    98,26,19,91,116,84,50,208,132,62,94,41,73,87,90,78,66,77,40,36,66,28,31,
+    74,33,19)
 
   def costOf(name: String): Int = {
     val n = name.takeWhile(_ != '_').drop(1).toInt
